@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.functions.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The reference's analytics surface over a canonical candle frame.
+  *
+  * Canonical candle columns: `symbol` (string), `ts` (timestamp),
+  * `open/high/low/close` (double), `volume` (double or long).
+  *
+  * Reference semantics:
+  *  - symbol_stats (A1): `analytics/lambda_analytics.py:146-166`,
+  *    `analytics/lambda_analytics_lightweight.py:113-148` — first open /
+  *    last close in time order, max high, min low, sum volume, avg close,
+  *    count; change = close-open; pct = change/open*100 (0-guarded per
+  *    `lambda_analytics_lightweight.py:136`).
+  *  - daily_summary (A2): A1 for all symbols, desc by pct
+  *    (`analytics/lambda_analytics.py:174-271`).
+  *  - date_range (A3): A1 per day for one symbol
+  *    (`analytics/lambda_analytics.py:274-357`).
+  *  - top_movers (A4): A2 then top-N desc / asc
+  *    (`analytics/lambda_analytics.py:360-430`).
+  *  - derived view (P16): `sql/athena_parquet_tables.sql:60-64`.
+  *  - latest per symbol (O6/T5): `api/api_handler.py:479-514`.
+  *
+  * Scale notes: every rollup is a single hash-aggregate (map-side
+  * partial combine, one shuffle on the group keys); first/last use
+  * `min_by`/`max_by` on a composite order key rather than a window sort.
+  * top_movers is `TakeOrderedAndProject` (no global sort materialized).
+  */
+object Analytics {
+
+  private def ord(tieBreak: Column) = struct(col("ts"), tieBreak)
+
+  /** A1/A2/A3 core: per-(symbol, day) OHLCV rollup. */
+  def dailyStats(candles: DataFrame, tieBreak: Column): DataFrame =
+    candles
+      .groupBy(col("symbol"), to_date(col("ts")).as("trade_date"))
+      .agg(
+        min_by(col("open"), ord(tieBreak)).as("open"),
+        max_by(col("close"), ord(tieBreak)).as("close"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        dsum(col("volume")).as("volume"),
+        davg(col("close")).as("avg_price"),
+        count(lit(1)).as("num_records"))
+      .withColumn("price_change", col("close") - col("open"))
+      .withColumn(
+        "price_change_pct",
+        when(col("open") =!= 0, (col("close") - col("open")) / col("open") * 100)
+          .otherwise(lit(0.0)))
+
+  /** A1: one symbol, one date. */
+  def symbolStats(candles: DataFrame, symbol: String, date: String, tieBreak: Column): DataFrame =
+    dailyStats(candles.filter(col("symbol") === symbol && to_date(col("ts")) === lit(date)), tieBreak)
+
+  /** A2: all symbols on one date, sorted desc by pct change. */
+  def dailySummary(candles: DataFrame, date: String, tieBreak: Column): DataFrame =
+    dailyStats(candles.filter(to_date(col("ts")) === lit(date)), tieBreak)
+      .orderBy(desc("price_change_pct"), col("symbol"))
+
+  /** A3: one symbol over an inclusive date range, per-day stats. */
+  def dateRange(candles: DataFrame, symbol: String, from: String, to: String, tieBreak: Column): DataFrame =
+    dailyStats(
+      candles.filter(
+        col("symbol") === symbol &&
+          to_date(col("ts")).between(lit(from), lit(to))),
+      tieBreak)
+      .orderBy(col("trade_date"))
+
+  /** A4: top-N gainers (desc=true) or losers over a date range.
+    * Deterministic tie-break on (symbol, trade_date). */
+  def topMovers(candles: DataFrame, n: Int, gainers: Boolean, tieBreak: Column): DataFrame = {
+    val stats = dailyStats(candles, tieBreak)
+    val keys =
+      if (gainers) Seq(desc("price_change_pct"), asc("symbol"), asc("trade_date"))
+      else Seq(asc("price_change_pct"), asc("symbol"), asc("trade_date"))
+    stats.orderBy(keys: _*).limit(n)
+  }
+
+  /** P16: derived analysis columns (sql/athena_parquet_tables.sql:60-64),
+    * with the div-by-zero guard from lambda_analytics_lightweight.py:136. */
+  def withDerivedColumns(candles: DataFrame): DataFrame =
+    candles
+      .withColumn("price_change", col("close") - col("open"))
+      .withColumn(
+        "price_change_percent",
+        when(col("open") =!= 0, (col("close") - col("open")) / col("open") * 100)
+          .otherwise(lit(0.0)))
+      .withColumn("daily_range", col("high") - col("low"))
+      .withColumn(
+        "volatility_percent",
+        when(col("open") =!= 0, (col("high") - col("low")) / col("open") * 100)
+          .otherwise(lit(0.0)))
+
+  /** O6/T5: latest candle per symbol — single aggregate, no global sort.
+    * `max_by(struct(all), ord)` keeps it one shuffle. */
+  def latestPerSymbol(candles: DataFrame, tieBreak: Column): DataFrame = {
+    val payload = struct(col("ts"), col("open"), col("high"), col("low"), col("close"), col("volume"))
+    candles
+      .groupBy(col("symbol"))
+      .agg(max_by(payload, ord(tieBreak)).as("latest"))
+      .select(col("symbol"), col("latest.*"))
+  }
+
+  /** W1/W2/W3 + W4: the reference's CTE-with-window daily-return
+    * comparison (`sql/athena_parquet_tables.sql:117-144`), kept in window
+    * form (not rewritten to groupBy) to exercise the window operator. */
+  def dailyReturnComparison(candles: DataFrame, tieBreak: Column): DataFrame = {
+    val part = Window.partitionBy(col("symbol"), to_date(col("ts")))
+    val w    = part.orderBy(col("ts").asc, tieBreak.asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    candles
+      .withColumn("trade_date", to_date(col("ts")))
+      .withColumn("day_open", first(col("open")).over(w))
+      .withColumn("day_close", last(col("close")).over(full))
+      .withColumn("day_volume", sum(col("volume").cast("decimal(28,4)")).over(part).cast("double"))
+      .select(
+        col("symbol"),
+        col("trade_date"),
+        col("day_open"),
+        col("day_close"),
+        ((col("day_close") - col("day_open")) / col("day_open") * 100).as("daily_return_percent"),
+        col("day_volume"))
+      .dropDuplicates()
+  }
+
+  /** §2.8 extension: technical indicators the reference advertises but
+    * never computes (`api_config.json:46-51`) — SMA, Bollinger bands,
+    * RSI (Wilder-less simple-average variant) as window expressions. */
+  def withIndicators(candles: DataFrame, n: Int, tieBreak: Column): DataFrame = {
+    val w     = Window.partitionBy(col("symbol")).orderBy(col("ts").asc, tieBreak.asc)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val delta = col("close") - lag(col("close"), 1).over(w)
+    val gain  = when(delta > 0, delta).otherwise(lit(0.0))
+    val loss  = when(delta < 0, -delta).otherwise(lit(0.0))
+    val df = candles
+      .withColumn("sma", avg(col("close")).over(frame))
+      .withColumn("sd", stddev_samp(col("close")).over(frame))
+      .withColumn("avg_gain", avg(gain).over(frame))
+      .withColumn("avg_loss", avg(loss).over(frame))
+    df.withColumn("bollinger_upper", col("sma") + lit(2) * col("sd"))
+      .withColumn("bollinger_lower", col("sma") - lit(2) * col("sd"))
+      .withColumn(
+        "rsi",
+        when(col("avg_loss") === 0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss"))))
+      .drop("sd", "avg_gain", "avg_loss")
+  }
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Det._
+import graft.operators.{Analytics, Dedup, Resample}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's OHLCV analytics surface (SURVEY §2.3–§2.6) exercised
+  * over the `events` table: symbol := event_type, price := value,
+  * volume := value, tie-break := event_id. Same operators run over real
+  * candle frames in the ScalaTest fixtures (graft.ohlcv).
+  */
+object TimeSeries {
+
+  /** Ticks viewed as degenerate candles (open=high=low=close=value). */
+  private def ticksAsCandles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_type").as("symbol"),
+      col("ts"),
+      col("value").as("open"),
+      col("value").as("high"),
+      col("value").as("low"),
+      col("value").as("close"),
+      col("value").as("volume"),
+      col("event_id"))
+
+  /** Hourly candles built from ticks; time key = epoch-second bucket. */
+  private def hourlyCandles(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    Resample.ticksToCandles(e, col("event_type"), col("ts"), col("value"), col("value"), col("event_id"), 3600)
+  }
+
+  // Oracle fragment: hourly candles from events (shared by several oracles).
+  private val hourlyCandlesSql =
+    """WITH t AS (
+         SELECT event_type AS symbol,
+                CAST(floor(epoch(ts)) AS BIGINT) - (CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS bucket_start,
+                value, ts, event_id
+         FROM events
+       ), r AS (
+         SELECT *,
+                row_number() OVER (PARTITION BY symbol, bucket_start ORDER BY ts, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY symbol, bucket_start ORDER BY ts DESC, event_id DESC) AS rn_d
+         FROM t
+       ), candles AS (
+         SELECT symbol, bucket_start,
+                MAX(CASE WHEN rn_a=1 THEN value END) AS open,
+                MAX(value) AS high, MIN(value) AS low,
+                MAX(CASE WHEN rn_d=1 THEN value END) AS close,
+                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS volume,
+                COUNT(1) AS n_ticks
+         FROM r GROUP BY symbol, bucket_start
+       )"""
+
+  // Oracle fragment: per-(symbol, day) stats over ticks-as-candles.
+  private val dailyStatsSql =
+    """WITH r AS (
+         SELECT event_type AS symbol, CAST(ts AS DATE) AS trade_date, value, ts, event_id,
+                row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+         FROM events
+       ), stats AS (
+         SELECT symbol, trade_date,
+                MAX(CASE WHEN rn_a=1 THEN value END) AS open,
+                MAX(CASE WHEN rn_d=1 THEN value END) AS close,
+                MAX(value) AS high, MIN(value) AS low,
+                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS volume,
+                CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)/COUNT(value) AS avg_price,
+                COUNT(1) AS num_records
+         FROM r GROUP BY symbol, trade_date
+       ), daily AS (
+         SELECT symbol, trade_date, open, close, high, low, volume, avg_price, num_records,
+                close - open AS price_change,
+                CASE WHEN open <> 0 THEN (close - open) / open * 100 ELSE 0.0 END AS price_change_pct
+         FROM stats
+       )"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A6: epoch-aligned interval resample (api/api_handler.py:788-834).
+    "q21_resample_1h" -> ((s, dir) => hourlyCandles(s, dir)),
+
+    // A1/A2: per-(symbol, day) OHLCV rollup (lambda_analytics.py:146-166).
+    "q22_daily_stats" -> ((s, dir) => Analytics.dailyStats(ticksAsCandles(s, dir), col("event_id"))),
+
+    // A4: top-5 gainers by pct change (lambda_analytics.py:360-430).
+    "q23_top_movers" -> ((s, dir) =>
+      Analytics.topMovers(ticksAsCandles(s, dir), 5, gainers = true, col("event_id"))),
+
+    // O6/T5: latest candle per symbol (api/api_handler.py:479-514).
+    "q24_latest_per_symbol" -> ((s, dir) =>
+      Analytics.latestPerSymbol(ticksAsCandles(s, dir), col("event_id"))),
+
+    // P16: derived analysis columns over hourly candles
+    // (sql/athena_parquet_tables.sql:60-64).
+    "q25_derived_columns" -> ((s, dir) => {
+      Analytics.withDerivedColumns(hourlyCandles(s, dir))
+        .select(col("symbol"), col("bucket_start"), col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("price_change"), col("price_change_percent"), col("daily_range"),
+          col("volatility_percent"))
+    }),
+
+    // W1–W4: the reference's CTE+window daily-return comparison
+    // (sql/athena_parquet_tables.sql:117-144).
+    "q26_daily_returns_window" -> ((s, dir) =>
+      Analytics.dailyReturnComparison(ticksAsCandles(s, dir), col("event_id"))),
+
+    // D2: dedup keep-latest-version (api/api_handler.py:418-425, engine
+    // contract per SURVEY §7.4.1): one survivor per (user_id, event_type).
+    "q27_dedup_keep_latest" -> ((s, dir) =>
+      Dedup.keepLatest(
+        Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
+        keys = Seq(col("user_id"), col("event_type")),
+        version = Seq(col("ts"), col("event_id")))),
+
+    // A3: per-day stats for one symbol over a date range
+    // (lambda_analytics.py:274-357).
+    "q28_date_range" -> ((s, dir) =>
+      Analytics.dateRange(ticksAsCandles(s, dir), "purchase", "2024-01-05", "2024-01-15", col("event_id"))
+        .select(col("symbol"), col("trade_date"), col("open"), col("close"), col("high"), col("low"),
+          col("volume"), col("avg_price"), col("num_records"), col("price_change"), col("price_change_pct")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_resample_1h" -> (hourlyCandlesSql +
+      " SELECT symbol, bucket_start, open, high, low, close, volume, n_ticks FROM candles"),
+    "q22_daily_stats" -> (dailyStatsSql +
+      " SELECT symbol, trade_date, open, close, high, low, volume, avg_price, num_records, price_change, price_change_pct FROM daily"),
+    "q23_top_movers" -> (dailyStatsSql +
+      """ SELECT symbol, trade_date, open, close, high, low, volume, avg_price, num_records, price_change, price_change_pct
+          FROM daily ORDER BY price_change_pct DESC, symbol ASC, trade_date ASC LIMIT 5"""),
+    "q24_latest_per_symbol" ->
+      """WITH r AS (
+           SELECT event_type AS symbol, ts, value, event_id,
+                  row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events
+         )
+         SELECT symbol, ts, value AS open, value AS high, value AS low, value AS close, value AS volume
+         FROM r WHERE rn = 1""",
+    "q25_derived_columns" -> (hourlyCandlesSql +
+      """ SELECT symbol, bucket_start, open, high, low, close, volume,
+            close - open AS price_change,
+            CASE WHEN open <> 0 THEN (close - open) / open * 100 ELSE 0.0 END AS price_change_percent,
+            high - low AS daily_range,
+            CASE WHEN open <> 0 THEN (high - low) / open * 100 ELSE 0.0 END AS volatility_percent
+          FROM candles"""),
+    "q26_daily_returns_window" ->
+      """WITH w AS (
+           SELECT event_type AS symbol, CAST(ts AS DATE) AS trade_date,
+                  first_value(value) OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts, event_id) AS day_open,
+                  last_value(value) OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS day_close,
+                  CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS DOUBLE) AS day_volume
+           FROM events
+         )
+         SELECT DISTINCT symbol, trade_date, day_open, day_close,
+                (day_close - day_open) / day_open * 100 AS daily_return_percent, day_volume
+         FROM w""",
+    "q27_dedup_keep_latest" ->
+      """WITH r AS (
+           SELECT event_id, ts, user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events
+         )
+         SELECT event_id, ts, user_id, event_type, value FROM r WHERE rn = 1""",
+    "q28_date_range" -> (dailyStatsSql +
+      """ SELECT symbol, trade_date, open, close, high, low, volume, avg_price, num_records, price_change, price_change_pct
+          FROM daily
+          WHERE symbol = 'purchase' AND trade_date BETWEEN DATE '2024-01-05' AND DATE '2024-01-15'""")
+  )
+}
