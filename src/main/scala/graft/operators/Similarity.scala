@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.Portable
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  * Extension beyond the reference (which has no vector data).
+  *
+  * Determinism: embeddings are quantized to exact int64
+  * ([[Portable.quantize]]) so dot products and norms are exact integer
+  * arithmetic — identical on Spark and the DuckDB oracle regardless of
+  * summation order — and only the final cosine performs
+  * correctly-rounded double sqrt/divide.
+  *
+  * Scale design: the query side is tiny and BROADCAST — the corpus
+  * side is never shuffled in brute force. Per-query top-k uses a
+  * rank-window partitioned by query id (k small ⇒
+  * `TakeOrderedAndProject`-like behavior per partition group). The LSH
+  * variant prunes the corpus to one bucket per query: bucket ids are
+  * computed whole-row from plan-time hyperplane literals (no shuffle to
+  * assign), then a bucket-key equi-join replaces the cross product —
+  * at 1000 executors the corpus stays partitioned by bucket and only
+  * matching partitions are read if bucketed at write time.
+  */
+object Similarity {
+
+  /** Number of LSH hyperplanes → 2^H buckets. */
+  val H = 8
+
+  /** Deterministic integer hyperplanes in [−1000, 1000]^dim, derived
+    * from md5 so the oracle can recompute them in SQL:
+    * v(h,i) = (hash60("hp_h_i") mod 2001) − 1000, i being 1-based. */
+  def hyperplanes(dim: Int): Seq[Seq[Long]] =
+    (0 until H).map(h => (1 to dim).map(i => Portable.hash60Local(s"hp_${h}_$i") % 2001L - 1000L))
+
+  /** Exact int64 squared norm of a quantized vector. */
+  def normQ(v: Column): Column = Portable.dotQ(v, v)
+
+  /** Cosine from exact integer dot/norms; null-safe on zero vectors. */
+  def cosine(dot: Column, na2: Column, nb2: Column): Column =
+    when(na2 > 0 && nb2 > 0, dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))))
+
+  /** Brute-force cosine top-k: every query (a small id set, broadcast)
+    * against the whole corpus; rank per query. Exact baseline. */
+  def bruteForceTopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = embs
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), Portable.quantize(col("embedding")).as("qv"))
+      .withColumn("qn2", normQ(col("qv")))
+    val c = embs
+      .select(col("vec_id").as("cid"), Portable.quantize(col("embedding")).as("cv"))
+      .withColumn("cn2", normQ(col("cv")))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cosine", cosine(Portable.dotQ(col("qv"), col("cv")), col("qn2"), col("cn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+  }
+
+  /** LSH bucket id (0..2^H−1) of a quantized vector: bit h is the sign
+    * of the exact integer dot with hyperplane h. Statically unrolled —
+    * whole-row, codegen-friendly, zero shuffle to assign buckets. */
+  def bucketId(v: Column, dim: Int): Column =
+    hyperplanes(dim).zipWithIndex.map { case (hp, h) =>
+      val dot = Portable.dotQ(v, typedlit(hp))
+      when(dot > 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via hyperplane-LSH: candidates are corpus vectors in the SAME
+    * bucket as the query; exact cosine rescoring + top-k within the
+    * bucket. Approximate by construction (bucket recall < 1) — the
+    * scale path where brute force is infeasible. */
+  def lshTopK(embs: DataFrame, queryIds: Seq[Long], dim: Int, k: Int): DataFrame = {
+    val withBucket = embs.select(
+      col("vec_id"),
+      Portable.quantize(col("embedding")).as("v"))
+      .withColumn("bucket", bucketId(col("v"), dim))
+      .withColumn("n2", normQ(col("v")))
+    val q = withBucket
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"), col("n2").as("qn2"))
+    val scored = withBucket
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine(Portable.dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("bucket"), col("cosine"), col("rank"))
+  }
+}

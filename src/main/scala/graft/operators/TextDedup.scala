@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Document-deduplication operators for large-scale training-data
+  * pipelines: exact (hash-groupBy), n-gram Jaccard, MinHash + LSH
+  * banding, and SimHash. Extension beyond the reference (whose only
+  * dedup is row-level by timestamp, `api/api_handler.py:418-425` —
+  * see [[Dedup]]); these are the document-level analogues.
+  *
+  * Scale design:
+  *  - Signatures (minhash, simhash) are computed WHOLE-ROW with
+  *    higher-order functions (`transform`/`aggregate`) — zero shuffle,
+  *    no UDF, no collect; embarrassingly parallel at any scale.
+  *  - Pair generation shuffles only on the blocking key (shingle /
+  *    LSH band / simhash byte), never all-pairs: candidate volume is
+  *    O(docs sharing a block), the standard LSH trade-off.
+  *  - All hashes are md5-derived ([[Portable]]) so the DuckDB oracle
+  *    reproduces them bit-for-bit.
+  */
+object TextDedup {
+
+  /** Whitespace tokenization (with multiplicity, order kept). */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles; empty array when fewer than n
+    * words (mirrors the oracle's CASE guard — Spark's `sequence(1,0)`
+    * would otherwise count DOWN). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val grams = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
+    when(size(ws) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact-duplicate groups by an arbitrary content key (use
+    * [[TextAnalysis.fingerprint]] for normalized text): one row per
+    * distinct key with the surviving doc id and group size.
+    * Single hash-aggregate, one shuffle on the key. */
+  def exactDupGroups(docs: DataFrame, id: Column, key: Column): DataFrame =
+    docs
+      .groupBy(key.as("fp"))
+      .agg(min(id).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
+    * thresholded. The shingle-key join IS the blocking step: pairs
+    * with zero overlap are never materialized. `shingles` must be a
+    * distinct-element array column.
+    *
+    * At 100 TB this is the rescoring stage after LSH ([[lshPairs]]);
+    * standalone it is exact and suits corpora where the shingle
+    * posting lists stay short (cap hot shingles upstream if not).
+    */
+  def jaccardPairs(docs: DataFrame, id: Column, shingles: Column, threshold: Double): DataFrame = {
+    val sh    = docs.select(id.as("doc_id"), explode(shingles).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Number of minhash permutations (signature length). */
+  val MinhashK = 16
+
+  /** LSH banding: 8 bands × 2 rows over the 16-slot signature. */
+  val LshBands = 8
+
+  /** Per-document minhash signature as a length-16 array: explode
+    * shingles, hash each ONCE (60-bit md5 → mod P), then one
+    * hash-aggregate with 16 `min(perm_k(h))` columns. One shuffle on
+    * doc_id with map-side partial mins — O(shingles) md5 calls total.
+    * (A whole-row `transform(sequence(0,15), k -> array_min(...))`
+    * form is shuffle-free but CollapseProject inlines the shingle/md5
+    * subtree into all 16 branches → 16× the hash work; measured 200s
+    * vs ~2s at sf0.1. Min over the affine permutation is insensitive
+    * to shingle multiplicity, so no distinct needed here.)
+    * Docs with no shingles are dropped (their signature is undefined —
+    * and the row-exploded oracle omits them too). */
+  def minhashSignatures(docs: DataFrame, id: Column, shingles: Column): DataFrame = {
+    val sh = docs
+      .select(id.as("doc_id"), explode(shingles).as("s"))
+      .select(col("doc_id"), pmod(Portable.hash60(col("s")), lit(Portable.P)).as("h"))
+    val aggs = (0 until MinhashK).map(k => min(Portable.minhashPermAt(k, col("h"))).as(s"m$k"))
+    sh.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until MinhashK).map(k => col(s"m$k")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: band the signature (2 rows per
+    * band → band key = sig[2j]·P + sig[2j+1], collision-free since
+    * sig values < P), self-join per band, then estimate Jaccard as the
+    * fraction of equal signature slots and threshold.
+    *
+    * One shuffle to band-join + one distinct — candidate pairs only,
+    * never all-pairs. est_jaccard = n_equal/16 is exact rational
+    * arithmetic in double (k ≤ 16), deterministic.
+    */
+  def lshPairs(sigs: DataFrame, estThreshold: Double): DataFrame = {
+    val bandKeys = transform(
+      sequence(lit(0), lit(LshBands - 1)),
+      j => element_at(col("sig"), j * 2 + 1) * lit(Portable.P) + element_at(col("sig"), j * 2 + 2))
+    val bands = sigs.select(col("doc_id"), col("sig"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    val cand = bands.as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val nEqual = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+    cand
+      .select(col("doc_a"), col("doc_b"), (nEqual.cast("double") / MinhashK).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** Per-document 32-bit SimHash over whitespace tokens (with
+    * multiplicity): each token hashes to 32 bits; bit b of the
+    * fingerprint is 1 iff the (+1/−1) vote sum over tokens at bit b is
+    * positive. Whole-row nested `aggregate` — no shuffle. Built as SQL
+    * text because the shift amount is a lambda variable (the Scala
+    * `shiftleft`/`shiftright` bindings only take literal shifts). */
+  def simhashes(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val th = transform(words(text), t => Portable.hash32(t))
+    val sh = expr("""
+      aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) ->
+        acc + IF(aggregate(__th, CAST(0 AS BIGINT),
+                   (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+                 shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""")
+    docs
+      .select(id.as("doc_id"), th.as("__th"))
+      .select(col("doc_id"), sh.as("sh"))
+  }
+
+  /** SimHash near-duplicate pairs: block on any equal fingerprint byte
+    * (4 blocks per doc), then keep pairs within `maxHamming` bits.
+    * By pigeonhole, a shared-byte block is guaranteed only for
+    * hamming ≤ 3 over 4 bytes; wider radii trade recall for cost —
+    * the standard multi-index trade-off, documented not hidden. */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame = {
+    val fps = simhashes(docs, id, text)
+    val bytes = array((0 until 4).map(j => shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)
+    val blocks = fps.select(col("doc_id"), col("sh"), posexplode(bytes).as(Seq("bpos", "bval")))
+    blocks.as("a")
+      .join(
+        blocks.as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,319 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LLM-training-data operator pack over `documents` / `embeddings`:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+  * search (brute-force + LSH ANN), text analysis, multimodal plumbing.
+  *
+  * Every pseudo-random ingredient is md5-derived and every float path
+  * integer-quantized ([[graft.functions.Portable]]), so each query has
+  * a full DuckDB oracle despite hash-based semantics.
+  */
+object Documents {
+
+  private val QueryIds = Seq(0L, 1L, 2L, 3L, 4L)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup via normalized-content fingerprint: hash-groupBy,
+    // one shuffle on the 128-bit key, partial agg map-side.
+    "q30_exact_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.exactDupGroups(d, col("doc_id"), TextAnalysis.fingerprint(col("text")))
+    }),
+
+    // Exact word-3gram Jaccard near-dup pairs ≥ 0.8 (finds the
+    // corpus's planted near-duplicates). Shingle join = blocking.
+    "q31_ngram_jaccard_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.jaccardPairs(d, col("doc_id"), TextDedup.wordNgrams(col("text"), 3), 0.8)
+    }),
+
+    // MinHash signatures (16 perms), computed whole-row; exploded to
+    // (doc_id, k, minhash) rows for the oracle compare.
+    "q32_minhash_signatures" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.minhashSignatures(d, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "minhash")))
+    }),
+
+    // MinHash-LSH candidate pairs (8 bands × 2 rows) with estimated
+    // Jaccard ≥ 0.5 — the scale path for q31.
+    "q33_minhash_lsh_pairs" -> ((s, dir) => {
+      val d    = Tables.documents(s, dir)
+      val sigs = TextDedup.minhashSignatures(d, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
+      TextDedup.lshPairs(sigs, 0.5)
+    }),
+
+    // Per-doc 32-bit SimHash fingerprints.
+    "q34_simhash" -> ((s, dir) =>
+      TextDedup.simhashes(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // SimHash near-dup pairs: byte-block candidates, hamming ≤ 6.
+    "q35_simhash_pairs" -> ((s, dir) =>
+      TextDedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 6)),
+
+    // Brute-force cosine top-10 for 5 broadcast query vectors —
+    // exact ANN baseline on integer-quantized embeddings.
+    "q36_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryIds, 10)
+        .withColumnRenamed("rank", "rk")),
+
+    // Hyperplane-LSH ANN: same queries restricted to their bucket.
+    "q37_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), QueryIds, dim = 64, k = 5)
+        .withColumnRenamed("rank", "rk")),
+
+    // Token counting (whitespace + BPE-ish regex) & quality scoring.
+    "q38_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // Stopword-vote language ID, confusion rollup vs labeled lang.
+    "q39_langid" -> ((s, dir) =>
+      TextAnalysis.languageIdSummary(Tables.documents(s, dir), col("text"))),
+
+    // Multimodal: binary payload + mapPartitions batched stub decode.
+    "q40_multimodal_decode" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text")))
+    }),
+
+    // Frame sampling over the decoded media (every 4th frame).
+    "q41_frame_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val decoded = Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text")))
+      Multimodal.sampleFrames(decoded, 4)
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  /** Whitespace tokenization, shared CTE. */
+  private val wordsCte =
+    """words AS (
+         SELECT doc_id, text, lang, string_split_regex(trim(text), '\s+') AS ws FROM documents
+       )"""
+
+  /** Distinct word-3gram shingles per doc (guarded like the Spark side:
+    * Spark's sequence(1, n) would count DOWN for n<1). */
+  private val shinglesCte = wordsCte + """,
+       sh0 AS (
+         SELECT doc_id,
+                CASE WHEN len(ws) >= 3
+                     THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     ELSE []::VARCHAR[] END AS sh
+         FROM words
+       ),
+       sh AS (SELECT doc_id, unnest(sh) AS s FROM sh0)"""
+
+  /** (doc_id, k, minhash) signature rows — mirror of the whole-row
+    * Spark computation, in exploded relational form. */
+  private val sigCte = shinglesCte + """,
+       hs AS (
+         SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h FROM sh
+       ),
+       sig AS (
+         SELECT doc_id, k,
+                MIN(( (((k+1)*2654435761) % 2147483647) * h
+                      + (((k+7)*976369) % 2147483647) ) % 2147483647) AS minhash
+         FROM hs, (SELECT unnest(generate_series(0, 15)) AS k)
+         GROUP BY doc_id, k
+       )"""
+
+  /** Per-doc 32-bit simhash — exploded mirror of the Spark fold. */
+  private val simhashCte = wordsCte + """,
+       th AS (
+         SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+         FROM (SELECT doc_id, unnest(ws) AS t FROM words)
+       ),
+       bits AS (
+         SELECT doc_id, b, SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         FROM th, (SELECT unnest(generate_series(0, 31)) AS b)
+         GROUP BY doc_id, b
+       ),
+       shs AS (
+         SELECT doc_id,
+                CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+         FROM bits GROUP BY doc_id
+       )"""
+
+  /** Integer-quantized embeddings + exact squared norms. */
+  private val quantCte =
+    """e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+         FROM embeddings
+       ),
+       en AS (
+         SELECT vec_id, v,
+                CAST(list_aggregate(list_transform(v, x -> x*x), 'sum') AS BIGINT) AS n2
+         FROM e
+       )"""
+
+  private val dotSql =
+    "CAST(list_aggregate(list_transform(list_zip(%s, %s), p -> p[1] * p[2]), 'sum') AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp,
+                MIN(doc_id) AS keeper_doc_id, COUNT(1) AS n_docs
+         FROM documents GROUP BY 1""",
+
+    "q31_ngram_jaccard_pairs" ->
+      s"""WITH $shinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          )
+          SELECT da AS doc_a, db AS doc_b,
+                 CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""",
+
+    "q32_minhash_signatures" ->
+      s"""WITH $sigCte
+          SELECT doc_id, CAST(k AS INT) AS k, minhash FROM sig""",
+
+    "q33_minhash_lsh_pairs" ->
+      s"""WITH $sigCte,
+          bands AS (
+            SELECT doc_id, k // 2 AS band,
+                   SUM(CASE WHEN k % 2 = 0 THEN minhash * 2147483647 ELSE minhash END) AS band_key
+            FROM sig GROUP BY doc_id, k // 2
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          ),
+          eq AS (
+            SELECT c.da, c.db, COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END) AS neq
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db AND sb.k = sa.k
+            GROUP BY 1, 2
+          )
+          SELECT da AS doc_a, db AS doc_b, neq / 16.0 AS est_jaccard
+          FROM eq WHERE neq / 16.0 >= 0.5""",
+
+    "q34_simhash" ->
+      s"""WITH $simhashCte
+          SELECT doc_id, sh FROM shs""",
+
+    "q35_simhash_pairs" ->
+      s"""WITH $simhashCte,
+          blocks AS (
+            SELECT doc_id, sh, j, (sh >> (8*j)) & 255 AS bval
+            FROM shs, (SELECT unnest(generate_series(0, 3)) AS j)
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+            FROM blocks a JOIN blocks b
+              ON a.j = b.j AND a.bval = b.bval AND a.doc_id < b.doc_id
+          )
+          SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+          FROM cand WHERE bit_count(xor(sha, shb)) <= 6""",
+
+    "q36_cosine_topk" ->
+      s"""WITH $quantCte,
+          q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id IN (0,1,2,3,4)),
+          scored AS (
+            SELECT q.qid, c.vec_id AS cid,
+                   CAST(${dotSql.format("q.qv", "c.v")} AS DOUBLE)
+                     / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
+            FROM en c, q WHERE c.vec_id <> q.qid
+          ),
+          r AS (SELECT qid, cid, cosine,
+                       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+                FROM scored)
+          SELECT qid, cid, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""",
+
+    "q37_ann_lsh" ->
+      s"""WITH $quantCte,
+          hp AS (
+            SELECT h, i, ('0x' || substr(md5('hp_' || h || '_' || i), 1, 15))::BIGINT % 2001 - 1000 AS hv
+            FROM (SELECT unnest(generate_series(0, 7)) AS h), (SELECT unnest(generate_series(1, 64)) AS i)
+          ),
+          comp AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+          dots AS (
+            SELECT c.vec_id, hp.h, SUM(c.x * hp.hv) AS d
+            FROM comp c JOIN hp ON hp.i = c.i GROUP BY 1, 2
+          ),
+          buckets AS (
+            SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY 1
+          ),
+          eb AS (SELECT en.vec_id, en.v, en.n2, b.bucket FROM en JOIN buckets b USING (vec_id)),
+          q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket FROM eb WHERE vec_id IN (0,1,2,3,4)),
+          scored AS (
+            SELECT q.qid, c.vec_id AS cid, q.bucket,
+                   CAST(${dotSql.format("q.qv", "c.v")} AS DOUBLE)
+                     / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
+            FROM eb c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.qid
+          ),
+          r AS (SELECT qid, cid, bucket, cosine,
+                       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+                FROM scored)
+          SELECT qid, cid, bucket, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
+
+    "q38_text_quality" ->
+      s"""WITH $wordsCte,
+          m AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) AS avg_word_len,
+                   CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in','to','is','that','it','for'))) AS DOUBLE) / len(ws) AS stopword_ratio,
+                   CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_count
+            FROM words
+          )
+          SELECT doc_id, n_tokens, n_bpe_tokens, avg_word_len, stopword_ratio, punct_count,
+                 least(1.0, n_tokens / 100.0) * 0.5
+                   + least(1.0, stopword_ratio * 4) * 0.3
+                   + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END AS quality_score
+          FROM m""",
+
+    "q39_langid" ->
+      s"""WITH $wordsCte,
+          s AS (
+            SELECT lang,
+                   len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is','that','it','for'))) AS sen,
+                   len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS sde,
+                   len(list_filter(ws, x -> x IN ('le','la','les','et','est','pas','pour','dans','une','que'))) AS sfr
+            FROM words
+          )
+          SELECT lang,
+                 CASE WHEN sen >= sde AND sen >= sfr THEN 'en'
+                      WHEN sde >= sfr THEN 'de' ELSE 'fr' END AS predicted_lang,
+                 COUNT(1) AS n_docs
+          FROM s GROUP BY 1, 2""",
+
+    "q40_multimodal_decode" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'png'
+                     WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                64 + h % 1217 AS width,
+                64 + (h // 1217) % 953 AS height,
+                1 + CAST(octet_length(encode(text)) AS BIGINT) // 256 AS n_frames,
+                h AS feat_hash
+         FROM (SELECT doc_id, text,
+                      ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+               FROM documents)""",
+
+    "q41_frame_sample" ->
+      """SELECT doc_id, frame_idx,
+                ('0x' || substr(md5(doc_id || '_' || frame_idx), 1, 15))::BIGINT AS frame_hash
+         FROM (
+           SELECT doc_id,
+                  unnest(generate_series(0, CAST(octet_length(encode(text)) AS BIGINT) // 256, 4)) AS frame_idx
+           FROM documents)"""
+  )
+}
