@@ -1,0 +1,123 @@
+package graft.ohlcv
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Raw-snapshot ingestion + the core normalize transform — the Spark
+  * re-expression of the reference ETL (etl/glue_job.py:119-193 and
+  * etl/lightweight_etl.py:33-95): explode the symbol map (P1), explode
+  * candles (P2), positional cast (P3), epoch→timestamp (P4), calendar
+  * parts (P5), symbol cleaning (P6), audit stamps (P8), quality filter
+  * (P9). One declarative DataFrame→DataFrame; Catalyst handles
+  * pushdown/pruning; the only shuffle in the whole ETL is the
+  * partitioned write.
+  */
+object RawIngest {
+
+  /** Schema'd multiline raw-JSON scan (S4, etl/glue_job.py:65-117),
+    * old `data`-map envelope format. */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("multiLine", "true")
+      .schema(OhlcvSchemas.rawEnvelope)
+      .json(path)
+      .withColumn("source_file", input_file_name())
+
+  /** Exploded symbol blocks from either envelope format:
+    * old = blocks under `data`; new = blocks at top level (parsed from
+    * the raw JSON text as a map, minus the `metadata` key —
+    * api/api_handler.py:380-385 tolerates both the same way). */
+  def blocks(raw: DataFrame): DataFrame =
+    raw.select(
+      explode(col("data")).as(Seq("symbol_key", "block")),
+      col("metadata.fetch_timestamp").as("fetch_timestamp"),
+      col("source_file"))
+
+  /** New-format scan: every top-level key except `metadata` is a
+    * symbol block (api/api_handler.py:266-272). Implemented by reading
+    * the document as text and `from_json`-ing it twice: once as a
+    * permissive map of blocks, once for metadata. */
+  def readRawNewFormat(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val text = spark.read.option("wholetext", "true").text(path)
+      .withColumn("source_file", input_file_name())
+    val asMap  = from_json(col("value"), MapType(StringType, OhlcvSchemas.symbolBlock))
+    val asMeta = from_json(col("value"), OhlcvSchemas.rawEnvelopeNew)
+    text
+      .select(
+        map_filter(asMap, (k, _) => k =!= "metadata").as("data"),
+        asMeta.getField("metadata").getField("fetch_timestamp").as("fetch_timestamp"),
+        col("source_file"))
+      .select(explode(col("data")).as(Seq("symbol_key", "block")), col("fetch_timestamp"), col("source_file"))
+  }
+}
+
+object Normalize {
+
+  /** P6: strip `NSE:` prefix and `-EQ` suffix (etl/glue_job.py:171-173). */
+  def cleanSymbol(c: Column): Column = regexp_replace(c, "NSE:|-EQ", "")
+
+  /** P7: inverse — normalize user input to `NSE:X-EQ`
+    * (api/api_handler.py:592-612). */
+  def toExchangeSymbol(c: Column): Column = {
+    val up = upper(trim(c))
+    val withPrefix = when(up.startsWith("NSE:"), up).otherwise(concat(lit("NSE:"), up))
+    when(withPrefix.endsWith("-EQ"), withPrefix).otherwise(concat(withPrefix, lit("-EQ")))
+  }
+
+  /** P11: multi-format timestamp coercion — numeric epoch seconds vs
+    * milliseconds via the `> 1e12` heuristic
+    * (etl/python_etl/transforms.py:22-39). */
+  def coerceEpochSeconds(c: Column): Column =
+    when(c > 1e12, (c / 1000).cast("long")).otherwise(c.cast("long"))
+
+  /** Exploded blocks → normalized 16-column OHLCV
+    * (etl/glue_job.py:119-193 + lightweight extras). `processedAt`
+    * is injected (not `current_timestamp()`) so runs are reproducible;
+    * pass a real clock at the call site for production parity. */
+  def normalize(blocks: DataFrame, processedAt: String): DataFrame = {
+    val c = col("candle")
+    val exploded = blocks.select(
+      col("block.symbol").as("symbol"),
+      col("block.resolution").as("resolution"),
+      col("fetch_timestamp"),
+      explode(col("block.candles")).as("candle"))
+    val typed = exploded.select(
+      col("symbol"),
+      cleanSymbol(col("symbol")).as("symbol_clean"),
+      col("resolution"),
+      coerceEpochSeconds(c.getItem(0)).as("timestamp_unix"),
+      // P10 null-defaulting casts (etl/lightweight_etl.py:68-72)
+      coalesce(c.getItem(1), lit(0.0)).as("open"),
+      coalesce(c.getItem(2), lit(0.0)).as("high"),
+      coalesce(c.getItem(3), lit(0.0)).as("low"),
+      coalesce(c.getItem(4), lit(0.0)).as("close"),
+      coalesce(c.getItem(5).cast("long"), lit(0L)).as("volume"),
+      col("fetch_timestamp"))
+    val ts = to_timestamp(from_unixtime(col("timestamp_unix")))
+    typed
+      .withColumn("timestamp_iso", date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
+      .withColumn("year", year(ts))
+      .withColumn("month", month(ts))
+      .withColumn("day", dayofmonth(ts))
+      .withColumn("hour", hour(ts))
+      .withColumn("processed_at", lit(processedAt))
+      // P9 quality filter (etl/glue_job.py:177-186 + close>0 from
+      // lightweight_etl.py:83-85)
+      .filter(
+        col("timestamp_unix").isNotNull && col("open").isNotNull && col("high").isNotNull &&
+          col("low").isNotNull && col("close").isNotNull && col("volume").isNotNull &&
+          col("high") >= col("low") && col("volume") >= 0 && col("close") > 0)
+      .select(OhlcvSchemas.normalized.fieldNames.map(col): _*)
+  }
+
+  /** Canonical candle view of a normalized table — the column contract
+    * the analytics/resample/dedup operators consume. */
+  def asCandles(normalized: DataFrame): DataFrame =
+    normalized.select(
+      col("symbol_clean").as("symbol"),
+      to_timestamp(from_unixtime(col("timestamp_unix"))).as("ts"),
+      col("open"), col("high"), col("low"), col("close"),
+      col("volume").cast("double").as("volume"),
+      col("fetch_timestamp"))
+}

@@ -1,0 +1,76 @@
+package graft.ohlcv
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Partitioned storage for the normalized OHLCV table (SURVEY §2.1).
+  *
+  * Layout matches the reference's Hive-style partitioning: parquet
+  * partitioned by (year, month, day, symbol_clean) with snappy
+  * (S9, etl/glue_job.py:195-225); CSV.gz partitioned by
+  * (symbol_clean, year, month, day) (S7, etl/lightweight_etl.py:
+  * 276-284). Partition pruning then replaces the reference's
+  * hand-built S3 key construction (§4) for free.
+  *
+  * Scale notes: partition columns are low-cardinality dates + symbol;
+  * at 100 TB add bucketing on symbol_clean for co-located joins. The
+  * writers deliberately do NOT coalesce — AQE coalesces shuffle
+  * output; for small dimensions call `.coalesce(n)` at the call site
+  * (the reference hard-codes coalesce(4), etl/glue_job.py:201-203).
+  */
+object Storage {
+
+  /** S9: partitioned snappy parquet sink. */
+  def writeParquet(normalized: DataFrame, path: String, mode: String = "append"): Unit =
+    normalized.write
+      .mode(mode)
+      .option("compression", "snappy")
+      .partitionBy("year", "month", "day", "symbol_clean")
+      .parquet(path)
+
+  /** Parquet scan of the partitioned table (partition discovery gives
+    * back year/month/day/symbol_clean as columns). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S7: partitioned gzip CSV sink (header, reference column order). */
+  def writeCsv(normalized: DataFrame, path: String, mode: String = "append"): Unit =
+    normalized.write
+      .mode(mode)
+      .option("header", "true")
+      .option("compression", "gzip")
+      .partitionBy("symbol_clean", "year", "month", "day")
+      .csv(path)
+
+  /** S8: CSV scan with the explicit normalized schema (no inference —
+    * a 100 TB listing must not pay a sampling pass). */
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // partition cols come from the directory layout; drop them from
+    // the file schema
+    val fileSchema = StructType(OhlcvSchemas.normalized.filterNot(f =>
+      Seq("symbol_clean", "year", "month", "day").contains(f.name)))
+    spark.read.option("header", "true").schema(fileSchema).csv(path)
+  }
+
+  /** D2, the engine's dedup contract (SURVEY §7.4.1): one row per
+    * (symbol, timestamp_unix), survivor = greatest fetch_timestamp.
+    * The reference's three conflicting rules collapse to this. */
+  def dedupContract(normalized: DataFrame): DataFrame =
+    Dedup.keepLatest(
+      normalized,
+      keys = Seq(col("symbol_clean"), col("timestamp_unix")),
+      version = Seq(col("fetch_timestamp")))
+
+  /** A11: ETL-run metadata rollup (etl/glue_job.py:227-264), emitted
+    * as a one-row DataFrame (the JDBC write S11 is a sink option, not
+    * query semantics). */
+  def runMetadata(normalized: DataFrame, jobName: String): DataFrame =
+    normalized.agg(
+      count(lit(1)).as("total_records"),
+      countDistinct(col("symbol_clean")).as("distinct_symbols"),
+      min(col("timestamp_unix")).as("min_ts"),
+      max(col("timestamp_unix")).as("max_ts"))
+      .withColumn("job_name", lit(jobName))
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.ohlcv.{Normalize, OhlcvSchemas}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Structured-Streaming ingestion of raw OHLCV snapshots — the engine
+  * replacement for the reference's EventBridge-cron Lambda loop
+  * (SURVEY §2.7): a file source over the raw-JSON landing directory,
+  * the same Normalize transform as batch, watermarked dedup of the
+  * overlapping-fetch duplicates (T4), and a latest-price materialized
+  * view (T5).
+  *
+  * Scale notes: the file source scales by listing parallelism +
+  * maxFilesPerTrigger backpressure; dedup state is bounded by the
+  * watermark (1 day of (symbol, ts) keys); latest-price state is one
+  * row per symbol. Batch and streaming share the SAME transform
+  * function — no dual implementations to drift.
+  */
+object OhlcvStream {
+
+  /** T1: streaming scan of raw envelopes landing in `path`. */
+  def readRawStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .option("multiLine", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(OhlcvSchemas.rawEnvelope)
+      .json(path)
+      .withColumn("source_file", input_file_name())
+
+  /** Raw stream → normalized stream (same code path as batch ETL). */
+  def normalized(raw: DataFrame, processedAt: String): DataFrame = {
+    val blocks = raw.select(
+      explode(col("data")).as(Seq("symbol_key", "block")),
+      col("metadata.fetch_timestamp").as("fetch_timestamp"),
+      col("source_file"))
+    Normalize.normalize(blocks, processedAt)
+  }
+
+  /** T4: drop overlapping-fetch duplicates under a watermark — each
+    * 5-min fetch re-downloads the whole day, so (symbol, ts) repeats
+    * across files; state expires 1 day past the event time. Note
+    * `dropDuplicates` keeps the FIRST arrival (stream-order), the
+    * streaming analogue of the batch D2 contract — with in-order
+    * landing files the first arrival is the earliest fetch, so batch
+    * replays running keep-latest stay authoritative (lambda
+    * architecture: stream = fresh view, daily batch = truth). */
+  def dedupedStream(normalizedStream: DataFrame): DataFrame =
+    normalizedStream
+      .withColumn("event_time", to_timestamp(from_unixtime(col("timestamp_unix"))))
+      .withWatermark("event_time", "1 day")
+      .dropDuplicates("symbol_clean", "timestamp_unix")
+
+  /** T2: IST trading-hours predicate (09:15–15:30 Mon–Fri,
+    * ingestion/lambda_ingestion.py:28-58) on event time. Session TZ is
+    * UTC; IST = UTC+05:30 exactly, so shift by 19800 s rather than
+    * depending on server timezone data. */
+  def tradingHours(eventTimeUnix: org.apache.spark.sql.Column): DataFrame => DataFrame = { df =>
+    val ist = to_timestamp(from_unixtime(eventTimeUnix + 19800L))
+    val mins = hour(ist) * 60 + minute(ist)
+    df.filter(
+      dayofweek(ist).between(2, 6) && // Mon..Fri
+        mins.between(9 * 60 + 15, 15 * 60 + 30))
+  }
+
+  /** T5: latest candle per symbol as an update-mode aggregation —
+    * max_by over the whole stream, state = one struct per symbol. */
+  def latestPerSymbol(normalizedStream: DataFrame): DataFrame = {
+    val payload = struct(
+      col("timestamp_unix"), col("open"), col("high"), col("low"),
+      col("close"), col("volume"), col("fetch_timestamp"))
+    normalizedStream
+      .groupBy(col("symbol_clean"))
+      .agg(max_by(payload, struct(col("timestamp_unix"), col("fetch_timestamp"))).as("latest"))
+      .select(col("symbol_clean"), col("latest.*"))
+  }
+
+  /** Wire the deduped stream to a partitioned parquet sink (the
+    * streaming twin of Storage.writeParquet) with a processing-time
+    * trigger matching the reference's 5-min cadence. */
+  def parquetSink(deduped: DataFrame, outPath: String, checkpoint: String): DataStreamWriter[Row] =
+    deduped
+      .drop("event_time")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("year", "month", "day", "symbol_clean")
+      .trigger(Trigger.ProcessingTime("5 minutes"))
+      .outputMode(OutputMode.Append)
+}

@@ -1,0 +1,195 @@
+package graft.ohlcv
+
+import graft.SparkSpec
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end ETL slice (SURVEY §7.2): mock generator → raw JSON on
+  * disk → schema'd read → normalize → partitioned parquet → analytics
+  * query — the reference's own canonical demo path.
+  */
+class OhlcvEtlSpec extends SparkSpec {
+  private lazy val tmp = Files.createTempDirectory("graft-etl").toString
+
+  private lazy val symbols = Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ", "NSE:INFY-EQ")
+  // 2025-10-08 09:15 IST = 03:45 UTC
+  private val t0 = 1759895100L
+
+  test("mock → envelope → readRaw → normalize roundtrip") {
+    val mock = MockData.candles(spark, symbols, n = 10, startUnix = t0)
+    MockData.envelope(mock, "2025-10-08T03:50:00Z").write.mode("overwrite").json(s"$tmp/raw")
+
+    val raw = RawIngest.readRaw(spark, s"$tmp/raw")
+    assert(raw.count() === 1)
+    val norm = Normalize.normalize(RawIngest.blocks(raw), processedAt = "2025-10-08T10:30:00Z")
+    assert(norm.count() === 30)
+    assert(norm.columns.toSeq === OhlcvSchemas.normalized.fieldNames.toSeq)
+    val syms = norm.select("symbol_clean").distinct().collect().map(_.getString(0)).toSet
+    assert(syms === Set("RELIANCE", "TCS", "INFY"))
+    // P9 invariants hold on mock data
+    assert(norm.filter(col("high") < col("low") || col("close") <= 0 || col("volume") < 0).count() === 0)
+    // P4/P5: calendar parts derive from the timestamp
+    val r = norm.filter(col("symbol_clean") === "RELIANCE" && col("timestamp_unix") === t0).collect().head
+    assert(r.getAs[Int]("year") === 2025)
+    assert(r.getAs[Int]("month") === 10)
+    assert(r.getAs[Int]("day") === 8)
+    assert(r.getAs[String]("timestamp_iso") === "2025-10-08T03:45:00")
+  }
+
+  test("new-format envelope (blocks at top level) parses identically") {
+    // rewrite the old-format docs as new-format JSON text
+    val old = RawIngest.readRaw(spark, s"$tmp/raw")
+    val blocks = RawIngest.blocks(old)
+    val oldNorm = Normalize.normalize(blocks, "x").orderBy("symbol_clean", "timestamp_unix")
+
+    // transform the on-disk old-format docs textually:
+    // {"data":{BLOCKS},"metadata":{M}} → {BLOCKS,"metadata":{M}}
+    import scala.jdk.CollectionConverters._
+    val docs = Files.walk(java.nio.file.Paths.get(s"$tmp/raw")).iterator().asScala
+      .filter(p => p.toString.endsWith(".json") && Files.isRegularFile(p))
+      .map(p => new String(Files.readAllBytes(p)).trim)
+      .filter(_.nonEmpty)
+      .toSeq
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/raw_new"))
+    docs.zipWithIndex.foreach { case (s, i) =>
+      val metaIdx = s.indexOf(",\"metadata\"")
+      assert(s.startsWith("{\"data\":{") && metaIdx > 0, s"unexpected envelope shape: ${s.take(60)}")
+      val blocks = s.substring("{\"data\":{".length, metaIdx - 1) // drop data's closing }
+      val doc    = "{" + blocks + s.substring(metaIdx)
+      Files.write(java.nio.file.Paths.get(s"$tmp/raw_new/doc$i.json"), doc.getBytes)
+    }
+
+    val newNorm = Normalize.normalize(
+      RawIngest.readRawNewFormat(spark, s"$tmp/raw_new"), "x")
+      .orderBy("symbol_clean", "timestamp_unix")
+    assert(newNorm.count() === oldNorm.count())
+    assert(newNorm.exceptAll(oldNorm).count() === 0)
+  }
+
+  test("partitioned parquet write → partition-pruned read → symbolStats") {
+    val raw  = RawIngest.readRaw(spark, s"$tmp/raw")
+    val norm = Normalize.normalize(RawIngest.blocks(raw), "2025-10-08T10:30:00Z")
+    Storage.writeParquet(norm, s"$tmp/table", mode = "overwrite")
+
+    val back = Storage.readParquet(spark, s"$tmp/table")
+    assert(back.count() === 30)
+    // partition pruning visible in the plan when filtering partition cols
+    val pruned = back.filter(col("symbol_clean") === "RELIANCE" && col("day") === 8)
+    assert(pruned.count() === 10)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+
+    val stats = Analytics.symbolStats(
+      Normalize.asCandles(back), "RELIANCE", "2025-10-08", col("fetch_timestamp")).collect()
+    assert(stats.length === 1)
+    assert(stats.head.getAs[Long]("num_records") === 10)
+  }
+
+  test("dedup contract: overlapping fetches collapse to latest fetch_timestamp") {
+    val m1 = MockData.candles(spark, symbols, n = 5, startUnix = t0)
+    // second fetch re-downloads the same window (T4) with same values
+    MockData.envelope(m1, "2025-10-08T04:00:00Z").write.mode("overwrite").json(s"$tmp/raw2/a")
+    MockData.envelope(m1, "2025-10-08T04:05:00Z").write.mode("overwrite").json(s"$tmp/raw2/b")
+    val norm = Normalize.normalize(
+      RawIngest.blocks(RawIngest.readRaw(spark, s"$tmp/raw2/*")), "x")
+    assert(norm.count() === 30) // 2 files × 15
+    val deduped = Storage.dedupContract(norm)
+    assert(deduped.count() === 15)
+    assert(deduped.select("fetch_timestamp").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("2025-10-08T04:05:00Z"))
+  }
+
+  test("csv roundtrip preserves the normalized table") {
+    val raw  = RawIngest.readRaw(spark, s"$tmp/raw")
+    val norm = Normalize.normalize(RawIngest.blocks(raw), "p")
+    Storage.writeCsv(norm, s"$tmp/csv", mode = "overwrite")
+    val back = Storage.readCsv(spark, s"$tmp/csv")
+    assert(back.count() === norm.count())
+    // values survive the text roundtrip
+    val a = norm.agg(sum("volume"), sum("close")).collect().head
+    val b = back.agg(sum("volume"), sum("close")).collect().head
+    assert(a.getLong(0) === b.getLong(0))
+    assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
+  }
+
+  test("runMetadata rollup") {
+    val raw  = RawIngest.readRaw(spark, s"$tmp/raw")
+    val norm = Normalize.normalize(RawIngest.blocks(raw), "p")
+    val md = Storage.runMetadata(norm, "test-run").collect().head
+    assert(md.getAs[Long]("total_records") === 30)
+    assert(md.getAs[Long]("distinct_symbols") === 3)
+    assert(md.getAs[String]("job_name") === "test-run")
+  }
+}
+
+class ApiSpec extends SparkSpec {
+  import graft.operators.Dedup
+
+  test("periodToDays reproduces the reference's approximate arithmetic") {
+    assert(Api.periodToDays("30d") === 30)
+    assert(Api.periodToDays("3m") === 90)
+    assert(Api.periodToDays("2y") === 730)
+    assert(Api.periodToDays("bogus") === 30)
+  }
+
+  test("intervalToMinutes parses m/h/d tokens") {
+    assert(Api.intervalToMinutes("5m") === 5)
+    assert(Api.intervalToMinutes("1h") === 60)
+    assert(Api.intervalToMinutes("1d") === 1440)
+    assert(Api.intervalToMinutes("??") === 5)
+  }
+
+  test("toExchangeSymbol normalizes to NSE:X-EQ (P7), inverse of cleanSymbol (P6)") {
+    val s = spark; import s.implicits._
+    val in  = Seq("reliance", "NSE:TCS-EQ", "Infy").toDF("sym")
+    val out = in.select(Normalize.toExchangeSymbol(col("sym")).as("e")).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ", "NSE:INFY-EQ"))
+    val round = in.select(Normalize.cleanSymbol(Normalize.toExchangeSymbol(col("sym"))).as("c"))
+      .collect().map(_.getString(0))
+    assert(round.toSeq === Seq("RELIANCE", "TCS", "INFY"))
+  }
+
+  test("getOhlcv: range filter, dedup, tail-limit, ascending output") {
+    val s = spark; import s.implicits._
+    val candles = Seq(
+      ("A", "2025-10-08 09:15:00", 1.0, 1.0, 1.0, 1.0, 1L, "f1"),
+      ("A", "2025-10-08 09:20:00", 2.0, 2.0, 2.0, 2.0, 1L, "f1"),
+      ("A", "2025-10-08 09:20:00", 2.5, 2.5, 2.5, 2.5, 1L, "f2"), // dup ts
+      ("A", "2025-10-09 09:15:00", 3.0, 3.0, 3.0, 3.0, 1L, "f3"),
+      ("B", "2025-10-08 09:15:00", 9.0, 9.0, 9.0, 9.0, 1L, "f1"))
+      .toDF("symbol", "tss", "open", "high", "low", "close", "volume", "fetch_timestamp")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+
+    val out = Api.getOhlcv(candles, "A", Some("2025-10-08"), Some("2025-10-08"), limit = Some(1))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("close") === 2.5) // dedup kept f2, tail kept latest
+    val all = Api.getOhlcv(candles, "A", None, None, None).collect()
+    assert(all.map(_.getAs[Double]("close")).toSeq === Seq(1.0, 2.5, 3.0)) // asc, deduped
+  }
+
+  test("getOhlcvResampled buckets by the interval token") {
+    val s = spark; import s.implicits._
+    val candles = Seq(
+      ("A", "2025-10-08 09:15:00", 1.0, 1.5, 0.5, 1.2, 10L, "f1"),
+      ("A", "2025-10-08 09:20:00", 1.2, 2.0, 1.0, 1.8, 20L, "f1"),
+      ("A", "2025-10-08 10:15:00", 1.8, 2.5, 1.5, 2.0, 30L, "f1"))
+      .toDF("symbol", "tss", "open", "high", "low", "close", "volume", "fetch_timestamp")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = Api.getOhlcvResampled(candles, "A", None, None, "1h").collect()
+    assert(out.length === 2)
+    assert(out.head.getAs[Double]("open") === 1.0)
+    assert(out.head.getAs[Double]("close") === 1.8)
+    assert(out.head.getAs[Double]("volume") === 30.0)
+  }
+
+  test("toCsvRows renders the reference's export line format") {
+    val s = spark; import s.implicits._
+    val candles = Seq(("A", "2025-10-08 09:15:00", 1.0, 1.5, 0.5, 1.2, 10L, "f1"))
+      .toDF("symbol", "tss", "open", "high", "low", "close", "volume", "fetch_timestamp")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val line = Api.toCsvRows(candles).collect().head.getString(0)
+    assert(line === "A,1759914900,2025-10-08 09:15:00,1.0,1.5,0.5,1.2,10")
+  }
+}

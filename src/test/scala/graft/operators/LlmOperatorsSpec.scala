@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "completely different words entirely here now today"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (4L, "xy zz")) // < 3 words → no shingles
+      .toDF("doc_id", "text")
+  }
+
+  test("wordNgrams: distinct 3-grams; <n words yields empty not descending-sequence garbage") {
+    val out = docs.select(col("doc_id"), TextDedup.wordNgrams(col("text"), 3).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(0L).contains("the quick brown"))
+    assert(out(0L).size === 7) // 9 words → 7 grams, all distinct here
+    assert(out(4L).isEmpty)
+  }
+
+  test("exactDupGroups groups identical fingerprints") {
+    val out = TextDedup.exactDupGroups(docs, col("doc_id"), TextAnalysis.fingerprint(col("text")))
+    val grp = out.filter(col("n_docs") === 2).collect()
+    assert(grp.length === 1)
+    assert(grp.head.getAs[Long]("keeper_doc_id") === 0L)
+  }
+
+  test("jaccardPairs finds the near-dup pair and not the unrelated doc") {
+    val pairs = TextDedup.jaccardPairs(docs, col("doc_id"), TextDedup.wordNgrams(col("text"), 3), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((0L, 1L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash: identical docs get identical signatures; signature values < P") {
+    val sigs = TextDedup.minhashSignatures(docs, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) === sigs(3L))
+    assert(sigs(0L) !== sigs(2L))
+    assert(!sigs.contains(4L)) // no shingles → dropped
+    assert(sigs.values.flatten.forall(v => v >= 0 && v < Portable.P))
+  }
+
+  test("lshPairs surfaces the exact-dup pair with est_jaccard 1.0") {
+    val sigs = TextDedup.minhashSignatures(docs, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
+    val out = TextDedup.lshPairs(sigs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 3L)) === 1.0)
+  }
+
+  test("simhash: identical text → identical 32-bit hash; near-dup → small hamming") {
+    val sh = TextDedup.simhashes(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(3L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+    val hammingNear = java.lang.Long.bitCount(sh(0L) ^ sh(1L))
+    val hammingFar  = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simhashPairs returns (pair, hamming) under the radius") {
+    val out = TextDedup.simhashPairs(docs, col("doc_id"), col("text"), 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.contains((0L, 3L, 0)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  private def embs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.001f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks by cosine; self excluded") {
+    val out = Similarity.bruteForceTopK(embs, Seq(0L), 4).collect()
+    val order = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("cid")).toSeq
+    assert(order === Seq(4L, 1L, 2L, 3L)) // near-parallel, close, orthogonal, opposite
+    val cosines = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+    assert(cosines.head > 0.999)
+    assert(cosines.last < -0.999)
+    assert(!out.exists(_.getAs[Long]("cid") == 0L))
+  }
+
+  test("cosine of identical vectors is exactly 1.0 after quantization") {
+    val s = spark; import s.implicits._
+    val two = Seq((0L, Array(0.3f, 0.4f)), (1L, Array(0.3f, 0.4f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(two, Seq(0L), 1).collect().head
+    assert(out.getAs[Double]("cosine") === 1.0)
+  }
+
+  test("lshTopK: bucket ids deterministic; results are a subset of brute force ranking") {
+    val e = graft.Tables.embeddings(spark, sf())
+    val brute = Similarity.bruteForceTopK(e, Seq(0L), 50).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Double]("cosine")).toMap
+    val ann = Similarity.lshTopK(e, Seq(0L), dim = 64, k = 5).collect()
+    // every ANN hit must carry the exact cosine brute force computed
+    ann.foreach { r =>
+      val cid = r.getAs[Long]("cid")
+      if (brute.contains(cid)) assert(brute(cid) === r.getAs[Double]("cosine"))
+    }
+    // bucket assignment is stable across runs
+    val b1 = Similarity.lshTopK(e, Seq(0L), 64, 5).collect().map(_.getAs[Long]("bucket")).toSet
+    val b2 = Similarity.lshTopK(e, Seq(0L), 64, 5).collect().map(_.getAs[Long]("bucket")).toSet
+    assert(b1 === b2)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  test("qualityMetrics computes token counts and ratios") {
+    val s = spark; import s.implicits._
+    val d = Seq((0L, "the cat sat on the mat, happily!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityMetrics(d, col("doc_id"), col("text")).collect().head
+    assert(r.getAs[Long]("n_tokens") === 7)
+    // the|cat|sat|on|the|mat|,|happily|! → 9 BPE-ish tokens
+    assert(r.getAs[Long]("n_bpe_tokens") === 9)
+    assert(r.getAs[Long]("punct_count") === 2)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 7) < 1e-12) // the ×2
+    assert(r.getAs[Double]("quality_score") > 0)
+  }
+
+  test("language ID votes: en/de/fr texts classified; ties → en") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "the cat is in the house and it is warm", "en"),
+      (1L, "der hund ist nicht mit der katze und das ist gut", "de"),
+      (2L, "le chat est dans la maison et il est pour toi", "fr"),
+      (3L, "zzz qqq www", "xx")) // no votes anywhere → tie → en
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.withLanguageId(d, col("text"))
+      .select("lang", "predicted_lang").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("en") === "en"); assert(out("de") === "de")
+    assert(out("fr") === "fr"); assert(out("xx") === "en")
+  }
+
+  test("fingerprint is invariant to case/punctuation/whitespace edits") {
+    val s = spark; import s.implicits._
+    val d = Seq((0L, "Hello, World!"), (1L, "hello   world"), (2L, "other")).toDF("doc_id", "text")
+    val fps = d.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("decodeFeatures: md5-derived stub features, full row count, deterministic") {
+    val s = spark; import s.implicits._
+    val d = Seq((0L, "abc"), (1L, "defg"), (2L, "hi")).toDF("doc_id", "text")
+    val out = Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size === 3)
+    val r0 = out(0L)
+    assert(r0.getAs[String]("format") === "png")
+    assert(r0.getAs[Long]("n_bytes") === 3L)
+    // md5("abc") = 900150983cd24fb0... → first 15 hex digits
+    val h = java.lang.Long.parseLong("900150983cd24fb".take(15), 16)
+    assert(r0.getAs[Long]("feat_hash") === h)
+    assert(r0.getAs[Long]("width") === 64L + h % 1217L)
+    assert(out(1L).getAs[String]("format") === "jpeg")
+    assert(out(2L).getAs[String]("format") === "wav")
+  }
+
+  test("sampleFrames strides over n_frames") {
+    val s = spark; import s.implicits._
+    val d = Seq((0L, "x" * 1024)).toDF("doc_id", "text") // 1+1024/256 = 5 frames
+    val dec = Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text")))
+    val idx = Multimodal.sampleFrames(dec, 2).select("frame_idx").collect().map(_.getLong(0)).toSeq
+    assert(idx === Seq(0L, 2L, 4L))
+  }
+}

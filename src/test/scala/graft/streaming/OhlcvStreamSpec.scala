@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ohlcv.MockData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming semantics (T1-T5): file-source micro-batches over a raw
+  * landing dir, watermarked dedup of overlapping fetches, latest-price
+  * view. Runs with Trigger.AvailableNow against a temp dir — the same
+  * plan a ProcessingTime("5 minutes") deployment would run.
+  */
+class OhlcvStreamSpec extends SparkSpec {
+  private lazy val tmp = Files.createTempDirectory("graft-stream").toString
+  private val symbols  = Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ")
+  private val t0       = 1759895100L
+
+  private def land(): Unit = {
+    // two overlapping fetches: second re-downloads the same candles
+    // plus one new one (the T4 duplicate scenario)
+    val c1 = MockData.candles(spark, symbols, n = 5, startUnix = t0)
+    val c2 = MockData.candles(spark, symbols, n = 6, startUnix = t0)
+    MockData.envelope(c1, "2025-10-08T04:00:00Z").coalesce(1).write.json(s"$tmp/land/f1")
+    MockData.envelope(c2, "2025-10-08T04:05:00Z").coalesce(1).write.json(s"$tmp/land/f2")
+  }
+
+  test("stream: normalize + watermark dedup collapses overlapping fetches") {
+    land()
+    val raw  = OhlcvStream.readRawStream(spark, s"$tmp/land/*")
+    val norm = OhlcvStream.normalized(raw, processedAt = "p")
+    val dd   = OhlcvStream.dedupedStream(norm)
+    val q = dd.writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .option("checkpointLocation", s"$tmp/ckpt1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_out")
+    // 2 symbols × 6 distinct timestamps — duplicates dropped
+    assert(out.count() === 12)
+    assert(out.groupBy("symbol_clean", "timestamp_unix").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
+  test("stream: latest-per-symbol update-mode aggregation") {
+    val raw  = OhlcvStream.readRawStream(spark, s"$tmp/land/*")
+    val norm = OhlcvStream.normalized(raw, processedAt = "p")
+    val q = OhlcvStream.latestPerSymbol(norm).writeStream
+      .format("memory")
+      .queryName("latest_out")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("latest_out").collect()
+      .map(r => r.getAs[String]("symbol_clean") -> r.getAs[Long]("timestamp_unix")).toMap
+    assert(out.keySet === Set("RELIANCE", "TCS"))
+    // the latest candle is the 6th of the second fetch
+    assert(out.values.toSet === Set(t0 + 5 * 300L))
+  }
+
+  test("trading-hours predicate keeps IST 09:15-15:30 Mon-Fri only") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      1759895100L, // Wed 2025-10-08 09:15 IST → keep
+      1759916700L, // Wed 15:15 IST → keep
+      1759917600L, // Wed 15:30 IST → keep (inclusive)
+      1759917660L, // Wed 15:31 IST → drop
+      1759863600L, // Wed 00:30 IST → drop
+      1760175900L  // Sat 2025-10-11 ~09:15 IST → drop (weekend)
+    ).toDF("tsu")
+    val kept = OhlcvStream.tradingHours(col("tsu"))(rows).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1759895100L, 1759916700L, 1759917600L))
+  }
+}
