@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Portable
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -27,7 +28,12 @@ object TextDedup {
 
   /** Distinct word n-gram shingles; empty array when fewer than n
     * words (mirrors the oracle's CASE guard — Spark's `sequence(1,0)`
-    * would otherwise count DOWN). */
+    * would otherwise count DOWN).
+    *
+    * ⚠ Column form, for per-row use on SHORT texts only: free
+    * subexpressions inside higher-order-function lambdas are
+    * re-evaluated per element, so `ws` (the split) runs ~once per
+    * gram. For corpus-scale shingling use [[shingleRows]]. */
   def wordNgrams(text: Column, n: Int): Column = {
     val ws = words(text)
     val grams = transform(
@@ -35,6 +41,23 @@ object TextDedup {
       i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
     when(size(ws) >= n, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-scale shingling: one (doc_id, shingle) row per word
+    * n-gram occurrence, built relationally — posexplode the words
+    * once, then window `lead` to stitch grams. One shuffle on doc_id
+    * (which the downstream minhash aggregate needs anyway) instead of
+    * O(grams) re-splits per document; everything stays codegen.
+    * NOT distinct — minhash is multiplicity-insensitive; Jaccard
+    * callers dedup themselves. */
+  def shingleRows(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("w"), j).over(w).as(s"w$j"))
+    docs
+      .select(id.as("doc_id"), posexplode(words(text)).as(Seq("pos", "w")))
+      .select(col("doc_id") +: col("w") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull) // trailing partial grams
+      .select(col("doc_id"), concat_ws(" ", (0 until n).map(j => if (j == 0) col("w") else col(s"w$j")): _*).as("s"))
   }
 
   /** Exact-duplicate groups by an arbitrary content key (use
@@ -55,8 +78,13 @@ object TextDedup {
     * standalone it is exact and suits corpora where the shingle
     * posting lists stay short (cap hot shingles upstream if not).
     */
-  def jaccardPairs(docs: DataFrame, id: Column, shingles: Column, threshold: Double): DataFrame = {
-    val sh    = docs.select(id.as("doc_id"), explode(shingles).as("s"))
+  def jaccardPairs(docs: DataFrame, id: Column, shingles: Column, threshold: Double): DataFrame =
+    jaccardPairsFromRows(docs.select(id.as("doc_id"), explode(shingles).as("s")), threshold)
+
+  /** [[jaccardPairs]] over a (doc_id, s) shingle-occurrence relation
+    * (e.g. [[shingleRows]]); dedups occurrences itself. */
+  def jaccardPairsFromRows(shRaw: DataFrame, threshold: Double): DataFrame = {
+    val sh    = shRaw.select(col("doc_id"), col("s")).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -88,10 +116,13 @@ object TextDedup {
     * to shingle multiplicity, so no distinct needed here.)
     * Docs with no shingles are dropped (their signature is undefined —
     * and the row-exploded oracle omits them too). */
-  def minhashSignatures(docs: DataFrame, id: Column, shingles: Column): DataFrame = {
-    val sh = docs
-      .select(id.as("doc_id"), explode(shingles).as("s"))
-      .select(col("doc_id"), pmod(Portable.hash60(col("s")), lit(Portable.P)).as("h"))
+  def minhashSignatures(docs: DataFrame, id: Column, shingles: Column): DataFrame =
+    minhashSignaturesFromRows(docs.select(id.as("doc_id"), explode(shingles).as("s")))
+
+  /** [[minhashSignatures]] over a (doc_id, s) shingle-occurrence
+    * relation (e.g. [[shingleRows]]). */
+  def minhashSignaturesFromRows(shRows: DataFrame): DataFrame = {
+    val sh = shRows.select(col("doc_id"), pmod(Portable.hash60(col("s")), lit(Portable.P)).as("h"))
     val aggs = (0 until MinhashK).map(k => min(Portable.minhashPermAt(k, col("h"))).as(s"m$k"))
     sh.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
@@ -130,19 +161,27 @@ object TextDedup {
   /** Per-document 32-bit SimHash over whitespace tokens (with
     * multiplicity): each token hashes to 32 bits; bit b of the
     * fingerprint is 1 iff the (+1/−1) vote sum over tokens at bit b is
-    * positive. Whole-row nested `aggregate` — no shuffle. Built as SQL
-    * text because the shift amount is a lambda variable (the Scala
-    * `shiftleft`/`shiftright` bindings only take literal shifts). */
+    * positive.
+    *
+    * Relational shape on purpose: explode tokens, hash each ONCE,
+    * then one hash-aggregate with 32 conditional-sum columns and a
+    * bit-recombine projection. (A whole-row nested-`aggregate` form
+    * re-evaluates the token-hash array on every one of the 32 bit
+    * iterations after CollapseProject inlining — measured ~30× the
+    * md5 work; and the aggregate here doubles as the projection
+    * barrier that lets the pair-join reuse one exchange.) */
   def simhashes(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val th = transform(words(text), t => Portable.hash32(t))
-    val sh = expr("""
-      aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) ->
-        acc + IF(aggregate(__th, CAST(0 AS BIGINT),
-                   (a2, h) -> a2 + IF((shiftright(h, b) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-                 shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""")
-    docs
-      .select(id.as("doc_id"), th.as("__th"))
-      .select(col("doc_id"), sh.as("sh"))
+    val tok = docs
+      .select(id.as("doc_id"), explode(words(text)).as("t"))
+      .select(col("doc_id"), Portable.hash32(col("t")).as("h"))
+    val bitAggs = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)).as(s"b$b"))
+    tok
+      .groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 32).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("sh"))
   }
 
   /** SimHash near-duplicate pairs: block on any equal fingerprint byte

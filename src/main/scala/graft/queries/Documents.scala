@@ -29,14 +29,14 @@ object Documents {
     // corpus's planted near-duplicates). Shingle join = blocking.
     "q31_ngram_jaccard_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      TextDedup.jaccardPairs(d, col("doc_id"), TextDedup.wordNgrams(col("text"), 3), 0.8)
+      TextDedup.jaccardPairsFromRows(TextDedup.shingleRows(d, col("doc_id"), col("text"), 3), 0.8)
     }),
 
     // MinHash signatures (16 perms), computed whole-row; exploded to
     // (doc_id, k, minhash) rows for the oracle compare.
     "q32_minhash_signatures" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      TextDedup.minhashSignatures(d, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
+      TextDedup.minhashSignaturesFromRows(TextDedup.shingleRows(d, col("doc_id"), col("text"), 3))
         .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "minhash")))
     }),
 
@@ -44,7 +44,7 @@ object Documents {
     // Jaccard ≥ 0.5 — the scale path for q31.
     "q33_minhash_lsh_pairs" -> ((s, dir) => {
       val d    = Tables.documents(s, dir)
-      val sigs = TextDedup.minhashSignatures(d, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
+      val sigs = TextDedup.minhashSignaturesFromRows(TextDedup.shingleRows(d, col("doc_id"), col("text"), 3))
       TextDedup.lshPairs(sigs, 0.5)
     }),
 
