@@ -129,24 +129,40 @@ object Analytics {
 
   /** §2.8 extension: technical indicators the reference advertises but
     * never computes (`api_config.json:46-51`) — SMA, Bollinger bands,
-    * RSI (Wilder-less simple-average variant) as window expressions. */
+    * RSI (simple-average variant) as window expressions over the
+    * trailing n-row frame.
+    *
+    * All frame aggregates use exact decimal sums + moment-form stddev
+    * (see [[graft.functions.Det]]) so the values are independent of
+    * partitioning and bit-identical to the SQL oracle; only the final
+    * scalar ops are (correctly-rounded) double arithmetic. */
   def withIndicators(candles: DataFrame, n: Int, tieBreak: Column): DataFrame = {
     val w     = Window.partitionBy(col("symbol")).orderBy(col("ts").asc, tieBreak.asc)
     val frame = w.rowsBetween(-(n - 1), 0)
     val delta = col("close") - lag(col("close"), 1).over(w)
     val gain  = when(delta > 0, delta).otherwise(lit(0.0))
     val loss  = when(delta < 0, -delta).otherwise(lit(0.0))
+    def dsumF(c: Column, scale: Int) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(30, scale))).over(frame).cast("double")
+    val cnt = count(col("close")).over(frame)
     val df = candles
-      .withColumn("sma", avg(col("close")).over(frame))
-      .withColumn("sd", stddev_samp(col("close")).over(frame))
-      .withColumn("avg_gain", avg(gain).over(frame))
-      .withColumn("avg_loss", avg(loss).over(frame))
-    df.withColumn("bollinger_upper", col("sma") + lit(2) * col("sd"))
-      .withColumn("bollinger_lower", col("sma") - lit(2) * col("sd"))
+      .withColumn("__n", cnt)
+      .withColumn("__s1", dsumF(col("close"), 6))
+      .withColumn("__s2", dsumF(col("close") * col("close"), 8))
+      .withColumn("__sg", dsumF(gain, 6))
+      .withColumn("__sl", dsumF(loss, 6))
+    val sma = col("__s1") / col("__n")
+    val sd = when(col("__n") > 1,
+      sqrt(greatest(lit(0.0), (col("__s2") - col("__s1") * col("__s1") / col("__n")) / (col("__n") - 1))))
+    df.withColumn("sma", sma)
+      .withColumn("bollinger_upper", col("sma") + lit(2.0) * sd)
+      .withColumn("bollinger_lower", col("sma") - lit(2.0) * sd)
+      .withColumn("avg_gain", col("__sg") / col("__n"))
+      .withColumn("avg_loss", col("__sl") / col("__n"))
       .withColumn(
         "rsi",
         when(col("avg_loss") === 0, lit(100.0))
           .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss"))))
-      .drop("sd", "avg_gain", "avg_loss")
+      .drop("__n", "__s1", "__s2", "__sg", "__sl", "avg_gain", "avg_loss")
   }
 }

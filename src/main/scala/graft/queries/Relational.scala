@@ -66,13 +66,28 @@ object Relational {
           countDistinct(col("o_custkey")).as("n_customers"))
     }),
 
-    // Anti join = NOT EXISTS: customers with no orders, per nation.
+    // Anti join = NOT EXISTS: customers with no URGENT orders, per
+    // nation (plain "no orders" is empty at every SF — weak test).
     "q05_anti_join" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("n_customers_no_orders"))
+        .agg(count(lit(1)).as("n_customers_no_urgent"))
+    }),
+
+    // Semi join = EXISTS: segment rollup of customers having ≥1
+    // urgent order. Semi joins shuffle only keys, never payload rows.
+    "q07_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
     }),
 
     // D1+D6: union of two overlapping slices, distinct.
@@ -162,6 +177,26 @@ object Relational {
       """)
     }),
 
+    // Exact interpolated percentiles per group (extension; the
+    // reference has only avg/stddev). Exact `percentile`, not the
+    // t-digest approximation, so the oracle can match.
+    "q16_percentile" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))
+    }),
+
+    // CUBE over (year, status): all 4 grouping sets in one pass
+    // (extension; reference has no grouping sets).
+    "q18_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(year(col("o_orderdate")).as("y"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
     // O4: tail-limit — most-recent 100 events (api/api_handler.py:437-443).
     "q17_tail_limit" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -219,9 +254,28 @@ object Relational {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
     "q05_anti_join" ->
-      """SELECT c_nationkey, COUNT(1) AS n_customers_no_orders FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      """SELECT c_nationkey, COUNT(1) AS n_customers_no_urgent FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          GROUP BY c_nationkey""",
+    "q07_semi_join" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_acctbal
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment""",
+    "q16_percentile" ->
+      """SELECT event_type,
+         quantile_cont(value, 0.5) AS p50,
+         quantile_cont(value, 0.9) AS p90,
+         quantile_cont(value, 0.99) AS p99
+         FROM events GROUP BY event_type""",
+    "q18_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus,
+         COUNT(1) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE (year(o_orderdate), o_orderstatus)""",
     "q06_union_distinct" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_totalprice > 100000 AND o_orderstatus = 'O'

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Det._
-import graft.operators.{Analytics, Dedup, Resample}
+import graft.operators.{Analytics, AsOfJoin, Dedup, Resample}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -113,6 +113,33 @@ object TimeSeries {
         keys = Seq(col("user_id"), col("event_type")),
         version = Seq(col("ts"), col("event_id")))),
 
+    // §2.8 extension: technical indicators (SMA-20, Bollinger, RSI)
+    // as deterministic decimal-frame window expressions.
+    "q29_indicators" -> ((s, dir) =>
+      Analytics.withIndicators(ticksAsCandles(s, dir), 20, col("event_id"))
+        .select(col("symbol"), col("ts"), col("event_id"), col("close"),
+          col("sma"), col("bollinger_upper"), col("bollinger_lower"), col("rsi"))),
+
+    // Extension (SURVEY §2.6): as-of backward join — each view event
+    // picks up the user's most recent purchase at or before it.
+    // Union-tag + window: one shuffle, linear, no per-key quadratics.
+    "q42_asof_join" -> ((s, dir) => {
+      val e     = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val purch = Dedup.keepLatest(
+        e.filter(col("event_type") === "purchase"),
+        keys = Seq(col("user_id"), col("ts")),
+        version = Seq(col("event_id")))
+      AsOfJoin.backward(
+        views, purch,
+        key = col("user_id"),
+        leftTime = col("ts"),
+        rightTime = col("ts"),
+        rightTieBreak = col("event_id"),
+        payload = Seq("purchase_ts" -> col("ts"), "purchase_value" -> col("value")))
+    }),
+
     // A3: per-day stats for one symbol over a date range
     // (lambda_analytics.py:274-357).
     "q28_date_range" -> ((s, dir) =>
@@ -163,6 +190,48 @@ object TimeSeries {
            FROM events
          )
          SELECT event_id, ts, user_id, event_type, value FROM r WHERE rn = 1""",
+    "q29_indicators" ->
+      """WITH c AS (
+           SELECT event_type AS symbol, ts, event_id, value AS close FROM events
+         ),
+         d AS (
+           SELECT *, close - lag(close) OVER (PARTITION BY symbol ORDER BY ts, event_id) AS delta FROM c
+         ),
+         w AS (
+           SELECT symbol, ts, event_id, close,
+                  COUNT(close) OVER f AS n,
+                  CAST(SUM(CAST(close AS DECIMAL(30,6))) OVER f AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(close*close AS DECIMAL(30,8))) OVER f AS DOUBLE) AS s2,
+                  CAST(SUM(CAST(CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS DECIMAL(30,6))) OVER f AS DOUBLE) AS sg,
+                  CAST(SUM(CAST(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS DECIMAL(30,6))) OVER f AS DOUBLE) AS sl
+           FROM d
+           WINDOW f AS (PARTITION BY symbol ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         ),
+         m AS (
+           SELECT symbol, ts, event_id, close,
+                  s1 / n AS sma,
+                  CASE WHEN n > 1 THEN sqrt(greatest(0.0, (s2 - s1*s1/n) / (n-1))) END AS sd,
+                  sg / n AS avg_gain, sl / n AS avg_loss
+           FROM w
+         )
+         SELECT symbol, ts, event_id, close, sma,
+                sma + 2.0 * sd AS bollinger_upper,
+                sma - 2.0 * sd AS bollinger_lower,
+                CASE WHEN avg_loss = 0 THEN 100.0
+                     ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END AS rsi
+         FROM m""",
+    "q42_asof_join" ->
+      """WITH v AS (
+           SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'
+         ),
+         p0 AS (
+           SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase'
+         ),
+         p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
+         SELECT v.event_id, v.ts, v.user_id, v.value, p.ts AS purchase_ts, p.value AS purchase_value
+         FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts""",
     "q28_date_range" -> (dailyStatsSql +
       """ SELECT symbol, trade_date, open, close, high, low, volume, avg_price, num_records, price_change, price_change_pct
           FROM daily
