@@ -30,7 +30,7 @@ class PlanSpec extends SparkSpec {
 
   test("q03 dimension joins broadcast (no shuffle of the fact side)") {
     val df = SparkEntry.queries("q03_join_broadcast")(spark, sf())
-    df.count() // materialize AQE final plan
+    df.collect() // execute THIS plan so AQE finalizes it
     val s = planString(df)
     assert(s.contains("BroadcastHashJoin"), s.take(2000))
     assert(!s.contains("SortMergeJoin"), "dim join degraded to SMJ")
@@ -51,7 +51,7 @@ class PlanSpec extends SparkSpec {
     val df = Tables.lineitem(spark, sf())
       .groupBy(col("l_returnflag"))
       .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
-    df.count()
+    df.collect() // execute THIS plan so AQE finalizes it (count() builds a different one)
     val s = planString(df)
     // codegen shows as "*(n)" in plan toString
     assert(s.contains("*("), s.take(2000))
