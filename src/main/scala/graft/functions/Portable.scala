@@ -55,10 +55,11 @@ object Portable {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * lit(10000000.0)).cast("long"))
 
-  /** Exact int64 dot product of two quantized vectors (zip_with +
-    * aggregate stay whole-row — no shuffle, no UDF). */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact int64 dot product of two quantized vectors — native
+    * codegen'd [[LongDotProduct]] expression (the higher-order
+    * `aggregate(zip_with(...))` form is interpreted and allocates a
+    * zipped array per row; this is the per-candidate-pair hot path). */
+  def dotQ(a: Column, b: Column): Column = LongDotProduct(a, b)
 
   /** Driver-side (plan-time) 60-bit md5-prefix hash of a string — same
     * value `hash60` would compute, for baking deterministic constants

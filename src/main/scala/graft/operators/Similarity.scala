@@ -72,6 +72,41 @@ object Similarity {
       when(dot > 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: LSH banding for blocking
+    * (two 4-hyperplane bands → 16-value band keys; a pair collides if
+    * EITHER band matches — multi-probe recall), then exact int64
+    * cosine rescoring against `threshold`. Only same-band pairs are
+    * ever materialized — the all-pairs cross product never exists.
+    * The vector analogue of [[TextDedup.lshPairs]]. */
+  def neardupPairs(embs: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val base = embs
+      .select(col("vec_id"), Portable.quantize(col("embedding")).as("v"))
+      .withColumn("bucket", bucketId(col("v"), dim))
+      .withColumn("n2", normQ(col("v")))
+    // band 0 = low 4 bucket bits, band 1 = high 4
+    val bands = base.select(
+      col("vec_id"), col("v"), col("n2"),
+      posexplode(array(
+        col("bucket").bitwiseAND(lit(15L)),
+        shiftright(col("bucket"), 4).bitwiseAND(lit(15L)))).as(Seq("band", "bval")))
+    // Score in the join projection, THEN dedup on the slim
+    // (vec_a, vec_b, cosine) triple: a pair colliding in both bands is
+    // scored twice (identical value), but the dedup becomes a
+    // HashAggregate over fixed-width columns. Deduping first would
+    // carry the vectors through the exchange and force SortAggregate
+    // (array-typed first()) — measured 3-5× slower.
+    bands.as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(Portable.dotQ(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
   /** ANN via hyperplane-LSH: candidates are corpus vectors in the SAME
     * bucket as the query; exact cosine rescoring + top-k within the
     * bucket. Approximate by construction (bucket recall < 1) — the

@@ -76,4 +76,20 @@ object TextAnalysis {
     withLanguageId(docs, text)
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Corpus vocabulary stats: per-token document frequency, total
+    * occurrences, and (exact decimal) mean per-doc occurrences —
+    * top `k` tokens by document frequency. Explode → one hash-agg on
+    * the token; the fundamental corpus-statistics shape (idf tables,
+    * vocab pruning). Top-k via orderBy+limit = TakeOrderedAndProject.
+    */
+  def vocabulary(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    docs
+      .select(id.as("doc_id"), explode(tokens(text)).as("t"))
+      .groupBy(col("t"))
+      .agg(
+        countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("occurrences"))
+      .orderBy(desc("doc_freq"), desc("occurrences"), asc("t"))
+      .limit(k)
 }

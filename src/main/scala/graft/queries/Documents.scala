@@ -86,7 +86,17 @@ object Documents {
       val d = Tables.documents(s, dir)
       val decoded = Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text")))
       Multimodal.sampleFrames(decoded, 4)
-    })
+    }),
+
+    // Embedding-cosine near-dup pairs: LSH-band blocking + exact
+    // rescoring (threshold below the corpus max-cos so output is
+    // non-trivial on unplanted data).
+    "q43_embedding_neardup" -> ((s, dir) =>
+      Similarity.neardupPairs(Tables.embeddings(s, dir), dim = 64, threshold = 0.35)),
+
+    // Corpus vocabulary: top-50 tokens by document frequency.
+    "q44_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir), col("doc_id"), col("text"), 50))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -262,6 +272,47 @@ object Documents {
                        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
                 FROM scored)
           SELECT qid, cid, bucket, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
+
+    "q43_embedding_neardup" ->
+      s"""WITH $quantCte,
+          hp AS (
+            SELECT h, i, ('0x' || substr(md5('hp_' || h || '_' || i), 1, 15))::BIGINT % 2001 - 1000 AS hv
+            FROM (SELECT unnest(generate_series(0, 7)) AS h), (SELECT unnest(generate_series(1, 64)) AS i)
+          ),
+          comp AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+          dots AS (
+            SELECT c.vec_id, hp.h, SUM(c.x * hp.hv) AS d
+            FROM comp c JOIN hp ON hp.i = c.i GROUP BY 1, 2
+          ),
+          buckets AS (
+            SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY 1
+          ),
+          eb AS (SELECT en.vec_id, en.v, en.n2, b.bucket FROM en JOIN buckets b USING (vec_id)),
+          bands AS (
+            SELECT vec_id, 0 AS band, bucket & 15 AS bval FROM eb
+            UNION ALL
+            SELECT vec_id, 1 AS band, (bucket >> 4) & 15 AS bval FROM eb
+          ),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+          ),
+          scored AS (
+            SELECT c.va AS vec_a, c.vb AS vec_b,
+                   CAST(${dotSql.format("ea.v", "eb2.v")} AS DOUBLE)
+                     / (sqrt(CAST(ea.n2 AS DOUBLE)) * sqrt(CAST(eb2.n2 AS DOUBLE))) AS cosine
+            FROM cand c JOIN en ea ON ea.vec_id = c.va JOIN en eb2 ON eb2.vec_id = c.vb
+          )
+          SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.35""",
+
+    "q44_vocabulary" ->
+      s"""WITH $wordsCte,
+          tok AS (SELECT doc_id, unnest(ws) AS t FROM words)
+          SELECT t, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(1) AS occurrences
+          FROM tok GROUP BY t
+          ORDER BY doc_freq DESC, occurrences DESC, t ASC LIMIT 50""",
 
     "q38_text_quality" ->
       s"""WITH $wordsCte,
