@@ -1,0 +1,164 @@
+package graft
+
+import graft.ohlcv.{MockData, Normalize, RawIngest}
+import graft.operators.{Dedup, Resample, Skew, TextDedup}
+import graft.functions.Det
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties for the invariants the reference encodes
+  * (SURVEY §5): P9 quality-filter postconditions, A6 bucket alignment,
+  * D2 idempotence + order-independence, P7∘P6 normalization
+  * round-trip, and salted-aggregation equivalence. Generators run a
+  * handful of Spark jobs per property, so sizes stay small.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Hand-rolled forAll: scalatestplus isn't on the offline classpath,
+    * so sample the generator with explicit deterministic seeds. */
+  private def forAll[T](g: Gen[T], n: Int = 10)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 10)(body: (A, B) => Unit): Unit =
+    (1 to n).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } body(a, b)
+    }
+
+  private val symGen = Gen.oneOf("RELIANCE", "TCS", "INFY", "SBIN-X", "m&m")
+
+  test("P7∘P6: cleanSymbol(toExchangeSymbol(s)) == upper(s) for plain names") {
+    val s = spark; import s.implicits._
+    forAll(Gen.listOfN(5, symGen)) { syms =>
+      if (syms.nonEmpty) {
+        val df  = syms.toDF("sym")
+        val out = df.select(
+          Normalize.cleanSymbol(Normalize.toExchangeSymbol(col("sym"))).as("c"),
+          upper(col("sym")).as("u")).collect()
+        out.foreach(r => assert(r.getString(0) === r.getString(1)))
+      }
+    }
+  }
+
+  test("A6: every resample bucket is epoch-aligned and covers its candles") {
+    val s = spark; import s.implicits._
+    forAll2(Gen.chooseNum(1, 120), Gen.chooseNum(0L, 100000L)) { (minutes, offset) =>
+      val secs = minutes * 60
+      val ticks = (0 until 40).map(i => ("S", 1759895100L + offset + i * 300L, 100.0 + i))
+        .toDF("symbol", "tsu", "value")
+        .withColumn("ts", to_timestamp(from_unixtime(col("tsu"))))
+      val out = Resample.ticksToCandles(
+        ticks, col("symbol"), col("ts"), col("value"), col("value"), col("tsu"), secs)
+        .collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        assert(r.getAs[Long]("bucket_start") % secs === 0)
+        assert(r.getAs[Double]("high") >= r.getAs[Double]("low"))
+        assert(r.getAs[Double]("high") >= math.max(r.getAs[Double]("open"), r.getAs[Double]("close")))
+      }
+      // total ticks preserved across buckets
+      assert(out.map(_.getAs[Long]("n_ticks")).sum === 40)
+    }
+  }
+
+  test("D2: dedup is idempotent and independent of input order/partitioning") {
+    val s = spark; import s.implicits._
+    val rowGen = for {
+      key <- Gen.chooseNum(1, 6)
+      ver <- Gen.chooseNum(1, 9)
+      v   <- Gen.chooseNum(0, 999)
+    } yield (key, ver, v)
+    forAll(Gen.listOfN(30, rowGen)) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("k", "ver", "v")
+        def run(d: org.apache.spark.sql.DataFrame) =
+          Dedup.keepLatest(d, Seq(col("k")), Seq(col("ver"), col("v")))
+            .orderBy("k").collect().toSeq
+        val once = run(df)
+        assert(run(df.repartition(7)) === once)        // partitioning-independent
+        assert(run(df.orderBy(desc("v"))) === once)    // input-order-independent
+        val again = Dedup.keepLatest(
+          rows.toDF("k", "ver", "v"), Seq(col("k")), Seq(col("ver"), col("v")))
+        assert(run(again) === once)                    // idempotent
+      }
+    }
+  }
+
+  test("P9: normalize output satisfies the quality postconditions for arbitrary candles") {
+    val s = spark; import s.implicits._
+    val candleGen = for {
+      ts <- Gen.chooseNum(1L, 2000000000L)
+      o  <- Gen.chooseNum(-10.0, 2000.0)
+      h  <- Gen.chooseNum(-10.0, 2000.0)
+      l  <- Gen.chooseNum(-10.0, 2000.0)
+      c  <- Gen.chooseNum(-10.0, 2000.0)
+      v  <- Gen.chooseNum(-100L, 100000L)
+    } yield Seq(ts.toDouble, o, h, l, c, v.toDouble)
+    forAll(Gen.listOfN(25, candleGen)) { candles =>
+      val json =
+        s"""{"data":{"NSE:X-EQ":{"symbol":"NSE:X-EQ","resolution":"5","candles":${candles
+          .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")},"timestamp":"t","total_records":${candles.size}}},
+            "metadata":{"fetch_timestamp":"f","total_symbols":1,"source":"gen"}}""".replaceAll("\n", "")
+      val dir = java.nio.file.Files.createTempDirectory("prop").toString
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.json"), json.getBytes)
+      val out = Normalize.normalize(RawIngest.blocks(RawIngest.readRaw(spark, dir)), "p")
+      out.collect().foreach { r =>
+        assert(r.getAs[Double]("high") >= r.getAs[Double]("low"))
+        assert(r.getAs[Double]("close") > 0)
+        assert(r.getAs[Long]("volume") >= 0)
+      }
+    }
+  }
+
+  test("salted aggregation equals direct aggregation (sum/count/min/max)") {
+    val s = spark; import s.implicits._
+    val rowGen = for {
+      k <- Gen.oneOf("hot", "hot", "hot", "a", "b") // skewed key
+      v <- Gen.chooseNum(-1000, 1000)
+    } yield (k, v)
+    forAll(Gen.listOfN(60, rowGen)) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("k", "v")
+        val direct = df.groupBy("k")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+          .orderBy("k").collect().toSeq
+        val salted = Skew.saltedAgg(
+          df,
+          keys = Seq(col("k")),
+          discriminator = col("v"),
+          buckets = 8,
+          partials = Seq(sum("v").as("s"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx")),
+          combiners = Seq(sum("s").as("s"), sum("n").as("n"), min("mn").as("mn"), max("mx").as("mx")))
+          .orderBy("k").collect().toSeq
+        assert(salted === direct)
+      }
+    }
+  }
+
+  test("minhash signature equality is implied by shingle-set equality") {
+    val s = spark; import s.implicits._
+    val textGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    forAll(textGen) { t =>
+      val docs = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
+      val sigs = TextDedup.minhashSignatures(docs, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      if (sigs.nonEmpty) assert(sigs(0L) === sigs(1L))
+    }
+  }
+
+  test("Det sums are invariant under repartitioning for arbitrary doubles") {
+    val s = spark; import s.implicits._
+    forAll(Gen.listOfN(50, Gen.chooseNum(-1e6, 1e6))) { xs =>
+      if (xs.nonEmpty) {
+        val df = xs.toDF("x")
+        val a = df.repartition(1).agg(Det.dsum(col("x"))).collect().head.getDouble(0)
+        val b = df.repartition(13).agg(Det.dsum(col("x"))).collect().head.getDouble(0)
+        assert(a === b)
+      }
+    }
+  }
+}
