@@ -54,6 +54,28 @@ object Storage {
     spark.read.option("header", "true").schema(fileSchema).csv(path)
   }
 
+  /** Bucketed + sorted table for co-located, shuffle-free joins and
+    * merge-friendly scans at scale: both sides of a symbol join
+    * pre-hashed into the same bucket layout means the join needs NO
+    * exchange (BucketedJoinSpec pins this). `path` makes it an
+    * external table; bucket count must match across join partners. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      buckets: Int,
+      sortCols: Seq[String] = Seq("timestamp_unix")): Unit = {
+    val w = df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, "symbol_clean")
+    val sorted = sortCols match {
+      case head +: tail => w.sortBy(head, tail: _*)
+      case _            => w
+    }
+    sorted.format("parquet").saveAsTable(table)
+  }
+
   /** D2, the engine's dedup contract (SURVEY §7.4.1): one row per
     * (symbol, timestamp_unix), survivor = greatest fetch_timestamp.
     * The reference's three conflicting rules collapse to this. */

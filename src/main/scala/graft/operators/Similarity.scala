@@ -107,6 +107,54 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCells`
+    * Voronoi cells around deterministic seed centroids (the first
+    * `nCells` vectors by id — a k-means iteration would refine them;
+    * seeds keep the oracle exact), assign every vector to its nearest
+    * centroid by exact integer cosine, then search only the query's
+    * `nProbe` nearest cells with exact rescoring.
+    *
+    * Scale shape: the codebook is tiny and BROADCAST; assignment is a
+    * broadcast cross product + one SLIM hash-aggregate (vec_id → cell,
+    * map-side combined — vectors never ride the shuffle); the probe is
+    * a cell-key equi-join against the broadcast query set. With the
+    * corpus written bucketed by cell id, a probe touches only matching
+    * buckets. */
+  def ivfTopK(embs: DataFrame, queryIds: Seq[Long], nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    val base = embs
+      .select(col("vec_id"), Portable.quantize(col("embedding")).as("v"))
+      .withColumn("n2", normQ(col("v")))
+    val cents = base
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n2").as("cn2"))
+    // cosine of every vector to every (broadcast) centroid
+    val withCos = base.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(Portable.dotQ(col("v"), col("cv")), col("n2"), col("cn2")))
+    // home cell per vector: slim max_by (hash-agg with map-side
+    // combine; payload stays fixed-width), vectors joined back after.
+    // Tie rule: max cosine, then LOWEST cell id (max of -cell).
+    val homeCell = withCos
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"))
+    val assigned = base.join(homeCell, "vec_id")
+    // queries probe their nProbe nearest cells (tiny row set → window)
+    val probes = withCos
+      .filter(col("vec_id").isin(queryIds: _*))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("cell"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine(Portable.dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("cell"), col("cosine"), col("rank"))
+  }
+
   /** ANN via hyperplane-LSH: candidates are corpus vectors in the SAME
     * bucket as the query; exact cosine rescoring + top-k within the
     * bucket. Approximate by construction (bucket recall < 1) — the

@@ -96,7 +96,12 @@ object Documents {
 
     // Corpus vocabulary: top-50 tokens by document frequency.
     "q44_vocabulary" -> ((s, dir) =>
-      TextAnalysis.vocabulary(Tables.documents(s, dir), col("doc_id"), col("text"), 50))
+      TextAnalysis.vocabulary(Tables.documents(s, dir), col("doc_id"), col("text"), 50)),
+
+    // IVF ANN: 16 seed-centroid cells, 2-cell probe, exact rescoring.
+    "q45_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), QueryIds, nCells = 16, nProbe = 2, k = 5)
+        .withColumnRenamed("rank", "rk"))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -313,6 +318,36 @@ object Documents {
           SELECT t, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(1) AS occurrences
           FROM tok GROUP BY t
           ORDER BY doc_freq DESC, occurrences DESC, t ASC LIMIT 50""",
+
+    "q45_ann_ivf" ->
+      s"""WITH $quantCte,
+          cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM en WHERE vec_id < 16),
+          cc AS (
+            SELECT en.vec_id, en.v, en.n2, c.cell,
+                   CAST(${dotSql.format("en.v", "c.cv")} AS DOUBLE)
+                     / (sqrt(CAST(en.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+            FROM en, cents c
+          ),
+          assigned AS (
+            SELECT vec_id, v, n2, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc) WHERE rn = 1
+          ),
+          probes AS (
+            SELECT vec_id AS qid, v AS qv, n2 AS qn2, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc WHERE vec_id IN (0,1,2,3,4)) WHERE rn <= 2
+          ),
+          scored AS (
+            SELECT p.qid, a.vec_id AS cid, p.cell,
+                   CAST(${dotSql.format("p.qv", "a.v")} AS DOUBLE)
+                     / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cosine
+            FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid
+          ),
+          r AS (SELECT qid, cid, cell, cosine,
+                       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+                FROM scored)
+          SELECT qid, cid, cell, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
 
     "q38_text_quality" ->
       s"""WITH $wordsCte,

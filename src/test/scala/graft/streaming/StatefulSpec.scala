@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.Stateful.{CandleIn, RunningOhlc}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StatefulSpec extends SparkSpec {
+
+  test("runningOhlc carries state across micro-batches (mapGroupsWithState)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[CandleIn]
+    val q = Stateful.runningOhlc(s, in.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("running_ohlc")
+      .outputMode(Stateful.outputMode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-state").toString)
+      .start()
+
+    // batch 1: out-of-order arrivals within the trigger
+    in.addData(
+      CandleIn("REL", 200L, 10.5, 11.0, 10.0, 10.8, 100L),
+      CandleIn("REL", 100L, 10.0, 10.6, 9.9, 10.5, 50L))
+    q.processAllAvailable()
+    val b1 = s.table("running_ohlc").as[RunningOhlc].collect().last
+    assert(b1.open === 10.0)   // earliest ts wins open despite arrival order
+    assert(b1.close === 10.8)
+    assert(b1.volume === 150L && b1.n === 2)
+
+    // batch 2: a later candle updates close/high, earlier open persists
+    in.addData(CandleIn("REL", 300L, 10.8, 12.0, 10.7, 11.9, 30L))
+    q.processAllAvailable()
+    val b2 = s.table("running_ohlc").as[RunningOhlc].collect().last
+    assert(b2.open === 10.0)   // state survived the batch boundary
+    assert(b2.close === 11.9)
+    assert(b2.high === 12.0)
+    assert(b2.volume === 180L && b2.n === 3)
+    q.stop()
+  }
+}
