@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Det._
-import graft.operators.{Analytics, AsOfJoin, Dedup, Resample}
+import graft.operators.{Analytics, AsOfJoin, Dedup, Resample, Sessionize}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -140,6 +140,27 @@ object TimeSeries {
         payload = Seq("purchase_ts" -> col("ts"), "purchase_value" -> col("value")))
     }),
 
+    // Extension (T6): gap-based sessionization per user (1h gap),
+    // exact-microsecond break rule, per-session rollup.
+    "q46_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(
+        Tables.events(s, dir),
+        key = col("user_id"), ts = col("ts"), tieBreak = col("event_id"),
+        gapSeconds = 3600L, value = col("value"))
+        .withColumnRenamed("key", "user_id")),
+
+    // Extension: sketch/approx aggregates (HLL distinct, t-digest
+    // percentile). NO oracle on purpose — sketch internals differ per
+    // engine; the driver records its weaker rows-only check. The exact
+    // twins are q14 (countDistinct) and q16 (percentile).
+    "q47_approx_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+          count(lit(1)).as("n"))),
+
     // A3: per-day stats for one symbol over a date range
     // (lambda_analytics.py:274-357).
     "q28_date_range" -> ((s, dir) =>
@@ -232,6 +253,26 @@ object TimeSeries {
          p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
          SELECT v.event_id, v.ts, v.user_id, v.value, p.ts AS purchase_ts, p.value AS purchase_value
          FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts""",
+    "q46_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, value,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events
+         ),
+         f AS (
+           SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END AS brk
+           FROM o
+         ),
+         sid AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM f
+         )
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                MIN(ts) AS session_start, MAX(ts) AS session_end,
+                COUNT(1) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM sid GROUP BY user_id, session_idx""",
     "q28_date_range" -> (dailyStatsSql +
       """ SELECT symbol, trade_date, open, close, high, low, volume, avg_price, num_records, price_change, price_change_pct
           FROM daily
