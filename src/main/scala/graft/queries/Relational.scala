@@ -216,6 +216,22 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     }),
 
+    // P18 analogue over driver testdata: JSON field extraction from
+    // the props column, typed cast, predicate + rollup. At scale
+    // prefer from_json with an explicit schema (single parse, typed
+    // struct); get_json_object shown here matches the reference's
+    // per-field extraction style.
+    "q48_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k") >= 50)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("k")).as("max_k"),
+          dsum(col("value")).as("sum_value"))
+    }),
+
     // Pivot (extension): day × event_type counts as fixed columns.
     "q20_pivot" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -336,6 +352,13 @@ object Relational {
          FROM events
          WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
          GROUP BY CAST(ts AS DATE)""",
+    "q48_json_extract" ->
+      """SELECT event_type, COUNT(1) AS n,
+         MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+         GROUP BY event_type""",
     "q20_pivot" ->
       """SELECT CAST(ts AS DATE) AS d,
          COUNT(CASE WHEN event_type='click' THEN 1 END) AS click,
