@@ -79,6 +79,31 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB resize: new dimensions fitting inside (maxW, maxH) with
+    * aspect ratio preserved (integer arithmetic — exact on any
+    * engine), plus the md5-derived "resized payload" hash a real
+    * resizer would recompute. Same batched mapPartitions shape as
+    * [[decodeFeatures]]; swap the hash line for a codec call in
+    * production. */
+  def resizeStub(decoded: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded
+      .select(col("doc_id"), col("width"), col("height"), col("feat_hash"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, w, h, fh) =>
+        // scale = min(maxW/w, maxH/h) in exact rational arithmetic:
+        // compare maxW*h vs maxH*w to pick the binding dimension
+        val (nw, nh) =
+          if (maxW * h <= maxH * w) (maxW, maxW * h / w) // width binds
+          else (maxH * w / h, maxH)                      // height binds
+        val md  = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${fh}_${nw}x$nh".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (id, w, h, nw, nh, java.lang.Long.parseLong(hex.take(15), 16))
+      }))
+      .toDF("doc_id", "width", "height", "new_width", "new_height", "resized_hash")
+  }
+
   /** Frame sampling: every `stride`-th frame index of each media item,
     * as (doc_id, frame_idx, frame_hash) rows — the exploded shape a
     * vision pipeline feeds to per-frame feature extraction. Pure

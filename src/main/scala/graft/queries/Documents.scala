@@ -101,7 +101,16 @@ object Documents {
     // IVF ANN: 16 seed-centroid cells, 2-cell probe, exact rescoring.
     "q45_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), QueryIds, nCells = 16, nProbe = 2, k = 5)
-        .withColumnRenamed("rank", "rk"))
+        .withColumnRenamed("rank", "rk")),
+
+    // Multimodal resize stub: aspect-preserving integer dims fitting
+    // (256, 128) + md5-derived resized-payload hash.
+    "q49_multimodal_resize" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Multimodal.resizeStub(
+        Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text"))),
+        maxW = 256L, maxH = 128L)
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -393,6 +402,24 @@ object Documents {
          FROM (SELECT doc_id, text,
                       ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
                FROM documents)""",
+
+    "q49_multimodal_resize" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  64 + h % 1217 AS width,
+                  64 + (h // 1217) % 953 AS height,
+                  h AS feat_hash
+           FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
+         ),
+         r AS (
+           SELECT doc_id, width, height, feat_hash,
+                  CASE WHEN 256 * height <= 128 * width THEN 256 ELSE 128 * width // height END AS new_width,
+                  CASE WHEN 256 * height <= 128 * width THEN 256 * height // width ELSE 128 END AS new_height
+           FROM f
+         )
+         SELECT doc_id, width, height, new_width, new_height,
+                ('0x' || substr(md5(feat_hash || '_' || new_width || 'x' || new_height), 1, 15))::BIGINT AS resized_hash
+         FROM r""",
 
     "q41_frame_sample" ->
       """SELECT doc_id, frame_idx,

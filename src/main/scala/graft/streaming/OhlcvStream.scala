@@ -76,6 +76,31 @@ object OhlcvStream {
       .select(col("symbol_clean"), col("latest.*"))
   }
 
+  /** Watermarked tumbling-window aggregation on the stream: per
+    * (symbol, 1h window) OHLCV rollup — the streaming twin of the
+    * batch resample (A6). The 1-day watermark bounds state and lets
+    * late candles (re-fetches) update their window until expiry;
+    * append mode emits a window once the watermark passes it. */
+  def windowedCandles(normalizedStream: DataFrame, windowLength: String): DataFrame = {
+    val ts  = to_timestamp(from_unixtime(col("timestamp_unix")))
+    val ord = struct(col("timestamp_unix"), col("fetch_timestamp"))
+    normalizedStream
+      .withColumn("event_time", ts)
+      .withWatermark("event_time", "1 day")
+      .groupBy(col("symbol_clean"), window(col("event_time"), windowLength))
+      .agg(
+        min_by(col("open"), ord).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), ord).as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_candles"))
+      .select(
+        col("symbol_clean"),
+        col("window.start").as("window_start"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"), col("n_candles"))
+  }
+
   /** Wire the deduped stream to a partitioned parquet sink (the
     * streaming twin of Storage.writeParquet) with a processing-time
     * trigger matching the reference's 5-min cadence. */

@@ -173,6 +173,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).getAs[String]("format") === "wav")
   }
 
+  test("resizeStub: aspect preserved, bounded by (maxW, maxH), deterministic hash") {
+    val s = spark; import s.implicits._
+    val d = Seq((0L, "abc"), (1L, "x" * 500)).toDF("doc_id", "text")
+    val out = Multimodal.resizeStub(
+      Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text"))), 256L, 128L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.values.foreach { r =>
+      val (w, h, nw, nh) = (r.getAs[Long]("width"), r.getAs[Long]("height"),
+        r.getAs[Long]("new_width"), r.getAs[Long]("new_height"))
+      assert(nw <= 256 && nh <= 128)
+      // aspect preserved within integer truncation: nh == nw*h/w or nw == nh*w/h
+      assert(nh === nw * h / w || nw === nh * w / h)
+    }
+  }
+
   test("sampleFrames strides over n_frames") {
     val s = spark; import s.implicits._
     val d = Seq((0L, "x" * 1024)).toDF("doc_id", "text") // 1+1024/256 = 5 frames

@@ -62,6 +62,26 @@ class OhlcvStreamSpec extends SparkSpec {
     assert(out.values.toSet === Set(t0 + 5 * 300L))
   }
 
+  test("stream: watermarked windowed OHLCV aggregation (1h tumbling)") {
+    val raw  = OhlcvStream.readRawStream(spark, s"$tmp/land/*")
+    val norm = OhlcvStream.normalized(raw, processedAt = "p")
+    val q = OhlcvStream.windowedCandles(norm, "1 hour").writeStream
+      .format("memory")
+      .queryName("windowed_out")
+      .outputMode("update") // observe windows before watermark expiry
+      .option("checkpointLocation", s"$tmp/ckpt3")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("windowed_out")
+    // candles at 03:45..04:10 UTC → windows 03:00 and 04:00, 2 symbols
+    assert(out.select("symbol_clean", "window_start").distinct().count() === 4)
+    val rel = out.filter(col("symbol_clean") === "RELIANCE" &&
+      col("window_start") === "2025-10-08 03:00:00").collect().head
+    assert(rel.getAs[Long]("n_candles") === 6L) // 3 distinct ts × 2 fetches
+    assert(rel.getAs[Double]("high") >= rel.getAs[Double]("low"))
+  }
+
   test("trading-hours predicate keeps IST 09:15-15:30 Mon-Fri only") {
     val s = spark; import s.implicits._
     val rows = Seq(
