@@ -78,12 +78,20 @@ object Storage {
 
   /** D2, the engine's dedup contract (SURVEY §7.4.1): one row per
     * (symbol, timestamp_unix), survivor = greatest fetch_timestamp.
-    * The reference's three conflicting rules collapse to this. */
-  def dedupContract(normalized: DataFrame): DataFrame =
+    * The reference's three conflicting rules collapse to this.
+    * `source_file` (when present) breaks exact fetch_timestamp ties so
+    * the survivor is partition-order-independent; rows tied on both
+    * are byte-identical re-reads and any survivor is correct. */
+  def dedupContract(normalized: DataFrame): DataFrame = {
+    val version =
+      if (normalized.columns.contains("source_file"))
+        Seq(col("fetch_timestamp"), col("source_file"))
+      else Seq(col("fetch_timestamp"))
     Dedup.keepLatest(
       normalized,
       keys = Seq(col("symbol_clean"), col("timestamp_unix")),
-      version = Seq(col("fetch_timestamp")))
+      version = version)
+  }
 
   /** A11: ETL-run metadata rollup (etl/glue_job.py:227-264), emitted
     * as a one-row DataFrame (the JDBC write S11 is a sink option, not

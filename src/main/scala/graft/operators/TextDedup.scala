@@ -143,19 +143,22 @@ object TextDedup {
       sequence(lit(0), lit(LshBands - 1)),
       j => element_at(col("sig"), j * 2 + 1) * lit(Portable.P) + element_at(col("sig"), j * 2 + 2))
     val bands = sigs.select(col("doc_id"), col("sig"), posexplode(bandKeys).as(Seq("band", "band_key")))
-    val cand = bands.as("a")
+    // Estimate in the join projection, dedup on the slim scored pair:
+    // a pair colliding in several bands is scored identically each
+    // time, and the dedup stays a HashAggregate over fixed-width
+    // columns (signature arrays through an exchange would force
+    // SortAggregate — same pitfall as Similarity.neardupPairs).
+    val nEqual = size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
+    bands.as("a")
       .join(
         bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val nEqual = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-    cand
-      .select(col("doc_a"), col("doc_b"), (nEqual.cast("double") / MinhashK).as("est_jaccard"))
+        (nEqual.cast("double") / MinhashK).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Per-document 32-bit SimHash over whitespace tokens (with
