@@ -26,6 +26,14 @@ object Tables {
     * long (legacy conf) and floor-divide to micros — integer `div`, not
     * `/`, because ~1.7e18 ns exceeds double's 2^53 exact-integer range.
     * Matches DuckDB, which truncates ns→µs on read.
+    *
+    * ⚠ The conf is SESSION-GLOBAL and must stay set through execution
+    * (the vectorized reader checks it per batch), so it is not
+    * restored here. Consequence: after the first `events` read, other
+    * nanos-typed parquet columns in the session read as raw longs
+    * instead of erroring — acceptable because this loader is the only
+    * nanos consumer; route any new nanos table through a loader like
+    * this one rather than bare `spark.read.parquet`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -19,7 +19,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Resample {
 
   /** Epoch-aligned bucket start (unix seconds), matching
-    * `api/api_handler.py:806`. */
+    * `api/api_handler.py:806`. `pmod` = FLOOR semantics, like Python's
+    * `//` in the reference — pre-1970 timestamps still bucket to the
+    * floor boundary (SQL oracles must use `(x%n+n)%n`, not bare `%`,
+    * which truncates toward zero). */
   def bucketStart(ts: Column, seconds: Int): Column =
     epochSec(ts) - pmod(epochSec(ts), lit(seconds.toLong))
 

@@ -31,11 +31,15 @@ object TimeSeries {
     Resample.ticksToCandles(e, col("event_type"), col("ts"), col("value"), col("value"), col("event_id"), 3600)
   }
 
-  // Oracle fragment: hourly candles from events (shared by several oracles).
+  // Oracle fragment: hourly candles from events (shared by several
+  // oracles). Bucket uses FLOOR-mod ((x%n+n)%n) to match Spark's pmod
+  // — DuckDB's bare % truncates toward zero, which would diverge for
+  // pre-1970 timestamps (the reference's Python // floors too).
   private val hourlyCandlesSql =
     """WITH t AS (
          SELECT event_type AS symbol,
-                CAST(floor(epoch(ts)) AS BIGINT) - (CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS bucket_start,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - ((CAST(floor(epoch(ts)) AS BIGINT) % 3600 + 3600) % 3600) AS bucket_start,
                 value, ts, event_id
          FROM events
        ), r AS (

@@ -29,14 +29,11 @@ object OhlcvStream {
       .json(path)
       .withColumn("source_file", input_file_name())
 
-  /** Raw stream → normalized stream (same code path as batch ETL). */
-  def normalized(raw: DataFrame, processedAt: String): DataFrame = {
-    val blocks = raw.select(
-      explode(col("data")).as(Seq("symbol_key", "block")),
-      col("metadata.fetch_timestamp").as("fetch_timestamp"),
-      col("source_file"))
-    Normalize.normalize(blocks, processedAt)
-  }
+  /** Raw stream → normalized stream — literally the batch code path
+    * (`RawIngest.blocks` + `Normalize.normalize`), so the layers
+    * cannot drift. */
+  def normalized(raw: DataFrame, processedAt: String): DataFrame =
+    Normalize.normalize(graft.ohlcv.RawIngest.blocks(raw), processedAt)
 
   /** T4: drop overlapping-fetch duplicates under a watermark — each
     * 5-min fetch re-downloads the whole day, so (symbol, ts) repeats
@@ -50,7 +47,12 @@ object OhlcvStream {
     normalizedStream
       .withColumn("event_time", to_timestamp(from_unixtime(col("timestamp_unix"))))
       .withWatermark("event_time", "1 day")
-      .dropDuplicates("symbol_clean", "timestamp_unix")
+      // event_time MUST be in the subset: Spark only purges streaming
+      // dedup state when the watermarked column is part of the dedup
+      // key. It is functionally determined by timestamp_unix, so the
+      // dedup semantics are unchanged — but without it the watermark
+      // is a no-op for cleanup and state grows forever.
+      .dropDuplicates("symbol_clean", "timestamp_unix", "event_time")
 
   /** T2: IST trading-hours predicate (09:15–15:30 Mon–Fri,
     * ingestion/lambda_ingestion.py:28-58) on event time. Session TZ is

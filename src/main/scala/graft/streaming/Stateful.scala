@@ -11,7 +11,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object Stateful {
 
-  /** Input row: one normalized candle. */
+  /** Input row: one normalized candle. `fetch_timestamp` breaks
+    * duplicate-timestamp ties (the T4 re-fetch scenario) exactly like
+    * the batch D2 contract. */
   case class CandleIn(
       symbol_clean: String,
       timestamp_unix: Long,
@@ -19,7 +21,8 @@ object Stateful {
       high: Double,
       low: Double,
       close: Double,
-      volume: Long)
+      volume: Long,
+      fetch_timestamp: String)
 
   /** Running per-symbol OHLC accumulator (the "live daily candle"):
     * open of the earliest candle ever seen, close of the latest,
@@ -58,7 +61,11 @@ object Stateful {
           val init = state.getOption.getOrElse(
             RunningOhlc(sym, Long.MaxValue, Long.MinValue, 0.0, Double.NegativeInfinity,
               Double.PositiveInfinity, 0.0, 0L, 0L))
-          val updated = rows.toSeq.sortBy(_.timestamp_unix).foldLeft(init)(fold)
+          // total order (ts, fetch): duplicate-timestamp re-fetches
+          // fold deterministically, latest fetch winning close/high/low
+          val updated = rows.toSeq
+            .sortBy(r => (r.timestamp_unix, r.fetch_timestamp))
+            .foldLeft(init)(fold)
           state.update(updated)
           updated
       }

@@ -20,24 +20,26 @@ class StatefulSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-state").toString)
       .start()
 
-    // batch 1: out-of-order arrivals within the trigger
+    // batch 1: out-of-order arrivals within the trigger, including a
+    // duplicate-timestamp re-fetch (f2 revises the t=200 close)
     in.addData(
-      CandleIn("REL", 200L, 10.5, 11.0, 10.0, 10.8, 100L),
-      CandleIn("REL", 100L, 10.0, 10.6, 9.9, 10.5, 50L))
+      CandleIn("REL", 200L, 10.5, 11.0, 10.0, 10.2, 60L, "f1"),
+      CandleIn("REL", 200L, 10.5, 11.0, 10.0, 10.8, 40L, "f2"),
+      CandleIn("REL", 100L, 10.0, 10.6, 9.9, 10.5, 50L, "f1"))
     q.processAllAvailable()
     val b1 = s.table("running_ohlc").as[RunningOhlc].collect().last
     assert(b1.open === 10.0)   // earliest ts wins open despite arrival order
-    assert(b1.close === 10.8)
-    assert(b1.volume === 150L && b1.n === 2)
+    assert(b1.close === 10.8)  // latest (ts, fetch) wins the duplicate tie
+    assert(b1.volume === 150L && b1.n === 3)
 
     // batch 2: a later candle updates close/high, earlier open persists
-    in.addData(CandleIn("REL", 300L, 10.8, 12.0, 10.7, 11.9, 30L))
+    in.addData(CandleIn("REL", 300L, 10.8, 12.0, 10.7, 11.9, 30L, "f3"))
     q.processAllAvailable()
     val b2 = s.table("running_ohlc").as[RunningOhlc].collect().last
     assert(b2.open === 10.0)   // state survived the batch boundary
     assert(b2.close === 11.9)
     assert(b2.high === 12.0)
-    assert(b2.volume === 180L && b2.n === 3)
+    assert(b2.volume === 180L && b2.n === 4)
     q.stop()
   }
 }
