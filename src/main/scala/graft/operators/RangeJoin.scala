@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Point-in-interval range join, bucketized: the scalable alternative
+  * to `a JOIN b ON key AND t BETWEEN s AND e`, which Spark would
+  * execute as a key-equi join with a residual predicate — quadratic
+  * per hot key when intervals are long or keys few. Extension beyond
+  * the reference (no range join exists there).
+  *
+  * Both sides map onto fixed time buckets: a point has exactly ONE
+  * bucket; an interval explodes over the buckets it covers. The join
+  * becomes (key, bucket) equi-join + exact BETWEEN filter. Because a
+  * point belongs to a single bucket, a (point, interval) match is
+  * produced exactly once — no dedup pass. `bucketSeconds` tunes the
+  * interval-explosion factor vs candidate volume (pick ≈ the typical
+  * interval length).
+  */
+object RangeJoin {
+
+  /** Exact integer bucket index: subtract the floor-mod first so the
+    * division is over an exact multiple (no floating-point floor at
+    * bucket boundaries), then divide as decimal→long. */
+  private def bucketOf(ts: Column, bucketUs: Long): Column = {
+    val us = unix_micros(ts)
+    ((us - pmod(us, lit(bucketUs))).cast("decimal(28,0)") / lit(bucketUs)).cast("long")
+  }
+
+  /** Inner point-in-interval join. `points` and `intervals` must share
+    * `key`; intervals carry [start, end] (inclusive). Returns one row
+    * per matching (point, interval) with all columns of both sides. */
+  def pointInInterval(
+      points: DataFrame,
+      pointTime: Column,
+      intervals: DataFrame,
+      start: Column,
+      end: Column,
+      key: String,
+      bucketSeconds: Long): DataFrame = {
+    val bucketUs = bucketSeconds * 1000000L
+    val p = points.withColumn("__pb", bucketOf(pointTime, bucketUs))
+    val i = intervals
+      .withColumn("__ib", explode(sequence(bucketOf(start, bucketUs), bucketOf(end, bucketUs))))
+    p.join(i, p(key) === i(key) && col("__pb") === col("__ib"))
+      .filter(pointTime.between(start, end))
+      .drop("__pb", "__ib")
+      .drop(i(key))
+  }
+}

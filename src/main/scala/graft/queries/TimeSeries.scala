@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Det._
-import graft.operators.{Analytics, AsOfJoin, Dedup, Resample, Sessionize}
+import graft.operators.{Analytics, AsOfJoin, Dedup, RangeJoin, Resample, Sessionize}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -165,6 +165,29 @@ object TimeSeries {
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
           count(lit(1)).as("n"))),
 
+    // Extension: bucketized range join — views falling inside each
+    // user's daily purchase-activity interval [first, last purchase].
+    // Equi-join on (user, 6h bucket) + exact BETWEEN, never a per-key
+    // cross product.
+    "q50_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val intervals = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(min(col("ts")).as("iv_start"), max(col("ts")).as("iv_end"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      val matched = RangeJoin.pointInInterval(
+        views, col("ts"), intervals, col("iv_start"), col("iv_end"),
+        key = "user_id", bucketSeconds = 6 * 3600L)
+      val counts = matched
+        .groupBy(col("user_id"), col("d"))
+        .agg(count(lit(1)).as("n_views"), dsum(col("value")).as("views_value"))
+      intervals
+        .join(counts, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"), col("iv_start"), col("iv_end"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"), col("views_value"))
+    }),
+
     // A3: per-day stats for one symbol over a date range
     // (lambda_analytics.py:274-357).
     "q28_date_range" -> ((s, dir) =>
@@ -277,6 +300,21 @@ object TimeSeries {
                 COUNT(1) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
          FROM sid GROUP BY user_id, session_idx""",
+    "q50_range_join" ->
+      """WITH iv AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, MIN(ts) AS iv_start, MAX(ts) AS iv_end
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+         ),
+         v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+         m AS (
+           SELECT iv.user_id, iv.d, COUNT(1) AS n_views,
+                  CAST(SUM(CAST(v.value AS DECIMAL(28,4))) AS DOUBLE) AS views_value
+           FROM iv JOIN v ON v.user_id = iv.user_id AND v.ts BETWEEN iv.iv_start AND iv.iv_end
+           GROUP BY 1, 2
+         )
+         SELECT iv.user_id, iv.d, iv.iv_start, iv.iv_end,
+                COALESCE(m.n_views, 0) AS n_views, m.views_value
+         FROM iv LEFT JOIN m ON m.user_id = iv.user_id AND m.d = iv.d""",
     "q28_date_range" -> (dailyStatsSql +
       """ SELECT symbol, trade_date, open, close, high, low, volume, avg_price, num_records, price_change, price_change_pct
           FROM daily
