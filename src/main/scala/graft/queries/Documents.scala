@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Multimodal, Profile, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -110,7 +110,18 @@ object Documents {
       Multimodal.resizeStub(
         Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text"))),
         maxW = 256L, maxH = 128L)
-    })
+    }),
+
+    // One-pass column profile of the documents table (nulls, distinct,
+    // bounds) — the pre-flight check of every data pipeline.
+    "q51_profile" -> ((s, dir) => Profile.columnProfile(Tables.documents(s, dir))),
+
+    // Deterministic hash-based train/val/test split (80/10/10) —
+    // reproducible across engines/partitionings, never rand().
+    "q52_split" -> ((s, dir) =>
+      Profile.withSplit(Tables.documents(s, dir), col("doc_id"), 80, 10)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), graft.functions.Det.dsum(col("n_chars")).as("sum_chars")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -357,6 +368,36 @@ object Documents {
                        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
                 FROM scored)
           SELECT qid, cid, cell, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
+
+    "q51_profile" ->
+      """WITH a AS (
+           SELECT COUNT(1) AS n,
+             COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS nu1, COUNT(DISTINCT doc_id) AS d1,
+               CAST(MIN(doc_id) AS DOUBLE) AS mn1, CAST(MAX(doc_id) AS DOUBLE) AS mx1,
+             COUNT(CASE WHEN text IS NULL THEN 1 END) AS nu2, COUNT(DISTINCT text) AS d2,
+               CAST(MIN(length(text)) AS DOUBLE) AS mn2, CAST(MAX(length(text)) AS DOUBLE) AS mx2,
+             COUNT(CASE WHEN lang IS NULL THEN 1 END) AS nu3, COUNT(DISTINCT lang) AS d3,
+               CAST(MIN(length(lang)) AS DOUBLE) AS mn3, CAST(MAX(length(lang)) AS DOUBLE) AS mx3,
+             COUNT(CASE WHEN source IS NULL THEN 1 END) AS nu4, COUNT(DISTINCT source) AS d4,
+               CAST(MIN(length(source)) AS DOUBLE) AS mn4, CAST(MAX(length(source)) AS DOUBLE) AS mx4,
+             COUNT(CASE WHEN n_chars IS NULL THEN 1 END) AS nu5, COUNT(DISTINCT n_chars) AS d5,
+               CAST(MIN(n_chars) AS DOUBLE) AS mn5, CAST(MAX(n_chars) AS DOUBLE) AS mx5
+           FROM documents)
+         SELECT 'doc_id' AS col_name, 'bigint' AS dtype, n AS n_rows, nu1 AS n_nulls, d1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+         UNION ALL SELECT 'text', 'string', n, nu2, d2, mn2, mx2 FROM a
+         UNION ALL SELECT 'lang', 'string', n, nu3, d3, mn3, mx3 FROM a
+         UNION ALL SELECT 'source', 'string', n, nu4, d4, mn4, mx4 FROM a
+         UNION ALL SELECT 'n_chars', 'bigint', n, nu5, d5, mn5, mx5 FROM a""",
+
+    "q52_split" ->
+      """WITH h AS (
+           SELECT n_chars,
+                  ('0x' || substr(md5('split_' || doc_id), 1, 15))::BIGINT % 100 AS hv
+           FROM documents)
+         SELECT CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split,
+                COUNT(1) AS n_docs,
+                CAST(SUM(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE) AS sum_chars
+         FROM h GROUP BY 1""",
 
     "q38_text_quality" ->
       s"""WITH $wordsCte,
