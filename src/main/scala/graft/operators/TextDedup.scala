@@ -204,7 +204,10 @@ object TextDedup {
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // filter BEFORE the dedup exchange: hamming is identical for
+      // every block collision of a pair, so only the (small) surviving
+      // pair set rides the shuffle instead of all block candidates
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
   }
 }
