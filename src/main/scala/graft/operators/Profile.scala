@@ -11,22 +11,31 @@ import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
   */
 object Profile {
 
-  /** One-pass column profile: per column null count, approx-free
-    * distinct count, and min/max (numerics as double, strings
-    * lexicographic). Single aggregate job — at 100 TB this is ONE scan
-    * regardless of column count (all aggregates fuse into one
-    * HashAggregate), vs one job per column in naive profilers.
-    * Output: one row per column (unpivoted driver-side from the single
-    * aggregated row — constant-size, not a data collect). */
+  /** One-job column profile: per column null count, exact distinct
+    * count (orderable types only — maps get null, they can't be
+    * compared), and bounds: numerics min/max as double, strings
+    * min/max LENGTH (value bounds make no sense as doubles), other
+    * types null. One aggregate job for the whole table. ⚠ Plan-shape
+    * caveat: multiple exact count-distincts make Catalyst plan an
+    * Expand (one row replica per distinct column), so a k-column
+    * profile pushes ~k× rows through the exchange. For very wide
+    * tables at 100 TB either switch to `approx_count_distinct` (fuses
+    * into one partial aggregate) or profile column groups separately.
+    * Output: one row per column, unpivoted from the single aggregated
+    * row — a constant-size driver transfer, not a data collect. */
   def columnProfile(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cols = df.schema.fields
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { f =>
       val c = col(f.name)
+      val distinct =
+        if (orderable(f.dataType)) countDistinct(c) else lit(null).cast("long")
       Seq(
         count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
-        countDistinct(c).as(s"${f.name}__distinct")) ++ (f.dataType match {
+        distinct.as(s"${f.name}__distinct")) ++ (f.dataType match {
         case _: NumericType => Seq(
           min(c).cast(DoubleType).as(s"${f.name}__min"),
           max(c).cast(DoubleType).as(s"${f.name}__max"))
@@ -40,12 +49,18 @@ object Profile {
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
     val n   = row.getAs[Long]("__n")
+    // row.get (not getAs[Double/Long]) — primitive getAs unboxes SQL
+    // NULL to 0, silently fabricating values
+    def optD(name: String): Option[Double] =
+      Option(row.get(row.fieldIndex(name))).map(_.asInstanceOf[Double])
+    def optL(name: String): Option[Long] =
+      Option(row.get(row.fieldIndex(name))).map(_.asInstanceOf[Long])
     cols.map { f =>
       (f.name, f.dataType.simpleString, n,
         row.getAs[Long](s"${f.name}__nulls"),
-        row.getAs[Long](s"${f.name}__distinct"),
-        Option(row.getAs[Double](s"${f.name}__min")),
-        Option(row.getAs[Double](s"${f.name}__max")))
+        optL(s"${f.name}__distinct"),
+        optD(s"${f.name}__min"),
+        optD(s"${f.name}__max"))
     }.toSeq.toDF("col_name", "dtype", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
   }
 

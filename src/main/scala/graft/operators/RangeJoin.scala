@@ -39,12 +39,20 @@ object RangeJoin {
       key: String,
       bucketSeconds: Long): DataFrame = {
     val bucketUs = bucketSeconds * 1000000L
-    val p = points.withColumn("__pb", bucketOf(pointTime, bucketUs))
+    // Bind each caller expression to ITS side before the join — the
+    // BETWEEN columns would otherwise resolve against the joined plan
+    // and hit AMBIGUOUS_REFERENCE whenever both sides share a name
+    // (e.g. intervals derived from the same table carrying `ts`).
+    val p = points
+      .withColumn("__pt", pointTime)
+      .withColumn("__pb", bucketOf(col("__pt"), bucketUs))
     val i = intervals
-      .withColumn("__ib", explode(sequence(bucketOf(start, bucketUs), bucketOf(end, bucketUs))))
+      .withColumn("__s", start)
+      .withColumn("__e", end)
+      .withColumn("__ib", explode(sequence(bucketOf(col("__s"), bucketUs), bucketOf(col("__e"), bucketUs))))
     p.join(i, p(key) === i(key) && col("__pb") === col("__ib"))
-      .filter(pointTime.between(start, end))
-      .drop("__pb", "__ib")
+      .filter(col("__pt").between(col("__s"), col("__e")))
+      .drop("__pt", "__pb", "__s", "__e", "__ib")
       .drop(i(key))
   }
 }

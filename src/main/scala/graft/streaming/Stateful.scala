@@ -5,9 +5,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState`
   * — the escape hatch for semantics windowed aggregation can't express
-  * (SURVEY §2.7 T5/T6 extension). State is one small case class per
-  * symbol; batch arrival order inside a trigger is made irrelevant by
-  * sorting each group's new rows on (ts, fetch) before folding.
+  * (SURVEY §2.7 T5/T6 extension).
+  *
+  * Semantics contract: `runningOhlc` is a running fold over the rows
+  * it is FED — volume and n count every arriving row. Feed it
+  * [[OhlcvStream.dedupedStream]] output when each candle must count
+  * once (the T4 re-fetch pipeline); fed raw re-fetches it still keeps
+  * `close` deterministic, because the state remembers the last
+  * (ts, fetch) pair and a candle only takes over `close` when its
+  * (ts, fetch) is strictly newer — across trigger boundaries too.
+  * Null fetch stamps sort/compare as empty strings (oldest).
   */
 object Stateful {
 
@@ -25,12 +32,14 @@ object Stateful {
       fetch_timestamp: String)
 
   /** Running per-symbol OHLC accumulator (the "live daily candle"):
-    * open of the earliest candle ever seen, close of the latest,
-    * running high/low/volume/count. */
+    * open of the earliest candle seen, close of the latest by
+    * (ts, fetch), running high/low/volume/count. `last_fetch` keeps
+    * the close tie-break deterministic across trigger boundaries. */
   case class RunningOhlc(
       symbol: String,
       first_ts: Long,
       last_ts: Long,
+      last_fetch: String,
       open: Double,
       high: Double,
       low: Double,
@@ -38,17 +47,26 @@ object Stateful {
       volume: Long,
       n: Long)
 
-  private def fold(acc: RunningOhlc, r: CandleIn): RunningOhlc =
+  private def fetchOf(r: CandleIn): String =
+    if (r.fetch_timestamp == null) "" else r.fetch_timestamp
+
+  private def fold(acc: RunningOhlc, r: CandleIn): RunningOhlc = {
+    val f = fetchOf(r)
+    val newerClose =
+      r.timestamp_unix > acc.last_ts ||
+        (r.timestamp_unix == acc.last_ts && f >= acc.last_fetch)
     RunningOhlc(
       symbol = acc.symbol,
       first_ts = math.min(acc.first_ts, r.timestamp_unix),
       last_ts = math.max(acc.last_ts, r.timestamp_unix),
+      last_fetch = if (newerClose) f else acc.last_fetch,
       open = if (r.timestamp_unix < acc.first_ts) r.open else acc.open,
       high = math.max(acc.high, r.high),
       low = math.min(acc.low, r.low),
-      close = if (r.timestamp_unix >= acc.last_ts) r.close else acc.close,
+      close = if (newerClose) r.close else acc.close,
       volume = acc.volume + r.volume,
       n = acc.n + 1)
+  }
 
   /** Streaming (or batch) per-symbol running OHLC. Use with
     * `OutputMode.Update`: each trigger emits the refreshed accumulator
@@ -59,12 +77,12 @@ object Stateful {
       .mapGroupsWithState[RunningOhlc, RunningOhlc](GroupStateTimeout.NoTimeout) {
         (sym, rows, state: GroupState[RunningOhlc]) =>
           val init = state.getOption.getOrElse(
-            RunningOhlc(sym, Long.MaxValue, Long.MinValue, 0.0, Double.NegativeInfinity,
-              Double.PositiveInfinity, 0.0, 0L, 0L))
-          // total order (ts, fetch): duplicate-timestamp re-fetches
-          // fold deterministically, latest fetch winning close/high/low
+            RunningOhlc(sym, Long.MaxValue, Long.MinValue, "", 0.0,
+              Double.NegativeInfinity, Double.PositiveInfinity, 0.0, 0L, 0L))
+          // total order (ts, fetch): duplicate-timestamp re-fetches in
+          // one trigger fold deterministically, latest fetch last
           val updated = rows.toSeq
-            .sortBy(r => (r.timestamp_unix, r.fetch_timestamp))
+            .sortBy(r => (r.timestamp_unix, fetchOf(r)))
             .foldLeft(init)(fold)
           state.update(updated)
           updated

@@ -32,14 +32,22 @@ class StatefulSpec extends SparkSpec {
     assert(b1.close === 10.8)  // latest (ts, fetch) wins the duplicate tie
     assert(b1.volume === 150L && b1.n === 3)
 
-    // batch 2: a later candle updates close/high, earlier open persists
-    in.addData(CandleIn("REL", 300L, 10.8, 12.0, 10.7, 11.9, 30L, "f3"))
+    // batch 2: a STALE re-fetch of t=200 (f0 < f2) arrives late —
+    // close must NOT regress to it across the trigger boundary
+    in.addData(CandleIn("REL", 200L, 10.5, 11.0, 10.0, 9.9, 10L, "f0"))
     q.processAllAvailable()
     val b2 = s.table("running_ohlc").as[RunningOhlc].collect().last
-    assert(b2.open === 10.0)   // state survived the batch boundary
-    assert(b2.close === 11.9)
-    assert(b2.high === 12.0)
-    assert(b2.volume === 180L && b2.n === 4)
+    assert(b2.close === 10.8)  // f2 still wins; stale f0 ignored for close
+    assert(b2.n === 4)         // but counted as an arrival (documented)
+
+    // batch 3: a later candle updates close/high, earlier open persists
+    in.addData(CandleIn("REL", 300L, 10.8, 12.0, 10.7, 11.9, 30L, "f3"))
+    q.processAllAvailable()
+    val b3 = s.table("running_ohlc").as[RunningOhlc].collect().last
+    assert(b3.open === 10.0)   // state survived the batch boundaries
+    assert(b3.close === 11.9)
+    assert(b3.high === 12.0)
+    assert(b3.volume === 190L && b3.n === 5)
     q.stop()
   }
 }
