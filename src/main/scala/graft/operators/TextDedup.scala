@@ -161,6 +161,49 @@ object TextDedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Connected components over a near-duplicate pair relation
+    * (doc_a, doc_b) — the dedup DECISION step: every doc in a
+    * component keeps/drops together, keeper = component minimum.
+    * Iterative min-label propagation: each round every node takes the
+    * min label among itself and its neighbors; converges in ≤ diameter
+    * rounds (near-dup clusters are tiny, so 2–3 in practice, `maxIter`
+    * caps pathology). The per-round `count()` is a scalar convergence
+    * probe, not a data collect; `localCheckpoint` truncates the
+    * iterative lineage (swap for reliable checkpointing on a real
+    * cluster). Returns (doc_id, cluster_id) for documents that appear
+    * in ≥1 pair. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === col("src"), "left")
+        .select(
+          col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"), coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Per-document 32-bit SimHash over whitespace tokens (with
     * multiplicity): each token hashes to 32 bits; bit b of the
     * fingerprint is 1 iff the (+1/−1) vote sum over tokens at bit b is

@@ -121,7 +121,17 @@ object Documents {
     "q52_split" -> ((s, dir) =>
       Profile.withSplit(Tables.documents(s, dir), col("doc_id"), 80, 10)
         .groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"), graft.functions.Det.dsum(col("n_chars")).as("sum_chars")))
+        .agg(count(lit(1)).as("n_docs"), graft.functions.Det.dsum(col("n_chars")).as("sum_chars"))),
+
+    // Dedup decision: connected components over the exact near-dup
+    // pairs (q31) — every doc in a cluster labeled with the component
+    // minimum (the keeper).
+    "q53_dedup_clusters" -> ((s, dir) => {
+      val d     = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairsFromRows(
+        TextDedup.shingleRows(d, col("doc_id"), col("text"), 3), 0.8)
+      TextDedup.dedupClusters(pairs)
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -368,6 +378,32 @@ object Documents {
                        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
                 FROM scored)
           SELECT qid, cid, cell, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
+
+    "q53_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ),
+          pairs AS (
+            SELECT da AS doc_a, db AS doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+          ),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+          ),
+          reach AS (
+            SELECT DISTINCT src AS doc_id, src AS r FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON r.doc_id = e.dst
+          )
+          SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id""",
 
     "q51_profile" ->
       """WITH a AS (

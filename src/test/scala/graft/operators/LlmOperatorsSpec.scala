@@ -55,6 +55,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out((0L, 3L)) === 1.0)
   }
 
+  test("dedupClusters: chains and triangles collapse to the component minimum") {
+    val s = spark; import s.implicits._
+    // components: {1,2,3,4} via chain 1-2-3-4, {7,9} pair, triangle {10,11,12}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("doc_a", "doc_b")
+    val out = TextDedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("simhash: identical text → identical 32-bit hash; near-dup → small hamming") {
     val sh = TextDedup.simhashes(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
