@@ -39,6 +39,10 @@ object RangeJoin {
       key: String,
       bucketSeconds: Long): DataFrame = {
     val bucketUs = bucketSeconds * 1000000L
+    val reserved = Seq("__pt", "__pb", "__s", "__e", "__ib")
+    require(
+      !(points.columns ++ intervals.columns).exists(reserved.contains),
+      s"RangeJoin reserves column names ${reserved.mkString(", ")}")
     // Bind each caller expression to ITS side before the join — the
     // BETWEEN columns would otherwise resolve against the joined plan
     // and hit AMBIGUOUS_REFERENCE whenever both sides share a name

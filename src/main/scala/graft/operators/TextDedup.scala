@@ -166,12 +166,14 @@ object TextDedup {
     * component keeps/drops together, keeper = component minimum.
     * Iterative min-label propagation: each round every node takes the
     * min label among itself and its neighbors; converges in ≤ diameter
-    * rounds (near-dup clusters are tiny, so 2–3 in practice, `maxIter`
-    * caps pathology). The per-round `count()` is a scalar convergence
-    * probe, not a data collect; `localCheckpoint` truncates the
-    * iterative lineage (swap for reliable checkpointing on a real
-    * cluster). Returns (doc_id, cluster_id) for documents that appear
-    * in ≥1 pair. */
+    * rounds (near-dup clusters are tiny, so 2–3 in practice; a
+    * component with diameter > `maxIter` THROWS rather than silently
+    * returning a split clustering). Convergence is probed per round by
+    * an isEmpty on the changed-labels join — a boolean job, not a data
+    * collect; `localCheckpoint` truncates the iterative lineage (swap
+    * for reliable checkpointing on a real cluster) and superseded
+    * rounds are unpersisted. Returns (doc_id, cluster_id) for
+    * documents that appear in ≥1 pair. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -198,9 +200,15 @@ object TextDedup {
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
         .isEmpty
+      labels.unpersist()
       labels = next
       iter += 1
     }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIter rounds — a component's " +
+          "diameter exceeds maxIter; raise it (labels would be silently split)")
     labels
   }
 

@@ -12,9 +12,12 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * [[OhlcvStream.dedupedStream]] output when each candle must count
   * once (the T4 re-fetch pipeline); fed raw re-fetches it still keeps
   * `close` deterministic, because the state remembers the last
-  * (ts, fetch) pair and a candle only takes over `close` when its
-  * (ts, fetch) is strictly newer — across trigger boundaries too.
-  * Null fetch stamps sort/compare as empty strings (oldest).
+  * first/last (ts, fetch) pairs and a candle only takes over `open`/
+  * `close` when its (ts, fetch) is older/newer respectively — across
+  * trigger boundaries too. `high`/`low`/`volume`/`n` fold EVERY
+  * arriving row including superseded re-fetches (deduplicate upstream
+  * when that matters). Null fetch stamps sort/compare as empty
+  * strings (oldest).
   */
 object Stateful {
 
@@ -32,13 +35,14 @@ object Stateful {
       fetch_timestamp: String)
 
   /** Running per-symbol OHLC accumulator (the "live daily candle"):
-    * open of the earliest candle seen, close of the latest by
-    * (ts, fetch), running high/low/volume/count. `last_fetch` keeps
-    * the close tie-break deterministic across trigger boundaries. */
+    * open of the earliest candle by (ts, fetch), close of the latest,
+    * running high/low/volume/count. `first_fetch`/`last_fetch` keep
+    * both tie-breaks deterministic across trigger boundaries. */
   case class RunningOhlc(
       symbol: String,
       first_ts: Long,
       last_ts: Long,
+      first_fetch: String,
       last_fetch: String,
       open: Double,
       high: Double,
@@ -55,12 +59,17 @@ object Stateful {
     val newerClose =
       r.timestamp_unix > acc.last_ts ||
         (r.timestamp_unix == acc.last_ts && f >= acc.last_fetch)
+    // open mirrors close: latest fetch wins the earliest timestamp
+    val olderOpen =
+      r.timestamp_unix < acc.first_ts ||
+        (r.timestamp_unix == acc.first_ts && f >= acc.first_fetch)
     RunningOhlc(
       symbol = acc.symbol,
       first_ts = math.min(acc.first_ts, r.timestamp_unix),
       last_ts = math.max(acc.last_ts, r.timestamp_unix),
+      first_fetch = if (olderOpen) f else acc.first_fetch,
       last_fetch = if (newerClose) f else acc.last_fetch,
-      open = if (r.timestamp_unix < acc.first_ts) r.open else acc.open,
+      open = if (olderOpen) r.open else acc.open,
       high = math.max(acc.high, r.high),
       low = math.min(acc.low, r.low),
       close = if (newerClose) r.close else acc.close,
@@ -77,7 +86,7 @@ object Stateful {
       .mapGroupsWithState[RunningOhlc, RunningOhlc](GroupStateTimeout.NoTimeout) {
         (sym, rows, state: GroupState[RunningOhlc]) =>
           val init = state.getOption.getOrElse(
-            RunningOhlc(sym, Long.MaxValue, Long.MinValue, "", 0.0,
+            RunningOhlc(sym, Long.MaxValue, Long.MinValue, "", "", 0.0,
               Double.NegativeInfinity, Double.PositiveInfinity, 0.0, 0L, 0L))
           // total order (ts, fetch): duplicate-timestamp re-fetches in
           // one trigger fold deterministically, latest fetch last
