@@ -27,9 +27,14 @@ object Bench {
     val qs = results.map { case (k, _, w) => s""""$k":$w""" }.mkString("{", ",", "}")
     val total     = results.map(_._3).filter(_ >= 0).sum
     val totalCold = results.map(_._2).filter(_ >= 0).sum
+    // A crashed query is recorded as -1 and excluded from `value`, which
+    // would otherwise make a regression LOOK faster; n_failed makes that
+    // impossible to miss.
+    val nFailed = results.count(_._3 < 0)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""total_cold":$totalCold,"n_queries":${results.size},"sf":"$sfDir"}""")
+        s""""total_cold":$totalCold,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

@@ -15,21 +15,32 @@ object Api {
   /** P14: period token → days. `"3m"` ≈ 90 d, `"2y"` ≈ 730 d — the
     * reference's approximate arithmetic (m=30 d, y=365 d,
     * api/api_handler.py:746-769) reproduced exactly, NOT calendar
-    * months. Unknown tokens → default 30 d (reference behavior). */
+    * months. Bare-numeric tokens (`"45"`) fall back to int(token) days
+    * like the reference's `days = int(token)` branch; a single-char
+    * unit with no digits (`"d"`) is value 0 (`int(token[:-1]) if
+    * len(token) > 1 else 0`); anything unparseable → 30 d (the
+    * reference's catch-all except). */
   def periodToDays(period: String): Int = {
     val p = period.trim.toLowerCase
-    val num = p.dropRight(1)
-    def n(default: Int): Int = num.toIntOption.getOrElse(default)
-    p.lastOption match {
-      case Some('d') => n(30)
-      case Some('m') => n(1) * 30
-      case Some('y') => n(1) * 365
-      case _         => 30
+    if (p.isEmpty) 30
+    else {
+      val num = if (p.length > 1) p.dropRight(1).toIntOption else Some(0)
+      (p.last, num) match {
+        case ('d', Some(v)) => v
+        case ('m', Some(v)) => v * 30
+        case ('y', Some(v)) => v * 365
+        case _              => p.toIntOption.getOrElse(30)
+      }
     }
   }
 
   /** P15: interval token → minutes (`"5m"`, `"1h"`, `"1d"`;
-    * api/api_handler.py:772-785). Unknown → 5 (reference default). */
+    * api/api_handler.py:772-785). Bare-numeric tokens (`"45"`) fall
+    * back to int(token) minutes (the reference's final `return
+    * int(token)`). Deliberate divergence, documented: the reference
+    * RAISES on unparseable tokens (no try around this parser); a
+    * library operator returning a default (5 m, the pipeline's native
+    * resolution) is safer than throwing from deep inside a query. */
   def intervalToMinutes(interval: String): Int = {
     val i = interval.trim.toLowerCase
     val num = i.dropRight(1)
@@ -38,7 +49,7 @@ object Api {
       case Some('m') => n(5)
       case Some('h') => n(1) * 60
       case Some('d') => n(1) * 1440
-      case _         => 5
+      case _         => i.toIntOption.getOrElse(5)
     }
   }
 

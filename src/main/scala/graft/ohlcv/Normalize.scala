@@ -58,11 +58,18 @@ object Normalize {
   def cleanSymbol(c: Column): Column = regexp_replace(c, "NSE:|-EQ", "")
 
   /** P7: inverse — normalize user input to `NSE:X-EQ`
-    * (api/api_handler.py:592-612). */
+    * (api/api_handler.py:592-612). Mirrors the reference exactly: any
+    * symbol already carrying an exchange prefix (`':'` present) is
+    * returned unchanged — `normalize_symbol`'s two branches both
+    * no-op when `':' in symbol`, so `"BSE:X"` stays `"BSE:X"`, never
+    * `"NSE:BSE:X-EQ"`. Only bare names gain the `NSE:` prefix, and the
+    * `-EQ` suffix only when missing. */
   def toExchangeSymbol(c: Column): Column = {
     val up = upper(trim(c))
-    val withPrefix = when(up.startsWith("NSE:"), up).otherwise(concat(lit("NSE:"), up))
-    when(withPrefix.endsWith("-EQ"), withPrefix).otherwise(concat(withPrefix, lit("-EQ")))
+    when(up.contains(":"), up)
+      .otherwise(
+        when(up.endsWith("-EQ"), concat(lit("NSE:"), up))
+          .otherwise(concat(lit("NSE:"), up, lit("-EQ"))))
   }
 
   /** P11: multi-format timestamp coercion — numeric epoch seconds vs

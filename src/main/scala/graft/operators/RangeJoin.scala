@@ -39,7 +39,7 @@ object RangeJoin {
       key: String,
       bucketSeconds: Long): DataFrame = {
     val bucketUs = bucketSeconds * 1000000L
-    val reserved = Seq("__pt", "__pb", "__s", "__e", "__ib")
+    val reserved = Seq("__pt", "__pb", "__s", "__e", "__ib", "__ik")
     require(
       !(points.columns ++ intervals.columns).exists(reserved.contains),
       s"RangeJoin reserves column names ${reserved.mkString(", ")}")
@@ -50,13 +50,21 @@ object RangeJoin {
     val p = points
       .withColumn("__pt", pointTime)
       .withColumn("__pb", bucketOf(col("__pt"), bucketUs))
+    // The interval-side key is renamed to a reserved column BEFORE the
+    // join so the key predicate never references the same column name
+    // on both sides: when points and intervals derive from one base
+    // DataFrame, `p(key) === i(key)` would lean on Spark's dataset-id
+    // disambiguation of ambiguous self-joins — correct today but
+    // fragile across versions. With `__ik` the join condition is
+    // unambiguous by construction and the output keeps exactly one
+    // copy of the key (the points side).
     val i = intervals
       .withColumn("__s", start)
       .withColumn("__e", end)
       .withColumn("__ib", explode(sequence(bucketOf(col("__s"), bucketUs), bucketOf(col("__e"), bucketUs))))
-    p.join(i, p(key) === i(key) && col("__pb") === col("__ib"))
+      .withColumnRenamed(key, "__ik")
+    p.join(i, col(key) === col("__ik") && col("__pb") === col("__ib"))
       .filter(col("__pt").between(col("__s"), col("__e")))
-      .drop("__pt", "__pb", "__s", "__e", "__ib")
-      .drop(i(key))
+      .drop("__pt", "__pb", "__s", "__e", "__ib", "__ik")
   }
 }

@@ -202,6 +202,16 @@ object Documents {
   private val dotSql =
     "CAST(list_aggregate(list_transform(list_zip(%s, %s), p -> p[1] * p[2]), 'sum') AS BIGINT)"
 
+  /** Guarded cosine, mirroring [[graft.operators.Similarity.cosine]]:
+    * NULL (not inf/NaN) when either squared norm is 0 — a zero
+    * quantized embedding must hash-compare identically on both
+    * engines. */
+  private def cosSql(av: String, bv: String, an2: String, bn2: String) =
+    s"""CASE WHEN $an2 > 0 AND $bn2 > 0
+             THEN CAST(${dotSql.format(av, bv)} AS DOUBLE)
+                    / (sqrt(CAST($an2 AS DOUBLE)) * sqrt(CAST($bn2 AS DOUBLE)))
+        END"""
+
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp,
@@ -271,8 +281,7 @@ object Documents {
           q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id IN (0,1,2,3,4)),
           scored AS (
             SELECT q.qid, c.vec_id AS cid,
-                   CAST(${dotSql.format("q.qv", "c.v")} AS DOUBLE)
-                     / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
+                   ${cosSql("q.qv", "c.v", "q.qn2", "c.n2")} AS cosine
             FROM en c, q WHERE c.vec_id <> q.qid
           ),
           r AS (SELECT qid, cid, cosine,
@@ -299,8 +308,7 @@ object Documents {
           q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket FROM eb WHERE vec_id IN (0,1,2,3,4)),
           scored AS (
             SELECT q.qid, c.vec_id AS cid, q.bucket,
-                   CAST(${dotSql.format("q.qv", "c.v")} AS DOUBLE)
-                     / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
+                   ${cosSql("q.qv", "c.v", "q.qn2", "c.n2")} AS cosine
             FROM eb c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.qid
           ),
           r AS (SELECT qid, cid, bucket, cosine,
@@ -336,8 +344,7 @@ object Documents {
           ),
           scored AS (
             SELECT c.va AS vec_a, c.vb AS vec_b,
-                   CAST(${dotSql.format("ea.v", "eb2.v")} AS DOUBLE)
-                     / (sqrt(CAST(ea.n2 AS DOUBLE)) * sqrt(CAST(eb2.n2 AS DOUBLE))) AS cosine
+                   ${cosSql("ea.v", "eb2.v", "ea.n2", "eb2.n2")} AS cosine
             FROM cand c JOIN en ea ON ea.vec_id = c.va JOIN en eb2 ON eb2.vec_id = c.vb
           )
           SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.35""",
@@ -354,8 +361,7 @@ object Documents {
           cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM en WHERE vec_id < 16),
           cc AS (
             SELECT en.vec_id, en.v, en.n2, c.cell,
-                   CAST(${dotSql.format("en.v", "c.cv")} AS DOUBLE)
-                     / (sqrt(CAST(en.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
             FROM en, cents c
           ),
           assigned AS (
@@ -370,8 +376,7 @@ object Documents {
           ),
           scored AS (
             SELECT p.qid, a.vec_id AS cid, p.cell,
-                   CAST(${dotSql.format("p.qv", "a.v")} AS DOUBLE)
-                     / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cosine
+                   ${cosSql("p.qv", "a.v", "p.qn2", "a.n2")} AS cosine
             FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid
           ),
           r AS (SELECT qid, cid, cell, cosine,

@@ -131,6 +131,13 @@ class ApiSpec extends SparkSpec {
     assert(Api.periodToDays("3m") === 90)
     assert(Api.periodToDays("2y") === 730)
     assert(Api.periodToDays("bogus") === 30)
+    // bare-numeric token → int(token) days (api_handler.py:763 `days = int(token)`)
+    assert(Api.periodToDays("45") === 45)
+    assert(Api.periodToDays("5") === 5)
+    // single-char unit, no digits: `int(token[:-1]) if len(token) > 1 else 0`
+    assert(Api.periodToDays("d") === 0)
+    // digits + unparseable prefix for a known unit → the catch-all 30
+    assert(Api.periodToDays("xd") === 30)
   }
 
   test("intervalToMinutes parses m/h/d tokens") {
@@ -138,6 +145,9 @@ class ApiSpec extends SparkSpec {
     assert(Api.intervalToMinutes("1h") === 60)
     assert(Api.intervalToMinutes("1d") === 1440)
     assert(Api.intervalToMinutes("??") === 5)
+    // bare-numeric token → int(token) minutes (api_handler.py:784 `return int(token)`)
+    assert(Api.intervalToMinutes("45") === 45)
+    assert(Api.intervalToMinutes("15") === 15)
   }
 
   test("toExchangeSymbol normalizes to NSE:X-EQ (P7), inverse of cleanSymbol (P6)") {
@@ -148,6 +158,16 @@ class ApiSpec extends SparkSpec {
     val round = in.select(Normalize.cleanSymbol(Normalize.toExchangeSymbol(col("sym"))).as("c"))
       .collect().map(_.getString(0))
     assert(round.toSeq === Seq("RELIANCE", "TCS", "INFY"))
+    // any symbol already carrying an exchange prefix is returned
+    // unchanged — normalize_symbol (api_handler.py:592-612) never
+    // re-prefixes or suffixes once ':' is present
+    val pre = Seq("BSE:X", "BSE:X-EQ", "nse:tcs").toDF("sym")
+      .select(Normalize.toExchangeSymbol(col("sym")).as("e")).collect().map(_.getString(0))
+    assert(pre.toSeq === Seq("BSE:X", "BSE:X-EQ", "NSE:TCS"))
+    // bare name already suffixed -EQ only gains the prefix
+    val suf = Seq("tcs-eq").toDF("sym")
+      .select(Normalize.toExchangeSymbol(col("sym")).as("e")).collect().map(_.getString(0))
+    assert(suf.toSeq === Seq("NSE:TCS-EQ"))
   }
 
   test("getOhlcv: range filter, dedup, tail-limit, ascending output") {
