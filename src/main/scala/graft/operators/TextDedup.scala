@@ -76,15 +76,54 @@ object TextDedup {
     *
     * At 100 TB this is the rescoring stage after LSH ([[lshPairs]]);
     * standalone it is exact and suits corpora where the shingle
-    * posting lists stay short (cap hot shingles upstream if not).
+    * posting lists stay short. For skewed corpora pass `maxShingleDf`:
+    * a single shingle shared by 10^6 docs otherwise yields 10^12
+    * candidate rows out of the self-join (quadratic in the posting
+    * list — AQE skew-split only spreads the explosion, it cannot
+    * shrink it).
     */
-  def jaccardPairs(docs: DataFrame, id: Column, shingles: Column, threshold: Double): DataFrame =
-    jaccardPairsFromRows(docs.select(id.as("doc_id"), explode(shingles).as("s")), threshold)
+  def jaccardPairs(
+      docs: DataFrame,
+      id: Column,
+      shingles: Column,
+      threshold: Double,
+      maxShingleDf: Option[Long] = None): DataFrame =
+    jaccardPairsFromRows(docs.select(id.as("doc_id"), explode(shingles).as("s")), threshold, maxShingleDf)
 
   /** [[jaccardPairs]] over a (doc_id, s) shingle-occurrence relation
-    * (e.g. [[shingleRows]]); dedups occurrences itself. */
-  def jaccardPairsFromRows(shRaw: DataFrame, threshold: Double): DataFrame = {
-    val sh    = shRaw.select(col("doc_id"), col("s")).distinct()
+    * (e.g. [[shingleRows]]); dedups occurrences itself.
+    *
+    * `maxShingleDf` (off by default — exact semantics) drops shingles
+    * whose document frequency exceeds the cap BEFORE the self-join,
+    * bounding every posting list to ≤ cap docs and therefore the
+    * candidate volume to ≤ cap²/2 per shingle. Standard near-dup
+    * practice: a shingle in half the corpus carries ~no similarity
+    * signal but all of the join cost. With the cap on, Jaccard is
+    * measured over the capped shingle universe — per-doc sizes count
+    * only surviving shingles, so the estimate stays a true Jaccard of
+    * the reduced sets rather than a mixed-denominator hybrid. The
+    * dropped/kept counts are published as observable metrics
+    * (`jaccard_shingle_cap`: dropped_shingles, kept_shingles) readable
+    * via a QueryExecutionListener — no extra job to account for them. */
+  def jaccardPairsFromRows(
+      shRaw: DataFrame,
+      threshold: Double,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val sh0 = shRaw.select(col("doc_id"), col("s")).distinct()
+    val sh = maxShingleDf match {
+      case None => sh0
+      case Some(cap) =>
+        val keep = sh0
+          .groupBy("s").agg(count(lit(1)).as("__df"))
+          .observe(
+            "jaccard_shingle_cap",
+            count(when(col("__df") > cap, 1)).as("dropped_shingles"),
+            count(when(col("__df") <= cap, 1)).as("kept_shingles"))
+          .filter(col("__df") <= cap)
+          .select("s")
+        // left-semi: the doc-frequency relation never widens the rows
+        sh0.join(keep, Seq("s"), "left_semi")
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -161,55 +200,105 @@ object TextDedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Lineage-truncation strategies for the iterative operators below.
+    * [[Checkpoint.local]] (default) caches round results on executors —
+    * fast, but the blocks die with an executor, acceptable in local
+    * mode and short jobs. On a real cluster pass [[Checkpoint.reliable]]
+    * (after `sc.setCheckpointDir(...)`) so a 100-TB run survives
+    * executor loss. [[Checkpoint.none]] only for tiny inputs where
+    * plan growth across rounds is harmless. */
+  object Checkpoint {
+    val local: DataFrame => DataFrame    = _.localCheckpoint()
+    val reliable: DataFrame => DataFrame = _.checkpoint()
+    val none: DataFrame => DataFrame     = identity
+  }
+
   /** Connected components over a near-duplicate pair relation
     * (doc_a, doc_b) — the dedup DECISION step: every doc in a
     * component keeps/drops together, keeper = component minimum.
-    * Iterative min-label propagation: each round every node takes the
-    * min label among itself and its neighbors; converges in ≤ diameter
-    * rounds (near-dup clusters are tiny, so 2–3 in practice; a
-    * component with diameter > `maxIter` THROWS rather than silently
-    * returning a split clustering). Convergence is probed per round by
-    * an isEmpty on the changed-labels join — a boolean job, not a data
-    * collect; `localCheckpoint` truncates the iterative lineage (swap
-    * for reliable checkpointing on a real cluster) and superseded
-    * rounds are unpersisted. Returns (doc_id, cluster_id) for
-    * documents that appear in ≥1 pair. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
-    var iter = 0
+    * Returns (doc_id, cluster_id) for documents appearing in ≥1 pair.
+    * Delegates to [[starContract]]; see it for algorithm and scale
+    * notes. */
+  def dedupClusters(
+      pairs: DataFrame,
+      maxIter: Int = 30,
+      checkpoint: DataFrame => DataFrame = Checkpoint.local): DataFrame =
+    starContract(pairs, maxIter, checkpoint)._1
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (the public MapReduce CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14):
+    * converges in O(log n) rounds, vs the O(diameter) of min-label
+    * propagation — a million-doc near-dup CHAIN costs ~20 rounds here
+    * where propagation would need a million. Each round is two
+    * aggregate+join rewrites of the canonical (child > parent) edge
+    * set and ONE symmetric-difference convergence job; rounds are
+    * lineage-truncated via `checkpoint` and superseded rounds
+    * unpersisted. A non-converged run THROWS rather than silently
+    * returning a split clustering.
+    *
+    * Returns (labels, rounds) — rounds exposed so callers (and the
+    * spec) can assert the logarithmic bound. */
+  def starContract(
+      pairs: DataFrame,
+      maxIter: Int = 30,
+      checkpoint: DataFrame => DataFrame = Checkpoint.local): (DataFrame, Int) = {
+    val a = col("doc_a"); val b = col("doc_b")
+    var cur = checkpoint(
+      pairs
+        .select(greatest(a, b).as("src"), least(a, b).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    var iter      = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.as("l")
-        .join(nbrMin, col("l.doc_id") === col("src"), "left")
-        .select(
-          col("l.doc_id").as("doc_id"),
-          least(col("l.cluster_id"), coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+      // large-star: every node u connects its LARGER neighbors to
+      // m = min(Γ(u) ∪ {u}) — long tails fold onto small labels.
+      // Output stays canonical: v > u ≥ m.
+      val sym = cur.unionByName(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMins = sym.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+      val ls = sym.filter(col("dst") > col("src"))
+        .join(lsMins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: every node u connects itself and its (smaller, by
+      // canonical form) neighbors to their minimum — stars flatten
+      // onto the root.
+      val ssMins = ls.groupBy("src").agg(min(col("dst")).as("m"))
+      val next = checkpoint(
+        ls.join(ssMins, "src")
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .unionByName(ssMins.select(col("src"), col("m").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct())
+      // Convergence = `next` IS a star forest (then both ops are
+      // identities): every child has exactly one parent AND no child
+      // is itself a parent. Detected in the round that PRODUCES the
+      // fixed point — an equality probe against `cur` would burn one
+      // extra full LS+SS round just to confirm. Canonical form
+      // (src > dst) makes each star's root its smallest node, and the
+      // ops preserve connectivity, so star roots are component minima.
+      converged =
+        next.groupBy("src").agg(count(lit(1)).as("c")).filter(col("c") > 1).isEmpty &&
+          next.select("src")
+            .join(next.select(col("dst").as("src")), Seq("src"), "left_semi")
+            .isEmpty
+      cur.unpersist()
+      cur = next
       iter += 1
     }
-    edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      cur.unpersist()
       throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxIter rounds — a component's " +
-          "diameter exceeds maxIter; raise it (labels would be silently split)")
-    labels
+        s"starContract did not converge in $maxIter rounds (rounds grow " +
+          "logarithmically in component size — raise maxIter)")
+    }
+    // fixed point = star forest rooted at component minima: non-roots
+    // are the edges themselves, roots label themselves
+    val labels = cur.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .unionByName(
+        cur.select(col("dst").as("doc_id")).distinct().withColumn("cluster_id", col("doc_id")))
+    (labels, iter)
   }
 
   /** Per-document 32-bit SimHash over whitespace tokens (with

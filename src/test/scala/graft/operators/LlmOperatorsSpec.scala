@@ -55,6 +55,48 @@ class TextDedupSpec extends SparkSpec {
     assert(out((0L, 3L)) === 1.0)
   }
 
+  test("jaccard hot-shingle cap bounds the candidate explosion from skewed shingles") {
+    val s = spark; import s.implicits._
+    // 12 docs share ONE planted hot 3-gram ("common shingle here");
+    // every other shingle is unique per doc. Uncapped, the hot posting
+    // list alone generates C(12,2)=66 candidate pairs.
+    val docs = (0 until 12).map(i => (i.toLong, s"common shingle here u${i}a u${i}b"))
+      .toDF("doc_id", "text")
+    val rows = TextDedup.shingleRows(docs, col("doc_id"), col("text"), 3)
+
+    val uncapped = TextDedup.jaccardPairsFromRows(rows, 0.01)
+    assert(uncapped.count() === 66)
+
+    // cap below the hot shingle's df → posting list dropped, zero
+    // candidates survive (docs share nothing else)
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var dropped = -1L
+    @volatile var kept    = -1L
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("jaccard_shingle_cap").foreach { r =>
+          dropped = r.getAs[Long]("dropped_shingles")
+          kept    = r.getAs[Long]("kept_shingles")
+        }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(TextDedup.jaccardPairsFromRows(rows, 0.01, Some(5L)).count() === 0)
+      // QueryExecutionListener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (dropped < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(dropped === 1L) // exactly the planted hot shingle
+      assert(kept === 24L)   // 2 unique shingles × 12 docs survive
+    } finally spark.listenerManager.unregister(listener)
+
+    // cap = ∞ is bit-identical to no cap (q31/q53 oracle contract)
+    val inf = TextDedup.jaccardPairsFromRows(rows, 0.01, Some(Long.MaxValue))
+    assert(inf.exceptAll(uncapped).count() === 0)
+    assert(uncapped.exceptAll(inf).count() === 0)
+  }
+
   test("dedupClusters: chains and triangles collapse to the component minimum") {
     val s = spark; import s.implicits._
     // components: {1,2,3,4} via chain 1-2-3-4, {7,9} pair, triangle {10,11,12}
@@ -66,6 +108,32 @@ class TextDedupSpec extends SparkSpec {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       7L -> 7L, 9L -> 7L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("starContract: 100-node chain converges in O(log n) rounds, not O(diameter)") {
+    val s = spark; import s.implicits._
+    // worst case for label propagation: a pure chain 0-1-2-…-99
+    // (diameter 99). Star contraction must close it in ≤ ⌈log2 100⌉ = 7.
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = TextDedup.starContract(chain)
+    assert(rounds <= 7, s"took $rounds rounds — not logarithmic")
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 100)
+    assert(out.values.forall(_ === 0L)) // one component, min label 0
+  }
+
+  test("starContract: checkpoint strategy is pluggable (none/reliable)") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val expected = Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L)
+    val none = TextDedup.starContract(pairs, checkpoint = TextDedup.Checkpoint.none)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none === expected)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = TextDedup.starContract(pairs, checkpoint = TextDedup.Checkpoint.reliable)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === expected)
   }
 
   test("simhash: identical text → identical 32-bit hash; near-dup → small hamming") {
