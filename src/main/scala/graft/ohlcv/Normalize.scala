@@ -78,6 +78,82 @@ object Normalize {
   def coerceEpochSeconds(c: Column): Column =
     when(c > 1e12, (c / 1000).cast("long")).otherwise(c.cast("long"))
 
+  /** P12: defensive field-alias fallback
+    * (etl/python_etl/transforms.py:17-24,42-43): `symbol|s|ticker`,
+    * `timestamp|ts|time`, `close|c|last`, `volume|v`. For each
+    * canonical name, coalesces whichever alias columns EXIST in the
+    * input schema — schema-driven, so a well-formed input pays
+    * nothing. Mirrors Python's falsy `or` chain exactly: empty strings
+    * AND numeric zeros fall through to the next alias (so `close=0.0`
+    * defers to `c`/`last`, and ends up NULL — rejected by
+    * [[normalizeFlat]] — when no alias has a value, just like
+    * `normalize_record` returns None). Consumed alias columns are
+    * dropped; the canonical column is appended. */
+  def aliasFallback(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val groups = Seq(
+      "symbol"    -> Seq("symbol", "s", "ticker"),
+      "timestamp" -> Seq("timestamp", "ts", "time"),
+      "close"     -> Seq("close", "c", "last"),
+      "volume"    -> Seq("volume", "v"))
+    groups.foldLeft(df) { case (acc, (canon, alts)) =>
+      val present = alts.filter(acc.columns.contains)
+      if (present.isEmpty) acc
+      else {
+        val truthy = present.map { n =>
+          acc.schema(n).dataType match {
+            case StringType     => when(col(n) =!= "", col(n))
+            case _: NumericType => when(col(n) =!= 0, col(n))
+            case _              => col(n)
+          }
+        }
+        acc
+          .withColumn("__alias_tmp", coalesce(truthy: _*))
+          .drop(present: _*)
+          .withColumnRenamed("__alias_tmp", canon)
+      }
+    }
+  }
+
+  /** The defensive close-only ETL — the Spark re-expression of
+    * `normalize_record` + `records_to_df`
+    * (etl/python_etl/transforms.py:10-82): alias fallback (P12),
+    * reject rows missing symbol/timestamp/close, epoch s-vs-ms
+    * coercion (P11) or ISO-string parse for timestamps (unparseable →
+    * reject, via try_* so ANSI mode never throws on dirty rows),
+    * float(close) with unparseable → reject, int(volume) with
+    * unparseable → 0, injected `ingested_at` audit stamp (P8,
+    * reproducible runs), year/month/day partition columns (P5).
+    * Output layout = the reference's close-only table
+    * (transforms.py:81).
+    *
+    * One deliberate superset: numeric STRINGS ("1759895100") take the
+    * epoch path; the reference hands them to pandas' date parser,
+    * which rejects them. */
+  def normalizeFlat(flat: DataFrame, ingestedAt: String): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val af = aliasFallback(flat)
+    val withCanon = Seq("symbol", "timestamp", "close", "volume").foldLeft(af)(
+      (acc, c) => if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null).cast("string")))
+    val isNum = withCanon.schema("timestamp").dataType.isInstanceOf[NumericType]
+    val tsNum = if (isNum) col("timestamp").cast("double") else expr("try_cast(timestamp AS DOUBLE)")
+    val ts = when(tsNum.isNotNull, to_timestamp(from_unixtime(coerceEpochSeconds(tsNum))))
+      .otherwise(
+        if (isNum) lit(null).cast("timestamp")
+        else try_to_timestamp(col("timestamp").cast("string")))
+    withCanon
+      .withColumn("__ts", ts)
+      .withColumn("close", expr("try_cast(close AS DOUBLE)"))
+      .withColumn("volume", coalesce(expr("try_cast(volume AS BIGINT)"), lit(0L)))
+      .filter(col("symbol").isNotNull && col("__ts").isNotNull && col("close").isNotNull)
+      .withColumn("ingested_at", lit(ingestedAt))
+      .withColumn("year", year(col("__ts")))
+      .withColumn("month", month(col("__ts")))
+      .withColumn("day", dayofmonth(col("__ts")))
+      .withColumn("timestamp", col("__ts"))
+      .select("symbol", "timestamp", "close", "volume", "ingested_at", "year", "month", "day")
+  }
+
   /** Exploded blocks → normalized 16-column OHLCV
     * (etl/glue_job.py:119-193 + lightweight extras). `processedAt`
     * is injected (not `current_timestamp()`) so runs are reproducible;

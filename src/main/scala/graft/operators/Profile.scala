@@ -11,28 +11,55 @@ import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
   */
 object Profile {
 
-  /** One-job column profile: per column null count, exact distinct
-    * count (orderable types only — maps get null, they can't be
-    * compared), and bounds: numerics min/max as double, strings
-    * min/max LENGTH (value bounds make no sense as doubles), other
-    * types null. One aggregate job for the whole table. ⚠ Plan-shape
-    * caveat: multiple exact count-distincts make Catalyst plan an
-    * Expand (one row replica per distinct column), so a k-column
-    * profile pushes ~k× rows through the exchange. For very wide
-    * tables at 100 TB either switch to `approx_count_distinct` (fuses
-    * into one partial aggregate) or profile column groups separately.
-    * Output: one row per column, unpivoted from the single aggregated
-    * row — a constant-size driver transfer, not a data collect. */
-  def columnProfile(df: DataFrame): DataFrame = {
+  /** One-job column profile: per column null count, distinct count
+    * (orderable types only — maps get null, they can't be compared),
+    * and bounds: numerics min/max as double, strings min/max LENGTH
+    * (value bounds make no sense as doubles), other types null. One
+    * aggregate job for the whole table. ⚠ Plan-shape caveat for
+    * `exact = true` (the default, and the oracle contract): multiple
+    * exact count-distincts make Catalyst plan an Expand — one row
+    * replica per distinct column, so a k-column profile pushes ~k×
+    * rows through the exchange. At 100 TB on wide tables pass
+    * `exact = false`: `approx_count_distinct` (HyperLogLog++, ~2%
+    * default error) fuses all columns into a single partial aggregate
+    * with NO Expand — the scan is read once, map-side combined once
+    * (PlanSpec pins both shapes via [[profileAggregate]]). Output: one
+    * row per column, unpivoted from the single aggregated row — a
+    * constant-size driver transfer, not a data collect. */
+  def columnProfile(df: DataFrame, exact: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cols = df.schema.fields
+    val row  = profileAggregate(df, exact).collect().head
+    val n    = row.getAs[Long]("__n")
+    // row.get (not getAs[Double/Long]) — primitive getAs unboxes SQL
+    // NULL to 0, silently fabricating values
+    def optD(name: String): Option[Double] =
+      Option(row.get(row.fieldIndex(name))).map(_.asInstanceOf[Double])
+    def optL(name: String): Option[Long] =
+      Option(row.get(row.fieldIndex(name))).map(_.asInstanceOf[Long])
+    cols.map { f =>
+      (f.name, f.dataType.simpleString, n,
+        row.getAs[Long](s"${f.name}__nulls"),
+        optL(s"${f.name}__distinct"),
+        optD(s"${f.name}__min"),
+        optD(s"${f.name}__max"))
+    }.toSeq.toDF("col_name", "dtype", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+  }
+
+  /** The single-row aggregate behind [[columnProfile]], exposed so
+    * plan tests can pin its physical shape: `exact = true` → Expand
+    * feeding the distinct rewrite; `exact = false` → one fused
+    * partial/final HashAggregate pair, no Expand. */
+  def profileAggregate(df: DataFrame, exact: Boolean): DataFrame = {
     def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
-    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { f =>
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ df.schema.fields.flatMap { f =>
       val c = col(f.name)
       val distinct =
-        if (orderable(f.dataType)) countDistinct(c) else lit(null).cast("long")
+        if (!orderable(f.dataType)) lit(null).cast("long")
+        else if (exact) countDistinct(c)
+        else approx_count_distinct(c)
       Seq(
         count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
         distinct.as(s"${f.name}__distinct")) ++ (f.dataType match {
@@ -47,21 +74,7 @@ object Profile {
           lit(null).cast(DoubleType).as(s"${f.name}__max"))
       })
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
-    val n   = row.getAs[Long]("__n")
-    // row.get (not getAs[Double/Long]) — primitive getAs unboxes SQL
-    // NULL to 0, silently fabricating values
-    def optD(name: String): Option[Double] =
-      Option(row.get(row.fieldIndex(name))).map(_.asInstanceOf[Double])
-    def optL(name: String): Option[Long] =
-      Option(row.get(row.fieldIndex(name))).map(_.asInstanceOf[Long])
-    cols.map { f =>
-      (f.name, f.dataType.simpleString, n,
-        row.getAs[Long](s"${f.name}__nulls"),
-        optL(s"${f.name}__distinct"),
-        optD(s"${f.name}__min"),
-        optD(s"${f.name}__max"))
-    }.toSeq.toDF("col_name", "dtype", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+    df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Deterministic split assignment from a portable hash of the id:

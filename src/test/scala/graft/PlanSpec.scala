@@ -69,6 +69,17 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("Broadcast"), s.take(2000))
   }
 
+  test("columnProfile: exact mode pays an Expand; approx mode fuses into one partial aggregate") {
+    val df = Tables.documents(spark, sf())
+    val exact  = planString(graft.operators.Profile.profileAggregate(df, exact = true))
+    val approx = planString(graft.operators.Profile.profileAggregate(df, exact = false))
+    // exact multi-column countDistinct → Expand (k× rows through the exchange)
+    assert(exact.contains("Expand"), exact.take(2000))
+    // approx → HLL sketches fold into a single partial/final pair, NO Expand
+    assert(!approx.contains("Expand"), approx.take(2000))
+    assert("HashAggregate".r.findAllIn(approx).size === 2, approx.take(2000))
+  }
+
   test("partitioned OHLCV reads prune partitions on (symbol, date) predicates") {
     // covered end-to-end in OhlcvEtlSpec; here assert the testdata scan
     // prunes columns for a 2-column projection

@@ -113,6 +113,52 @@ class OhlcvEtlSpec extends SparkSpec {
     assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
   }
 
+  test("P12: alias fallback + normalizeFlat mirror the defensive close-only ETL") {
+    val s = spark; import s.implicits._
+    // all alias columns present; Python-falsy values (empty string,
+    // numeric zero) must fall through to the next alias
+    val flat = Seq(
+      ("", "RELIANCE", 0L, 1759895100L, 0.0, 2875.5, 1200L),
+      ("TCS", "", 1759895400L, 0L, 3450.25, 0.0, 0L))
+      .toDF("s", "ticker", "ts", "time", "c", "last", "v")
+    val out = Normalize.normalizeFlat(flat, "2025-10-08T16:00:00Z")
+    assert(out.columns.toSeq ===
+      Seq("symbol", "timestamp", "close", "volume", "ingested_at", "year", "month", "day"))
+    val rows = out.collect().map(r => r.getAs[String]("symbol") -> r).toMap
+    assert(rows.keySet === Set("RELIANCE", "TCS"))
+    assert(rows("RELIANCE").getAs[Double]("close") === 2875.5) // c=0.0 → last
+    assert(rows("RELIANCE").getAs[Long]("volume") === 1200L)
+    assert(rows("RELIANCE").getAs[java.sql.Timestamp]("timestamp").toInstant.getEpochSecond
+      === 1759895100L) // ts=0 → time
+    assert(rows("RELIANCE").getAs[Int]("year") === 2025)
+    assert(rows("RELIANCE").getAs[Int]("day") === 8)
+    assert(rows("TCS").getAs[Double]("close") === 3450.25)
+    assert(rows("TCS").getAs[Long]("volume") === 0L) // v=0 falsy → default 0
+
+    // string timestamps: ISO parses, ms-epoch heuristic applies,
+    // unparseable close / missing symbol reject the row
+    val dirty = Seq(
+      ("A", "2025-10-08T03:45:00", "12.5", "7"),
+      ("B", "1759895100000", "x", "7"), // ms epoch but close unparseable → reject
+      ("C", "1759895100000", "9.0", "2.5"), // int('2.5') raises in Python → volume 0
+      ("", "2025-10-08T03:45:00", "1.0", "1"), // no symbol → reject
+      ("D", "not a time", "1.0", "1")) // unparseable ts → reject
+      .toDF("symbol", "time", "last", "volume")
+    val cleaned = Normalize.normalizeFlat(dirty, "x")
+    val got = cleaned.collect().map(r => r.getAs[String]("symbol") -> r).toMap
+    assert(got.keySet === Set("A", "C"))
+    assert(got("A").getAs[java.sql.Timestamp]("timestamp").toInstant.getEpochSecond
+      === 1759894800L + 300L) // 2025-10-08T03:45:00Z
+    assert(got("C").getAs[java.sql.Timestamp]("timestamp").toInstant.getEpochSecond
+      === 1759895100L) // >1e12 → milliseconds
+    assert(got("C").getAs[Long]("volume") === 0L)
+
+    // a well-formed canonical input passes through aliasFallback untouched
+    val canon = Seq(("X", 1L, 2.0, 3L)).toDF("symbol", "timestamp", "close", "volume")
+    assert(Normalize.aliasFallback(canon).columns.sorted.toSeq ===
+      Seq("close", "symbol", "timestamp", "volume"))
+  }
+
   test("runMetadata rollup") {
     val raw  = RawIngest.readRaw(spark, s"$tmp/raw")
     val norm = Normalize.normalize(RawIngest.blocks(raw), "p")

@@ -39,6 +39,21 @@ class ProfileSpec extends SparkSpec {
     assert(out("empty_d").isNullAt(out("empty_d").fieldIndex("min_val")))
   }
 
+  test("columnProfile approx mode: same shape, near-exact distincts at test scale") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "aa", Some(2.0)),
+      (2L, "bbbb", None),
+      (3L, "aa", Some(5.5))).toDF("id", "tag", "score")
+    val out = Profile.columnProfile(df, exact = false).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // HLL++ is exact at tiny cardinalities; nulls/bounds identical
+    assert(out("id").getAs[Long]("n_distinct") === 3)
+    assert(out("tag").getAs[Long]("n_distinct") === 2)
+    assert(out("score").getAs[Long]("n_nulls") === 1)
+    assert(out("score").getAs[Double]("max_val") === 5.5)
+  }
+
   test("withSplit: deterministic, partition-invariant, roughly proportioned") {
     val s = spark; import s.implicits._
     val df = (0L until 1000L).toDF("doc_id")
