@@ -1,7 +1,8 @@
 package graft.streaming
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState`
   * — the escape hatch for semantics windowed aggregation can't express
@@ -100,4 +101,62 @@ object Stateful {
 
   /** Output mode the accumulator requires. */
   val outputMode: OutputMode = OutputMode.Update()
+
+  /** Streaming keep-latest dedup — the stream honoring the batch D2
+    * engine contract (survivor of a duplicate (symbol, ts) key = row
+    * with the max `fetch_timestamp`, [[graft.operators.Dedup.keepLatest]])
+    * instead of [[OhlcvStream.dedupedStream]]'s first-arrival
+    * approximation: a late re-fetch carrying a NEWER fetch stamp
+    * replaces the earlier row, and the replacement is emitted as an
+    * update. Run with `OutputMode.Update` and an upserting sink.
+    *
+    * Mechanics: `flatMapGroupsWithState` keyed on (symbol, ts); state
+    * is the current survivor; a trigger's rows fold to their max-fetch
+    * row, and the survivor is emitted ONLY when it changes (first
+    * arrival, or a strictly newer fetch — equal stamps keep the
+    * incumbent, the same arbitrary-among-full-ties outcome as the
+    * batch row_number sort). State is bounded exactly like
+    * `dropDuplicates` under a watermark: an event-time timeout at
+    * event + `stateRetentionMs` removes the key once the watermark
+    * passes it, and the watermark's late filter drops stragglers that
+    * can no longer find their state. One key = one 8-field struct, the
+    * same footprint as the built-in dedup's key set.
+    *
+    * `normalizedStream` must carry the normalized columns of
+    * [[CandleIn]]; `stateRetentionMs` must be ≥ the watermark delay or
+    * a key could time out while rows for it are still admissible. */
+  def keepLatestDedup(
+      spark: SparkSession,
+      normalizedStream: DataFrame,
+      watermarkDelay: String = "1 day",
+      stateRetentionMs: Long = 24L * 3600 * 1000): Dataset[CandleIn] = {
+    import spark.implicits._
+    val withEt = normalizedStream
+      .withColumn("event_time", to_timestamp(from_unixtime(col("timestamp_unix"))))
+      .withWatermark("event_time", watermarkDelay)
+      .select(
+        col("symbol_clean"), col("timestamp_unix"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("fetch_timestamp"), col("event_time"))
+      .as[CandleIn]
+    withEt
+      .groupByKey(r => (r.symbol_clean, r.timestamp_unix))
+      .flatMapGroupsWithState[CandleIn, CandleIn](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[CandleIn]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = rows.reduceLeft((a, b) => if (fetchOf(b) > fetchOf(a)) b else a)
+            val prior    = state.getOption
+            val survivor = prior match {
+              case Some(cur) if fetchOf(cur) >= fetchOf(incoming) => cur
+              case _                                              => incoming
+            }
+            state.update(survivor)
+            state.setTimeoutTimestamp(key._2 * 1000L + stateRetentionMs)
+            if (prior.contains(survivor)) Iterator.empty else Iterator.single(survivor)
+          }
+      }
+  }
 }

@@ -82,6 +82,45 @@ class OhlcvStreamSpec extends SparkSpec {
     assert(rel.getAs[Double]("high") >= rel.getAs[Double]("low"))
   }
 
+  test("stream: keep-latest dedup — newer re-fetch replaces the earlier row (D2 contract)") {
+    // dedicated landing dir with FORCED distinct mod-times so the file
+    // source is guaranteed to process f1 and f2 in separate triggers
+    // (maxFilesPerTrigger=1 batches in mod-time order)
+    val c1 = MockData.candles(spark, symbols, n = 5, startUnix = t0)
+    val c2 = MockData.candles(spark, symbols, n = 6, startUnix = t0)
+    MockData.envelope(c1, "2025-10-08T04:00:00Z").coalesce(1).write.json(s"$tmp/kland/f1")
+    MockData.envelope(c2, "2025-10-08T04:05:00Z").coalesce(1).write.json(s"$tmp/kland/f2")
+    val now = System.currentTimeMillis()
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/kland")).forEach { p =>
+      val bump = if (p.toString.contains("/f2/")) 60000L else 0L
+      java.nio.file.Files.setLastModifiedTime(
+        p, java.nio.file.attribute.FileTime.fromMillis(now + bump))
+    }
+    val raw  = OhlcvStream.readRawStream(spark, s"$tmp/kland/*", maxFilesPerTrigger = 1)
+    val norm = OhlcvStream.normalized(raw, processedAt = "p")
+    val q = Stateful.keepLatestDedup(spark, norm).toDF().writeStream
+      .format("memory")
+      .queryName("kl_out")
+      .outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt_kl")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("kl_out")
+    // 2 symbols × 6 distinct timestamps survive
+    assert(out.select("symbol_clean", "timestamp_unix").distinct().count() === 12)
+    // every key's FINAL survivor carries the newest fetch stamp: the
+    // 04:05 re-fetch replaced the 04:00 originals
+    val finals = out.groupBy("symbol_clean", "timestamp_unix")
+      .agg(max_by(col("fetch_timestamp"), col("fetch_timestamp")).as("f"),
+        count(lit(1)).as("emissions"))
+    assert(finals.filter(col("f") =!= "2025-10-08T04:05:00Z").count() === 0)
+    // replacement EMITTED: the 10 overlapping keys emit twice (first
+    // arrival + update), the one new candle per symbol emits once
+    assert(finals.filter(col("emissions") === 2).count() === 10)
+    assert(finals.filter(col("emissions") === 1).count() === 2)
+  }
+
   test("trading-hours predicate keeps IST 09:15-15:30 Mon-Fri only") {
     val s = spark; import s.implicits._
     val rows = Seq(
