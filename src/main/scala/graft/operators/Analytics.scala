@@ -136,8 +136,76 @@ object Analytics {
     * (see [[graft.functions.Det]]) so the values are independent of
     * partitioning and bit-identical to the SQL oracle; only the final
     * scalar ops are (correctly-rounded) double arithmetic. */
-  def withIndicators(candles: DataFrame, n: Int, tieBreak: Column): DataFrame = {
-    val w     = Window.partitionBy(col("symbol")).orderBy(col("ts").asc, tieBreak.asc)
+  def withIndicators(candles: DataFrame, n: Int, tieBreak: Column): DataFrame =
+    indicatorsOver(candles, n, Seq(col("symbol")), tieBreak)
+
+  /** [[withIndicators]] de-skewed for the 100-TB shape: partition the
+    * windows by (symbol, `chunk`) instead of symbol alone, so a symbol's
+    * history spreads over as many reducers as it has chunks rather than
+    * funneling one reducer per symbol (5 symbols = 5 reducers at ANY
+    * scale is the skew funnel the plain form carries).
+    *
+    * Exactness: the trailing-frame aggregates look back ≤ n−1 rows and
+    * `lag` 1 row, so each chunk borrows the previous non-empty chunk's
+    * last n rows (n−1 to fill the frame + 1 so the oldest frame row's
+    * gain/loss sees a real predecessor), computes the same window
+    * expressions inside the augmented chunk, and drops the borrowed
+    * rows — bit-identical to the global window (q29 stays on the same
+    * oracle hash).
+    *
+    * Preconditions (caller contract): `chunk` is a non-decreasing
+    * function of `ts` (e.g. `to_date(ts)`, an epoch-day/hour bucket),
+    * and every chunk that precedes another non-empty chunk holds ≥ n
+    * rows per symbol — pick the granularity from the data cadence
+    * (intraday candles: daily chunks hold 75+ rows vs n=20).
+    * `validate = true` spends one small aggregate job enforcing the
+    * row-count precondition (throws instead of silently diverging). */
+  def withIndicatorsChunked(
+      candles: DataFrame,
+      n: Int,
+      tieBreak: Column,
+      chunk: Column,
+      validate: Boolean = false): DataFrame = {
+    val base = candles.withColumn("__chunk", chunk)
+    // successor of each non-empty (symbol, chunk): a window over the
+    // DISTINCT chunk relation — one row per (symbol, chunk), tiny
+    val nextChunk = base.select(col("symbol"), col("__chunk")).distinct()
+      .withColumn(
+        "__next",
+        lead(col("__chunk"), 1).over(Window.partitionBy(col("symbol")).orderBy(col("__chunk"))))
+    if (validate) {
+      val bad = base.groupBy(col("symbol"), col("__chunk")).agg(count(lit(1)).as("__c"))
+        .join(nextChunk.filter(col("__next").isNotNull), Seq("symbol", "__chunk"))
+        .filter(col("__c") < n)
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"withIndicatorsChunked: chunk ${bad.head.get(1)} of symbol ${bad.head.get(0)} has " +
+            s"${bad.head.getLong(2)} < n=$n rows but precedes another chunk — coarsen the chunk")
+    }
+    // last n rows of each chunk, re-keyed to the successor chunk
+    val wTail = Window.partitionBy(col("symbol"), col("__chunk"))
+      .orderBy(col("ts").desc, tieBreak.desc)
+    val borrowed = base
+      .withColumn("__rn", row_number().over(wTail))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+      .join(nextChunk.filter(col("__next").isNotNull), Seq("symbol", "__chunk"))
+      .withColumn("__chunk", col("__next"))
+      .drop("__next")
+      .withColumn("__borrowed", lit(true))
+    val aug = base.withColumn("__borrowed", lit(false)).unionByName(borrowed)
+    indicatorsOver(aug, n, Seq(col("symbol"), col("__chunk")), tieBreak)
+      .filter(!col("__borrowed"))
+      .drop("__borrowed", "__chunk")
+  }
+
+  private def indicatorsOver(
+      candles: DataFrame,
+      n: Int,
+      partCols: Seq[Column],
+      tieBreak: Column): DataFrame = {
+    val w     = Window.partitionBy(partCols: _*).orderBy(col("ts").asc, tieBreak.asc)
     val frame = w.rowsBetween(-(n - 1), 0)
     val delta = col("close") - lag(col("close"), 1).over(w)
     val gain  = when(delta > 0, delta).otherwise(lit(0.0))

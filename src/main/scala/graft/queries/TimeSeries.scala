@@ -118,9 +118,12 @@ object TimeSeries {
         version = Seq(col("ts"), col("event_id")))),
 
     // §2.8 extension: technical indicators (SMA-20, Bollinger, RSI)
-    // as deterministic decimal-frame window expressions.
+    // as deterministic decimal-frame window expressions. Chunked by
+    // day so the window spreads over (symbol × day) reducers instead
+    // of one per symbol — bit-identical to the global window (borrowed
+    // trailing rows), proven by the unchanged oracle hash.
     "q29_indicators" -> ((s, dir) =>
-      Analytics.withIndicators(ticksAsCandles(s, dir), 20, col("event_id"))
+      Analytics.withIndicatorsChunked(ticksAsCandles(s, dir), 20, col("event_id"), to_date(col("ts")))
         .select(col("symbol"), col("ts"), col("event_id"), col("close"),
           col("sma"), col("bollinger_upper"), col("bollinger_lower"), col("rsi"))),
 

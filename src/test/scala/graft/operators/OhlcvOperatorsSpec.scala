@@ -144,6 +144,42 @@ class AnalyticsSpec extends SparkSpec with CandleFixture {
     assert(out.toSeq === Seq(48.5, (48.5 + 47.5) / 2))
   }
 
+  test("withIndicatorsChunked: bit-identical to the global window, partitions by (symbol, chunk)") {
+    val s = spark; import s.implicits._
+    // 2 symbols × 4 days × 30 intraday rows, deterministic wobbly closes
+    val df = (for {
+      sym <- Seq("A", "B"); d <- 0 until 4; i <- 0 until 30
+    } yield {
+      val px = 100.0 + (if (sym == "A") 1 else -1) * ((d * 30 + i) % 7) * 1.5 + i * 0.25
+      (sym, java.sql.Timestamp.valueOf(f"2025-10-${8 + d}%02d 09:${15 + i}%02d:00"),
+        px, px + 1, px - 1, px + ((i % 3) - 1) * 0.75, 100L + i, s"f$d")
+    }).toDF("symbol", "ts", "open", "high", "low", "close", "volume", "fetch_timestamp")
+    val tb      = col("fetch_timestamp")
+    val plain   = Analytics.withIndicators(df, 10, tb)
+    val chunked = Analytics.withIndicatorsChunked(df, 10, tb, to_date(col("ts")), validate = true)
+    val key     = Seq("symbol", "ts", "close")
+    assert(chunked.columns.toSeq === plain.columns.toSeq)
+    val p = plain.orderBy(key.map(col): _*).collect()
+    val c = chunked.orderBy(key.map(col): _*).collect()
+    assert(c.length === p.length)
+    // exact equality row-by-row — borrowed-row trick must be bit-identical
+    assert(c.toSeq === p.toSeq)
+    // de-skew: the window exchange hashes on (symbol, __chunk), not symbol alone
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(plan.contains("__chunk"), plan.take(2000))
+  }
+
+  test("withIndicatorsChunked: validate rejects chunks thinner than n") {
+    val s = spark; import s.implicits._
+    val df = (for { d <- 0 until 3; i <- 0 until 5 } yield
+      ("A", java.sql.Timestamp.valueOf(f"2025-10-${8 + d}%02d 09:${15 + i}%02d:00"),
+        1.0, 1.0, 1.0, 1.0, 1L, "f"))
+      .toDF("symbol", "ts", "open", "high", "low", "close", "volume", "fetch_timestamp")
+    intercept[IllegalArgumentException] {
+      Analytics.withIndicatorsChunked(df, 10, col("fetch_timestamp"), to_date(col("ts")), validate = true)
+    }
+  }
+
   test("div-by-zero guards: zero open yields 0 pct, not null/Inf") {
     val s = spark; import s.implicits._
     val z = Seq(("Z", "2025-10-08 09:15:00", 0.0, 1.0, 0.0, 1.0, 1L, "f1"))
