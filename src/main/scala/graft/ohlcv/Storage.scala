@@ -103,4 +103,49 @@ object Storage {
       min(col("timestamp_unix")).as("min_ts"),
       max(col("timestamp_unix")).as("max_ts"))
       .withColumn("job_name", lit(jobName))
+
+  /** S11 record shape: the reference's `ohlcv_metadata` row
+    * (etl/glue_job.py:233-259) — path, row count, the 100-bytes/record
+    * size estimate, ISO processing stamp, resolution, distinct-symbol
+    * count — from ONE aggregate job (the reference pays two separate
+    * count actions; same values). `processedAtIso` is injected like
+    * every other audit stamp so runs are reproducible. */
+  def rdsMetadata(
+      normalized: DataFrame,
+      targetPath: String,
+      resolution: String,
+      processedAtIso: String): DataFrame =
+    normalized.agg(
+      count(lit(1)).as("row_count"),
+      countDistinct(col("symbol_clean")).as("symbols_count"))
+      .select(
+        lit(targetPath).as("s3_path"),
+        col("row_count"),
+        // int(total * 0.1 MB): the reference's rough estimate, exactly
+        (col("row_count").cast("double") * 0.1 * 1024 * 1024).cast("long").as("file_size_bytes"),
+        lit(processedAtIso).as("ingested_at"),
+        lit(resolution).as("resolution"),
+        col("symbols_count"))
+
+  /** S11: JDBC sink (etl/glue_job.py:264-275) with an injectable URL /
+    * driver / credentials — Postgres `ohlcv_metadata` in the reference,
+    * embedded Derby in the integration spec. Spark's JDBC writer
+    * creates the table on first append and batches rows per partition;
+    * for the one-row metadata record that is a single INSERT. */
+  def writeJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      properties: java.util.Properties = new java.util.Properties,
+      mode: String = "append"): Unit =
+    df.write.mode(mode).jdbc(url, table, properties)
+
+  /** JDBC scan, the read twin of [[writeJdbc]] (used by the spec to
+    * read the metadata row back through the same driver). */
+  def readJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      properties: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, properties)
 }

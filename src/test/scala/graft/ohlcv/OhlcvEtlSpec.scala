@@ -159,6 +159,28 @@ class OhlcvEtlSpec extends SparkSpec {
       Seq("close", "symbol", "timestamp", "volume"))
   }
 
+  test("S11: metadata row writes and reads back through real JDBC (embedded Derby)") {
+    System.setProperty("derby.system.home", tmp) // keep derby.log out of the repo
+    val url  = s"jdbc:derby:$tmp/metadb;create=true"
+    val raw  = RawIngest.readRaw(spark, s"$tmp/raw")
+    val norm = Normalize.normalize(RawIngest.blocks(raw), "p")
+    val meta = Storage.rdsMetadata(
+      norm, "s3://bucket/ohlcv/", "5", "2025-10-08T10:30:00")
+    Storage.writeJdbc(meta, url, "ohlcv_metadata")
+    val back = Storage.readJdbc(spark, url, "ohlcv_metadata").collect()
+    assert(back.length === 1)
+    val r = back.head
+    assert(r.getAs[String]("s3_path") === "s3://bucket/ohlcv/")
+    assert(r.getAs[Long]("row_count") === 30L)
+    assert(r.getAs[Long]("file_size_bytes") === (30 * 0.1 * 1024 * 1024).toLong)
+    assert(r.getAs[String]("ingested_at") === "2025-10-08T10:30:00")
+    assert(r.getAs[String]("resolution") === "5")
+    assert(r.getAs[Long]("symbols_count") === 3L)
+    // append mode: a second run adds a second row (glue_job appends)
+    Storage.writeJdbc(meta, url, "ohlcv_metadata")
+    assert(Storage.readJdbc(spark, url, "ohlcv_metadata").count() === 2)
+  }
+
   test("runMetadata rollup") {
     val raw  = RawIngest.readRaw(spark, s"$tmp/raw")
     val norm = Normalize.normalize(RawIngest.blocks(raw), "p")
