@@ -17,6 +17,27 @@ object Documents {
 
   private val QueryIds = Seq(0L, 1L, 2L, 3L, 4L)
 
+  /** The dedup family (q31/q32/q33/q53) consumes ONE logical shingle
+    * relation. At 100 TB that is a materialized intermediate — shingle
+    * once, read by every downstream dedup stage — so the local analogue
+    * is a persisted DataFrame shared per (session, dir) rather than
+    * four recomputations of the same posexplode+window. WeakHashMap on
+    * the session so stopped sessions don't pin cached plans. */
+  private val shingleCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.synchronized {
+      var perDir = shingleCache.get(s)
+      if (perDir == null) {
+        perDir = scala.collection.mutable.Map.empty[String, DataFrame]
+        shingleCache.put(s, perDir)
+      }
+      perDir.getOrElseUpdate(
+        dir,
+        TextDedup.shingleRows(Tables.documents(s, dir), col("doc_id"), col("text"), 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via normalized-content fingerprint: hash-groupBy,
     // one shuffle on the 128-bit key, partial agg map-side.
@@ -27,26 +48,19 @@ object Documents {
 
     // Exact word-3gram Jaccard near-dup pairs ≥ 0.8 (finds the
     // corpus's planted near-duplicates). Shingle join = blocking.
-    "q31_ngram_jaccard_pairs" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      TextDedup.jaccardPairsFromRows(TextDedup.shingleRows(d, col("doc_id"), col("text"), 3), 0.8)
-    }),
+    "q31_ngram_jaccard_pairs" -> ((s, dir) =>
+      TextDedup.jaccardPairsFromRows(sharedShingles(s, dir), 0.8)),
 
     // MinHash signatures (16 perms), computed whole-row; exploded to
     // (doc_id, k, minhash) rows for the oracle compare.
-    "q32_minhash_signatures" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      TextDedup.minhashSignaturesFromRows(TextDedup.shingleRows(d, col("doc_id"), col("text"), 3))
-        .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "minhash")))
-    }),
+    "q32_minhash_signatures" -> ((s, dir) =>
+      TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir))
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "minhash")))),
 
     // MinHash-LSH candidate pairs (8 bands × 2 rows) with estimated
     // Jaccard ≥ 0.5 — the scale path for q31.
-    "q33_minhash_lsh_pairs" -> ((s, dir) => {
-      val d    = Tables.documents(s, dir)
-      val sigs = TextDedup.minhashSignaturesFromRows(TextDedup.shingleRows(d, col("doc_id"), col("text"), 3))
-      TextDedup.lshPairs(sigs, 0.5)
-    }),
+    "q33_minhash_lsh_pairs" -> ((s, dir) =>
+      TextDedup.lshPairs(TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir)), 0.5)),
 
     // Per-doc 32-bit SimHash fingerprints.
     "q34_simhash" -> ((s, dir) =>
@@ -126,12 +140,8 @@ object Documents {
     // Dedup decision: connected components over the exact near-dup
     // pairs (q31) — every doc in a cluster labeled with the component
     // minimum (the keeper).
-    "q53_dedup_clusters" -> ((s, dir) => {
-      val d     = Tables.documents(s, dir)
-      val pairs = TextDedup.jaccardPairsFromRows(
-        TextDedup.shingleRows(d, col("doc_id"), col("text"), 3), 0.8)
-      TextDedup.dedupClusters(pairs)
-    })
+    "q53_dedup_clusters" -> ((s, dir) =>
+      TextDedup.dedupClusters(TextDedup.jaccardPairsFromRows(sharedShingles(s, dir), 0.8)))
   )
 
   // ---- oracle SQL ----------------------------------------------------
