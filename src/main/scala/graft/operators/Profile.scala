@@ -88,4 +88,29 @@ object Profile {
       "split",
       when(h < trainPct, "train").when(h < trainPct + valPct, "val").otherwise("test"))
   }
+
+  /** Deterministic stratified sampler: keep a row iff
+    * hash60(seed ∥ id) mod 10000 < rate(stratum)·10000. Per-stratum
+    * rates (4-decimal resolution) rebalance a corpus — e.g. downsample
+    * dominant languages — without `rand()`: the keep decision depends
+    * only on the row's id, so it is reproducible across runs, engines,
+    * partitionings, and retries, and samples at different rates nest
+    * (rate 0.1 ⊆ rate 0.5 for the same seed). Strata not in `rates`
+    * fall back to `defaultRate`. Pure filter — map-only at any scale. */
+  def stratifiedSample(
+      df: DataFrame,
+      strata: Column,
+      id: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      seed: String = "strat"): DataFrame = {
+    require(
+      (rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1]: $rates default=$defaultRate")
+    val hv = pmod(Portable.hash60(concat(lit(seed), lit("_"), id.cast("string"))), lit(10000L))
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(math.round(defaultRate * 10000).toInt): Column) {
+      case (acc, (s, r)) => when(strata === s, lit(math.round(r * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(hv < threshold)
+  }
 }

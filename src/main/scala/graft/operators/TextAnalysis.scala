@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Portable
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -76,6 +77,108 @@ object TextAnalysis {
     withLanguageId(docs, text)
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken —
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD '03): hash every k-char gram of the normalized text
+    * (portable 32-bit md5 prefix, [[Portable.hash32]]), slide a window
+    * of `w` consecutive gram hashes, and select the RIGHTMOST minimum
+    * of each window. Output: one row per distinct selection
+    * (doc_id, gram_pos, fp) — the standard partial-overlap detection
+    * key (guarantees any shared substring of length ≥ k + w − 1
+    * produces a shared fingerprint). Docs shorter than k (normalized)
+    * emit nothing.
+    *
+    * Entirely per-row higher-order expressions: no shuffle, no UDF —
+    * at 100 TB this is a map-only pass whose output feeds the same
+    * groupBy/self-join dedup machinery as [[TextDedup]] shingles. */
+  def winnowingFingerprints(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 8,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive (got k=$k, w=$w)")
+    val withGrams = docs
+      .select(id.as("doc_id"), regexp_replace(lower(text), "[^a-z0-9]+", "").as("__nt"))
+      .select(
+        col("doc_id"),
+        when(
+          length(col("__nt")) >= k,
+          transform(
+            sequence(lit(1), length(col("__nt")) - (k - 1)),
+            i => Portable.hash32(col("__nt").substr(i, lit(k)))))
+          .otherwise(array().cast("array<bigint>"))
+          .as("hs"))
+    // Rightmost minimum of window j = position j + |win| − (first index
+    // of the min in the REVERSED window); clamped windows at the tail
+    // use |win|, not w, so short docs (< w grams) still fingerprint.
+    val selected = when(
+      size(col("hs")) >= 1,
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+        j => {
+          val win = slice(col("hs"), j, lit(w))
+          (j + size(win) - array_position(reverse(win), array_min(win))).cast("int")
+        })))
+      .otherwise(array().cast("array<int>"))
+    withGrams
+      .select(col("doc_id"), col("hs"), explode(selected).as("gram_pos"))
+      .select(col("doc_id"), col("gram_pos"), element_at(col("hs"), col("gram_pos")).as("fp"))
+  }
+
+  /** Gopher-style repetition / boilerplate signals per document
+    * (Rae et al., "Scaling Language Models: … Gopher", 2021, §A1.1):
+    * duplicate-token fraction, duplicate word-2-gram fraction, and the
+    * character share of the single most frequent 2-gram (ties broken
+    * by count desc, bigram asc — deterministic via a min-over-struct
+    * aggregate, no window sort). Docs with < 2 tokens get null bigram
+    * columns. Per-row array expressions plus ONE hash-agg on
+    * (doc_id, bigram) — no window exchange, map-side combinable. */
+  def repetitionMetrics(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = docs
+      .select(id.as("doc_id"), length(text).cast("long").as("__chars"), tokens(text).as("__ws"))
+      .select(
+        col("doc_id"),
+        col("__chars"),
+        col("__ws"),
+        when(
+          size(col("__ws")) >= 2,
+          transform(
+            sequence(lit(1), size(col("__ws")) - 1),
+            i => concat(element_at(col("__ws"), i), lit(" "), element_at(col("__ws"), i + 1))))
+          .otherwise(array().cast("array<string>"))
+          .as("__bgs"))
+      .select(
+        col("doc_id"),
+        col("__chars"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        (size(col("__ws")) - size(array_distinct(col("__ws")))).cast("long").as("__dup_tok"),
+        size(col("__bgs")).cast("long").as("n_bigrams"),
+        (size(col("__bgs")) - size(array_distinct(col("__bgs")))).cast("long").as("__dup_bg"),
+        col("__bgs"))
+    // Most frequent bigram per doc: min(struct(−count, bigram)) is
+    // lexicographic (max count, then smallest bigram) in one hash-agg.
+    val top = base
+      .select(col("doc_id"), explode(col("__bgs")).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("bg").as("bg"))).as("t"))
+      .select(col("doc_id"), col("t.bg").as("top_bigram"), (-col("t.nc")).as("top_bigram_cnt"))
+    base
+      .join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("__dup_tok").cast("double") / col("n_tokens")).as("dup_token_frac"),
+        when(col("n_bigrams") > 0, col("__dup_bg").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"),
+        col("top_bigram"),
+        col("top_bigram_cnt"),
+        ((col("top_bigram_cnt") * length(col("top_bigram"))).cast("double") / col("__chars"))
+          .as("top_bigram_char_frac"))
+  }
 
   /** Corpus vocabulary stats: per-token document frequency, total
     * occurrences, and (exact decimal) mean per-doc occurrences —

@@ -141,7 +141,29 @@ object Documents {
     // pairs (q31) — every doc in a cluster labeled with the component
     // minimum (the keeper).
     "q53_dedup_clusters" -> ((s, dir) =>
-      TextDedup.dedupClusters(TextDedup.jaccardPairsFromRows(sharedShingles(s, dir), 0.8)))
+      TextDedup.dedupClusters(TextDedup.jaccardPairsFromRows(sharedShingles(s, dir), 0.8))),
+
+    // MOSS winnowing fingerprints (8-char grams, window 4): the
+    // partial-overlap detection key — map-only, no shuffle.
+    "q54_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // Gopher-style repetition/boilerplate signals per document.
+    "q55_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // Deterministic stratified sample (downsample en, keep all de...)
+    // rolled up per language for a stable, oracle-checkable result.
+    "q56_stratified_sample" -> ((s, dir) =>
+      Profile.stratifiedSample(
+        Tables.documents(s, dir),
+        col("lang"),
+        col("doc_id"),
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1, "zh" -> 0.75))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          graft.functions.Det.dsum(col("n_chars")).as("sum_chars")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -519,6 +541,81 @@ object Documents {
          FROM (
            SELECT doc_id,
                   unnest(generate_series(0, CAST(octet_length(encode(text)) AS BIGINT) // 256, 4)) AS frame_idx
-           FROM documents)"""
+           FROM documents)""",
+
+    "q54_winnowing" ->
+      """WITH nrm AS (
+           SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS nt FROM documents
+         ),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN length(nt) >= 8
+                       THEN list_transform(generate_series(1, length(nt)-7),
+                              i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 8))::BIGINT)
+                       ELSE []::BIGINT[] END AS hs
+           FROM nrm
+         ),
+         sel AS (
+           SELECT doc_id, hs,
+                  CASE WHEN len(hs) >= 1 THEN
+                       list_distinct(list_transform(generate_series(1, greatest(len(hs)-3, 1)),
+                         j -> CAST(j + len(hs[j:j+3])
+                                   - list_position(list_reverse(hs[j:j+3]),
+                                                   list_aggregate(hs[j:j+3], 'min')) AS INT)))
+                  ELSE []::INT[] END AS ps
+           FROM g
+         )
+         SELECT doc_id, gram_pos, hs[gram_pos] AS fp
+         FROM (SELECT doc_id, hs, unnest(ps) AS gram_pos FROM sel)""",
+
+    "q55_repetition" ->
+      s"""WITH $wordsCte,
+          b AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_text_chars,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(len(ws) - len(list_distinct(ws)) AS BIGINT) AS n_dup_tokens,
+                   CASE WHEN len(ws) >= 2
+                        THEN list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])
+                        ELSE []::VARCHAR[] END AS bgs
+            FROM words
+          ),
+          m AS (
+            SELECT doc_id, n_text_chars, n_tokens, n_dup_tokens,
+                   CAST(len(bgs) AS BIGINT) AS n_bigrams,
+                   CAST(len(bgs) - len(list_distinct(bgs)) AS BIGINT) AS n_dup_bigrams,
+                   bgs
+            FROM b
+          ),
+          cnts AS (
+            SELECT doc_id, bg, COUNT(1) AS cnt
+            FROM (SELECT doc_id, unnest(bgs) AS bg FROM m) GROUP BY 1, 2
+          ),
+          top AS (
+            SELECT doc_id, bg AS top_bigram, cnt AS top_bigram_cnt
+            FROM (SELECT doc_id, bg, cnt,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn
+                  FROM cnts)
+            WHERE rn = 1
+          )
+          SELECT m.doc_id, n_tokens,
+                 CAST(n_dup_tokens AS DOUBLE) / n_tokens AS dup_token_frac,
+                 CASE WHEN n_bigrams > 0 THEN CAST(n_dup_bigrams AS DOUBLE) / n_bigrams END AS dup_bigram_frac,
+                 top_bigram,
+                 CAST(top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+                 CAST(top_bigram_cnt * length(top_bigram) AS DOUBLE) / n_text_chars AS top_bigram_char_frac
+          FROM m LEFT JOIN top ON m.doc_id = top.doc_id""",
+
+    "q56_stratified_sample" ->
+      """WITH h AS (
+           SELECT lang, n_chars,
+                  ('0x' || substr(md5('strat_' || doc_id), 1, 15))::BIGINT % 10000 AS hv
+           FROM documents)
+         SELECT lang, COUNT(1) AS n_docs,
+                CAST(SUM(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE) AS sum_chars
+         FROM h
+         WHERE hv < CASE lang WHEN 'de' THEN 10000 WHEN 'en' THEN 5000 WHEN 'es' THEN 1000
+                              WHEN 'fr' THEN 2500 WHEN 'zh' THEN 7500 ELSE 0 END
+         GROUP BY 1"""
   )
 }

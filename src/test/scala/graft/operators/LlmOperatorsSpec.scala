@@ -234,6 +234,74 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
   }
+
+  test("winnowing: coverage guarantee (a selection in every window), normalization invariance") {
+    val s = spark; import s.implicits._
+    val text = "The quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (0L, text),
+      (1L, text.toUpperCase.replace(" ", "  ") + "!!!"), // same normalized content
+      (2L, "short")) // < 8 normalized chars → no fingerprints
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowingFingerprints(d, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    // winnowing guarantee: consecutive selected positions ≤ w apart,
+    // first within the first window, last within the last
+    val pos = byDoc(0L).map(_._2).sorted
+    val m = text.toLowerCase.replaceAll("[^a-z0-9]+", "").length - 7
+    assert(pos.head <= 4 && pos.last > m - 4)
+    assert(pos.sliding(2).forall(p => p.length < 2 || p(1) - p(0) <= 4))
+    // normalization: doc 1 selects the exact same (pos, fp) set
+    assert(byDoc(0L).map(t => (t._2, t._3)).toSet === byDoc(1L).map(t => (t._2, t._3)).toSet)
+    assert(!byDoc.contains(2L))
+  }
+
+  test("winnowing: equal-hash window picks the RIGHTMOST minimum") {
+    val s = spark; import s.implicits._
+    // 10 a's → 3 identical 8-grams, one (clamped) window of 3 equal
+    // hashes → the single selection must be the rightmost, pos 3
+    val d = Seq((0L, "aaaaaaaaaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowingFingerprints(d, col("doc_id"), col("text")).collect()
+    assert(out.map(_.getInt(1)).toSeq === Seq(3))
+  }
+
+  test("winnowing: docs sharing a long substring share a fingerprint") {
+    val s = spark; import s.implicits._
+    val shared = "completely identical plagiarized passage of text"
+    val d = Seq(
+      (0L, "left context before " + shared),
+      (1L, shared + " different right tail here"),
+      (2L, "nothing in common with either document at all zzz"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val f0 = fps.filter(_._1 == 0L).map(_._2).toSet
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((f0 & f1).nonEmpty) // shared substring ≥ k+w−1 chars ⇒ shared fp
+    assert((f0 & f2).isEmpty)
+  }
+
+  test("repetitionMetrics: dup fractions, top bigram with count-desc/bigram-asc tie-break") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "a a a b"), // dup tokens 2/4; bigrams [a a, a a, a b]: dup 1/3, top "a a"×2
+      (1L, "b a b"),   // bigrams [b a, a b] tie at 1 → asc → "a b"
+      (2L, "solo"))    // 1 token → no bigrams → nulls
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_tokens") === 4)
+    assert(out(0L).getAs[Double]("dup_token_frac") === 0.5)
+    assert(math.abs(out(0L).getAs[Double]("dup_bigram_frac") - 1.0 / 3) < 1e-15)
+    assert(out(0L).getAs[String]("top_bigram") === "a a")
+    assert(out(0L).getAs[Long]("top_bigram_cnt") === 2)
+    assert(out(0L).getAs[Double]("top_bigram_char_frac") === 2 * 3.0 / 7)
+    assert(out(1L).getAs[String]("top_bigram") === "a b")
+    assert(out(2L).isNullAt(out(2L).fieldIndex("top_bigram")))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("dup_bigram_frac")))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

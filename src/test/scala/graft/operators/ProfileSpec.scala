@@ -72,6 +72,26 @@ class ProfileSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq
     assert(r1 === r2)
   }
+
+  test("stratifiedSample: rate endpoints, nesting, partition invariance") {
+    val s = spark; import s.implicits._
+    val df = (0L until 600L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("doc_id", "lang")
+    def ids(rates: Map[String, Double]) =
+      Profile.stratifiedSample(df, col("lang"), col("doc_id"), rates)
+        .collect().map(_.getLong(0)).toSet
+    // rate 1.0 keeps the whole stratum, 0.0 (and the default) drop it
+    val all = ids(Map("en" -> 1.0, "de" -> 0.0))
+    assert(all === (0L until 600L by 3).toSet)
+    // nesting: a 0.2 sample is a subset of the 0.6 sample (same seed)
+    val lo = ids(Map("en" -> 0.2)); val hi = ids(Map("en" -> 0.6))
+    assert(lo.subsetOf(hi))
+    assert(lo.size > 10 && lo.size < hi.size)
+    // partition layout must not change the decision
+    val repart = Profile.stratifiedSample(df.repartition(13), col("lang"), col("doc_id"), Map("en" -> 0.2))
+      .collect().map(_.getLong(0)).toSet
+    assert(repart === lo)
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
