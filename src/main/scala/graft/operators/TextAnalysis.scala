@@ -89,9 +89,14 @@ object TextAnalysis {
     * produces a shared fingerprint). Docs shorter than k (normalized)
     * emit nothing.
     *
-    * Entirely per-row higher-order expressions: no shuffle, no UDF —
-    * at 100 TB this is a map-only pass whose output feeds the same
-    * groupBy/self-join dedup machinery as [[TextDedup]] shingles. */
+    * Entirely per-row expressions: no shuffle, no UDF — at 100 TB this
+    * is a map-only pass whose output feeds the same groupBy/self-join
+    * dedup machinery as [[TextDedup]] shingles. The gram hashes stay
+    * md5-portable built-ins; the per-window rightmost-min selection is
+    * the codegen'd [[graft.functions.WinnowSelect]] expression (the
+    * equivalent higher-order `slice/reverse/array_min/array_position`
+    * form allocates four arrays per window and measured ~15× slower —
+    * see WinnowSelect's scaladoc). */
   def winnowingFingerprints(
       docs: DataFrame,
       id: Column,
@@ -110,21 +115,16 @@ object TextAnalysis {
             i => Portable.hash32(col("__nt").substr(i, lit(k)))))
           .otherwise(array().cast("array<bigint>"))
           .as("hs"))
-    // Rightmost minimum of window j = position j + |win| − (first index
-    // of the min in the REVERSED window); clamped windows at the tail
-    // use |win|, not w, so short docs (< w grams) still fingerprint.
-    val selected = when(
-      size(col("hs")) >= 1,
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
-        j => {
-          val win = slice(col("hs"), j, lit(w))
-          (j + size(win) - array_position(reverse(win), array_min(win))).cast("int")
-        })))
-      .otherwise(array().cast("array<int>"))
+    // (pos, fp) pairs are built BEFORE the explode so the ~m-element
+    // hash array is consumed by the Generate instead of being copied
+    // into every exploded row (~m²/w longs per doc otherwise).
     withGrams
-      .select(col("doc_id"), col("hs"), explode(selected).as("gram_pos"))
-      .select(col("doc_id"), col("gram_pos"), element_at(col("hs"), col("gram_pos")).as("fp"))
+      .select(
+        col("doc_id"),
+        explode(transform(
+          graft.functions.WinnowSelect(col("hs"), w),
+          p => struct(p.as("gram_pos"), element_at(col("hs"), p).as("fp")))).as("s"))
+      .select(col("doc_id"), col("s.gram_pos"), col("s.fp"))
   }
 
   /** Gopher-style repetition / boilerplate signals per document
