@@ -80,6 +80,26 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(approx).size === 2, approx.take(2000))
   }
 
+  test("q54 winnowing is a map-only pass: no Exchange, codegen'd selection") {
+    val df = SparkEntry.queries("q54_winnowing")(spark, sf())
+    val s  = planString(df)
+    assert(!s.contains("Exchange"), s.take(2000))
+    assert(s.contains("winnow_select"), s.take(2000))
+    // only the two needed columns reach the parquet scan
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("q56 stratified sample: pure filter before the aggregate, pruned scan") {
+    val df = SparkEntry.queries("q56_stratified_sample")(spark, sf())
+    val s  = planString(df)
+    // one shuffle total (the groupBy) — the sampling itself adds none
+    assert("Exchange".r.findAllIn(s).size === 1, s.take(2000))
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema) // widest column pruned away
+  }
+
   test("partitioned OHLCV reads prune partitions on (symbol, date) predicates") {
     // covered end-to-end in OhlcvEtlSpec; here assert the testdata scan
     // prunes columns for a 2-column projection
