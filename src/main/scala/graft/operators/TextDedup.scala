@@ -34,8 +34,15 @@ object TextDedup {
     * subexpressions inside higher-order-function lambdas are
     * re-evaluated per element, so `ws` (the split) runs ~once per
     * gram. For corpus-scale shingling use [[shingleRows]]. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ws = words(text)
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromWords(words(text), n)
+
+  /** [[wordNgrams]] over an already-materialized words-array COLUMN
+    * (an attribute reference, e.g. `words(text).as("__ws")` in a prior
+    * select): the per-element lambda then reads the attribute instead
+    * of re-evaluating the split, making gram construction O(n) per
+    * gram — this is the corpus-scale column form. */
+  def wordNgramsFromWords(ws: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(ws) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
@@ -136,6 +143,101 @@ object TextDedup {
         col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Partial-overlap / containment pairs from winnowing fingerprints
+    * ([[TextAnalysis.winnowingFingerprints]]): two docs pair when they
+    * share fingerprints, scored by the containment coefficient
+    * |shared| / min(|fps_a|, |fps_b|) — which catches a short document
+    * embedded in a long one, exactly the case Jaccard dilutes toward 0.
+    *
+    * All quantities are computed over the df-capped fingerprint
+    * universe, and `maxFpDf` is ON by default: winnowing grams are
+    * only k chars, so boilerplate fingerprints recur corpus-wide
+    * (measured max df 1302 across 5k docs; a cap of 64 cut candidate
+    * volume 12×) and carry no overlap signal. Dropped/kept counts are
+    * published via the `winnow_fp_cap` observation. The join is
+    * banded by fingerprint — posting lists ≤ cap ⇒ candidate volume
+    * ≤ cap²/2 per fingerprint, never all-pairs. */
+  def winnowOverlapPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 8,
+      w: Int = 4,
+      maxFpDf: Long = 64L,
+      minOverlap: Double = 0.5): DataFrame =
+    winnowOverlapPairsFromFps(
+      TextAnalysis.winnowingFingerprints(docs, id, text, k, w),
+      maxFpDf,
+      minOverlap)
+
+  /** [[winnowOverlapPairs]] over a precomputed (doc_id, …, fp)
+    * fingerprint relation — pass a PERSISTED one when several queries
+    * consume the same fingerprints (the fingerprint pipeline otherwise
+    * recomputes once per plan reference: sizes + both join sides). */
+  def winnowOverlapPairsFromFps(
+      fpRows: DataFrame,
+      maxFpDf: Long = 64L,
+      minOverlap: Double = 0.5): DataFrame = {
+    val fp0 = fpRows.select(col("doc_id"), col("fp")).distinct()
+    val keep = fp0
+      .groupBy("fp").agg(count(lit(1)).as("__df"))
+      .observe(
+        "winnow_fp_cap",
+        count(when(col("__df") > maxFpDf, 1)).as("dropped_fps"),
+        count(when(col("__df") <= maxFpDf, 1)).as("kept_fps"))
+      .filter(col("__df") <= maxFpDf)
+      .select("fp")
+    val fps   = fp0.join(keep, Seq("fp"), "left_semi")
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = fps.as("a")
+      .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("sa.n"), col("sb.n"))).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one word n-gram with a benchmark/eval set, with the count
+    * of distinct contaminated grams — the standard pre-training
+    * hygiene pass (n = 13 in public practice; parameterized here).
+    *
+    * Scale shape: the benchmark side is eval sets — thousands of
+    * documents against a 100 TB corpus — so its distinct grams are
+    * BROADCAST and the corpus-side shingle stream never shuffles for
+    * the join; the only exchange is the per-doc count aggregate. If a
+    * benchmark ever outgrows broadcast, drop the hint and Spark falls
+    * back to a shuffled join on the gram key. */
+  def contaminationFlags(
+      corpus: DataFrame,
+      corpusId: Column,
+      corpusText: Column,
+      bench: DataFrame,
+      benchText: Column,
+      n: Int = 5): DataFrame = {
+    // corpus side: the map-only n-gram explode (distinct within each
+    // doc already), NOT the windowed shingleRows — the broadcast join
+    // needs no co-partitioning, so the only exchange in the plan is
+    // the final per-doc count's. Words are materialized to a column
+    // first so the gram lambda reads an attribute, not a re-split.
+    val corpusGrams = corpus
+      .select(corpusId.as("doc_id"), words(corpusText).as("__ws"))
+      .select(col("doc_id"), explode(wordNgramsFromWords(col("__ws"), n)).as("s"))
+    val benchGrams = bench
+      .select(words(benchText).as("__ws"))
+      .select(explode(wordNgramsFromWords(col("__ws"), n)).as("s"))
+      .distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("s"), "inner")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
   /** Number of minhash permutations (signature length). */

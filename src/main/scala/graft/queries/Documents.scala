@@ -38,6 +38,24 @@ object Documents {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Same sharing for the winnowing fingerprint relation (q54 output
+    * = q57 input): one persisted map-only pass instead of one per
+    * plan reference of the overlap join. */
+  private val winnowCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def sharedWinnowFps(s: SparkSession, dir: String): DataFrame =
+    winnowCache.synchronized {
+      var perDir = winnowCache.get(s)
+      if (perDir == null) {
+        perDir = scala.collection.mutable.Map.empty[String, DataFrame]
+        winnowCache.put(s, perDir)
+      }
+      perDir.getOrElseUpdate(
+        dir,
+        TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via normalized-content fingerprint: hash-groupBy,
     // one shuffle on the 128-bit key, partial agg map-side.
@@ -145,8 +163,7 @@ object Documents {
 
     // MOSS winnowing fingerprints (8-char grams, window 4): the
     // partial-overlap detection key — map-only, no shuffle.
-    "q54_winnowing" -> ((s, dir) =>
-      TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), col("doc_id"), col("text"))),
+    "q54_winnowing" -> ((s, dir) => sharedWinnowFps(s, dir)),
 
     // Gopher-style repetition/boilerplate signals per document.
     "q55_repetition" -> ((s, dir) =>
@@ -163,7 +180,21 @@ object Documents {
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          graft.functions.Det.dsum(col("n_chars")).as("sum_chars")))
+          graft.functions.Det.dsum(col("n_chars")).as("sum_chars"))),
+
+    // Containment pairs over df-capped winnowing fingerprints — the
+    // partial-overlap detector Jaccard misses.
+    "q57_winnow_overlap" -> ((s, dir) =>
+      TextDedup.winnowOverlapPairsFromFps(sharedWinnowFps(s, dir))),
+
+    // Benchmark decontamination: src0 documents stand in for the eval
+    // set; every other doc sharing a word-5-gram with them is flagged.
+    "q58_decontamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.contaminationFlags(
+        d.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        d.filter(col("source") === "src0"), col("text"), 5)
+    })
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -216,6 +247,34 @@ object Documents {
          SELECT doc_id,
                 CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
          FROM bits GROUP BY doc_id
+       )"""
+
+  /** Winnowing fingerprint selection (k=8, w=4), mirror of
+    * [[graft.operators.TextAnalysis.winnowingFingerprints]] /
+    * [[graft.functions.WinnowSelect]]: `sel` holds per-doc gram-hash
+    * arrays (`hs`) plus the distinct rightmost-min window selections
+    * (`ps`, 1-based). */
+  private val winnowCte =
+    """nrm AS (
+         SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS nt FROM documents
+       ),
+       g AS (
+         SELECT doc_id,
+                CASE WHEN length(nt) >= 8
+                     THEN list_transform(generate_series(1, length(nt)-7),
+                            i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 8))::BIGINT)
+                     ELSE []::BIGINT[] END AS hs
+         FROM nrm
+       ),
+       sel AS (
+         SELECT doc_id, hs,
+                CASE WHEN len(hs) >= 1 THEN
+                     list_distinct(list_transform(generate_series(1, greatest(len(hs)-3, 1)),
+                       j -> CAST(j + len(hs[j:j+3])
+                                 - list_position(list_reverse(hs[j:j+3]),
+                                                 list_aggregate(hs[j:j+3], 'min')) AS INT)))
+                ELSE []::INT[] END AS ps
+         FROM g
        )"""
 
   /** Integer-quantized embeddings + exact squared norms. */
@@ -544,29 +603,50 @@ object Documents {
            FROM documents)""",
 
     "q54_winnowing" ->
-      """WITH nrm AS (
-           SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS nt FROM documents
-         ),
-         g AS (
-           SELECT doc_id,
-                  CASE WHEN length(nt) >= 8
-                       THEN list_transform(generate_series(1, length(nt)-7),
-                              i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 8))::BIGINT)
-                       ELSE []::BIGINT[] END AS hs
-           FROM nrm
-         ),
-         sel AS (
-           SELECT doc_id, hs,
-                  CASE WHEN len(hs) >= 1 THEN
-                       list_distinct(list_transform(generate_series(1, greatest(len(hs)-3, 1)),
-                         j -> CAST(j + len(hs[j:j+3])
-                                   - list_position(list_reverse(hs[j:j+3]),
-                                                   list_aggregate(hs[j:j+3], 'min')) AS INT)))
-                  ELSE []::INT[] END AS ps
-           FROM g
-         )
+      s"""WITH $winnowCte
          SELECT doc_id, gram_pos, hs[gram_pos] AS fp
          FROM (SELECT doc_id, hs, unnest(ps) AS gram_pos FROM sel)""",
+
+    "q57_winnow_overlap" ->
+      s"""WITH $winnowCte,
+          dfp AS (
+            SELECT DISTINCT doc_id, hs[gram_pos] AS fp
+            FROM (SELECT doc_id, hs, unnest(ps) AS gram_pos FROM sel)
+          ),
+          keep AS (
+            SELECT fp FROM (SELECT fp, COUNT(1) AS df FROM dfp GROUP BY 1) WHERE df <= 64
+          ),
+          fps AS (SELECT dfp.doc_id, dfp.fp FROM dfp JOIN keep USING (fp)),
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM fps GROUP BY 1),
+          shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_shared
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          )
+          SELECT doc_a, doc_b, n_shared,
+                 CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
+          FROM shared
+          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5""",
+
+    "q58_decontamination" ->
+      """WITH words AS (
+           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws FROM documents
+         ),
+         gr AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(ws) >= 5
+                       THEN list_distinct(list_transform(generate_series(1, len(ws)-4),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+                       ELSE []::VARCHAR[] END AS gs
+           FROM words
+         ),
+         ex AS (SELECT doc_id, source, unnest(gs) AS s FROM gr),
+         bg AS (SELECT DISTINCT s FROM ex WHERE source = 'src0')
+         SELECT e.doc_id, COUNT(DISTINCT e.s) AS n_contaminated_grams
+         FROM ex e JOIN bg ON e.s = bg.s
+         WHERE e.source <> 'src0'
+         GROUP BY 1""",
 
     "q55_repetition" ->
       s"""WITH $wordsCte,

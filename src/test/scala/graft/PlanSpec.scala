@@ -81,8 +81,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q54 winnowing is a map-only pass: no Exchange, codegen'd selection") {
-    val df = SparkEntry.queries("q54_winnowing")(spark, sf())
-    val s  = planString(df)
+    // the operator, not the driver query — the latter serves q54/q57
+    // from a shared persisted relation (InMemoryTableScan)
+    val df = graft.operators.TextAnalysis.winnowingFingerprints(
+      Tables.documents(spark, sf()), col("doc_id"), col("text"))
+    val s = planString(df)
     assert(!s.contains("Exchange"), s.take(2000))
     assert(s.contains("winnow_select"), s.take(2000))
     // only the two needed columns reach the parquet scan

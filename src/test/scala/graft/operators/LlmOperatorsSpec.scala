@@ -97,6 +97,38 @@ class TextDedupSpec extends SparkSpec {
     assert(uncapped.exceptAll(inf).count() === 0)
   }
 
+  test("winnowOverlapPairs: containment scores high where Jaccard dilutes; df cap filters boilerplate") {
+    val s = spark; import s.implicits._
+    val long = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val d = Seq(
+      (0L, long),
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"), // contained prefix of 0
+      (2L, "uniform victor whiskey xray yankee zulu unrelated entirely"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.winnowOverlapPairs(d, col("doc_id"), col("text"), minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // short doc 1 is a prefix of 0: nearly all its fps appear in 0
+    assert(out.keySet === Set((0L, 1L)))
+    assert(out((0L, 1L)) > 0.8)
+    // a df cap of 1 kills every shared fingerprint → no pairs
+    assert(TextDedup.winnowOverlapPairs(d, col("doc_id"), col("text"), maxFpDf = 1L).count() === 0)
+  }
+
+  test("contaminationFlags: only docs sharing a benchmark n-gram are flagged") {
+    val s = spark; import s.implicits._
+    val bench = Seq((100L, "the secret benchmark phrase appears here verbatim")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "prefix words then the secret benchmark phrase appears here verbatim and more"),
+      (1L, "totally clean document with none of those words at all present"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.contaminationFlags(
+      corpus, col("doc_id"), col("text"), bench, col("text"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0 contains the full 7-word phrase → 3 distinct 5-grams hit
+    assert(out === Map(0L -> 3L))
+  }
+
   test("dedupClusters: chains and triangles collapse to the component minimum") {
     val s = spark; import s.implicits._
     // components: {1,2,3,4} via chain 1-2-3-4, {7,9} pair, triangle {10,11,12}
