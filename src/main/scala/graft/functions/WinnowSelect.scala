@@ -33,6 +33,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   *
   * Oracle SQL (DuckDB) stays the explicit per-window form — see
   * `queries/Documents.scala` q54.
+  *
+  * Null ELEMENTS are rejected with an error (the schema may say
+  * containsNull — `transform` lambdas infer nullable — but a null
+  * hash has no ordering and `getLong` would silently read it as 0,
+  * the strongest possible minimum).
   */
 case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 1, s"window size must be positive (got $w)")
@@ -53,6 +58,10 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
     var head = 0; var tail = 0; var no = 0; var last = -1
     var e = 0
     while (e < m) {
+      // getLong on a null slot reads 0, which beats every real hash —
+      // fail loud instead of silently selecting garbage positions
+      if (hs.isNullAt(e))
+        throw new IllegalArgumentException(s"winnow_select: null element at position $e")
       val v = hs.getLong(e)
       while (tail > head && hs.getLong(dq(tail - 1)) >= v) tail -= 1
       dq(tail) = e; tail += 1
@@ -86,6 +95,9 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
          |int[] $outp = new int[$m > 0 ? $m : 1];
          |int $head = 0, $tail = 0, $no = 0, $last = -1;
          |for (int $e = 0; $e < $m; $e++) {
+         |  if ($a.isNullAt($e)) {
+         |    throw new IllegalArgumentException("winnow_select: null element at position " + $e);
+         |  }
          |  long $v = $a.getLong($e);
          |  while ($tail > $head && $a.getLong($dq[$tail - 1]) >= $v) $tail--;
          |  $dq[$tail++] = $e;

@@ -74,9 +74,15 @@ object Normalize {
 
   /** P11: multi-format timestamp coercion — numeric epoch seconds vs
     * milliseconds via the `> 1e12` heuristic
-    * (etl/python_etl/transforms.py:22-39). */
-  def coerceEpochSeconds(c: Column): Column =
-    when(c > 1e12, (c / 1000).cast("long")).otherwise(c.cast("long"))
+    * (etl/python_etl/transforms.py:22-39). NaN/±Infinity/out-of-range
+    * doubles (which survive `try_cast` to DOUBLE) yield null instead
+    * of an ANSI CAST_OVERFLOW — one dirty "NaN" timestamp must be a
+    * filtered row, never a killed job. |c| < 1e15 bounds the value to
+    * castable, plausible epochs (epoch-ms today is ~1.8e12). */
+  def coerceEpochSeconds(c: Column): Column = {
+    val safe = when(!isnan(c) && abs(c) < 1e15, c)
+    when(safe > 1e12, (safe / 1000).cast("long")).otherwise(safe.cast("long"))
+  }
 
   /** P12: defensive field-alias fallback
     * (etl/python_etl/transforms.py:17-24,42-43): `symbol|s|ticker`,

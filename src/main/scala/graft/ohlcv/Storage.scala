@@ -105,10 +105,11 @@ object Storage {
       .withColumn("job_name", lit(jobName))
 
   /** S11 record shape: the reference's `ohlcv_metadata` row
-    * (etl/glue_job.py:233-259) — path, row count, the 100-bytes/record
-    * size estimate, ISO processing stamp, resolution, distinct-symbol
-    * count — from ONE aggregate job (the reference pays two separate
-    * count actions; same values). `processedAtIso` is injected like
+    * (etl/glue_job.py:233-259) — path, row count, the reference's
+    * rough 0.1-MB-per-record size estimate (`int(total*0.1*1024*1024)`
+    * — mirrored exactly, generous as it is), ISO processing stamp,
+    * resolution, distinct-symbol count — from ONE aggregate job (the
+    * reference pays two separate count actions; same values). `processedAtIso` is injected like
     * every other audit stamp so runs are reproducible. */
   def rdsMetadata(
       normalized: DataFrame,

@@ -400,7 +400,17 @@ object TextDedup {
     val labels = cur.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
       .unionByName(
         cur.select(col("dst").as("doc_id")).distinct().withColumn("cluster_id", col("doc_id")))
-    (labels, iter)
+    // docs whose ONLY pairs were degenerate self-pairs were dropped by
+    // the canonicalizing filter — label them as their own singleton
+    // cluster so the "every doc appearing in ≥1 pair gets a label"
+    // contract holds for any pair source, not just doc_a < doc_b ones
+    val selfOnly = pairs
+      .filter(a === b)
+      .select(a.as("doc_id"))
+      .distinct()
+      .join(labels, Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    (labels.unionByName(selfOnly), iter)
   }
 
   /** Per-document 32-bit SimHash over whitespace tokens (with

@@ -18,43 +18,41 @@ object Documents {
   private val QueryIds = Seq(0L, 1L, 2L, 3L, 4L)
 
   /** The dedup family (q31/q32/q33/q53) consumes ONE logical shingle
-    * relation. At 100 TB that is a materialized intermediate — shingle
-    * once, read by every downstream dedup stage — so the local analogue
-    * is a persisted DataFrame shared per (session, dir) rather than
-    * four recomputations of the same posexplode+window. WeakHashMap on
-    * the session so stopped sessions don't pin cached plans. */
-  private val shingleCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-  private def sharedShingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.synchronized {
-      var perDir = shingleCache.get(s)
+    * relation, and q54/q57 share the winnowing fingerprint relation
+    * the same way. At 100 TB these are materialized intermediates —
+    * compute once, read by every downstream stage — so the local
+    * analogue is a persisted DataFrame shared per (session, dir).
+    *
+    * Entries for stopped sessions are pruned on every access: a
+    * WeakHashMap alone never frees them, because the cached DataFrame
+    * VALUES strongly reference their own SparkSession key (a value →
+    * key strong reference defeats key weakness per the WeakHashMap
+    * contract). */
+  private type DirCache =
+    java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+  private def cachedPerDir(cache: DirCache, s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
+    cache.synchronized {
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      var perDir = cache.get(s)
       if (perDir == null) {
         perDir = scala.collection.mutable.Map.empty[String, DataFrame]
-        shingleCache.put(s, perDir)
+        cache.put(s, perDir)
       }
       perDir.getOrElseUpdate(
-        dir,
-        TextDedup.shingleRows(Tables.documents(s, dir), col("doc_id"), col("text"), 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        dir, build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
-  /** Same sharing for the winnowing fingerprint relation (q54 output
-    * = q57 input): one persisted map-only pass instead of one per
-    * plan reference of the overlap join. */
-  private val winnowCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private val shingleCache = new DirCache
+  private def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    cachedPerDir(shingleCache, s, dir)(
+      TextDedup.shingleRows(Tables.documents(s, dir), col("doc_id"), col("text"), 3))
+
+  private val winnowCache = new DirCache
   private def sharedWinnowFps(s: SparkSession, dir: String): DataFrame =
-    winnowCache.synchronized {
-      var perDir = winnowCache.get(s)
-      if (perDir == null) {
-        perDir = scala.collection.mutable.Map.empty[String, DataFrame]
-        winnowCache.put(s, perDir)
-      }
-      perDir.getOrElseUpdate(
-        dir,
-        TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), col("doc_id"), col("text"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
+    cachedPerDir(winnowCache, s, dir)(
+      TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), col("doc_id"), col("text")))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via normalized-content fingerprint: hash-groupBy,

@@ -123,7 +123,8 @@ object TimeSeries {
     // of one per symbol — bit-identical to the global window (borrowed
     // trailing rows), proven by the unchanged oracle hash.
     "q29_indicators" -> ((s, dir) =>
-      Analytics.withIndicatorsChunked(ticksAsCandles(s, dir), 20, col("event_id"), to_date(col("ts")))
+      Analytics.withIndicatorsChunked(
+        ticksAsCandles(s, dir), 20, col("event_id"), to_date(col("ts")), validate = true)
         .select(col("symbol"), col("ts"), col("event_id"), col("close"),
           col("sma"), col("bollinger_upper"), col("bollinger_lower"), col("rsi"))),
 

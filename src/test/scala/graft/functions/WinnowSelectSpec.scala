@@ -39,6 +39,14 @@ class WinnowSelectSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val df = Seq(Option.empty[Array[Long]]).toDF("hs")
     assert(df.select(WinnowSelect(col("hs"), 4)).collect().head.isNullAt(0))
+    // a null ELEMENT must fail loud, not be read as hash 0 (the
+    // strongest possible minimum)
+    val nullEl = intercept[Exception] {
+      Seq(Tuple1(Array(Some(1L), None, Some(3L)))).toDF("hs")
+        .select(WinnowSelect(col("hs"), 2)).collect()
+    }
+    assert(nullEl.getMessage.contains("null element") ||
+      Option(nullEl.getCause).exists(_.getMessage.contains("null element")))
     val err = intercept[Exception] {
       Seq(1).toDF("x").select(WinnowSelect(col("x"), 4)).collect()
     }

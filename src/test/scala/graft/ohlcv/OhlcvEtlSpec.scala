@@ -142,7 +142,12 @@ class OhlcvEtlSpec extends SparkSpec {
       ("B", "1759895100000", "x", "7"), // ms epoch but close unparseable → reject
       ("C", "1759895100000", "9.0", "2.5"), // int('2.5') raises in Python → volume 0
       ("", "2025-10-08T03:45:00", "1.0", "1"), // no symbol → reject
-      ("D", "not a time", "1.0", "1")) // unparseable ts → reject
+      ("D", "not a time", "1.0", "1"), // unparseable ts → reject
+      // parse to DOUBLE but are uncastable/absurd — must reject the
+      // row, not throw ANSI CAST_OVERFLOW and kill the job
+      ("E", "NaN", "1.0", "1"),
+      ("F", "Infinity", "1.0", "1"),
+      ("G", "9e306", "1.0", "1"))
       .toDF("symbol", "time", "last", "volume")
     val cleaned = Normalize.normalizeFlat(dirty, "x")
     val got = cleaned.collect().map(r => r.getAs[String]("symbol") -> r).toMap

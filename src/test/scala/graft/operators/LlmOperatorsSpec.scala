@@ -131,15 +131,20 @@ class TextDedupSpec extends SparkSpec {
 
   test("dedupClusters: chains and triangles collapse to the component minimum") {
     val s = spark; import s.implicits._
-    // components: {1,2,3,4} via chain 1-2-3-4, {7,9} pair, triangle {10,11,12}
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L), (10L, 11L), (11L, 12L), (10L, 12L))
+    // components: {1,2,3,4} via chain 1-2-3-4, {7,9} pair, triangle
+    // {10,11,12}; 20 appears ONLY in a degenerate self-pair and must
+    // still be labeled (its own singleton), 2 has a redundant self-pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 20L), (2L, 2L))
       .toDF("doc_a", "doc_b")
     val out = TextDedup.dedupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       7L -> 7L, 9L -> 7L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L))
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L))
   }
 
   test("starContract: 100-node chain converges in O(log n) rounds, not O(diameter)") {
