@@ -76,13 +76,25 @@ object LongDotProduct {
     ColumnBridge.column(LongDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
-/** Session extension registering `long_dot` for the SQL surface:
-  * `.withExtensions(new GraftExtensions)` or
+/** Session extension registering the native expressions for the SQL
+  * surface: `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
       (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+      (children: Seq[Expression]) => {
+        val w = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_select: window size must be an integer literal, got $other")
+        }
+        WinnowSelect(children(0), w)
+      }))
+  }
 }

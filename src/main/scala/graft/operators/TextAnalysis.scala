@@ -34,11 +34,24 @@ object TextAnalysis {
   private def hits(ws: Column, stop: Seq[String]): Column =
     size(filter(ws, w => w.isin(stop: _*)))
 
+  /** Composite quality score in [0,1]:
+    * 0.5·min(1, n_tokens/100) + 0.3·min(1, 4·stop_ratio)
+    * + 0.2·[3 ≤ avg_word_len ≤ 8]. A pure column expression, so it
+    * lifts unchanged onto streams ([[graft.streaming.DocStream]]). */
+  def qualityScore(text: Column): Column = {
+    val ws     = tokens(text)
+    val nTok   = size(ws)
+    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val avgLen = sumLen.cast("double") / nTok
+    val stopR  = hits(ws, StopEn).cast("double") / nTok
+    least(lit(1.0), nTok / lit(100.0)) * 0.5 +
+      least(lit(1.0), stopR * 4) * 0.3 +
+      when(avgLen.between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0))
+  }
+
   /** Per-document token/quality metrics:
     * n_tokens, n_bpe_tokens, avg_word_len, stopword_ratio,
-    * punct_count, and a composite quality_score in [0,1]:
-    * 0.5·min(1, n_tokens/100) + 0.3·min(1, 4·stop_ratio)
-    * + 0.2·[3 ≤ avg_word_len ≤ 8]. All double arithmetic is
+    * punct_count, and [[qualityScore]]. All double arithmetic is
     * single-expression-shape deterministic. */
   def qualityMetrics(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val ws     = tokens(text)
@@ -47,9 +60,6 @@ object TextAnalysis {
     val avgLen = sumLen.cast("double") / nTok
     val stopR  = hits(ws, StopEn).cast("double") / nTok
     val punct  = size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
-    val score  = least(lit(1.0), nTok / lit(100.0)) * 0.5 +
-      least(lit(1.0), stopR * 4) * 0.3 +
-      when(avgLen.between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0))
     docs.select(
       id.as("doc_id"),
       nTok.cast("long").as("n_tokens"),
@@ -57,7 +67,7 @@ object TextAnalysis {
       avgLen.as("avg_word_len"),
       stopR.as("stopword_ratio"),
       punct.cast("long").as("punct_count"),
-      score.as("quality_score"))
+      qualityScore(text).as("quality_score"))
   }
 
   /** Stopword-vote language ID (en/de/fr), ties resolved en→de→fr.

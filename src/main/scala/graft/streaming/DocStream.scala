@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Streaming document ingestion for the training-data pipeline — the
+  * stream-side of the batch document operators. The batch text ops are
+  * pure column expressions ([[TextAnalysis]]), so they lift onto
+  * streams unchanged: score and language-tag at ingest, suppress exact
+  * duplicates at ingest, and only state-requiring semantics (the dedup
+  * window) touch the streaming state store.
+  *
+  * Scale shape: fingerprinting/scoring are stateless map work; the
+  * dedup keeps ONE compact state row per distinct fingerprint inside
+  * the watermark (state size = distinct docs per window, evicted by
+  * watermark), shuffled on the 32-hex-char fingerprint — uniform by
+  * construction, no hot keys.
+  */
+object DocStream {
+
+  /** Landed-document envelope: id, text, lang/source tags, and the
+    * landing timestamp used as event time. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("ingest_ts", TimestampType)))
+
+  /** Schema'd streaming read of landed document JSON — no inference
+    * pass, mirrors [[OhlcvStream.readRawStream]]. */
+  def readDocStream(spark: SparkSession, glob: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(glob)
+
+  /** Exact-duplicate suppression at ingest (the streaming analog of
+    * the batch q30 exact dedup): key = normalized-content fingerprint,
+    * FIRST arrival wins, re-lands within `watermark` of event time are
+    * dropped. Unlike plain `dropDuplicates`, the within-watermark
+    * variant EVICTS state, so the store holds one row per distinct
+    * doc per window instead of growing forever. */
+  def dedupedDocs(
+      docs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Stateless ingest gate: language-tag and quality-score each doc
+    * with the BATCH expressions (bit-identical scoring on stream and
+    * batch — one definition of "quality"), keep rows at or above
+    * `minScore`. */
+  def qualityGated(docs: DataFrame, minScore: Double): DataFrame =
+    TextAnalysis.withLanguageId(docs, col("text"))
+      .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality_score") >= minScore)
+
+  /** Full ingest pipeline: dedup within the watermark, then gate. */
+  def ingest(docs: DataFrame, minScore: Double, watermark: String = "10 minutes"): DataFrame =
+    qualityGated(dedupedDocs(docs, watermark), minScore)
+}

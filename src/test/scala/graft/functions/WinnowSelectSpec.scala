@@ -69,4 +69,25 @@ class WinnowSelectSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*("),
       df.queryExecution.executedPlan.toString)
   }
+
+  test("GraftExtensions registers winnow_select for SQL (literal window only)") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    // getOrCreate may return the existing session — register explicitly then
+    try s2.sql("SELECT winnow_select(array(9L,1L,1L,9L), 2) AS p").collect()
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "winnow_select",
+          exprs => WinnowSelect(
+            exprs(0),
+            exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+              .value.asInstanceOf[Int]),
+          "internal")
+    }
+    val r = s2.sql("SELECT winnow_select(array(9L,1L,1L,9L), 2) AS p").collect().head
+    // windows of 2: min@2, min@3 (rightmost tie), min@3
+    assert(r.getSeq[Int](0) === Seq(2, 3))
+  }
 }

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class DocStreamSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("docstream").toString
+
+  test("streaming ingest: exact-dup suppressed within watermark, quality gate scores like batch") {
+    val s = spark; import s.implicits._
+    // f1 lands three docs; f2 re-lands doc 0 verbatim (exact dup, new
+    // id) plus a fresh doc. The long docs pass the gate; doc 2 is too
+    // short to score 0.3.
+    val longText = ("the data value " * 40).trim
+    val f1 = Seq(
+      (0L, longText, "en", "s0", "2025-10-08 10:00:00"),
+      (1L, "the quick brown fox jumps over the lazy dog " * 20 + "end", "en", "s0", "2025-10-08 10:00:10"),
+      (2L, "tiny", "en", "s0", "2025-10-08 10:00:20"))
+    val f2 = Seq(
+      (3L, longText, "en", "s1", "2025-10-08 10:01:00"), // dup of 0 within watermark
+      (4L, ("of the table " * 40).trim, "en", "s1", "2025-10-08 10:01:10"))
+    def land(rows: Seq[(Long, String, String, String, String)], dir: String, bumpMs: Long): Unit = {
+      rows.toDF("doc_id", "text", "lang", "source", "ts")
+        .withColumn("ingest_ts", to_timestamp(col("ts"))).drop("ts")
+        .coalesce(1).write.json(s"$tmp/$dir")
+      val now = System.currentTimeMillis()
+      Files.walk(java.nio.file.Paths.get(s"$tmp/$dir")).forEach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(now + bumpMs))
+      }
+    }
+    land(f1, "land/f1", 0L)
+    land(f2, "land/f2", 60000L)
+
+    val stream = DocStream.readDocStream(spark, s"$tmp/land/*", maxFilesPerTrigger = 1)
+    val q = DocStream.ingest(stream, minScore = 0.3).writeStream
+      .format("memory")
+      .queryName("doc_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("doc_out")
+    // doc 3 (re-land of 0) suppressed by fingerprint; doc 2 gated out
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(0L, 1L, 4L))
+    // stream scoring is bit-identical to the batch expression
+    val batchScores = graft.operators.TextAnalysis
+      .qualityMetrics(
+        (f1 ++ f2).toDF("doc_id", "text", "lang", "source", "ts"),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    out.select("doc_id", "quality_score").collect().foreach { r =>
+      assert(r.getDouble(1) === batchScores(r.getLong(0)))
+    }
+    assert(out.filter(col("predicted_lang") =!= "en").count() === 0)
+  }
+}
