@@ -103,6 +103,15 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("text"), readSchema) // widest column pruned away
   }
 
+  test("q58 decontamination broadcasts the benchmark gram set") {
+    val df = SparkEntry.queries("q58_decontamination")(spark, sf())
+    df.collect() // let AQE finalize
+    val s = planString(df)
+    // the 100-TB corpus side must never shuffle for the join
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"), "benchmark join degraded to SMJ")
+  }
+
   test("partitioned OHLCV reads prune partitions on (symbol, date) predicates") {
     // covered end-to-end in OhlcvEtlSpec; here assert the testdata scan
     // prunes columns for a 2-column projection
