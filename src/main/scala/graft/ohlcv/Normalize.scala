@@ -197,7 +197,7 @@ object Normalize {
         col("timestamp_unix").isNotNull && col("open").isNotNull && col("high").isNotNull &&
           col("low").isNotNull && col("close").isNotNull && col("volume").isNotNull &&
           col("high") >= col("low") && col("volume") >= 0 && col("close") > 0)
-      .select(OhlcvSchemas.normalized.fieldNames.map(col): _*)
+      .select(OhlcvSchemas.normalized.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** Typed view: `Dataset[OhlcvRecord]` over the normalized table, for

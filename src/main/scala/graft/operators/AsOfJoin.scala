@@ -34,7 +34,7 @@ object AsOfJoin {
       rightTieBreak: Column,
       payload: Seq[(String, Column)]): DataFrame = {
 
-    val lCols = left.columns
+    val lCols = left.columns.toIndexedSeq
     val r = right.select(
       key.as("__k"),
       rightTime.as("__t"),

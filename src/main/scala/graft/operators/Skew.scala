@@ -35,7 +35,7 @@ object Skew {
     val stage1 = df
       .groupBy(keys :+ salt(discriminator, buckets).as("__salt"): _*)
       .agg(partials.head, partials.tail: _*)
-    val keyNames = stage1.columns.dropRight(partials.size + 1) // keys before __salt
+    val keyNames = stage1.columns.toIndexedSeq.dropRight(partials.size + 1) // keys before __salt
     stage1
       .groupBy(keyNames.map(col): _*)
       .agg(combiners.head, combiners.tail: _*)
