@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Sequence packing — laying documents end-to-end into fixed-capacity
+  * token bins (training sequences) in a deterministic global order.
+  * The write-side twin of tokenization in an LLM data pipeline: every
+  * document gets its global token `start_offset`, its home `bin_id`,
+  * and how many bins it spans. Extension beyond the reference.
+  *
+  * The core is a GLOBAL prefix sum, which naive Spark expresses as a
+  * window with no partition — one reducer sorting the whole corpus.
+  * This implementation is the classic two-phase scan instead:
+  *
+  *  1. shard rows into contiguous id blocks (block size from a
+  *     one-row min/max aggregate, broadcast — a scalar, not data);
+  *  2. per-shard running sum via a window PARTITIONED by shard —
+  *     `shards`-way parallel, each reducer sorts only its block;
+  *  3. prefix the per-shard totals (≤ `shards` rows — the only
+  *     unpartitioned window, over a relation of constant size) and
+  *     broadcast-join the shard offsets back.
+  *
+  * All arithmetic is exact int64 (running sums of longs; bin ids via
+  * integer `DIV`), so the result is bit-identical on the DuckDB
+  * oracle's single `SUM ... OVER (ORDER BY id)`.
+  *
+  * Ids need not be dense — sparse ids just make blocks uneven (the
+  * per-shard sort is still bounded by the densest block). Documents
+  * with zero weight occupy no tokens and get `n_bins = 1` (their
+  * start bin) by convention.
+  */
+object Packing {
+
+  /** Pack rows into `capacity`-token bins in ascending `id` order.
+    * Output: (doc_id, n_tokens, start_offset, bin_id, n_bins) where
+    * `start_offset` is the exclusive prefix sum of `weight`,
+    * `bin_id = start_offset DIV capacity`, and `n_bins` counts the
+    * bins the document touches (> 1 ⇒ split across a bin boundary). */
+  def packSequences(
+      df: DataFrame,
+      id: Column,
+      weight: Column,
+      capacity: Long,
+      shards: Int = 256): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive (got $capacity)")
+    require(shards >= 1, s"shards must be positive (got $shards)")
+    val base = df.select(id.cast("long").as("doc_id"), weight.cast("long").as("n_tokens"))
+
+    // contiguous id blocks: block size = ceil(span / shards), from a
+    // single-row bounds aggregate (broadcast scalar — the same shape
+    // as the scalar-max broadcast in queries/Relational.scala)
+    val bounds  = base.agg(min(col("doc_id")).as("__min_id"), max(col("doc_id")).as("__max_id"))
+    // the trailing isNotNull is semantically a no-op (the arithmetic
+    // never yields null) but keeps BOTH consumers of this subtree
+    // canonically identical: the final broadcast join infers an
+    // isnotnull(__shard) filter on one side only, which would
+    // otherwise defeat ReuseExchange below
+    val sharded = base
+      .crossJoin(broadcast(bounds))
+      .withColumn("__shard", expr(s"(doc_id - __min_id) DIV ((__max_id - __min_id + $shards) DIV $shards)"))
+      .drop("__min_id", "__max_id")
+      .filter(col("__shard").isNotNull)
+
+    // phase 1: per-shard inclusive running sum (shards-way parallel)
+    val wLocal = Window
+      .partitionBy(col("__shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn("__cum", sum(col("n_tokens")).over(wLocal))
+
+    // phase 2: shard offsets = exclusive prefix over per-shard totals.
+    // Totals come from the WINDOWED relation (max of the inclusive
+    // running sum), not a second aggregate over the input: the subtree
+    // below the shard exchange is then identical on both sides and
+    // Spark's ReuseExchange serves both from ONE scan + shuffle. The
+    // unpartitioned window is over ≤ `shards` rows — constant size
+    // regardless of data scale — then broadcast back.
+    val wOff = Window.orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__shard"))
+      .agg(max(col("__cum")).as("__tot"))
+      .withColumn("__offset", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col("__shard"), col("__offset"))
+
+    local
+      .join(broadcast(offsets), Seq("__shard"))
+      .withColumn("start_offset", col("__offset") + col("__cum") - col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("start_offset"),
+        expr(s"start_offset DIV $capacity").as("bin_id"),
+        greatest(
+          lit(1L),
+          expr(s"(start_offset + n_tokens - 1) DIV $capacity") -
+            expr(s"start_offset DIV $capacity") + lit(1L)).as("n_bins"))
+  }
+}

@@ -155,6 +155,63 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"), col("cell"), col("cosine"), col("rank"))
   }
 
+  /** Distributed k-means (Lloyd) over quantized embeddings: one
+    * centroid-update step from deterministic seeds, then a final
+    * assignment pass — the codebook-training half of the IVF story
+    * ([[ivfTopK]] serves a codebook; this trains one). Output: one row
+    * per vector (vec_id, cluster_id, cosine-to-final-centroid).
+    *
+    * Determinism across engines (the full-oracle contract):
+    *  - seeds = the first `k` vectors by id (exact int64);
+    *  - assignment = argmax cosine, ties to the LOWEST cell id;
+    *  - cosine is scale-invariant, so the updated "mean" centroid can
+    *    stay integer: component = trunc(sum / count), where the sum is
+    *    an exact int64 and the single double divide + trunc-toward-zero
+    *    round identically everywhere.
+    *
+    * Scale shape per iteration: the codebook is tiny and BROADCAST;
+    * assignment is a broadcast cross product folded into a SLIM
+    * max_by hash-agg (vectors never ride the shuffle — same shape as
+    * [[ivfTopK]]); the centroid update is posexplode → ONE map-side-
+    * combinable hash-agg on (cell, dim) — k·dim result rows — then an
+    * array re-pack. No collects, no driver loops; more iterations are
+    * the same two jobs repeated. Cells that lose all members simply
+    * drop out of the next codebook (both engines agree). */
+  def kmeansAssign(embs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val base = embs
+      .select(col("vec_id"), Portable.quantize(col("embedding")).as("v"))
+      .withColumn("n2", normQ(col("v")))
+    val cents0 = base
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n2").as("cn2"))
+    // nearest centroid per vector: slim max_by — the winning cosine is
+    // the max over cells, ties go to the lowest cell id
+    def nearest(cents: DataFrame): DataFrame =
+      base.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine(Portable.dotQ(col("v"), col("cv")), col("n2"), col("cn2")))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"),
+          max(col("ccos")).as("cosine"))
+    val assign1 = nearest(cents0).select(col("vec_id"), col("cell"))
+    // centroid update: elementwise integer mean via ONE (cell, dim)
+    // hash-agg; sums are exact int64 (dim sums « 2^53 ⇒ the double
+    // divide is exact-input), trunc-toward-zero matches the oracle
+    val cents1 = base.join(assign1, "vec_id")
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("cx", (col("sx") / col("cnt")).cast("long"))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("i"), col("cx"))).as("ps"))
+      .select(
+        col("cell"),
+        transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"))
+      .withColumn("cn2", normQ(col("cv")))
+    nearest(cents1).select(col("vec_id"), col("cell").as("cluster_id"), col("cosine"))
+  }
+
   /** ANN via hyperplane-LSH: candidates are corpus vectors in the SAME
     * bucket as the query; exact cosine rescoring + top-k within the
     * bucket. Approximate by construction (bucket recall < 1) — the

@@ -205,4 +205,82 @@ object TextAnalysis {
         count(lit(1)).as("occurrences"))
       .orderBy(desc("doc_freq"), desc("occurrences"), asc("t"))
       .limit(k)
+
+  /** Top-`k` word n-grams per group (e.g. per language / per source) by
+    * occurrence count, ties broken gram-ascending — the per-subcorpus
+    * frequency table behind language-specific vocab pruning and
+    * boilerplate discovery.
+    *
+    * Scale shape: grams are built from a MATERIALIZED words-array
+    * attribute (free subexpressions inside `transform` lambdas
+    * re-evaluate per element — the split must not ride into the
+    * lambda), and all cardinality reduction happens in the ONE
+    * map-side-combinable hash-agg on (group, gram). The rank window
+    * that follows partitions by group over the *aggregated vocabulary*
+    * relation — |vocab| rows per group, not |corpus| — and `minCount`
+    * prunes the long tail of singleton grams before that sort when the
+    * per-group vocabulary itself is huge. */
+  def topNgramsPerGroup(
+      docs: DataFrame,
+      group: Column,
+      text: Column,
+      n: Int,
+      k: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(n >= 1 && k >= 1, s"n and k must be positive (got n=$n, k=$k)")
+    val grams = docs
+      .select(group.as("grp"), tokens(text).as("__ws"))
+      .select(
+        col("grp"),
+        explode(
+          when(
+            size(col("__ws")) >= n,
+            transform(
+              sequence(lit(1), size(col("__ws")) - (n - 1)),
+              i => concat_ws(" ", (0 until n).map(j => element_at(col("__ws"), i + lit(j))): _*)))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+    val counted = grams
+      .groupBy(col("grp"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    counted
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("grp"))
+            .orderBy(desc("cnt"), asc("gram"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** RE2/Java-regex-compatible PII patterns (no lookarounds, no
+    * backreferences — the subset both Spark and the DuckDB oracle
+    * implement identically). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe: String = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction — the safety-filtering pass of a
+    * training-data pipeline: per document, count email / IPv4 /
+    * phone-shaped spans (counted on the ORIGINAL text), then redact in
+    * the fixed order email → IP → phone (emails can embed dotted hosts;
+    * redacting them first keeps the passes independent) and emit the
+    * redacted length plus an md5 audit fingerprint of the redacted
+    * text. Pure per-row column expressions — a map-only pass at any
+    * scale, and stream-liftable like [[qualityScore]]. */
+  def piiScrub(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    docs.select(
+      id.as("doc_id"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      length(redacted).cast("long").as("redacted_len"),
+      md5(redacted).as("redacted_hash"))
+  }
 }

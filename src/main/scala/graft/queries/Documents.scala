@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Multimodal, Profile, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Multimodal, Packing, Profile, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -192,6 +192,44 @@ object Documents {
       TextDedup.contaminationFlags(
         d.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
         d.filter(col("source") === "src0"), col("text"), 5)
+    }),
+
+    // Per-language top-5 word bigrams: the per-subcorpus frequency
+    // table (vocab pruning / boilerplate discovery per language).
+    "q59_lang_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgramsPerGroup(Tables.documents(s, dir), col("lang"), col("text"), 2, 5)
+        .withColumnRenamed("grp", "lang")),
+
+    // Sequence packing: global token offsets + 512-token training-bin
+    // assignment via the two-phase distributed prefix sum.
+    "q60_seq_packing" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Packing.packSequences(
+        d, col("doc_id"), size(TextAnalysis.tokens(col("text"))), capacity = 512L)
+    }),
+
+    // Distributed k-means (8 cells, one Lloyd refinement from seed
+    // centroids) — codebook training for the IVF index (q45).
+    "q61_kmeans" -> ((s, dir) => Similarity.kmeansAssign(Tables.embeddings(s, dir), 8)),
+
+    // PII scrub over deterministically PLANTED pii (the corpus is
+    // synthetic word salad, so the harness appends an email per doc, a
+    // phone every 3rd, an IPv4 every 5th — making the cross-engine
+    // regex match/redact behavior real, not vacuously zero).
+    "q62_pii_scrub" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val planted = d.select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" reach user"), col("doc_id").cast("string"), lit("@example.com"),
+          when(pmod(col("doc_id"), lit(3L)) === 0,
+            concat(lit(" or 555-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"), lit(".25")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.piiScrub(planted, col("doc_id"), col("text"))
     })
   )
 
@@ -694,6 +732,104 @@ object Documents {
          FROM h
          WHERE hv < CASE lang WHEN 'de' THEN 10000 WHEN 'en' THEN 5000 WHEN 'es' THEN 1000
                               WHEN 'fr' THEN 2500 WHEN 'zh' THEN 7500 ELSE 0 END
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    "q59_lang_ngrams" ->
+      s"""WITH $wordsCte,
+          bg AS (
+            SELECT lang,
+                   unnest(CASE WHEN len(ws) >= 2
+                               THEN list_transform(generate_series(1, len(ws)-1),
+                                      i -> ws[i] || ' ' || ws[i+1])
+                               ELSE []::VARCHAR[] END) AS gram
+            FROM words
+          ),
+          c AS (SELECT lang, gram, COUNT(1) AS cnt FROM bg GROUP BY 1, 2),
+          r AS (SELECT lang, gram, cnt,
+                       row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rk
+                FROM c)
+          SELECT lang, gram, cnt, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
+
+    "q60_seq_packing" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+           FROM documents
+         ),
+         c AS (
+           SELECT doc_id, n,
+                  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+           FROM w
+         )
+         SELECT doc_id, n AS n_tokens, s AS start_offset,
+                s // 512 AS bin_id,
+                greatest(1, (s + n - 1) // 512 - s // 512 + 1) AS n_bins
+         FROM c""",
+
+    "q61_kmeans" ->
+      s"""WITH $quantCte,
+          cents0 AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM en WHERE vec_id < 8),
+          cc1 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cents0 c
+          ),
+          a1 AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc1) WHERE rn = 1
+          ),
+          comp AS (
+            SELECT a1.cell, generate_subscripts(en.v, 1) AS i, unnest(en.v) AS x
+            FROM en JOIN a1 USING (vec_id)
+          ),
+          sums AS (SELECT cell, i, SUM(x) AS sx, COUNT(1) AS cnt FROM comp GROUP BY 1, 2),
+          cents1 AS (
+            SELECT cell,
+                   list(CAST(trunc(CAST(sx AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cv
+            FROM sums GROUP BY cell
+          ),
+          cn AS (
+            SELECT cell, cv,
+                   CAST(list_aggregate(list_transform(cv, x -> x*x), 'sum') AS BIGINT) AS cn2
+            FROM cents1
+          ),
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          )
+          SELECT vec_id, cell AS cluster_id, ccos AS cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+            FROM cc2) WHERE rn = 1""",
+
+    "q62_pii_scrub" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+                            ELSE '' END AS t
+           FROM documents
+         ),
+         r AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                  regexp_replace(regexp_replace(regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
+           FROM aug
+         )
+         SELECT doc_id, n_emails, n_ips, n_phones,
+                CAST(length(red) AS BIGINT) AS redacted_len,
+                md5(red) AS redacted_hash
+         FROM r"""
   )
 }

@@ -112,6 +112,49 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), "benchmark join degraded to SMJ")
   }
 
+  test("q59 per-group top-k: map-side WindowGroupLimit before the group exchange") {
+    val df = SparkEntry.queries("q59_lang_ngrams")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    // rank-limit pushdown: a Partial WindowGroupLimit caps each map
+    // partition at k rows per group BEFORE the exchange — the per-group
+    // sort funnel never sees the full vocabulary
+    assert(s.contains("WindowGroupLimit"), s.take(2000))
+    assert(s.contains("Partial"), s.take(2000))
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("doc_id") && !readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("q60 sequence packing: one shared shard shuffle (ReusedExchange), broadcast offsets") {
+    val df = SparkEntry.queries("q60_seq_packing")(spark, sf())
+    df.collect() // AQE stage reuse shows only in the final plan
+    val s = planString(df).split("== Initial Plan ==").head
+    // both prefix-sum phases must be served from ONE scan + shuffle
+    assert(s.contains("ReusedExchange"), s.take(3000))
+    assert("Exchange hashpartitioning\\(__shard".r.findAllIn(s).size === 2, s.take(3000)) // original + its reuse
+    // shard offsets come back via broadcast, never a second data shuffle
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+  }
+
+  test("q61 k-means: codebook is broadcast; assignment never shuffles vectors") {
+    val df = SparkEntry.queries("q61_kmeans")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastExchange"), s.take(3000))
+    assert(!s.contains("CartesianProduct"), "codebook cross product degraded to a real cartesian")
+    // the only row-data exchanges hash on slim keys (vec_id / cell), 32 partitions
+    assert(!s.contains("SortMergeJoin"), s.take(3000))
+  }
+
+  test("q62 pii scrub is a single codegen'd map-only pass") {
+    val df = SparkEntry.queries("q62_pii_scrub")(spark, sf())
+    val s  = planString(df)
+    assert(!s.contains("Exchange"), s.take(2000))
+    assert(s.contains("*("), s.take(2000)) // whole-stage codegen
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang"), readSchema)
+  }
+
   test("partitioned OHLCV reads prune partitions on (symbol, date) predicates") {
     // covered end-to-end in OhlcvEtlSpec; here assert the testdata scan
     // prunes columns for a 2-column projection

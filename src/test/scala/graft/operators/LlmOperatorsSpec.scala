@@ -219,6 +219,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getAs[Double]("cosine") === 1.0)
   }
 
+  test("kmeansAssign: one Lloyd step separates axis clusters; seeds define cells") {
+    val s = spark; import s.implicits._
+    // seeds: vec 0 → x-axis, vec 1 → y-axis; remaining points hug one axis
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.8f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(e, 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size === 5)
+    assert(Seq(0L, 2L, 4L).map(out(_).getAs[Long]("cluster_id")).toSet === Set(0L))
+    assert(Seq(1L, 3L).map(out(_).getAs[Long]("cluster_id")).toSet === Set(1L))
+    // every member scores high against its refined centroid
+    out.values.foreach(r => assert(r.getAs[Double]("cosine") > 0.9))
+  }
+
+  test("kmeansAssign is deterministic and keeps one row per vector on real data") {
+    val e = graft.Tables.embeddings(spark, sf())
+    val a = Similarity.kmeansAssign(e, 4).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"), r.getAs[Double]("cosine")))
+    val b = Similarity.kmeansAssign(e, 4).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"), r.getAs[Double]("cosine")))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    assert(a.map(_._1).distinct.length === a.length)
+    assert(a.map(_._2).toSet.subsetOf((0L until 4L).toSet))
+  }
+
   test("lshTopK: bucket ids deterministic; results are a subset of brute force ranking") {
     val e = graft.Tables.embeddings(spark, sf())
     val brute = Similarity.bruteForceTopK(e, Seq(0L), 50).collect()
@@ -338,6 +368,113 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L).getAs[String]("top_bigram") === "a b")
     assert(out(2L).isNullAt(out(2L).fieldIndex("top_bigram")))
     assert(out(2L).isNullAt(out(2L).fieldIndex("dup_bigram_frac")))
+  }
+}
+
+class TopNgramsAndPiiSpec extends SparkSpec {
+  test("topNgramsPerGroup: per-group counts with count-desc/gram-asc tie-break") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "en", "a b a b c"), // bigrams: "a b"×2, "b a"×1, "b c"×1
+      (1L, "en", "a b"),       // "a b"×1 → en total "a b"×3
+      (2L, "de", "x y"),
+      (3L, "de", "solo"))      // 1 token → no bigrams
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.topNgramsPerGroup(d, col("lang"), col("text"), n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(3)) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(("en", 1)) === ("a b", 3L))
+    assert(out(("en", 2)) === ("b a", 1L)) // tie with "b c" → gram asc
+    assert(out(("de", 1)) === ("x y", 1L))
+    assert(out.size === 3)
+  }
+
+  test("topNgramsPerGroup: minCount prunes the singleton tail before ranking") {
+    val s = spark; import s.implicits._
+    val d = Seq((0L, "en", "a b a b c")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.topNgramsPerGroup(d, col("lang"), col("text"), 2, 5, minCount = 2L)
+      .collect().map(r => r.getString(1))
+    assert(out.toSeq === Seq("a b"))
+  }
+
+  test("piiScrub counts and redacts emails, IPv4s, and phones in order") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "mail bob@example.org and 10.1.2.3 then call 555-1234 end"),
+      (1L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r0 = out(0L)
+    assert(r0.getAs[Long]("n_emails") === 1)
+    assert(r0.getAs[Long]("n_ips") === 1)
+    assert(r0.getAs[Long]("n_phones") === 1)
+    val expected = "mail <EMAIL> and <IP> then call <PHONE> end"
+    assert(r0.getAs[Long]("redacted_len") === expected.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r0.getAs[String]("redacted_hash") === hex)
+    // clean doc: untouched text, zero counts
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_emails") + r1.getAs[Long]("n_ips") + r1.getAs[Long]("n_phones") === 0)
+    assert(r1.getAs[Long]("redacted_len") === "clean text with no pii at all".length.toLong)
+  }
+
+  test("piiScrub: counts see the original text; redaction order keeps passes independent") {
+    val s = spark; import s.implicits._
+    // an IP embedded in an email domain: counted as BOTH (counts are
+    // defined on the original text), but redacted ONCE — the email
+    // pass runs first and swallows the dotted host
+    val d = Seq((0L, "a@10.1.2.3.org and 192.168.0.1")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(d, col("doc_id"), col("text")).collect().head
+    assert(r.getAs[Long]("n_emails") === 1)
+    assert(r.getAs[Long]("n_ips") === 2)
+    assert(r.getAs[Long]("redacted_len") === "<EMAIL> and <IP>".length.toLong)
+  }
+}
+
+class PackingSpec extends SparkSpec {
+  test("packSequences: exact global offsets, bin ids, and boundary spans") {
+    val s = spark; import s.implicits._
+    val weights = (0L until 100L).map(i => (i, i % 7 + 1))
+    val d = weights.toDF("doc_id", "w")
+    val out = Packing.packSequences(d, col("doc_id"), col("w"), capacity = 10L, shards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"),
+          r.getAs[Long]("bin_id"), r.getAs[Long]("n_bins"))).toMap
+    // reference single-threaded scan
+    var off = 0L
+    weights.foreach { case (id, w) =>
+      val (nt, so, bin, nb) = out(id)
+      assert(nt === w)
+      assert(so === off, s"doc $id offset")
+      assert(bin === so / 10)
+      assert(nb === ((so + w - 1) / 10 - so / 10 + 1))
+      off += w
+    }
+  }
+
+  test("packSequences: shard count does not change the result; sparse ids ok") {
+    val s = spark; import s.implicits._
+    // sparse, shuffled ids with gaps
+    val d = Seq((3L, 5L), (90L, 7L), (17L, 2L), (1000L, 11L), (4L, 1L))
+      .toDF("doc_id", "w")
+    def run(sh: Int) = Packing.packSequences(d, col("doc_id"), col("w"), 8L, shards = sh)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_offset"),
+        r.getAs[Long]("bin_id"), r.getAs[Long]("n_bins"))).sortBy(_._1).toSeq
+    assert(run(1) === run(4))
+    assert(run(4) === run(256))
+    // id order defines the packing: 3,4,17,90,1000
+    assert(run(1).map(_._2) === Seq(0L, 5L, 6L, 8L, 15L))
+  }
+
+  test("packSequences: zero-weight docs occupy no tokens and one bin") {
+    val s = spark; import s.implicits._
+    val d = Seq((0L, 4L), (1L, 0L), (2L, 6L)).toDF("doc_id", "w")
+    val out = Packing.packSequences(d, col("doc_id"), col("w"), 5L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_offset"), r.getAs[Long]("n_bins"))).toMap
+    assert(out(1L) === (4L, 1L))
+    assert(out(2L) === (4L, 2L)) // 4..9 crosses the 5-token boundary
   }
 }
 
