@@ -120,13 +120,16 @@ object Similarity {
     * a cell-key equi-join against the broadcast query set. With the
     * corpus written bucketed by cell id, a probe touches only matching
     * buckets. */
-  def ivfTopK(embs: DataFrame, queryIds: Seq[Long], nCells: Int, nProbe: Int, k: Int): DataFrame = {
-    val base = embs
-      .select(col("vec_id"), Portable.quantize(col("embedding")).as("v"))
-      .withColumn("n2", normQ(col("v")))
-    val cents = base
-      .filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n2").as("cn2"))
+  def ivfTopK(embs: DataFrame, queryIds: Seq[Long], nCells: Int, nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(embs, seedCentroids(embs, nCells), queryIds, nProbe, k)
+
+  /** [[ivfTopK]] against an EXPLICIT codebook relation (cell, cv, cn2)
+    * — pass [[kmeansCentroids]] output to serve ANN from a trained
+    * codebook instead of raw seeds (train once, index at write time,
+    * probe forever: the production IVF lifecycle). */
+  def ivfTopKWith(embs: DataFrame, codebook: DataFrame, queryIds: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+    val base  = quantized(embs)
+    val cents = codebook.select(col("cell"), col("cv"), col("cn2"))
     // cosine of every vector to every (broadcast) centroid
     val withCos = base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(Portable.dotQ(col("v"), col("cv")), col("n2"), col("cn2")))
@@ -155,11 +158,36 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"), col("cell"), col("cosine"), col("rank"))
   }
 
-  /** Distributed k-means (Lloyd) over quantized embeddings: one
-    * centroid-update step from deterministic seeds, then a final
-    * assignment pass — the codebook-training half of the IVF story
-    * ([[ivfTopK]] serves a codebook; this trains one). Output: one row
-    * per vector (vec_id, cluster_id, cosine-to-final-centroid).
+  /** Quantized corpus relation (vec_id, v, n2) — the common prefix of
+    * every vector operator here. */
+  private def quantized(embs: DataFrame): DataFrame =
+    embs
+      .select(col("vec_id"), Portable.quantize(col("embedding")).as("v"))
+      .withColumn("n2", normQ(col("v")))
+
+  /** Deterministic seed codebook (cell, cv, cn2): the first `nCells`
+    * vectors by id. */
+  def seedCentroids(embs: DataFrame, nCells: Int): DataFrame =
+    quantized(embs)
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n2").as("cn2"))
+
+  /** Nearest codebook cell per vector: broadcast cross product folded
+    * into a SLIM max_by hash-agg (vectors never ride the shuffle).
+    * Ties go to the LOWEST cell id; `cosine` is the winning score
+    * (= max over cells). */
+  private def nearestCell(base: DataFrame, cents: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(Portable.dotQ(col("v"), col("cv")), col("n2"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"),
+        max(col("ccos")).as("cosine"))
+
+  /** Distributed k-means (Lloyd) codebook training over quantized
+    * embeddings: `iters` assignment → centroid-update rounds from the
+    * deterministic seeds, returning the trained codebook
+    * (cell, cv, cn2) ready for [[ivfTopKWith]].
     *
     * Determinism across engines (the full-oracle contract):
     *  - seeds = the first `k` vectors by id (exact int64);
@@ -170,47 +198,44 @@ object Similarity {
     *    round identically everywhere.
     *
     * Scale shape per iteration: the codebook is tiny and BROADCAST;
-    * assignment is a broadcast cross product folded into a SLIM
-    * max_by hash-agg (vectors never ride the shuffle — same shape as
-    * [[ivfTopK]]); the centroid update is posexplode → ONE map-side-
-    * combinable hash-agg on (cell, dim) — k·dim result rows — then an
-    * array re-pack. No collects, no driver loops; more iterations are
-    * the same two jobs repeated. Cells that lose all members simply
-    * drop out of the next codebook (both engines agree). */
-  def kmeansAssign(embs: DataFrame, k: Int): DataFrame = {
+    * assignment is the slim [[nearestCell]] hash-agg; the centroid
+    * update is posexplode → ONE map-side-combinable hash-agg on
+    * (cell, dim) — k·dim result rows — then an array re-pack. No
+    * collects, no driver-side numeric state; each iteration appends
+    * two jobs to the lineage (for many iterations, checkpoint or
+    * literalize the k-row codebook between rounds — it is
+    * constant-size). Cells that lose all members drop out of the next
+    * codebook (both engines agree). */
+  def kmeansCentroids(embs: DataFrame, k: Int, iters: Int = 1): DataFrame = {
     require(k >= 1, s"k must be positive (got $k)")
-    val base = embs
-      .select(col("vec_id"), Portable.quantize(col("embedding")).as("v"))
-      .withColumn("n2", normQ(col("v")))
-    val cents0 = base
-      .filter(col("vec_id") < k)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n2").as("cn2"))
-    // nearest centroid per vector: slim max_by — the winning cosine is
-    // the max over cells, ties go to the lowest cell id
-    def nearest(cents: DataFrame): DataFrame =
-      base.crossJoin(broadcast(cents))
-        .withColumn("ccos", cosine(Portable.dotQ(col("v"), col("cv")), col("n2"), col("cn2")))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"),
-          max(col("ccos")).as("cosine"))
-    val assign1 = nearest(cents0).select(col("vec_id"), col("cell"))
-    // centroid update: elementwise integer mean via ONE (cell, dim)
-    // hash-agg; sums are exact int64 (dim sums « 2^53 ⇒ the double
-    // divide is exact-input), trunc-toward-zero matches the oracle
-    val cents1 = base.join(assign1, "vec_id")
-      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("cell"), col("i"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-      .withColumn("cx", (col("sx") / col("cnt")).cast("long"))
-      .groupBy(col("cell"))
-      .agg(collect_list(struct(col("i"), col("cx"))).as("ps"))
-      .select(
-        col("cell"),
-        transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"))
-      .withColumn("cn2", normQ(col("cv")))
-    nearest(cents1).select(col("vec_id"), col("cell").as("cluster_id"), col("cosine"))
+    require(iters >= 0, s"iters must be non-negative (got $iters)")
+    val base = quantized(embs)
+    var cents = seedCentroids(embs, k)
+    for (_ <- 0 until iters) {
+      val assign = nearestCell(base, cents).select(col("vec_id"), col("cell"))
+      // elementwise integer mean; dim sums are exact int64 « 2^53 so
+      // the double divide is exact-input and trunc matches the oracle
+      cents = base.join(assign, "vec_id")
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .withColumn("cx", (col("sx") / col("cnt")).cast("long"))
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("i"), col("cx"))).as("ps"))
+        .select(
+          col("cell"),
+          transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"))
+        .withColumn("cn2", normQ(col("cv")))
+    }
+    cents
   }
+
+  /** Final k-means cluster assignment: one row per vector
+    * (vec_id, cluster_id, cosine-to-final-centroid) against the
+    * [[kmeansCentroids]]-trained codebook. */
+  def kmeansAssign(embs: DataFrame, k: Int, iters: Int = 1): DataFrame =
+    nearestCell(quantized(embs), kmeansCentroids(embs, k, iters))
+      .select(col("vec_id"), col("cell").as("cluster_id"), col("cosine"))
 
   /** ANN via hyperplane-LSH: candidates are corpus vectors in the SAME
     * bucket as the query; exact cosine rescoring + top-k within the

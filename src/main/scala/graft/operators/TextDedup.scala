@@ -444,8 +444,13 @@ object TextDedup {
     * By pigeonhole, a shared-byte block is guaranteed only for
     * hamming ≤ 3 over 4 bytes; wider radii trade recall for cost —
     * the standard multi-index trade-off, documented not hidden. */
-  def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame = {
-    val fps = simhashes(docs, id, text)
+  def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame =
+    simhashPairsFromHashes(simhashes(docs, id, text), maxHamming)
+
+  /** [[simhashPairs]] over an already-computed (doc_id, sh) relation
+    * (e.g. a persisted [[simhashes]] output shared with other
+    * consumers — the materialized-intermediate pattern). */
+  def simhashPairsFromHashes(fps: DataFrame, maxHamming: Int): DataFrame = {
     val bytes = array((0 until 4).map(j => shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)
     val blocks = fps.select(col("doc_id"), col("sh"), posexplode(bytes).as(Seq("bpos", "bval")))
     blocks.as("a")

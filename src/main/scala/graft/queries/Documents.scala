@@ -54,6 +54,11 @@ object Documents {
     cachedPerDir(winnowCache, s, dir)(
       TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), col("doc_id"), col("text")))
 
+  private val simhashCache = new DirCache
+  private def sharedSimhashes(s: SparkSession, dir: String): DataFrame =
+    cachedPerDir(simhashCache, s, dir)(
+      TextDedup.simhashes(Tables.documents(s, dir), col("doc_id"), col("text")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via normalized-content fingerprint: hash-groupBy,
     // one shuffle on the 128-bit key, partial agg map-side.
@@ -78,13 +83,13 @@ object Documents {
     "q33_minhash_lsh_pairs" -> ((s, dir) =>
       TextDedup.lshPairs(TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir)), 0.5)),
 
-    // Per-doc 32-bit SimHash fingerprints.
-    "q34_simhash" -> ((s, dir) =>
-      TextDedup.simhashes(Tables.documents(s, dir), col("doc_id"), col("text"))),
+    // Per-doc 32-bit SimHash fingerprints (persisted, shared with q35
+    // — the same materialized-intermediate pattern as the shingles).
+    "q34_simhash" -> ((s, dir) => sharedSimhashes(s, dir)),
 
     // SimHash near-dup pairs: byte-block candidates, hamming ≤ 6.
     "q35_simhash_pairs" -> ((s, dir) =>
-      TextDedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 6)),
+      TextDedup.simhashPairsFromHashes(sharedSimhashes(s, dir), 6)),
 
     // Brute-force cosine top-10 for 5 broadcast query vectors —
     // exact ANN baseline on integer-quantized embeddings.
@@ -212,6 +217,14 @@ object Documents {
     // centroids) — codebook training for the IVF index (q45).
     "q61_kmeans" -> ((s, dir) => Similarity.kmeansAssign(Tables.embeddings(s, dir), 8)),
 
+    // IVF ANN served from the TRAINED codebook (q61's centroids) —
+    // the production lifecycle: train once, probe forever.
+    "q63_ann_ivf_trained" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopKWith(e, Similarity.kmeansCentroids(e, 8), QueryIds, nProbe = 2, k = 5)
+        .withColumnRenamed("rank", "rk")
+    }),
+
     // PII scrub over deterministically PLANTED pii (the corpus is
     // synthetic word salad, so the harness appends an email per doc, a
     // phone every 3rd, an IPv4 every 5th — making the cross-engine
@@ -328,6 +341,37 @@ object Documents {
 
   private val dotSql =
     "CAST(list_aggregate(list_transform(list_zip(%s, %s), p -> p[1] * p[2]), 'sum') AS BIGINT)"
+
+  /** Trained k-means codebook (k=8, one Lloyd round from the seed
+    * centroids), mirror of [[graft.operators.Similarity.kmeansCentroids]]:
+    * `cn` holds (cell, cv, cn2). Requires [[quantCte]] in scope; uses
+    * [[cosSql]] for the assignment argmax. */
+  private def kmeansCte = s"""cents0 AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM en WHERE vec_id < 8),
+       cc1 AS (
+         SELECT en.vec_id, c.cell,
+                ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+         FROM en, cents0 c
+       ),
+       a1 AS (
+         SELECT vec_id, cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+           FROM cc1) WHERE rn = 1
+       ),
+       comp AS (
+         SELECT a1.cell, generate_subscripts(en.v, 1) AS i, unnest(en.v) AS x
+         FROM en JOIN a1 USING (vec_id)
+       ),
+       sums AS (SELECT cell, i, SUM(x) AS sx, COUNT(1) AS cnt FROM comp GROUP BY 1, 2),
+       cents1 AS (
+         SELECT cell,
+                list(CAST(trunc(CAST(sx AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cv
+         FROM sums GROUP BY cell
+       ),
+       cn AS (
+         SELECT cell, cv,
+                CAST(list_aggregate(list_transform(cv, x -> x*x), 'sum') AS BIGINT) AS cn2
+         FROM cents1
+       )"""
 
   /** Guarded cosine, mirroring [[graft.operators.Similarity.cosine]]:
     * NULL (not inf/NaN) when either squared norm is 0 — a zero
@@ -769,32 +813,7 @@ object Documents {
 
     "q61_kmeans" ->
       s"""WITH $quantCte,
-          cents0 AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM en WHERE vec_id < 8),
-          cc1 AS (
-            SELECT en.vec_id, c.cell,
-                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
-            FROM en, cents0 c
-          ),
-          a1 AS (
-            SELECT vec_id, cell FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
-              FROM cc1) WHERE rn = 1
-          ),
-          comp AS (
-            SELECT a1.cell, generate_subscripts(en.v, 1) AS i, unnest(en.v) AS x
-            FROM en JOIN a1 USING (vec_id)
-          ),
-          sums AS (SELECT cell, i, SUM(x) AS sx, COUNT(1) AS cnt FROM comp GROUP BY 1, 2),
-          cents1 AS (
-            SELECT cell,
-                   list(CAST(trunc(CAST(sx AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cv
-            FROM sums GROUP BY cell
-          ),
-          cn AS (
-            SELECT cell, cv,
-                   CAST(list_aggregate(list_transform(cv, x -> x*x), 'sum') AS BIGINT) AS cn2
-            FROM cents1
-          ),
+          $kmeansCte,
           cc2 AS (
             SELECT en.vec_id, c.cell,
                    ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
@@ -803,6 +822,34 @@ object Documents {
           SELECT vec_id, cell AS cluster_id, ccos AS cosine FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
             FROM cc2) WHERE rn = 1""",
+
+    "q63_ann_ivf_trained" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, en.v, en.n2, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          ),
+          assigned AS (
+            SELECT vec_id, v, n2, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1
+          ),
+          probes AS (
+            SELECT vec_id AS qid, v AS qv, n2 AS qn2, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2 WHERE vec_id IN (0,1,2,3,4)) WHERE rn <= 2
+          ),
+          scored AS (
+            SELECT p.qid, a.vec_id AS cid, p.cell,
+                   ${cosSql("p.qv", "a.v", "p.qn2", "a.n2")} AS cosine
+            FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid
+          ),
+          r AS (SELECT qid, cid, cell, cosine,
+                       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+                FROM scored)
+          SELECT qid, cid, cell, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
 
     "q62_pii_scrub" ->
       """WITH aug AS (

@@ -249,6 +249,30 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_._2).toSet.subsetOf((0L until 4L).toSet))
   }
 
+  test("kmeansCentroids: iters=0 returns the exact seeds; iterating keeps ≤ k cells") {
+    val e = graft.Tables.embeddings(spark, sf())
+    val seeds = Similarity.kmeansCentroids(e, 4, iters = 0).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Seq[Long]]("cv")).toMap
+    val raw = Similarity.seedCentroids(e, 4).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Seq[Long]]("cv")).toMap
+    assert(seeds === raw)
+    val trained2 = Similarity.kmeansCentroids(e, 4, iters = 2).collect()
+    assert(trained2.length <= 4 && trained2.nonEmpty)
+    assert(trained2.map(_.getAs[Long]("cell")).toSet.subsetOf((0L until 4L).toSet))
+  }
+
+  test("ivfTopKWith trained codebook: k rows per query, exact brute-force cosines") {
+    val e = graft.Tables.embeddings(spark, sf())
+    val brute = Similarity.bruteForceTopK(e, Seq(0L), 200).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Double]("cosine")).toMap
+    val out = Similarity.ivfTopKWith(e, Similarity.kmeansCentroids(e, 8), Seq(0L), 2, 5).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      val cid = r.getAs[Long]("cid")
+      if (brute.contains(cid)) assert(brute(cid) === r.getAs[Double]("cosine"))
+    }
+  }
+
   test("lshTopK: bucket ids deterministic; results are a subset of brute force ranking") {
     val e = graft.Tables.embeddings(spark, sf())
     val brute = Similarity.bruteForceTopK(e, Seq(0L), 50).collect()
