@@ -234,7 +234,14 @@ object Similarity {
     * (vec_id, cluster_id, cosine-to-final-centroid) against the
     * [[kmeansCentroids]]-trained codebook. */
   def kmeansAssign(embs: DataFrame, k: Int, iters: Int = 1): DataFrame =
-    nearestCell(quantized(embs), kmeansCentroids(embs, k, iters))
+    kmeansAssignWith(embs, kmeansCentroids(embs, k, iters))
+
+  /** [[kmeansAssign]] against an EXPLICIT (cell, cv, cn2) codebook —
+    * e.g. a persisted [[kmeansCentroids]] output shared with
+    * [[ivfTopKWith]] (train once, assign and probe from the same
+    * materialized codebook). */
+  def kmeansAssignWith(embs: DataFrame, codebook: DataFrame): DataFrame =
+    nearestCell(quantized(embs), codebook.select(col("cell"), col("cv"), col("cn2")))
       .select(col("vec_id"), col("cell").as("cluster_id"), col("cosine"))
 
   /** ANN via hyperplane-LSH: candidates are corpus vectors in the SAME

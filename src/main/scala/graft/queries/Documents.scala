@@ -59,6 +59,13 @@ object Documents {
     cachedPerDir(simhashCache, s, dir)(
       TextDedup.simhashes(Tables.documents(s, dir), col("doc_id"), col("text")))
 
+  // The trained codebook is the canonical materialized intermediate:
+  // q61 assigns with it, q63 probes with it ("train once").
+  private val codebookCache = new DirCache
+  private def sharedCodebook(s: SparkSession, dir: String): DataFrame =
+    cachedPerDir(codebookCache, s, dir)(
+      Similarity.kmeansCentroids(Tables.embeddings(s, dir), 8))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via normalized-content fingerprint: hash-groupBy,
     // one shuffle on the 128-bit key, partial agg map-side.
@@ -214,16 +221,17 @@ object Documents {
     }),
 
     // Distributed k-means (8 cells, one Lloyd refinement from seed
-    // centroids) — codebook training for the IVF index (q45).
-    "q61_kmeans" -> ((s, dir) => Similarity.kmeansAssign(Tables.embeddings(s, dir), 8)),
+    // centroids) — codebook training for the IVF index; the trained
+    // codebook is persisted and shared with q63.
+    "q61_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssignWith(Tables.embeddings(s, dir), sharedCodebook(s, dir))),
 
     // IVF ANN served from the TRAINED codebook (q61's centroids) —
     // the production lifecycle: train once, probe forever.
-    "q63_ann_ivf_trained" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Similarity.ivfTopKWith(e, Similarity.kmeansCentroids(e, 8), QueryIds, nProbe = 2, k = 5)
-        .withColumnRenamed("rank", "rk")
-    }),
+    "q63_ann_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTopKWith(
+        Tables.embeddings(s, dir), sharedCodebook(s, dir), QueryIds, nProbe = 2, k = 5)
+        .withColumnRenamed("rank", "rk")),
 
     // PII scrub over deterministically PLANTED pii (the corpus is
     // synthetic word salad, so the harness appends an email per doc, a
