@@ -181,19 +181,36 @@ object TextDedup {
       maxFpDf: Long = 64L,
       minOverlap: Double = 0.5): DataFrame = {
     val fp0 = fpRows.select(col("doc_id"), col("fp")).distinct()
-    val keep = fp0
-      .groupBy("fp").agg(count(lit(1)).as("__df"))
+    // POSTING-LIST pair generation: one groupBy(fp) collects each
+    // fingerprint's doc list; the df cap is a size filter on the list
+    // (≤ cap ids per row — bounded memory by construction), and the
+    // i<j pairs are generated MAP-SIDE from the sorted list instead of
+    // a fp-key self-join. vs the join form this removes two exchanges
+    // (the semi-join df filter and the second join probe side) and
+    // never materializes colliding rows through a join operator; the
+    // candidate volume is identical (≤ cap²/2 per fingerprint).
+    val lists = fp0
+      .groupBy("fp")
+      .agg(collect_list(col("doc_id")).as("__ds"))
       .observe(
         "winnow_fp_cap",
-        count(when(col("__df") > maxFpDf, 1)).as("dropped_fps"),
-        count(when(col("__df") <= maxFpDf, 1)).as("kept_fps"))
-      .filter(col("__df") <= maxFpDf)
-      .select("fp")
-    val fps   = fp0.join(keep, Seq("fp"), "left_semi")
-    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = fps.as("a")
-      .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        count(when(size(col("__ds")) > maxFpDf, 1)).as("dropped_fps"),
+        count(when(size(col("__ds")) <= maxFpDf, 1)).as("kept_fps"))
+      .filter(size(col("__ds")) <= maxFpDf)
+      .select(array_sort(col("__ds")).as("__ds"))
+    val sizes = lists
+      .select(explode(col("__ds")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    // all i<j pairs of the sorted list ⇒ doc_a < doc_b by construction
+    val pairs = lists.select(
+      explode(flatten(transform(
+        col("__ds"),
+        (a, i) => transform(
+          slice(col("__ds"), i + lit(2), size(col("__ds"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+    val shared = pairs
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
