@@ -46,17 +46,23 @@ object Packing {
       shards: Int = 256): DataFrame = {
     require(capacity >= 1, s"capacity must be positive (got $capacity)")
     require(shards >= 1, s"shards must be positive (got $shards)")
-    val base = df.select(id.cast("long").as("doc_id"), weight.cast("long").as("n_tokens"))
+    // preconditions made loud/total: a NULL id has no position in the
+    // packing order — fail the job rather than silently dropping the
+    // row; a NULL weight packs as 0 tokens (same as the empty doc)
+    val idc = id.cast("long")
+    val base = df.select(
+      when(idc.isNull, raise_error(lit("packSequences: null id"))).otherwise(idc).as("doc_id"),
+      coalesce(weight.cast("long"), lit(0L)).as("n_tokens"))
 
     // contiguous id blocks: block size = ceil(span / shards), from a
     // single-row bounds aggregate (broadcast scalar — the same shape
     // as the scalar-max broadcast in queries/Relational.scala)
     val bounds  = base.agg(min(col("doc_id")).as("__min_id"), max(col("doc_id")).as("__max_id"))
-    // the trailing isNotNull is semantically a no-op (the arithmetic
-    // never yields null) but keeps BOTH consumers of this subtree
-    // canonically identical: the final broadcast join infers an
-    // isnotnull(__shard) filter on one side only, which would
-    // otherwise defeat ReuseExchange below
+    // the trailing isNotNull is semantically a no-op (ids are non-null
+    // past the precondition, so the arithmetic never yields null) but
+    // keeps BOTH consumers of this subtree canonically identical: the
+    // final broadcast join infers an isnotnull(__shard) filter on one
+    // side only, which would otherwise defeat ReuseExchange below
     val sharded = base
       .crossJoin(broadcast(bounds))
       .withColumn("__shard", expr(s"(doc_id - __min_id) DIV ((__max_id - __min_id + $shards) DIV $shards)"))

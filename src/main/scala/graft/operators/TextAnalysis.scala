@@ -152,13 +152,7 @@ object TextAnalysis {
         col("doc_id"),
         col("__chars"),
         col("__ws"),
-        when(
-          size(col("__ws")) >= 2,
-          transform(
-            sequence(lit(1), size(col("__ws")) - 1),
-            i => concat(element_at(col("__ws"), i), lit(" "), element_at(col("__ws"), i + 1))))
-          .otherwise(array().cast("array<string>"))
-          .as("__bgs"))
+        TextDedup.wordNgramsAllFromWords(col("__ws"), 2).as("__bgs"))
       .select(
         col("doc_id"),
         col("__chars"),
@@ -230,15 +224,7 @@ object TextAnalysis {
     require(n >= 1 && k >= 1, s"n and k must be positive (got n=$n, k=$k)")
     val grams = docs
       .select(group.as("grp"), tokens(text).as("__ws"))
-      .select(
-        col("grp"),
-        explode(
-          when(
-            size(col("__ws")) >= n,
-            transform(
-              sequence(lit(1), size(col("__ws")) - (n - 1)),
-              i => concat_ws(" ", (0 until n).map(j => element_at(col("__ws"), i + lit(j))): _*)))
-            .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("grp"), explode(TextDedup.wordNgramsAllFromWords(col("__ws"), n)).as("gram"))
     val counted = grams
       .groupBy(col("grp"), col("gram"))
       .agg(count(lit(1)).as("cnt"))

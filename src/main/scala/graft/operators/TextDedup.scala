@@ -42,12 +42,18 @@ object TextDedup {
     * select): the per-element lambda then reads the attribute instead
     * of re-evaluating the split, making gram construction O(n) per
     * gram — this is the corpus-scale column form. */
-  def wordNgramsFromWords(ws: Column, n: Int): Column = {
+  def wordNgramsFromWords(ws: Column, n: Int): Column =
+    array_distinct(wordNgramsAllFromWords(ws, n))
+
+  /** Multiplicity-KEEPING word n-grams from a materialized words-array
+    * column — the single gram-construction core (also behind
+    * [[TextAnalysis.topNgramsPerGroup]] and the bigram builders).
+    * Fewer than n words yields empty, not a counted-down sequence. */
+  def wordNgramsAllFromWords(ws: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(ws) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
-    when(size(ws) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
+    when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
   /** Corpus-scale shingling: one (doc_id, shingle) row per word
@@ -181,23 +187,29 @@ object TextDedup {
       maxFpDf: Long = 64L,
       minOverlap: Double = 0.5): DataFrame = {
     val fp0 = fpRows.select(col("doc_id"), col("fp")).distinct()
-    // POSTING-LIST pair generation: one groupBy(fp) collects each
-    // fingerprint's doc list; the df cap is a size filter on the list
-    // (≤ cap ids per row — bounded memory by construction), and the
-    // i<j pairs are generated MAP-SIDE from the sorted list instead of
-    // a fp-key self-join. vs the join form this removes two exchanges
-    // (the semi-join df filter and the second join probe side) and
-    // never materializes colliding rows through a join operator; the
-    // candidate volume is identical (≤ cap²/2 per fingerprint).
-    val lists = fp0
-      .groupBy("fp")
-      .agg(collect_list(col("doc_id")).as("__ds"))
+    // POSTING-LIST pair generation. Order matters for memory safety:
+    // the df COUNT runs first (constant per-group aggregation state,
+    // map-side combinable) and the cap filters BEFORE any list is
+    // collected — a corpus-wide boilerplate fingerprint must never
+    // build its full doc array in an aggregation buffer. Only then are
+    // the surviving (≤ cap-id) posting lists collected — that groupBy
+    // rides the semi-join's fp partitioning, no extra exchange — and
+    // the i<j pairs are generated MAP-SIDE from each sorted list
+    // instead of a fp-key self-join, so colliding rows never
+    // materialize through a join operator. Candidate volume is
+    // identical (≤ cap²/2 per fingerprint).
+    val keep = fp0
+      .groupBy("fp").agg(count(lit(1)).as("__df"))
       .observe(
         "winnow_fp_cap",
-        count(when(size(col("__ds")) > maxFpDf, 1)).as("dropped_fps"),
-        count(when(size(col("__ds")) <= maxFpDf, 1)).as("kept_fps"))
-      .filter(size(col("__ds")) <= maxFpDf)
-      .select(array_sort(col("__ds")).as("__ds"))
+        count(when(col("__df") > maxFpDf, 1)).as("dropped_fps"),
+        count(when(col("__df") <= maxFpDf, 1)).as("kept_fps"))
+      .filter(col("__df") <= maxFpDf)
+      .select("fp")
+    val lists = fp0.join(keep, Seq("fp"), "left_semi")
+      .groupBy("fp")
+      .agg(array_sort(collect_list(col("doc_id"))).as("__ds"))
+      .select(col("__ds"))
     val sizes = lists
       .select(explode(col("__ds")).as("doc_id"))
       .groupBy("doc_id")
