@@ -246,21 +246,32 @@ object TextAnalysis {
   val Ipv4Re: String  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe: String = "\\b\\d{3}-\\d{4}\\b"
 
+  /** Redacted form of `text`: email → IP → phone, in that fixed order
+    * (emails can embed dotted hosts; redacting them first keeps the
+    * passes independent). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII-shaped spans in the ORIGINAL text (all three
+    * pattern families). */
+  def piiSpanCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))).cast("long")
+
   /** PII detection + redaction — the safety-filtering pass of a
     * training-data pipeline: per document, count email / IPv4 /
-    * phone-shaped spans (counted on the ORIGINAL text), then redact in
-    * the fixed order email → IP → phone (emails can embed dotted hosts;
-    * redacting them first keeps the passes independent) and emit the
-    * redacted length plus an md5 audit fingerprint of the redacted
-    * text. Pure per-row column expressions — a map-only pass at any
-    * scale, and stream-liftable like [[qualityScore]]. */
+    * phone-shaped spans (counted on the ORIGINAL text), then
+    * [[redactPii]] and emit the redacted length plus an md5 audit
+    * fingerprint of the redacted text. Pure per-row column
+    * expressions — a map-only pass at any scale, and stream-liftable
+    * like [[qualityScore]] (see [[graft.streaming.DocStream]]). */
   def piiScrub(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>")
+    val redacted = redactPii(text)
     docs.select(
       id.as("doc_id"),
       size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),

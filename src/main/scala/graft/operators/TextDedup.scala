@@ -82,6 +82,37 @@ object TextDedup {
       .groupBy(key.as("fp"))
       .agg(min(id).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** The end-to-end dedup DECISION list — what a pipeline actually
+    * consumes: per document, `keep` / `drop_exact` / `drop_near` and
+    * the survivor it defers to. Exact groups (by `key`) keep their
+    * minimum id; near-dup clusters (connected components over `pairs`,
+    * [[dedupClusters]]) keep the cluster minimum. When `pairs` comes
+    * from a similarity at a threshold exact duplicates always clear
+    * (Jaccard/containment = 1 for identical keys), a cluster contains
+    * whole exact groups, so the cluster minimum is itself an exact
+    * keeper — precedence is exact first, then near. Exact groups too
+    * short to shingle fall back to the exact layer alone.
+    *
+    * Scale shape: one hash-agg on the fingerprint + a fp-partitioned
+    * keeper join + one left join against the (pairs-sized, small
+    * relative to the corpus) cluster labels. */
+  def dedupVerdicts(docs: DataFrame, id: Column, key: Column, pairs: DataFrame): DataFrame = {
+    val fps     = docs.select(id.as("doc_id"), key.as("fp"))
+    val keepers = fps.groupBy("fp").agg(min(col("doc_id")).as("__exact_keeper"))
+    val clus    = dedupClusters(pairs).withColumnRenamed("cluster_id", "__cluster_min")
+    val survivor = coalesce(col("__cluster_min"), col("__exact_keeper"))
+    fps
+      .join(keepers, "fp")
+      .join(clus, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        survivor.as("survivor_doc_id"),
+        when(col("doc_id") === survivor, "keep")
+          .when(col("doc_id") =!= col("__exact_keeper"), "drop_exact")
+          .otherwise("drop_near")
+          .as("verdict"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
     * thresholded. The shingle-key join IS the blocking step: pairs
     * with zero overlap are never materialized. `shingles` must be a

@@ -233,6 +233,17 @@ object Documents {
         Tables.embeddings(s, dir), sharedCodebook(s, dir), QueryIds, nProbe = 2, k = 5)
         .withColumnRenamed("rank", "rk")),
 
+    // The dedup DECISION list: keep / drop_exact / drop_near per doc
+    // with the survivor it defers to — exact fingerprint groups +
+    // near-dup clusters (q30 ∘ q53) composed into the verdict a
+    // pipeline actually consumes.
+    "q64_dedup_verdicts" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.dedupVerdicts(
+        d, col("doc_id"), TextAnalysis.fingerprint(col("text")),
+        TextDedup.jaccardPairsFromRows(sharedShingles(s, dir), 0.8))
+    }),
+
     // PII scrub over deterministically PLANTED pii (the corpus is
     // synthetic word salad, so the harness appends an email per doc, a
     // phone every 3rd, an IPv4 every 5th — making the cross-engine
@@ -858,6 +869,49 @@ object Documents {
                        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
                 FROM scored)
           SELECT qid, cid, cell, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
+
+    "q64_dedup_verdicts" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ),
+          pairs AS (
+            SELECT da AS doc_a, db AS doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+          ),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+          ),
+          reach AS (
+            SELECT DISTINCT src AS doc_id, src AS r FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON r.doc_id = e.dst
+          ),
+          clus AS (SELECT doc_id, MIN(r) AS cluster_min FROM reach GROUP BY doc_id),
+          fpk AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+            FROM documents
+          ),
+          keepers AS (SELECT fp, MIN(doc_id) AS exact_keeper FROM fpk GROUP BY fp),
+          j AS (
+            SELECT f.doc_id, k.exact_keeper, c.cluster_min
+            FROM fpk f JOIN keepers k USING (fp)
+            LEFT JOIN clus c ON c.doc_id = f.doc_id
+          )
+          SELECT doc_id,
+                 COALESCE(cluster_min, exact_keeper) AS survivor_doc_id,
+                 CASE WHEN doc_id = COALESCE(cluster_min, exact_keeper) THEN 'keep'
+                      WHEN doc_id <> exact_keeper THEN 'drop_exact'
+                      ELSE 'drop_near' END AS verdict
+          FROM j""",
 
     "q62_pii_scrub" ->
       """WITH aug AS (

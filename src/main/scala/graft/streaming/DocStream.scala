@@ -60,7 +60,18 @@ object DocStream {
       .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality_score") >= minScore)
 
-  /** Full ingest pipeline: dedup within the watermark, then gate. */
+  /** Stateless PII gate: count PII-shaped spans on the ORIGINAL text
+    * and replace `text` with its redacted form, using the BATCH
+    * patterns ([[TextAnalysis.redactPii]]) — one definition of
+    * "redacted" across stream and batch. Runs AFTER scoring so
+    * quality/langid see the original text. */
+  def piiRedacted(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_pii_spans", TextAnalysis.piiSpanCount(col("text")))
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+
+  /** Full ingest pipeline: dedup within the watermark, quality-gate,
+    * then redact PII on the surviving rows. */
   def ingest(docs: DataFrame, minScore: Double, watermark: String = "10 minutes"): DataFrame =
-    qualityGated(dedupedDocs(docs, watermark), minScore)
+    piiRedacted(qualityGated(dedupedDocs(docs, watermark), minScore))
 }

@@ -129,6 +129,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out === Map(0L -> 3L))
   }
 
+  test("dedupVerdicts: exact dups drop to the keeper, near dups to the cluster min, rest keep") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "completely different words entirely here now today"),
+      (3L, "The quick brown fox jumps over the lazy dog!"), // exact dup of 0 (normalized)
+      (4L, "xy zz"), (5L, "xy zz")) // exact dups, too short to shingle
+      .toDF("doc_id", "text")
+    val rows = TextDedup.shingleRows(d, col("doc_id"), col("text"), 3)
+    val out = TextDedup.dedupVerdicts(
+      d, col("doc_id"), TextAnalysis.fingerprint(col("text")),
+      TextDedup.jaccardPairsFromRows(rows, 0.5))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(0L) === ((0L, "keep")))       // cluster {0,1,3} minimum
+    assert(out(1L) === ((0L, "drop_near")))  // its own fp's keeper, but near-dup of 0
+    assert(out(2L) === ((2L, "keep")))       // unique
+    assert(out(3L) === ((0L, "drop_exact"))) // exact dup of 0
+    assert(out(4L) === ((4L, "keep")))       // short exact group: keeper
+    assert(out(5L) === ((4L, "drop_exact"))) // short exact group: dropped
+  }
+
   test("dedupClusters: chains and triangles collapse to the component minimum") {
     val s = spark; import s.implicits._
     // components: {1,2,3,4} via chain 1-2-3-4, {7,9} pair, triangle

@@ -58,4 +58,33 @@ class DocStreamSpec extends SparkSpec {
     }
     assert(out.filter(col("predicted_lang") =!= "en").count() === 0)
   }
+
+  test("streaming ingest redacts PII with the batch patterns after scoring") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("docstream-pii").toString
+    val withPii = ("the data value " * 30).trim +
+      " contact me at alice@example.com or call 555-0142 thanks"
+    Seq((0L, withPii, "en", "s0", "2025-10-08 10:00:00"))
+      .toDF("doc_id", "text", "lang", "source", "ts")
+      .withColumn("ingest_ts", to_timestamp(col("ts"))).drop("ts")
+      .coalesce(1).write.json(s"$dir/land/f1")
+
+    val q = DocStream.ingest(DocStream.readDocStream(spark, s"$dir/land/*"), minScore = 0.3)
+      .writeStream
+      .format("memory").queryName("doc_pii_out").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val r = spark.table("doc_pii_out").collect().head
+    assert(r.getAs[Long]("n_pii_spans") === 2)
+    val red = r.getAs[String]("text")
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+    assert(!red.contains("alice@example.com") && !red.contains("555-0142"))
+    // the quality score was computed on the ORIGINAL text
+    val batch = graft.operators.TextAnalysis.qualityScore(col("text"))
+    val expected = Seq(withPii).toDF("text").select(batch).collect().head.getDouble(0)
+    assert(r.getAs[Double]("quality_score") === expected)
+  }
 }
