@@ -1,7 +1,7 @@
 package graft
 
 import graft.ohlcv.{MockData, Normalize, RawIngest}
-import graft.operators.{Dedup, Resample, Skew, TextDedup}
+import graft.operators.{Dedup, Packing, Resample, Skew, TextAnalysis, TextDedup}
 import graft.functions.Det
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
@@ -147,6 +147,80 @@ class PropertySpec extends SparkSpec {
       val sigs = TextDedup.minhashSignatures(docs, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       if (sigs.nonEmpty) assert(sigs(0L) === sigs(1L))
+    }
+  }
+
+  test("sequence packing equals the sequential scan for arbitrary sparse ids/weights") {
+    val s = spark; import s.implicits._
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 5000L)
+      w  <- Gen.chooseNum(0L, 300L)
+    } yield (id, w)
+    forAll(Gen.listOfN(40, rowGen), n = 5) { rows0 =>
+      val rows = rows0.distinctBy(_._1)
+      if (rows.nonEmpty) {
+        val df = rows.toDF("id", "w")
+        val out = Packing.packSequences(df, col("id"), col("w"), capacity = 64L, shards = 7)
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("start_offset"), r.getAs[Long]("bin_id"), r.getAs[Long]("n_bins"))))
+          .toMap
+        var off = 0L
+        rows.sortBy(_._1).foreach { case (id, w) =>
+          val (so, bin, nb) = out(id)
+          assert(so === off)
+          assert(bin === so / 64)
+          assert(nb === math.max(1L, (so + w - 1) / 64 - so / 64 + 1))
+          off += w
+        }
+      }
+    }
+  }
+
+  test("dedup verdicts are total, survivor-consistent, and keepers keep") {
+    val s = spark; import s.implicits._
+    // small alphabet → guaranteed exact and near collisions
+    val textGen = Gen.listOfN(5, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    forAll(Gen.listOfN(12, textGen), n = 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = TextDedup.jaccardPairsFromRows(
+        TextDedup.shingleRows(docs, col("doc_id"), col("text"), 3), 0.5)
+      val out = TextDedup.dedupVerdicts(
+        docs, col("doc_id"), TextAnalysis.fingerprint(col("text")), pairs)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(out.size === texts.size) // one verdict per doc
+      out.foreach { case (id, (survivor, verdict)) =>
+        assert(survivor <= id)
+        assert((verdict == "keep") === (survivor == id))
+        assert(out(survivor)._2 === "keep") // the survivor itself keeps
+      }
+    }
+  }
+
+  test("per-group top n-grams rank true counts, ranks dense from 1, counts non-increasing") {
+    val s = spark; import s.implicits._
+    val rowGen = for {
+      g <- Gen.oneOf("en", "de")
+      t <- Gen.listOfN(4, Gen.oneOf("x", "y", "z")).map(_.mkString(" "))
+    } yield (g, t)
+    forAll(Gen.listOfN(10, rowGen), n = 5) { rows =>
+      val df  = rows.toDF("lang", "text")
+      val out = TextAnalysis.topNgramsPerGroup(df, col("lang"), col("text"), n = 2, k = 3)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      // true bigram counts per group, computed sequentially
+      val truth = rows
+        .flatMap { case (g, t) =>
+          val ws = t.trim.split("\\s+").toSeq
+          ws.sliding(2).filter(_.size == 2).map(bg => (g, bg.mkString(" ")))
+        }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      out.groupBy(_._1).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._4)
+        assert(sorted.map(_._4).toSeq === (1 to sorted.length)) // dense ranks from 1
+        assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-_).toSeq) // non-increasing
+        sorted.foreach { case (g, gram, cnt, _) => assert(truth((g, gram)) === cnt) }
+      }
     }
   }
 
