@@ -96,10 +96,21 @@ object TextDedup {
     * Scale shape: one hash-agg on the fingerprint + a fp-partitioned
     * keeper join + one left join against the (pairs-sized, small
     * relative to the corpus) cluster labels. */
-  def dedupVerdicts(docs: DataFrame, id: Column, key: Column, pairs: DataFrame): DataFrame = {
+  def dedupVerdicts(docs: DataFrame, id: Column, key: Column, pairs: DataFrame): DataFrame =
+    dedupVerdictsFromClusters(docs, id, key, dedupClusters(pairs))
+
+  /** [[dedupVerdicts]] over precomputed cluster labels
+    * ([[dedupClusters]] output) — pass a PERSISTED one when the same
+    * clustering feeds several consumers (labels are the expensive,
+    * iterative stage; the verdict itself is two cheap joins). */
+  def dedupVerdictsFromClusters(
+      docs: DataFrame,
+      id: Column,
+      key: Column,
+      clusters: DataFrame): DataFrame = {
     val fps     = docs.select(id.as("doc_id"), key.as("fp"))
     val keepers = fps.groupBy("fp").agg(min(col("doc_id")).as("__exact_keeper"))
-    val clus    = dedupClusters(pairs).withColumnRenamed("cluster_id", "__cluster_min")
+    val clus    = clusters.withColumnRenamed("cluster_id", "__cluster_min")
     val survivor = coalesce(col("__cluster_min"), col("__exact_keeper"))
     fps
       .join(keepers, "fp")
@@ -440,11 +451,17 @@ object TextDedup {
       // extra full LS+SS round just to confirm. Canonical form
       // (src > dst) makes each star's root its smallest node, and the
       // ops preserve connectivity, so star roots are component minima.
-      converged =
-        next.groupBy("src").agg(count(lit(1)).as("c")).filter(col("c") > 1).isEmpty &&
-          next.select("src")
-            .join(next.select(col("dst").as("src")), Seq("src"), "left_semi")
-            .isEmpty
+      // Both violation kinds are counted in ONE job (a union of two
+      // scans over the just-checkpointed `next`) — at cluster scale
+      // each extra probe is a full job-submission round trip per
+      // iteration, so the two checks ride a single collect.
+      converged = next
+        .groupBy("src").agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select(col("src"))
+        .unionByName(
+          next.select(col("src"))
+            .join(next.select(col("dst").as("src")), Seq("src"), "left_semi"))
+        .isEmpty
       cur.unpersist()
       cur = next
       iter += 1

@@ -54,6 +54,23 @@ object Documents {
     cachedPerDir(winnowCache, s, dir)(
       TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), col("doc_id"), col("text")))
 
+  // The exact-Jaccard pair relation and its connected-component labels
+  // are the two most expensive dedup intermediates, each consumed by
+  // several queries (pairs: q31/q53/q64; labels: q53/q64) — both are
+  // materialized once per (session, dir) like the shingles they derive
+  // from. Note the labels cache builds EAGERLY on first access
+  // (starContract runs its rounds driver-side), which is exactly the
+  // "train once, read forever" lifecycle of a real dedup stage.
+  private val pairsCache = new DirCache
+  private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    cachedPerDir(pairsCache, s, dir)(
+      TextDedup.jaccardPairsFromRows(sharedShingles(s, dir), 0.8))
+
+  private val clustersCache = new DirCache
+  private def sharedClusters(s: SparkSession, dir: String): DataFrame =
+    cachedPerDir(clustersCache, s, dir)(
+      TextDedup.dedupClusters(sharedJaccardPairs(s, dir)))
+
   private val simhashCache = new DirCache
   private def sharedSimhashes(s: SparkSession, dir: String): DataFrame =
     cachedPerDir(simhashCache, s, dir)(
@@ -76,8 +93,7 @@ object Documents {
 
     // Exact word-3gram Jaccard near-dup pairs ≥ 0.8 (finds the
     // corpus's planted near-duplicates). Shingle join = blocking.
-    "q31_ngram_jaccard_pairs" -> ((s, dir) =>
-      TextDedup.jaccardPairsFromRows(sharedShingles(s, dir), 0.8)),
+    "q31_ngram_jaccard_pairs" -> ((s, dir) => sharedJaccardPairs(s, dir)),
 
     // MinHash signatures (16 perms), computed whole-row; exploded to
     // (doc_id, k, minhash) rows for the oracle compare.
@@ -168,8 +184,7 @@ object Documents {
     // Dedup decision: connected components over the exact near-dup
     // pairs (q31) — every doc in a cluster labeled with the component
     // minimum (the keeper).
-    "q53_dedup_clusters" -> ((s, dir) =>
-      TextDedup.dedupClusters(TextDedup.jaccardPairsFromRows(sharedShingles(s, dir), 0.8))),
+    "q53_dedup_clusters" -> ((s, dir) => sharedClusters(s, dir)),
 
     // MOSS winnowing fingerprints (8-char grams, window 4): the
     // partial-overlap detection key — map-only, no shuffle.
@@ -239,9 +254,9 @@ object Documents {
     // pipeline actually consumes.
     "q64_dedup_verdicts" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      TextDedup.dedupVerdicts(
+      TextDedup.dedupVerdictsFromClusters(
         d, col("doc_id"), TextAnalysis.fingerprint(col("text")),
-        TextDedup.jaccardPairsFromRows(sharedShingles(s, dir), 0.8))
+        sharedClusters(s, dir))
     }),
 
     // PII scrub over deterministically PLANTED pii (the corpus is
