@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Extended technical-indicator pack beyond [[Analytics.withIndicators]]
+  * (the reference advertises an indicator surface in `api_config.json:46-51`
+  * but never computes it; SMA/Bollinger/RSI live in [[Analytics]], the
+  * rest of the standard set lives here): VWAP, drawdown, ATR, EMA/MACD,
+  * z-score anomalies, pairwise correlation, and an OHLCV integrity
+  * report.
+  *
+  * Numeric contract: every aggregate/frame sum is an exact decimal
+  * ([[graft.functions.Det]] rationale) and every remaining double op is
+  * a single correctly-rounded IEEE operation in a fixed expression
+  * order, so results are bit-identical across partitionings, cluster
+  * sizes, and the DuckDB oracle. The one inherently sequential operator
+  * (EMA) states its order contract explicitly and is computed by a
+  * per-partition linear scan, not a window.
+  */
+object Indicators {
+
+  private def dec(c: Column, scale: Int) = c.cast(DecimalType(30, scale))
+
+  /** Cumulative intraday VWAP per (symbol, day): Σ(price·volume)/Σ(volume)
+    * over the day so far, one output row per tick.
+    *
+    * Scale: the window partitions by (symbol, day) — a day of one
+    * symbol is the unit of parallelism, so adding days or symbols adds
+    * reducers instead of deepening one sort (no per-symbol funnel). */
+  def withVwap(ticks: DataFrame, price: Column, volume: Column, tieBreak: Column): DataFrame = {
+    val w = Window
+      .partitionBy(col("symbol"), to_date(col("ts")))
+      .orderBy(col("ts").asc, tieBreak.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val num = sum(dec(price * volume, 8)).over(w).cast("double")
+    val den = sum(dec(volume, 4)).over(w).cast("double")
+    ticks.withColumn("vwap", when(den =!= 0, num / den))
+  }
+
+  /** Running peak and drawdown-from-peak percent per symbol, in two
+    * passes so the prefix max never funnels a symbol's whole history
+    * through one reducer:
+    *
+    *  1. running max WITHIN each (symbol, chunk) — parallel across
+    *     chunks;
+    *  2. prefix max of whole-chunk maxima across PRECEDING chunks — a
+    *     window over the one-row-per-(symbol, chunk) rollup, thousands
+    *     of times smaller than the data — joined back and combined with
+    *     `greatest`.
+    *
+    * Max is order- and grouping-insensitive, so the two-pass result is
+    * exactly the global running max (no borrowing needed, unlike the
+    * trailing-frame indicators). `chunk` must be a non-decreasing
+    * function of `order` (e.g. the epoch-day of a bucket timestamp). */
+  def withDrawdown(candles: DataFrame, close: Column, order: Column, chunk: Column): DataFrame = {
+    val base = candles.withColumn("__chunk", chunk)
+    val wLocal = Window
+      .partitionBy(col("symbol"), col("__chunk"))
+      .orderBy(order.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window
+      .partitionBy(col("symbol"))
+      .orderBy(col("__chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkMax = base
+      .groupBy(col("symbol"), col("__chunk"))
+      .agg(max(close).as("__cmax"))
+      .withColumn("__prev_peak", max(col("__cmax")).over(wPrev))
+      .drop("__cmax")
+    val peak = when(col("__prev_peak").isNull, col("__local"))
+      .otherwise(greatest(col("__local"), col("__prev_peak")))
+    base
+      .withColumn("__local", max(close).over(wLocal))
+      .join(chunkMax, Seq("symbol", "__chunk"))
+      .withColumn("running_peak", peak)
+      .withColumn(
+        "drawdown_pct",
+        when(col("running_peak") =!= 0, (close - col("running_peak")) / col("running_peak") * 100))
+      .drop("__chunk", "__local", "__prev_peak")
+  }
+
+  /** True range and its n-candle simple average (the SMA-smoothed ATR
+    * variant — Wilder's recursive smoothing is an EMA, see [[emaMacd]]
+    * for the sequential machinery). First candle of a symbol has no
+    * previous close: TR falls back to high−low (standard convention).
+    *
+    * Same trailing-frame shape as [[Analytics.withIndicators]]; for
+    * tick-scale inputs partition by (symbol, chunk) via the borrowing
+    * pattern there — candle inputs are already resampled/bounded. */
+  def withAtr(candles: DataFrame, n: Int, order: Column): DataFrame = {
+    val w     = Window.partitionBy(col("symbol")).orderBy(order.asc)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val prev  = lag(col("close"), 1).over(w)
+    val tr = when(prev.isNull, col("high") - col("low"))
+      .otherwise(
+        greatest(
+          col("high") - col("low"),
+          abs(col("high") - prev),
+          abs(col("low") - prev)))
+    candles
+      .withColumn("tr", tr)
+      .withColumn(
+        "atr",
+        sum(dec(col("tr"), 6)).over(frame).cast("double") / count(col("tr")).over(frame))
+  }
+
+  // NOT private: the codegen'd encoder projections must reach them.
+  case class DailyClose(symbol: String, trade_date: java.sql.Date, close: Double)
+  case class EmaRow(
+      symbol: String,
+      trade_date: java.sql.Date,
+      close: Double,
+      ema12: Double,
+      ema26: Double,
+      macd: Double,
+      signal: Double,
+      histogram: Double)
+
+  /** EMA(12)/EMA(26)/MACD/signal(9) per symbol over a daily close
+    * series — the one inherently SEQUENTIAL indicator (EMA_t depends on
+    * EMA_{t−1}), done the honest distributed way: one shuffle on
+    * symbol, a sort within partitions, then a streaming O(1)-state
+    * linear scan per partition (`mapPartitions`, state reset on symbol
+    * change). No window, no collect, no per-group materialization —
+    * memory is constant regardless of history length.
+    *
+    * Seeding convention (stated, since conventions differ): EMA seeds
+    * at the first close (so MACD starts at 0), signal seeds at the
+    * first MACD. α = 2/(n+1). Each step is
+    * `α·close + (1−α)·prev` — two multiplies and an add in fixed
+    * order, bit-reproducible against the oracle's recursive CTE.
+    *
+    * Scale: parallelism = symbols. A daily series is ≤ a few thousand
+    * rows per symbol-decade, so the scan is trivially cheap; the input
+    * being the pre-aggregated DAILY relation (not ticks) is what makes
+    * this shape right at 100 TB. */
+  def emaMacd(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val a12 = 2.0 / 13.0
+    val a26 = 2.0 / 27.0
+    val a9  = 2.0 / 10.0
+    daily
+      .select(
+        col("symbol").cast("string").as("symbol"),
+        col("trade_date"),
+        col("close").cast("double").as("close"))
+      .as[DailyClose]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("trade_date"))
+      .mapPartitions { it =>
+        var sym: String = null
+        var e12, e26, sig = 0.0
+        it.map { r =>
+          if (r.symbol != sym) {
+            sym = r.symbol
+            e12 = r.close
+            e26 = r.close
+            sig = 0.0 // first macd is e12 - e26 = 0, and signal seeds at it
+          } else {
+            e12 = a12 * r.close + (1.0 - a12) * e12
+            e26 = a26 * r.close + (1.0 - a26) * e26
+            val macd = e12 - e26
+            sig = a9 * macd + (1.0 - a9) * sig
+          }
+          val macd = e12 - e26
+          EmaRow(r.symbol, r.trade_date, r.close, e12, e26, macd, sig, macd - sig)
+        }
+      }
+      .toDF()
+  }
+
+  /** Ticks more than `k` sample standard deviations from their
+    * symbol's mean — the basic data-quality / outlier screen. One
+    * hash-aggregate for the per-symbol moments (exact decimal sums),
+    * then a broadcast join back and a map-only filter: the tick stream
+    * is never shuffled. */
+  def zScoreAnomalies(ticks: DataFrame, value: Column, k: Double): DataFrame = {
+    val stats = ticks
+      .groupBy(col("symbol"))
+      .agg(
+        graft.functions.Det.davg(value).as("__mean"),
+        graft.functions.Det.dstddev(value).as("__sd"))
+    ticks
+      .join(broadcast(stats), "symbol")
+      .withColumn("z", when(col("__sd") > 0, (value - col("__mean")) / col("__sd")))
+      .filter(abs(col("z")) >= k)
+      .drop("__mean", "__sd")
+  }
+
+  /** Pairwise Pearson correlation between symbols over an aligned
+    * per-(symbol, key) series (e.g. daily price change): self-join on
+    * the key (symbol_a < symbol_b), then one hash-aggregate of exact
+    * integer moments; the closed-form correlation is evaluated in a
+    * fixed double expression order. Pairs with zero variance on either
+    * side yield null.
+    *
+    * The series is quantized to `round(x · scale)` integer ticks first
+    * (scale = 100 ⇒ cents) — correlation is invariant to affine
+    * scaling, and integer moments make the result bit-reproducible:
+    * casting full-mantissa double PRODUCTS to scaled decimals rounds
+    * differently across engines (measured: last-ulp corr drift vs
+    * DuckDB), while integer sums are exact everywhere. Same trick as
+    * [[graft.functions.Portable.quantize]] for embeddings.
+    *
+    * Scale: the input is a pre-aggregated (symbol, day) relation —
+    * |days|·|symbols|² candidate rows through one shuffle on the key,
+    * then a |symbols|²-row result. Never runs on ticks. */
+  def correlationMatrix(series: DataFrame, key: Column, x: Column, scale: Long = 100L): DataFrame = {
+    val s = series.select(
+      col("symbol"), key.as("__k"), round(x * scale).cast("long").as("__x"))
+    val joined = s.as("a")
+      .join(s.as("b"), col("a.__k") === col("b.__k") && col("a.symbol") < col("b.symbol"))
+      .select(
+        col("a.symbol").as("sym_a"),
+        col("b.symbol").as("sym_b"),
+        col("a.__x").as("xa"),
+        col("b.__x").as("xb"))
+    def isum(c: Column) = sum(c.cast(DecimalType(38, 0))).cast("double")
+    val agg = joined
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        isum(col("xa")).as("sx"),
+        isum(col("xb")).as("sy"),
+        isum(col("xa") * col("xb")).as("sxy"),
+        isum(col("xa") * col("xa")).as("sxx"),
+        isum(col("xb") * col("xb")).as("syy"))
+    val vx = agg("n") * agg("sxx") - agg("sx") * agg("sx")
+    val vy = agg("n") * agg("syy") - agg("sy") * agg("sy")
+    agg.select(
+      col("sym_a"),
+      col("sym_b"),
+      col("n"),
+      when(vx > 0 && vy > 0, (agg("n") * agg("sxy") - agg("sx") * agg("sy")) / (sqrt(vx) * sqrt(vy)))
+        .as("corr"))
+  }
+
+  /** OHLCV integrity report per symbol over a candle relation keyed by
+    * `bucketStart` epoch seconds: inverted candles (high < low), range
+    * violations (high below the body or low above it), non-positive
+    * volume, and time-series gaps (consecutive buckets further apart
+    * than `bucketSeconds`). One lag window + one hash-aggregate. */
+  def qualityReport(candles: DataFrame, bucketStart: Column, bucketSeconds: Long): DataFrame = {
+    val w   = Window.partitionBy(col("symbol")).orderBy(bucketStart.asc)
+    val gap = bucketStart - lag(bucketStart, 1).over(w)
+    candles
+      .withColumn("__gap", gap)
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_candles"),
+        count(when(col("high") < col("low"), 1)).as("n_inverted"),
+        count(when(
+          col("high") < greatest(col("open"), col("close")) ||
+            col("low") > least(col("open"), col("close")), 1)).as("n_range_violations"),
+        count(when(col("volume") <= 0, 1)).as("n_nonpos_volume"),
+        count(when(col("__gap") > bucketSeconds, 1)).as("n_gaps"),
+        max(col("__gap")).as("max_gap_seconds"))
+  }
+}

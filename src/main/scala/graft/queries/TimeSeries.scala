@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Det._
-import graft.operators.{Analytics, AsOfJoin, Dedup, RangeJoin, Resample, Sessionize}
+import graft.operators.{Analytics, AsOfJoin, Dedup, Indicators, RangeJoin, Resample, Sessionize}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -197,7 +197,61 @@ object TimeSeries {
     "q28_date_range" -> ((s, dir) =>
       Analytics.dateRange(ticksAsCandles(s, dir), "purchase", "2024-01-05", "2024-01-15", col("event_id"))
         .select(col("symbol"), col("trade_date"), col("open"), col("close"), col("high"), col("low"),
-          col("volume"), col("avg_price"), col("num_records"), col("price_change"), col("price_change_pct")))
+          col("volume"), col("avg_price"), col("num_records"), col("price_change"), col("price_change_pct"))),
+
+    // Indicator-pack extensions (§2.8, the surface api_config.json
+    // advertises): VWAP, drawdown, ATR, correlation, anomaly screen,
+    // integrity report, EMA/MACD.
+
+    // Cumulative intraday VWAP per (symbol, day) — one row per tick,
+    // windows parallel across (symbol × day).
+    "q65_vwap" -> ((s, dir) =>
+      Indicators.withVwap(ticksAsCandles(s, dir), col("close"), col("volume"), col("event_id"))
+        .select(col("symbol"), col("ts"), col("event_id"), col("close"), col("vwap"))),
+
+    // Running peak + drawdown-from-peak over hourly candles, two-pass
+    // (per-day local max ⊕ prefix max of prior day maxima) so no
+    // symbol funnels its whole history through one reducer.
+    "q66_drawdown" -> ((s, dir) =>
+      Indicators.withDrawdown(
+        hourlyCandles(s, dir), col("close"), col("bucket_start"),
+        col("bucket_start") - pmod(col("bucket_start"), lit(86400L)))
+        .select(col("symbol"), col("bucket_start"), col("close"),
+          col("running_peak"), col("drawdown_pct"))),
+
+    // True range + 14-candle average (SMA-smoothed ATR) over hourly
+    // candles.
+    "q67_atr" -> ((s, dir) =>
+      Indicators.withAtr(hourlyCandles(s, dir), 14, col("bucket_start"))
+        .select(col("symbol"), col("bucket_start"), col("tr"), col("atr"))),
+
+    // Pairwise Pearson correlation of daily price CHANGE (close−open,
+    // quantized to cents) between symbols — exact integer moments,
+    // closed form.
+    "q68_corr_matrix" -> ((s, dir) =>
+      Indicators.correlationMatrix(
+        Analytics.dailyStats(ticksAsCandles(s, dir), col("event_id"))
+          .select(col("symbol"), col("trade_date"), col("price_change")),
+        col("trade_date"), col("price_change"))),
+
+    // Ticks ≥ 3 sample standard deviations from their symbol mean —
+    // one moments aggregate, broadcast join back, map-only filter.
+    "q69_anomalies" -> ((s, dir) =>
+      Indicators.zScoreAnomalies(ticksAsCandles(s, dir), col("close"), 3.0)
+        .select(col("symbol"), col("ts"), col("event_id"), col("close"), col("z"))),
+
+    // OHLCV integrity report per symbol over hourly candles: inverted
+    // candles, body-range violations, non-positive volume, time gaps.
+    "q70_ohlcv_quality" -> ((s, dir) =>
+      Indicators.qualityReport(hourlyCandles(s, dir), col("bucket_start"), 3600L)),
+
+    // EMA(12)/EMA(26)/MACD/signal(9) over daily closes — the
+    // inherently sequential indicator, as a per-symbol streaming scan
+    // (one shuffle, O(1) state), never a collect.
+    "q71_ema_macd" -> ((s, dir) =>
+      Indicators.emaMacd(
+        Analytics.dailyStats(ticksAsCandles(s, dir), col("event_id"))
+          .select(col("symbol"), col("trade_date"), col("close"))))
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,6 +376,144 @@ object TimeSeries {
     "q28_date_range" -> (dailyStatsSql +
       """ SELECT symbol, trade_date, open, close, high, low, volume, avg_price, num_records, price_change, price_change_pct
           FROM daily
-          WHERE symbol = 'purchase' AND trade_date BETWEEN DATE '2024-01-05' AND DATE '2024-01-15'""")
+          WHERE symbol = 'purchase' AND trade_date BETWEEN DATE '2024-01-05' AND DATE '2024-01-15'"""),
+    "q65_vwap" ->
+      """WITH t AS (
+           SELECT event_type AS symbol, ts, event_id, value AS close, value AS volume FROM events
+         ),
+         w AS (
+           SELECT symbol, ts, event_id, close,
+                  CAST(SUM(CAST(close*volume AS DECIMAL(30,8))) OVER f AS DOUBLE) AS num,
+                  CAST(SUM(CAST(volume AS DECIMAL(30,4))) OVER f AS DOUBLE) AS den
+           FROM t
+           WINDOW f AS (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )
+         SELECT symbol, ts, event_id, close,
+                CASE WHEN den <> 0 THEN num / den END AS vwap
+         FROM w""",
+    "q66_drawdown" -> (hourlyCandlesSql +
+      """, p AS (
+           SELECT symbol, bucket_start, close,
+                  MAX(close) OVER (PARTITION BY symbol ORDER BY bucket_start
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_peak
+           FROM candles
+         )
+         SELECT symbol, bucket_start, close, running_peak,
+                CASE WHEN running_peak <> 0
+                     THEN (close - running_peak) / running_peak * 100 END AS drawdown_pct
+         FROM p"""),
+    "q67_atr" -> (hourlyCandlesSql +
+      """, d AS (
+           SELECT symbol, bucket_start, open, high, low, close,
+                  lag(close) OVER (PARTITION BY symbol ORDER BY bucket_start) AS pc
+           FROM candles
+         ),
+         tr0 AS (
+           SELECT symbol, bucket_start,
+                  CASE WHEN pc IS NULL THEN high - low
+                       ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+           FROM d
+         )
+         SELECT symbol, bucket_start, tr,
+                CAST(SUM(CAST(tr AS DECIMAL(30,6))) OVER f AS DOUBLE) / COUNT(tr) OVER f AS atr
+         FROM tr0
+         WINDOW f AS (PARTITION BY symbol ORDER BY bucket_start
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"""),
+    "q68_corr_matrix" -> (dailyStatsSql +
+      """, j AS (
+           SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+                  CAST(round(a.price_change * 100) AS BIGINT) AS xa,
+                  CAST(round(b.price_change * 100) AS BIGINT) AS xb
+           FROM daily a JOIN daily b
+             ON a.trade_date = b.trade_date AND a.symbol < b.symbol
+         ),
+         g AS (
+           SELECT sym_a, sym_b, COUNT(1) AS n,
+                  CAST(SUM(CAST(xa AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(xb AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(xa*xb AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(xa*xa AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(xb*xb AS DECIMAL(38,0))) AS DOUBLE) AS syy
+           FROM j GROUP BY sym_a, sym_b
+         )
+         SELECT sym_a, sym_b, n,
+                CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                     THEN (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) END AS corr
+         FROM g"""),
+    "q69_anomalies" ->
+      """WITH t AS (
+           SELECT event_type AS symbol, ts, event_id, value AS close FROM events
+         ),
+         s AS (
+           SELECT symbol, COUNT(close) AS n,
+                  CAST(SUM(CAST(close AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(close*close AS DECIMAL(30,8))) AS DOUBLE) AS s2
+           FROM t GROUP BY symbol
+         ),
+         m AS (
+           SELECT symbol, s1 / n AS mean,
+                  CASE WHEN n > 1 THEN sqrt(greatest(0.0, (s2 - s1*s1/n) / (n-1))) END AS sd
+           FROM s
+         ),
+         z AS (
+           SELECT t.symbol, t.ts, t.event_id, t.close,
+                  CASE WHEN m.sd > 0 THEN (t.close - m.mean) / m.sd END AS z
+           FROM t JOIN m USING (symbol)
+         )
+         SELECT symbol, ts, event_id, close, z FROM z WHERE abs(z) >= 3.0""",
+    "q70_ohlcv_quality" -> (hourlyCandlesSql +
+      """, d AS (
+           SELECT *,
+                  bucket_start - lag(bucket_start) OVER (PARTITION BY symbol ORDER BY bucket_start) AS gap
+           FROM candles
+         )
+         SELECT symbol, COUNT(1) AS n_candles,
+                COUNT(CASE WHEN high < low THEN 1 END) AS n_inverted,
+                COUNT(CASE WHEN high < greatest(open, close) OR low > least(open, close) THEN 1 END)
+                  AS n_range_violations,
+                COUNT(CASE WHEN volume <= 0 THEN 1 END) AS n_nonpos_volume,
+                COUNT(CASE WHEN gap > 3600 THEN 1 END) AS n_gaps,
+                MAX(gap) AS max_gap_seconds
+         FROM d GROUP BY symbol"""),
+    // The oracle mirrors the engine's stated seeding convention (EMA
+    // seeds at the first close, signal at the first MACD) and repeats
+    // the ema12/ema26 update expressions inline for macd/signal so the
+    // double op ORDER is identical to the Scala scan's.
+    "q71_ema_macd" ->
+      """WITH RECURSIVE d0 AS (
+           SELECT event_type AS symbol, CAST(ts AS DATE) AS trade_date, value, ts, event_id,
+                  row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                     ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM events
+         ),
+         daily AS (
+           SELECT symbol, trade_date, MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+           FROM d0 GROUP BY symbol, trade_date
+         ),
+         seq AS (
+           SELECT symbol, trade_date, close,
+                  row_number() OVER (PARTITION BY symbol ORDER BY trade_date) AS rn
+           FROM daily
+         ),
+         r AS (
+           SELECT symbol, trade_date, close, rn,
+                  close AS ema12, close AS ema26,
+                  CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS sig
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.symbol, s.trade_date, s.close, s.rn,
+                  (2.0/13.0)*s.close + (1 - 2.0/13.0)*r.ema12,
+                  (2.0/27.0)*s.close + (1 - 2.0/27.0)*r.ema26,
+                  ((2.0/13.0)*s.close + (1 - 2.0/13.0)*r.ema12)
+                    - ((2.0/27.0)*s.close + (1 - 2.0/27.0)*r.ema26),
+                  (2.0/10.0)*(((2.0/13.0)*s.close + (1 - 2.0/13.0)*r.ema12)
+                              - ((2.0/27.0)*s.close + (1 - 2.0/27.0)*r.ema26))
+                    + (1 - 2.0/10.0)*r.sig
+           FROM r JOIN seq s ON s.symbol = r.symbol AND s.rn = r.rn + 1
+         )
+         SELECT symbol, trade_date, close, ema12, ema26, macd, sig AS signal,
+                macd - sig AS histogram
+         FROM r"""
   )
 }
