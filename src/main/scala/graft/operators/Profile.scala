@@ -113,4 +113,42 @@ object Profile {
     }
     df.filter(hv < threshold)
   }
+
+  /** Temperature-based source rebalancing (the multilingual-corpus
+    * mixture trick, e.g. mC4/XLM-R style): keep probability
+    * p_g = (n_min/n_g)^(1−α) per group, so at α→1 nothing is dropped
+    * and at α→0 every group is downsampled to the smallest group's
+    * expected size — flattening the mixture without replicating rows
+    * (rates stay ≤ 1 by normalizing on the SMALLEST group).
+    *
+    * Same deterministic hash-gate as [[stratifiedSample]] (a row's
+    * fate depends only on its id — partition- and engine-invariant);
+    * the rates come from one tiny per-group count aggregate that is
+    * broadcast back, so the corpus is filtered map-only.
+    *
+    * α = 0.5 (the default) computes the rate with `sqrt`, which is
+    * correctly rounded and therefore bit-portable; other α use `pow`,
+    * which may drift in the last ulp across libm implementations — fine
+    * for sampling, but only the sqrt path carries the exact-oracle
+    * guarantee. Output = kept rows + their group's `sample_rate_bps`. */
+  def temperatureSample(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      alpha: Double = 0.5,
+      seed: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(!df.columns.contains("sample_rate_bps"), "column sample_rate_bps already exists")
+    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+    val nmin   = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio  = col("__nmin").cast("double") / col("__n")
+    val rate   = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val bps = counts
+      .crossJoin(broadcast(nmin))
+      .select(col("__g"), round(rate * 10000).cast("long").as("sample_rate_bps"))
+    val hv = pmod(Portable.hash60(concat(lit(seed), lit("_"), id.cast("string"))), lit(10000L))
+    df.join(broadcast(bps), group === col("__g"))
+      .filter(hv < col("sample_rate_bps"))
+      .drop("__g")
+  }
 }

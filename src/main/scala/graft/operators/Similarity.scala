@@ -244,6 +244,40 @@ object Similarity {
     nearestCell(quantized(embs), codebook.select(col("cell"), col("cv"), col("cn2")))
       .select(col("vec_id"), col("cell").as("cluster_id"), col("cosine"))
 
+  /** Embedding-quality screen: the k vectors per label FARTHEST (by
+    * cosine) from their label's centroid direction — mislabeled or
+    * out-of-distribution candidates, the vector analogue of a z-score
+    * outlier pass.
+    *
+    * The centroid reuses [[kmeansCentroids]]' exact integer-mean
+    * contract (per-dim int64 sums, one double divide, trunc) so the
+    * whole score is exact-int dot/norms + correctly-rounded
+    * sqrt/divide — oracle-portable. Scale shape: posexplode → one
+    * map-side-combinable hash-agg on (label, dim) → |labels|·dim rows
+    * repacked and BROADCAST back; the corpus is scored map-only and
+    * only the rank window shuffles (on label). */
+  def centroidOutliers(embs: DataFrame, label: Column, k: Int): DataFrame = {
+    val base = embs
+      .select(col("vec_id"), label.as("label"), Portable.quantize(col("embedding")).as("v"))
+      .withColumn("n2", normQ(col("v")))
+    val cents = base
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("cx", (col("sx") / col("cnt")).cast("long"))
+      .groupBy(col("label"))
+      .agg(collect_list(struct(col("i"), col("cx"))).as("ps"))
+      .select(col("label"), transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"))
+      .withColumn("cn2", normQ(col("cv")))
+    val w = Window.partitionBy(col("label")).orderBy(asc("centroid_cos"), asc("vec_id"))
+    base
+      .join(broadcast(cents), "label")
+      .withColumn("centroid_cos", cosine(Portable.dotQ(col("v"), col("cv")), col("n2"), col("cn2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("vec_id"), col("centroid_cos"), col("rk"))
+  }
+
   /** ANN via hyperplane-LSH: candidates are corpus vectors in the SAME
     * bucket as the query; exact cosine rescoring + top-k within the
     * bucket. Approximate by construction (bucket recall < 1) — the

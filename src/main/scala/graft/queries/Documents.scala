@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Multimodal, Packing, Profile, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Multimodal, Packing, Profile, Relevance, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -277,8 +277,36 @@ object Documents {
             concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"), lit(".25")))
             .otherwise(lit(""))).as("text"))
       TextAnalysis.piiScrub(planted, col("doc_id"), col("text"))
-    })
+    }),
+
+    // Top-3 TF-IDF terms per document (rational smoothed idf — exact
+    // integer counts, one fixed-order double divide; see Relevance).
+    "q72_tfidf" -> ((s, dir) =>
+      Relevance.topTfidfPerDoc(Tables.documents(s, dir), col("doc_id"), col("text"), 3)),
+
+    // BM25 top-20 for a fixed 5-term query bag — inverted-index
+    // retrieval with per-doc totals summed in fixed term order.
+    "q73_bm25" -> ((s, dir) =>
+      Relevance.bm25(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        Bm25Terms, topK = 20)),
+
+    // Temperature-based source rebalancing (α = 0.5): large sources
+    // downsampled toward the smallest, deterministic hash gate,
+    // rolled up per source.
+    "q74_temperature_sample" -> ((s, dir) =>
+      Profile.temperatureSample(Tables.documents(s, dir), col("source"), col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("sample_rate_bps")).as("rate_bps"))),
+
+    // Embedding-quality screen: 3 vectors per label farthest from
+    // their label's centroid direction (mislabel / OOD candidates).
+    "q75_centroid_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, dir), col("label"), 3))
   )
+
+  /** Fixed BM25 query bag (shared with the oracle SQL). */
+  private val Bm25Terms = Seq("spark", "join", "window", "hash", "filter")
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -954,6 +982,99 @@ object Documents {
          SELECT doc_id, n_emails, n_ips, n_phones,
                 CAST(length(red) AS BIGINT) AS redacted_len,
                 md5(red) AS redacted_hash
-         FROM r"""
+         FROM r""",
+
+    "q72_tfidf" ->
+      s"""WITH $wordsCte,
+          tok AS (SELECT doc_id, unnest(ws) AS token FROM words),
+          tf AS (SELECT doc_id, token, COUNT(1) AS tf FROM tok GROUP BY 1, 2),
+          dfr AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY 1),
+          n AS (SELECT COUNT(1) AS n_docs FROM documents),
+          s AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+                   CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (dfr.df + 1) AS score
+            FROM tf JOIN dfr USING (token), n
+          )
+          SELECT doc_id, token, tf, df, score, CAST(rk AS INT) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+            FROM s) WHERE rk <= 3""",
+
+    // Literals appear as the SAME expressions the Scala side computes,
+    // and every NON-DYADIC literal (1.2) is cast to DOUBLE explicitly:
+    // DuckDB parses bare 1.2 as a DECIMAL and would evaluate
+    // tf*(1.2+1) in exact decimal arithmetic — one ulp off Scala's
+    // double 1.2+1 (measured). Dyadic literals (0.5/0.75/1.0) are
+    // exact in either type.
+    "q73_bm25" ->
+      s"""WITH $wordsCte,
+          tok AS (SELECT doc_id, unnest(ws) AS token FROM words),
+          dl AS (SELECT doc_id, COUNT(1) AS dl FROM tok GROUP BY 1),
+          st AS (SELECT COUNT(1) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+          tf AS (
+            SELECT doc_id, token, COUNT(1) AS tf FROM tok
+            WHERE token IN ('spark', 'join', 'window', 'hash', 'filter') GROUP BY 1, 2
+          ),
+          dfr AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY 1),
+          sc AS (
+            SELECT tf.doc_id, tf.token,
+                   ((st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+                     / (tf.tf + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + 0.75 * dl.dl
+                          / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS score_t
+            FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), st
+          ),
+          g AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN token = 'spark' THEN score_t END) AS s0,
+                   SUM(CASE WHEN token = 'join' THEN score_t END) AS s1,
+                   SUM(CASE WHEN token = 'window' THEN score_t END) AS s2,
+                   SUM(CASE WHEN token = 'hash' THEN score_t END) AS s3,
+                   SUM(CASE WHEN token = 'filter' THEN score_t END) AS s4
+            FROM sc GROUP BY doc_id
+          )
+          SELECT doc_id,
+                 COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0)
+                   + COALESCE(s3, 0.0) + COALESCE(s4, 0.0) AS score
+          FROM g ORDER BY score DESC, doc_id LIMIT 20""",
+
+    "q74_temperature_sample" ->
+      """WITH c AS (SELECT source, COUNT(1) AS n FROM documents GROUP BY source),
+         m AS (SELECT MIN(n) AS nmin FROM c),
+         r AS (
+           SELECT source,
+                  CAST(round(sqrt(CAST(nmin AS DOUBLE) / n) * 10000) AS BIGINT) AS bps
+           FROM c, m
+         ),
+         k AS (
+           SELECT d.source, r.bps FROM documents d JOIN r USING (source)
+           WHERE ('0x' || substr(md5('temp_' || doc_id), 1, 15))::BIGINT % 10000 < r.bps
+         )
+         SELECT source, COUNT(1) AS n_kept, MIN(bps) AS rate_bps FROM k GROUP BY source""",
+
+    "q75_centroid_outliers" ->
+      s"""WITH $quantCte,
+          el AS (
+            SELECT en.vec_id, en.v, en.n2, emb.label
+            FROM en JOIN embeddings emb USING (vec_id)
+          ),
+          comp AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM el),
+          sums AS (SELECT label, i, SUM(x) AS sx, COUNT(1) AS cnt FROM comp GROUP BY 1, 2),
+          cent AS (
+            SELECT label, list(CAST(trunc(CAST(sx AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cv
+            FROM sums GROUP BY label
+          ),
+          cn AS (
+            SELECT label, cv,
+                   CAST(list_aggregate(list_transform(cv, x -> x*x), 'sum') AS BIGINT) AS cn2
+            FROM cent
+          ),
+          sc AS (
+            SELECT el.label, el.vec_id,
+                   ${cosSql("el.v", "cn.cv", "el.n2", "cn.cn2")} AS centroid_cos
+            FROM el JOIN cn USING (label)
+          )
+          SELECT label, vec_id, centroid_cos, CAST(rk AS INT) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY label ORDER BY centroid_cos ASC, vec_id ASC) AS rk
+            FROM sc) WHERE rk <= 3"""
   )
 }

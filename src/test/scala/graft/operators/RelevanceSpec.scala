@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelevanceSpec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "spark spark join"),
+      (2L, "spark filter"),
+      (3L, "window window window join"),
+      (4L, "other words only")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tfidf: score = tf·(N+1)/(df+1) from exact counts; top-k ranks by score then token") {
+    val s = spark; import s.implicits._
+    val out = Relevance.tfidf(corpus, col("doc_id"), col("text"))
+      .select("doc_id", "token", "tf", "df", "score")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // N = 4; spark: df 2; doc1 tf 2 → 2·5/3
+    assert(out((1L, "spark")) === ((2L, 2L, 2.0 * 5 / 3)))
+    assert(out((3L, "window")) === ((3L, 1L, 3.0 * 5 / 2)))
+    val top1 = Relevance.topTfidfPerDoc(corpus, col("doc_id"), col("text"), 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    assert(top1(1L) === "spark") // 10/3 beats join's 5/3
+    assert(top1(3L) === "window")
+  }
+
+  test("bm25: matches a hand evaluation; ties break by doc_id; distinct-terms guard") {
+    val s = spark; import s.implicits._
+    val out = Relevance.bm25(corpus, col("doc_id"), col("text"), Seq("spark", "join"), topK = 10)
+      .as[(Long, Double)].collect()
+    val n = 4L; val sumDl = 3L + 2 + 4 + 3
+    val avgdl = sumDl.toDouble / n
+    def term(tf: Long, df: Long, dl: Long): Double =
+      ((n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    val expected = Map(
+      1L -> (term(2, 2, 3) + term(1, 2, 3)), // spark + join
+      2L -> term(1, 2, 2),
+      3L -> term(1, 2, 4))
+    assert(out.length === 3) // doc 4 matches nothing
+    out.foreach { case (id, score) => assert(score === expected(id), s"doc $id") }
+    // ordered desc
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+    intercept[IllegalArgumentException] {
+      Relevance.bm25(corpus, col("doc_id"), col("text"), Seq("a", "a"), 5)
+    }
+  }
+
+  test("temperatureSample: smallest group keeps all, larger groups thin toward sqrt ratio; deterministic") {
+    val s = spark; import s.implicits._
+    val docs = (
+      (1 to 400).map(i => ("big", i.toLong)) ++ (1 to 100).map(i => ("small", 1000L + i))
+    ).toDF("source", "doc_id")
+    val kept = Profile.temperatureSample(docs, col("source"), col("doc_id"))
+    val rates = kept.groupBy("source").agg(
+      count(lit(1)).as("n"), min("sample_rate_bps").as("bps"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rates("small")._2 === 10000L) // nmin/n = 1 → keep all
+    assert(rates("small")._1 === 100L)
+    assert(rates("big")._2 === 5000L) // sqrt(100/400) = 0.5
+    assert(rates("big")._1 > 100L && rates("big")._1 < 300L) // ~200 expected
+    // partition invariance
+    val again = Profile.temperatureSample(docs.repartition(7), col("source"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === kept.select("doc_id").as[Long].collect().sorted.toSeq)
+    // alpha = 1 keeps everything
+    assert(Profile.temperatureSample(docs, col("source"), col("doc_id"), alpha = 1.0).count() === 500)
+  }
+
+  test("centroidOutliers: the anti-aligned vector ranks first in its label") {
+    val s = spark; import s.implicits._
+    // label 0: nine vectors near (1, 0), one at (−1, 0) → the outlier
+    val embs = ((0 until 9).map(i => (i.toLong, Array(1.0f, 0.01f * i), 0))
+      :+ ((9L, Array(-1.0f, 0.0f), 0))
+      :+ ((10L, Array(0.0f, 1.0f), 1))
+      :+ ((11L, Array(0.1f, 1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(embs, col("label"), 2)
+      .select("label", "vec_id", "rk").as[(Int, Long, Int)].collect()
+    val byLabel = out.groupBy(_._1)
+    assert(byLabel(0).find(_._3 == 1).get._2 === 9L)
+    assert(byLabel(1).size === 2) // labels smaller than k emit all members
+  }
+}
