@@ -155,6 +155,46 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("lang"), readSchema)
   }
 
+  test("q69 anomaly screen broadcasts the per-symbol stats; ticks never shuffle") {
+    val df = SparkEntry.queries("q69_anomalies")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"), "stats join degraded to SMJ")
+  }
+
+  test("q71 ema/macd: exactly one exchange (the symbol repartition), then an in-partition scan") {
+    val df = SparkEntry.queries("q71_ema_macd")(spark, sf())
+    val s  = planString(df)
+    assert("Exchange".r.findAllIn(s).size === 2, s.take(3000)) // daily-stats agg + repartition(symbol)
+    assert(s.contains("MapPartitions") || s.contains("mapPartitions"), s.take(3000))
+  }
+
+  test("q74 temperature sample: rates broadcast back, corpus filtered map-only") {
+    val df = graft.operators.Profile.temperatureSample(
+      Tables.documents(spark, sf()), col("source"), col("doc_id"))
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"), s.take(2000))
+  }
+
+  test("q75 centroid outliers: centroids broadcast; corpus scored without a data shuffle") {
+    val df = graft.operators.Similarity.centroidOutliers(
+      Tables.embeddings(spark, sf()), col("label"), 3)
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"), s.take(2000))
+  }
+
+  test("q66 drawdown: no single-partition window anywhere in the plan") {
+    val df = SparkEntry.queries("q66_drawdown")(spark, sf())
+    val s  = planString(df)
+    assert(!s.contains("Exchange SinglePartition"), s.take(3000))
+    assert(s.contains("Window"), s.take(3000))
+  }
+
   test("partitioned OHLCV reads prune partitions on (symbol, date) predicates") {
     // covered end-to-end in OhlcvEtlSpec; here assert the testdata scan
     // prunes columns for a 2-column projection
