@@ -184,6 +184,56 @@ object TextAnalysis {
           .as("top_bigram_char_frac"))
   }
 
+  /** Ordered bigram occurrences (doc_id, w1, w2) — posexplode once,
+    * stitch with a lead window (the [[TextDedup.shingleRows]] shape,
+    * columns kept separate for per-word grouping). Docs with < 2
+    * tokens vanish (no bigram exists). */
+  def bigramRows(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+  }
+
+  /** Per-document likelihood under a bigram LM trained on the corpus
+    * itself — the KenLM-style quality/outlier signal (word salad and
+    * boilerplate score low/high respectively) without an external
+    * model. p(w2|w1) = c(w1,w2)/c(w1), quantized to exact integer
+    * PARTS-PER-MILLION by floor division — the log-prob/perplexity
+    * form needs `ln` (not correctly rounded, engine-dependent), while
+    * integer ppm keeps every aggregate exact and the single final
+    * divide deterministic. Returns (doc_id, n_bigrams, avg_p_ppm,
+    * min_p_ppm); min is the max-surprise signal. Docs with < 2 tokens
+    * are absent.
+    *
+    * Scale shape: three token-scale hash-aggregates (bigram counts,
+    * prefix counts, per-doc totals) + one shuffle join of occurrences
+    * against the (vocab²-bounded, usually much smaller) prob table on
+    * the bigram key. Everything map-side combinable; no collects.
+    * Exactness bound: c(w1,w2)·10^6 must stay < 2^63 (c ≤ ~9·10^12 —
+    * far beyond any real bigram count). */
+  def bigramLmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val bg = bigramRows(docs, id, text)
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val pr = cb.join(cu, "w1")
+      .select(col("w1"), col("w2"), expr("(c2 * 1000000L) div c1").as("p_ppm"))
+    bg.join(pr, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("p_ppm")).as("__sp"),
+        min(col("p_ppm")).as("min_p_ppm"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        (col("__sp").cast("double") / col("n_bigrams")).as("avg_p_ppm"),
+        col("min_p_ppm"))
+  }
+
   /** Corpus vocabulary stats: per-token document frequency, total
     * occurrences, and (exact decimal) mean per-doc occurrences —
     * top `k` tokens by document frequency. Explode → one hash-agg on

@@ -302,7 +302,12 @@ object Documents {
     // Embedding-quality screen: 3 vectors per label farthest from
     // their label's centroid direction (mislabel / OOD candidates).
     "q75_centroid_outliers" -> ((s, dir) =>
-      Similarity.centroidOutliers(Tables.embeddings(s, dir), col("label"), 3))
+      Similarity.centroidOutliers(Tables.embeddings(s, dir), col("label"), 3)),
+
+    // Corpus-trained bigram-LM likelihood per doc (integer-ppm
+    // quantized — the log-free perplexity stand-in).
+    "q76_lm_score" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text")))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -1075,6 +1080,24 @@ object Documents {
           )
           SELECT label, vec_id, centroid_cos, CAST(rk AS INT) AS rk FROM (
             SELECT *, row_number() OVER (PARTITION BY label ORDER BY centroid_cos ASC, vec_id ASC) AS rk
-            FROM sc) WHERE rk <= 3"""
+            FROM sc) WHERE rk <= 3""",
+
+    "q76_lm_score" ->
+      s"""WITH $wordsCte,
+          t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM words),
+          bg0 AS (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM t
+          ),
+          bg AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+          cb AS (SELECT w1, w2, COUNT(1) AS c2 FROM bg GROUP BY 1, 2),
+          cu AS (SELECT w1, SUM(c2) AS c1 FROM cb GROUP BY 1),
+          pr AS (SELECT w1, w2, (c2 * 1000000) // c1 AS p_ppm FROM cb JOIN cu USING (w1))
+          SELECT bg.doc_id, COUNT(1) AS n_bigrams,
+                 CAST(SUM(p.p_ppm) AS DOUBLE) / COUNT(1) AS avg_p_ppm,
+                 CAST(MIN(p.p_ppm) AS BIGINT) AS min_p_ppm
+          FROM bg JOIN pr p USING (w1, w2)
+          GROUP BY bg.doc_id"""
   )
 }

@@ -73,6 +73,23 @@ class RelevanceSpec extends SparkSpec {
     assert(Profile.temperatureSample(docs, col("source"), col("doc_id"), alpha = 1.0).count() === 500)
   }
 
+  test("bigramLmScore: hand-checked ppm probabilities; short docs absent") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams (a,b),(b,a),(a,b)
+      (2L, "a c"),
+      (3L, "solo")     // < 2 tokens → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_bigrams", "avg_p_ppm", "min_p_ppm")
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // c(a,b)=2, c(b,a)=1, c(a,c)=1; c(a)=3, c(b)=1
+    // p_ppm: (a,b)=666666, (b,a)=1000000, (a,c)=333333
+    assert(out(1L) === ((1L, 3L, (666666L + 1000000 + 666666).toDouble / 3, 666666L)))
+    assert(out(2L) === ((2L, 1L, 333333.0, 333333L)))
+    assert(!out.contains(3L))
+  }
+
   test("centroidOutliers: the anti-aligned vector ranks first in its label") {
     val s = spark; import s.implicits._
     // label 0: nine vectors near (1, 0), one at (−1, 0) → the outlier
