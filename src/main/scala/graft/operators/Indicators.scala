@@ -173,23 +173,33 @@ object Indicators {
       .toDF()
   }
 
-  /** Ticks more than `k` sample standard deviations from their
-    * symbol's mean — the basic data-quality / outlier screen. One
-    * hash-aggregate for the per-symbol moments (exact decimal sums),
-    * then a broadcast join back and a map-only filter: the tick stream
-    * is never shuffled. */
-  def zScoreAnomalies(ticks: DataFrame, value: Column, k: Double): DataFrame = {
-    val stats = ticks
+  /** Per-symbol moments (exact decimal sums → deterministic mean and
+    * sample stddev) — the reference relation for [[zScoreAgainst]].
+    * One hash-aggregate; symbols × 3 columns, always broadcastable. */
+  def valueStats(ticks: DataFrame, value: Column): DataFrame =
+    ticks
       .groupBy(col("symbol"))
       .agg(
         graft.functions.Det.davg(value).as("__mean"),
         graft.functions.Det.dstddev(value).as("__sd"))
-    ticks
-      .join(broadcast(stats), "symbol")
+
+  /** Rows more than `k` sample standard deviations from their symbol's
+    * PRECOMPUTED mean ([[valueStats]] output, broadcast): a map-only
+    * gate that works identically on a batch frame or a STREAM
+    * (stream-static broadcast join — the standard "score live data
+    * against reference statistics" shape; no streaming state). */
+  def zScoreAgainst(df: DataFrame, stats: DataFrame, value: Column, k: Double): DataFrame =
+    df.join(broadcast(stats), "symbol")
       .withColumn("z", when(col("__sd") > 0, (value - col("__mean")) / col("__sd")))
       .filter(abs(col("z")) >= k)
       .drop("__mean", "__sd")
-  }
+
+  /** Ticks more than `k` sample standard deviations from their
+    * symbol's mean — the basic data-quality / outlier screen. One
+    * hash-aggregate for the per-symbol moments, then the broadcast
+    * gate: the tick relation is never shuffled. */
+  def zScoreAnomalies(ticks: DataFrame, value: Column, k: Double): DataFrame =
+    zScoreAgainst(ticks, valueStats(ticks, value), value, k)
 
   /** Pairwise Pearson correlation between symbols over an aligned
     * per-(symbol, key) series (e.g. daily price change): self-join on

@@ -98,6 +98,21 @@ class IndicatorsSpec extends SparkSpec {
     assert(out.select("event_id").as[Long].collect().toSeq === Seq(100L))
   }
 
+  test("zScoreAgainst gates a STREAM against static reference stats (stream-static join)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stats = Seq(("A", 10.0, 1.0), ("B", 5.0, 0.5)).toDF("symbol", "__mean", "__sd")
+    val in = MemoryStream[(String, Long, Double)]
+    in.addData(("A", 1L, 10.5), ("A", 2L, 99.0), ("B", 3L, 5.1), ("B", 4L, -20.0))
+    val gated = Indicators.zScoreAgainst(
+      in.toDF.toDF("symbol", "event_id", "close"), stats, col("close"), 3.0)
+    val q = gated.writeStream.format("memory").queryName("anomaly_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("anomaly_out").select("event_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(2L, 4L))
+  }
+
   test("correlationMatrix: ±1 for perfectly (anti)correlated series, null for constants") {
     val s = spark; import s.implicits._
     def d(n: Int) = java.sql.Date.valueOf(f"2024-01-${n}%02d")
