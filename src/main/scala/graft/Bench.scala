@@ -3,11 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints one JSON line.
-  * Each query runs twice and reports the second (steady-state) time —
-  * the first pass absorbs JVM/codegen/file-cache warmup, which at this
-  * data scale otherwise dominates whichever query happens to run
-  * first. `value` is the steady-state total; `total_cold` includes
-  * warmup for reference.
+  * Each query runs three times and reports the BEST of the two warm
+  * passes — the first pass absorbs JVM/codegen/file-cache warmup
+  * (which at this data scale otherwise dominates whichever query runs
+  * first), and min-of-warm damps GC/scheduler noise that was measured
+  * at ±15% run-to-run on the steady total. `value` is the steady-state
+  * total; `total_cold` includes warmup for reference.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,7 +22,7 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
-      val warm = if (cold >= 0) once(fn) else -1.0
+      val warm = if (cold >= 0) math.min(once(fn), once(fn)) else -1.0
       (name, cold, warm)
     }
     val qs = results.map { case (k, _, w) => s""""$k":$w""" }.mkString("{", ",", "}")

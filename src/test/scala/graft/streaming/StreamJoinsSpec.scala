@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamJoinsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("joinWithin: ticks pick up same-symbol events within the delay window; state-bounded plan") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ticks  = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val events = MemoryStream[(String, java.sql.Timestamp, String)]
+    ticks.addData(
+      ("A", ts("2024-01-01 10:30:00"), 101.0), // after ev1 (30 min) → match
+      ("A", ts("2024-01-01 12:00:00"), 99.0),  // 2h after ev1 → no match
+      ("B", ts("2024-01-01 10:30:00"), 5.0))   // other symbol → no match
+    events.addData(
+      ("A", ts("2024-01-01 10:00:00"), "earnings"),
+      ("B", ts("2024-01-01 11:00:00"), "split")) // AFTER B's tick → no match
+    val joined = StreamJoins.joinWithin(
+      ticks.toDF.toDF("symbol", "tick_ts", "price"),
+      events.toDF.toDF("symbol", "event_ts", "headline"),
+      key = "symbol", leftTime = "tick_ts", rightTime = "event_ts",
+      maxDelaySeconds = 3600L)
+    val q = joined.writeStream.format("memory").queryName("ss_join_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("ss_join_out")
+      .select("symbol", "price", "headline").as[(String, Double, String)].collect().toSet
+    assert(out === Set(("A", 101.0, "earnings")))
+  }
+
+  test("joinWithin: same plan runs on batch frames (backfill path)") {
+    val s = spark; import s.implicits._
+    val l = Seq(("A", ts("2024-01-01 10:30:00"), 1L)).toDF("symbol", "tick_ts", "id")
+    val r = Seq(("A", ts("2024-01-01 10:00:00"), "x"), ("A", ts("2024-01-01 09:00:00"), "old"))
+      .toDF("symbol", "event_ts", "tag")
+    val out = StreamJoins.joinWithin(l, r, "symbol", "tick_ts", "event_ts", 3600L)
+    assert(out.select("tag").as[String].collect().toSeq === Seq("x"))
+  }
+
+  test("joinWithin: overlapping non-key columns are rejected loudly") {
+    val s = spark; import s.implicits._
+    val l = Seq(("A", ts("2024-01-01 10:30:00"), 1.0)).toDF("symbol", "tick_ts", "v")
+    val r = Seq(("A", ts("2024-01-01 10:00:00"), 2.0)).toDF("symbol", "event_ts", "v")
+    intercept[IllegalArgumentException] {
+      StreamJoins.joinWithin(l, r, "symbol", "tick_ts", "event_ts", 3600L)
+    }
+  }
+}
