@@ -22,6 +22,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Right-side duplicates at the same (key, time) are resolved by
   * `rightTieBreak` (greatest wins) — make it unique for deterministic
   * output.
+  *
+  * `tolerance` (the pandas `merge_asof(tolerance=…)` / kdb `wj`
+  * bound): when set, a match older than the bound is nulled — the
+  * payload struct carries the matched right time internally, so the
+  * bound is ONE more projection, not a different plan. Units: seconds
+  * when the time columns are timestamps, the columns' native units
+  * otherwise.
   */
 object AsOfJoin {
 
@@ -32,15 +39,17 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column,
       rightTieBreak: Column,
-      payload: Seq[(String, Column)]): DataFrame = {
+      payload: Seq[(String, Column)],
+      tolerance: Option[Long] = None): DataFrame = {
 
+    require(!payload.exists(_._1 == "__mt"), "payload name __mt is reserved")
     val lCols = left.columns.toIndexedSeq
     val r = right.select(
       key.as("__k"),
       rightTime.as("__t"),
       lit(0).as("__side"),
       rightTieBreak.as("__tie"),
-      struct(payload.map { case (n, c) => c.as(n) }: _*).as("__p"))
+      struct((payload :+ ("__mt" -> rightTime)).map { case (n, c) => c.as(n) }: _*).as("__p"))
     val l = left.select(
       (lCols.map(col) :+
         key.as("__k") :+
@@ -56,10 +65,22 @@ object AsOfJoin {
       .partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    unioned
+    val matched = unioned
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(lCols.map(col) :+ col("__asof"): _*)
-      .select(lCols.map(col) ++ payload.map { case (n, _) => col(s"__asof.$n").as(n) }: _*)
+    val inBound = tolerance match {
+      case None => col("__asof").isNotNull
+      case Some(tol) =>
+        val isTs = r.schema("__t").dataType ==
+          org.apache.spark.sql.types.TimestampType
+        val (lv, rv, bound) =
+          if (isTs) (unix_micros(leftTime), unix_micros(col("__asof.__mt")), tol * 1000000L)
+          else (leftTime, col("__asof.__mt"), tol)
+        col("__asof").isNotNull && lv - rv <= bound
+    }
+    matched.select(
+      lCols.map(col) ++
+        payload.map { case (n, _) => when(inBound, col(s"__asof.$n")).as(n) }: _*)
   }
 }

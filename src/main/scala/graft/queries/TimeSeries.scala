@@ -148,6 +148,27 @@ object TimeSeries {
         payload = Seq("purchase_ts" -> col("ts"), "purchase_value" -> col("value")))
     }),
 
+    // As-of with a freshness bound (pandas merge_asof tolerance): the
+    // q42 join, but purchases older than 1h are nulled — same plan
+    // plus one projection.
+    "q77_asof_tolerance" -> ((s, dir) => {
+      val e     = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val purch = Dedup.keepLatest(
+        e.filter(col("event_type") === "purchase"),
+        keys = Seq(col("user_id"), col("ts")),
+        version = Seq(col("event_id")))
+      AsOfJoin.backward(
+        views, purch,
+        key = col("user_id"),
+        leftTime = col("ts"),
+        rightTime = col("ts"),
+        rightTieBreak = col("event_id"),
+        payload = Seq("purchase_ts" -> col("ts"), "purchase_value" -> col("value")),
+        tolerance = Some(3600L))
+    }),
+
     // Extension (T6): gap-based sessionization per user (1h gap),
     // exact-microsecond break rule, per-session rollup.
     "q46_sessionize" -> ((s, dir) =>
@@ -338,6 +359,24 @@ object TimeSeries {
          p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
          SELECT v.event_id, v.ts, v.user_id, v.value, p.ts AS purchase_ts, p.value AS purchase_value
          FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts""",
+    "q77_asof_tolerance" ->
+      """WITH v AS (
+           SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'
+         ),
+         p0 AS (
+           SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase'
+         ),
+         p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1),
+         j AS (
+           SELECT v.event_id, v.ts, v.user_id, v.value, p.ts AS pts, p.value AS pvalue
+           FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+         )
+         SELECT event_id, ts, user_id, value,
+                CASE WHEN epoch_us(ts) - epoch_us(pts) <= 3600000000 THEN pts END AS purchase_ts,
+                CASE WHEN epoch_us(ts) - epoch_us(pts) <= 3600000000 THEN pvalue END AS purchase_value
+         FROM j""",
     "q46_sessionize" ->
       """WITH o AS (
            SELECT user_id, ts, event_id, value,

@@ -41,6 +41,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getAs[Double]("v") === 2.0)
   }
 
+  test("tolerance nulls matches older than the bound, keeps fresh ones") {
+    val (trades, quotes) = fixture
+    def run(tol: Long) = AsOfJoin.backward(
+      trades, quotes,
+      key = col("sym"), leftTime = col("t"), rightTime = col("t"),
+      rightTieBreak = col("px"),
+      payload = Seq("quote_t" -> col("t"), "px" -> col("px")),
+      tolerance = Some(tol)) // native units (long time column)
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("quote_t"))).toMap
+    val tight = run(1L)
+    assert(tight(1L) === Some(100L)) // age 0
+    assert(tight(2L) === None)       // match t=103, age 2 > 1 → nulled
+    assert(tight(3L) === Some(99L))  // age 0
+    assert(tight(4L) === None)       // no match at all (future quote)
+    val loose = run(2L)
+    assert(loose(2L) === Some(103L)) // age 2 ≤ 2 → kept
+  }
+
   test("left columns pass through untouched") {
     val (trades, quotes) = fixture
     val out = AsOfJoin.backward(
