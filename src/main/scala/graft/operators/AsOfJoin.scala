@@ -83,4 +83,53 @@ object AsOfJoin {
       lCols.map(col) ++
         payload.map { case (n, _) => when(inBound, col(s"__asof.$n")).as(n) }: _*)
   }
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * the same key and right.time ≥ left.time (inclusive) — the
+    * "next upcoming event" enrichment (pandas `direction='forward'`).
+    * Same union-tag shape as [[backward]], mirrored: left rows sort
+    * BEFORE right rows at equal time and `first(payload, ignoreNulls)`
+    * scans the [current, ∞) frame. Right duplicates at the same
+    * (key, time) resolve by `rightTieBreak` (LEAST wins — the mirror
+    * of backward's greatest). One shuffle + sort on (key, time). */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: Column,
+      leftTime: Column,
+      rightTime: Column,
+      rightTieBreak: Column,
+      payload: Seq[(String, Column)]): DataFrame = {
+
+    require(!payload.exists(_._1 == "__mt"), "payload name __mt is reserved")
+    val lCols = left.columns.toIndexedSeq
+    val r = right.select(
+      key.as("__k"),
+      rightTime.as("__t"),
+      lit(1).as("__side"),
+      rightTieBreak.as("__tie"),
+      struct((payload :+ ("__mt" -> rightTime)).map { case (n, c) => c.as(n) }: _*).as("__p"))
+    val l = left.select(
+      (lCols.map(col) :+
+        key.as("__k") :+
+        leftTime.as("__t") :+
+        lit(0).as("__side") :+
+        lit(null).cast(r.schema("__tie").dataType).as("__tie") :+
+        lit(null).cast(r.schema("__p").dataType).as("__p")): _*)
+    val unioned = l.unionByName(r.select(
+      (lCols.map(n => lit(null).cast(left.schema(n).dataType).as(n)) ++
+        Seq(col("__k"), col("__t"), col("__side"), col("__tie"), col("__p"))): _*))
+
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(0, Window.unboundedFollowing)
+    unioned
+      .withColumn("__asof", first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(lCols.map(col) :+ col("__asof"): _*)
+      .select(
+        lCols.map(col) ++
+          payload.map { case (n, _) => col(s"__asof.$n").as(n) }: _*)
+  }
 }

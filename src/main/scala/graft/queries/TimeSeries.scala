@@ -272,7 +272,64 @@ object TimeSeries {
     "q71_ema_macd" -> ((s, dir) =>
       Indicators.emaMacd(
         Analytics.dailyStats(ticksAsCandles(s, dir), col("event_id"))
-          .select(col("symbol"), col("trade_date"), col("close"))))
+          .select(col("symbol"), col("trade_date"), col("close")))),
+
+    // Forward as-of: each view picks up the user's NEXT purchase at or
+    // after it (conversion attribution) — q42 mirrored.
+    "q78_asof_forward" -> ((s, dir) => {
+      val e     = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val purch = Dedup.keepFirst(
+        e.filter(col("event_type") === "purchase"),
+        keys = Seq(col("user_id"), col("ts")),
+        version = Seq(col("event_id")))
+      AsOfJoin.forward(
+        views, purch,
+        key = col("user_id"),
+        leftTime = col("ts"),
+        rightTime = col("ts"),
+        rightTieBreak = col("event_id"),
+        payload = Seq("purchase_ts" -> col("ts"), "purchase_value" -> col("value")))
+    }),
+
+    // GROUPING SETS beyond rollup/cube (q12/q18): the mixed-set form
+    // with grouping() markers, via the SQL surface like q15.
+    "q79_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_gs")
+      s.sql(
+        """WITH t AS (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events_gs)
+           SELECT event_type, d,
+                  CAST(grouping(event_type) AS INT) AS g_type,
+                  CAST(grouping(d) AS INT) AS g_d,
+                  COUNT(1) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+           FROM t
+           GROUP BY GROUPING SETS ((event_type, d), (event_type), ())""")
+    }),
+
+    // Fixed-bin value histogram per symbol: 20 bins of width 25,
+    // clamped — exact integer bucket arithmetic, one hash-agg.
+    "q80_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_type").as("symbol"),
+          least(greatest(floor(col("value") / 25.0), lit(0.0)), lit(19.0)).cast("long").as("bin"))
+        .groupBy(col("symbol"), col("bin"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Volume deciles over the per-(symbol, day) rollup: global ntile
+    // on the AGGREGATED relation (scale note: never on ticks), then
+    // per-decile stats.
+    "q81_volume_deciles" -> ((s, dir) =>
+      Analytics.dailyStats(ticksAsCandles(s, dir), col("event_id"))
+        .select(col("symbol"), col("trade_date"), col("volume"))
+        .withColumn(
+          "decile",
+          ntile(10).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("volume").asc, col("symbol").asc, col("trade_date").asc)))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), dsum(col("volume")).as("sum_volume")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -377,6 +434,41 @@ object TimeSeries {
                 CASE WHEN epoch_us(ts) - epoch_us(pts) <= 3600000000 THEN pts END AS purchase_ts,
                 CASE WHEN epoch_us(ts) - epoch_us(pts) <= 3600000000 THEN pvalue END AS purchase_value
          FROM j""",
+    "q78_asof_forward" ->
+      """WITH v AS (
+           SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'
+         ),
+         p0 AS (
+           SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+           FROM events WHERE event_type = 'purchase'
+         ),
+         p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
+         SELECT v.event_id, v.ts, v.user_id, v.value, p.ts AS purchase_ts, p.value AS purchase_value
+         FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts""",
+    "q79_grouping_sets" ->
+      """WITH t AS (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events)
+         SELECT event_type, d,
+                CAST(GROUPING(event_type) AS INT) AS g_type,
+                CAST(GROUPING(d) AS INT) AS g_d,
+                COUNT(1) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM t
+         GROUP BY GROUPING SETS ((event_type, d), (event_type), ())""",
+    "q80_histogram" ->
+      """SELECT event_type AS symbol,
+                CAST(least(greatest(floor(value / 25.0), 0.0), 19.0) AS BIGINT) AS bin,
+                COUNT(1) AS n
+         FROM events GROUP BY 1, 2""",
+    "q81_volume_deciles" -> (dailyStatsSql +
+      """, nt AS (
+           SELECT volume,
+                  ntile(10) OVER (ORDER BY volume ASC, symbol ASC, trade_date ASC) AS decile
+           FROM daily
+         )
+         SELECT CAST(decile AS INT) AS decile, COUNT(1) AS n,
+                CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS sum_volume
+         FROM nt GROUP BY decile"""),
     "q46_sessionize" ->
       """WITH o AS (
            SELECT user_id, ts, event_id, value,

@@ -59,6 +59,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(loose(2L) === Some(103L)) // age 2 ≤ 2 → kept
   }
 
+  test("forward as-of: earliest right row with rt >= lt, inclusive; no future -> null") {
+    val (trades, quotes) = fixture
+    val out = AsOfJoin.forward(
+      trades, quotes,
+      key = col("sym"), leftTime = col("t"), rightTime = col("t"),
+      rightTieBreak = col("px"),
+      payload = Seq("quote_t" -> col("t"), "px" -> col("px")))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        (Option(r.getAs[Any]("quote_t")), Option(r.getAs[Any]("px")))).toMap
+    assert(out(1L) === (Some(100L), Some(11.0))) // inclusive tie at t=100
+    assert(out(2L) === (None, None))             // no quote at/after 105
+    assert(out(3L) === (Some(99L), Some(10.0)))
+    assert(out(4L) === (Some(60L), Some(20.0)))  // future quote now matches
+  }
+
+  test("forward: right duplicates at the same time resolve by tieBreak (least wins)") {
+    val s = spark; import s.implicits._
+    val left  = Seq((1L, "A", 10L)).toDF("id", "k", "t")
+    val right = Seq(("A", 10L, 1.0, 1L), ("A", 10L, 2.0, 2L)).toDF("k", "t", "v", "ver")
+    val out = AsOfJoin.forward(
+      left, right, col("k"), col("t"), col("t"), col("ver"),
+      payload = Seq("v" -> col("v"))).collect().head
+    assert(out.getAs[Double]("v") === 1.0)
+  }
+
   test("left columns pass through untouched") {
     val (trades, quotes) = fixture
     val out = AsOfJoin.backward(
