@@ -318,6 +318,28 @@ object TimeSeries {
         .groupBy(col("symbol"), col("bin"))
         .agg(count(lit(1)).as("n"))),
 
+    // Unpivot/melt: the wide daily OHLC rollup to long (metric, value)
+    // form — the inverse of q20's pivot, map-only (an Expand node).
+    "q82_unpivot" -> ((s, dir) =>
+      Analytics.dailyStats(ticksAsCandles(s, dir), col("event_id"))
+        .select(col("symbol"), col("trade_date"), col("open"), col("close"), col("high"), col("low"))
+        .unpivot(
+          Array(col("symbol"), col("trade_date")),
+          Array(col("open"), col("close"), col("high"), col("low")),
+          "metric", "value")),
+
+    // EXCEPT / INTERSECT cohorts: users who purchased but never
+    // viewed vs users who did both — the set-op family beyond q06's
+    // UNION.
+    "q83_cohorts" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def ids(t: String) =
+        e.filter(col("event_type") === t).select(col("user_id")).distinct()
+      ids("purchase").except(ids("view")).withColumn("cohort", lit("purchase_only"))
+        .unionByName(
+          ids("purchase").intersect(ids("view")).withColumn("cohort", lit("both")))
+    }),
+
     // Volume deciles over the per-(symbol, day) rollup: global ntile
     // on the AGGREGATED relation (scale note: never on ticks), then
     // per-decile stats.
@@ -460,6 +482,19 @@ object TimeSeries {
                 CAST(least(greatest(floor(value / 25.0), 0.0), 19.0) AS BIGINT) AS bin,
                 COUNT(1) AS n
          FROM events GROUP BY 1, 2""",
+    // UNION ALL form rather than UNPIVOT syntax — portable and
+    // column-order-exact.
+    "q82_unpivot" -> (dailyStatsSql +
+      """ SELECT symbol, trade_date, 'open' AS metric, open AS value FROM daily
+          UNION ALL SELECT symbol, trade_date, 'close', close FROM daily
+          UNION ALL SELECT symbol, trade_date, 'high', high FROM daily
+          UNION ALL SELECT symbol, trade_date, 'low', low FROM daily"""),
+    "q83_cohorts" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+         SELECT user_id, 'purchase_only' AS cohort FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM v)
+         UNION ALL
+         SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM v)""",
     "q81_volume_deciles" -> (dailyStatsSql +
       """, nt AS (
            SELECT volume,
