@@ -378,6 +378,43 @@ object TextDedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** The PRODUCTION near-dup path the docstrings above describe:
+    * MinHash-LSH blocking ([[lshPairs]]) to generate candidates, then
+    * EXACT n-gram Jaccard computed for the candidate pairs ONLY —
+    * never the full shingle self-join of [[jaccardPairsFromRows]].
+    * Exactness of the score with the recall of LSH: a pair missed by
+    * every band is missed here too (recall < 1 by construction), but
+    * every emitted pair carries the true Jaccard, so `threshold` is a
+    * real guarantee, not an estimate.
+    *
+    * Scale shape: candidates are band-join-bounded (tiny relative to
+    * the corpus); the rescoring joins the candidate list to the
+    * shingle relation on each side — the candidate side is usually
+    * broadcastable (AQE decides), and the intersection count is one
+    * (doc_a, doc_b)-keyed hash-agg. The full posting-list self-join —
+    * quadratic on hot shingles — never appears in the plan. */
+  def lshRescoredPairs(
+      shRows: DataFrame,
+      estThreshold: Double,
+      threshold: Double): DataFrame = {
+    val sh = shRows.select(col("doc_id"), col("s")).distinct()
+    val cands = lshPairs(minhashSignaturesFromRows(shRows), estThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Lineage-truncation strategies for the iterative operators below.
     * [[Checkpoint.local]] (default) caches round results on executors —
     * fast, but the blocks die with an executor, acceptable in local

@@ -307,7 +307,13 @@ object Documents {
     // Corpus-trained bigram-LM likelihood per doc (integer-ppm
     // quantized — the log-free perplexity stand-in).
     "q76_lm_score" -> ((s, dir) =>
-      TextAnalysis.bigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text")))
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // The production near-dup path made explicit: LSH candidates
+    // (q33) rescored with EXACT Jaccard (q31's score) — candidates
+    // only, never the full shingle self-join.
+    "q84_lsh_rescored" -> ((s, dir) =>
+      TextDedup.lshRescoredPairs(sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -1081,6 +1087,41 @@ object Documents {
           SELECT label, vec_id, centroid_cos, CAST(rk AS INT) AS rk FROM (
             SELECT *, row_number() OVER (PARTITION BY label ORDER BY centroid_cos ASC, vec_id ASC) AS rk
             FROM sc) WHERE rk <= 3""",
+
+    "q84_lsh_rescored" ->
+      s"""WITH $sigCte,
+          bands AS (
+            SELECT doc_id, k // 2 AS band,
+                   SUM(CASE WHEN k % 2 = 0 THEN minhash * 2147483647 ELSE minhash END) AS band_key
+            FROM sig GROUP BY doc_id, k // 2
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          ),
+          est AS (
+            SELECT c.da, c.db
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db AND sb.k = sa.k
+            GROUP BY 1, 2
+            HAVING COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END) / 16.0 >= 0.5
+          ),
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT e.da, e.db, COUNT(1) AS i
+            FROM est e
+            JOIN sh a ON a.doc_id = e.da
+            JOIN sh b ON b.doc_id = e.db AND b.s = a.s
+            GROUP BY 1, 2
+          )
+          SELECT i2.da AS doc_a, i2.db AS doc_b,
+                 CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) AS jaccard
+          FROM inter i2
+          JOIN sizes sa ON sa.doc_id = i2.da
+          JOIN sizes sb ON sb.doc_id = i2.db
+          WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.8""",
 
     "q76_lm_score" ->
       s"""WITH $wordsCte,

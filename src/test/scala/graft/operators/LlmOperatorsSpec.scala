@@ -55,6 +55,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out((0L, 3L)) === 1.0)
   }
 
+  test("lshRescoredPairs ⊆ exact jaccard pairs with IDENTICAL scores (recall-bounded, exact-scored)") {
+    val shRows = docs.select(col("doc_id"), explode(TextDedup.wordNgrams(col("text"), 3)).as("s"))
+    val exact = TextDedup.jaccardPairsFromRows(shRows, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rescored = TextDedup.lshRescoredPairs(shRows, estThreshold = 0.3, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every rescored pair exists in the exact set with the SAME score
+    rescored.foreach { case (k, j) => assert(exact(k) === j, s"pair $k") }
+    // the exact-dup pair always collides in some band → never missed
+    assert(rescored.contains((0L, 3L)) && rescored((0L, 3L)) === 1.0)
+  }
+
   test("jaccard hot-shingle cap bounds the candidate explosion from skewed shingles") {
     val s = spark; import s.implicits._
     // 12 docs share ONE planted hot 3-gram ("common shingle here");
