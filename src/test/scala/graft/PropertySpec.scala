@@ -224,6 +224,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("drawdown two-pass peak equals the global running max for arbitrary walks and chunk sizes") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    forAll2(Gen.listOfN(120, Gen.chooseNum(-50, 50)), Gen.oneOf(3600L, 14400L, 86400L), n = 6) {
+      (steps, chunkSecs) =>
+        val rows = steps.zipWithIndex.map { case (d, i) =>
+          ("S" + (i % 3), i.toLong * 1800, 100.0 + d)
+        }
+        val candles = rows.toDF("symbol", "bucket_start", "close")
+        val two = graft.operators.Indicators.withDrawdown(
+          candles, col("close"), col("bucket_start"),
+          col("bucket_start") - pmod(col("bucket_start"), lit(chunkSecs)))
+        val w = Window.partitionBy(col("symbol")).orderBy(col("bucket_start"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ref = candles.withColumn("p", max(col("close")).over(w))
+        assert(
+          two.join(ref, Seq("symbol", "bucket_start", "close"))
+            .filter(col("running_peak") =!= col("p")).count() === 0)
+    }
+  }
+
+  test("correlation matrix is symmetric under symbol relabeling and ±1 on affine series") {
+    val s = spark; import s.implicits._
+    forAll(Gen.listOfN(12, Gen.chooseNum(-1000, 1000)), n = 6) { xs =>
+      val base = xs.zipWithIndex
+      if (base.map(_._1).distinct.size > 1) { // non-constant
+        val series = base.flatMap { case (x, i) =>
+          Seq(("A", i.toLong, x / 100.0), ("B", i.toLong, (3 * x + 7) / 100.0),
+            ("C", i.toLong, (-2 * x) / 100.0))
+        }.toDF("symbol", "k", "x")
+        val out = graft.operators.Indicators.correlationMatrix(series, col("k"), col("x"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+        assert(math.abs(out(("A", "B")) - 1.0) < 1e-9)
+        assert(math.abs(out(("A", "C")) + 1.0) < 1e-9)
+        assert(math.abs(out(("B", "C")) + 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("temperature sampling: rate 1 for the smallest source, monotone non-increasing in size") {
+    val s = spark; import s.implicits._
+    forAll(Gen.listOfN(3, Gen.chooseNum(10, 300)), n = 6) { sizes =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, gi) =>
+        (1 to n).map(i => (s"src$gi", gi * 100000L + i))
+      }.toDF("source", "doc_id")
+      val rates = graft.operators.Profile.temperatureSample(docs, col("source"), col("doc_id"))
+        .groupBy("source").agg(min("sample_rate_bps").as("bps"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bySize = sizes.zipWithIndex.sortBy(_._1)
+      assert(rates(s"src${bySize.head._2}") === 10000L)
+      bySize.sliding(2).foreach {
+        case Seq((n1, g1), (n2, g2)) =>
+          if (n1 != n2) assert(rates(s"src$g1") >= rates(s"src$g2"))
+        case _ =>
+      }
+    }
+  }
+
   test("Det sums are invariant under repartitioning for arbitrary doubles") {
     val s = spark; import s.implicits._
     forAll(Gen.listOfN(50, Gen.chooseNum(-1e6, 1e6))) { xs =>
