@@ -188,6 +188,23 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s.take(2000))
   }
 
+  test("q72 tfidf: per-doc top-3 gets the WindowGroupLimit pushdown; df join broadcasts") {
+    val df = SparkEntry.queries("q72_tfidf")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("WindowGroupLimit"), s.take(3000))
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+    assert(!s.contains("SortMergeJoin"), s.take(3000))
+  }
+
+  test("q73 bm25: df and corpus stats broadcast; no sort-merge joins") {
+    val df = SparkEntry.queries("q73_bm25")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2, s.take(3000))
+    assert(!s.contains("SortMergeJoin"), s.take(3000))
+  }
+
   test("q66 drawdown: no single-partition window anywhere in the plan") {
     val df = SparkEntry.queries("q66_drawdown")(spark, sf())
     val s  = planString(df)
