@@ -124,7 +124,11 @@ object Analytics {
         col("day_close"),
         ((col("day_close") - col("day_open")) / col("day_open") * 100).as("daily_return_percent"),
         col("day_volume"))
-      .dropDuplicates()
+      // one row per (symbol, day): every column is constant within the
+      // window partition, so deduping on the two KEY columns alone is
+      // value-identical to a full-row distinct while keeping the
+      // dedup aggregate key narrow (2 cols, not 6 incl. doubles)
+      .dropDuplicates("symbol", "trade_date")
   }
 
   /** §2.8 extension: technical indicators the reference advertises but
