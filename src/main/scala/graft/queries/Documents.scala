@@ -313,7 +313,32 @@ object Documents {
     // (q33) rescored with EXACT Jaccard (q31's score) — candidates
     // only, never the full shingle self-join.
     "q84_lsh_rescored" -> ((s, dir) =>
-      TextDedup.lshRescoredPairs(sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8))
+      TextDedup.lshRescoredPairs(sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8)),
+
+    // CAPSTONE: the whole training-data prep pipeline as ONE plan —
+    // dedup verdicts (exact + near) → drop the benchmark source →
+    // decontaminate against its grams → temperature-rebalance →
+    // per-source rollup. Every stage reuses the operators above; the
+    // oracle chains the same CTE fragments.
+    "q85_prep_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val keep = TextDedup.dedupVerdictsFromClusters(
+        d, col("doc_id"), TextAnalysis.fingerprint(col("text")), sharedClusters(s, dir))
+        .filter(col("verdict") === "keep")
+        .select("doc_id")
+      val kept1    = d.join(keep, Seq("doc_id"), "left_semi")
+      val nonBench = kept1.filter(col("source") =!= "src0")
+      val contaminated = TextDedup.contaminationFlags(
+        nonBench, col("doc_id"), col("text"),
+        d.filter(col("source") === "src0"), col("text"), 5)
+        .select("doc_id")
+      val kept2 = nonBench.join(contaminated, Seq("doc_id"), "left_anti")
+      Profile.temperatureSample(kept2, col("source"), col("doc_id"), seed = "prep")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          graft.functions.Det.dsum(col("n_chars")).as("sum_chars"))
+    })
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -414,6 +439,46 @@ object Documents {
 
   private val dotSql =
     "CAST(list_aggregate(list_transform(list_zip(%s, %s), p -> p[1] * p[2]), 'sum') AS BIGINT)"
+
+  /** Dedup-verdict CTE chain (exact Jaccard pairs → recursive-CTE
+    * connected components → exact-fingerprint keepers → `j` with
+    * (doc_id, exact_keeper, cluster_min)). Requires `WITH RECURSIVE`;
+    * shared by q64 and the q85 pipeline. */
+  private def verdictCtes = s"""$shinglesCte,
+       sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ),
+       pairs AS (
+         SELECT da AS doc_a, db AS doc_b
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+       ),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION
+         SELECT doc_b, doc_a FROM pairs
+       ),
+       reach AS (
+         SELECT DISTINCT src AS doc_id, src AS r FROM edges
+         UNION
+         SELECT e.src, r.r FROM edges e JOIN reach r ON r.doc_id = e.dst
+       ),
+       clus AS (SELECT doc_id, MIN(r) AS cluster_min FROM reach GROUP BY doc_id),
+       fpk AS (
+         SELECT doc_id,
+                md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+         FROM documents
+       ),
+       keepers AS (SELECT fp, MIN(doc_id) AS exact_keeper FROM fpk GROUP BY fp),
+       j AS (
+         SELECT f.doc_id, k.exact_keeper, c.cluster_min
+         FROM fpk f JOIN keepers k USING (fp)
+         LEFT JOIN clus c ON c.doc_id = f.doc_id
+       )"""
 
   /** Trained k-means codebook (k=8, one Lloyd round from the seed
     * centroids), mirror of [[graft.operators.Similarity.kmeansCentroids]]:
@@ -925,41 +990,7 @@ object Documents {
           SELECT qid, cid, cell, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
 
     "q64_dedup_verdicts" ->
-      s"""WITH RECURSIVE $shinglesCte,
-          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
-          inter AS (
-            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-          ),
-          pairs AS (
-            SELECT da AS doc_a, db AS doc_b
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
-          ),
-          edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION
-            SELECT doc_b, doc_a FROM pairs
-          ),
-          reach AS (
-            SELECT DISTINCT src AS doc_id, src AS r FROM edges
-            UNION
-            SELECT e.src, r.r FROM edges e JOIN reach r ON r.doc_id = e.dst
-          ),
-          clus AS (SELECT doc_id, MIN(r) AS cluster_min FROM reach GROUP BY doc_id),
-          fpk AS (
-            SELECT doc_id,
-                   md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
-            FROM documents
-          ),
-          keepers AS (SELECT fp, MIN(doc_id) AS exact_keeper FROM fpk GROUP BY fp),
-          j AS (
-            SELECT f.doc_id, k.exact_keeper, c.cluster_min
-            FROM fpk f JOIN keepers k USING (fp)
-            LEFT JOIN clus c ON c.doc_id = f.doc_id
-          )
+      s"""WITH RECURSIVE $verdictCtes
           SELECT doc_id,
                  COALESCE(cluster_min, exact_keeper) AS survivor_doc_id,
                  CASE WHEN doc_id = COALESCE(cluster_min, exact_keeper) THEN 'keep'
@@ -1087,6 +1118,58 @@ object Documents {
           SELECT label, vec_id, centroid_cos, CAST(rk AS INT) AS rk FROM (
             SELECT *, row_number() OVER (PARTITION BY label ORDER BY centroid_cos ASC, vec_id ASC) AS rk
             FROM sc) WHERE rk <= 3""",
+
+    "q85_prep_pipeline" ->
+      s"""WITH RECURSIVE $verdictCtes,
+          keep AS (
+            SELECT doc_id FROM j WHERE doc_id = COALESCE(cluster_min, exact_keeper)
+          ),
+          nb AS (
+            SELECT d.doc_id, d.text, d.source, d.n_chars
+            FROM documents d JOIN keep USING (doc_id)
+            WHERE d.source <> 'src0'
+          ),
+          grn AS (
+            SELECT doc_id, source, n_chars, string_split_regex(trim(text), '\\s+') AS ws FROM nb
+          ),
+          gr5 AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 5
+                        THEN list_distinct(list_transform(generate_series(1, len(ws)-4),
+                               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+                        ELSE []::VARCHAR[] END AS gs
+            FROM grn
+          ),
+          exg AS (SELECT doc_id, unnest(gs) AS s FROM gr5),
+          bw AS (
+            SELECT string_split_regex(trim(text), '\\s+') AS ws FROM documents WHERE source = 'src0'
+          ),
+          bgr AS (
+            SELECT DISTINCT unnest(
+              CASE WHEN len(ws) >= 5
+                   THEN list_distinct(list_transform(generate_series(1, len(ws)-4),
+                          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+                   ELSE []::VARCHAR[] END) AS s
+            FROM bw
+          ),
+          contam AS (SELECT DISTINCT e.doc_id FROM exg e JOIN bgr ON e.s = bgr.s),
+          k2 AS (
+            SELECT nb.* FROM nb WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = nb.doc_id)
+          ),
+          cnts AS (SELECT source, COUNT(1) AS n FROM k2 GROUP BY source),
+          mn AS (SELECT MIN(n) AS nmin FROM cnts),
+          rates AS (
+            SELECT source,
+                   CAST(round(sqrt(CAST(nmin AS DOUBLE) / n) * 10000) AS BIGINT) AS bps
+            FROM cnts, mn
+          ),
+          k3 AS (
+            SELECT k2.source, k2.n_chars FROM k2 JOIN rates USING (source)
+            WHERE ('0x' || substr(md5('prep_' || doc_id), 1, 15))::BIGINT % 10000 < rates.bps
+          )
+          SELECT source, COUNT(1) AS n_docs,
+                 CAST(SUM(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE) AS sum_chars
+          FROM k3 GROUP BY source""",
 
     "q84_lsh_rescored" ->
       s"""WITH $sigCte,
