@@ -80,6 +80,22 @@ object LongDotProduct {
   * surface: `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Expose a Column-composed library function to SQL: the builder
+    * converts the call's child expressions to Columns, applies the
+    * library combinator, and hands Catalyst back the composed
+    * expression tree — so the SQL name gets the EXACT tree the Scala
+    * API builds (codegen, pushdown, and the determinism contracts all
+    * included), with zero duplicated logic. */
+  private def columnFn(
+      name: String,
+      f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[GraftExtensions].getName, name),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.graft.ColumnBridge.expression(
+        f(children.map(org.apache.spark.sql.graft.ColumnBridge.column))))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("long_dot"),
@@ -96,5 +112,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WinnowSelect(children(0), w)
       }))
+    // Column-composed library functions, SQL-callable.
+    ext.injectFunction(columnFn("graft_quality", cs => graft.operators.TextAnalysis.qualityScore(cs.head)))
+    ext.injectFunction(columnFn("graft_fingerprint", cs => graft.operators.TextAnalysis.fingerprint(cs.head)))
+    ext.injectFunction(columnFn("graft_redact_pii", cs => graft.operators.TextAnalysis.redactPii(cs.head)))
+    ext.injectFunction(columnFn("graft_hash60", cs => Portable.hash60(cs.head)))
+    ext.injectFunction(columnFn("graft_quantize", cs => Portable.quantize(cs.head)))
   }
 }
