@@ -107,6 +107,40 @@ object Indicators {
         sum(dec(col("tr"), 6)).over(frame).cast("double") / count(col("tr")).over(frame))
   }
 
+  /** Stochastic oscillator %K over the trailing n candles:
+    * (close − lowest low) / (highest high − lowest low) · 100. Pure
+    * frame min/max (exact selection) + one fixed-order double
+    * expression; null when the range is degenerate. */
+  def withStochastic(candles: DataFrame, n: Int, order: Column): DataFrame = {
+    val frame = Window.partitionBy(col("symbol")).orderBy(order.asc).rowsBetween(-(n - 1), 0)
+    val ll    = min(col("low")).over(frame)
+    val hh    = max(col("high")).over(frame)
+    candles
+      .withColumn("lowest_low", ll)
+      .withColumn("highest_high", hh)
+      .withColumn(
+        "stoch_k",
+        when(col("highest_high") > col("lowest_low"),
+          (col("close") - col("lowest_low"))
+            / (col("highest_high") - col("lowest_low")) * 100))
+  }
+
+  /** On-balance volume: running sum of volume signed by the close
+    * direction (exact decimal cumulative sum). First candle of a
+    * symbol contributes 0 (no direction). */
+  def withObv(candles: DataFrame, order: Column): DataFrame = {
+    val w    = Window.partitionBy(col("symbol")).orderBy(order.asc)
+    val prev = lag(col("close"), 1).over(w)
+    val signed = when(prev.isNull, lit(0.0))
+      .when(col("close") > prev, col("volume"))
+      .when(col("close") < prev, -col("volume"))
+      .otherwise(lit(0.0))
+    candles.withColumn(
+      "obv",
+      sum(dec(signed, 4)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double"))
+  }
+
   // NOT private: the codegen'd encoder projections must reach them.
   case class DailyClose(symbol: String, trade_date: java.sql.Date, close: Double)
   case class EmaRow(

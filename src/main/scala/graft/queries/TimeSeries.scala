@@ -318,6 +318,18 @@ object TimeSeries {
         .groupBy(col("symbol"), col("bin"))
         .agg(count(lit(1)).as("n"))),
 
+    // Stochastic oscillator %K(14) over hourly candles — trailing
+    // frame min/max, exact selection arithmetic.
+    "q86_stochastic" -> ((s, dir) =>
+      Indicators.withStochastic(hourlyCandles(s, dir), 14, col("bucket_start"))
+        .select(col("symbol"), col("bucket_start"), col("close"),
+          col("lowest_low"), col("highest_high"), col("stoch_k"))),
+
+    // On-balance volume — direction-signed exact decimal cumsum.
+    "q87_obv" -> ((s, dir) =>
+      Indicators.withObv(hourlyCandles(s, dir), col("bucket_start"))
+        .select(col("symbol"), col("bucket_start"), col("close"), col("obv"))),
+
     // Unpivot/melt: the wide daily OHLC rollup to long (metric, value)
     // form — the inverse of q20's pivot, map-only (an Expand node).
     "q82_unpivot" -> ((s, dir) =>
@@ -482,6 +494,35 @@ object TimeSeries {
                 CAST(least(greatest(floor(value / 25.0), 0.0), 19.0) AS BIGINT) AS bin,
                 COUNT(1) AS n
          FROM events GROUP BY 1, 2""",
+    "q86_stochastic" -> (hourlyCandlesSql +
+      """ SELECT symbol, bucket_start, close, lowest_low, highest_high,
+                 CASE WHEN highest_high > lowest_low
+                      THEN (close - lowest_low) / (highest_high - lowest_low) * 100 END AS stoch_k
+          FROM (
+            SELECT symbol, bucket_start, close,
+                   MIN(low) OVER f AS lowest_low,
+                   MAX(high) OVER f AS highest_high
+            FROM candles
+            WINDOW f AS (PARTITION BY symbol ORDER BY bucket_start
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))"""),
+    "q87_obv" -> (hourlyCandlesSql +
+      """, d AS (
+           SELECT symbol, bucket_start, close, volume,
+                  lag(close) OVER (PARTITION BY symbol ORDER BY bucket_start) AS pc
+           FROM candles
+         ),
+         sgn AS (
+           SELECT symbol, bucket_start, close,
+                  CASE WHEN pc IS NULL THEN 0.0
+                       WHEN close > pc THEN volume
+                       WHEN close < pc THEN -volume
+                       ELSE 0.0 END AS sv
+           FROM d
+         )
+         SELECT symbol, bucket_start, close,
+                CAST(SUM(CAST(sv AS DECIMAL(30,4))) OVER (PARTITION BY symbol ORDER BY bucket_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS obv
+         FROM sgn"""),
     // UNION ALL form rather than UNPIVOT syntax — portable and
     // column-order-exact.
     "q82_unpivot" -> (dailyStatsSql +
