@@ -301,4 +301,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("cid"), col("bucket"), col("cosine"), col("rank"))
   }
+
+  /** Multi-probe hyperplane LSH (Lv et al., VLDB '07): each query
+    * probes its own bucket PLUS the H single-bit-flip neighbors — the
+    * buckets a borderline hyperplane vote could have flipped into.
+    * Recall rises toward brute force at (H+1)× the candidate cost,
+    * with NO extra tables or rehashing — the standard fix for LSH's
+    * all-or-nothing bucket miss ([[lshTopK]]).
+    *
+    * Each corpus vector lives in exactly one bucket and a query's
+    * H+1 probe keys are distinct, so a (query, candidate) pair joins
+    * at most once — no dedup pass. Probe set stays tiny and
+    * BROADCAST; the corpus is still never shuffled. */
+  def lshTopKMultiProbe(embs: DataFrame, queryIds: Seq[Long], dim: Int, k: Int): DataFrame = {
+    val withBucket = embs.select(
+      col("vec_id"),
+      Portable.quantize(col("embedding")).as("v"))
+      .withColumn("bucket", bucketId(col("v"), dim))
+      .withColumn("n2", normQ(col("v")))
+    val masks = typedlit(0L +: (0 until H).map(h => 1L << h))
+    val probes = withBucket
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(
+        col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+        explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val scored = withBucket
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine(Portable.dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("cosine"), col("rank"))
+  }
 }

@@ -125,6 +125,12 @@ object Documents {
       Similarity.lshTopK(Tables.embeddings(s, dir), QueryIds, dim = 64, k = 5)
         .withColumnRenamed("rank", "rk")),
 
+    // Multi-probe LSH: own bucket + all single-bit flips — recall
+    // recovered at (H+1)× candidate cost, corpus still unshuffled.
+    "q88_ann_multiprobe" -> ((s, dir) =>
+      Similarity.lshTopKMultiProbe(Tables.embeddings(s, dir), QueryIds, dim = 64, k = 5)
+        .withColumnRenamed("rank", "rk")),
+
     // Token counting (whitespace + BPE-ish regex) & quality scoring.
     "q38_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(Tables.documents(s, dir), col("doc_id"), col("text"))),
@@ -624,6 +630,38 @@ object Documents {
                        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
                 FROM scored)
           SELECT qid, cid, bucket, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
+
+    "q88_ann_multiprobe" ->
+      s"""WITH $quantCte,
+          hp AS (
+            SELECT h, i, ('0x' || substr(md5('hp_' || h || '_' || i), 1, 15))::BIGINT % 2001 - 1000 AS hv
+            FROM (SELECT unnest(generate_series(0, 7)) AS h), (SELECT unnest(generate_series(1, 64)) AS i)
+          ),
+          comp AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+          dots AS (
+            SELECT c.vec_id, hp.h, SUM(c.x * hp.hv) AS d
+            FROM comp c JOIN hp ON hp.i = c.i GROUP BY 1, 2
+          ),
+          buckets AS (
+            SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY 1
+          ),
+          eb AS (SELECT en.vec_id, en.v, en.n2, b.bucket FROM en JOIN buckets b USING (vec_id)),
+          q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket FROM eb WHERE vec_id IN (0,1,2,3,4)),
+          pq AS (
+            SELECT qid, qv, qn2,
+                   xor(bucket, CASE WHEN j = 0 THEN 0 ELSE (1::BIGINT << (j-1)) END) AS bucket
+            FROM q, (SELECT unnest(generate_series(0, 8)) AS j)
+          ),
+          scored AS (
+            SELECT pq.qid, c.vec_id AS cid,
+                   ${cosSql("pq.qv", "c.v", "pq.qn2", "c.n2")} AS cosine
+            FROM eb c JOIN pq ON c.bucket = pq.bucket AND c.vec_id <> pq.qid
+          ),
+          r AS (SELECT qid, cid, cosine,
+                       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+                FROM scored)
+          SELECT qid, cid, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
 
     "q43_embedding_neardup" ->
       s"""WITH $quantCte,

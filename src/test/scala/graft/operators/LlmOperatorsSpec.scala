@@ -322,6 +322,27 @@ class SimilaritySpec extends SparkSpec {
     val b2 = Similarity.lshTopK(e, Seq(0L), 64, 5).collect().map(_.getAs[Long]("bucket")).toSet
     assert(b1 === b2)
   }
+
+  test("lshTopKMultiProbe: candidates ⊇ single-bucket, scores exact vs brute force") {
+    val e   = graft.Tables.embeddings(spark, sf())
+    val qs  = Seq(0L, 1L, 2L)
+    val one = Similarity.lshTopK(e, qs, 64, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val multiRows = Similarity.lshTopKMultiProbe(e, qs, 64, 5).collect()
+    val multi = multiRows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    // top-k under a SUPERSET of candidates can only displace a hit
+    // with a better-scoring one — count per query never shrinks
+    val oneN   = one.groupBy(_._1).view.mapValues(_.size).toMap
+    val multiN = multi.groupBy(_._1).view.mapValues(_.size).toMap
+    qs.foreach(q => assert(multiN.getOrElse(q, 0) >= oneN.getOrElse(q, 0)))
+    // exact scores: every multi-probe hit carries brute force's cosine
+    val brute = Similarity.bruteForceTopK(e, qs, 200).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> r.getAs[Double]("cosine")).toMap
+    multiRows.foreach { r =>
+      val k = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      brute.get(k).foreach(c => assert(c === r.getAs[Double]("cosine")))
+    }
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
