@@ -3,7 +3,7 @@ package graft.streaming
 import graft.ohlcv.{Normalize, OhlcvSchemas}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** Structured-Streaming ingestion of raw OHLCV snapshots — the engine
   * replacement for the reference's EventBridge-cron Lambda loop
@@ -102,6 +102,33 @@ object OhlcvStream {
         col("window.start").as("window_start"),
         col("open"), col("high"), col("low"), col("close"), col("volume"), col("n_candles"))
   }
+
+  /** Watermarked SESSION-window aggregation: gap-bounded activity
+    * bursts per key, the streaming twin of the batch gap-sessionizer
+    * ([[graft.operators.Sessionize]], T6). Native `session_window`
+    * keeps per-key open-session state that merges on overlap and
+    * closes once the watermark passes `gap` of silence — state is
+    * bounded by (open sessions × keys), not history. Append mode
+    * emits each session exactly once, on close. */
+  def sessionizedStream(
+      events: DataFrame,
+      key: Column,
+      eventTime: Column,
+      value: Column,
+      gap: String,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withColumn("event_time", eventTime)
+      .withWatermark("event_time", watermark)
+      .groupBy(key.as("key"), session_window(col("event_time"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(value.cast("decimal(28,4)")).cast("double").as("sum_value"))
+      .select(
+        col("key"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
 
   /** Wire the deduped stream to a partitioned parquet sink (the
     * streaming twin of Storage.writeParquet) with a processing-time

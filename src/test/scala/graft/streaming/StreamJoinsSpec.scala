@@ -40,6 +40,33 @@ class StreamJoinsSpec extends SparkSpec {
     assert(out.select("tag").as[String].collect().toSeq === Seq("x"))
   }
 
+  test("sessionizedStream: gap-separated bursts close as distinct sessions") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    in.addData(
+      (7L, ts("2024-01-01 10:00:00"), 1.0),
+      (7L, ts("2024-01-01 10:20:00"), 2.0), // same session (< 1h gap)
+      (7L, ts("2024-01-01 14:00:00"), 5.0), // new session (> 1h gap)
+      (9L, ts("2024-01-01 10:05:00"), 4.0))
+    // watermark must pass the sessions for append mode to emit them
+    in.addData((7L, ts("2024-01-03 00:00:00"), 0.0))
+    val sessions = OhlcvStream.sessionizedStream(
+      in.toDF.toDF("user_id", "ts", "value"),
+      key = col("user_id"), eventTime = col("ts"), value = col("value"), gap = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("session_out")
+      .select("key", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.contains((7L, 2L, 3.0))) // the 10:00 burst
+    assert(out.contains((7L, 1L, 5.0))) // the 14:00 burst
+    assert(out.contains((9L, 1L, 4.0)))
+  }
+
   test("joinWithin: overlapping non-key columns are rejected loudly") {
     val s = spark; import s.implicits._
     val l = Seq(("A", ts("2024-01-01 10:30:00"), 1.0)).toDF("symbol", "tick_ts", "v")
