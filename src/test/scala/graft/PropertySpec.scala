@@ -282,6 +282,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of backward/forward equal the brute-force per-row definition on random inputs") {
+    val s = spark; import s.implicits._
+    import graft.operators.AsOfJoin
+    val genTimes = Gen.listOfN(15, Gen.chooseNum(0L, 40L))
+    forAll2(genTimes, genTimes, n = 6) { (lts, rts) =>
+      val left = lts.zipWithIndex.map { case (t, i) => (i.toLong, "K" + (i % 2), t) }
+        .toDF("lid", "k", "t")
+      val right = rts.zipWithIndex.map { case (t, i) => ("K" + (i % 2), t, i.toLong, t * 2.0) }
+        .toDF("k", "t", "ver", "v")
+      // brute-force reference maps
+      val L = lts.zipWithIndex.map { case (t, i) => (i.toLong, "K" + (i % 2), t) }
+      val R = rts.zipWithIndex.map { case (t, i) => ("K" + (i % 2), t, i.toLong, t * 2.0) }
+      val back = AsOfJoin.backward(
+        left, right, col("k"), col("t"), col("t"), col("ver"),
+        payload = Seq("rv" -> col("v"))).collect()
+        .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("rv"))).toMap
+      val fwd = AsOfJoin.forward(
+        left, right, col("k"), col("t"), col("t"), col("ver"),
+        payload = Seq("rv" -> col("v"))).collect()
+        .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("rv"))).toMap
+      L.foreach { case (lid, k, lt) =>
+        // backward: latest rt <= lt; ties by (rt, ver) greatest
+        val bexp = R.filter(r => r._1 == k && r._2 <= lt).sortBy(r => (r._2, r._3)).lastOption.map(_._4)
+        assert(back(lid) === bexp, s"backward lid=$lid")
+        // forward: earliest rt >= lt; ties by (rt, ver) least
+        val fexp = R.filter(r => r._1 == k && r._2 >= lt).sortBy(r => (r._2, r._3)).headOption.map(_._4)
+        assert(fwd(lid) === fexp, s"forward lid=$lid")
+      }
+    }
+  }
+
   test("Det sums are invariant under repartitioning for arbitrary doubles") {
     val s = spark; import s.implicits._
     forAll(Gen.listOfN(50, Gen.chooseNum(-1e6, 1e6))) { xs =>
