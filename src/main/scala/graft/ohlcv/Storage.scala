@@ -64,11 +64,12 @@ object Storage {
       table: String,
       path: String,
       buckets: Int,
-      sortCols: Seq[String] = Seq("timestamp_unix")): Unit = {
+      sortCols: Seq[String] = Seq("timestamp_unix"),
+      bucketCol: String = "symbol_clean"): Unit = {
     val w = df.write
       .mode("overwrite")
       .option("path", path)
-      .bucketBy(buckets, "symbol_clean")
+      .bucketBy(buckets, bucketCol)
     val sorted = sortCols match {
       case head +: tail => w.sortBy(head, tail: _*)
       case _            => w

@@ -313,6 +313,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("starContract labels equal a local union-find on random graphs") {
+    val s = spark; import s.implicits._
+    forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 25L))), n = 6) { edges =>
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("doc_a", "doc_b")
+        val labels = graft.operators.TextDedup.dedupClusters(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // local union-find reference
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = nodes
+          .map(n => n -> nodes.filter(m => find(m) == find(n)).min)
+          .toMap
+        assert(labels.keySet === nodes.toSet)
+        nodes.foreach(n => assert(labels(n) === expect(n), s"node $n"))
+      }
+    }
+  }
+
   test("Det sums are invariant under repartitioning for arbitrary doubles") {
     val s = spark; import s.implicits._
     forAll(Gen.listOfN(50, Gen.chooseNum(-1e6, 1e6))) { xs =>

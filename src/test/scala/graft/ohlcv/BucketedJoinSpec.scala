@@ -36,4 +36,32 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_b2")
     }
   }
+
+  test("IVF layout: a cell-bucketed corpus scan prunes to the probed buckets only") {
+    import graft.operators.Similarity
+    val tmp = Files.createTempDirectory("graft-ivf").toString
+    val e   = graft.Tables.embeddings(spark, sf())
+    // assign each vector to its seed cell (the write-time IVF layout)
+    val assigned = e.join(
+      Similarity.kmeansAssignWith(e, Similarity.seedCentroids(e, 8))
+        .select(col("vec_id"), col("cluster_id").as("cell")),
+      "vec_id")
+    Storage.writeBucketed(
+      assigned, "graft_ivf", s"$tmp/ivf", buckets = 8, sortCols = Nil, bucketCol = "cell")
+    try {
+      // autoBucketedScan (default on) falls back to a plain scan when
+      // no JOIN/AGG consumes the bucketing — pin the bucketed scan so
+      // the IN filter prunes buckets, as a real probe query would
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val probe = spark.table("graft_ivf").filter(col("cell").isin(2L, 5L))
+      probe.collect()
+      val scan = probe.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("SelectedBucketsCount")).getOrElse("")
+      // nProbe = 2 of 8 cells → the scan must read 2 of 8 buckets
+      assert(scan.contains("SelectedBucketsCount: 2 out of 8"), scan)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf")
+    }
+  }
 }
