@@ -4,27 +4,28 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-/** As-of (backward) join: for every left row, attach the payload of
-  * the most recent right row with the same key and right.time ≤
-  * left.time (inclusive). Extension beyond the reference (SURVEY §2.6
-  * notes it has no as-of join) — the canonical time-series enrichment
-  * join (trades→quotes, events→latest price).
+/** As-of joins: for every left row, attach the payload of the nearest
+  * right row with the same key at or before ([[backward]]) / at or
+  * after ([[forward]]) the left time. Extension beyond the reference
+  * (SURVEY §2.6 notes it has no as-of join) — the canonical
+  * time-series enrichment join (trades→quotes, events→latest price,
+  * views→next purchase).
   *
   * Implementation is the UNION-TAG + WINDOW form, not a range join:
-  * tag right rows 0 and left rows 1, union, then per key take
-  * `last(payload, ignoreNulls)` over (time, side) row order. One
-  * shuffle + sort on (key, time) total, linear in |L|+|R| — the shape
-  * that survives 100 TB, unlike per-key cross joins (quadratic on hot
-  * keys) or point-lookup loops. Right rows sort BEFORE left rows at
-  * equal time, making the join inclusive like DuckDB's
-  * `ASOF JOIN ... ON l.t >= r.t`.
+  * tag the sides, union, then per key take the nearest non-null
+  * payload over (time, side, tie) row order. One shuffle + sort on
+  * (key, time) total, linear in |L|+|R| — the shape that survives
+  * 100 TB, unlike per-key cross joins (quadratic on hot keys) or
+  * point-lookup loops. The side tag orders right rows into the frame
+  * at equal times, making both directions INCLUSIVE like DuckDB's
+  * `ASOF JOIN ... ON l.t >= r.t` / `<=`.
   *
-  * Right-side duplicates at the same (key, time) are resolved by
-  * `rightTieBreak` (greatest wins) — make it unique for deterministic
-  * output.
+  * Right-side duplicates at the same (key, time) resolve by
+  * `rightTieBreak` — greatest wins backward, least wins forward (the
+  * natural mirror); make it unique for deterministic output.
   *
   * `tolerance` (the pandas `merge_asof(tolerance=…)` / kdb `wj`
-  * bound): when set, a match older than the bound is nulled — the
+  * bound): when set, a match farther than the bound is nulled — the
   * payload struct carries the matched right time internally, so the
   * bound is ONE more projection, not a different plan. Units: seconds
   * when the time columns are timestamps, the columns' native units
@@ -32,6 +33,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object AsOfJoin {
 
+  /** Most recent right row with right.time ≤ left.time (inclusive). */
   def backward(
       left: DataFrame,
       right: DataFrame,
@@ -40,34 +42,71 @@ object AsOfJoin {
       rightTime: Column,
       rightTieBreak: Column,
       payload: Seq[(String, Column)],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    asOf(left, right, key, leftTime, rightTime, rightTieBreak, payload, tolerance, isForward = false)
+
+  /** Earliest right row with right.time ≥ left.time (inclusive) —
+    * pandas `direction='forward'`, the "next upcoming event" join. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: Column,
+      leftTime: Column,
+      rightTime: Column,
+      rightTieBreak: Column,
+      payload: Seq[(String, Column)],
+      tolerance: Option[Long] = None): DataFrame =
+    asOf(left, right, key, leftTime, rightTime, rightTieBreak, payload, tolerance, isForward = true)
+
+  /** The shared directional core. Backward: left rows tag AFTER right
+    * rows (right at equal time is in the trailing frame) and
+    * `last(payload)` over (−∞, current] picks the latest right — tie
+    * order asc ⇒ greatest tieBreak wins. Forward is the exact mirror:
+    * left rows tag BEFORE right rows, `first(payload)` over
+    * [current, ∞) picks the earliest right — tie order asc ⇒ least
+    * tieBreak wins. */
+  private def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: Column,
+      leftTime: Column,
+      rightTime: Column,
+      rightTieBreak: Column,
+      payload: Seq[(String, Column)],
+      tolerance: Option[Long],
+      isForward: Boolean): DataFrame = {
 
     require(!payload.exists(_._1 == "__mt"), "payload name __mt is reserved")
+    val (rightTag, leftTag) = if (isForward) (1, 0) else (0, 1)
     val lCols = left.columns.toIndexedSeq
     val r = right.select(
       key.as("__k"),
       rightTime.as("__t"),
-      lit(0).as("__side"),
+      lit(rightTag).as("__side"),
       rightTieBreak.as("__tie"),
       struct((payload :+ ("__mt" -> rightTime)).map { case (n, c) => c.as(n) }: _*).as("__p"))
     val l = left.select(
       (lCols.map(col) :+
         key.as("__k") :+
         leftTime.as("__t") :+
-        lit(1).as("__side") :+
+        lit(leftTag).as("__side") :+
         lit(null).cast(r.schema("__tie").dataType).as("__tie") :+
         lit(null).cast(r.schema("__p").dataType).as("__p")): _*)
     val unioned = l.unionByName(r.select(
       (lCols.map(n => lit(null).cast(left.schema(n).dataType).as(n)) ++
         Seq(col("__k"), col("__t"), col("__side"), col("__tie"), col("__p"))): _*))
 
-    val w = Window
+    val ordered = Window
       .partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val pick =
+      if (isForward) first(col("__p"), ignoreNulls = true)
+        .over(ordered.rowsBetween(0, Window.unboundedFollowing))
+      else last(col("__p"), ignoreNulls = true)
+        .over(ordered.rowsBetween(Window.unboundedPreceding, 0))
     val matched = unioned
-      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__asof", pick)
+      .filter(col("__side") === leftTag)
       .select(lCols.map(col) :+ col("__asof"): _*)
     val inBound = tolerance match {
       case None => col("__asof").isNotNull
@@ -77,59 +116,11 @@ object AsOfJoin {
         val (lv, rv, bound) =
           if (isTs) (unix_micros(leftTime), unix_micros(col("__asof.__mt")), tol * 1000000L)
           else (leftTime, col("__asof.__mt"), tol)
-        col("__asof").isNotNull && lv - rv <= bound
+        val age = if (isForward) rv - lv else lv - rv
+        col("__asof").isNotNull && age <= bound
     }
     matched.select(
       lCols.map(col) ++
         payload.map { case (n, _) => when(inBound, col(s"__asof.$n")).as(n) }: _*)
-  }
-
-  /** Forward as-of: for every left row, the EARLIEST right row with
-    * the same key and right.time ≥ left.time (inclusive) — the
-    * "next upcoming event" enrichment (pandas `direction='forward'`).
-    * Same union-tag shape as [[backward]], mirrored: left rows sort
-    * BEFORE right rows at equal time and `first(payload, ignoreNulls)`
-    * scans the [current, ∞) frame. Right duplicates at the same
-    * (key, time) resolve by `rightTieBreak` (LEAST wins — the mirror
-    * of backward's greatest). One shuffle + sort on (key, time). */
-  def forward(
-      left: DataFrame,
-      right: DataFrame,
-      key: Column,
-      leftTime: Column,
-      rightTime: Column,
-      rightTieBreak: Column,
-      payload: Seq[(String, Column)]): DataFrame = {
-
-    require(!payload.exists(_._1 == "__mt"), "payload name __mt is reserved")
-    val lCols = left.columns.toIndexedSeq
-    val r = right.select(
-      key.as("__k"),
-      rightTime.as("__t"),
-      lit(1).as("__side"),
-      rightTieBreak.as("__tie"),
-      struct((payload :+ ("__mt" -> rightTime)).map { case (n, c) => c.as(n) }: _*).as("__p"))
-    val l = left.select(
-      (lCols.map(col) :+
-        key.as("__k") :+
-        leftTime.as("__t") :+
-        lit(0).as("__side") :+
-        lit(null).cast(r.schema("__tie").dataType).as("__tie") :+
-        lit(null).cast(r.schema("__p").dataType).as("__p")): _*)
-    val unioned = l.unionByName(r.select(
-      (lCols.map(n => lit(null).cast(left.schema(n).dataType).as(n)) ++
-        Seq(col("__k"), col("__t"), col("__side"), col("__tie"), col("__p"))): _*))
-
-    val w = Window
-      .partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_first)
-      .rowsBetween(0, Window.unboundedFollowing)
-    unioned
-      .withColumn("__asof", first(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0)
-      .select(lCols.map(col) :+ col("__asof"): _*)
-      .select(
-        lCols.map(col) ++
-          payload.map { case (n, _) => col(s"__asof.$n").as(n) }: _*)
   }
 }

@@ -213,22 +213,30 @@ object Similarity {
     var cents = seedCentroids(embs, k)
     for (_ <- 0 until iters) {
       val assign = nearestCell(base, cents).select(col("vec_id"), col("cell"))
-      // elementwise integer mean; dim sums are exact int64 « 2^53 so
-      // the double divide is exact-input and trunc matches the oracle
-      cents = base.join(assign, "vec_id")
-        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-        .withColumn("cx", (col("sx") / col("cnt")).cast("long"))
-        .groupBy(col("cell"))
-        .agg(collect_list(struct(col("i"), col("cx"))).as("ps"))
-        .select(
-          col("cell"),
-          transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"))
-        .withColumn("cn2", normQ(col("cv")))
+      cents = integerMeanCentroids(base.join(assign, "vec_id"), "cell")
     }
     cents
   }
+
+  /** Elementwise integer-mean centroid per `key` over a (key, v)
+    * relation — THE determinism contract every centroid consumer
+    * shares ([[kmeansCentroids]], [[centroidOutliers]]): dim sums are
+    * exact int64 « 2^53, so the double divide is exact-input and the
+    * trunc-toward-zero cast matches the oracle everywhere. One
+    * map-side-combinable (key, dim) hash-agg → |keys|·dim rows →
+    * array re-pack. Returns (key, cv, cn2). */
+  private def integerMeanCentroids(rows: DataFrame, key: String): DataFrame =
+    rows
+      .select(col(key), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col(key), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("cx", (col("sx") / col("cnt")).cast("long"))
+      .groupBy(col(key))
+      .agg(collect_list(struct(col("i"), col("cx"))).as("ps"))
+      .select(
+        col(key),
+        transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"))
+      .withColumn("cn2", normQ(col("cv")))
 
   /** Final k-means cluster assignment: one row per vector
     * (vec_id, cluster_id, cosine-to-final-centroid) against the
@@ -260,15 +268,7 @@ object Similarity {
     val base = embs
       .select(col("vec_id"), label.as("label"), Portable.quantize(col("embedding")).as("v"))
       .withColumn("n2", normQ(col("v")))
-    val cents = base
-      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-      .withColumn("cx", (col("sx") / col("cnt")).cast("long"))
-      .groupBy(col("label"))
-      .agg(collect_list(struct(col("i"), col("cx"))).as("ps"))
-      .select(col("label"), transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"))
-      .withColumn("cn2", normQ(col("cv")))
+    val cents = integerMeanCentroids(base.select(col("label"), col("v")), "label")
     val w = Window.partitionBy(col("label")).orderBy(asc("centroid_cos"), asc("vec_id"))
     base
       .join(broadcast(cents), "label")
@@ -282,57 +282,50 @@ object Similarity {
     * bucket as the query; exact cosine rescoring + top-k within the
     * bucket. Approximate by construction (bucket recall < 1) — the
     * scale path where brute force is infeasible. */
-  def lshTopK(embs: DataFrame, queryIds: Seq[Long], dim: Int, k: Int): DataFrame = {
-    val withBucket = embs.select(
-      col("vec_id"),
-      Portable.quantize(col("embedding")).as("v"))
-      .withColumn("bucket", bucketId(col("v"), dim))
-      .withColumn("n2", normQ(col("v")))
-    val q = withBucket
-      .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"), col("n2").as("qn2"))
-    val scored = withBucket
-      .join(broadcast(q), Seq("bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosine", cosine(Portable.dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("cid"), col("bucket"), col("cosine"), col("rank"))
-  }
+  def lshTopK(embs: DataFrame, queryIds: Seq[Long], dim: Int, k: Int): DataFrame =
+    probedTopK(embs, queryIds, dim, k, masks = Seq(0L), keepBucket = true)
 
   /** Multi-probe hyperplane LSH (Lv et al., VLDB '07): each query
     * probes its own bucket PLUS the H single-bit-flip neighbors — the
     * buckets a borderline hyperplane vote could have flipped into.
     * Recall rises toward brute force at (H+1)× the candidate cost,
     * with NO extra tables or rehashing — the standard fix for LSH's
-    * all-or-nothing bucket miss ([[lshTopK]]).
-    *
-    * Each corpus vector lives in exactly one bucket and a query's
-    * H+1 probe keys are distinct, so a (query, candidate) pair joins
-    * at most once — no dedup pass. Probe set stays tiny and
-    * BROADCAST; the corpus is still never shuffled. */
-  def lshTopKMultiProbe(embs: DataFrame, queryIds: Seq[Long], dim: Int, k: Int): DataFrame = {
-    val withBucket = embs.select(
-      col("vec_id"),
-      Portable.quantize(col("embedding")).as("v"))
-      .withColumn("bucket", bucketId(col("v"), dim))
-      .withColumn("n2", normQ(col("v")))
-    val masks = typedlit(0L +: (0 until H).map(h => 1L << h))
+    * all-or-nothing bucket miss ([[lshTopK]], which is the
+    * masks = {0} special case of the same probing core). */
+  def lshTopKMultiProbe(embs: DataFrame, queryIds: Seq[Long], dim: Int, k: Int): DataFrame =
+    probedTopK(embs, queryIds, dim, k,
+      masks = 0L +: (0 until H).map(h => 1L << h), keepBucket = false)
+
+  /** Shared LSH probing core: queries probe `bucket XOR mask` for each
+    * mask. Each corpus vector lives in exactly one bucket and a
+    * query's probe keys are distinct, so a (query, candidate) pair
+    * joins at most once — no dedup pass. The probe set stays tiny and
+    * BROADCAST; the corpus is never shuffled. `keepBucket` keeps the
+    * matched bucket column (meaningful for single-probe output). */
+  private def probedTopK(
+      embs: DataFrame,
+      queryIds: Seq[Long],
+      dim: Int,
+      k: Int,
+      masks: Seq[Long],
+      keepBucket: Boolean): DataFrame = {
+    val withBucket = quantized(embs).withColumn("bucket", bucketId(col("v"), dim))
     val probes = withBucket
       .filter(col("vec_id").isin(queryIds: _*))
       .select(
         col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
-        explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+        explode(transform(typedlit(masks), m => col("bucket").bitwiseXOR(m))).as("bucket"))
     val scored = withBucket
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cosine", cosine(Portable.dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
+    val out =
+      if (keepBucket) Seq(col("qid"), col("vec_id").as("cid"), col("bucket"), col("cosine"), col("rank"))
+      else Seq(col("qid"), col("vec_id").as("cid"), col("cosine"), col("rank"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("cid"), col("cosine"), col("rank"))
+      .select(out: _*)
   }
 }
