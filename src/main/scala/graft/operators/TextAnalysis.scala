@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Portable
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -182,6 +183,60 @@ object TextAnalysis {
         col("top_bigram_cnt"),
         ((col("top_bigram_cnt") * length(col("top_bigram"))).cast("double") / col("__chars"))
           .as("top_bigram_char_frac"))
+  }
+
+  /** Exact duplicated-PASSAGE spans across documents (the ExactSubstr
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", 2022 — approximated with strided grams
+    * instead of a suffix array, which has no distributed-relational
+    * form): hash a `gramLen`-char gram every `stride` chars, keep
+    * grams appearing in ≥ 2 DISTINCT docs, and merge each doc's
+    * qualifying positions into maximal spans (adjacent = gap ≤ stride,
+    * the overlap-chaining guarantee). Returns one row per
+    * (doc_id, span_idx) with char bounds and gram count.
+    *
+    * Resolution: a shared passage is detected iff it covers a full
+    * strided gram, so detection granularity is gramLen + stride chars;
+    * span bounds are tight to the gram grid, not the exact character.
+    * 60-bit md5-prefix gram hashes make cross-doc collisions
+    * negligible (~n²/2⁶¹) and the oracle bit-exact.
+    *
+    * Scale shape: map-only gram hashing (positions via `sequence`, no
+    * re-splits), one (hash) hash-agg for document frequency, a
+    * semi-join back, and a per-doc sessionization window — the same
+    * bounded-shuffle pattern as winnowing, never all-pairs. */
+  def dupSpans(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      gramLen: Int = 32,
+      stride: Int = 16): DataFrame = {
+    val t = docs.select(id.as("doc_id"), text.as("__t"))
+    val positions = when(
+      length(col("__t")) >= gramLen,
+      sequence(lit(1), length(col("__t")) - (gramLen - 1), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val occ = t
+      .select(col("doc_id"), col("__t"), explode(positions).as("p"))
+      .select(col("doc_id"), col("p"), Portable.hash60(col("__t").substr(col("p"), lit(gramLen))).as("h"))
+    val dup = occ
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("h")
+    val w   = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+    val brk = when(lag(col("p"), 1).over(w).isNull || col("p") - lag(col("p"), 1).over(w) > stride, 1)
+      .otherwise(0)
+    occ.join(dup, Seq("h"), "left_semi")
+      .withColumn("__brk", brk)
+      .withColumn(
+        "span_idx",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_idx"))
+      .agg(
+        min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + (gramLen - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
   }
 
   /** Ordered bigram occurrences (doc_id, w1, w2) — posexplode once,

@@ -315,6 +315,11 @@ object Documents {
     "q76_lm_score" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // Exact duplicated-passage spans across docs (ExactSubstr-style):
+    // strided 32-char gram hashes, cross-doc df ≥ 2, span merge.
+    "q89_dup_spans" -> ((s, dir) =>
+      TextAnalysis.dupSpans(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
     // The production near-dup path made explicit: LSH candidates
     // (q33) rescored with EXACT Jaccard (q31's score) — candidates
     // only, never the full shingle self-join.
@@ -1156,6 +1161,29 @@ object Documents {
           SELECT label, vec_id, centroid_cos, CAST(rk AS INT) AS rk FROM (
             SELECT *, row_number() OVER (PARTITION BY label ORDER BY centroid_cos ASC, vec_id ASC) AS rk
             FROM sc) WHERE rk <= 3""",
+
+    "q89_dup_spans" ->
+      """WITH pos AS (
+           SELECT doc_id, text, unnest(generate_series(1, length(text) - 31, 16)) AS p
+           FROM documents WHERE length(text) >= 32
+         ),
+         occ AS (
+           SELECT doc_id, p, ('0x' || substr(md5(substr(text, p, 32)), 1, 15))::BIGINT AS h
+           FROM pos
+         ),
+         duph AS (SELECT h FROM occ GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         d AS (SELECT o.doc_id, o.p FROM occ o JOIN duph USING (h)),
+         l AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM d),
+         b AS (SELECT doc_id, p, CASE WHEN pp IS NULL OR p - pp > 16 THEN 1 ELSE 0 END AS brk FROM l),
+         sid AS (
+           SELECT doc_id, p,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_idx
+           FROM b
+         )
+         SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+                MIN(p) AS span_start, MAX(p) + 31 AS span_end, COUNT(1) AS n_grams
+         FROM sid GROUP BY 1, 2""",
 
     "q85_prep_pipeline" ->
       s"""WITH RECURSIVE $verdictCtes,
