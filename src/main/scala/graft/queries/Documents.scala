@@ -1162,19 +1162,38 @@ object Documents {
             SELECT *, row_number() OVER (PARTITION BY label ORDER BY centroid_cos ASC, vec_id ASC) AS rk
             FROM sc) WHERE rk <= 3""",
 
+    // Mirror of dupSpans: word 6-gram 60-bit hashes → rightmost-min
+    // winnow selection (the q54 sel formula at w=8) → cross-doc
+    // df ≥ 2 → per-doc span merge.
     "q89_dup_spans" ->
-      """WITH pos AS (
-           SELECT doc_id, text, unnest(generate_series(1, length(text) - 31, 16)) AS p
-           FROM documents WHERE length(text) >= 32
+      s"""WITH $wordsCte,
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(ws) >= 6
+                       THEN list_transform(generate_series(1, len(ws)-5),
+                              i -> ('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||
+                                                       ws[i+3]||' '||ws[i+4]||' '||ws[i+5]), 1, 15))::BIGINT)
+                       ELSE []::BIGINT[] END AS hs
+           FROM words
+         ),
+         sel AS (
+           SELECT doc_id, hs,
+                  CASE WHEN len(hs) >= 1 THEN
+                       list_distinct(list_transform(generate_series(1, greatest(len(hs)-7, 1)),
+                         j -> CAST(j + len(hs[j:j+7])
+                                   - list_position(list_reverse(hs[j:j+7]),
+                                                   list_aggregate(hs[j:j+7], 'min')) AS INT)))
+                  ELSE []::INT[] END AS ps
+           FROM g
          ),
          occ AS (
-           SELECT doc_id, p, ('0x' || substr(md5(substr(text, p, 32)), 1, 15))::BIGINT AS h
-           FROM pos
+           SELECT doc_id, p, hs[p] AS h
+           FROM (SELECT doc_id, hs, unnest(ps) AS p FROM sel)
          ),
          duph AS (SELECT h FROM occ GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          d AS (SELECT o.doc_id, o.p FROM occ o JOIN duph USING (h)),
          l AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM d),
-         b AS (SELECT doc_id, p, CASE WHEN pp IS NULL OR p - pp > 16 THEN 1 ELSE 0 END AS brk FROM l),
+         b AS (SELECT doc_id, p, CASE WHEN pp IS NULL OR p - pp > 8 THEN 1 ELSE 0 END AS brk FROM l),
          sid AS (
            SELECT doc_id, p,
                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
@@ -1182,7 +1201,8 @@ object Documents {
            FROM b
          )
          SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
-                MIN(p) AS span_start, MAX(p) + 31 AS span_end, COUNT(1) AS n_grams
+                CAST(MIN(p) AS BIGINT) AS span_start_word,
+                CAST(MAX(p) + 5 AS BIGINT) AS span_end_word, COUNT(1) AS n_anchors
          FROM sid GROUP BY 1, 2""",
 
     "q85_prep_pipeline" ->

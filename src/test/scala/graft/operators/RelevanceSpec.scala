@@ -90,6 +90,31 @@ class RelevanceSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("dupSpans: a planted shared passage is found at DIFFERENT offsets; unique text is not") {
+    val s = spark; import s.implicits._
+    // different-length prefixes on purpose: fixed-stride grids would
+    // miss this (phase mismatch); content-defined anchors must not
+    val shared = "the shared passage appears in both documents verbatim and it " +
+      "keeps going long enough to contain several winnowing anchors in a row"
+    val docs = Seq(
+      (1L, "unique prefix one " + shared + " unique suffix one"),
+      (2L, "a totally different beginning here of another length " + shared + " other end"),
+      (3L, "this document shares nothing with the others at all " + ("z" * 80))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpans(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("span_start_word"), r.getAs[Long]("span_end_word"))).groupBy(_._1)
+    assert(out.contains(1L) && out.contains(2L) && !out.contains(3L))
+    // spans cover most of the shared text's words in each doc
+    val sharedWords = shared.split("\\s+").length
+    Seq(1L, 2L).foreach { d =>
+      val covered = out(d).map { case (_, (a, b)) => b - a + 1 }.sum
+      assert(covered >= sharedWords - 2 * 14, s"doc $d covered only $covered words of $sharedWords")
+    }
+    // doc 3 absent entirely; nothing pairs within a single doc alone
+    assert(TextAnalysis.dupSpans(docs.filter(col("doc_id") === 1L), col("doc_id"), col("text")).count() === 0)
+  }
+
   test("centroidOutliers: the anti-aligned vector ranks first in its label") {
     val s = spark; import s.implicits._
     // label 0: nine vectors near (1, 0), one at (−1, 0) → the outlier
