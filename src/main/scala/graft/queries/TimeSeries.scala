@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Det._
-import graft.operators.{Analytics, AsOfJoin, Dedup, Indicators, RangeJoin, Resample, Sessionize}
+import graft.operators.{Analytics, AsOfJoin, Behavior, Dedup, Indicators, RangeJoin, Resample, Sessionize}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -318,6 +318,20 @@ object TimeSeries {
         .groupBy(col("symbol"), col("bin"))
         .agg(count(lit(1)).as("n"))),
 
+    // Cohort retention matrix over users: first-active epoch-week
+    // cohorts × week offsets (exact integer week buckets).
+    "q90_retention" -> ((s, dir) =>
+      Behavior.cohortRetention(Tables.events(s, dir), col("user_id"), col("ts"))),
+
+    // Two-step view→purchase funnel with a 7-day deadline, per cohort
+    // week of the first view.
+    "q91_funnel" -> ((s, dir) =>
+      Behavior.twoStepFunnel(
+        Tables.events(s, dir), col("user_id"), col("ts"),
+        isFirst = col("event_type") === "view",
+        isSecond = col("event_type") === "purchase",
+        withinSeconds = 7L * 86400)),
+
     // Stochastic oscillator %K(14) over hourly candles — trailing
     // frame min/max, exact selection arithmetic.
     "q86_stochastic" -> ((s, dir) =>
@@ -494,6 +508,40 @@ object TimeSeries {
                 CAST(least(greatest(floor(value / 25.0), 0.0), 19.0) AS BIGINT) AS bin,
                 COUNT(1) AS n
          FROM events GROUP BY 1, 2""",
+    "q90_retention" ->
+      """WITH e0 AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+         w AS (
+           SELECT DISTINCT user_id,
+                  CAST((e - ((e % 604800) + 604800) % 604800) / 604800 AS BIGINT) AS wk
+           FROM e0
+         ),
+         c AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY 1)
+         SELECT c.cohort_week, w.wk - c.cohort_week AS week_offset, COUNT(1) AS n_users
+         FROM w JOIN c USING (user_id) GROUP BY 1, 2""",
+    "q91_funnel" ->
+      """WITH f AS (
+           SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t1
+           FROM events WHERE event_type = 'view' GROUP BY 1
+         ),
+         s AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t2
+           FROM events WHERE event_type = 'purchase'
+         ),
+         pu AS (
+           SELECT f.user_id, f.t1, MIN(CASE WHEN s.t2 >= f.t1 THEN s.t2 END) AS t2_first
+           FROM f LEFT JOIN s USING (user_id) GROUP BY 1, 2
+         ),
+         pc AS (
+           SELECT user_id, t1, t2_first,
+                  (t2_first IS NOT NULL AND t2_first - t1 <= 604800) AS conv
+           FROM pu
+         )
+         SELECT CAST((t1 - ((t1 % 604800) + 604800) % 604800) / 604800 AS BIGINT) AS cohort_week,
+                COUNT(1) AS n_entered,
+                COUNT(CASE WHEN conv THEN 1 END) AS n_converted,
+                CAST(SUM(CAST(CASE WHEN conv THEN t2_first - t1 END AS DECIMAL(28,6))) AS DOUBLE)
+                  / COUNT(CASE WHEN conv THEN t2_first - t1 END) AS avg_delay_s
+         FROM pc GROUP BY 1""",
     "q86_stochastic" -> (hourlyCandlesSql +
       """ SELECT symbol, bucket_start, close, lowest_low, highest_high,
                  CASE WHEN highest_high > lowest_low
