@@ -344,6 +344,18 @@ object TimeSeries {
       Indicators.withObv(hourlyCandles(s, dir), col("bucket_start"))
         .select(col("symbol"), col("bucket_start"), col("close"), col("obv"))),
 
+    // Rolling exact median over the trailing 14 candles — `percentile`
+    // as a WINDOW aggregate (bit-matches DuckDB quantile_cont, like
+    // its grouped twin q16). Robust-center smoothing for noisy series.
+    "q92_rolling_median" -> ((s, dir) => {
+      val frame = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("bucket_start").asc)
+        .rowsBetween(-13, 0)
+      hourlyCandles(s, dir).select(
+        col("symbol"), col("bucket_start"), col("close"),
+        expr("percentile(close, 0.5)").over(frame).as("rolling_median"))
+    }),
+
     // Unpivot/melt: the wide daily OHLC rollup to long (metric, value)
     // form — the inverse of q20's pivot, map-only (an Expand node).
     "q82_unpivot" -> ((s, dir) =>
@@ -571,6 +583,11 @@ object TimeSeries {
                 CAST(SUM(CAST(sv AS DECIMAL(30,4))) OVER (PARTITION BY symbol ORDER BY bucket_start
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS obv
          FROM sgn"""),
+    "q92_rolling_median" -> (hourlyCandlesSql +
+      """ SELECT symbol, bucket_start, close,
+                 quantile_cont(close, 0.5) OVER (PARTITION BY symbol ORDER BY bucket_start
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS rolling_median
+          FROM candles"""),
     // UNION ALL form rather than UNPIVOT syntax — portable and
     // column-order-exact.
     "q82_unpivot" -> (dailyStatsSql +
