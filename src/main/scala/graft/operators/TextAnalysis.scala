@@ -185,6 +185,34 @@ object TextAnalysis {
           .as("top_bigram_char_frac"))
   }
 
+  /** The quality-gate DECISION list — the filter verdict a pipeline
+    * actually consumes (the quality analogue of
+    * [[TextDedup.dedupVerdicts]]): per document, each gate's boolean
+    * (length floor, composite quality floor, duplicate-token ceiling —
+    * the Gopher-style rule family) plus the composed keep/drop
+    * verdict, with the underlying metrics kept in the row so a reject
+    * is explainable. One pass for each metric family + a doc-key
+    * join; thresholds are parameters, not policy baked into the
+    * operator. */
+  def qualityVerdicts(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      minTokens: Long = 30L,
+      minScore: Double = 0.5,
+      maxDupFrac: Double = 0.6): DataFrame = {
+    val q = qualityMetrics(docs, id, text).select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val r = repetitionMetrics(docs, id, text).select(col("doc_id"), col("dup_token_frac"))
+    q.join(r, "doc_id")
+      .withColumn("pass_len", col("n_tokens") >= minTokens)
+      .withColumn("pass_quality", col("quality_score") >= minScore)
+      .withColumn("pass_repetition", col("dup_token_frac") <= maxDupFrac)
+      .withColumn(
+        "verdict",
+        when(col("pass_len") && col("pass_quality") && col("pass_repetition"), "keep")
+          .otherwise("drop"))
+  }
+
   /** Exact duplicated-PASSAGE spans across documents (the ExactSubstr
     * dedup signal of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", 2022, which also operates on tokens — a

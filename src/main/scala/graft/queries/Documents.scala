@@ -315,6 +315,11 @@ object Documents {
     "q76_lm_score" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // Quality-gate verdicts: per-doc gate booleans + keep/drop — the
+    // filter decision list (quality analogue of q64).
+    "q93_quality_verdicts" -> ((s, dir) =>
+      TextAnalysis.qualityVerdicts(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
     // Exact duplicated-passage spans across docs (ExactSubstr-style):
     // strided 32-char gram hashes, cross-doc df ≥ 2, span merge.
     "q89_dup_spans" -> ((s, dir) =>
@@ -1161,6 +1166,25 @@ object Documents {
           SELECT label, vec_id, centroid_cos, CAST(rk AS INT) AS rk FROM (
             SELECT *, row_number() OVER (PARTITION BY label ORDER BY centroid_cos ASC, vec_id ASC) AS rk
             FROM sc) WHERE rk <= 3""",
+
+    "q93_quality_verdicts" ->
+      s"""WITH $wordsCte,
+          m AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   least(1.0, len(ws) / 100.0) * 0.5
+                     + least(1.0, (CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in','to','is','that','it','for'))) AS DOUBLE) / len(ws)) * 4) * 0.3
+                     + CASE WHEN CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END AS quality_score,
+                   CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_token_frac
+            FROM words
+          )
+          SELECT doc_id, n_tokens, quality_score, dup_token_frac,
+                 n_tokens >= 30 AS pass_len,
+                 quality_score >= 0.5 AS pass_quality,
+                 dup_token_frac <= 0.6 AS pass_repetition,
+                 CASE WHEN n_tokens >= 30 AND quality_score >= 0.5 AND dup_token_frac <= 0.6
+                      THEN 'keep' ELSE 'drop' END AS verdict
+          FROM m""",
 
     // Mirror of dupSpans: word 6-gram 60-bit hashes → rightmost-min
     // winnow selection (the q54 sel formula at w=8) → cross-doc
