@@ -115,6 +115,24 @@ class RelevanceSpec extends SparkSpec {
     assert(TextAnalysis.dupSpans(docs.filter(col("doc_id") === 1L), col("doc_id"), col("text")).count() === 0)
   }
 
+  test("qualityVerdicts: each gate fails independently and composes into the verdict") {
+    val s = spark; import s.implicits._
+    // long, stopwordy, mostly-distinct tokens (dup frac ≈ 0.25)
+    val good = (1 to 60).map(i => s"the word$i of$i item$i").mkString(" ")
+    val docs = Seq(
+      (1L, good),                         // passes all gates
+      (2L, "too short to keep"),          // fails length
+      (3L, ("dup " * 60).trim)            // fails repetition (1 distinct token beyond 'dup')
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityVerdicts(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("pass_len"), r.getAs[Boolean]("pass_repetition"),
+          r.getAs[String]("verdict"))).toMap
+    assert(out(1L)._3 === "keep")
+    assert(!out(2L)._1 && out(2L)._3 === "drop")
+    assert(out(3L)._1 && !out(3L)._2 && out(3L)._3 === "drop")
+  }
+
   test("centroidOutliers: the anti-aligned vector ranks first in its label") {
     val s = spark; import s.implicits._
     // label 0: nine vectors near (1, 0), one at (−1, 0) → the outlier
