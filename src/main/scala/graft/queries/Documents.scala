@@ -61,10 +61,25 @@ object Documents {
   // from. Note the labels cache builds EAGERLY on first access
   // (starContract runs its rounds driver-side), which is exactly the
   // "train once, read forever" lifecycle of a real dedup stage.
+  /** Hot-shingle df cap for the shared exact-Jaccard relation
+    * (q31/q53/q64/q85). At 100 TB an uncapped posting-list self-join
+    * is quadratic on any boilerplate trigram shared corpus-wide —
+    * the one genuine scale risk in the dedup family — so the
+    * production path runs CAPPED by default: shingles in more than
+    * 128 documents are dropped before the join (bounding candidate
+    * volume to ≤ 128²/2 per shingle) and Jaccard is measured over
+    * the capped universe, exactly as [[TextDedup.jaccardPairsFromRows]]
+    * documents. The DuckDB oracles mirror the cap (`shj` CTE), so the
+    * contract stays hash-exact at any scale. Observed max shingle df
+    * in the test corpus: 7 at sf0.01, 25 at sf0.1 — well under the
+    * cap, which exists for the corpus where it matters. */
+  private[graft] val SharedJaccardDfCap = 128L
+
   private val pairsCache = new DirCache
   private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
     cachedPerDir(pairsCache, s, dir)(
-      TextDedup.jaccardPairsFromRows(sharedShingles(s, dir), 0.8))
+      TextDedup.jaccardPairsFromRows(
+        sharedShingles(s, dir), 0.8, maxShingleDf = Some(SharedJaccardDfCap)))
 
   private val clustersCache = new DirCache
   private def sharedClusters(s: SparkSession, dir: String): DataFrame =
@@ -381,6 +396,14 @@ object Documents {
        ),
        sh AS (SELECT doc_id, unnest(sh) AS s FROM sh0)"""
 
+  /** [[shinglesCte]] plus the df-capped universe `shj` the shared
+    * exact-Jaccard path computes over — mirror of `maxShingleDf =
+    * Some(SharedJaccardDfCap)` in [[TextDedup.jaccardPairsFromRows]]. */
+  private val cappedShinglesCte = shinglesCte + s""",
+       shj AS (
+         SELECT doc_id, s FROM sh
+         WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(1) <= $SharedJaccardDfCap))"""
+
   /** (doc_id, k, minhash) signature rows — mirror of the whole-row
     * Spark computation, in exploded relational form. */
   private val sigCte = shinglesCte + """,
@@ -460,11 +483,11 @@ object Documents {
     * connected components → exact-fingerprint keepers → `j` with
     * (doc_id, exact_keeper, cluster_min)). Requires `WITH RECURSIVE`;
     * shared by q64 and the q85 pipeline. */
-  private def verdictCtes = s"""$shinglesCte,
-       sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+  private def verdictCtes = s"""$cappedShinglesCte,
+       sizes AS (SELECT doc_id, COUNT(1) AS n FROM shj GROUP BY 1),
        inter AS (
          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2
        ),
        pairs AS (
@@ -544,11 +567,11 @@ object Documents {
          FROM documents GROUP BY 1""",
 
     "q31_ngram_jaccard_pairs" ->
-      s"""WITH $shinglesCte,
-          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+      s"""WITH $cappedShinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM shj GROUP BY 1),
           inter AS (
             SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
           )
           SELECT da AS doc_a, db AS doc_b,
@@ -742,11 +765,11 @@ object Documents {
           SELECT qid, cid, cell, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5""",
 
     "q53_dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
-          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+      s"""WITH RECURSIVE $cappedShinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM shj GROUP BY 1),
           inter AS (
             SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
           ),
           pairs AS (

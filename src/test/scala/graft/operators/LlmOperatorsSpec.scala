@@ -55,6 +55,54 @@ class TextDedupSpec extends SparkSpec {
     assert(out((0L, 3L)) === 1.0)
   }
 
+  test("lshPairs hot-band cap drops giant exact-dup buckets; cap=∞ bit-identical to no cap") {
+    val s = spark; import s.implicits._
+    // 12 exact duplicates → identical signatures → ONE bucket of df 12
+    // in EVERY band: the pathological group LSH banding cannot thin
+    // (uncapped candidate volume C(12,2)=66, once per band). Two
+    // near-dup docs (100, 101) survive the cap and still pair — the
+    // result must stay non-empty, else AQE's empty-relation
+    // propagation elides the CollectMetrics node (see lshPairs doc).
+    val d = ((0 until 12).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog")) ++
+      Seq(
+        (100L, "completely different words entirely here now today"),
+        (101L, "completely different words entirely here now tomorrow"))).toDF("doc_id", "text")
+    val sigs = TextDedup.minhashSignatures(d, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
+      .persist()
+    try {
+      val uncapped = TextDedup.lshPairs(sigs, 0.5)
+      assert(uncapped.count() === 67) // C(12,2) dup-group pairs + (100,101)
+
+      import org.apache.spark.sql.execution.QueryExecution
+      import org.apache.spark.sql.util.QueryExecutionListener
+      @volatile var dropped = -1L
+      @volatile var kept    = -1L
+      val listener = new QueryExecutionListener {
+        override def onSuccess(f: String, qe: QueryExecution, dur: Long): Unit =
+          qe.observedMetrics.get("lsh_band_cap").foreach { r =>
+            dropped = r.getAs[Long]("dropped_buckets")
+            kept    = r.getAs[Long]("kept_buckets")
+          }
+        override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val capped = TextDedup.lshPairs(sigs, 0.5, maxBandDf = Some(5L)).collect()
+        // the giant group's pairs are gone; the small near-dup bucket survives
+        assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)))
+        val deadline = System.currentTimeMillis() + 10000
+        while (dropped < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(dropped === 8L) // the dup group's bucket in each of 8 bands
+        assert(kept >= 8L)     // docs 100/101's own buckets (8..16 depending on collisions)
+      } finally spark.listenerManager.unregister(listener)
+
+      // cap = ∞ is bit-identical to no cap (q33 oracle contract)
+      val inf = TextDedup.lshPairs(sigs, 0.5, Some(Long.MaxValue))
+      assert(inf.exceptAll(uncapped).count() === 0)
+      assert(uncapped.exceptAll(inf).count() === 0)
+    } finally sigs.unpersist()
+  }
+
   test("lshRescoredPairs ⊆ exact jaccard pairs with IDENTICAL scores (recall-bounded, exact-scored)") {
     val shRows = docs.select(col("doc_id"), explode(TextDedup.wordNgrams(col("text"), 3)).as("s"))
     val exact = TextDedup.jaccardPairsFromRows(shRows, 0.6).collect()
