@@ -76,7 +76,18 @@ object AsOfJoin {
       tolerance: Option[Long],
       isForward: Boolean): DataFrame = {
 
-    require(!payload.exists(_._1 == "__mt"), "payload name __mt is reserved")
+    val reserved = Set("__asof", "__k", "__t", "__side", "__tie", "__p", "__mt")
+    require(
+      !payload.exists(p => reserved(p._1)),
+      s"payload names ${reserved.mkString("/")} are reserved as-of internals")
+    require(
+      !left.columns.exists(reserved),
+      s"left columns ${left.columns.filter(reserved).mkString(", ")} collide with " +
+        s"reserved as-of internals (${reserved.mkString("/")})")
+    require(
+      !payload.exists(p => left.columns.contains(p._1)),
+      s"payload names ${payload.map(_._1).filter(left.columns.contains).mkString(", ")} " +
+        "duplicate left columns — alias the payload")
     val (rightTag, leftTag) = if (isForward) (1, 0) else (0, 1)
     val lCols = left.columns.toIndexedSeq
     val r = right.select(
@@ -92,6 +103,15 @@ object AsOfJoin {
         lit(leftTag).as("__side") :+
         lit(null).cast(r.schema("__tie").dataType).as("__tie") :+
         lit(null).cast(r.schema("__p").dataType).as("__p")): _*)
+    // The tolerance unit (micros vs native) is decided from the time
+    // TYPE; mixed-type sides would silently compare micros to raw
+    // numbers, so tolerance requires both sides in the same type.
+    // Checked BEFORE the union so the caller gets this message, not a
+    // union type-mismatch AnalysisException.
+    if (tolerance.isDefined) require(
+      l.schema("__t").dataType == r.schema("__t").dataType,
+      s"as-of tolerance requires matching time column types; " +
+        s"left=${l.schema("__t").dataType} right=${r.schema("__t").dataType}")
     val unioned = l.unionByName(r.select(
       (lCols.map(n => lit(null).cast(left.schema(n).dataType).as(n)) ++
         Seq(col("__k"), col("__t"), col("__side"), col("__tie"), col("__p"))): _*))

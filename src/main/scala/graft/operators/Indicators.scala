@@ -263,16 +263,21 @@ object Indicators {
         col("b.symbol").as("sym_b"),
         col("a.__x").as("xa"),
         col("b.__x").as("xb"))
-    def isum(c: Column) = sum(c.cast(DecimalType(38, 0))).cast("double")
+    // Operands cast to decimal BEFORE the product: a long*long product
+    // wraps silently above ~3e9 per operand (where DuckDB's BIGINT
+    // raises instead), so the products are computed in Decimal(38,0)
+    // end-to-end — exact for any |x·scale| the quantization emits.
+    def dec(c: Column)  = c.cast(DecimalType(38, 0))
+    def isum(c: Column) = sum(c).cast("double")
     val agg = joined
       .groupBy(col("sym_a"), col("sym_b"))
       .agg(
         count(lit(1)).as("n"),
-        isum(col("xa")).as("sx"),
-        isum(col("xb")).as("sy"),
-        isum(col("xa") * col("xb")).as("sxy"),
-        isum(col("xa") * col("xa")).as("sxx"),
-        isum(col("xb") * col("xb")).as("syy"))
+        isum(dec(col("xa"))).as("sx"),
+        isum(dec(col("xb"))).as("sy"),
+        isum(dec(col("xa")) * dec(col("xb"))).as("sxy"),
+        isum(dec(col("xa")) * dec(col("xa"))).as("sxx"),
+        isum(dec(col("xb")) * dec(col("xb"))).as("syy"))
     val vx = agg("n") * agg("sxx") - agg("sx") * agg("sx")
     val vy = agg("n") * agg("syy") - agg("sy") * agg("sy")
     agg.select(

@@ -1,20 +1,26 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, decoded/feature-extracted in BATCHES via
   * `mapPartitions` (the JVM analogue of a pandas batch UDF — one
   * decoder init per partition, rows processed in fixed-size batches).
   *
-  * The actual byte decoding is a clearly-marked DETERMINISTIC STUB
-  * (this container has no image/audio codecs): "decoded" features are
-  * md5-derived from the payload, so the plumbing — schema, encoder
-  * round-trip, batch shape, partition parallelism — is real and
-  * oracle-checkable, while a production build swaps `decodeBatch`'s
-  * body for a codec call with the same signature.
+  * The IMAGE path is REAL: payloads are PNG bytes, decoded with
+  * `javax.imageio` (public JDK stdlib) — [[decodeImages]] reads actual
+  * pixels out of the compressed stream and [[resizeImages]] resamples
+  * them. Correctness is oracle-checkable because the test fixtures are
+  * generated from a closed-form manifest ([[syntheticImages]]): DuckDB
+  * recomputes the expected dimensions and pixel hash from the formula,
+  * and PNG being lossless, a correct encode→decode round trip matches
+  * bit-for-bit.
+  *
+  * Audio/video ([[decodeFeatures]]) remain a clearly-marked
+  * DETERMINISTIC STUB — this container ships no media codecs beyond
+  * ImageIO — with the same batch-in/rows-out shape a real decoder
+  * drops into.
   *
   * Scale notes: payloads never leave their partition (no shuffle in
   * decode); batching bounds peak memory to batchSize·payload; the
@@ -25,7 +31,7 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Decoded-feature row produced by the stub decoder. */
+  /** Decoded-feature row produced by the stub (audio/video) decoder. */
   case class MediaFeatures(
       doc_id: Long,
       format: String,
@@ -35,20 +41,162 @@ object Multimodal {
       n_frames: Long,
       feat_hash: Long)
 
+  /** Decoded-image row: dimensions as reported by the PNG decoder and
+    * a position-sensitive pixel hash over the decoded raster. */
+  case class ImageFeatures(
+      doc_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      pixel_sum: Long)
+
   val BatchSize = 64
+
+  // ---------------------------------------------------------------
+  // Real image path (javax.imageio)
+  // ---------------------------------------------------------------
+
+  /** Deterministic grayscale test image for `id`: the FIXTURE MANIFEST.
+    *   width  = 4 + id mod 13   (4..16)
+    *   height = 3 + id mod 11   (3..13)
+    *   pixel(x, y) = (id·31 + x·7 + y·13) mod 256
+    * Every number below is recomputable in SQL, which is what lets the
+    * DuckDB oracle check a real codec round trip. */
+  def manifestDims(id: Long): (Int, Int) = ((4 + id % 13).toInt, (3 + id % 11).toInt)
+  def manifestPixel(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  private def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = manifestDims(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, manifestPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** PNG-payload media table generated from the manifest — the local
+    * stand-in for `spark.read.format("binaryFile")` over an image
+    * corpus. Encoding runs distributed (mapPartitions, no shuffle);
+    * at scale this stage is replaced by reading real files and the
+    * decode/resize operators below are unchanged. */
+  def syntheticImages(docs: DataFrame, id: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(id.as("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(i => (i, encodePng(i))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Position-sensitive raster hash: Σ pixel(x,y)·(y·W + x + 1) — a
+    * permutation-detecting checksum cheap to mirror in SQL. Exact in
+    * Long: ≤ 255·(W·H)² ≪ 2⁶³ at fixture dims. */
+  private def rasterSum(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var acc = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { acc += raster.getSample(x, y, 0).toLong * (y.toLong * w + x + 1); x += 1 }
+      y += 1
+    }
+    acc
+  }
+
+  private val PngMagic = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)
+
+  /** REAL batched image decode: `javax.imageio` reads the compressed
+    * PNG stream back into pixels; format comes from magic-byte
+    * sniffing, dimensions from the decoder, and the pixel hash from
+    * the decoded raster — nothing is derived from the input bytes'
+    * hash. Batched `mapPartitions`, one in-memory codec (no disk
+    * cache) per partition; a corrupt payload throws with the doc id
+    * rather than silently skewing the corpus. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+          val fmt =
+            if (bytes.length >= 4 && bytes.take(4).sameElements(PngMagic)) "png" else "unknown"
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for doc_id=$id")
+          ImageFeatures(id, fmt, img.getWidth.toLong, img.getHeight.toLong, rasterSum(img))
+        })
+      }
+      .toDF()
+  }
+
+  /** REAL image resize: decode, aspect-fit into (maxW, maxH) with
+    * exact integer arithmetic, then NEAREST-NEIGHBOR resample the
+    * decoded raster — src = (x'·W div NW, y'·H div NH) — and hash the
+    * resized pixels. Deterministic on any JVM (no float filtering),
+    * so the oracle mirrors the same mapping in SQL. Same batched
+    * per-partition shape as [[decodeImages]]. */
+  def resizeImages(media: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"target box must be positive: ${maxW}x$maxH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for doc_id=$id")
+          val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+          // scale = min(maxW/w, maxH/h) via cross-multiplication; the
+          // non-binding dimension floors but never to 0 (max(1, ·))
+          val (nw, nh) =
+            if (maxW * h <= maxH * w) (maxW, math.max(1L, maxW * h / w))
+            else (math.max(1L, maxH * w / h), maxH)
+          val raster = img.getRaster
+          var acc = 0L
+          var y = 0L
+          while (y < nh) {
+            var x = 0L
+            while (x < nw) {
+              val p = raster.getSample((x * w / nw).toInt, (y * h / nh).toInt, 0)
+              acc += p.toLong * (y * nw + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, nw, nh, acc)
+        })
+      }
+      .toDF("doc_id", "width", "height", "new_width", "new_height", "resized_sum")
+  }
+
+  // ---------------------------------------------------------------
+  // Stub audio/video path (no codec in this container)
+  // ---------------------------------------------------------------
 
   /** Wrap a text table as a media table: payload = UTF-8 bytes,
     * format assigned deterministically by id (stands in for real
-    * image/audio/video payload ingestion). */
+    * audio/video payload ingestion). */
   def asMediaTable(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(
       id.as("doc_id"),
       encode(text, "UTF-8").as("payload"),
-      when(id % 3 === 0, "png").when(id % 3 === 1, "jpeg").otherwise("wav").as("format"))
+      when(id % 3 === 0, "mp4").when(id % 3 === 1, "mkv").otherwise("wav").as("format"))
 
   /** STUB decode of one batch — deterministic md5-derived features.
-    * Production: replace body with a real codec (payload → pixels /
-    * samples), keeping the batch-in/rows-out signature. */
+    * Production: replace body with a real codec (payload → samples /
+    * frames), keeping the batch-in/rows-out signature. */
   private def decodeBatch(batch: Seq[(Long, Array[Byte], String)]): Seq[MediaFeatures] = {
     val md = java.security.MessageDigest.getInstance("MD5") // one per batch, reset per row
     batch.map { case (id, bytes, fmt) =>
@@ -66,9 +214,10 @@ object Multimodal {
     }
   }
 
-  /** Batched decode over the media table: `mapPartitions` with
-    * `grouped(BatchSize)` — the Spark-side shape a real decoder needs
-    * (per-partition init, bounded batches, typed output encoder). */
+  /** Batched STUB decode over the audio/video media table:
+    * `mapPartitions` with `grouped(BatchSize)` — the Spark-side shape
+    * a real decoder needs (per-partition init, bounded batches, typed
+    * output encoder). */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -77,31 +226,6 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.grouped(BatchSize).flatMap(decodeBatch))
       .toDF()
-  }
-
-  /** STUB resize: new dimensions fitting inside (maxW, maxH) with
-    * aspect ratio preserved (integer arithmetic — exact on any
-    * engine), plus the md5-derived "resized payload" hash a real
-    * resizer would recompute. Same batched mapPartitions shape as
-    * [[decodeFeatures]]; swap the hash line for a codec call in
-    * production. */
-  def resizeStub(decoded: DataFrame, maxW: Long, maxH: Long): DataFrame = {
-    val spark = decoded.sparkSession
-    import spark.implicits._
-    decoded
-      .select(col("doc_id"), col("width"), col("height"), col("feat_hash"))
-      .as[(Long, Long, Long, Long)]
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (id, w, h, fh) =>
-        // scale = min(maxW/w, maxH/h) in exact rational arithmetic:
-        // compare maxW*h vs maxH*w to pick the binding dimension
-        val (nw, nh) =
-          if (maxW * h <= maxH * w) (maxW, maxW * h / w) // width binds
-          else (maxH * w / h, maxH)                      // height binds
-        val md  = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"${fh}_${nw}x$nh".getBytes("UTF-8")).map("%02x".format(_)).mkString
-        (id, w, h, nw, nh, java.lang.Long.parseLong(hex.take(15), 16))
-      }))
-      .toDF("doc_id", "width", "height", "new_width", "new_height", "resized_hash")
   }
 
   /** Frame sampling: every `stride`-th frame index of each media item,

@@ -143,9 +143,18 @@ object Profile {
     val nmin   = counts.agg(min(col("__n")).as("__nmin"))
     val ratio  = col("__nmin").cast("double") / col("__n")
     val rate   = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    // Rate floored at 1 bps: with extreme skew (n_g/n_min beyond ~1e8
+    // at α=0.5) the rounded rate would hit 0 and silently drop the
+    // ENTIRE largest source — a floor keeps every group represented,
+    // at worst oversampling a pathological group to 1/10000. Rows
+    // whose group is NULL are dropped by the inner join below (NULL
+    // never equals __g) — by design: a temperature mixture needs a
+    // group; pre-bucket nulls if they must survive.
     val bps = counts
       .crossJoin(broadcast(nmin))
-      .select(col("__g"), round(rate * 10000).cast("long").as("sample_rate_bps"))
+      .select(
+        col("__g"),
+        greatest(lit(1L), round(rate * 10000).cast("long")).as("sample_rate_bps"))
     val hv = pmod(Portable.hash60(concat(lit(seed), lit("_"), id.cast("string"))), lit(10000L))
     df.join(broadcast(bps), group === col("__g"))
       .filter(hv < col("sample_rate_bps"))

@@ -154,10 +154,13 @@ object Documents {
     "q39_langid" -> ((s, dir) =>
       TextAnalysis.languageIdSummary(Tables.documents(s, dir), col("text"))),
 
-    // Multimodal: binary payload + mapPartitions batched stub decode.
+    // Multimodal: REAL PNG decode (javax.imageio) over manifest-
+    // generated payloads — the oracle recomputes dims + pixel hash
+    // from the closed-form manifest; PNG losslessness makes a correct
+    // codec round trip hash-exact.
     "q40_multimodal_decode" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text")))
+      Multimodal.decodeImages(Multimodal.syntheticImages(d, col("doc_id")))
     }),
 
     // Frame sampling over the decoded media (every 4th frame).
@@ -182,13 +185,13 @@ object Documents {
       Similarity.ivfTopK(Tables.embeddings(s, dir), QueryIds, nCells = 16, nProbe = 2, k = 5)
         .withColumnRenamed("rank", "rk")),
 
-    // Multimodal resize stub: aspect-preserving integer dims fitting
-    // (256, 128) + md5-derived resized-payload hash.
+    // Multimodal resize: REAL decode + aspect-fit + nearest-neighbor
+    // resample of the decoded raster (thumbnail box 8×6 keeps the
+    // oracle's pixel grid small at any SF).
     "q49_multimodal_resize" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      Multimodal.resizeStub(
-        Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text"))),
-        maxW = 256L, maxH = 128L)
+      Multimodal.resizeImages(
+        Multimodal.syntheticImages(d, col("doc_id")), maxW = 8L, maxH = 6L)
     }),
 
     // One-pass column profile of the documents table (nulls, distinct,
@@ -852,36 +855,46 @@ object Documents {
                  COUNT(1) AS n_docs
           FROM s GROUP BY 1, 2""",
 
+    // The image-decode oracles recompute the MANIFEST formula
+    // (Multimodal.syntheticImages): width = 4 + id%13, height =
+    // 3 + id%11, pixel(x,y) = (id*31 + x*7 + y*13) % 256 — Spark's
+    // numbers come from actually decoding the PNG, so a hash match
+    // proves the codec round trip, not a shared shortcut.
     "q40_multimodal_decode" ->
-      """SELECT doc_id,
-                CASE WHEN doc_id % 3 = 0 THEN 'png'
-                     WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
-                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                64 + h % 1217 AS width,
-                64 + (h // 1217) % 953 AS height,
-                1 + CAST(octet_length(encode(text)) AS BIGINT) // 256 AS n_frames,
-                h AS feat_hash
-         FROM (SELECT doc_id, text,
-                      ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-               FROM documents)""",
+      """WITH dims AS (
+           SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+                  CAST(3 + doc_id % 11 AS BIGINT) AS h
+           FROM documents),
+         px AS (
+           SELECT doc_id, w, h, x, y, (doc_id*31 + x*7 + y*13) % 256 AS p
+           FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w-1)) AS x),
+           LATERAL (SELECT unnest(generate_series(0, h-1)) AS y)
+         )
+         SELECT doc_id, 'png' AS format, w AS width, h AS height,
+                CAST(SUM(p * (y*w + x + 1)) AS BIGINT) AS pixel_sum
+         FROM px GROUP BY 1, 2, 3, 4""",
 
     "q49_multimodal_resize" ->
-      """WITH f AS (
-           SELECT doc_id,
-                  64 + h % 1217 AS width,
-                  64 + (h // 1217) % 953 AS height,
-                  h AS feat_hash
-           FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
-         ),
-         r AS (
-           SELECT doc_id, width, height, feat_hash,
-                  CASE WHEN 256 * height <= 128 * width THEN 256 ELSE 128 * width // height END AS new_width,
-                  CASE WHEN 256 * height <= 128 * width THEN 256 * height // width ELSE 128 END AS new_height
-           FROM f
+      """WITH dims AS (
+           SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+                  CAST(3 + doc_id % 11 AS BIGINT) AS h
+           FROM documents),
+         nd AS (
+           SELECT doc_id, w, h,
+                  CAST(CASE WHEN 8*h <= 6*w THEN 8 ELSE GREATEST(1, 6*w // h) END AS BIGINT) AS nw,
+                  CAST(CASE WHEN 8*h <= 6*w THEN GREATEST(1, 8*h // w) ELSE 6 END AS BIGINT) AS nh
+           FROM dims),
+         px AS (
+           SELECT doc_id, w, h, nw, nh, x, y,
+                  (doc_id*31 + (x*w // nw)*7 + (y*h // nh)*13) % 256 AS p
+           FROM nd,
+           LATERAL (SELECT unnest(generate_series(0, nw-1)) AS x),
+           LATERAL (SELECT unnest(generate_series(0, nh-1)) AS y)
          )
-         SELECT doc_id, width, height, new_width, new_height,
-                ('0x' || substr(md5(feat_hash || '_' || new_width || 'x' || new_height), 1, 15))::BIGINT AS resized_hash
-         FROM r""",
+         SELECT doc_id, w AS width, h AS height, nw AS new_width, nh AS new_height,
+                CAST(SUM(p * (y*nw + x + 1)) AS BIGINT) AS resized_sum
+         FROM px GROUP BY 1, 2, 3, 4, 5""",
 
     "q41_frame_sample" ->
       """SELECT doc_id, frame_idx,
@@ -1155,7 +1168,7 @@ object Documents {
          m AS (SELECT MIN(n) AS nmin FROM c),
          r AS (
            SELECT source,
-                  CAST(round(sqrt(CAST(nmin AS DOUBLE) / n) * 10000) AS BIGINT) AS bps
+                  GREATEST(1, CAST(round(sqrt(CAST(nmin AS DOUBLE) / n) * 10000) AS BIGINT)) AS bps
            FROM c, m
          ),
          k AS (
@@ -1293,7 +1306,7 @@ object Documents {
           mn AS (SELECT MIN(n) AS nmin FROM cnts),
           rates AS (
             SELECT source,
-                   CAST(round(sqrt(CAST(nmin AS DOUBLE) / n) * 10000) AS BIGINT) AS bps
+                   GREATEST(1, CAST(round(sqrt(CAST(nmin AS DOUBLE) / n) * 10000) AS BIGINT)) AS bps
             FROM cnts, mn
           ),
           k3 AS (

@@ -36,9 +36,12 @@ object StreamJoins {
       maxDelaySeconds: Long,
       watermark: String = "10 minutes"): DataFrame = {
     require(leftTime != rightTime, "event-time columns must have distinct names")
+    require(right.columns.contains(key), s"right side is missing the join key '$key'")
+    val overlap = right.columns.filter(c => c != key && left.columns.contains(c))
     require(
-      right.columns.count(c => c == key || left.columns.contains(c)) == 1,
-      s"sides may share ONLY the join key '$key' — rename overlapping columns")
+      overlap.isEmpty,
+      s"sides may share ONLY the join key '$key' — rename overlapping " +
+        s"columns ${overlap.mkString(", ")}")
     val l = left.withWatermark(leftTime, watermark)
     val r = right.withWatermark(rightTime, watermark)
     l.join(

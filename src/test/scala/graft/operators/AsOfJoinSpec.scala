@@ -92,4 +92,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("trade_id", "sym", "t", "px"))
     assert(out.count() === 4)
   }
+
+  test("guards: reserved/colliding names and mixed-unit tolerance are rejected, not silent") {
+    val s = spark; import s.implicits._
+    val (trades, quotes) = fixture
+
+    // left frame carrying a reserved internal name would be corrupted
+    val badLeft = trades.withColumnRenamed("trade_id", "__t")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(badLeft, quotes, col("sym"), col("t"), col("t"), col("px"),
+        payload = Seq("px" -> col("px")))
+    }
+    assert(e1.getMessage.contains("reserved"))
+
+    // payload named like a left column would duplicate output columns
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades, quotes, col("sym"), col("t"), col("t"), col("px"),
+        payload = Seq("t" -> col("px")))
+    }
+    assert(e2.getMessage.contains("duplicate left columns"))
+
+    // tolerance across timestamp-left / numeric-right would silently
+    // compare micros to raw longs — must throw instead
+    val tsTrades = trades.select(col("trade_id"), col("sym"), timestamp_seconds(col("t")).as("ts"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(tsTrades, quotes, col("sym"), col("ts"), col("t"), col("px"),
+        payload = Seq("px" -> col("px")), tolerance = Some(1L))
+    }
+    assert(e3.getMessage.contains("matching time column types"))
+  }
 }

@@ -613,28 +613,65 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out.size === 3)
     val r0 = out(0L)
-    assert(r0.getAs[String]("format") === "png")
+    assert(r0.getAs[String]("format") === "mp4")
     assert(r0.getAs[Long]("n_bytes") === 3L)
     // md5("abc") = 900150983cd24fb0... → first 15 hex digits
     val h = java.lang.Long.parseLong("900150983cd24fb".take(15), 16)
     assert(r0.getAs[Long]("feat_hash") === h)
     assert(r0.getAs[Long]("width") === 64L + h % 1217L)
-    assert(out(1L).getAs[String]("format") === "jpeg")
+    assert(out(1L).getAs[String]("format") === "mkv")
     assert(out(2L).getAs[String]("format") === "wav")
   }
 
-  test("resizeStub: aspect preserved, bounded by (maxW, maxH), deterministic hash") {
+  test("decodeImages: real PNG round trip recovers manifest dims and pixels exactly") {
     val s = spark; import s.implicits._
-    val d = Seq((0L, "abc"), (1L, "x" * 500)).toDF("doc_id", "text")
-    val out = Multimodal.resizeStub(
-      Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text"))), 256L, 128L)
+    val ids = Seq(0L, 1L, 7L, 12L, 25L, 142L)
+    val d   = ids.toDF("doc_id")
+    val out = Multimodal.decodeImages(Multimodal.syntheticImages(d, col("doc_id")))
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    out.values.foreach { r =>
-      val (w, h, nw, nh) = (r.getAs[Long]("width"), r.getAs[Long]("height"),
-        r.getAs[Long]("new_width"), r.getAs[Long]("new_height"))
-      assert(nw <= 256 && nh <= 128)
-      // aspect preserved within integer truncation: nh == nw*h/w or nw == nh*w/h
-      assert(nh === nw * h / w || nw === nh * w / h)
+    assert(out.size === ids.size)
+    ids.foreach { id =>
+      val (w, h) = Multimodal.manifestDims(id)
+      val r = out(id)
+      assert(r.getAs[String]("format") === "png")
+      assert(r.getAs[Long]("width") === w.toLong, s"id=$id")
+      assert(r.getAs[Long]("height") === h.toLong, s"id=$id")
+      // expected hash from the manifest, independent of the codec
+      val expect = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.manifestPixel(id, x, y).toLong * (y.toLong * w + x + 1)).sum
+      assert(r.getAs[Long]("pixel_sum") === expect, s"id=$id")
+    }
+  }
+
+  test("decodeImages: corrupt payload throws with the doc id, not a silent skip") {
+    val s = spark; import s.implicits._
+    val bad = Seq((5L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(bad).collect()
+    }
+    assert(e.getMessage.contains("doc_id=5") ||
+      Option(e.getCause).exists(_.getMessage.contains("doc_id=5")))
+  }
+
+  test("resizeImages: aspect-fit bounds, nearest-neighbor hash matches a direct recomputation") {
+    val s = spark; import s.implicits._
+    val ids = Seq(3L, 8L, 15L, 141L) // spans width-bound and height-bound cases
+    val d   = ids.toDF("doc_id")
+    val out = Multimodal.resizeImages(Multimodal.syntheticImages(d, col("doc_id")), 8L, 6L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    ids.foreach { id =>
+      val (w, h) = Multimodal.manifestDims(id)
+      val r = out(id)
+      assert(r.getAs[Long]("width") === w.toLong && r.getAs[Long]("height") === h.toLong)
+      val (nw, nh) = (r.getAs[Long]("new_width"), r.getAs[Long]("new_height"))
+      assert(nw <= 8 && nh <= 6 && nw >= 1 && nh >= 1)
+      assert(nh === math.max(1L, nw * h / w) || nw === math.max(1L, nh * w / h))
+      // recompute the nearest-neighbor hash straight from the manifest
+      val expect = (for (y <- 0L until nh; x <- 0L until nw) yield {
+        val p = Multimodal.manifestPixel(id, (x * w / nw).toInt, (y * h / nh).toInt)
+        p.toLong * (y * nw + x + 1)
+      }).sum
+      assert(r.getAs[Long]("resized_sum") === expect, s"id=$id")
     }
   }
 

@@ -71,8 +71,19 @@ class StreamJoinsSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val l = Seq(("A", ts("2024-01-01 10:30:00"), 1.0)).toDF("symbol", "tick_ts", "v")
     val r = Seq(("A", ts("2024-01-01 10:00:00"), 2.0)).toDF("symbol", "event_ts", "v")
-    intercept[IllegalArgumentException] {
+    val e = intercept[IllegalArgumentException] {
       StreamJoins.joinWithin(l, r, "symbol", "tick_ts", "event_ts", 3600L)
     }
+    assert(e.getMessage.contains("rename overlapping"))
+  }
+
+  test("joinWithin: a right side missing the key gets the missing-key error, not the overlap one") {
+    val s = spark; import s.implicits._
+    val l = Seq(("A", ts("2024-01-01 10:30:00"), 1.0)).toDF("symbol", "tick_ts", "v")
+    val r = Seq((ts("2024-01-01 10:00:00"), 2.0)).toDF("event_ts", "ev")
+    val e = intercept[IllegalArgumentException] {
+      StreamJoins.joinWithin(l, r, "symbol", "tick_ts", "event_ts", 3600L)
+    }
+    assert(e.getMessage.contains("missing the join key"))
   }
 }
