@@ -179,16 +179,33 @@ object TimeSeries {
         .withColumnRenamed("key", "user_id")),
 
     // Extension: sketch/approx aggregates (HLL distinct, t-digest
-    // percentile). NO oracle on purpose — sketch internals differ per
-    // engine; the driver records its weaker rows-only check. The exact
-    // twins are q14 (countDistinct) and q16 (percentile).
+    // percentile) with a HARD oracle signal: sketch internals stay
+    // engine-specific, so the raw estimates are not exported — instead
+    // the exact aggregates run in the SAME single-pass groupBy and the
+    // output carries deterministic in-bounds verdicts. users_ok:
+    // |approx − exact| ≤ 10% of exact (HLL++ default rsd 5% ⇒ 2σ).
+    // p50_ok: the approx median (an actual data element, rank error
+    // ≤ n/1000) lies within the exact [p40, p60] value window — both
+    // bounds computed Spark-side, so only the BOOLEAN crosses engines
+    // and float interpolation drift cannot flake the hash. The oracle
+    // asserts the exact columns and TRUE verdicts: a sketch gone out
+    // of bounds turns the row red instead of "no_oracle".
     "q47_approx_agg" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
-          count(lit(1)).as("n"))),
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("__approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("__approx_p50"),
+          expr("percentile(value, 0.4)").as("__p40"),
+          expr("percentile(value, 0.6)").as("__p60"))
+        .select(
+          col("event_type"), col("n"), col("exact_users"),
+          (abs(col("__approx_users") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.1).as("users_ok"),
+          (col("__approx_p50") >= col("__p40") &&
+            col("__approx_p50") <= col("__p60")).as("p50_ok"))),
 
     // Extension: bucketized range join — views falling inside each
     // user's daily purchase-activity interval [first, last purchase].
@@ -610,6 +627,16 @@ object TimeSeries {
          SELECT CAST(decile AS INT) AS decile, COUNT(1) AS n,
                 CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS sum_volume
          FROM nt GROUP BY decile"""),
+    // The approx-agg verdict oracle: exact aggregates recomputed in
+    // DuckDB plus TRUE literals for the in-bounds verdicts — Spark's
+    // sketches must land inside their documented error bars or the
+    // hash mismatches.
+    "q47_approx_agg" ->
+      """SELECT event_type, COUNT(1) AS n,
+                COUNT(DISTINCT user_id) AS exact_users,
+                TRUE AS users_ok, TRUE AS p50_ok
+         FROM events GROUP BY 1""",
+
     "q46_sessionize" ->
       """WITH o AS (
            SELECT user_id, ts, event_id, value,
