@@ -121,6 +121,42 @@ class OhlcvStreamSpec extends SparkSpec {
     assert(finals.filter(col("emissions") === 1).count() === 2)
   }
 
+  test("stream: parquetSink restart from checkpoint keeps the dedup contract (no dupes, no loss)") {
+    // Kill-and-resume semantics: run the sink over the first fetch,
+    // STOP the query, land an overlapping re-fetch, restart the SAME
+    // sink from the SAME checkpoint. The restored state must (a) not
+    // re-emit the first fetch's committed rows (sink exactly-once),
+    // (b) still drop the overlap keys first seen before the restart
+    // (dedup state restored), (c) keep the genuinely new candle.
+    val land = s"$tmp/rland"
+    val out  = s"$tmp/rout"
+    val ckpt = s"$tmp/ckpt_restart"
+    def runOnce(): Unit = {
+      val raw  = OhlcvStream.readRawStream(spark, s"$land/*")
+      val norm = OhlcvStream.normalized(raw, processedAt = "p")
+      val q = OhlcvStream.parquetSink(OhlcvStream.dedupedStream(norm), out, ckpt)
+        .trigger(Trigger.AvailableNow()) // test trigger; same plan
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    val c1 = MockData.candles(spark, symbols, n = 5, startUnix = t0)
+    MockData.envelope(c1, "2025-10-08T04:00:00Z").coalesce(1).write.json(s"$land/f1")
+    runOnce() // first incarnation, then the query is stopped
+    assert(spark.read.parquet(out).count() === 10) // 2 symbols × 5 candles
+
+    val c2 = MockData.candles(spark, symbols, n = 6, startUnix = t0) // 5 dups + 1 new
+    MockData.envelope(c2, "2025-10-08T04:05:00Z").coalesce(1).write.json(s"$land/f2")
+    runOnce() // resumed incarnation from the same checkpoint
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 12, "restart re-emitted committed rows or dropped the new candle")
+    assert(rows.select("symbol_clean", "timestamp_unix").distinct().count() === 12)
+    // the overlap keys kept their FIRST-arrival fetch stamp (state
+    // survived the restart; the re-fetch did not replace them)
+    assert(rows.filter(col("timestamp_unix") <= t0 + 4 * 300L &&
+      col("fetch_timestamp") =!= "2025-10-08T04:00:00Z").count() === 0)
+  }
+
   test("trading-hours predicate keeps IST 09:15-15:30 Mon-Fri only") {
     val s = spark; import s.implicits._
     val rows = Seq(
