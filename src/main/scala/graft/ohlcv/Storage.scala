@@ -34,6 +34,74 @@ object Storage {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** P17: file-recency scan of a raw-envelope landing dir — the
+    * reference lists S3 objects, keeps `LastModified >= now − N days`
+    * and caps to the newest 50 (`api/api_handler.py:451-477`). The
+    * recency half maps to Spark's native `modifiedAfter` file-source
+    * option (applied during file LISTING — stale files are never
+    * opened); the newest-K cap is a driver-side file-index sort (the
+    * same metadata-only operation as the reference's list_objects_v2
+    * page walk) feeding an explicit path list to the reader. At scale
+    * prefer date-PARTITION predicates (true partition pruning, already
+    * pinned in PlanSpec); this path exists for landing dirs that have
+    * no date layout — exactly where the reference used it. */
+  def readRecentRaw(
+      spark: SparkSession,
+      dir: String,
+      modifiedAfterIso: Option[String] = None,
+      capNewest: Option[Int] = None): DataFrame = {
+    val base = spark.read
+      .option("multiLine", "true")
+      .schema(OhlcvSchemas.rawEnvelope)
+    // the option wants a ZONELESS yyyy-MM-dd'T'HH:mm:ss resolved in
+    // the session timezone — convert from the unambiguous instant form
+    // this API takes (truncates to seconds, the option's granularity)
+    val withRecency = modifiedAfterIso.fold(base) { ts =>
+      val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+      val local = java.time.LocalDateTime
+        .ofInstant(java.time.Instant.parse(ts), zone)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+      base.option("modifiedAfter", local)
+    }
+    capNewest match {
+      case None => withRecency.json(dir).withColumn("source_file", input_file_name())
+      case Some(k) =>
+        val paths = newestFiles(spark, dir, k, modifiedAfterIso)
+        if (paths.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            OhlcvSchemas.rawEnvelope.add("source_file", "string"))
+        else withRecency.json(paths: _*).withColumn("source_file", input_file_name())
+    }
+  }
+
+  /** The newest `k` data files under `dir` by modification time
+    * (metadata-only listing via the Hadoop FileSystem API — works on
+    * any supported store, S3A included). Hidden/temp files (dot or
+    * underscore prefixed) are skipped like Spark's own file index
+    * does; `modifiedAfterIso` pre-filters before the cap so the two
+    * knobs compose the same way as the reference's list-then-cap. */
+  def newestFiles(
+      spark: SparkSession,
+      dir: String,
+      k: Int,
+      modifiedAfterIso: Option[String] = None): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Seq.empty
+    val cutoff = modifiedAfterIso.map(java.time.Instant.parse(_).toEpochMilli)
+    val it     = fs.listFiles(path, true)
+    val files  = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st   = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith(".") && !name.startsWith("_") &&
+        cutoff.forall(st.getModificationTime > _))
+        files += ((st.getPath.toString, st.getModificationTime))
+    }
+    files.sortBy { case (p, m) => (-m, p) }.take(k).map(_._1).toSeq
+  }
+
   /** S7: partitioned gzip CSV sink (header, reference column order). */
   def writeCsv(normalized: DataFrame, path: String, mode: String = "append"): Unit =
     normalized.write

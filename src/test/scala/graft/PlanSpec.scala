@@ -124,6 +124,33 @@ class PlanSpec extends SparkSpec {
       s.linesIterator.filter(_.contains("CollectMetrics")).mkString("\n"))
   }
 
+  test("q33 band self-join exchanges are slim: no signature array crosses a shuffle") {
+    val df = SparkEntry.queries("q33_minhash_lsh_pairs")(spark, sf())
+    df.collect() // let AQE finalize
+    // The r2 regression shipped the 16-slot sig array through the band
+    // exchange 8× per doc per side (4.6 s at sf0.1). Pin the fix: any
+    // exchange partitioned on the band key must not carry `sig`.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    // AQE hides finished exchanges inside leaf QueryStageExec nodes —
+    // walk through both wrappers explicitly. At tiny SF the band join
+    // may be broadcast instead of shuffled; either way, whatever
+    // exchange ships the banded relation must be the slim one.
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec        => allNodes(q.plan)
+        case _                        => Seq.empty
+      })
+    val bandExchanges = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: Exchange if e.output.exists(_.name == "band_key") => e }
+    assert(bandExchanges.nonEmpty, "expected a band-keyed exchange in the q33 plan")
+    bandExchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "sig"),
+        s"sig array rides the band exchange: ${e.output.map(_.name).mkString(",")}")
+    }
+  }
+
   test("q59 per-group top-k: map-side WindowGroupLimit before the group exchange") {
     val df = SparkEntry.queries("q59_lang_ngrams")(spark, sf())
     df.collect()

@@ -86,6 +86,52 @@ class OhlcvEtlSpec extends SparkSpec {
     assert(stats.head.getAs[Long]("num_records") === 10)
   }
 
+  test("P17: recency filter skips stale files at listing time; newest-K cap composes") {
+    // flat landing layout — one json file per fetch, exactly what
+    // HttpIngest.ingestOnce produces (write via staging dir, then move
+    // the part file up as a flat landing file)
+    val dir = s"$tmp/recency"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val mock = MockData.candles(spark, symbols, n = 2, startUnix = t0)
+    Seq("f1", "f2", "f3").foreach { f =>
+      val stage = s"$tmp/recency-stage/$f"
+      MockData.envelope(mock, s"2025-10-08T04:00:00Z").coalesce(1).write.json(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.getFileName.toString.endsWith(".json")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$f.json"))
+    }
+    // stagger modification times: f1 oldest … f3 newest
+    val now = System.currentTimeMillis()
+    Seq("f1" -> 0L, "f2" -> 60000L, "f3" -> 120000L).foreach { case (f, bump) =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$dir/$f.json"),
+        java.nio.file.attribute.FileTime.fromMillis(now + bump))
+    }
+    def distinctSources(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("source_file").distinct().collect()
+        .map(_.getString(0)).map(s => Seq("f1", "f2", "f3").find(s.contains).get).toSet
+
+    // recency alone: cutoff between f1 and f2 keeps the two newer files
+    val cutoff = java.time.Instant.ofEpochMilli(now + 30000L).toString
+    val recent = Storage.readRecentRaw(spark, dir, modifiedAfterIso = Some(cutoff))
+    assert(distinctSources(recent) === Set("f2", "f3"))
+    // cap alone: newest 2 of 3
+    val capped = Storage.readRecentRaw(spark, dir, capNewest = Some(2))
+    assert(distinctSources(capped) === Set("f2", "f3"))
+    // composed: cutoff excludes f1, cap 1 keeps only the newest
+    val both = Storage.readRecentRaw(
+      spark, dir, modifiedAfterIso = Some(cutoff), capNewest = Some(1))
+    assert(distinctSources(both) === Set("f3"))
+    // cutoff in the future + cap → empty frame with the right schema
+    val none = Storage.readRecentRaw(
+      spark, dir,
+      modifiedAfterIso = Some(java.time.Instant.ofEpochMilli(now + 999999L).toString),
+      capNewest = Some(5))
+    assert(none.count() === 0 && none.columns.contains("source_file"))
+    // the recency path feeds the SAME normalize as every other scan
+    assert(Normalize.normalize(RawIngest.blocks(both), "p").count() === 6)
+  }
+
   test("dedup contract: overlapping fetches collapse to latest fetch_timestamp") {
     val m1 = MockData.candles(spark, symbols, n = 5, startUnix = t0)
     // second fetch re-downloads the same window (T4) with same values
