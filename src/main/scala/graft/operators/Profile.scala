@@ -89,6 +89,35 @@ object Profile {
       when(h < trainPct, "train").when(h < trainPct + valPct, "val").otherwise("test"))
   }
 
+  /** Per-group document cap: keep at most `k` rows per group, chosen
+    * by a DETERMINISTIC hash ranking (md5 of seed ∥ id, id tiebreak) —
+    * the "max N docs per domain/source" curation stage of a
+    * pretraining pipeline, reproducible across runs/engines/
+    * partitionings where a `rand()` or arrival-order cap is not.
+    * Output: (id, group, rk) for survivors, rk ∈ [1, k].
+    *
+    * Scale shape: `row_number` + `rk <= k` compiles to Spark's
+    * WindowGroupLimit pushdown — each map partition keeps at most k
+    * rows per group BEFORE the group exchange (pinned in PlanSpec), so
+    * a 10⁹-doc domain ships k rows, not 10⁹, into the sort funnel. */
+  def groupCap(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      k: Int,
+      seed: String = "cap"): DataFrame = {
+    require(k > 0, s"cap must be positive: $k")
+    val rank = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("group"))
+        .orderBy(
+          md5(concat(lit(s"${seed}_"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc))
+    df.select(id.as("doc_id"), group.as("group"))
+      .withColumn("rk", rank)
+      .filter(col("rk") <= k)
+  }
+
   /** Deterministic stratified sampler: keep a row iff
     * hash60(seed ∥ id) mod 10000 < rate(stratum)·10000. Per-stratum
     * rates (4-decimal resolution) rebalance a corpus — e.g. downsample

@@ -338,6 +338,12 @@ object Documents {
     "q93_quality_verdicts" -> ((s, dir) =>
       TextAnalysis.qualityVerdicts(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // Per-source document cap (max 10 per source, deterministic hash
+    // ranking) — the domain-cap curation stage; WindowGroupLimit keeps
+    // the per-partition cost at k rows per group (pinned).
+    "q94_source_cap" -> ((s, dir) =>
+      Profile.groupCap(Tables.documents(s, dir), col("source"), col("doc_id"), k = 10)),
+
     // Exact duplicated-passage spans across docs (ExactSubstr-style):
     // strided 32-char gram hashes, cross-doc df ≥ 2, span merge.
     "q89_dup_spans" -> ((s, dir) =>
@@ -1221,6 +1227,15 @@ object Documents {
                  CASE WHEN n_tokens >= 30 AND quality_score >= 0.5 AND dup_token_frac <= 0.6
                       THEN 'keep' ELSE 'drop' END AS verdict
           FROM m""",
+
+    "q94_source_cap" ->
+      """WITH r AS (
+           SELECT doc_id, source AS "group",
+                  row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5('cap_' || doc_id), doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, "group", CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""",
 
     // Mirror of dupSpans: word 6-gram 60-bit hashes → rightmost-min
     // winnow selection (the q54 sel formula at w=8) → cross-doc

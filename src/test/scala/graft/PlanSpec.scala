@@ -164,6 +164,14 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("doc_id") && !readSchema.contains("n_chars"), readSchema)
   }
 
+  test("q94 source cap: WindowGroupLimit bounds each map partition to k rows per group") {
+    val df = SparkEntry.queries("q94_source_cap")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("WindowGroupLimit"), s.take(2000))
+    assert(s.contains("Partial"), s.take(2000))
+  }
+
   test("q60 sequence packing: one shared shard shuffle (ReusedExchange), broadcast offsets") {
     val df = SparkEntry.queries("q60_seq_packing")(spark, sf())
     df.collect() // AQE stage reuse shows only in the final plan

@@ -73,6 +73,25 @@ class ProfileSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("groupCap: at most k per group, deterministic across partitionings, ranks dense from 1") {
+    val s = spark; import s.implicits._
+    val df = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val capped = Profile.groupCap(df, col("g"), col("id"), k = 5)
+    val out = capped.collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    // ≤ k per group, ranks exactly 1..k
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.length === 5, g)
+      assert(rows.map(_._3).sorted.toSeq === Seq(1, 2, 3, 4, 5), g)
+    }
+    // partition-invariant: same survivors regardless of layout
+    val repart = Profile.groupCap(df.repartition(17), col("g"), col("id"), k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    assert(repart === out.toSet)
+    // groups smaller than k keep everything
+    val small = Profile.groupCap(df.filter(col("id") < 4), col("g"), col("id"), k = 5)
+    assert(small.count() === 4)
+  }
+
   test("stratifiedSample: rate endpoints, nesting, partition invariance") {
     val s = spark; import s.implicits._
     val df = (0L until 600L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
