@@ -381,10 +381,7 @@ object TextDedup {
       sigs: DataFrame,
       estThreshold: Double,
       maxBandDf: Option[Long] = None): DataFrame = {
-    val bandKeys = transform(
-      sequence(lit(0), lit(LshBands - 1)),
-      j => element_at(col("sig"), j * 2 + 1) * lit(Portable.P) + element_at(col("sig"), j * 2 + 2))
-    val bands0 = sigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    val bands0 = bandRows(sigs)
     val bands = maxBandDf match {
       case None => bands0
       case Some(cap) =>
@@ -412,6 +409,83 @@ object TextDedup {
       .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), (nEqual.cast("double") / MinhashK).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** INCREMENTAL near-dup candidates: a NEW batch against an EXISTING
+    * signature index — the steady-state ingest path at 100 TB, where
+    * re-self-joining the whole corpus per arriving batch would be
+    * O(corpus) per batch for an O(batch)-sized question. Bands of the
+    * new side join bands of the index side on (band, band_key) — cost
+    * scales with the BATCH, the index is only probed on colliding
+    * buckets — then signatures rejoin once per side to score (same
+    * slim-exchange discipline as [[lshPairs]]). Returns
+    * (doc_id, index_doc_id, est_jaccard ≥ estThreshold); a doc already
+    * in the index pairs with itself at est 1.0, so this same relation
+    * answers "is this new doc a re-ingest?".
+    *
+    * `maxBandDf` caps INDEX band buckets (the side that can be huge):
+    * a giant boilerplate cluster in the index would otherwise pair
+    * with every matching new doc once per band. Metrics published as
+    * `lsh_index_band_cap`. */
+  def lshPairsAgainstIndex(
+      newSigs: DataFrame,
+      indexSigs: DataFrame,
+      estThreshold: Double,
+      maxBandDf: Option[Long] = None): DataFrame = {
+    val newBands = bandRows(newSigs)
+    val idxBands0 = bandRows(indexSigs)
+    val idxBands = maxBandDf match {
+      case None => idxBands0
+      case Some(cap) =>
+        val wB = Window.partitionBy(col("band"), col("band_key"))
+        idxBands0
+          .withColumn("__df", count(lit(1)).over(wB))
+          .withColumn("__rn", row_number().over(wB.orderBy(col("doc_id"))))
+          .observe(
+            "lsh_index_band_cap",
+            count(when(col("__rn") === 1 && col("__df") > cap, 1)).as("dropped_buckets"),
+            count(when(col("__rn") === 1 && col("__df") <= cap, 1)).as("kept_buckets"))
+          .filter(col("__df") <= cap)
+          .select("doc_id", "band", "band_key")
+    }
+    val cands = newBands.as("a")
+      .join(
+        idxBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("__dn"), col("b.doc_id").as("__di"))
+      .dropDuplicates("__dn", "__di")
+    val nEqual = size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y), b => b))
+    cands
+      .join(newSigs.as("sa"), col("__dn") === col("sa.doc_id"))
+      .join(indexSigs.as("sb"), col("__di") === col("sb.doc_id"))
+      .select(
+        col("__dn").as("doc_id"), col("__di").as("index_doc_id"),
+        (nEqual.cast("double") / MinhashK).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** Incremental EXACT layer: new docs whose content fingerprint
+    * already exists in the index — one broadcast-or-shuffled equi-join
+    * on the 128-bit key, O(batch) probe work. Pairs with
+    * [[lshPairsAgainstIndex]] exactly like [[exactDupGroups]] pairs
+    * with [[lshPairs]] in the batch path. */
+  def exactDupsAgainstIndex(
+      newDocs: DataFrame,
+      id: Column,
+      key: Column,
+      index: DataFrame): DataFrame =
+    newDocs
+      .select(id.as("doc_id"), key.as("fp"))
+      .join(index.select(col("fp"), col("keeper_doc_id")), Seq("fp"), "inner")
+      .select(col("doc_id"), col("keeper_doc_id"), col("fp"))
+
+  /** Slim banded relation of a signature table — shared by the batch
+    * self-join and the incremental index probe. */
+  private def bandRows(sigs: DataFrame): DataFrame = {
+    val bandKeys = transform(
+      sequence(lit(0), lit(LshBands - 1)),
+      j => element_at(col("sig"), j * 2 + 1) * lit(Portable.P) + element_at(col("sig"), j * 2 + 2))
+    sigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
   }
 
   /** The PRODUCTION near-dup path the docstrings above describe:

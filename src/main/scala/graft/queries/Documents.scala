@@ -344,6 +344,17 @@ object Documents {
     "q94_source_cap" -> ((s, dir) =>
       Profile.groupCap(Tables.documents(s, dir), col("source"), col("doc_id"), k = 10)),
 
+    // Incremental ingest dedup: the odd-id half arrives as a NEW batch
+    // and probes the even-id half as the EXISTING signature index —
+    // cost scales with the batch, never the corpus self-join.
+    "q95_incremental_neardup" -> ((s, dir) => {
+      val sigs = TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir))
+      TextDedup.lshPairsAgainstIndex(
+        sigs.filter(col("doc_id") % 2 === 1),
+        sigs.filter(col("doc_id") % 2 === 0),
+        estThreshold = 0.5)
+    }),
+
     // Exact duplicated-passage spans across docs (ExactSubstr-style):
     // strided 32-char gram hashes, cross-doc df ≥ 2, span merge.
     "q89_dup_spans" -> ((s, dir) =>
@@ -1236,6 +1247,31 @@ object Documents {
                     ORDER BY md5('cap_' || doc_id), doc_id) AS rk
            FROM documents)
          SELECT doc_id, "group", CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""",
+
+    // Mirror of q33's band machinery with the parity split: odd-id
+    // docs (the "new batch") probe even-id docs (the "index").
+    "q95_incremental_neardup" ->
+      s"""WITH $sigCte,
+          bands AS (
+            SELECT doc_id, k // 2 AS band,
+                   SUM(CASE WHEN k % 2 = 0 THEN minhash * 2147483647 ELSE minhash END) AS band_key
+            FROM sig GROUP BY doc_id, k // 2
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS dn, b.doc_id AS di
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          ),
+          eq AS (
+            SELECT c.dn, c.di, COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END) AS neq
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.dn
+            JOIN sig sb ON sb.doc_id = c.di AND sb.k = sa.k
+            GROUP BY 1, 2
+          )
+          SELECT dn AS doc_id, di AS index_doc_id, neq / 16.0 AS est_jaccard
+          FROM eq WHERE neq / 16.0 >= 0.5""",
 
     // Mirror of dupSpans: word 6-gram 60-bit hashes → rightmost-min
     // winnow selection (the q54 sel formula at w=8) → cross-doc

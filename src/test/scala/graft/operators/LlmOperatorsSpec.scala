@@ -103,6 +103,53 @@ class TextDedupSpec extends SparkSpec {
     } finally sigs.unpersist()
   }
 
+  test("incremental dedup: new batch probes the index; re-ingest pairs at est 1.0; agrees with batch") {
+    val s = spark; import s.implicits._
+    // index = even ids, new batch = odd ids. Doc 1 re-ingests doc 0's
+    // text; doc 3 is novel; doc 5 is a near-dup of doc 2.
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely here now today"),
+      (4L, "one more indexed document with its own content"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // re-ingest of 0
+      (3L, "novel text that matches nothing in the index at all"),
+      (5L, "completely different words entirely here now tomorrow")) // near-dup of 2
+      .toDF("doc_id", "text")
+    val sigs = TextDedup.minhashSignatures(d, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
+      .persist()
+    try {
+      val idx = sigs.filter(col("doc_id") % 2 === 0)
+      val neu = sigs.filter(col("doc_id") % 2 === 1)
+      val out = TextDedup.lshPairsAgainstIndex(neu, idx, 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(out((1L, 0L)) === 1.0)          // exact re-ingest detected
+      assert(out.contains((5L, 2L)))         // near-dup detected
+      assert(!out.keys.exists(_._1 == 3L))   // novel doc pairs with nothing
+      // consistency with the batch path: incremental pairs = the
+      // cross-parity subset of the full self-join's pairs
+      val batch = TextDedup.lshPairs(sigs, 0.3).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      out.foreach { case ((n, i), est) =>
+        val key = if (n < i) (n, i) else (i, n)
+        assert(batch(key) === est, s"pair ($n,$i)")
+      }
+      // index-side hot-bucket cap: capping at 0 effective df kills all
+      // pairs but the machinery stays observable
+      assert(TextDedup.lshPairsAgainstIndex(neu, idx, 0.3, maxBandDf = Some(0L)).count() === 0)
+    } finally sigs.unpersist()
+  }
+
+  test("incremental exact layer: new fingerprints probe the exact-dup index") {
+    val s = spark; import s.implicits._
+    val existing = Seq((0L, "Hello, World!"), (2L, "other content")).toDF("doc_id", "text")
+    val index = TextDedup.exactDupGroups(existing, col("doc_id"), TextAnalysis.fingerprint(col("text")))
+    val fresh = Seq((11L, "hello world"), (13L, "brand new")).toDF("doc_id", "text") // 11 ≈ 0 after normalization
+    val out = TextDedup.exactDupsAgainstIndex(
+      fresh, col("doc_id"), TextAnalysis.fingerprint(col("text")), index)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(11L -> 0L)) // 13 is genuinely new
+  }
+
   test("lshRescoredPairs ⊆ exact jaccard pairs with IDENTICAL scores (recall-bounded, exact-scored)") {
     val shRows = docs.select(col("doc_id"), explode(TextDedup.wordNgrams(col("text"), 3)).as("s"))
     val exact = TextDedup.jaccardPairsFromRows(shRows, 0.6).collect()
