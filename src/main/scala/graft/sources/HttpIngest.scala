@@ -28,6 +28,12 @@ import scala.util.{Failure, Success, Try}
   */
 object HttpIngest {
 
+  /** Raised (inside a `Failure`, never thrown) when the breaker
+    * rejects a call without touching the wire — its own type so the
+    * retry loop can distinguish "endpoint known-down" from a transport
+    * error that happens to be an IllegalStateException. */
+  final class CircuitOpenException extends IllegalStateException("circuit breaker is OPEN")
+
   /** Circuit breaker (CLOSED → OPEN after `failureThreshold`
     * consecutive failures → HALF_OPEN probe after `timeoutMs`),
     * mirror of `ingestion/ingestion.py:30-66`. Thread-confined: each
@@ -46,7 +52,7 @@ object HttpIngest {
       else "OPEN"
 
     def call[A](f: => Try[A]): Try[A] = state match {
-      case "OPEN" => Failure(new IllegalStateException("circuit breaker is OPEN"))
+      case "OPEN" => Failure(new CircuitOpenException)
       case _ => // CLOSED or HALF_OPEN probe
         f match {
           case ok @ Success(_) => failures = 0; open = false; ok
@@ -106,7 +112,7 @@ object HttpIngest {
             last = FetchResult(url, 0, null, attempt, error = e.getMessage)
             // breaker-open short-circuits remaining attempts: the
             // endpoint is known-down, hammering it defeats the breaker
-            if (e.isInstanceOf[IllegalStateException]) return last
+            if (e.isInstanceOf[CircuitOpenException]) return last
             if (attempt < maxAttempts) sleeper(backoffBaseMs * (1L << (attempt - 1)))
         }
       }
