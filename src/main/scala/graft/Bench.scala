@@ -23,6 +23,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val only  = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(
+      unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here would " +
+        "silently record a 0-second run")
     val spark = GraftSession.local()
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -23,6 +23,11 @@ object ScaleData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sfscale")
     val k   = args.lift(2).map(_.toInt).getOrElse(10)
+    require(
+      java.nio.file.Paths.get(dst).toAbsolutePath.normalize() !=
+        java.nio.file.Paths.get(src).toAbsolutePath.normalize(),
+      s"dst must differ from src ($src): overwrite-writing a path the plan " +
+        "lazily reads from would truncate the source mid-scan")
     val spark = GraftSession.local()
 
     val docs = spark.read.parquet(s"$src/documents.parquet")

@@ -95,18 +95,31 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
-  /** Position-sensitive raster hash: Σ pixel(x,y)·(y·W + x + 1) — a
-    * permutation-detecting checksum cheap to mirror in SQL. Exact in
-    * Long: ≤ 255·(W·H)² ≪ 2⁶³ at fixture dims. */
+  /** Position-sensitive raster hash over ALL bands:
+    * Σ_b Σ_{x,y} pixel_b(x,y)·(b·W·H + y·W + x + 1) — a permutation-
+    * detecting checksum cheap to mirror in SQL; for a grayscale image
+    * (1 band, the fixture manifest) it reduces to
+    * Σ p(x,y)·(y·W + x + 1). Multi-band PNGs (RGB/RGBA) hash every
+    * channel, so two images equal in one channel but not another never
+    * collide. Exact in Long at any sane image size. */
   private def rasterSum(img: java.awt.image.BufferedImage): Long = {
     val raster = img.getRaster
     val (w, h) = (img.getWidth, img.getHeight)
+    val bands  = raster.getNumBands
     var acc = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { acc += raster.getSample(x, y, 0).toLong * (y.toLong * w + x + 1); x += 1 }
-      y += 1
+    var b = 0
+    while (b < bands) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          acc += raster.getSample(x, y, b).toLong *
+            (b.toLong * w * h + y.toLong * w + x + 1)
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
     }
     acc
   }
@@ -164,16 +177,21 @@ object Multimodal {
             if (maxW * h <= maxH * w) (maxW, math.max(1L, maxW * h / w))
             else (math.max(1L, maxH * w / h), maxH)
           val raster = img.getRaster
+          val bands  = raster.getNumBands
           var acc = 0L
-          var y = 0L
-          while (y < nh) {
-            var x = 0L
-            while (x < nw) {
-              val p = raster.getSample((x * w / nw).toInt, (y * h / nh).toInt, 0)
-              acc += p.toLong * (y * nw + x + 1)
-              x += 1
+          var b = 0
+          while (b < bands) {
+            var y = 0L
+            while (y < nh) {
+              var x = 0L
+              while (x < nw) {
+                val p = raster.getSample((x * w / nw).toInt, (y * h / nh).toInt, b)
+                acc += p.toLong * (b * nw * nh + y * nw + x + 1)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            b += 1
           }
           (id, w, h, nw, nh, acc)
         })

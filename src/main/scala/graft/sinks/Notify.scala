@@ -65,24 +65,26 @@ object Notify {
 
   /** Run `job`, then publish success (with stats computed from the
     * job's output) or failure. The job's outcome is authoritative:
-    * publish errors are swallowed into the returned Option (the
-    * reference try/excepts around `sns_client.publish` identically),
-    * and a failed job still rethrows AFTER the failure notification. */
+    * publish errors are swallowed (the reference try/excepts around
+    * `sns_client.publish` identically), and a failed job still
+    * rethrows AFTER the failure notification. The stats computation
+    * itself — the FIRST Spark action when `job` builds a lazy frame —
+    * is inside the failure scope too: an executor-side error surfacing
+    * there is exactly the ETL failure this sink exists to report. */
   def withCompletionNotify[A](
       notifier: Notifier,
       statsOf: A => DataFrame,
       resolution: String,
-      nowIso: String = java.time.Instant.now().toString)(job: => A): A = {
-    val out =
-      try job
-      catch {
-        case e: Throwable =>
-          val (subj, msg) = failureMessage(e, nowIso)
-          try notifier.publish(subj, msg) catch { case _: Throwable => () }
-          throw e
-      }
-    val (subj, msg) = completionMessage(statsOf(out), resolution, nowIso)
-    try notifier.publish(subj, msg) catch { case _: Throwable => () }
-    out
-  }
+      nowIso: String = java.time.Instant.now().toString)(job: => A): A =
+    try {
+      val out = job
+      val (subj, msg) = completionMessage(statsOf(out), resolution, nowIso)
+      try notifier.publish(subj, msg) catch { case _: Throwable => () }
+      out
+    } catch {
+      case e: Throwable =>
+        val (subj, msg) = failureMessage(e, nowIso)
+        try notifier.publish(subj, msg) catch { case _: Throwable => () }
+        throw e
+    }
 }

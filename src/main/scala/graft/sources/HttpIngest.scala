@@ -84,16 +84,20 @@ object HttpIngest {
       sleeper: Long => Unit = Thread.sleep,
       get: String => (Int, String) = HttpFetcher.defaultGet) {
 
-    private var lastCallAt = 0L
+    private var calledBefore = false
 
     private def rateLimit(): Unit = {
-      if (lastCallAt > 0) sleeper(rateLimitMs)
-      lastCallAt = System.nanoTime()
+      if (calledBefore) sleeper(rateLimitMs)
+      calledBefore = true
     }
 
     /** Fetch with retry (exponential backoff 1·base, 2·base, …
       * between attempts — `ingestion/ingestion.py:271-276`) inside the
-      * circuit breaker; never throws, returns the terminal outcome. */
+      * circuit breaker; never throws, returns the terminal outcome.
+      * A 2xx whose body is not well-formed JSON counts as a FAILURE:
+      * captive portals and proxy error pages answer 200 with HTML, and
+      * one such body interpolated into the envelope would corrupt the
+      * whole landing file. */
     def fetch(url: String): FetchResult = {
       rateLimit()
       var attempt = 0
@@ -102,17 +106,24 @@ object HttpIngest {
         attempt += 1
         breaker.call {
           Try(get(url)).flatMap {
-            case (code, body) if code >= 200 && code < 300 => Success((code, body))
+            case (code, body) if code >= 200 && code < 300 =>
+              if (HttpFetcher.isWellFormedJson(body)) Success((code, body))
+              else Failure(new RuntimeException(s"HTTP $code with non-JSON body: ${body.take(80)}"))
             case (code, body) => Failure(new RuntimeException(s"HTTP $code: ${body.take(200)}"))
           }
         } match {
           case Success((code, body)) =>
             return FetchResult(url, code, body, attempt, error = null)
           case Failure(e) =>
-            last = FetchResult(url, 0, null, attempt, error = e.getMessage)
             // breaker-open short-circuits remaining attempts: the
-            // endpoint is known-down, hammering it defeats the breaker
-            if (e.isInstanceOf[CircuitOpenException]) return last
+            // endpoint is known-down, hammering it defeats the breaker.
+            // When the breaker opened on THIS call's own failure, keep
+            // the transport error (the root cause) and skip both the
+            // pointless backoff sleep and the guaranteed-rejected retry.
+            if (e.isInstanceOf[CircuitOpenException])
+              return FetchResult(url, 0, null, attempt, error = e.getMessage)
+            last = FetchResult(url, 0, null, attempt, error = e.getMessage)
+            if (breaker.state == "OPEN") return last
             if (attempt < maxAttempts) sleeper(backoffBaseMs * (1L << (attempt - 1)))
         }
       }
@@ -121,6 +132,14 @@ object HttpIngest {
   }
 
   object HttpFetcher {
+    /** Well-formedness check via Jackson (already on the Spark
+      * classpath) — full parse, not a prefix sniff. ObjectMapper is
+      * thread-safe after configuration; one shared instance. */
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def isWellFormedJson(body: String): Boolean =
+      try { mapper.readTree(body); body.trim.nonEmpty }
+      catch { case _: Exception => false }
+
     def defaultGet: String => (Int, String) = {
       val client = java.net.http.HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofSeconds(30)).build()

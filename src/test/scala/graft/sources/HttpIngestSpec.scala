@@ -53,7 +53,7 @@ class HttpIngestSpec extends SparkSpec {
     val calls = new AtomicInteger(0)
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
     withServer(Map(
-      "/flaky" -> (() => if (calls.incrementAndGet() < 3) (500, "boom") else (200, "ok")),
+      "/flaky" -> (() => if (calls.incrementAndGet() < 3) (500, "boom") else (200, """{"ok":1}""")),
       "/dead"  -> (() => (503, "down")))) { port =>
       val f = new HttpFetcher(
         rateLimitMs = 0L, maxAttempts = 3, backoffBaseMs = 1000L, sleeper = sleeps.append(_))
@@ -68,13 +68,21 @@ class HttpIngestSpec extends SparkSpec {
     }
   }
 
+  test("fetch: HTTP 200 with a non-JSON body (captive portal / proxy page) is a FAILURE, not a landing") {
+    withServer(Map("/portal" -> (() => (200, "<html>pay for wifi</html>")))) { port =>
+      val f = new HttpFetcher(rateLimitMs = 0L, maxAttempts = 1, sleeper = _ => ())
+      val r = f.fetch(s"http://localhost:$port/portal")
+      assert(r.status === 0 && r.error.contains("non-JSON body"))
+    }
+  }
+
   test("circuit breaker: opens after threshold, rejects while OPEN, half-open probe resets on success") {
     var now = 0L
     val breaker = new CircuitBreaker(failureThreshold = 5, timeoutMs = 60000L, clock = () => now)
     val healthy = new AtomicInteger(0)
     withServer(Map(
       "/down" -> (() => (500, "x")),
-      "/up"   -> (() => { healthy.incrementAndGet(); (200, "y") }))) { port =>
+      "/up"   -> (() => { healthy.incrementAndGet(); (200, "{}") }))) { port =>
       val f = new HttpFetcher(
         rateLimitMs = 0L, maxAttempts = 1, breaker = breaker, sleeper = _ => ())
       (1 to 5).foreach(_ => f.fetch(s"http://localhost:$port/down"))
@@ -133,12 +141,12 @@ class HttpIngestSpec extends SparkSpec {
 
   test("fetchTable: distributed fetch, one fetcher per partition, results stay partition-local") {
     val s = spark; import s.implicits._
-    withServer(Map("/u" -> (() => (200, "body")))) { port =>
+    withServer(Map("/u" -> (() => (200, """{"b":1}""")))) { port =>
       val urls = (1 to 20).map(i => s"http://localhost:$port/u?i=$i").toDF("url").repartition(4)
       val out = HttpIngest.fetchTable(
         urls, "url", () => new HttpFetcher(rateLimitMs = 0L, sleeper = _ => ()))
       assert(out.count() === 20)
-      assert(out.filter(col("status") === 200 && col("body") === "body").count() === 20)
+      assert(out.filter(col("status") === 200 && col("body") === """{"b":1}""").count() === 20)
       assert(out.rdd.getNumPartitions === 4) // no shuffle of fetched bodies
     }
   }
