@@ -252,6 +252,56 @@ object Similarity {
     nearestCell(quantized(embs), codebook.select(col("cell"), col("cv"), col("cn2")))
       .select(col("vec_id"), col("cell").as("cluster_id"), col("cosine"))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by within-cluster cosine. Vectors are assigned to
+    * their nearest codebook cell (the same trained codebook the IVF
+    * index probes — one clustering serves both retrieval and dedup),
+    * and pairwise cosine is computed ONLY inside a cell: the k-means
+    * partition is the blocking structure that makes semantic dedup
+    * sub-quadratic, exactly as the paper prescribes.
+    *
+    * Verdict semantics (deterministic, engine-portable): a vector is
+    * `drop_semantic` iff some LOWER-id vector in the same cluster has
+    * cosine ≥ `tau` with it; `survivor_id` is the lowest such id and
+    * `max_cos` the best such cosine. Survivors may themselves defer to
+    * still-lower ids — the same greedy keep-earliest chain as
+    * [[graft.operators.TextDedup.dedupVerdictsFromClusters]], and the
+    * deterministic twin of the paper's keep-one-random-per-group.
+    *
+    * Scale shape: the codebook is broadcast for assignment (corpus
+    * never shuffles to get its cell), then the self-join shuffles each
+    * vector ONCE keyed by cell. Candidate volume is Σ|cell|²/2 — the
+    * cluster count is the blocking knob (k ∝ √n keeps expected cell
+    * size, and therefore per-cell pair cost, flat as the corpus
+    * grows; the paper uses k in the tens of thousands at
+    * billion-document scale). A runaway cell is the hot-band
+    * analogue: watch `semdedup_max_cell` via `observe` on the
+    * assignment if cell sizes are unknown. */
+  def semDedupVerdicts(embs: DataFrame, codebook: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val base = quantized(embs)
+    val assign = nearestCell(base, codebook.select(col("cell"), col("cv"), col("cn2")))
+      .select(col("vec_id"), col("cell"))
+    val m = base.join(assign, "vec_id")
+    val dropped = m.as("a")
+      .join(m.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("bid"),
+        cosine(Portable.dotQ(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("bid")).as("survivor_id"), max(col("cos")).as("max_cos"))
+    m.select(col("vec_id"), col("cell").as("cluster_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("cluster_id"),
+        when(col("survivor_id").isNotNull, lit("drop_semantic"))
+          .otherwise(lit("keep")).as("verdict"),
+        col("survivor_id"), col("max_cos"))
+  }
+
   /** Embedding-quality screen: the k vectors per label FARTHEST (by
     * cosine) from their label's centroid direction — mislabeled or
     * out-of-distribution candidates, the vector analogue of a z-score

@@ -389,7 +389,14 @@ object Documents {
         .agg(
           count(lit(1)).as("n_docs"),
           graft.functions.Det.dsum(col("n_chars")).as("sum_chars"))
-    })
+    }),
+
+    // SemDeDup: semantic dedup via within-cluster cosine against the
+    // SAME trained codebook the IVF index probes — the k-means
+    // partition is the blocking structure (pairs only inside a cell).
+    "q96_semdedup" -> ((s, dir) =>
+      Similarity.semDedupVerdicts(
+        Tables.embeddings(s, dir), sharedCodebook(s, dir), tau = 0.4))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -1419,6 +1426,36 @@ object Documents {
                  CAST(SUM(p.p_ppm) AS DOUBLE) / COUNT(1) AS avg_p_ppm,
                  CAST(MIN(p.p_ppm) AS BIGINT) AS min_p_ppm
           FROM bg JOIN pr p USING (w1, w2)
-          GROUP BY bg.doc_id"""
+          GROUP BY bg.doc_id""",
+
+    // SemDeDup over the trained codebook: assignment = q61's argmax,
+    // then within-cell pairwise cosine ≥ 0.4 against lower ids.
+    "q96_semdedup" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          ),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1
+          ),
+          m AS (SELECT en.vec_id, en.v, en.n2, asg.cell FROM en JOIN asg USING (vec_id)),
+          sc AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS bid,
+                   ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cos
+            FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id > b.vec_id
+          ),
+          p AS (
+            SELECT vec_id, MIN(bid) AS survivor_id, MAX(cos) AS max_cos
+            FROM sc WHERE cos >= 0.4 GROUP BY 1
+          )
+          SELECT m.vec_id, m.cell AS cluster_id,
+                 CASE WHEN p.vec_id IS NULL THEN 'keep' ELSE 'drop_semantic' END AS verdict,
+                 p.survivor_id, p.max_cos
+          FROM m LEFT JOIN p ON p.vec_id = m.vec_id"""
   )
 }

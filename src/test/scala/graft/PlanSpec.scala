@@ -252,6 +252,18 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s.take(3000))
   }
 
+  test("q96 semdedup: codebook broadcast for assignment; pairwise join is cell-keyed, never cartesian") {
+    val df = SparkEntry.queries("q96_semdedup")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    // nearestCell's codebook cross product is broadcast (tiny k rows)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s.take(3000))
+    // the within-cluster self-join is an equi-join on cell — the
+    // blocking contract; a CartesianProduct here is the quadratic bug
+    assert(!s.contains("CartesianProduct"), s.take(3000))
+    assert(s.contains("cell"), s.take(3000))
+  }
+
   test("q66 drawdown: no single-partition window anywhere in the plan") {
     val df = SparkEntry.queries("q66_drawdown")(spark, sf())
     val s  = planString(df)

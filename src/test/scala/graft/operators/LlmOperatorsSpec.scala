@@ -438,6 +438,64 @@ class SimilaritySpec extends SparkSpec {
       brute.get(k).foreach(c => assert(c === r.getAs[Double]("cosine")))
     }
   }
+
+  test("semDedupVerdicts: drop iff a lower-id cell-mate is within tau; survivor = lowest") {
+    val s = spark; import s.implicits._
+    // seeds: 0 → x-axis cell, 1 → y-axis cell
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)),   // cell 0, cos(2,0) ≈ 0.994 → drop, survivor 0
+      (3L, Array(0.1f, 0.9f)),   // cell 1, cos(3,1) ≈ 0.994 → drop, survivor 1
+      (4L, Array(0.7f, -0.7f)))  // cell 0, cos(4,0) ≈ 0.707 < 0.8 → keep
+      .toDF("vec_id", "embedding")
+    val out = Similarity
+      .semDedupVerdicts(e, Similarity.seedCentroids(e, 2), tau = 0.8)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("survivor_id")))).toMap
+    assert(out.size === 5)
+    assert(out(0L)._1 === "keep" && out(1L)._1 === "keep" && out(4L)._1 === "keep")
+    assert(out(2L) === ("drop_semantic", Some(0L)))
+    assert(out(3L) === ("drop_semantic", Some(1L)))
+    assert(out(4L)._2 === None)
+  }
+
+  test("semDedupVerdicts: greedy chain — a survivor may itself defer to a lower id") {
+    val s = spark; import s.implicits._
+    // one cell; vectors at 0°, 20°, 40°: tau = 0.9 ≈ cos 25.8° links
+    // only neighbors, so 2's survivor is 1 — which itself dropped to 0
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9397f, 0.342f)),
+      (2L, Array(0.766f, 0.6428f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity
+      .semDedupVerdicts(e, Similarity.seedCentroids(e, 1), tau = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("survivor_id")))).toMap
+    assert(out(0L)._1 === "keep")
+    assert(out(1L) === ("drop_semantic", Some(0L)))
+    assert(out(2L) === ("drop_semantic", Some(1L)))
+  }
+
+  test("semDedupVerdicts: clustering IS the blocking — similar pairs in different cells both keep") {
+    val s = spark; import s.implicits._
+    // 2 and 3 are at 34.5°/55.5°: cos(2,3) ≈ 0.93 ≥ tau, but they hug
+    // different centroids, so the pair is never compared — the
+    // documented recall trade every blocked dedup makes
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.8f, 0.55f)),
+      (3L, Array(0.55f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity
+      .semDedupVerdicts(e, Similarity.seedCentroids(e, 2), tau = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("cluster_id"))).toMap
+    assert(out(2L)._2 !== out(3L)._2)
+    assert(out(2L)._1 === "keep" && out(3L)._1 === "keep")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
