@@ -507,9 +507,14 @@ object TextDedup {
       shRows: DataFrame,
       estThreshold: Double,
       threshold: Double,
-      maxBandDf: Option[Long] = None): DataFrame = {
+      maxBandDf: Option[Long] = None,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val sh = shRows.select(col("doc_id"), col("s")).distinct()
-    val cands = lshPairs(minhashSignaturesFromRows(shRows), estThreshold, maxBandDf)
+    // Signatures are an index artifact — a caller holding a
+    // materialized signature relation (the sign-once lifecycle)
+    // passes it here instead of paying the signing shuffle again.
+    val sigs = precomputedSigs.getOrElse(minhashSignaturesFromRows(shRows))
+    val cands = lshPairs(sigs, estThreshold, maxBandDf)
       .select(col("doc_a"), col("doc_b"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands

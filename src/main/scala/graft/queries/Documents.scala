@@ -91,6 +91,16 @@ object Documents {
     cachedPerDir(simhashCache, s, dir)(
       TextDedup.simhashes(Tables.documents(s, dir), col("doc_id"), col("text")))
 
+  // MinHash signatures are consumed by four queries (q32 export, q33
+  // banding, q84 rescoring, q95 index probing) and cost one full
+  // shuffle of the shingle relation to compute — the classic
+  // sign-once-read-forever index artifact, so it is materialized like
+  // the shingles it derives from.
+  private val sigsCache = new DirCache
+  private def sharedSigs(s: SparkSession, dir: String): DataFrame =
+    cachedPerDir(sigsCache, s, dir)(
+      TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir)))
+
   // The trained codebook is the canonical materialized intermediate:
   // q61 assigns with it, q63 probes with it ("train once").
   private val codebookCache = new DirCache
@@ -113,13 +123,13 @@ object Documents {
     // MinHash signatures (16 perms), computed whole-row; exploded to
     // (doc_id, k, minhash) rows for the oracle compare.
     "q32_minhash_signatures" -> ((s, dir) =>
-      TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir))
+      sharedSigs(s, dir)
         .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "minhash")))),
 
     // MinHash-LSH candidate pairs (8 bands × 2 rows) with estimated
     // Jaccard ≥ 0.5 — the scale path for q31.
     "q33_minhash_lsh_pairs" -> ((s, dir) =>
-      TextDedup.lshPairs(TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir)), 0.5)),
+      TextDedup.lshPairs(sharedSigs(s, dir), 0.5)),
 
     // Per-doc 32-bit SimHash fingerprints (persisted, shared with q35
     // — the same materialized-intermediate pattern as the shingles).
@@ -348,7 +358,7 @@ object Documents {
     // and probes the even-id half as the EXISTING signature index —
     // cost scales with the batch, never the corpus self-join.
     "q95_incremental_neardup" -> ((s, dir) => {
-      val sigs = TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir))
+      val sigs = sharedSigs(s, dir)
       TextDedup.lshPairsAgainstIndex(
         sigs.filter(col("doc_id") % 2 === 1),
         sigs.filter(col("doc_id") % 2 === 0),
@@ -364,7 +374,9 @@ object Documents {
     // (q33) rescored with EXACT Jaccard (q31's score) — candidates
     // only, never the full shingle self-join.
     "q84_lsh_rescored" -> ((s, dir) =>
-      TextDedup.lshRescoredPairs(sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8)),
+      TextDedup.lshRescoredPairs(
+        sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8,
+        precomputedSigs = Some(sharedSigs(s, dir)))),
 
     // CAPSTONE: the whole training-data prep pipeline as ONE plan —
     // dedup verdicts (exact + near) → drop the benchmark source →
