@@ -72,12 +72,16 @@ object Analytics {
 
   /** A4: top-N gainers (desc=true) or losers over a date range.
     * Deterministic tie-break on (symbol, trade_date). */
-  def topMovers(candles: DataFrame, n: Int, gainers: Boolean, tieBreak: Column): DataFrame = {
-    val stats = dailyStats(candles, tieBreak)
+  def topMovers(candles: DataFrame, n: Int, gainers: Boolean, tieBreak: Column): DataFrame =
+    topMoversFromDaily(dailyStats(candles, tieBreak), n, gainers)
+
+  /** [[topMovers]] over an already-materialized daily rollup — the
+    * share-the-rollup variant (one aggregation serves q22/q23/q81). */
+  def topMoversFromDaily(daily: DataFrame, n: Int, gainers: Boolean): DataFrame = {
     val keys =
       if (gainers) Seq(desc("price_change_pct"), asc("symbol"), asc("trade_date"))
       else Seq(asc("price_change_pct"), asc("symbol"), asc("trade_date"))
-    stats.orderBy(keys: _*).limit(n)
+    daily.orderBy(keys: _*).limit(n)
   }
 
   /** P16: derived analysis columns (sql/athena_parquet_tables.sql:60-64),

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Distributed global ranking — `row_number`/`ntile` semantics over a
+  * TOTAL order without the single-reducer window Spark's unpartitioned
+  * `Window.orderBy` compiles to. Extension beyond the reference (its
+  * pandas `rank`/`qcut` are single-process by construction).
+  *
+  * Same two-phase scan as [[Packing.packSequences]], generalized from
+  * contiguous ids to an arbitrary numeric leading key:
+  *
+  *  1. shard rows by an arithmetic range split of the leading sort key
+  *     (min/max from a one-row broadcast aggregate — a scalar, never a
+  *     sample, so the split is deterministic). The split is MONOTONE:
+  *     key(a) < key(b) ⇒ shard(a) ≤ shard(b), and equal keys land in
+  *     the same shard, so concatenating shards in shard order is the
+  *     global order.
+  *  2. per-shard `row_number` via a window PARTITIONED by shard —
+  *     `shards`-way parallel — plus an exclusive prefix sum of the
+  *     per-shard counts (≤ `shards` rows, the only unpartitioned
+  *     window, constant size at any data scale) broadcast back:
+  *     global rank = shard offset + local row_number.
+  *
+  * Correctness is INVARIANT to the shard boundaries (any monotone
+  * bucketing yields the same rank), so key skew only affects load
+  * balance — the densest shard bounds the per-reducer sort, exactly
+  * as in Packing. All arithmetic is exact int64.
+  */
+object Ranking {
+
+  /** Global 1-based rank in ascending (leadKey, tieBreak…) order.
+    * The combined order must be a total order (no duplicate keys) for
+    * the rank to be well-defined. Ordering uses `leadKey` at its
+    * ORIGINAL type — only the SHARD assignment truncates it to long,
+    * and truncation is weakly monotone (a ≤ b ⇒ trunc(a) ≤ trunc(b),
+    * equal keys share a shard), which is all sharding needs; sub-1.0
+    * key differences stay shard-local and the in-shard sort settles
+    * them exactly. NaN keys are rejected (NaN truncates to 0 but sorts
+    * above +Inf in Spark — a monotonicity break); null keys too.
+    * Output: input columns + `rank`. */
+  def globalRank(
+      df: DataFrame,
+      leadKey: Column,
+      tieBreak: Seq[Column],
+      shards: Int = 256): DataFrame = {
+    val (local, offsets, cols) = rankParts(df, leadKey, tieBreak, shards)
+    local
+      .join(broadcast(offsets.select(col("__shard"), col("__offset"))), Seq("__shard"))
+      .withColumn("rank", col("__offset") + col("__rn"))
+      .select(cols.map(col) :+ col("rank"): _*)
+  }
+
+  /** The two-phase machinery shared by [[globalRank]] and
+    * [[globalNtile]]: the per-shard-ranked relation, the per-shard
+    * (offset, count) relation (≤ `shards` rows), and the caller's
+    * original columns. */
+  private def rankParts(
+      df: DataFrame,
+      leadKey: Column,
+      tieBreak: Seq[Column],
+      shards: Int): (DataFrame, DataFrame, IndexedSeq[String]) = {
+    require(shards >= 1, s"shards must be positive (got $shards)")
+    val cols = df.columns.toIndexedSeq
+    require(!cols.exists(Set("rank", "__ord", "__lead", "__shard", "__rn")),
+      "columns rank/__ord/__lead/__shard/__rn are reserved by globalRank")
+    val bad = leadKey.isNull || isnan(leadKey.cast("double"))
+    val keyed = df
+      .withColumn(
+        "__ord",
+        when(bad, raise_error(lit("globalRank: null or NaN lead key"))).otherwise(leadKey))
+      .withColumn(
+        "__lead",
+        // a non-numeric lead key casts to null long — fail loud, not
+        // a silent row drop at the shard filter below
+        when(col("__ord").cast("long").isNull,
+          raise_error(lit("globalRank: lead key does not cast to long")))
+          .otherwise(col("__ord").cast("long")))
+    val bounds = keyed.agg(min(col("__lead")).as("__min_k"), max(col("__lead")).as("__max_k"))
+    val sharded = keyed
+      .crossJoin(broadcast(bounds))
+      .withColumn(
+        "__shard",
+        expr(s"(__lead - __min_k) DIV ((__max_k - __min_k + $shards) DIV $shards)"))
+      .drop("__min_k", "__max_k")
+      .filter(col("__shard").isNotNull) // no-op; keeps both exchange consumers canonical (see Packing)
+    val wLocal = Window
+      .partitionBy(col("__shard"))
+      .orderBy(col("__ord").asc +: tieBreak.map(_.asc): _*)
+    val local = sharded.withColumn("__rn", row_number().over(wLocal))
+    // per-shard counts from the WINDOWED relation (max of the local
+    // row_number) so ReuseExchange serves both sides from one shuffle
+    val wOff = Window.orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__shard"))
+      .agg(max(col("__rn")).cast("long").as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+    (local, offsets, cols)
+  }
+
+  /** Exact `ntile(buckets)` over the same distributed rank: the first
+    * `N mod buckets` tiles take `ceil(N/buckets)` rows, the rest
+    * `floor(N/buckets)` — bit-identical to the SQL window function,
+    * without its single-reducer plan. Output: input columns + the
+    * 1-based tile in `tileName`. */
+  def globalNtile(
+      df: DataFrame,
+      leadKey: Column,
+      tieBreak: Seq[Column],
+      buckets: Int,
+      tileName: String = "tile",
+      shards: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive (got $buckets)")
+    require(!df.columns.contains("__n"), "column __n is reserved by globalNtile")
+    val (local, offsets, cols) = rankParts(df, leadKey, tieBreak, shards)
+    // N = Σ per-shard counts, read off the ≤ shards-row offsets
+    // relation — never a second pass over the data
+    val total = offsets.agg(coalesce(max(col("__offset") + col("__cnt")), lit(0L)).as("__n"))
+    val ranked = local
+      .join(broadcast(offsets.select(col("__shard"), col("__offset"))), Seq("__shard"))
+      .withColumn("rank", col("__offset") + col("__rn"))
+      .select(cols.map(col) :+ col("rank"): _*)
+    // ntile arithmetic on (rank, N): q = N div t, rem = N mod t; ranks
+    // up to rem*(q+1) sit in the (q+1)-row tiles. Exact integer DIV
+    // throughout. The q = 0 degenerate case (N < buckets) takes the
+    // first branch for every row — tile = rank, matching SQL ntile —
+    // and CASE laziness keeps the q-divisor branch unevaluated.
+    ranked
+      .crossJoin(broadcast(total))
+      .withColumn(
+        tileName,
+        expr(s"""CAST(CASE
+          WHEN rank <= (__n % $buckets) * (__n DIV $buckets + 1)
+          THEN (rank - 1) DIV (__n DIV $buckets + 1)
+          ELSE (__n % $buckets) + ((rank - 1) - (__n % $buckets) * (__n DIV $buckets + 1)) DIV (__n DIV $buckets)
+        END AS INT) + 1"""))
+      .drop("__n")
+  }
+}

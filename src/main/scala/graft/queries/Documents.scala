@@ -21,37 +21,16 @@ object Documents {
     * relation, and q54/q57 share the winnowing fingerprint relation
     * the same way. At 100 TB these are materialized intermediates —
     * compute once, read by every downstream stage — so the local
-    * analogue is a persisted DataFrame shared per (session, dir).
-    *
-    * Entries for stopped sessions are pruned on every access: a
-    * WeakHashMap alone never frees them, because the cached DataFrame
-    * VALUES strongly reference their own SparkSession key (a value →
-    * key strong reference defeats key weakness per the WeakHashMap
-    * contract). */
-  private type DirCache =
-    java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
-  private def cachedPerDir(cache: DirCache, s: SparkSession, dir: String)(
-      build: => DataFrame): DataFrame =
-    cache.synchronized {
-      val it = cache.entrySet().iterator()
-      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
-      var perDir = cache.get(s)
-      if (perDir == null) {
-        perDir = scala.collection.mutable.Map.empty[String, DataFrame]
-        cache.put(s, perDir)
-      }
-      perDir.getOrElseUpdate(
-        dir, build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
-
-  private val shingleCache = new DirCache
+    * analogue is a persisted DataFrame shared per (session, dir)
+    * ([[DirCached]]). */
+  private val shingleCache = new DirCached
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
-    cachedPerDir(shingleCache, s, dir)(
+    shingleCache(s, dir)(
       TextDedup.shingleRows(Tables.documents(s, dir), col("doc_id"), col("text"), 3))
 
-  private val winnowCache = new DirCache
+  private val winnowCache = new DirCached
   private def sharedWinnowFps(s: SparkSession, dir: String): DataFrame =
-    cachedPerDir(winnowCache, s, dir)(
+    winnowCache(s, dir)(
       TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), col("doc_id"), col("text")))
 
   // The exact-Jaccard pair relation and its connected-component labels
@@ -75,20 +54,20 @@ object Documents {
     * cap, which exists for the corpus where it matters. */
   private[graft] val SharedJaccardDfCap = 128L
 
-  private val pairsCache = new DirCache
+  private val pairsCache = new DirCached
   private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    cachedPerDir(pairsCache, s, dir)(
+    pairsCache(s, dir)(
       TextDedup.jaccardPairsFromRows(
         sharedShingles(s, dir), 0.8, maxShingleDf = Some(SharedJaccardDfCap)))
 
-  private val clustersCache = new DirCache
+  private val clustersCache = new DirCached
   private def sharedClusters(s: SparkSession, dir: String): DataFrame =
-    cachedPerDir(clustersCache, s, dir)(
+    clustersCache(s, dir)(
       TextDedup.dedupClusters(sharedJaccardPairs(s, dir)))
 
-  private val simhashCache = new DirCache
+  private val simhashCache = new DirCached
   private def sharedSimhashes(s: SparkSession, dir: String): DataFrame =
-    cachedPerDir(simhashCache, s, dir)(
+    simhashCache(s, dir)(
       TextDedup.simhashes(Tables.documents(s, dir), col("doc_id"), col("text")))
 
   // MinHash signatures are consumed by four queries (q32 export, q33
@@ -96,16 +75,16 @@ object Documents {
   // shuffle of the shingle relation to compute — the classic
   // sign-once-read-forever index artifact, so it is materialized like
   // the shingles it derives from.
-  private val sigsCache = new DirCache
+  private val sigsCache = new DirCached
   private def sharedSigs(s: SparkSession, dir: String): DataFrame =
-    cachedPerDir(sigsCache, s, dir)(
+    sigsCache(s, dir)(
       TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir)))
 
   // The trained codebook is the canonical materialized intermediate:
   // q61 assigns with it, q63 probes with it ("train once").
-  private val codebookCache = new DirCache
+  private val codebookCache = new DirCached
   private def sharedCodebook(s: SparkSession, dir: String): DataFrame =
-    cachedPerDir(codebookCache, s, dir)(
+    codebookCache(s, dir)(
       Similarity.kmeansCentroids(Tables.embeddings(s, dir), 8))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Det._
-import graft.operators.{Analytics, AsOfJoin, Behavior, Dedup, Indicators, RangeJoin, Resample, Sessionize}
+import graft.operators.{Analytics, AsOfJoin, Behavior, Dedup, Indicators, Ranking, RangeJoin, Resample, Sessionize}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -24,6 +24,13 @@ object TimeSeries {
       col("value").as("close"),
       col("value").as("volume"),
       col("event_id"))
+
+  // The daily rollup is consumed three ways (q22 export, q23 top-k,
+  // q81 deciles — where globalRank's bounds scalar would otherwise
+  // re-aggregate the ticks): one materialized aggregate, shared.
+  private val dailyCache = new DirCached
+  private def sharedDaily(s: SparkSession, dir: String): DataFrame =
+    dailyCache(s, dir)(Analytics.dailyStats(ticksAsCandles(s, dir), col("event_id")))
 
   /** Hourly candles built from ticks; time key = epoch-second bucket. */
   private def hourlyCandles(s: SparkSession, dir: String): DataFrame = {
@@ -85,11 +92,11 @@ object TimeSeries {
     "q21_resample_1h" -> ((s, dir) => hourlyCandles(s, dir)),
 
     // A1/A2: per-(symbol, day) OHLCV rollup (lambda_analytics.py:146-166).
-    "q22_daily_stats" -> ((s, dir) => Analytics.dailyStats(ticksAsCandles(s, dir), col("event_id"))),
+    "q22_daily_stats" -> ((s, dir) => sharedDaily(s, dir)),
 
     // A4: top-5 gainers by pct change (lambda_analytics.py:360-430).
     "q23_top_movers" -> ((s, dir) =>
-      Analytics.topMovers(ticksAsCandles(s, dir), 5, gainers = true, col("event_id"))),
+      Analytics.topMoversFromDaily(sharedDaily(s, dir), 5, gainers = true)),
 
     // O6/T5: latest candle per symbol (api/api_handler.py:479-514).
     "q24_latest_per_symbol" -> ((s, dir) =>
@@ -395,16 +402,19 @@ object TimeSeries {
           ids("purchase").intersect(ids("view")).withColumn("cohort", lit("both")))
     }),
 
-    // Volume deciles over the per-(symbol, day) rollup: global ntile
-    // on the AGGREGATED relation (scale note: never on ticks), then
-    // per-decile stats.
+    // Volume deciles over the per-(symbol, day) rollup via the
+    // DISTRIBUTED ntile (Ranking.globalNtile): bit-identical to the
+    // SQL window function, but the aggregated relation never funnels
+    // through the one-reducer unpartitioned window — the only
+    // unpartitioned window left is over the ≤ shards offsets rows.
     "q81_volume_deciles" -> ((s, dir) =>
-      Analytics.dailyStats(ticksAsCandles(s, dir), col("event_id"))
-        .select(col("symbol"), col("trade_date"), col("volume"))
-        .withColumn(
-          "decile",
-          ntile(10).over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("volume").asc, col("symbol").asc, col("trade_date").asc)))
+      Ranking.globalNtile(
+        sharedDaily(s, dir)
+          .select(col("symbol"), col("trade_date"), col("volume")),
+        leadKey = col("volume"),
+        tieBreak = Seq(col("symbol"), col("trade_date")),
+        buckets = 10,
+        tileName = "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), dsum(col("volume")).as("sum_volume")))
   )

@@ -264,6 +264,34 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("cell"), s.take(3000))
   }
 
+  test("q81 deciles: the data relation never crosses an unpartitioned window") {
+    val df = SparkEntry.queries("q81_volume_deciles")(spark, sf())
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    // descend through AQE stage wrappers: a materialized
+    // QueryStageExec exposes its subtree via .plan, not .children
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flat(q.plan)
+      case _ => p +: (p.children ++ p.subqueries).flatMap(flat)
+    }
+    val unpart = flat(finalPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    // globalNtile's one unpartitioned window is the shard-offset prefix
+    // sum over a per-shard AGGREGATE (≤ shards rows, constant at any
+    // data scale) — anything else under it would be the one-reducer bug
+    assert(unpart.nonEmpty, "expected the constant-size offsets window")
+    unpart.foreach { w =>
+      assert(
+        flat(w.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+        w.toString.take(500))
+    }
+  }
+
   test("q66 drawdown: no single-partition window anywhere in the plan") {
     val df = SparkEntry.queries("q66_drawdown")(spark, sf())
     val s  = planString(df)
