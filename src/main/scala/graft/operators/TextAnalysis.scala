@@ -433,4 +433,117 @@ object TextAnalysis {
       length(redacted).cast("long").as("redacted_len"),
       md5(redacted).as("redacted_hash"))
   }
+
+  /** Per-group token-distribution drift vs the whole corpus — the
+    * ingest-monitoring report that catches a source gone wrong (spam
+    * burst, encoding break, scraper loop) BEFORE it trains: for each
+    * group, the L1 distance between the group's unigram distribution
+    * and the corpus's, in exact integer ppm (sum over the vocabulary
+    * of |p_group − p_corpus|, range [0, 2·10⁶]), plus the single most
+    * divergent token as the explainable headline.
+    *
+    * Scale shape: one (group, token) hash-agg over the exploded
+    * relation (map-side combined — the only data-scale pass); every
+    * later relation is derived from that aggregate: per-group totals
+    * (|groups| rows, broadcast), the vocabulary (|vocab| rows), and
+    * the |vocab|·|groups| comparison grid — the size of the standard
+    * per-source statistics artifact, independent of corpus row count.
+    * The top-token pick is a rank-1 window per group on the grid
+    * (WindowGroupLimit pushes the limit into the sort). */
+  def sourceDrift(docs: DataFrame, id: Column, text: Column, group: Column): DataFrame = {
+    val tok  = docs.select(group.as("source"), explode(tokens(text)).as("t"))
+    val cgt  = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("__c_gt"))
+    val totg = cgt.groupBy(col("source")).agg(sum(col("__c_gt")).as("n_tokens"))
+    val ctok = cgt.groupBy(col("t")).agg(sum(col("__c_gt")).as("__c_t"))
+    val tot  = ctok.agg(sum(col("__c_t")).as("__tot"))
+    val grid = ctok
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(totg))
+      .join(cgt, Seq("source", "t"), "left")
+      .select(
+        col("source"), col("t"), col("__c_gt"),
+        expr("(coalesce(__c_gt, 0L) * 1000000L) div n_tokens").as("__pg"),
+        expr("(__c_t * 1000000L) div __tot").as("__pc"))
+    val stats = grid
+      .groupBy(col("source"))
+      .agg(
+        count(col("__c_gt")).as("n_distinct_tokens"),
+        sum(abs(col("__pg") - col("__pc"))).as("l1_ppm"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(abs(col("__pg") - col("__pc")).desc, col("t").asc)
+    val top = grid
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("t").as("top_token"),
+        abs(col("__pg") - col("__pc")).as("top_gap_ppm"))
+    totg.join(stats, Seq("source")).join(top, Seq("source"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by how target-like its hashed-bigram profile
+    * is — the data-selection stage that reweights a raw crawl toward a
+    * trusted target corpus (the paper's hashed n-gram variant, not the
+    * neural one). Features are word bigrams hashed into `buckets`
+    * cells; the target and raw unigram-over-cells distributions are
+    * Laplace-smoothed and quantized to exact integer PARTS-PER-MILLION
+    * (floor division — the paper's log-likelihood-ratio needs `ln`,
+    * which is not correctly rounded across libm; the ppm ratio
+    * `sum_target_ppm / sum_raw_ppm` is a monotone engine-exact proxy
+    * for ranking/sampling, which is all DSIR uses the weight for).
+    *
+    * Scale shape: featurization is MAP-ONLY (bigrams by array-zip
+    * inside the row — no token-relation window like [[bigramRows]],
+    * whose per-doc sort this path deliberately avoids); the two
+    * distributions are `buckets`-row aggregates (map-side combined)
+    * broadcast back; the score is one doc-keyed hash-agg. Exactness
+    * bound: a doc must have < ~9·10⁶ bigram occurrences for
+    * `sum_target_ppm · 10⁶` to stay in int64 — far beyond any real
+    * document.
+    *
+    * Output: (doc_id, is_target, n_feats, sum_target_ppm,
+    * sum_raw_ppm, dsir_ppm); docs with < 2 tokens are absent (no
+    * feature exists). Target docs are scored too — their high
+    * dsir_ppm is the sanity signal the paper plots. */
+  def dsirWeights(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      isTarget: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    val occ = docs
+      .select(id.as("doc_id"), isTarget.cast("boolean").as("is_target"), tokens(text).as("__ws"))
+      .select(
+        col("doc_id"), col("is_target"),
+        // guarded: Spark's sequence(2, n) counts DOWN for n < 2
+        explode(expr(
+          """CASE WHEN size(__ws) >= 2
+             THEN transform(sequence(2, size(__ws)), i -> concat(__ws[i-2], '_', __ws[i-1]))
+             ELSE CAST(array() AS array<string>) END""")).as("__f"))
+      .select(
+        col("doc_id"), col("is_target"),
+        pmod(Portable.hash60(col("__f")), lit(buckets.toLong)).as("__b"))
+    val ct = occ.filter(col("is_target")).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val cr = occ.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tt = ct.agg(coalesce(sum(col("__ct")), lit(0L)).as("__tt"))
+    val tr = cr.agg(coalesce(sum(col("__cr")), lit(0L)).as("__tr"))
+    val dict = cr
+      .join(ct, Seq("__b"), "left")
+      .crossJoin(broadcast(tt))
+      .crossJoin(broadcast(tr))
+      .select(
+        col("__b"),
+        expr(s"((coalesce(__ct, 0L) + 1L) * 1000000L) div (__tt + $buckets)").as("__pt_ppm"),
+        expr(s"((__cr + 1L) * 1000000L) div (__tr + $buckets)").as("__pr_ppm"))
+    occ
+      .join(broadcast(dict), Seq("__b"))
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("__pt_ppm")).as("sum_target_ppm"),
+        sum(col("__pr_ppm")).as("sum_raw_ppm"))
+      .withColumn(
+        "dsir_ppm",
+        expr("(sum_target_ppm * 1000000L) div greatest(sum_raw_ppm, 1L)"))
+  }
 }

@@ -387,7 +387,21 @@ object Documents {
     // partition is the blocking structure (pairs only inside a cell).
     "q96_semdedup" -> ((s, dir) =>
       Similarity.semDedupVerdicts(
-        Tables.embeddings(s, dir), sharedCodebook(s, dir), tau = 0.4))
+        Tables.embeddings(s, dir), sharedCodebook(s, dir), tau = 0.4)),
+
+    // DSIR importance weights: src1 as the trusted target corpus,
+    // hashed-bigram profile ratio in exact integer ppm — the
+    // data-selection score that reweights the raw pool toward target.
+    "q97_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        isTarget = col("source") === "src1")),
+
+    // Per-source distribution drift vs the corpus: the ingest monitor
+    // that catches a source gone wrong before it trains.
+    "q98_source_drift" -> ((s, dir) =>
+      TextAnalysis.sourceDrift(
+        Tables.documents(s, dir), col("doc_id"), col("text"), col("source")))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -1447,6 +1461,78 @@ object Documents {
           SELECT m.vec_id, m.cell AS cluster_id,
                  CASE WHEN p.vec_id IS NULL THEN 'keep' ELSE 'drop_semantic' END AS verdict,
                  p.survivor_id, p.max_cos
-          FROM m LEFT JOIN p ON p.vec_id = m.vec_id"""
+          FROM m LEFT JOIN p ON p.vec_id = m.vec_id""",
+
+    // DSIR weights: hashed-bigram cells (md5-60bit % 256, the
+    // portable-hash convention), Laplace-smoothed ppm distributions,
+    // floor-division score ratio — integer-exact on both engines.
+    "q97_dsir_weights" ->
+      """WITH w AS (
+           SELECT doc_id, source = 'src1' AS is_target,
+                  string_split_regex(trim(text), '\s+') AS ws
+           FROM documents
+         ),
+         f AS (
+           SELECT doc_id, is_target,
+                  unnest(list_transform(generate_series(2, len(ws)),
+                                        i -> ws[i-1] || '_' || ws[i])) AS f
+           FROM w WHERE len(ws) >= 2
+         ),
+         occ AS (
+           SELECT doc_id, is_target,
+                  ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b
+           FROM f
+         ),
+         ct AS (SELECT b, COUNT(1) AS c FROM occ WHERE is_target GROUP BY 1),
+         cr AS (SELECT b, COUNT(1) AS c FROM occ GROUP BY 1),
+         tt AS (SELECT COALESCE(SUM(c), 0) AS v FROM ct),
+         tr AS (SELECT COALESCE(SUM(c), 0) AS v FROM cr),
+         dict AS (
+           SELECT cr.b,
+                  ((COALESCE(ct.c, 0) + 1) * 1000000) // (tt.v + 256) AS pt_ppm,
+                  ((cr.c + 1) * 1000000) // (tr.v + 256) AS pr_ppm
+           FROM cr LEFT JOIN ct USING (b), tt, tr
+         )
+         SELECT o.doc_id, o.is_target, COUNT(1) AS n_feats,
+                SUM(d.pt_ppm) AS sum_target_ppm,
+                SUM(d.pr_ppm) AS sum_raw_ppm,
+                (SUM(d.pt_ppm) * 1000000) // GREATEST(SUM(d.pr_ppm), 1) AS dsir_ppm
+         FROM occ o JOIN dict d USING (b)
+         GROUP BY 1, 2""",
+
+    // Per-source drift: integer-ppm unigram distributions, L1 over the
+    // vocab × sources grid, rank-1 most-divergent token per source.
+    "q98_source_drift" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+           FROM documents
+         ),
+         cgt AS (SELECT source, t, COUNT(1) AS c_gt FROM tok GROUP BY 1, 2),
+         totg AS (SELECT source, SUM(c_gt) AS n_tokens FROM cgt GROUP BY 1),
+         ct AS (SELECT t, SUM(c_gt) AS c_t FROM cgt GROUP BY 1),
+         tot AS (SELECT SUM(c_t) AS v FROM ct),
+         grid AS (
+           SELECT g.source, ct.t, c.c_gt,
+                  (COALESCE(c.c_gt, 0) * 1000000) // g.n_tokens AS pg,
+                  (ct.c_t * 1000000) // tot.v AS pc
+           FROM totg g CROSS JOIN ct CROSS JOIN tot
+           LEFT JOIN cgt c ON c.source = g.source AND c.t = ct.t
+         ),
+         stats AS (
+           SELECT source, COUNT(c_gt) AS n_distinct_tokens,
+                  SUM(ABS(pg - pc)) AS l1_ppm
+           FROM grid GROUP BY 1
+         ),
+         top AS (
+           SELECT source, t AS top_token, ABS(pg - pc) AS top_gap_ppm,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY ABS(pg - pc) DESC, t ASC) AS rn
+           FROM grid
+         )
+         SELECT g.source, g.n_tokens, s.n_distinct_tokens, s.l1_ppm,
+                top.top_token, top.top_gap_ppm
+         FROM totg g
+         JOIN stats s USING (source)
+         JOIN top ON top.source = g.source AND top.rn = 1"""
   )
 }

@@ -708,6 +708,58 @@ class PackingSpec extends SparkSpec {
     assert(out(1L) === (4L, 1L))
     assert(out(2L) === (4L, 2L)) // 4..9 crosses the 5-token boundary
   }
+
+  test("dsirWeights: target-like raw docs outscore off-distribution ones; short docs absent") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma alpha beta", true),   // target
+      (1L, "alpha beta gamma beta gamma", true),   // target
+      (2L, "alpha beta gamma alpha", false),       // raw, target-like
+      (3L, "zork quux blarg zork quux", false),    // raw, off-distribution
+      (4L, "single", false))                       // < 2 tokens → absent
+      .toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirWeights(d, col("doc_id"), col("text"), col("tgt"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("dsir_ppm"), r.getAs[Boolean]("is_target"))).toMap
+    assert(!out.contains(4L))
+    assert(out(0L)._1 === 4L) // 5 tokens → 4 bigrams
+    assert(out(2L)._2 > out(3L)._2, s"target-like ${out(2L)} should outscore ${out(3L)}")
+    assert(out(0L)._3 && !out(2L)._3)
+  }
+
+  test("sourceDrift: identical sources drift only by rounding; a skewed source reports its top token") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta", "a"),
+      (1L, "alpha beta gamma delta", "b"),
+      (2L, "spam spam spam spam", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceDrift(d, col("doc_id"), col("text"), col("source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct_tokens"),
+          r.getAs[Long]("l1_ppm"), r.getAs[String]("top_token"))).toMap
+    assert(out.keySet === Set("a", "b", "c"))
+    assert(out("a") === out("b").copy(_1 = out("a")._1)) // same profile, same drift
+    // exact floor-div ppm: a = 4·|250000−166666| + |0−333333| = 666669;
+    // c = |10⁶−333333| + 4·|0−166666| = 1333331 — the drifted source
+    // doubles the uniform sources' L1
+    assert(out("a")._3 === 666669L)
+    assert(out("c")._3 === 1333331L)
+    assert(out("c")._4 === "spam")
+    assert(out("c")._2 === 1L && out("c")._1 === 4L)
+  }
+
+  test("dsirWeights: with no target docs the smoothed score is flat, never a crash") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma", false),
+      (1L, "zork quux blarg", false))
+      .toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirWeights(d, col("doc_id"), col("text"), col("tgt"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sum_target_ppm")).toMap
+    // every occupied cell gets the same uniform smoothed target mass
+    assert(out(0L) === out(1L))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
