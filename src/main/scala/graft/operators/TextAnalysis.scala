@@ -493,10 +493,15 @@ object TextAnalysis {
     *
     * Scale shape: featurization is MAP-ONLY (bigrams by array-zip
     * inside the row — no token-relation window like [[bigramRows]],
-    * whose per-doc sort this path deliberately avoids); the two
-    * distributions are `buckets`-row aggregates (map-side combined)
-    * broadcast back; the score is one doc-keyed hash-agg. Exactness
-    * bound: a doc must have < ~9·10⁶ bigram occurrences for
+    * whose per-doc sort this path deliberately avoids), and the
+    * occurrence relation is immediately collapsed to (doc, bucket,
+    * count) grain — ≤ `buckets` rows per doc — so the corpus is
+    * exploded ONCE: all three consumers (target distribution, raw
+    * distribution, per-doc score) hang off that one aggregate's
+    * exchange (ReusedExchange, plan-pinned). The two distributions
+    * are `buckets`-row aggregates broadcast back; the score is one
+    * doc-keyed hash-agg over the collapsed grain. Exactness bound: a
+    * doc must have < ~9·10⁶ bigram occurrences for
     * `sum_target_ppm · 10⁶` to stay in int64 — far beyond any real
     * document.
     *
@@ -523,8 +528,14 @@ object TextAnalysis {
       .select(
         col("doc_id"), col("is_target"),
         pmod(Portable.hash60(col("__f")), lit(buckets.toLong)).as("__b"))
-    val ct = occ.filter(col("is_target")).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
-    val cr = occ.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    // Collapse to (doc, bucket, count) BEFORE fanning out: this is the
+    // only aggregate whose input is occurrence-grain, and its exchange
+    // is what ct / cr / the score consumer all reuse.
+    val cgt = occ
+      .groupBy(col("doc_id"), col("is_target"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val ct = cgt.filter(col("is_target")).groupBy(col("__b")).agg(sum(col("__n")).as("__ct"))
+    val cr = cgt.groupBy(col("__b")).agg(sum(col("__n")).as("__cr"))
     val tt = ct.agg(coalesce(sum(col("__ct")), lit(0L)).as("__tt"))
     val tr = cr.agg(coalesce(sum(col("__cr")), lit(0L)).as("__tr"))
     val dict = cr
@@ -535,13 +546,13 @@ object TextAnalysis {
         col("__b"),
         expr(s"((coalesce(__ct, 0L) + 1L) * 1000000L) div (__tt + $buckets)").as("__pt_ppm"),
         expr(s"((__cr + 1L) * 1000000L) div (__tr + $buckets)").as("__pr_ppm"))
-    occ
+    cgt
       .join(broadcast(dict), Seq("__b"))
       .groupBy(col("doc_id"), col("is_target"))
       .agg(
-        count(lit(1)).as("n_feats"),
-        sum(col("__pt_ppm")).as("sum_target_ppm"),
-        sum(col("__pr_ppm")).as("sum_raw_ppm"))
+        sum(col("__n")).as("n_feats"),
+        sum(col("__n") * col("__pt_ppm")).as("sum_target_ppm"),
+        sum(col("__n") * col("__pr_ppm")).as("sum_raw_ppm"))
       .withColumn(
         "dsir_ppm",
         expr("(sum_target_ppm * 1000000L) div greatest(sum_raw_ppm, 1L)"))

@@ -193,6 +193,88 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT thresholded Jaccard for a CANDIDATE pair list only — the
+    * rescoring tail shared by every blocked path ([[lshRescoredPairs]],
+    * [[prefixJaccardPairs]]): intersection counts come from joining the
+    * candidate list to the occurrence relation per side (the candidate
+    * side is usually broadcastable — AQE decides), one pair-keyed
+    * hash-agg; the quadratic posting-list self-join never appears. */
+  private def rescoreCandidates(
+      cands: DataFrame,
+      sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Prefix-filtered EXACT set-similarity self-join (the prefix-filter
+    * principle of Chaudhuri et al., ICDE 2006; PPJoin family, Xiao et
+    * al., WWW 2008): every pair with true Jaccard ≥ `threshold` over
+    * the FULL shingle universe — no df-cap, no LSH recall loss — with
+    * the posting-list explosion tamed by ORDERING instead of dropping.
+    *
+    * Tokens are globally ordered by (document frequency asc, token) —
+    * rarest first — and each doc indexes only its first
+    * `n − ⌈t·n⌉ + 1` tokens. Exactness: if |A∩B| ≥ α, the globally
+    * smallest common element has rank ≤ |A|−α+1 in A and ≤ |B|−α+1 in
+    * B (α−1 more common elements follow it in both), so it lies in
+    * BOTH prefixes; Jaccard ≥ t forces α ≥ ⌈t·max(|A|,|B|)⌉, which
+    * covers each side's own prefix bound. A corpus-wide boilerplate
+    * trigram (the [[jaccardPairsFromRows]] job-killer) sits LAST in
+    * the global order and enters a prefix only for docs with almost
+    * no rarer token, so hot posting lists shrink instead of explode.
+    * FP guard: the ⌈t·n⌉ bounds are computed as `ceil(t·n − 1e-9)` —
+    * an ulp error can only LENGTHEN a prefix / WIDEN the length
+    * filter (more candidates, never a lost true pair).
+    *
+    * The length filter (t·|A| ≤ |B|) prunes candidates before the
+    * pair-dedup; survivors are rescored exactly by
+    * [[rescoreCandidates]]. Worst case — a giant group of identical
+    * sets — is quadratic in the OUTPUT, inherent to exact semantics;
+    * corpora where that happens should run [[exactDupGroups]] first
+    * (identical sets are exact dups of the normalized text) or accept
+    * the LSH recall trade of [[lshRescoredPairs]].
+    *
+    * Scale shape: one df aggregate on the occurrence relation, one
+    * per-doc window (rank within doc by global order), the slim
+    * (doc_id, s, n) prefix self-join, then the candidate-only rescore.
+    */
+  def prefixJaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1] (got $threshold)")
+    val sh    = shRaw.select(col("doc_id"), col("s")).distinct()
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    val wDoc  = Window.partitionBy(col("doc_id")).orderBy(col("__df").asc, col("s").asc)
+    val ranked = sh
+      .join(dfreq, Seq("s"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("__r", row_number().over(wDoc))
+    val alpha  = ceil(lit(threshold) * col("n") - lit(1e-9))
+    val prefix = ranked
+      .filter(col("__r") <= col("n") - alpha + 1)
+      .select(col("doc_id"), col("s"), col("n"))
+    val cands = prefix.as("a")
+      .join(
+        prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // J ≥ t needs |A∩B| ≥ t·max(n_a,n_b) and |A∩B| ≤ min(n_a,n_b)
+          col("b.n") >= lit(threshold) * col("a.n") - lit(1e-9) &&
+          col("a.n") >= lit(threshold) * col("b.n") - lit(1e-9))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    rescoreCandidates(cands, sh, threshold)
+  }
+
   /** Partial-overlap / containment pairs from winnowing fingerprints
     * ([[TextAnalysis.winnowingFingerprints]]): two docs pair when they
     * share fingerprints, scored by the containment coefficient
@@ -516,19 +598,7 @@ object TextDedup {
     val sigs = precomputedSigs.getOrElse(minhashSignaturesFromRows(shRows))
     val cands = lshPairs(sigs, estThreshold, maxBandDf)
       .select(col("doc_a"), col("doc_b"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    rescoreCandidates(cands, sh, threshold)
   }
 
   /** Lineage-truncation strategies for the iterative operators below.

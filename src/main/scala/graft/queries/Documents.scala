@@ -401,7 +401,13 @@ object Documents {
     // that catches a source gone wrong before it trains.
     "q98_source_drift" -> ((s, dir) =>
       TextAnalysis.sourceDrift(
-        Tables.documents(s, dir), col("doc_id"), col("text"), col("source")))
+        Tables.documents(s, dir), col("doc_id"), col("text"), col("source"))),
+
+    // Prefix-filtered EXACT Jaccard ≥ 0.8 over the FULL shingle
+    // universe — no cap, no LSH recall loss; hot posting lists shrink
+    // by rarest-first ordering instead of dropping (PPJoin family).
+    "q99_prefix_jaccard" -> ((s, dir) =>
+      TextDedup.prefixJaccardPairs(sharedShingles(s, dir), 0.8))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -1533,6 +1539,22 @@ object Documents {
                 top.top_token, top.top_gap_ppm
          FROM totg g
          JOIN stats s USING (source)
-         JOIN top ON top.source = g.source AND top.rn = 1"""
+         JOIN top ON top.source = g.source AND top.rn = 1""",
+
+    // Prefix-filter join is EXACT: the oracle is the plain uncapped
+    // posting-list Jaccard — same output, different (scale-safe) plan.
+    "q99_prefix_jaccard" ->
+      s"""WITH $shinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          )
+          SELECT da AS doc_a, db AS doc_b,
+                 CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"""
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Det._
-import graft.operators.{Analytics, AsOfJoin, Behavior, Dedup, Indicators, Ranking, RangeJoin, Resample, Sessionize}
+import graft.operators.{Analytics, AsOfJoin, Behavior, Dedup, Indicators, Ranking, RangeJoin, Resample, Scd, Sessionize}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -416,7 +416,19 @@ object TimeSeries {
         buckets = 10,
         tileName = "decile")
         .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n"), dsum(col("volume")).as("sum_volume")))
+        .agg(count(lit(1)).as("n"), dsum(col("volume")).as("sum_volume"))),
+
+    // SCD2 historization of each user's event_type state: consecutive
+    // unchanged rows collapse, each change opens a version with
+    // [valid_from, valid_to) epoch-second bounds — the
+    // dimension-history counterpart of keep-latest dedup.
+    "q100_scd2_history" -> ((s, dir) =>
+      Scd.historize(
+        Tables.events(s, dir),
+        key = col("user_id"),
+        ts = graft.functions.Det.epochSec(col("ts")),
+        tieBreak = col("event_id"),
+        attrs = Seq("event_type" -> col("event_type"))))
   )
 
   val oracles: Map[String, String] = Map(
@@ -823,6 +835,28 @@ object TimeSeries {
          )
          SELECT symbol, trade_date, close, ema12, ema26, macd, sig AS signal,
                 macd - sig AS histogram
-         FROM r"""
+         FROM r""",
+
+    // SCD2: lag detects changes (IS DISTINCT FROM = the null-safe
+    // comparison), lead over the surviving changes closes intervals.
+    "q100_scd2_history" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type
+           FROM events
+         ),
+         o AS (
+           SELECT user_id, t, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+           FROM e
+         ),
+         ch AS (
+           SELECT user_id, t, event_id, event_type
+           FROM o WHERE event_type IS DISTINCT FROM prev
+         )
+         SELECT user_id AS key, event_type, t AS valid_from,
+                lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to,
+                lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL AS is_current,
+                row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS version
+         FROM ch"""
   )
 }

@@ -299,6 +299,27 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("Window"), s.take(3000))
   }
 
+  test("q97 DSIR: corpus exploded once — consumers reuse the (doc,bucket) exchange; dict broadcast") {
+    val df = SparkEntry.queries("q97_dsir_weights")(spark, sf())
+    df.collect() // let AQE finalize
+    val s = planString(df)
+    // three consumers (target dist, raw dist, per-doc score) must hang
+    // off ONE occurrence-grain aggregate, not re-explode the corpus
+    assert(s.contains("ReusedExchange"), s.take(3000))
+    // the buckets-row dictionary joins broadcast — the collapsed corpus
+    // side never shuffles for the score join
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+  }
+
+  test("q98 source drift: one (source,token) pass — downstream relations reuse its exchange") {
+    val df = SparkEntry.queries("q98_source_drift")(spark, sf())
+    df.collect() // let AQE finalize
+    val s = planString(df)
+    // totg / vocabulary / grid all derive from the single (source,token)
+    // hash-agg — the exploded token relation is scanned once
+    assert(s.contains("ReusedExchange"), s.take(3000))
+  }
+
   test("partitioned OHLCV reads prune partitions on (symbol, date) predicates") {
     // covered end-to-end in OhlcvEtlSpec; here assert the testdata scan
     // prunes columns for a 2-column projection

@@ -39,6 +39,34 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("prefixJaccardPairs equals the uncapped exact self-join, including under a hot shingle") {
+    val s = spark; import s.implicits._
+    // every doc shares the hot "aa bb cc" shingle; only 0/1 and 2/3
+    // are true near-dups — the prefix filter must keep exactly those
+    val hot = Seq(
+      (0L, "aa bb cc dd ee ff gg"),
+      (1L, "aa bb cc dd ee ff hh"),
+      (2L, "aa bb cc xx yy zz ww"),
+      (3L, "aa bb cc xx yy zz vv"),
+      (4L, "aa bb cc qq rr ss tt uu ii jj kk ll mm nn oo pp"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.6, 0.8)) {
+      val shRows = hot.select(col("doc_id"), explode(TextDedup.wordNgrams(col("text"), 3)).as("s"))
+      val exact = TextDedup.jaccardPairsFromRows(shRows, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = TextDedup.prefixJaccardPairs(shRows, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref === exact, s"threshold $t")
+    }
+  }
+
+  test("prefixJaccardPairs: exact-dup pairs (jaccard 1.0) survive the t=1.0 edge") {
+    val shRows = docs.select(col("doc_id"), explode(TextDedup.wordNgrams(col("text"), 3)).as("s"))
+    val out = TextDedup.prefixJaccardPairs(shRows, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((0L, 3L, 1.0)))
+  }
+
   test("minhash: identical docs get identical signatures; signature values < P") {
     val sigs = TextDedup.minhashSignatures(docs, col("doc_id"), TextDedup.wordNgrams(col("text"), 3))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
