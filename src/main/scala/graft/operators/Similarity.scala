@@ -225,17 +225,17 @@ object Similarity {
     * trunc-toward-zero cast matches the oracle everywhere. One
     * map-side-combinable (key, dim) hash-agg → |keys|·dim rows →
     * array re-pack. Returns (key, cv, cn2). */
-  private def integerMeanCentroids(rows: DataFrame, key: String): DataFrame =
+  private def integerMeanCentroids(rows: DataFrame, keys: String*): DataFrame =
     rows
-      .select(col(key), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col(key), col("i"))
+      .select(keys.map(col) :+ posexplode(col("v")).as(Seq("i", "x")): _*)
+      .groupBy((keys :+ "i").map(col): _*)
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
       .withColumn("cx", (col("sx") / col("cnt")).cast("long"))
-      .groupBy(col(key))
+      .groupBy(keys.map(col): _*)
       .agg(collect_list(struct(col("i"), col("cx"))).as("ps"))
       .select(
-        col(key),
-        transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"))
+        keys.map(col) :+
+          transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"): _*)
       .withColumn("cn2", normQ(col("cv")))
 
   /** Final k-means cluster assignment: one row per vector
@@ -377,5 +377,108 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(out: _*)
+  }
+
+  // ---- Product quantization (Jégou, Douze, Schmid: "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011) ----------
+  //
+  // The memory-scale ANN path: a D-dim vector compresses to `m` small
+  // codes (one per D/m-dim subspace, each trained by the same
+  // deterministic integer k-means as the IVF codebook), and query
+  // distance is the ADC sum of per-subspace table lookups. At 100 TB
+  // the float corpus cannot live in executor memory; the code relation
+  // is m bytes-ish per vector and the distance job never touches the
+  // original vectors — scan cost drops by the compression ratio
+  // (64 dims × 4 B → 4 codes here). All distances are EXACT int64
+  // squared-L2 over the quantized grid ([[Portable.quantize]]), so
+  // codebooks, codes, and ADC scores hash-match the DuckDB oracle.
+
+  /** (vec_id, sub, v, n2) subvector slices: `dim` split into `m`
+    * consecutive equal subspaces. Map-only (explode of a per-row
+    * literal-bounded array) — the one pass over the full vectors. */
+  private def pqSlices(embs: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val step = dim / m
+    val slices = array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("v"), s * step + 1, step).as("sv"))): _*)
+    quantized(embs)
+      .select(col("vec_id"), explode(slices).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("v"))
+      .withColumn("n2", normQ(col("v")))
+  }
+
+  /** Nearest codeword per (vector, subspace) by EXACT int64 squared
+    * L2 (‖a‖² + ‖c‖² − 2⟨a,c⟩ — PQ is a Euclidean quantizer); ties to
+    * the LOWEST cell. Same slim-hash-agg shape as [[nearestCell]]:
+    * the codebook is broadcast, the aggregate payload is fixed-width,
+    * subvectors never ride a shuffle. Returns (vec_id, sub, code, d2)
+    * — d2 being the per-subspace quantization error. */
+  private def nearestSubCell(slices: DataFrame, cb: DataFrame): DataFrame =
+    slices
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn(
+        "__d2", col("n2") + col("cn2") - lit(2L) * Portable.dotQ(col("v"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(
+        max_by(col("cell"), struct((-col("__d2")).as("nd"), (-col("cell")).as("nc"))).as("code"),
+        min(col("__d2")).as("d2"))
+
+  /** Train the `m` per-subspace codebooks: seeds = slices of the first
+    * `k` vectors by id, then `iters` Lloyd rounds with the
+    * integer-mean centroid update ([[integerMeanCentroids]] keyed by
+    * (sub, cell) — one generalized job trains ALL subspaces at once,
+    * not m sequential jobs). Returns (sub, cell, cv, cn2). */
+  def pqCodebooks(embs: DataFrame, dim: Int, m: Int, k: Int, iters: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val sl = pqSlices(embs, dim, m)
+    var cb = sl
+      .filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cell"), col("v").as("cv"), col("n2").as("cn2"))
+    for (_ <- 0 until iters) {
+      val assign = nearestSubCell(sl, cb)
+        .select(col("vec_id"), col("sub"), col("code").as("cell"))
+      cb = integerMeanCentroids(sl.join(assign, Seq("vec_id", "sub")), "sub", "cell")
+    }
+    cb
+  }
+
+  /** Encode the corpus against a trained codebook: (vec_id, sub, code,
+    * d2) — the m-codes-per-vector compression artifact a 100 TB
+    * pipeline materializes once and serves from, with the exact
+    * per-subspace quantization error kept as the reconstruction-
+    * quality signal. */
+  def pqEncode(embs: DataFrame, dim: Int, m: Int, codebooks: DataFrame): DataFrame =
+    nearestSubCell(pqSlices(embs, dim, m), codebooks)
+
+  /** ADC top-k: per query, per subspace, the distance TABLE to every
+    * codeword (|queries|·m·k rows — tiny, broadcast), then each corpus
+    * CODE row joins its table entry and one (qid, cid) hash-agg sums
+    * the m lookups into the ADC distance. The full vectors appear
+    * nowhere in the serving plan — only codes move. Asymmetric:
+    * queries stay unquantized-by-PQ (exact slices), only the corpus is
+    * compressed, exactly the paper's ADC variant. */
+  def pqTopKWith(
+      embs: DataFrame,
+      codebooks: DataFrame,
+      queryIds: Seq[Long],
+      dim: Int,
+      m: Int,
+      k: Int): DataFrame = {
+    val sl    = pqSlices(embs, dim, m)
+    val codes = nearestSubCell(sl, codebooks).select(col("vec_id").as("cid"), col("sub"), col("code"))
+    val dt = sl
+      .filter(col("vec_id").isin(queryIds: _*))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(
+        col("vec_id").as("qid"), col("sub"), col("cell").as("code"),
+        (col("n2") + col("cn2") - lit(2L) * Portable.dotQ(col("v"), col("cv"))).as("qd2"))
+    val w = Window.partitionBy(col("qid")).orderBy(asc("adc_dist2"), asc("cid"))
+    codes
+      .join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("qd2")).as("adc_dist2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 }

@@ -87,6 +87,17 @@ object Documents {
     codebookCache(s, dir)(
       Similarity.kmeansCentroids(Tables.embeddings(s, dir), 8))
 
+  // PQ compression parameters: 64 dims → 4 subspaces × 16 dims,
+  // 8 codewords each; the trained per-subspace codebooks are the
+  // train-once artifact q101 encodes with and q102 serves from.
+  private val PqM = 4
+  private val PqK = 8
+  private val EmbDim = 64
+  private val pqCbCache = new DirCached
+  private def sharedPqCodebooks(s: SparkSession, dir: String): DataFrame =
+    pqCbCache(s, dir)(
+      Similarity.pqCodebooks(Tables.embeddings(s, dir), EmbDim, PqM, PqK))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via normalized-content fingerprint: hash-groupBy,
     // one shuffle on the 128-bit key, partial agg map-side.
@@ -407,7 +418,21 @@ object Documents {
     // universe — no cap, no LSH recall loss; hot posting lists shrink
     // by rarest-first ordering instead of dropping (PPJoin family).
     "q99_prefix_jaccard" -> ((s, dir) =>
-      TextDedup.prefixJaccardPairs(sharedShingles(s, dir), 0.8))
+      TextDedup.prefixJaccardPairs(sharedShingles(s, dir), 0.8)),
+
+    // PQ encode: the m-codes-per-vector compression artifact (with
+    // exact per-subspace quantization error) a 100 TB corpus
+    // materializes once — vectors never leave the scan again.
+    "q101_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(
+        Tables.embeddings(s, dir), EmbDim, PqM, sharedPqCodebooks(s, dir))),
+
+    // PQ ADC top-k: distance tables broadcast, only CODES move —
+    // the serving plan never touches a full vector.
+    "q102_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopKWith(
+        Tables.embeddings(s, dir), sharedPqCodebooks(s, dir),
+        Seq(0L, 1L, 2L, 3L, 4L), EmbDim, PqM, k = 5))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -586,6 +611,57 @@ object Documents {
          SELECT cell, cv,
                 CAST(list_aggregate(list_transform(cv, x -> x*x), 'sum') AS BIGINT) AS cn2
          FROM cents1
+       )"""
+
+  /** PQ mirror: slice → seed → one Lloyd round (integer-mean update,
+    * the [[kmeansCte]] contract per subspace) → codes. `pcbn` holds
+    * the trained codebooks, `pcodes` the (vec_id, sub, code, d2)
+    * encoding. Requires [[quantCte]] in scope. */
+  private def pqCte = s"""subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub),
+       sl AS (
+         SELECT vec_id, sub, list_slice(v, sub*${EmbDim / PqM} + 1, sub*${EmbDim / PqM} + ${EmbDim / PqM}) AS sv
+         FROM en, subs
+       ),
+       sn AS (
+         SELECT vec_id, sub, sv,
+                CAST(list_aggregate(list_transform(sv, x -> x*x), 'sum') AS BIGINT) AS n2
+         FROM sl
+       ),
+       pc0 AS (SELECT sub, vec_id AS cell, sv AS cv, n2 AS cn2 FROM sn WHERE vec_id < $PqK),
+       pd1 AS (
+         SELECT sn.vec_id, sn.sub, c.cell,
+                sn.n2 + c.cn2 - 2*${dotSql.format("sn.sv", "c.cv")} AS d2
+         FROM sn JOIN pc0 c ON c.sub = sn.sub
+       ),
+       pa1 AS (
+         SELECT vec_id, sub, cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cell ASC) AS rn
+           FROM pd1) WHERE rn = 1
+       ),
+       pcomp AS (
+         SELECT pa1.sub, pa1.cell, generate_subscripts(sn.sv, 1) AS i, unnest(sn.sv) AS x
+         FROM sn JOIN pa1 ON pa1.vec_id = sn.vec_id AND pa1.sub = sn.sub
+       ),
+       psums AS (SELECT sub, cell, i, SUM(x) AS sx, COUNT(1) AS cnt FROM pcomp GROUP BY 1, 2, 3),
+       pcb AS (
+         SELECT sub, cell,
+                list(CAST(trunc(CAST(sx AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cv
+         FROM psums GROUP BY 1, 2
+       ),
+       pcbn AS (
+         SELECT sub, cell, cv,
+                CAST(list_aggregate(list_transform(cv, x -> x*x), 'sum') AS BIGINT) AS cn2
+         FROM pcb
+       ),
+       pd2 AS (
+         SELECT sn.vec_id, sn.sub, c.cell,
+                sn.n2 + c.cn2 - 2*${dotSql.format("sn.sv", "c.cv")} AS d2
+         FROM sn JOIN pcbn c ON c.sub = sn.sub
+       ),
+       pcodes AS (
+         SELECT vec_id, sub, cell AS code, d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cell ASC) AS rn
+           FROM pd2) WHERE rn = 1
        )"""
 
   /** Guarded cosine, mirroring [[graft.operators.Similarity.cosine]]:
@@ -1555,6 +1631,31 @@ object Documents {
                  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
           FROM inter
           JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"""
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""",
+
+    "q101_pq_codes" ->
+      s"""WITH $quantCte,
+          $pqCte
+          SELECT vec_id, CAST(sub AS INT) AS sub, code, d2 FROM pcodes""",
+
+    "q102_pq_topk" ->
+      s"""WITH $quantCte,
+          $pqCte,
+          dt AS (
+            SELECT vec_id AS qid, sub, cell AS code, d2 AS qd2
+            FROM pd2 WHERE vec_id IN (0, 1, 2, 3, 4)
+          ),
+          sc AS (
+            SELECT dt.qid, p.vec_id AS cid, CAST(SUM(dt.qd2) AS BIGINT) AS adc_dist2
+            FROM pcodes p JOIN dt ON dt.sub = p.sub AND dt.code = p.code
+            WHERE p.vec_id <> dt.qid
+            GROUP BY 1, 2
+          ),
+          r AS (
+            SELECT qid, cid, adc_dist2,
+                   row_number() OVER (PARTITION BY qid ORDER BY adc_dist2 ASC, cid ASC) AS rk
+            FROM sc
+          )
+          SELECT qid, cid, adc_dist2, rk FROM r WHERE rk <= 5"""
   )
 }

@@ -359,6 +359,62 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  private def pqEmbs = {
+    val s = spark; import s.implicits._
+    // 4 dims → 2 subspaces × 2 dims; ids 0/1 seed the 2-codeword books
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.9f)),  // near 0
+      (3L, Array(0.1f, 0.9f, 0.9f, 0.1f)),  // near 1
+      (4L, Array(1.0f, 0.0f, 0.0f, 1.0f)))  // exact dup of 0
+      .toDF("vec_id", "embedding")
+  }
+
+  test("pqCodebooks: iters=0 returns the seed slices; one round keeps (sub,cell) grid shape") {
+    val seeds = Similarity.pqCodebooks(pqEmbs, dim = 4, m = 2, k = 2, iters = 0).collect()
+    assert(seeds.length === 4) // 2 subs × 2 cells
+    assert(seeds.forall(_.getSeq[Long](2).length === 2))
+    val trained = Similarity.pqCodebooks(pqEmbs, dim = 4, m = 2, k = 2).collect()
+    assert(trained.map(r => (r.getAs[Int]("sub"), r.getAs[Long]("cell"))).toSet
+      === Set((0, 0L), (0, 1L), (1, 0L), (1, 1L)))
+  }
+
+  test("pqEncode: identical vectors get identical codes; near vectors share the seed's cell") {
+    val cb = Similarity.pqCodebooks(pqEmbs, dim = 4, m = 2, k = 2)
+    val codes = Similarity.pqEncode(pqEmbs, dim = 4, m = 2, codebooks = cb)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub")) ->
+        (r.getAs[Long]("code"), r.getAs[Long]("d2"))).toMap
+    assert(codes((0L, 0)) === codes((4L, 0)) && codes((0L, 1)) === codes((4L, 1)))
+    assert(codes((2L, 0))._1 === codes((0L, 0))._1) // near-0 doc in 0's cell
+    assert(codes((3L, 0))._1 === codes((1L, 0))._1)
+    assert(codes.forall(_._2._2 >= 0L)) // quantization error is a true squared distance
+  }
+
+  test("pqTopKWith: ADC ranks the exact duplicate of the query first") {
+    val cb = Similarity.pqCodebooks(pqEmbs, dim = 4, m = 2, k = 2)
+    val out = Similarity.pqTopKWith(pqEmbs, cb, Seq(0L), dim = 4, m = 2, k = 3)
+      .collect().sortBy(_.getAs[Long]("rk"))
+    // ADC distance to a same-coded vector is the sum of the query's own
+    // per-subspace minima — the smallest value any candidate can reach.
+    // Doc 2 shares BOTH codes with the query (ADC cannot see inside a
+    // cell — the quantizer's resolution limit), so it ties the exact
+    // dup and the deterministic cid tie-break orders 2 before 4.
+    val minD = out.map(_.getAs[Long]("adc_dist2")).min
+    val tied = out.filter(_.getAs[Long]("adc_dist2") == minD).map(_.getAs[Long]("cid")).toSeq
+    assert(tied === Seq(2L, 4L), out.mkString(";"))
+    assert(out.head.getAs[Long]("adc_dist2") === minD)
+    assert(!out.exists(_.getAs[Long]("cid") == 0L)) // self excluded
+  }
+
+  test("pqTopKWith plan: codes join a broadcast distance table; no full-vector shuffle in serving") {
+    val cb  = Similarity.pqCodebooks(pqEmbs, dim = 4, m = 2, k = 2)
+    val df  = Similarity.pqTopKWith(pqEmbs, cb, Seq(0L), dim = 4, m = 2, k = 3)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+  }
+
   test("bruteForceTopK ranks by cosine; self excluded") {
     val out = Similarity.bruteForceTopK(embs, Seq(0L), 4).collect()
     val order = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("cid")).toSeq
