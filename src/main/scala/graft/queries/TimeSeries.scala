@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Det._
-import graft.operators.{Analytics, AsOfJoin, Behavior, Dedup, Indicators, Ranking, RangeJoin, Resample, Scd, Sessionize}
+import graft.operators.{Analytics, AsOfJoin, Behavior, Dedup, Indicators, Layout, Ranking, RangeJoin, Resample, Scd, Sessionize}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -428,7 +428,19 @@ object TimeSeries {
         key = col("user_id"),
         ts = graft.functions.Det.epochSec(col("ts")),
         tieBreak = col("event_id"),
-        attrs = Seq("event_type" -> col("event_type"))))
+        attrs = Seq("event_type" -> col("event_type")))),
+
+    // Z-order (Morton) clustering key over (user bucket, value
+    // bucket): the exact per-row interleave a layout pass sorts by so
+    // BOTH dimensions prune at row-group level. Map-only — the write
+    // path around it is Layout.zOrderWrite (LayoutSpec measures the
+    // pruning-span claim directly).
+    "q103_zvalue" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        Layout.zValue(Seq(
+          pmod(col("user_id"), lit(65536L)),
+          Layout.dimBucket(col("value"), 25.0, 20L)), bits = 16).as("z")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -857,6 +869,19 @@ object TimeSeries {
                 lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to,
                 lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL AS is_current,
                 row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS version
-         FROM ch"""
+         FROM ch""",
+
+    // Morton interleave: bit i of dim d → position 2i+d; the SUM over
+    // disjoint bit positions is carry-free, so it equals the OR.
+    "q103_zvalue" ->
+      """WITH d AS (
+           SELECT event_id, user_id % 65536 AS a,
+                  CAST(LEAST(GREATEST(floor(value / 25), 0), 19) AS BIGINT) AS b
+           FROM events
+         ),
+         bits AS (SELECT unnest(generate_series(0, 15)) AS i)
+         SELECT event_id,
+                CAST(SUM((((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i + 1))) AS BIGINT) AS z
+         FROM d, bits GROUP BY 1"""
   )
 }
