@@ -1,90 +1,148 @@
 package graft.sinks
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
-/** S14: job-completion notification sink — the engine replacement for
-  * the reference's SNS publish (`etl/glue_job.py:283-317`): a
-  * success/failure message built from the run's stats, published to a
-  * pluggable transport. The TRANSPORT is the injection point (SNS,
-  * Slack, PagerDuty are HTTP posts behind one method); the library
-  * ships a durable local file transport and an stderr logger, which is
-  * what an offline build can honestly provide.
+/** Completion-notification sink (S14) — the engine's replacement for
+  * the reference's SNS publish on ETL completion
+  * (etl/glue_job.py:283-317): a success/failure subject + a stats
+  * message rendered from the run's record counts, pushed through a
+  * pluggable [[Notify.Notifier]] (SNS, a webhook, Slack — any
+  * `(subject, message) => Unit`; tests bind a recorder).
   *
-  * Scale note: notification runs ONCE per job on the driver with a
-  * one-row stats aggregate — never per partition, never per row; a
-  * transport outage must not fail the job (publish errors are returned,
-  * not thrown — the reference logs-and-continues the same way).
-  */
+  * Semantics: the reference publishes AFTER the write commits and
+  * swallows publish errors (a failed notification must not fail the
+  * job, glue_job.py:315-317) — both behaviors are kept.
+  * [[Notify.onBatchComplete]] is the Structured-Streaming form: a
+  * `foreachBatch` hook that notifies once per micro-batch with
+  * at-least-once delivery (a batch replayed after a crash re-sends;
+  * receivers dedup on the batchId embedded in the message — the
+  * standard idempotent-consumer contract, same as SNS redelivery).
+  *
+  * Scale: the notification payload is a per-run AGGREGATE (one row),
+  * computed by Spark before anything touches the driver — the sink
+  * never iterates data rows. */
 object Notify {
 
-  /** One notification transport. */
-  trait Notifier {
-    def publish(subject: String, message: String): Unit
+  /** Side-effecting delivery channel: (subject, message) → unit. */
+  type Notifier = (String, String) => Unit
+
+  /** Append-to-file transport — the local stand-in for a topic: each
+    * notification is one `subject \t message-with-escaped-newlines`
+    * line, so a tail/test can read the delivery log back. */
+  def fileNotifier(path: String): Notifier = (subject, message) => {
+    val line = subject + "\t" + message.replace("\n", "\\n") + "\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path), line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
   }
 
-  /** Durable local transport: one timestamped file per notification
-    * under `dir` (the offline stand-in for an SNS topic — same
-    * at-least-once, fire-and-forget contract). */
-  final class FileNotifier(dir: String) extends Notifier {
-    override def publish(subject: String, message: String): Unit = {
-      val d = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.createDirectories(d)
-      val name = s"notify_${System.nanoTime()}.txt"
-      java.nio.file.Files.write(
-        d.resolve(name), s"Subject: $subject\n\n$message".getBytes("UTF-8"))
-    }
-  }
+  /** Stderr transport (operator console). */
+  def logNotifier: Notifier = (subject, message) =>
+    System.err.println(s"[notify] $subject\n$message")
 
-  /** Log-only transport (default for ad-hoc runs). */
-  final class LogNotifier extends Notifier {
-    override def publish(subject: String, message: String): Unit =
-      System.err.println(s"[notify] $subject\n$message")
-  }
-
-  /** Success message from the run-metadata row
-    * ([[graft.ohlcv.Storage.runMetadata]]) — field-for-field the
-    * reference's success body (records, symbols, time, resolution). */
-  def completionMessage(stats: DataFrame, resolution: String, nowIso: String): (String, String) = {
-    val row = stats.select("total_records", "distinct_symbols").head()
-    val msg =
-      s"""ETL processing completed successfully.
-         |
-         |Statistics:
-         |- Total records processed: ${row.getLong(0)}
-         |- Symbols processed: ${row.getLong(1)}
-         |- Processing time: $nowIso
-         |- Resolution: $resolution""".stripMargin
-    ("Graft ETL Job - Success", msg)
-  }
-
-  def failureMessage(error: Throwable, nowIso: String): (String, String) =
-    ("Graft ETL Job - FAILURE",
-      s"""ETL processing failed at $nowIso
-         |
-         |Error: ${error.getMessage}""".stripMargin)
-
-  /** Run `job`, then publish success (with stats computed from the
-    * job's output) or failure. The job's outcome is authoritative:
-    * publish errors are swallowed (the reference try/excepts around
-    * `sns_client.publish` identically), and a failed job still
-    * rethrows AFTER the failure notification. The stats computation
-    * itself — the FIRST Spark action when `job` builds a lazy frame —
-    * is inside the failure scope too: an executor-side error surfacing
-    * there is exactly the ETL failure this sink exists to report. */
-  def withCompletionNotify[A](
-      notifier: Notifier,
-      statsOf: A => DataFrame,
+  /** Render the completion (subject, message) pair — the exact
+    * content model of glue_job.py:290-307: success carries record /
+    * symbol counts, resolution and a timestamp; failure carries the
+    * error and the timestamp. Pure → unit-testable without effects. */
+  def completionMessage(
+      success: Boolean,
+      totalRecords: Long,
+      symbolsCount: Long,
       resolution: String,
-      nowIso: String = java.time.Instant.now().toString)(job: => A): A =
-    try {
-      val out = job
-      val (subj, msg) = completionMessage(statsOf(out), resolution, nowIso)
-      try notifier.publish(subj, msg) catch { case _: Throwable => () }
-      out
-    } catch {
-      case e: Throwable =>
-        val (subj, msg) = failureMessage(e, nowIso)
-        try notifier.publish(subj, msg) catch { case _: Throwable => () }
-        throw e
+      atIso: String,
+      errorMsg: Option[String] = None,
+      jobName: String = "ETL Job"): (String, String) =
+    if (success)
+      (s"$jobName - Success",
+        s"""ETL processing completed successfully.
+           |
+           |Statistics:
+           |- Total records processed: $totalRecords
+           |- Symbols processed: $symbolsCount
+           |- Processing time: $atIso
+           |- Resolution: $resolution""".stripMargin)
+    else
+      (s"$jobName - FAILURE",
+        s"""ETL processing failed at $atIso
+           |
+           |Error: ${errorMsg.getOrElse("unknown")}""".stripMargin)
+
+  /** Aggregate the run stats the message needs from the normalized
+    * output — ONE collected row regardless of data size. */
+  def runStats(normalized: DataFrame): (Long, Long, String) = {
+    val r = normalized
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("symbol_clean")).as("syms"),
+        coalesce(first(col("resolution")), lit("N/A")).as("res"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1), r.getString(2))
+  }
+
+  /** Success message straight from a [[graft.ohlcv.Storage.runMetadata]]
+    * rollup row — the reference feeds SNS from the same run-metadata
+    * record it writes to RDS (glue_job.py:227-317); sharing the
+    * aggregate keeps the notification and the metadata sink counting
+    * the same numbers from ONE job. */
+  def fromRunMetadata(meta: DataFrame, resolution: String, atIso: String): (String, String) = {
+    val r = meta.select("total_records", "distinct_symbols", "job_name").collect()(0)
+    completionMessage(
+      success = true, r.getLong(0), r.getLong(1), resolution, atIso,
+      None, jobName = r.getString(2))
+  }
+
+  /** Notify a batch run's completion: stats aggregate → message →
+    * notifier, success or failure. Publish errors are logged-and-
+    * swallowed (reference glue_job.py:315-317) — the ETL outcome
+    * never depends on the notification channel. */
+  def notifyCompletion(
+      notifier: Notifier,
+      normalized: DataFrame,
+      atIso: String,
+      errorMsg: Option[String] = None,
+      jobName: String = "ETL Job"): Unit = {
+    val (subject, message) =
+      if (errorMsg.isDefined)
+        completionMessage(success = false, 0L, 0L, "N/A", atIso, errorMsg, jobName)
+      else {
+        val (n, syms, res) = runStats(normalized)
+        completionMessage(success = true, n, syms, res, atIso, None, jobName)
+      }
+    try notifier(subject, message)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[notify] delivery failed (ignored): ${e.getMessage}")
     }
+  }
+
+  /** `foreachBatch` completion hook for streaming sinks: notifies
+    * once per non-empty micro-batch, embedding the batchId so
+    * redelivery after a checkpoint replay is receiver-dedupable
+    * (at-least-once, like SNS). Compose it after the real write:
+    * {{{
+    * ds.writeStream.foreachBatch { (df, id) =>
+    *   Storage.writeParquet(transform(df), out)
+    *   Notify.onBatchComplete(notifier, transform(df), id, clock())
+    * }
+    * }}} */
+  def onBatchComplete(
+      notifier: Notifier,
+      batchDf: DataFrame,
+      batchId: Long,
+      atIso: String,
+      jobName: String = "Stream ETL"): Unit = {
+    val (n, syms, res) = runStats(batchDf)
+    if (n > 0)
+      try notifier(
+        s"$jobName - Batch $batchId",
+        completionMessage(success = true, n, syms, res, atIso, None, jobName)._2 +
+          s"\n- Batch id: $batchId")
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[notify] delivery failed (ignored): ${e.getMessage}")
+      }
+  }
 }

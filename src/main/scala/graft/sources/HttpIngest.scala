@@ -1,245 +1,443 @@
 package graft.sources
 
+import graft.ohlcv.{Normalize, OhlcvSchemas, RawIngest}
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import scala.util.{Failure, Success, Try}
-
-/** S1: live HTTP ingestion — the engine replacement for the
-  * reference's fetch loop (`ingestion/ingestion.py:156-282`,
-  * `ingestion/lambda_ingestion.py:292-456`): per-request rate
-  * limiting, retry with exponential backoff, and a circuit breaker,
-  * landing raw envelopes where [[graft.streaming.OhlcvStream]]'s file
-  * source picks them up.
+/** Live ingestion connector (S1) — the engine's replacement for the
+  * reference's Fyers fetch loop (ingestion/ingestion.py:156-282,
+  * ingestion/lambda_ingestion.py:292-456): per-symbol fetch with
+  * jittered exponential retry, a CLOSED/OPEN/HALF_OPEN circuit
+  * breaker (ingestion/ingestion.py:31-66), request pacing, batch
+  * accounting (success rate, failed symbols), and assembly into the
+  * same raw snapshot envelope the rest of the pipeline consumes
+  * ([[OhlcvSchemas.rawEnvelope]] → [[RawIngest]] → [[Normalize]]).
   *
-  * Two shapes, matching two scales:
-  *  - [[ingestOnce]] / the cron loop: a DRIVER-side fetch of a small
-  *    symbol list per trigger (the reference's Lambda shape — tens of
-  *    URLs every 5 minutes; parallelism would be waste).
-  *  - [[fetchTable]]: a DISTRIBUTED fetch stage over a URL Dataset —
-  *    `mapPartitions`, one client + rate limiter per partition — the
-  *    shape a 100 TB pipeline uses for web-scale corpus fetch, where
-  *    the URL list itself is a table and per-executor politeness is
-  *    the rate contract. No shuffle: results stay on the partition
-  *    that fetched them.
+  * The HTTP layer is a pluggable [[HttpIngest.Transport]] function: a
+  * production deployment binds it to `java.net.http.HttpClient`
+  * (stdlib — the request shape is documented on [[FetchRequest]]);
+  * tests and this offline environment bind deterministic in-memory
+  * transports. Everything around the socket — retry, breaker, pacing,
+  * accounting, envelope assembly, raw-zone landing — is the real
+  * production path and is what this module owns.
   *
-  * All time/sleep effects are injected (`clock`, `sleeper`) so specs
-  * assert the rate/backoff/breaker CONTRACT without wall-clock waits.
+  * Scale shape: the reference runs this loop single-node (a Lambda).
+  * [[HttpIngest.fetchAll]] keeps that driver-side shape for parity;
+  * [[HttpIngest.fetchDistributed]] is the 1000-executor form — symbols
+  * partitioned across the cluster with mapPartitions, each partition
+  * owning an independent breaker + pacer so the aggregate request
+  * rate scales with (and is bounded by) partition count, and no
+  * candle bytes ever funnel through the driver.
   */
 object HttpIngest {
 
-  /** Raised (inside a `Failure`, never thrown) when the breaker
-    * rejects a call without touching the wire — its own type so the
-    * retry loop can distinguish "endpoint known-down" from a transport
-    * error that happens to be an IllegalStateException. */
-  final class CircuitOpenException extends IllegalStateException("circuit breaker is OPEN")
+  /** One upstream request: fetch `resolution`-minute candles for
+    * `symbol` over `[rangeFromUnix, rangeToUnix]` (epoch seconds) —
+    * the parameter set of ingestion/ingestion.py:240-248. A real
+    * transport GETs `/history` with these as query params and returns
+    * the positional candle arrays from the JSON body. */
+  final case class FetchRequest(
+      symbol: String,
+      resolution: String,
+      rangeFromUnix: Long,
+      rangeToUnix: Long)
 
-  /** Circuit breaker (CLOSED → OPEN after `failureThreshold`
-    * consecutive failures → HALF_OPEN probe after `timeoutMs`),
-    * mirror of `ingestion/ingestion.py:30-66`. Thread-confined: each
-    * fetcher (= one partition or the driver loop) owns its own. */
+  /** Upstream reply: `Some(candles)` with 6-slot positional rows
+    * [ts, open, high, low, close, volume]; `None` for a well-formed
+    * "no data for this symbol" reply (NOT retried — mirrors the
+    * reference returning None without backoff). Transient transport
+    * failures (timeouts, 5xx) are thrown and drive retry + breaker. */
+  type Transport = FetchRequest => Option[Seq[Array[Double]]]
+
+  /** Circuit breaker (ingestion/ingestion.py:31-66): after
+    * `failureThreshold` consecutive failures the circuit OPENs and
+    * calls fail fast without touching the transport; after
+    * `timeoutSeconds` the next call probes HALF_OPEN — success resets
+    * to CLOSED, failure re-OPENs. `clock` (epoch millis) is injected
+    * so the state machine is deterministic under test. */
   final class CircuitBreaker(
-      failureThreshold: Int = 5,
-      timeoutMs: Long = 60000L,
+      failureThreshold: Int = 3,
+      timeoutSeconds: Long = 300,
       clock: () => Long = () => System.currentTimeMillis()) {
+
     private var failures = 0
-    private var lastFailureAt = 0L
-    private var open = false
+    private var lastFailureMs = 0L
+    private var st: String = "CLOSED"
 
-    def state: String =
-      if (!open) "CLOSED"
-      else if (clock() - lastFailureAt > timeoutMs) "HALF_OPEN"
-      else "OPEN"
+    def state: String = st
 
-    def call[A](f: => Try[A]): Try[A] = state match {
-      case "OPEN" => Failure(new CircuitOpenException)
-      case _ => // CLOSED or HALF_OPEN probe
-        f match {
-          case ok @ Success(_) => failures = 0; open = false; ok
-          case err @ Failure(_) =>
-            failures += 1; lastFailureAt = clock()
-            if (failures >= failureThreshold) open = true
-            err
-        }
+    final class OpenCircuitException
+      extends RuntimeException("circuit breaker is OPEN")
+
+    def call[A](f: => A): A = {
+      if (st == "OPEN") {
+        if (clock() - lastFailureMs > timeoutSeconds * 1000L) st = "HALF_OPEN"
+        else throw new OpenCircuitException
+      }
+      try {
+        val out = f
+        failures = 0
+        st = "CLOSED"
+        out
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          failures += 1
+          lastFailureMs = clock()
+          if (failures >= failureThreshold) st = "OPEN"
+          throw e
+      }
     }
   }
 
-  /** One fetch result row (also the [[fetchTable]] output schema). */
-  case class FetchResult(
-      url: String,
-      status: Int,
-      body: String,
-      attempts: Int,
-      error: String)
+  /** Connector knobs, defaulted to the reference's constants:
+    * 3 retry attempts with `2^attempt`-second backoff + sub-second
+    * jitter (ingestion/ingestion.py:271-276), 500 ms between requests
+    * and batches of 5 symbols with a 2 s inter-batch pause
+    * (ingestion/ingestion.py:81,180,208), breaker threshold 3 /
+    * cooldown 300 s (ingestion/ingestion.py:76-80). `sleep` is the
+    * pacing effect (injected for test determinism); `jitterMs` maps
+    * (symbol, attempt) to the jitter — deterministic by default
+    * (hash-derived) where the reference uses wall-clock fraction. */
+  final case class IngestConfig(
+      resolution: String = "5",
+      attempts: Int = 3,
+      rateLimitMs: Long = 500,
+      batchSize: Int = 5,
+      batchDelayMs: Long = 2000,
+      breakerThreshold: Int = 3,
+      breakerTimeoutSeconds: Long = 300,
+      sleep: Long => Unit = ms => Thread.sleep(ms),
+      jitterMs: (String, Int) => Long = (s, a) =>
+        math.abs(scala.util.hashing.MurmurHash3.stringHash(s"$s#$a")) % 1000L)
 
-  /** Rate-limited, retrying HTTP fetcher. `get` is the transport —
-    * injectable for tests and for swapping auth/clients; the default
-    * is `java.net.http.HttpClient` with a 30 s timeout (the
-    * reference's `requests.get(..., timeout=30)`). */
-  final class HttpFetcher(
-      rateLimitMs: Long = 300L,
-      maxAttempts: Int = 3,
-      backoffBaseMs: Long = 1000L,
-      breaker: CircuitBreaker = new CircuitBreaker(),
-      sleeper: Long => Unit = Thread.sleep,
-      get: String => (Int, String) = HttpFetcher.defaultGet) {
+  /** One symbol's fetch outcome: candles (empty for no-data),
+    * the 1-based attempt that succeeded, and the terminal error
+    * message if all attempts failed. */
+  final case class SymbolFetch(
+      symbol: String,
+      candles: Seq[Array[Double]],
+      attempt: Int,
+      error: Option[String])
 
-    private var calledBefore = false
+  /** Whole-run report — the accounting envelope of
+    * ingestion/ingestion.py:215-231. */
+  final case class FetchReport(
+      fetched: Seq[SymbolFetch],
+      failedSymbols: Seq[String],
+      totalRequested: Int,
+      successful: Int,
+      successRatePercent: Double,
+      breakerState: String)
 
-    private def rateLimit(): Unit = {
-      if (calledBefore) sleeper(rateLimitMs)
-      calledBefore = true
+  /** Fetch one symbol with jittered exponential retry: transient
+    * transport errors back off `2^attempt` seconds + jitter and
+    * retry up to `cfg.attempts`; a clean empty reply returns
+    * immediately (no retry — the upstream said "no data", reference
+    * ingestion/ingestion.py:263-268). The LAST attempt's error is
+    * rethrown (reference :270) so a wrapping breaker counts the
+    * exhausted retry loop as one failure. */
+  def fetchSymbol(transport: Transport, req: FetchRequest, cfg: IngestConfig): SymbolFetch = {
+    var attempt = 1
+    while (true) {
+      try {
+        transport(req) match {
+          case Some(candles) => return SymbolFetch(req.symbol, candles, attempt, None)
+          case None          => return SymbolFetch(req.symbol, Nil, attempt, None)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= cfg.attempts) throw e
+          cfg.sleep((1000L << (attempt - 1)) + cfg.jitterMs(req.symbol, attempt))
+          attempt += 1
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
 
-    /** Fetch with retry (exponential backoff 1·base, 2·base, …
-      * between attempts — `ingestion/ingestion.py:271-276`) inside the
-      * circuit breaker; never throws, returns the terminal outcome.
-      * A 2xx whose body is not well-formed JSON counts as a FAILURE:
-      * captive portals and proxy error pages answer 200 with HTML, and
-      * one such body interpolated into the envelope would corrupt the
-      * whole landing file. */
-    def fetch(url: String): FetchResult = {
-      rateLimit()
-      var attempt = 0
-      var last: FetchResult = null
-      while (attempt < maxAttempts) {
-        attempt += 1
-        breaker.call {
-          Try(get(url)).flatMap {
-            case (code, body) if code >= 200 && code < 300 =>
-              if (HttpFetcher.isWellFormedJson(body)) Success((code, body))
-              else Failure(new RuntimeException(s"HTTP $code with non-JSON body: ${body.take(80)}"))
-            case (code, body) => Failure(new RuntimeException(s"HTTP $code: ${body.take(200)}"))
+  /** Driver-side fetch loop at reference parity: symbols in batches
+    * of `cfg.batchSize`, `cfg.rateLimitMs` pause after every request,
+    * `cfg.batchDelayMs` between batches, every per-symbol fetch
+    * routed through one shared circuit breaker; breaker-fast-fails
+    * count as failed symbols without consuming retry backoff. */
+  def fetchAll(
+      symbols: Seq[String],
+      rangeFromUnix: Long,
+      rangeToUnix: Long,
+      transport: Transport,
+      cfg: IngestConfig = IngestConfig(),
+      breaker: Option[CircuitBreaker] = None): FetchReport = {
+    val cb = breaker.getOrElse(
+      new CircuitBreaker(cfg.breakerThreshold, cfg.breakerTimeoutSeconds))
+    val results = scala.collection.mutable.ArrayBuffer.empty[SymbolFetch]
+    val batches = symbols.grouped(math.max(1, cfg.batchSize)).toSeq
+    for ((batch, bi) <- batches.zipWithIndex) {
+      for (sym <- batch) {
+        val req = FetchRequest(sym, cfg.resolution, rangeFromUnix, rangeToUnix)
+        // breaker-fast-fails record attempt 0 (the transport was
+        // never touched); exhausted retry loops record the terminal
+        // error AND count one breaker failure (rethrown above)
+        val out =
+          try cb.call(fetchSymbol(transport, req, cfg))
+          catch {
+            case e: cb.OpenCircuitException =>
+              SymbolFetch(sym, Nil, 0, Some(e.getMessage))
+            case scala.util.control.NonFatal(e) =>
+              SymbolFetch(sym, Nil, cfg.attempts, Some(String.valueOf(e.getMessage)))
           }
-        } match {
-          case Success((code, body)) =>
-            return FetchResult(url, code, body, attempt, error = null)
-          case Failure(e) =>
-            // breaker-open short-circuits remaining attempts: the
-            // endpoint is known-down, hammering it defeats the breaker.
-            // When the breaker opened on THIS call's own failure, keep
-            // the transport error (the root cause) and skip both the
-            // pointless backoff sleep and the guaranteed-rejected retry.
-            if (e.isInstanceOf[CircuitOpenException])
-              return FetchResult(url, 0, null, attempt, error = e.getMessage)
-            last = FetchResult(url, 0, null, attempt, error = e.getMessage)
-            if (breaker.state == "OPEN") return last
-            if (attempt < maxAttempts) sleeper(backoffBaseMs * (1L << (attempt - 1)))
+        results += out
+        cfg.sleep(cfg.rateLimitMs)
+      }
+      if (bi < batches.size - 1) cfg.sleep(cfg.batchDelayMs)
+    }
+    val ok = results.count(r => r.error.isEmpty && r.candles.nonEmpty)
+    FetchReport(
+      fetched = results.toSeq,
+      failedSymbols = results.collect { case r if r.error.isDefined => r.symbol }.toSeq,
+      totalRequested = symbols.size,
+      successful = ok,
+      successRatePercent =
+        if (symbols.isEmpty) 0.0
+        else math.round(ok.toDouble / symbols.size * 10000.0) / 100.0,
+      breakerState = cb.state)
+  }
+
+  /** Cluster-scale fetch: symbols become a Dataset, partitioned
+    * `parallelism`-wide; each partition runs the SAME retry loop with
+    * its OWN breaker + pacer (state is per-connection-pool, exactly
+    * what a per-executor HTTP client would own). Aggregate request
+    * rate = parallelism × (1000/rateLimitMs) req/s — throttle by
+    * choosing parallelism, not by funneling through the driver. The
+    * transport is constructed ON the executor via `transportFactory`
+    * (an HTTP client is not serializable; a factory of config is). */
+  def fetchDistributed(
+      spark: SparkSession,
+      symbols: Seq[String],
+      rangeFromUnix: Long,
+      rangeToUnix: Long,
+      transportFactory: () => Transport,
+      cfg: IngestConfig = IngestConfig(),
+      parallelism: Int = 8): DataFrame = {
+    import spark.implicits._
+    val res = cfg.resolution
+    spark
+      .createDataset(symbols)
+      .repartition(parallelism)
+      .mapPartitions { syms =>
+        val transport = transportFactory()
+        val cb = new CircuitBreaker(cfg.breakerThreshold, cfg.breakerTimeoutSeconds)
+        syms.map { sym =>
+          val req = FetchRequest(sym, res, rangeFromUnix, rangeToUnix)
+          val out =
+            try cb.call(fetchSymbol(transport, req, cfg))
+            catch {
+              case e: cb.OpenCircuitException => SymbolFetch(sym, Nil, 0, Some(e.getMessage))
+              case scala.util.control.NonFatal(e) =>
+                SymbolFetch(sym, Nil, cfg.attempts, Some(String.valueOf(e.getMessage)))
+            }
+          cfg.sleep(cfg.rateLimitMs)
+          (out.symbol, out.candles.map(_.toSeq), out.attempt, out.error)
         }
       }
-      last
-    }
+      .toDF("symbol", "candles", "attempt", "error")
   }
 
-  object HttpFetcher {
-    /** Well-formedness check via Jackson (already on the Spark
-      * classpath) — full parse, not a prefix sniff. ObjectMapper is
-      * thread-safe after configuration; one shared instance. */
-    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def isWellFormedJson(body: String): Boolean =
-      try { mapper.readTree(body); body.trim.nonEmpty }
-      catch { case _: Exception => false }
-
-    def defaultGet: String => (Int, String) = {
-      val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofSeconds(30)).build()
-      url => {
-        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-          .timeout(java.time.Duration.ofSeconds(30)).GET().build()
-        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-        (resp.statusCode(), resp.body())
-      }
-    }
+  /** Assemble a [[FetchReport]] into the raw snapshot envelope —
+    * schema-identical to [[OhlcvSchemas.rawEnvelope]] (data map of
+    * symbol blocks + fetch metadata, ingestion/lambda_ingestion.py:
+    * 414-452) — ready for the raw JSON landing zone and the batch /
+    * streaming normalize path. Symbols with no candles are omitted
+    * from the map (the reference only stores successful blocks). */
+  def envelope(spark: SparkSession, report: FetchReport, fetchTs: String,
+      resolution: String = "5"): DataFrame = {
+    import spark.implicits._
+    // tiny driver-side assembly (one row per fetch tick, symbols ≤
+    // thousands): build the rows, then shape them with the SAME Spark
+    // expressions as the mock generator so the schemas cannot drift
+    val flat = report.fetched
+      .filter(_.candles.nonEmpty)
+      .flatMap(sf => sf.candles.map(c => (sf.symbol, c.toSeq)))
+      .toDF("symbol", "candle")
+    flat
+      .groupBy(col("symbol"))
+      .agg(collect_list(col("candle")).as("candles"))
+      .select(
+        col("symbol"),
+        struct(
+          col("symbol"),
+          lit(resolution).as("resolution"),
+          col("candles"),
+          lit(fetchTs).as("timestamp"),
+          size(col("candles")).cast("long").as("total_records")).as("block"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("symbol"), col("block")))).as("data"))
+      .select(
+        col("data"),
+        struct(
+          lit(fetchTs).as("fetch_timestamp"),
+          size(map_keys(col("data"))).cast("long").as("total_symbols"),
+          lit("live").as("source")).as("metadata"))
   }
 
-  /** Assemble the raw landing envelope from per-symbol fetch results —
-    * the same shape `lambda_ingestion.py:414-452` writes and
-    * [[graft.ohlcv.OhlcvSchemas.rawEnvelope]] reads: symbol blocks
-    * under `data`, fetch-quality metrics under `metadata`. Bodies must
-    * be the per-symbol block JSON (`{"symbol":…,"candles":[[…]]}`). */
-  def envelopeJson(results: Seq[FetchResult], symbolOf: String => String, nowIso: String): String = {
-    val ok     = results.filter(r => r.error == null)
-    val failed = results.filter(r => r.error != null)
-    val data = ok
-      .map(r => s""""${symbolOf(r.url)}": ${r.body}""")
-      .mkString("{", ", ", "}")
-    val failedList = failed.map(r => s""""${symbolOf(r.url)}"""").mkString("[", ", ", "]")
-    val rate =
-      if (results.isEmpty) 0.0 else math.round(10000.0 * ok.size / results.size) / 100.0
-    s"""{"data": $data, "metadata": {
-       |  "total_symbols_requested": ${results.size},
-       |  "successful_symbols": ${ok.size},
-       |  "failed_symbols": $failedList,
-       |  "success_rate_percent": $rate,
-       |  "ingestion_timestamp": "$nowIso"
-       |}}""".stripMargin
+  /** One ingest tick: fetch → envelope → append ONE raw JSON document
+    * to the landing zone `rawDir` — the unit the reference's
+    * EventBridge cron fires every 5 minutes. The streaming pipeline
+    * ([[graft.streaming.OhlcvStream.readRawStream]]) picks the file
+    * up on its next trigger; batch replays read the same bytes. */
+  def ingestTick(
+      spark: SparkSession,
+      symbols: Seq[String],
+      rangeFromUnix: Long,
+      rangeToUnix: Long,
+      transport: Transport,
+      rawDir: String,
+      fetchTs: String,
+      cfg: IngestConfig = IngestConfig()): FetchReport = {
+    val report = fetchAll(symbols, rangeFromUnix, rangeToUnix, transport, cfg)
+    if (report.successful > 0)
+      envelope(spark, report, fetchTs, cfg.resolution)
+        .coalesce(1)
+        .write.mode("append").json(rawDir)
+    report
   }
 
-  /** One cron tick: fetch every symbol (rate-limited, retried,
-    * breaker-guarded), land ONE envelope file atomically (write to a
-    * dot-prefixed temp, then rename — the file stream source must
-    * never list a half-written file). Returns the results for
-    * logging/metrics. */
-  def ingestOnce(
-      urls: Seq[String],
-      symbolOf: String => String,
-      landingDir: String,
-      fetcher: HttpFetcher,
-      nowIso: String = java.time.Instant.now().toString): Seq[FetchResult] = {
-    val results = urls.map(fetcher.fetch)
-    val dir = java.nio.file.Paths.get(landingDir)
-    java.nio.file.Files.createDirectories(dir)
-    val name = s"envelope_${nowIso.replaceAll("[:.]", "-")}.json"
-    val tmp  = dir.resolve(s".$name.tmp")
-    java.nio.file.Files.write(tmp, envelopeJson(results, symbolOf, nowIso).getBytes("UTF-8"))
-    java.nio.file.Files.move(
-      tmp, dir.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    results
-  }
-
-  /** The 5-minute ingestion loop as a streaming query: a `rate`
-    * source ticks, `foreachBatch` runs [[ingestOnce]] on the driver —
-    * the EventBridge-cron twin, checkpointable and stoppable like any
-    * other query. Downstream, [[graft.streaming.OhlcvStream.readRawStream]]
-    * tails `landingDir` — ingest and normalize stay decoupled exactly
-    * like the reference's Lambda → S3 → ETL hop. */
+  /** The 5-minute-cron twin as a stream (S1's EventBridge schedule,
+    * infra cron → `rate` source): one row per `triggerSeconds` drives
+    * a `foreachBatch` that runs [[ingestTick]] over the trailing
+    * `windowSeconds` (the reference fetches a 10-min window every
+    * 5 min for overlap — the downstream watermarked dedup absorbs the
+    * overlap, streaming/OhlcvStream T4). `clock` injected (epoch
+    * seconds) so tests pin the fetch windows. Stop via the returned
+    * query handle; checkpointed, so a restart resumes the cadence. */
   def ingestStream(
       spark: SparkSession,
-      urls: Seq[String],
-      symbolOf: String => String,
-      landingDir: String,
-      mkFetcher: () => HttpFetcher,
-      intervalSeconds: Long = 300L): org.apache.spark.sql.streaming.StreamingQuery =
+      symbols: Seq[String],
+      transport: Transport,
+      rawDir: String,
+      checkpointDir: String,
+      cfg: IngestConfig = IngestConfig(),
+      windowSeconds: Long = 600,
+      triggerSeconds: Long = 300,
+      clock: () => Long = () => System.currentTimeMillis() / 1000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .format("rate")
       .option("rowsPerSecond", 1)
       .load()
       .writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$intervalSeconds seconds"))
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        ingestOnce(urls, symbolOf, landingDir, mkFetcher()); ()
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerSeconds * 1000L))
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        val now = clock()
+        ingestTick(spark, symbols, now - windowSeconds, now, transport, rawDir,
+          fetchTs = java.time.Instant.ofEpochSecond(now).toString, cfg)
+        ()
       }
       .start()
 
-  /** Distributed fetch over a URL table: one fetcher (client, rate
-    * limiter, breaker) per PARTITION, results stay where they were
-    * fetched. Partition the input by politeness domain upstream
-    * (`repartition(col("domain"))`) so per-partition rate limiting is
-    * per-host rate limiting. This is the corpus-fetch stage shape; the
-    * driver loop above is its small-N degenerate case. */
+  // ---------------------------------------------------------------
+  // Real HTTP transport (java.net.http, JDK stdlib)
+  // ---------------------------------------------------------------
+
+  /** Production [[Transport]] over `java.net.http.HttpClient`: GET
+    * `{baseUrl}/history?symbol=…&resolution=…&date_format=1&
+    * range_from=…&range_to=…&cont_flag=1` with the `Authorization`
+    * header — the exact request shape of ingestion/ingestion.py:
+    * 240-254 — and parse `{code: 200, candles: [[…], …]}` from the
+    * JSON body (jackson-databind, already on Spark's classpath).
+    * Status ≥ 500 and I/O errors THROW (retryable → drives backoff +
+    * breaker); a well-formed body without candles, or an application
+    * code ≠ 200, returns None (no retry — upstream said no data). */
+  def httpTransport(
+      baseUrl: String,
+      authorization: Option[String] = None,
+      timeoutSeconds: Long = 30): Transport = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      .build()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    req => {
+      val q = s"symbol=${java.net.URLEncoder.encode(req.symbol, "UTF-8")}" +
+        s"&resolution=${req.resolution}&date_format=1" +
+        s"&range_from=${req.rangeFromUnix}&range_to=${req.rangeToUnix}&cont_flag=1"
+      val b = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"$baseUrl/history?$q"))
+        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .GET()
+      authorization.foreach(a => b.header("Authorization", a))
+      val resp = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 400)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} for ${req.symbol}")
+      val root = mapper.readTree(resp.body())
+      if (root.path("code").asInt(0) != 200 || !root.path("candles").isArray) None
+      else {
+        val it = root.path("candles").elements()
+        val out = Seq.newBuilder[Array[Double]]
+        while (it.hasNext) {
+          val row = it.next()
+          out += Array.tabulate(row.size())(i => row.get(i).asDouble())
+        }
+        val candles = out.result()
+        if (candles.isEmpty) None else Some(candles)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Generic URL-corpus fetch stage (LLM-pipeline ingestion)
+  // ---------------------------------------------------------------
+
+  /** Distributed fetch over a TABLE of URLs — the ingestion stage of
+    * a web-corpus pipeline (crawl lists, image/audio URL manifests):
+    * each partition constructs one fetcher (connection pool) +
+    * breaker + pacer, and emits `(url, body, error, attempt)` rows
+    * with the body as raw bytes for downstream decode
+    * ([[graft.operators.Multimodal]]) or parse. Same scale contract
+    * as [[fetchDistributed]]: aggregate request rate =
+    * partitions × 1000/rateLimitMs, no bytes through the driver, a
+    * dead host trips only its partitions' breakers. Repartition the
+    * url table BY HOST first when politeness-per-host matters. */
   def fetchTable(
       urls: DataFrame,
       urlCol: String,
-      mkFetcher: () => HttpFetcher): DataFrame = {
+      fetcherFactory: () => String => Array[Byte],
+      cfg: IngestConfig = IngestConfig()): DataFrame = {
     val spark = urls.sparkSession
     import spark.implicits._
     urls
-      .select(col(urlCol).cast("string"))
+      .select(col(urlCol).cast("string").as("url"))
       .as[String]
-      .mapPartitions { it =>
-        val fetcher = mkFetcher()
-        it.map(fetcher.fetch)
+      .mapPartitions { us =>
+        val fetch = fetcherFactory()
+        val cb = new CircuitBreaker(cfg.breakerThreshold, cfg.breakerTimeoutSeconds)
+        // same breaker granularity as fetchSymbol: ONE exhausted
+        // retry loop = ONE breaker failure (not one per attempt)
+        def fetchOne(u: String): (Array[Byte], Int) = {
+          var attempt = 1
+          while (true) {
+            try return (fetch(u), attempt)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                if (attempt >= cfg.attempts) throw e
+                cfg.sleep((1000L << (attempt - 1)) + cfg.jitterMs(u, attempt))
+                attempt += 1
+            }
+          }
+          throw new IllegalStateException("unreachable")
+        }
+        us.map { u =>
+          val out =
+            try { val (body, att) = cb.call(fetchOne(u)); (u, body, Option.empty[String], att) }
+            catch {
+              case e: cb.OpenCircuitException => (u, null, Some(e.getMessage), 0)
+              case scala.util.control.NonFatal(e) =>
+                (u, null, Some(String.valueOf(e.getMessage)), cfg.attempts)
+            }
+          cfg.sleep(cfg.rateLimitMs)
+          out
+        }
       }
-      .toDF()
+      .toDF("url", "body", "error", "attempt")
   }
 }

@@ -1,67 +1,92 @@
 package graft.sinks
 
+import graft.ohlcv.{MockData, Normalize, RawIngest}
+
 import graft.SparkSpec
-import graft.ohlcv.{MockData, Normalize, RawIngest, Storage}
-import graft.sinks.Notify._
+import org.apache.spark.sql.functions._
 
 class NotifySpec extends SparkSpec {
-  private def notifications(dir: String): Seq[String] = {
-    val d = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(d)) return Seq.empty
-    val it = java.nio.file.Files.list(d).iterator()
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) out += new String(java.nio.file.Files.readAllBytes(it.next()), "UTF-8")
-    out.toSeq
+
+  private def recorder(): (scala.collection.mutable.ArrayBuffer[(String, String)], Notify.Notifier) = {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    (sent, (subj, msg) => sent += ((subj, msg)))
   }
 
-  test("success notification carries the run stats from the SAME normalized relation") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-notify").toString
-    MockData.envelope(
-      MockData.candles(spark, Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"), n = 3, startUnix = 1759895100L),
-      "2025-10-08T04:00:00Z").write.json(s"$tmp/raw")
-    val raw = RawIngest.readRaw(spark, s"$tmp/raw")
-    val out = withCompletionNotify(
-      new FileNotifier(s"$tmp/notif"),
-      statsOf = (df: org.apache.spark.sql.DataFrame) => Storage.runMetadata(df, "graft-etl"),
-      resolution = "5",
-      nowIso = "2025-10-08T04:05:00Z") {
-      Normalize.normalize(RawIngest.blocks(raw), processedAt = "p")
-    }
-    assert(out.count() === 6)
-    val msgs = notifications(s"$tmp/notif")
-    assert(msgs.size === 1)
-    assert(msgs.head.contains("Success"))
-    assert(msgs.head.contains("Total records processed: 6"))
-    assert(msgs.head.contains("Symbols processed: 2"))
-    assert(msgs.head.contains("Resolution: 5"))
+  test("completionMessage: success carries the stats block, failure carries the error") {
+    val (subj, msg) = Notify.completionMessage(
+      success = true, totalRecords = 1234, symbolsCount = 30,
+      resolution = "5", atIso = "2024-01-02T16:00:00")
+    assert(subj === "ETL Job - Success")
+    assert(msg.contains("Total records processed: 1234"))
+    assert(msg.contains("Symbols processed: 30"))
+    assert(msg.contains("Resolution: 5"))
+
+    val (fs, fm) = Notify.completionMessage(
+      success = false, 0, 0, "N/A", "2024-01-02T16:00:00",
+      errorMsg = Some("schema drift in raw zone"))
+    assert(fs === "ETL Job - FAILURE")
+    assert(fm.contains("schema drift in raw zone") && fm.contains("failed at 2024-01-02T16:00:00"))
   }
 
-  test("failure notification fires and the job error still propagates; publish errors never mask it") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-notify").toString
-    val boom = intercept[RuntimeException] {
-      withCompletionNotify(
-        new FileNotifier(tmp),
-        statsOf = (df: org.apache.spark.sql.DataFrame) => df,
-        resolution = "5",
-        nowIso = "t") {
-        if (true) throw new RuntimeException("etl exploded")
-        spark.emptyDataFrame
-      }
-    }
-    assert(boom.getMessage === "etl exploded")
-    val msgs = notifications(tmp)
-    assert(msgs.size === 1 && msgs.head.contains("FAILURE") && msgs.head.contains("etl exploded"))
+  test("notifyCompletion: stats aggregated from the normalized frame; publish errors are swallowed") {
+    val s = spark
+    val candles = MockData.candles(s, Seq("NSE:TCS-EQ", "NSE:INFY-EQ"), 5, 1704186000L)
+    val norm = Normalize.normalize(
+      RawIngest.blocks(MockData.envelope(candles, "2024-01-02T09:30:00").withColumn("source_file", lit("mem"))),
+      "2024-01-02T09:31:00")
 
-    // a throwing transport is swallowed — the job outcome wins
-    val broken = new Notifier {
-      override def publish(s: String, m: String): Unit = throw new IllegalStateException("sns down")
-    }
-    val boom2 = intercept[RuntimeException] {
-      withCompletionNotify(broken, (df: org.apache.spark.sql.DataFrame) => df, "5", "t") {
-        if (true) throw new RuntimeException("real error")
-        spark.emptyDataFrame
-      }
-    }
-    assert(boom2.getMessage === "real error")
+    val (sent, notifier) = recorder()
+    Notify.notifyCompletion(notifier, norm, "2024-01-02T16:00:00")
+    assert(sent.size === 1)
+    val (subj, msg) = sent.head
+    assert(subj.endsWith("Success"))
+    assert(msg.contains("Total records processed: 10") && msg.contains("Symbols processed: 2"))
+
+    // failure path does not touch the frame at all
+    val (fsent, fnotifier) = recorder()
+    Notify.notifyCompletion(fnotifier, norm, "2024-01-02T16:00:00", errorMsg = Some("boom"))
+    assert(fsent.head._1.endsWith("FAILURE"))
+
+    // a throwing channel must not propagate (reference swallows SNS errors)
+    Notify.notifyCompletion((_, _) => throw new RuntimeException("sns down"), norm,
+      "2024-01-02T16:00:00")
+  }
+
+  test("onBatchComplete: one notification per non-empty batch, batchId embedded; empty batch is silent") {
+    val s = spark
+    val candles = MockData.candles(s, Seq("NSE:SBIN-EQ"), 3, 1704186000L)
+    val norm = Normalize.normalize(
+      RawIngest.blocks(MockData.envelope(candles, "2024-01-02T09:30:00").withColumn("source_file", lit("mem"))),
+      "2024-01-02T09:31:00")
+
+    val (sent, notifier) = recorder()
+    Notify.onBatchComplete(notifier, norm, batchId = 7, atIso = "2024-01-02T09:35:00")
+    assert(sent.size === 1)
+    assert(sent.head._1 === "Stream ETL - Batch 7")
+    assert(sent.head._2.contains("Batch id: 7")) // receiver-side dedup key
+
+    Notify.onBatchComplete(notifier, norm.limit(0), batchId = 8, atIso = "2024-01-02T09:40:00")
+    assert(sent.size === 1) // empty batch → no notification
+  }
+
+  test("fileNotifier appends readable delivery lines; fromRunMetadata shares the A11 rollup") {
+    val s = spark
+    val candles = MockData.candles(s, Seq("NSE:TCS-EQ", "NSE:INFY-EQ", "NSE:SBIN-EQ"), 4, 1704186000L)
+    val norm = Normalize.normalize(
+      RawIngest.blocks(MockData.envelope(candles, "2024-01-02T09:30:00")
+        .withColumn(("source_file"), org.apache.spark.sql.functions.lit("mem"))),
+      "2024-01-02T09:31:00")
+    val meta = graft.ohlcv.Storage.runMetadata(norm, "nightly-etl")
+    val (subj, msg) = Notify.fromRunMetadata(meta, resolution = "5", atIso = "2024-01-02T16:00:00")
+    assert(subj === "nightly-etl - Success")
+    assert(msg.contains("Total records processed: 12") && msg.contains("Symbols processed: 3"))
+
+    val log = java.nio.file.Files.createTempDirectory("notify").resolve("sns.log").toString
+    val n = Notify.fileNotifier(log)
+    n(subj, msg)
+    n("second", "line")
+    val lines = scala.io.Source.fromFile(log).getLines().toSeq
+    assert(lines.size === 2 && lines.head.startsWith("nightly-etl - Success\t"))
+    assert(lines.head.contains("\\n- Symbols processed: 3")) // newline-escaped payload
   }
 }
