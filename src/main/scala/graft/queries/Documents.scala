@@ -355,6 +355,22 @@ object Documents {
         estThreshold = 0.5)
     }),
 
+    // Bloom-gated EXACT incremental dedup (q95's exact-match sibling,
+    // same even=history / odd=new-batch split): history folds into a
+    // broadcast Bloom filter, only bloom-hit new rows reach the
+    // history join — deterministic output because bloom misses are
+    // provably novel (fpp trades join volume, never correctness).
+    "q104_bloom_dedup_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.bloomDedupGate(
+        d.filter(col("doc_id") % 2 === 1),
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")),
+        d.filter(col("doc_id") % 2 === 0)
+          .select(TextAnalysis.fingerprint(col("text")).as("fp")),
+        fpp = 0.01)
+    }),
+
     // Exact duplicated-passage spans across docs (ExactSubstr-style):
     // strided 32-char gram hashes, cross-doc df ≥ 2, span merge.
     "q89_dup_spans" -> ((s, dir) =>
@@ -1366,6 +1382,20 @@ object Documents {
           )
           SELECT dn AS doc_id, di AS index_doc_id, neq / 16.0 AS est_jaccard
           FROM eq WHERE neq / 16.0 >= 0.5""",
+
+    // The bloom gate is exact by construction (no false negatives),
+    // so the oracle is the plain fingerprint membership join.
+    "q104_bloom_dedup_gate" ->
+      """WITH hist AS (
+           SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+           FROM documents WHERE doc_id % 2 = 0
+         ),
+         nb AS (
+           SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+           FROM documents WHERE doc_id % 2 = 1
+         )
+         SELECT nb.doc_id, (hist.fp IS NOT NULL) AS is_dup_exact
+         FROM nb LEFT JOIN hist ON nb.fp = hist.fp""",
 
     // Mirror of dupSpans: word 6-gram 60-bit hashes → rightmost-min
     // winnow selection (the q54 sel formula at w=8) → cross-doc

@@ -31,6 +31,33 @@ class TextDedupSpec extends SparkSpec {
     assert(grp.head.getAs[Long]("keeper_doc_id") === 0L)
   }
 
+  test("bloomDedupGate equals the exact membership join, even with false positives forced (fpp 0.5)") {
+    val s = spark; import s.implicits._
+    // 200 history docs, 100 new docs of which every 4th is an exact dup
+    val hist = (0 until 200).map(i => (i.toLong, s"history document number $i body"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val newB = (0 until 100).map { i =>
+      val text = if (i % 4 == 0) s"history document number ${i * 2} body" else s"fresh document $i"
+      (1000L + i, text)
+    }.toDF("doc_id", "text")
+
+    def run(fpp: Double) = TextDedup.bloomDedupGate(
+      newB, col("doc_id"), TextAnalysis.fingerprint(col("text")), hist, fpp)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    val exact = newB
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .join(hist.distinct().withColumn("__h", lit(true)), Seq("fp"), "left")
+      .collect().map(r => r.getAs[Long]("doc_id") -> !r.isNullAt(2)).toMap
+
+    assert(exact.count(_._2) === 25) // the planted dups
+    // tight bloom and a deliberately leaky one (false positives flood
+    // the gated join) both return exactly the true membership answer
+    assert(run(0.01) === exact)
+    assert(run(0.5) === exact)
+  }
+
   test("jaccardPairs finds the near-dup pair and not the unrelated doc") {
     val pairs = TextDedup.jaccardPairs(docs, col("doc_id"), TextDedup.wordNgrams(col("text"), 3), 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
