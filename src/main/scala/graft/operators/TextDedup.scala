@@ -124,6 +124,44 @@ object TextDedup {
           .as("verdict"))
   }
 
+  /** Quality-aware canonical selection: within each near-dup cluster
+    * keep the HIGHEST-QUALITY member (ties → smallest doc_id) instead
+    * of [[dedupVerdicts]]' smallest-id convention — the production
+    * keeper rule when duplicate copies differ (truncation, OCR noise,
+    * boilerplate): dropping by id throws away the clean copy half the
+    * time; dropping by quality never does.
+    *
+    * Plan shape: `clusters` holds ONLY clustered docs (tiny vs the
+    * corpus → its join broadcasts); unclustered docs are their own
+    * group via coalesce. The argmax is `max(struct(quality, -doc_id))`
+    * — one shuffle on the group key with map-side partial max, no
+    * window, no per-group sort. Returns one row per doc:
+    * (doc_id, group_id, keeper_doc_id, is_keeper). */
+  def canonicalKeepers(
+      docs: DataFrame,
+      id: Column,
+      quality: Column,
+      clusters: DataFrame): DataFrame = {
+    val grouped = docs
+      .select(id.as("doc_id"), quality.as("__q"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("__grp", coalesce(col("cluster_id"), col("doc_id")))
+    val keepers = grouped
+      .groupBy(col("__grp"))
+      // struct max orders by quality first, then by -doc_id — i.e.
+      // highest quality, smallest id on ties; exact integer tie-break,
+      // so the argmax is engine-portable
+      .agg(max(struct(col("__q"), (-col("doc_id")).as("__neg"))).as("__best"))
+      .select(col("__grp"), (-col("__best.__neg")).as("keeper_doc_id"))
+    grouped
+      .join(keepers, "__grp")
+      .select(
+        col("doc_id"),
+        col("__grp").as("group_id"),
+        col("keeper_doc_id"),
+        (col("doc_id") === col("keeper_doc_id")).as("is_keeper"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
     * thresholded. The shingle-key join IS the blocking step: pairs
     * with zero overlap are never materialized. `shingles` must be a

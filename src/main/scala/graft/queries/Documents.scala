@@ -355,6 +355,16 @@ object Documents {
         estThreshold = 0.5)
     }),
 
+    // Quality-aware canonical keeper per near-dup cluster (q53's
+    // clusters + q38's quality score): keep the best copy, not the
+    // smallest id — tie-broken exactly, so fully oracle-checkable.
+    "q105_canonical_keepers" -> ((s, dir) =>
+      TextDedup.canonicalKeepers(
+        Tables.documents(s, dir),
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")),
+        sharedClusters(s, dir))),
+
     // Bloom-gated EXACT incremental dedup (q95's exact-match sibling,
     // same even=history / odd=new-batch split): history folds into a
     // broadcast Bloom filter, only bloom-hit new rows reach the
@@ -1382,6 +1392,57 @@ object Documents {
           )
           SELECT dn AS doc_id, di AS index_doc_id, neq / 16.0 AS est_jaccard
           FROM eq WHERE neq / 16.0 >= 0.5""",
+
+    // q53's recursive-CTE clustering + q38's score expression, then
+    // the same (quality DESC, doc_id ASC) argmax the struct-max
+    // computes Spark-side.
+    "q105_canonical_keepers" ->
+      s"""WITH RECURSIVE $cappedShinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM shj GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ),
+          pairs AS (
+            SELECT da AS doc_a, db AS doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+          ),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+          ),
+          reach AS (
+            SELECT DISTINCT src AS doc_id, src AS r FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON r.doc_id = e.dst
+          ),
+          clus AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+          q AS (
+            SELECT doc_id,
+                   least(1.0, len(ws) / 100.0) * 0.5
+                     + least(1.0, (CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in','to','is','that','it','for'))) AS DOUBLE) / len(ws)) * 4) * 0.3
+                     + CASE WHEN CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END AS qs
+            FROM words
+          ),
+          g AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id, q.qs
+            FROM documents d
+            LEFT JOIN clus c ON c.doc_id = d.doc_id
+            JOIN q ON q.doc_id = d.doc_id
+          ),
+          k AS (
+            SELECT group_id, doc_id AS keeper_doc_id FROM (
+              SELECT group_id, doc_id,
+                     row_number() OVER (PARTITION BY group_id ORDER BY qs DESC, doc_id ASC) AS rn
+              FROM g) WHERE rn = 1
+          )
+          SELECT g.doc_id, g.group_id, k.keeper_doc_id,
+                 g.doc_id = k.keeper_doc_id AS is_keeper
+          FROM g JOIN k ON k.group_id = g.group_id""",
 
     // The bloom gate is exact by construction (no false negatives),
     // so the oracle is the plain fingerprint membership join.

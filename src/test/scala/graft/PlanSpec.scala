@@ -328,4 +328,21 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
     assert(!readSchema.contains("l_extendedprice"), readSchema)
   }
+
+  test("q104 bloom gate: only the bloom-hit sliver reaches the history join; novel rows never join") {
+    val df = SparkEntry.queries("q104_bloom_dedup_gate")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    // the history join must sit ABOVE the bloom-membership filter:
+    // every join operator's subtree contains the UDF hit-filter, so
+    // bloom-miss (provably novel) rows bypass the join entirely
+    val joins = s.linesIterator.zipWithIndex.filter(_._1.contains("HashJoin")).map(_._2).toSeq
+    assert(joins.nonEmpty, s.take(2000))
+    val lines = s.linesIterator.toIndexedSeq
+    joins.foreach { j =>
+      val subtree = lines.drop(j).take(15).mkString("\n")
+      assert(subtree.contains("Filter") && subtree.contains("UDF"),
+        s"history join not gated by the bloom filter:\n$subtree")
+    }
+  }
 }

@@ -31,6 +31,21 @@ class TextDedupSpec extends SparkSpec {
     assert(grp.head.getAs[Long]("keeper_doc_id") === 0L)
   }
 
+  test("canonicalKeepers: highest quality wins its cluster, exact tie falls to smallest id, singletons self-keep") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0), // cluster 1: 2 and 3 tie on quality → keeper 2
+      (4L, 7.0),                       // singleton
+      (5L, 1.0), (6L, 3.0))            // cluster 5: keeper 6 (higher quality, larger id)
+      .toDF("doc_id", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_id")
+    val out = TextDedup.canonicalKeepers(d, col("doc_id"), col("q"), clusters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(2L) === ((1L, 2L, true)) && out(3L) === ((1L, 2L, false)) && out(1L) === ((1L, 2L, false)))
+    assert(out(4L) === ((4L, 4L, true)))
+    assert(out(6L) === ((5L, 6L, true)) && out(5L) === ((5L, 6L, false)))
+  }
+
   test("bloomDedupGate equals the exact membership join, even with false positives forced (fpp 0.5)") {
     val s = spark; import s.implicits._
     // 200 history docs, 100 new docs of which every 4th is an exact dup
