@@ -162,6 +162,85 @@ object TextDedup {
         (col("doc_id") === col("keeper_doc_id")).as("is_keeper"))
   }
 
+  /** CCNet/Dolma-style GLOBAL paragraph dedup (boilerplate removal):
+    * segment every document, ban segments whose corpus-wide document
+    * frequency exceeds `maxDocFreq`, and reassemble each document from
+    * its surviving segments. This is the removal counterpart of the
+    * pair-finding dedup ops: headers, cookie banners, license blurbs
+    * shared by thousands of pages are deleted in place while unique
+    * prose survives — within-doc repetition is [[TextAnalysis]]'
+    * Gopher metrics; this is the ACROSS-doc analogue.
+    *
+    * Segmentation is CONTENT-DEFINED: a word whose 32-bit hash is
+    * ≡ 0 (mod `breakDivisor`) ENDS a segment (mean length ≈
+    * `breakDivisor` words). On corpora with layout, break on blank
+    * lines instead (CCNet splits on '\n'); content-defined breakpoints
+    * are the shift-invariant equivalent for text without structure —
+    * identical passages segment identically regardless of their offset
+    * in each host document, the same property [[TextAnalysis.dupSpans]]
+    * relies on for its anchors. A fixed-stride grid would misalign
+    * every shifted copy and ban nothing.
+    *
+    * Scale shape: tokenization and boundary flags are map-side
+    * expressions; ONE token-scale exchange on doc_id feeds the
+    * prefix-sum window, and the per-segment re-agg and the final
+    * per-doc assembly both REUSE that partitioning (hash(doc_id)
+    * satisfies their clustering — no further corpus exchange). The
+    * document-frequency agg shuffles (hash, doc) pairs at segment
+    * scale; the banned list (df > maxDocFreq — boilerplate only, by
+    * construction a vanishing fraction of distinct segments) broadcasts
+    * back. Nothing is all-pairs.
+    *
+    * Returns one row per non-empty doc:
+    * (doc_id, n_segments, n_dropped, clean_text). */
+  def paragraphDedup(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      breakDivisor: Int = 4,
+      maxDocFreq: Long = 1): DataFrame = {
+    val toks = docs
+      .select(
+        id.as("doc_id"),
+        posexplode(filter(words(text), w => w =!= "")).as(Seq("__pos", "__w")))
+      .withColumn(
+        "__brk",
+        (pmod(Portable.hash32(col("__w")), lit(breakDivisor.toLong)) === 0).cast("long"))
+    // seg index of a word = breaks STRICTLY BEFORE it (a breaking word
+    // ends its own segment), i.e. an exclusive running sum
+    val prior = Window.partitionBy("doc_id").orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val segs = toks
+      .withColumn("__seg", coalesce(sum(col("__brk")).over(prior), lit(0L)))
+      .groupBy(col("doc_id"), col("__seg"))
+      .agg(
+        min(col("__pos")).as("__start"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__w")))),
+            s => s("__w")),
+          " ").as("__stext"))
+      .withColumn("__h", Portable.hash60(col("__stext")))
+    val banned = segs
+      .groupBy(col("__h"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("__h"), lit(true).as("__banned"))
+    segs
+      .join(broadcast(banned), Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__banned"), 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips the nulls `when` leaves on banned rows
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__banned").isNull, struct(col("__start"), col("__stext"))))),
+            s => s("__stext")),
+          " ").as("clean_text"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
     * thresholded. The shingle-key join IS the blocking step: pairs
     * with zero overlap are never materialized. `shingles` must be a

@@ -54,6 +54,11 @@ object Documents {
     * cap, which exists for the corpus where it matters. */
   private[graft] val SharedJaccardDfCap = 128L
 
+  /** q106 paragraph-dedup knobs: mean segment length (words) and the
+    * document-frequency above which a segment is boilerplate. */
+  private[graft] val ParagraphBreakDivisor = 4
+  private[graft] val ParagraphMaxDf = 1L
+
   private val pairsCache = new DirCached
   private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache(s, dir)(
@@ -364,6 +369,17 @@ object Documents {
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")),
         sharedClusters(s, dir))),
+
+    // CCNet/Dolma-style global paragraph dedup: ban content-defined
+    // segments shared across documents, reassemble the cleaned text.
+    // The removal op the pair-finding dedup family feeds.
+    "q106_paragraph_dedup" -> ((s, dir) =>
+      TextDedup.paragraphDedup(
+        Tables.documents(s, dir),
+        col("doc_id"),
+        col("text"),
+        breakDivisor = ParagraphBreakDivisor,
+        maxDocFreq = ParagraphMaxDf)),
 
     // Bloom-gated EXACT incremental dedup (q95's exact-match sibling,
     // same even=history / odd=new-batch split): history folds into a
@@ -1443,6 +1459,42 @@ object Documents {
           SELECT g.doc_id, g.group_id, k.keeper_doc_id,
                  g.doc_id = k.keeper_doc_id AS is_keeper
           FROM g JOIN k ON k.group_id = g.group_id""",
+
+    // Relational mirror of the segment pipeline: exclusive running sum
+    // of break flags = segment index, string_agg in position order =
+    // segment text, HAVING df > cap = the banned set.
+    "q106_paragraph_dedup" ->
+      s"""WITH $wordsCte,
+          wf AS (SELECT doc_id, list_filter(ws, w -> w <> '') AS ws FROM words),
+          tok AS (
+            SELECT doc_id, i AS pos, ws[i] AS w,
+                   CASE WHEN ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT
+                             % $ParagraphBreakDivisor = 0 THEN 1 ELSE 0 END AS brk
+            FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+                  FROM wf WHERE len(ws) >= 1)
+          ),
+          sidx AS (
+            SELECT doc_id, pos, w,
+                   COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+            FROM tok
+          ),
+          segs AS (
+            SELECT doc_id, seg, MIN(pos) AS seg_start,
+                   string_agg(w, ' ' ORDER BY pos) AS stext
+            FROM sidx GROUP BY 1, 2
+          ),
+          hs AS (
+            SELECT doc_id, seg_start, stext,
+                   ('0x' || substr(md5(stext), 1, 15))::BIGINT AS h
+            FROM segs
+          ),
+          banned AS (SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) > $ParagraphMaxDf),
+          fl AS (SELECT doc_id, seg_start, stext, h IN (SELECT h FROM banned) AS b FROM hs)
+          SELECT doc_id, COUNT(1) AS n_segments,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 COALESCE(string_agg(CASE WHEN NOT b THEN stext END, ' ' ORDER BY seg_start), '') AS clean_text
+          FROM fl GROUP BY doc_id""",
 
     // The bloom gate is exact by construction (no false negatives),
     // so the oracle is the plain fingerprint membership join.

@@ -329,6 +329,24 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_extendedprice"), readSchema)
   }
 
+  test("q106 paragraph dedup: one corpus exchange (reused), banned list broadcast, doc_id partitioning reused by both aggs") {
+    val df = SparkEntry.queries("q106_paragraph_dedup")(spark, sf())
+    df.collect() // AQE finalizes — exchange reuse only appears at runtime
+    // executedPlan.toString prints Final AND Initial plans — judge the final only
+    val s = planString(df).split("== Initial Plan ==").head
+    // banned segments join back via broadcast, never a corpus shuffle
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"), "banned-list join degraded to SMJ")
+    // the token-scale exchange feeds both the main path and the df
+    // branch — the second consumer must reuse it, not reshuffle
+    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage"),
+      "segs subtree reshuffled the corpus instead of reusing the doc_id exchange:\n" + s.take(3000))
+    // total shuffle exchanges: doc_id tokens + segment-hash df agg only
+    val shuffles = s.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(shuffles <= 2, s"expected ≤2 shuffle exchanges, found $shuffles:\n" + s.take(3000))
+  }
+
   test("q104 bloom gate: only the bloom-hit sliver reaches the history join; novel rows never join") {
     val df = SparkEntry.queries("q104_bloom_dedup_gate")(spark, sf())
     df.collect()

@@ -46,6 +46,46 @@ class TextDedupSpec extends SparkSpec {
     assert(out(6L) === ((5L, 6L, true)) && out(5L) === ((5L, 6L, false)))
   }
 
+  test("paragraphDedup: lossless reassembly with no bans; exact dups fully erased; shared tail stripped, unique prefix kept") {
+    val s = spark; import s.implicits._
+    val tail = (1 to 30).map(i => s"tailword$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $tail"),
+      (2L, s"delta epsilon zeta $tail"),
+      (3L, "unique standalone document nothing shared here"),
+      (4L, "copycat twin text body"),
+      (5L, "copycat twin text body"))
+      .toDF("doc_id", "text")
+
+    // maxDocFreq = ∞ ⇒ nothing banned, reassembly must be lossless
+    val loss = TextDedup.paragraphDedup(docs, col("doc_id"), col("text"), maxDocFreq = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.collect().foreach { r =>
+      val (idv, txt) = (r.getLong(0), r.getString(1))
+      assert(loss(idv).getAs[Long]("n_dropped") === 0L)
+      assert(loss(idv).getAs[String]("clean_text") === txt)
+    }
+
+    val out = TextDedup.paragraphDedup(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // exact dups: every segment has df 2 ⇒ both copies fully erased
+    Seq(4L, 5L).foreach { d =>
+      assert(out(d).getAs[Long]("n_dropped") === out(d).getAs[Long]("n_segments"))
+      assert(out(d).getAs[String]("clean_text") === "")
+    }
+    // unique doc untouched
+    assert(out(3L).getAs[Long]("n_dropped") === 0L)
+    assert(out(3L).getAs[String]("clean_text") === "unique standalone document nothing shared here")
+    // shared-tail docs: unique prefixes survive, interior tail segments
+    // (content-defined ⇒ aligned across both docs despite the shift) drop
+    Seq(1L -> "alpha", 2L -> "delta").foreach { case (d, w) =>
+      assert(out(d).getAs[Long]("n_dropped") > 0L, out(d).toString)
+      assert(out(d).getAs[String]("clean_text").contains(w))
+    }
+    assert(!out(1L).getAs[String]("clean_text").contains("tailword20"))
+    assert(!out(2L).getAs[String]("clean_text").contains("tailword20"))
+  }
+
   test("bloomDedupGate equals the exact membership join, even with false positives forced (fpp 0.5)") {
     val s = spark; import s.implicits._
     // 200 history docs, 100 new docs of which every 4th is an exact dup
