@@ -189,4 +189,102 @@ object Profile {
       .filter(hv < col("sample_rate_bps"))
       .drop("__g")
   }
+
+  /** Deterministic global shuffle + shard assignment — the "randomize
+    * training order and write N shards" step at the end of a data
+    * pipeline. Each row gets a portable pseudo-random key
+    * (hash60(seed ∥ id)), its shard (key mod `shards`), and its
+    * position within the shard (rank by key, id tiebreak). The
+    * ordering is a pure function of ids — reproducible across runs,
+    * engines, partitionings, and retries, unlike `rand()` or
+    * `repartition().sortWithinPartitions` whose layouts drift.
+    *
+    * Scale shape: ONE exchange hash-partitioned by shard, then a
+    * per-shard sort — exactly the physical plan a shard writer wants
+    * (each reducer sorts and writes its own shard file). No global
+    * sort, no driver funnel; shard sizes are balanced by the uniform
+    * hash (expected n/shards ± √n). */
+  def globalShuffle(df: DataFrame, id: Column, shards: Int, seed: String = "shuf"): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val key = Portable.hash60(concat(lit(seed), lit("_"), id.cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+    df.select(id.as("doc_id"))
+      .withColumn("shuffle_key", key)
+      .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** Exact per-group length quantiles (percentile_disc semantics):
+    * the sequence-length distribution report a training pipeline
+    * checks before choosing context length / packing capacity.
+    * For each group: n, min, p25/p50/p90/p99 (value at the smallest
+    * rank ≥ ⌈p·n⌉), max. All-integer rank arithmetic — bit-portable.
+    *
+    * Scale shape: the naive form (row_number over every row per
+    * group) sorts the full corpus through per-group windows. This
+    * runs on the COMPRESSED relation instead: one hash-agg to
+    * (group, len, cnt) — at most |groups|·|distinct lengths| rows —
+    * then the cumulative window and quantile selection over that
+    * small relation. The corpus itself is touched by exactly one
+    * map-side-combined aggregate. */
+  def lengthQuantiles(df: DataFrame, group: Column, len: Column): DataFrame = {
+    val h = df.groupBy(group.as("group"), len.as("len")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("len").asc)
+    val cum = h
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("tot", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
+    // ⌈p·n⌉ in pure integer arithmetic: (num·n + den − 1) div den —
+    // Spark `div` = DuckDB `//` for positives, no double detour.
+    def target(num: Int, den: Int): Column =
+      expr(s"(tot * $num + ${den - 1}) div $den")
+    def pick(num: Int, den: Int, name: String): Column =
+      min(when(col("cum") >= target(num, den), col("len"))).as(name)
+    cum.groupBy(col("group")).agg(
+      max(col("tot")).as("n"),
+      min(col("len")).as("min_len"),
+      pick(25, 100, "p25"),
+      pick(50, 100, "p50"),
+      pick(90, 100, "p90"),
+      pick(99, 100, "p99"),
+      max(col("len")).as("max_len"))
+  }
+
+  /** Mixture repeat-factor planner: given per-source counts, compute
+    * the temperature-α target mixture (w_g ∝ n_g^α — the
+    * multilingual/multi-source rebalancing rule) and the per-source
+    * REPEAT factor (how many epochs of each source a training run
+    * takes to realize that mixture), capped at `maxRepeatX1000`.
+    * Upsampling complement of [[temperatureSample]]: instead of
+    * dropping rows from big sources, small sources repeat.
+    *
+    * Bit-portable by integer quantization: √n (α = 0.5, the
+    * correctly-rounded case) is quantized to micro-units before the
+    * cross-source sum, so shares are exact integer ratios (ppm via
+    * trunc-div), never an order-dependent double sum. Output per
+    * source: n_docs, natural_ppm, target_ppm, repeat_x1000,
+    * effective_docs. The whole plan aggregates to |sources| rows
+    * before any nontrivial arithmetic — trivially scale-safe. */
+  def mixturePlan(df: DataFrame, source: Column, maxRepeatX1000: Long = 8000L): DataFrame = {
+    require(maxRepeatX1000 >= 1000L, s"cap must allow at least 1 epoch: $maxRepeatX1000")
+    val counts = df.groupBy(source.as("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", round(sqrt(col("n_docs").cast("double")) * 1000000).cast("long"))
+    val totals = counts.agg(
+      sum(col("n_docs")).as("__tot"), sum(col("sq")).as("__sqtot"))
+    counts.crossJoin(broadcast(totals))
+      .select(
+        col("source"),
+        col("n_docs"),
+        expr("(n_docs * 1000000L) div __tot").as("natural_ppm"),
+        expr("(sq * 1000000L) div __sqtot").as("target_ppm"))
+      .withColumn(
+        "repeat_x1000",
+        least(
+          lit(maxRepeatX1000),
+          greatest(lit(1000L), expr("(target_ppm * 1000L) div greatest(natural_ppm, 1L)"))))
+      .withColumn("effective_docs", expr("(n_docs * repeat_x1000) div 1000L"))
+  }
 }

@@ -481,4 +481,38 @@ object Similarity {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Semantic decontamination — the embedding-space complement of
+    * n-gram decontamination ([[TextDedup.contaminationFlags]]):
+    * flag corpus vectors whose cosine against ANY benchmark vector
+    * reaches `threshold`. Paraphrased benchmark leakage shares no
+    * n-gram but lands next to the benchmark in embedding space; this
+    * is the screen that catches it. Benchmark membership is a column
+    * predicate (`benchPred`), e.g. a held-out label or a source tag.
+    *
+    * Scale shape: benchmark sets are small (eval suites, not corpora)
+    * — the benchmark side is BROADCAST and the corpus side never
+    * shuffles: per corpus row, the max-cosine fold happens in the
+    * broadcast-join projection, then one map-side-combined hash-agg
+    * per vec_id. Exact int64 dots ([[Portable.quantize]]) keep the
+    * verdict bit-portable. For benchmark sets too big to broadcast,
+    * route through [[ivfTopKWith]] cells instead. */
+  def semanticContamination(
+      embs: DataFrame,
+      benchPred: Column,
+      threshold: Double): DataFrame = {
+    val bench = embs
+      .filter(benchPred)
+      .select(Portable.quantize(col("embedding")).as("bv"))
+      .withColumn("bn2", normQ(col("bv")))
+    val corpus = embs
+      .filter(!benchPred)
+      .select(col("vec_id"), col("label"), Portable.quantize(col("embedding")).as("v"))
+      .withColumn("n2", normQ(col("v")))
+    corpus
+      .join(broadcast(bench))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(cosine(Portable.dotQ(col("v"), col("bv")), col("n2"), col("bn2"))).as("max_benchmark_cos"))
+      .withColumn("contaminated", col("max_benchmark_cos") >= threshold)
+  }
 }

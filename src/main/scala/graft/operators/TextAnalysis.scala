@@ -557,4 +557,42 @@ object TextAnalysis {
         "dsir_ppm",
         expr("(sum_target_ppm * 1000000L) div greatest(sum_raw_ppm, 1L)"))
   }
+
+  /** Sliding-window document chunking — the context-length splitter
+    * that feeds embedding/indexing stages: each document becomes
+    * overlapping windows of `chunkTokens` whitespace tokens starting
+    * every `stride` tokens (stride < chunkTokens ⇒ overlap of
+    * chunkTokens − stride). Output per chunk: doc_id, chunk_idx,
+    * n_chunk_tokens (the tail chunk may be short), chunk_text, and a
+    * chunk md5 (the join key downstream chunk-level dedup uses).
+    *
+    * Scale shape: tokenize → `explode` over the window starts — a
+    * map-only expansion with NO shuffle and no UDF; the amplification
+    * factor is exactly ⌈n/stride⌉, known in advance. The token array
+    * is built once per row and sliced per chunk (slice is O(chunk),
+    * not O(doc)). */
+  def chunkDocuments(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, s"chunkTokens/stride must be positive")
+    require(stride <= chunkTokens, s"stride $stride > chunkTokens $chunkTokens leaves gaps")
+    val ws = tokens(text)
+    docs
+      .select(id.as("doc_id"), ws.as("__ws"), size(ws).as("__n"))
+      .select(
+        col("doc_id"), col("__ws"),
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride))).as("__start"))
+      .select(
+        col("doc_id"),
+        (col("__start") / stride).cast("long").as("chunk_idx"),
+        slice(col("__ws"), col("__start") + 1, lit(chunkTokens)).as("__chunk"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
+  }
 }

@@ -474,7 +474,39 @@ object Documents {
     "q102_pq_topk" -> ((s, dir) =>
       Similarity.pqTopKWith(
         Tables.embeddings(s, dir), sharedPqCodebooks(s, dir),
-        Seq(0L, 1L, 2L, 3L, 4L), EmbDim, PqM, k = 5))
+        Seq(0L, 1L, 2L, 3L, 4L), EmbDim, PqM, k = 5)),
+
+    // Sliding-window chunking: 64-token windows every 48 tokens —
+    // the context-length splitter feeding embedding/indexing stages.
+    // Map-only explode, amplification exactly ⌈n/48⌉ per doc.
+    "q107_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        chunkTokens = 64, stride = 48)),
+
+    // Deterministic global shuffle into 8 shards: the "randomize
+    // training order" step, reproducible across engines/partitionings.
+    "q108_global_shuffle" -> ((s, dir) =>
+      Profile.globalShuffle(Tables.documents(s, dir), col("doc_id"), shards = 8)),
+
+    // Exact per-source length quantiles over the compressed
+    // (source, len) relation — the context-length sizing report.
+    "q109_length_quantiles" -> ((s, dir) =>
+      Profile.lengthQuantiles(Tables.documents(s, dir), col("source"), col("n_chars"))),
+
+    // Mixture repeat-factor plan (α = 0.5 temperature): the per-source
+    // epoch multipliers that realize the rebalanced mixture by
+    // UPSAMPLING small sources (complement of q74's downsampling).
+    "q110_mixture_plan" -> ((s, dir) =>
+      Profile.mixturePlan(Tables.documents(s, dir), col("source"))),
+
+    // Semantic decontamination: label-0 vectors stand in for a
+    // benchmark embedding set; corpus vectors with max cosine ≥ 0.35
+    // against ANY of them are flagged — the embedding-space complement
+    // of q58's n-gram decontamination.
+    "q111_semantic_decontamination" -> ((s, dir) =>
+      Similarity.semanticContamination(
+        Tables.embeddings(s, dir), benchPred = col("label") === 0, threshold = 0.35))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -1799,6 +1831,102 @@ object Documents {
                    row_number() OVER (PARTITION BY qid ORDER BY adc_dist2 ASC, cid ASC) AS rk
             FROM sc
           )
-          SELECT qid, cid, adc_dist2, rk FROM r WHERE rk <= 5"""
+          SELECT qid, cid, adc_dist2, rk FROM r WHERE rk <= 5""",
+
+    "q107_chunking" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+         ),
+         st AS (
+           SELECT doc_id, ws,
+                  unnest(generate_series(0, greatest(len(ws) - 1, 0), 48)) AS start
+           FROM w
+         ),
+         ch AS (
+           SELECT doc_id, start // 48 AS chunk_idx,
+                  ws[start + 1 : start + 64] AS chunk
+           FROM st
+         )
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(chunk, ' ') AS chunk_text,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch""",
+
+    "q108_global_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('shuf_' || doc_id), 1, 15))::BIGINT AS shuffle_key
+           FROM documents
+         )
+         SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard,
+                CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+                                        ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+         FROM k""",
+
+    "q109_length_quantiles" ->
+      """WITH h AS (
+           SELECT source AS "group", n_chars AS len, CAST(COUNT(1) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2
+         ),
+         c AS (
+           SELECT "group", len, cnt,
+                  CAST(SUM(cnt) OVER (PARTITION BY "group" ORDER BY len) AS BIGINT) AS cum,
+                  CAST(SUM(cnt) OVER (PARTITION BY "group") AS BIGINT) AS tot
+           FROM h
+         )
+         SELECT "group", MAX(tot) AS n, MIN(len) AS min_len,
+                MIN(CASE WHEN cum >= (tot * 25 + 99) // 100 THEN len END) AS p25,
+                MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN len END) AS p50,
+                MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN len END) AS p90,
+                MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN len END) AS p99,
+                MAX(len) AS max_len
+         FROM c GROUP BY 1""",
+
+    "q110_mixture_plan" ->
+      """WITH c AS (
+           SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+                  CAST(round(sqrt(CAST(COUNT(1) AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+           FROM documents GROUP BY 1
+         ),
+         t AS (
+           SELECT CAST(SUM(n_docs) AS BIGINT) AS tot, CAST(SUM(sq) AS BIGINT) AS sqtot FROM c
+         ),
+         p AS (
+           SELECT source, n_docs,
+                  (n_docs * 1000000) // tot AS natural_ppm,
+                  (sq * 1000000) // sqtot AS target_ppm
+           FROM c, t
+         ),
+         r AS (
+           SELECT *, least(8000, greatest(1000, (target_ppm * 1000) // greatest(natural_ppm, 1)))
+                       AS repeat_x1000
+           FROM p
+         )
+         SELECT source, n_docs, natural_ppm, target_ppm, repeat_x1000,
+                (n_docs * repeat_x1000) // 1000 AS effective_docs
+         FROM r""",
+
+    "q111_semantic_decontamination" ->
+      s"""WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+            FROM embeddings
+          ),
+          en AS (
+            SELECT vec_id, label, v,
+                   CAST(list_aggregate(list_transform(v, x -> x*x), 'sum') AS BIGINT) AS n2
+            FROM e
+          ),
+          b AS (SELECT v AS bv, n2 AS bn2 FROM en WHERE label = 0),
+          c AS (SELECT vec_id, label, v, n2 FROM en WHERE label <> 0),
+          s AS (
+            SELECT c.vec_id, c.label,
+                   MAX(${cosSql("c.v", "b.bv", "c.n2", "b.bn2")}) AS max_benchmark_cos
+            FROM c, b GROUP BY 1, 2
+          )
+          SELECT vec_id, label, max_benchmark_cos,
+                 max_benchmark_cos >= CAST(0.35 AS DOUBLE) AS contaminated
+          FROM s"""
   )
 }

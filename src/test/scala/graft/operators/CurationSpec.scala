@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-3 curation pack: chunking, global shuffle, length quantiles,
+  * mixture planning, semantic decontamination.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("chunkDocuments: window starts, sizes, and overlap") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, col("doc_id"), col("text"), chunkTokens = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    // 10 tokens, stride 3 → starts 0,3,6,9 → sizes 4,4,4,1
+    assert(out.map(_.getAs[Long]("chunk_idx")).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_chunk_tokens")).toSeq === Seq(4L, 4L, 4L, 1L))
+    assert(out.head.getAs[String]("chunk_text") === "t0 t1 t2 t3")
+    assert(out(1).getAs[String]("chunk_text") === "t3 t4 t5 t6") // 1-token overlap
+    assert(out.last.getAs[String]("chunk_text") === "t9")
+  }
+
+  test("chunkDocuments: short doc yields exactly one chunk; stride > chunk rejected") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "only two")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, col("doc_id"), col("text"), 64, 48).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("n_chunk_tokens") === 2L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, col("doc_id"), col("text"), chunkTokens = 4, stride = 5)
+    }
+  }
+
+  test("globalShuffle: complete, dense per-shard positions, partition-invariant") {
+    val s = spark; import s.implicits._
+    val df = (0L until 500L).toDF("doc_id")
+    val a = Profile.globalShuffle(df, col("doc_id"), shards = 8).collect()
+    assert(a.length === 500)
+    assert(a.forall(r => r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 8))
+    // positions are 1..n_shard within each shard, no gaps
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // pure function of ids: identical output under a different input layout
+    val b = Profile.globalShuffle(df.repartition(7), col("doc_id"), shards = 8).collect()
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    assert(keyed(a) === keyed(b))
+  }
+
+  test("lengthQuantiles: percentile_disc semantics on a known distribution") {
+    val s = spark; import s.implicits._
+    // group g: lengths 1..10 (one each) → p25=⌈2.5⌉th=3, p50=5, p90=9, p99=10
+    val df = (1L to 10L).map(i => ("g", i)).toDF("src", "len")
+    val r = Profile.lengthQuantiles(df, col("src"), col("len")).collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("min_len") === 1L && r.getAs[Long]("max_len") === 10L)
+    assert(r.getAs[Long]("p25") === 3L)
+    assert(r.getAs[Long]("p50") === 5L)
+    assert(r.getAs[Long]("p90") === 9L)
+    assert(r.getAs[Long]("p99") === 10L)
+    // singleton group: every quantile is the single value
+    val one = Profile.lengthQuantiles(Seq(("h", 7L)).toDF("src", "len"), col("src"), col("len"))
+      .collect().head
+    assert(Seq("min_len", "p25", "p50", "p90", "p99", "max_len")
+      .forall(c => one.getAs[Long](c) === 7L))
+  }
+
+  test("mixturePlan: α=0.5 targets, floor/cap, effective docs") {
+    val s = spark; import s.implicits._
+    val df = ((1 to 100).map(i => ("small", i)) ++ (1 to 400).map(i => ("big", i)))
+      .toDF("src", "i")
+    val out = Profile.mixturePlan(df, col("src")).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // √100:√400 = 1:2 → targets 333333/666666 ppm vs natural 200000/800000
+    assert(out("small").getAs[Long]("natural_ppm") === 200000L)
+    assert(out("small").getAs[Long]("target_ppm") === 333333L)
+    assert(out("small").getAs[Long]("repeat_x1000") === 1666L) // 333333000 div 200000
+    assert(out("small").getAs[Long]("effective_docs") === 166L)
+    // over-represented source floors at exactly 1 epoch — never drops
+    assert(out("big").getAs[Long]("repeat_x1000") === 1000L)
+    assert(out("big").getAs[Long]("effective_docs") === 400L)
+  }
+
+  test("semanticContamination: exact-match flagged, orthogonal not, benchmark excluded") {
+    val s = spark; import s.implicits._
+    val bench   = Array(1.0f, 0.0f, 0.0f)
+    val leaked  = Array(0.5f, 0.0f, 0.0f)   // cosine 1.0 with bench
+    val clean   = Array(0.0f, 1.0f, 0.0f)   // cosine 0.0
+    val df = Seq(
+      (0L, bench, 0), (1L, leaked, 1), (2L, clean, 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticContamination(df, col("label") === 0, threshold = 0.35)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(!out.contains(0L)) // benchmark rows are not scored against themselves
+    assert(out(1L).getAs[Boolean]("contaminated"))
+    assert(math.abs(out(1L).getAs[Double]("max_benchmark_cos") - 1.0) < 1e-12)
+    assert(!out(2L).getAs[Boolean]("contaminated"))
+    assert(math.abs(out(2L).getAs[Double]("max_benchmark_cos")) < 1e-12)
+  }
+}
