@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Table maintenance for partitioned parquet tables: partition-pruned
+  * upsert (merge-on-write) and small-file compaction. Extension beyond
+  * the reference — its Glue job rewrites whole tables; at 100 TB the
+  * only affordable write amplification is "touch exactly the
+  * partitions the batch touches".
+  *
+  * Both operators follow the same discipline:
+  *   1. decide the affected partition set from METADATA or from the
+  *      (small) update batch — never a full-table scan;
+  *   2. read ONLY those partitions (a partition-column `isin` filter,
+  *      which Spark turns into partition pruning — the same mechanism
+  *      pinned in PlanSpec for the OHLCV table);
+  *   3. rewrite ONLY those partitions via dynamic partition overwrite
+  *      (`partitionOverwriteMode=dynamic`), leaving every other
+  *      partition's files physically untouched.
+  *
+  * Neither is expressible as a pure query (they are writers), so like
+  * the other sinks (S7–S11) their contract is spec-pinned:
+  * `MaintenanceSpec` asserts both the logical result AND that
+  * untouched partitions keep their exact file lists.
+  */
+object Maintenance {
+
+  /** Partition-pruned upsert: merge `updates` into the parquet table
+    * at `path` partitioned by `partCol`. Key identity is `keyCols`;
+    * when both sides have a key, the row with the greater `version`
+    * wins (updates win ties — the batch is the newer truth).
+    *
+    * Write amplification = size of the touched partitions, not the
+    * table: partitions absent from `updates` are never read, never
+    * written, never listed. Returns the distinct partition values
+    * rewritten (driver-side — bounded by the batch's partition
+    * fan-out, which a sane ingest keeps small). */
+  def upsertPartitions(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      partCol: String,
+      keyCols: Seq[String],
+      version: String): Seq[Any] = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(
+      updates.columns.contains(partCol) && keyCols.forall(updates.columns.contains),
+      s"updates must carry partition column '$partCol' and keys $keyCols")
+    val touched = updates.select(partCol).distinct().collect().map(_.get(0)).toIndexedSeq
+    if (touched.isEmpty) return touched
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isin(touched: _*)) // partition pruning: only touched dirs are read
+    // updates win ties via a side marker ordered AFTER version
+    val merged = Dedup.keepLatest(
+      existing.withColumn("__src", lit(0))
+        .unionByName(updates.withColumn("__src", lit(1))),
+      keyCols.map(col),
+      Seq(col(version), col("__src")))
+      .drop("__src")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write
+      .mode("overwrite") // dynamic: replaces ONLY partitions present in `merged`
+      .partitionBy(partCol)
+      .parquet(path)
+    touched
+  }
+
+  /** Per-partition file census of a Hive-partitioned table — the
+    * metadata scan both maintenance ops and a human operator consult.
+    * Driver-side file listing (same cost class as the planner's own
+    * listing); returns (partition, n_files, total_bytes, min_bytes,
+    * max_bytes). */
+  def partitionFileStats(spark: SparkSession, path: String, partCol: String): DataFrame = {
+    import spark.implicits._
+    val fs   = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.resolvePath(new Path(path))
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith(s"$partCol="))
+    parts.map { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val sizes = files.map(_.getLen)
+      (p.getPath.getName.stripPrefix(s"$partCol="),
+        files.length.toLong,
+        sizes.sum,
+        if (sizes.isEmpty) 0L else sizes.min,
+        if (sizes.isEmpty) 0L else sizes.max)
+    }.toIndexedSeq.toDF("partition", "n_files", "total_bytes", "min_bytes", "max_bytes")
+  }
+
+  /** Small-file compaction: rewrite every partition whose file count
+    * exceeds `maxFiles` down to ⌈bytes/targetBytes⌉ files (≥ 1).
+    * Partitions already compact are not read or written. The
+    * pathological producer is streaming ingest (one file per
+    * micro-batch per partition); the fix is this periodic rewrite,
+    * exactly the strategy table formats run as "optimize".
+    *
+    * Returns (partition, files_before, files_target) for the rewritten
+    * partitions. Rewrites go partition-by-partition through dynamic
+    * overwrite with an explicit `repartition(n)` — n chosen from
+    * MEASURED bytes, not a global constant, so a hot partition keeps
+    * parallelism while a cold one collapses to one file. */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      maxFiles: Int,
+      targetBytes: Long): DataFrame = {
+    import spark.implicits._
+    require(maxFiles >= 1 && targetBytes > 0, s"bad thresholds: $maxFiles/$targetBytes")
+    val stats = partitionFileStats(spark, path, partCol).collect()
+    val todo = stats.filter(_.getAs[Long]("n_files") > maxFiles).map { r =>
+      val bytes = r.getAs[Long]("total_bytes")
+      (r.getAs[String]("partition"),
+        r.getAs[Long]("n_files"),
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes))
+    }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    todo.foreach { case (partValue, _, nOut) =>
+      val table = spark.read.parquet(path)
+      // literal cast to the DISCOVERED partition type (not a cast on
+      // the column) so partition pruning stays effective
+      val dt = table.schema(partCol).dataType
+      table
+        .filter(col(partCol) === lit(partValue).cast(dt))
+        .repartition(nOut.toInt)
+        .write.mode("overwrite").partitionBy(partCol).parquet(path)
+    }
+    todo.toIndexedSeq.toDF("partition", "files_before", "files_target")
+  }
+}

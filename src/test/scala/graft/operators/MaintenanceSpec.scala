@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+class MaintenanceSpec extends SparkSpec {
+
+  private def fileList(path: String, sub: String): Seq[(String, Long)] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(path, sub))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getModificationTime)).toIndexedSeq.sortBy(_._1)
+  }
+
+  test("upsertPartitions: merge semantics + untouched partitions keep their exact files") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/t"
+    Seq(
+      ("2024-01-01", 1L, "a", 10L), ("2024-01-01", 2L, "b", 10L),
+      ("2024-01-02", 3L, "c", 10L),
+      ("2024-01-03", 4L, "d", 10L))
+      .toDF("day", "id", "payload", "v")
+      .write.partitionBy("day").parquet(dir)
+    val before = fileList(dir, "day=2024-01-03")
+
+    // update id=1 (newer), stale-update id=2 (older version loses),
+    // insert id=9, all in existing or new partitions; day=2024-01-03 untouched
+    val updates = Seq(
+      ("2024-01-01", 1L, "a2", 20L),
+      ("2024-01-01", 2L, "stale", 5L),
+      ("2024-01-02", 9L, "new", 20L),
+      ("2024-01-04", 10L, "fresh", 20L))
+      .toDF("day", "id", "payload", "v")
+    val touched = Maintenance.upsertPartitions(spark, dir, updates, "day", Seq("id"), "v")
+    assert(touched.map(_.toString).sorted === Seq("2024-01-01", "2024-01-02", "2024-01-04"))
+
+    val got = spark.read.parquet(dir)
+      .select("id", "payload", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("a2", 20L)))     // newer version wins
+    assert(got(2L) === (("b", 10L)))      // stale update loses
+    assert(got(3L) === (("c", 10L)))      // untouched partition intact
+    assert(got(9L) === (("new", 20L)))    // insert into existing partition
+    assert(got(10L) === (("fresh", 20L))) // new partition created
+    // the untouched partition's FILES are byte-identical (same names, same mtimes)
+    assert(fileList(dir, "day=2024-01-03") === before)
+  }
+
+  test("upsertPartitions: updates win version ties") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_tie").toString + "/t"
+    Seq(("p1", 1L, "old", 10L)).toDF("day", "id", "payload", "v")
+      .write.partitionBy("day").parquet(dir)
+    Maintenance.upsertPartitions(
+      spark, dir,
+      Seq(("p1", 1L, "tied", 10L)).toDF("day", "id", "payload", "v"),
+      "day", Seq("id"), "v")
+    assert(spark.read.parquet(dir).select("payload").as[String].collect().toSeq === Seq("tied"))
+  }
+
+  test("compactPartitions: only fragmented partitions rewritten, contents preserved") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // fragmented partition: 8 files; compact partition: 1 file
+    (0L until 80L).map(i => ("hot", i)).toDF("part", "id")
+      .repartition(8).write.partitionBy("part").parquet(dir)
+    (0L until 10L).map(i => ("cold", i)).toDF("part", "id")
+      .coalesce(1).write.mode("append").partitionBy("part").parquet(dir)
+
+    val coldBefore = fileList(dir, "part=cold")
+    val statsBefore = Maintenance.partitionFileStats(spark, dir, "part")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_files")).toMap
+    assert(statsBefore("hot") === 8L && statsBefore("cold") === 1L)
+
+    val done = Maintenance.compactPartitions(
+      spark, dir, "part", maxFiles = 4, targetBytes = 1L << 30)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("files_target"))).toMap
+    assert(done === Map("hot" -> 1L)) // only the fragmented partition, to 1 file
+
+    val statsAfter = Maintenance.partitionFileStats(spark, dir, "part")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_files")).toMap
+    assert(statsAfter("hot") === 1L)
+    assert(fileList(dir, "part=cold") === coldBefore) // cold partition untouched
+    // contents identical after rewrite
+    val ids = spark.read.parquet(dir).filter(col("part") === "hot")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === (0L until 80L).toSeq)
+  }
+}
