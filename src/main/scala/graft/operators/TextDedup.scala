@@ -939,4 +939,31 @@ object TextDedup {
       .select(col("doc_id"), coalesce(col("__in_hist"), lit(false)).as("is_dup_exact"))
     novel.unionByName(checked)
   }
+
+  /** Recall/precision audit of an approximate pair-finding path
+    * against exact truth — the number a pipeline owner needs before
+    * trusting LSH at 100 TB ("how much near-dup mass does the fast
+    * path miss?"). Both inputs are (doc_a, doc_b, …) pair relations;
+    * output is ONE row: n_truth, n_candidate, tp, fn, fp and
+    * recall/precision in exact integer ppm.
+    *
+    * Scale shape: one full-outer join on the pair key (both sides are
+    * PAIR relations — orders of magnitude smaller than the corpus)
+    * folded into a single count aggregate; nothing corpus-sized moves.
+    * Deterministic, so the audit itself is oracle-checkable. */
+  def recallAudit(truth: DataFrame, candidate: DataFrame): DataFrame = {
+    val t = truth.select(col("doc_a"), col("doc_b")).withColumn("__t", lit(1))
+    val c = candidate.select(col("doc_a"), col("doc_b")).withColumn("__c", lit(1))
+    t.join(c, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(when(col("__t") === 1 && col("__c") === 1, 1)).as("tp"),
+        count(when(col("__t") === 1 && col("__c").isNull, 1)).as("fn"),
+        count(when(col("__t").isNull && col("__c") === 1, 1)).as("fp"))
+      .select(
+        (col("tp") + col("fn")).as("n_truth"),
+        (col("tp") + col("fp")).as("n_candidate"),
+        col("tp"), col("fn"), col("fp"),
+        expr("(tp * 1000000L) div greatest(tp + fn, 1L)").as("recall_ppm"),
+        expr("(tp * 1000000L) div greatest(tp + fp, 1L)").as("precision_ppm"))
+  }
 }

@@ -506,7 +506,18 @@ object Documents {
     // of q58's n-gram decontamination.
     "q111_semantic_decontamination" -> ((s, dir) =>
       Similarity.semanticContamination(
-        Tables.embeddings(s, dir), benchPred = col("label") === 0, threshold = 0.35))
+        Tables.embeddings(s, dir), benchPred = col("label") === 0, threshold = 0.35)),
+
+    // Recall/precision audit of the production LSH near-dup path (q84)
+    // against exact full-universe truth (q99's prefix-filtered join):
+    // the measured answer to "what does the fast path miss?". Both
+    // sides reuse the shared shingle/signature intermediates.
+    "q112_lsh_recall_audit" -> ((s, dir) =>
+      TextDedup.recallAudit(
+        TextDedup.prefixJaccardPairs(sharedShingles(s, dir), 0.8),
+        TextDedup.lshRescoredPairs(
+          sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8,
+          precomputedSigs = Some(sharedSigs(s, dir)))))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -1927,6 +1938,63 @@ object Documents {
           )
           SELECT vec_id, label, max_benchmark_cos,
                  max_benchmark_cos >= CAST(0.35 AS DOUBLE) AS contaminated
-          FROM s"""
+          FROM s""",
+
+    // Truth side = q99's oracle (uncapped posting-list Jaccard);
+    // candidate side = q84's oracle (band join → estimate gate →
+    // exact rescore); the audit is the full-outer count rollup.
+    "q112_lsh_recall_audit" ->
+      s"""WITH $sigCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          tinter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ),
+          truth AS (
+            SELECT da, db FROM tinter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+          ),
+          bands AS (
+            SELECT doc_id, k // 2 AS band,
+                   SUM(CASE WHEN k % 2 = 0 THEN minhash * 2147483647 ELSE minhash END) AS band_key
+            FROM sig GROUP BY doc_id, k // 2
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          ),
+          est AS (
+            SELECT c.da, c.db
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db AND sb.k = sa.k
+            GROUP BY 1, 2
+            HAVING COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END) / 16.0 >= 0.5
+          ),
+          linter AS (
+            SELECT e.da, e.db, COUNT(1) AS i
+            FROM est e
+            JOIN sh a ON a.doc_id = e.da
+            JOIN sh b ON b.doc_id = e.db AND b.s = a.s
+            GROUP BY 1, 2
+          ),
+          lsh AS (
+            SELECT l.da, l.db FROM linter l
+            JOIN sizes sa ON sa.doc_id = l.da JOIN sizes sb ON sb.doc_id = l.db
+            WHERE CAST(l.i AS DOUBLE) / (sa.n + sb.n - l.i) >= 0.8
+          ),
+          j AS (
+            SELECT CAST(COUNT(CASE WHEN t.da IS NOT NULL AND l.da IS NOT NULL THEN 1 END) AS BIGINT) AS tp,
+                   CAST(COUNT(CASE WHEN t.da IS NOT NULL AND l.da IS NULL THEN 1 END) AS BIGINT) AS fn,
+                   CAST(COUNT(CASE WHEN t.da IS NULL AND l.da IS NOT NULL THEN 1 END) AS BIGINT) AS fp
+            FROM truth t FULL OUTER JOIN lsh l ON t.da = l.da AND t.db = l.db
+          )
+          SELECT tp + fn AS n_truth, tp + fp AS n_candidate, tp, fn, fp,
+                 (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm,
+                 (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm
+          FROM j"""
   )
 }

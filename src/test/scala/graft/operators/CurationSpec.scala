@@ -82,6 +82,29 @@ class CurationSpec extends SparkSpec {
     assert(out("big").getAs[Long]("effective_docs") === 400L)
   }
 
+  test("recallAudit: tp/fn/fp partition and exact ppm ratios") {
+    val s = spark; import s.implicits._
+    val truth = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("doc_a", "doc_b") // 4 true pairs
+    val cand = Seq((1L, 2L), (4L, 5L), (8L, 9L))
+      .toDF("doc_a", "doc_b") // finds 2, misses 2, invents 1
+    val r = TextDedup.recallAudit(truth, cand).collect().head
+    assert(r.getAs[Long]("n_truth") === 4L && r.getAs[Long]("n_candidate") === 3L)
+    assert(r.getAs[Long]("tp") === 2L && r.getAs[Long]("fn") === 2L && r.getAs[Long]("fp") === 1L)
+    assert(r.getAs[Long]("recall_ppm") === 500000L)    // 2/4
+    assert(r.getAs[Long]("precision_ppm") === 666666L) // 2/3 floor
+  }
+
+  test("recallAudit: empty candidate set yields zero recall, not a crash or divide-by-zero") {
+    val s = spark; import s.implicits._
+    val truth = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val none  = truth.filter(lit(false))
+    val r = TextDedup.recallAudit(truth, none).collect().head
+    assert(r.getAs[Long]("recall_ppm") === 0L)
+    assert(r.getAs[Long]("precision_ppm") === 0L)
+    assert(r.getAs[Long]("n_candidate") === 0L)
+  }
+
   test("semanticContamination: exact-match flagged, orthogonal not, benchmark excluded") {
     val s = spark; import s.implicits._
     val bench   = Array(1.0f, 0.0f, 0.0f)
