@@ -122,6 +122,21 @@ object Storage {
     spark.read.option("header", "true").schema(fileSchema).csv(path)
   }
 
+  /** ORC sink, same partition layout as the parquet table — the other
+    * columnar format Spark ships natively (zlib default codec;
+    * predicate pushdown + column pruning work the same way, pinned in
+    * the round-trip spec). For workloads standardized on ORC readers
+    * (Hive/Trino estates) this is the drop-in sibling of S9. */
+  def writeOrc(normalized: DataFrame, path: String, mode: String = "append"): Unit =
+    normalized.write
+      .mode(mode)
+      .partitionBy("year", "month", "day", "symbol_clean")
+      .orc(path)
+
+  /** ORC scan with partition discovery (sibling of S10). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Bucketed + sorted table for co-located, shuffle-free joins and
     * merge-friendly scans at scale: both sides of a symbol join
     * pre-hashed into the same bucket layout means the join needs NO

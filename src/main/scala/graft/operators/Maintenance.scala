@@ -67,6 +67,18 @@ object Maintenance {
     touched
   }
 
+  /** First-write bootstrap for an upsert-maintained table: dedup the
+    * batch by the same greater-version-wins rule and lay down the
+    * partitioned table [[upsertPartitions]] will merge into. */
+  def bootstrapTable(
+      batch: DataFrame,
+      path: String,
+      partCol: String,
+      keyCols: Seq[String],
+      version: String): Unit =
+    Dedup.keepLatest(batch, keyCols.map(col), Seq(col(version)))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Per-partition file census of a Hive-partitioned table — the
     * metadata scan both maintenance ops and a human operator consult.
     * Driver-side file listing (same cost class as the planner's own

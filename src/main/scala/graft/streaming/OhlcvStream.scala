@@ -143,4 +143,47 @@ object OhlcvStream {
       .partitionBy("year", "month", "day", "symbol_clean")
       .trigger(Trigger.ProcessingTime("5 minutes"))
       .outputMode(OutputMode.Append)
+
+  /** Streaming UPSERT sink: each micro-batch merges into the
+    * partitioned table via [[graft.operators.Maintenance
+    * .upsertPartitions]] instead of blind-appending — late or
+    * re-fetched candles REPLACE their earlier versions in place, so
+    * the table holds exactly one row per key at every point in time
+    * (the append sink defers that to a read-side dedup contract).
+    *
+    * The plain parquet streaming sink cannot express this (appends
+    * only); `foreachBatch` is the standard Spark bridge from a stream
+    * to a batch writer. Write amplification per batch = the batch's
+    * partition fan-out, which a time-partitioned stream keeps at 1-2
+    * current partitions. Exactly-once: the merge is idempotent
+    * (greater-version-wins is a set union), so a replayed batch after
+    * a crash converges to the same table. `partCol` must be a single
+    * stable partition column (e.g. `day`) carried by the stream. */
+  def upsertSink(
+      deduped: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      partCol: String,
+      keyCols: Seq[String],
+      version: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): DataStreamWriter[Row] =
+    deduped
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val tableExists = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(outPath))
+        if (!tableExists) {
+          // first batch bootstraps the table (dedup within the batch)
+          graft.operators.Maintenance.bootstrapTable(
+            batch, outPath, partCol, keyCols, version)
+        } else {
+          graft.operators.Maintenance.upsertPartitions(
+            spark, outPath, batch, partCol, keyCols, version)
+        }
+        ()
+      }
 }

@@ -86,6 +86,20 @@ class OhlcvEtlSpec extends SparkSpec {
     assert(stats.head.getAs[Long]("num_records") === 10)
   }
 
+  test("partitioned ORC write → round trip + partition pruning (parquet sibling)") {
+    val raw  = RawIngest.readRaw(spark, s"$tmp/raw")
+    val norm = Normalize.normalize(RawIngest.blocks(raw), "2025-10-08T10:30:00Z")
+    Storage.writeOrc(norm, s"$tmp/orc_table", mode = "overwrite")
+
+    val back = Storage.readOrc(spark, s"$tmp/orc_table")
+    assert(back.count() === norm.count())
+    // identical logical content to the parquet path (modulo row order)
+    assert(back.select(norm.columns.map(col): _*).exceptAll(norm).count() === 0)
+    val pruned = back.filter(col("symbol_clean") === "RELIANCE" && col("day") === 8)
+    assert(pruned.count() === 10)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("P17: recency filter skips stale files at listing time; newest-K cap composes") {
     // flat landing layout — one json file per fetch, exactly what
     // HttpIngest.ingestOnce produces (write via staging dir, then move
