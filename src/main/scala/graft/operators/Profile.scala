@@ -287,4 +287,39 @@ object Profile {
           greatest(lit(1000L), expr("(target_ppm * 1000L) div greatest(natural_ppm, 1L)"))))
       .withColumn("effective_docs", expr("(n_docs * repeat_x1000) div 1000L"))
   }
+
+  /** Materialize a [[mixturePlan]]: emit each document once per epoch
+    * of its source's repeat factor — ⌊repeat⌋ copies for every doc,
+    * plus one extra copy for the deterministic hash-gated fraction of
+    * docs that realizes the fractional remainder (repeat = 1.666 ⇒
+    * every doc once, the hash-selected 66.6% a second time — expected
+    * copies per doc = repeat, exactly). The output is the epoch-
+    * expanded training list a sampler-free data loader consumes.
+    *
+    * Scale shape: the plan is |sources| rows broadcast back; the
+    * expansion is a map-only `explode` with amplification bounded by
+    * the plan's cap — no shuffle. Deterministic: the extra-copy gate
+    * hashes the id, so the realized mixture is reproducible across
+    * engines and partitionings. */
+  def realizeMixture(
+      df: DataFrame,
+      source: Column,
+      id: Column,
+      maxRepeatX1000: Long = 8000L,
+      seed: String = "epoch"): DataFrame = {
+    val plan = mixturePlan(df, source, maxRepeatX1000)
+      .select(col("source").as("__src"), col("repeat_x1000"))
+    // hash the RENAMED id attribute — the caller's `id` expression is
+    // unresolvable after the select below
+    val hv = pmod(
+      Portable.hash60(concat(lit(seed), lit("_"), col("doc_id").cast("string"))), lit(1000L))
+    df.select(id.as("doc_id"), source.as("source"))
+      .join(broadcast(plan), col("source") === col("__src"))
+      .withColumn(
+        "n_copies",
+        expr("repeat_x1000 div 1000L") + when(hv < col("repeat_x1000") % 1000, 1L).otherwise(0L))
+      .select(
+        col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+  }
 }

@@ -558,6 +558,40 @@ object TextAnalysis {
         expr("(sum_target_ppm * 1000000L) div greatest(sum_raw_ppm, 1L)"))
   }
 
+  /** Vocabulary coverage curve — for each K, the fraction of all token
+    * OCCURRENCES covered by the K most frequent words: the number that
+    * sizes a tokenizer vocabulary (and explains its OOV rate) before
+    * training one. Output one row per K: (k, vocab_size,
+    * total_occurrences, covered_occurrences, coverage_ppm).
+    *
+    * Scale shape: the corpus collapses to the (token, occ) vocabulary
+    * relation in ONE map-side-combined hash-agg; ranking that relation
+    * uses [[Ranking.globalRank]] (distributed two-phase rank — a
+    * 10⁸-type vocabulary never funnels one reducer), and the coverage
+    * fold is a single aggregate over the ranked vocab with one
+    * conditional sum per K. */
+  def vocabCoverage(docs: DataFrame, text: Column, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
+    val counts = docs
+      .select(explode(tokens(text)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("occ"))
+    val ranked = Ranking.globalRank(counts, -col("occ"), Seq(col("t")))
+    val aggCols =
+      count(lit(1)).as("vocab_size") +:
+        sum(col("occ")).as("total_occurrences") +:
+        ks.map(k => sum(when(col("rank") <= k, col("occ"))).as(s"__cov_$k"))
+    val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val stacked = ks.map(k => s"$k, coalesce(__cov_$k, 0L)").mkString(", ")
+    agg.select(
+      expr(s"stack(${ks.size}, $stacked) AS (k, covered_occurrences)"),
+      col("vocab_size"), col("total_occurrences"))
+      .select(
+        col("k").cast("int").as("k"),
+        col("vocab_size"), col("total_occurrences"), col("covered_occurrences"),
+        expr("(covered_occurrences * 1000000L) div greatest(total_occurrences, 1L)")
+          .as("coverage_ppm"))
+  }
+
   /** Sliding-window document chunking — the context-length splitter
     * that feeds embedding/indexing stages: each document becomes
     * overlapping windows of `chunkTokens` whitespace tokens starting

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Multimodal, Packing, Profile, Relevance, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Multimodal, Packing, Profile, Ranking, Relevance, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -517,7 +517,34 @@ object Documents {
         TextDedup.prefixJaccardPairs(sharedShingles(s, dir), 0.8),
         TextDedup.lshRescoredPairs(
           sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8,
-          precomputedSigs = Some(sharedSigs(s, dir)))))
+          precomputedSigs = Some(sharedSigs(s, dir))))),
+
+    // Vocabulary coverage curve: % of token occurrences covered by the
+    // top-K words — the tokenizer-sizing number. Distributed rank over
+    // the compressed vocab relation, never a one-reducer sort.
+    "q113_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(
+        Tables.documents(s, dir), col("text"), Seq(10, 100, 1000))),
+
+    // CCNet-style head/middle/tail split by corpus-LM score: q76's
+    // bigram-LM doc scores bucketed with the DISTRIBUTED exact ntile
+    // (the single-reducer-free q81 machinery reused on text).
+    "q114_perplexity_buckets" -> ((s, dir) => {
+      val scored = TextAnalysis.bigramLmScore(
+        Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("avg_p_ppm"))
+      Ranking.globalNtile(scored, -col("avg_p_ppm"), Seq(col("doc_id")), buckets = 3)
+        .drop("rank")
+        .withColumn(
+          "bucket",
+          when(col("tile") === 1, "head").when(col("tile") === 2, "middle").otherwise("tail"))
+    }),
+
+    // Realized epochs: materialize q110's repeat plan into the
+    // epoch-expanded training list (⌊repeat⌋ copies each + hash-gated
+    // fractional extras) — map-only explode, plan broadcast back.
+    "q115_realized_epochs" -> ((s, dir) =>
+      Profile.realizeMixture(Tables.documents(s, dir), col("source"), col("doc_id")))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -1995,6 +2022,85 @@ object Documents {
           SELECT tp + fn AS n_truth, tp + fp AS n_candidate, tp, fn, fp,
                  (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm,
                  (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm
-          FROM j"""
+          FROM j""",
+
+    "q113_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+         ),
+         counts AS (SELECT t, CAST(COUNT(1) AS BIGINT) AS occ FROM toks GROUP BY 1),
+         ranked AS (
+           SELECT occ, row_number() OVER (ORDER BY occ DESC, t ASC) AS rnk FROM counts
+         ),
+         tot AS (
+           SELECT CAST(COUNT(1) AS BIGINT) AS vocab_size,
+                  CAST(SUM(occ) AS BIGINT) AS total_occurrences
+           FROM counts
+         ),
+         cov AS (
+           SELECT ks.k,
+                  CAST(coalesce(SUM(CASE WHEN rnk <= ks.k THEN occ END), 0) AS BIGINT) AS covered_occurrences
+           FROM ranked CROSS JOIN (VALUES (10), (100), (1000)) ks(k)
+           GROUP BY 1
+         )
+         SELECT CAST(k AS INT) AS k, vocab_size, total_occurrences, covered_occurrences,
+                (covered_occurrences * 1000000) // greatest(total_occurrences, 1) AS coverage_ppm
+         FROM cov, tot""",
+
+    "q114_perplexity_buckets" ->
+      s"""WITH $wordsCte,
+          t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM words),
+          bg0 AS (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM t
+          ),
+          bg AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+          cb AS (SELECT w1, w2, COUNT(1) AS c2 FROM bg GROUP BY 1, 2),
+          cu AS (SELECT w1, SUM(c2) AS c1 FROM cb GROUP BY 1),
+          pr AS (SELECT w1, w2, (c2 * 1000000) // c1 AS p_ppm FROM cb JOIN cu USING (w1)),
+          scored AS (
+            SELECT bg.doc_id, CAST(SUM(p.p_ppm) AS DOUBLE) / COUNT(1) AS avg_p_ppm
+            FROM bg JOIN pr p USING (w1, w2)
+            GROUP BY bg.doc_id
+          ),
+          b AS (
+            SELECT doc_id, avg_p_ppm,
+                   CAST(ntile(3) OVER (ORDER BY avg_p_ppm DESC, doc_id ASC) AS INT) AS tile
+            FROM scored
+          )
+          SELECT doc_id, avg_p_ppm, tile,
+                 CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+          FROM b""",
+
+    "q115_realized_epochs" ->
+      """WITH c AS (
+           SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+                  CAST(round(sqrt(CAST(COUNT(1) AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+           FROM documents GROUP BY 1
+         ),
+         t AS (
+           SELECT CAST(SUM(n_docs) AS BIGINT) AS tot, CAST(SUM(sq) AS BIGINT) AS sqtot FROM c
+         ),
+         plan AS (
+           SELECT source,
+                  least(8000, greatest(1000,
+                    (((sq * 1000000) // sqtot) * 1000)
+                      // greatest((n_docs * 1000000) // tot, 1))) AS repeat_x1000
+           FROM c, t
+         ),
+         d AS (
+           SELECT doc_id, documents.source, repeat_x1000,
+                  ('0x' || substr(md5('epoch_' || doc_id), 1, 15))::BIGINT % 1000 AS hv
+           FROM documents JOIN plan ON plan.source = documents.source
+         ),
+         n AS (
+           SELECT doc_id, source,
+                  repeat_x1000 // 1000
+                    + CASE WHEN hv < repeat_x1000 % 1000 THEN 1 ELSE 0 END AS n_copies
+           FROM d
+         )
+         SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+         FROM n"""
   )
 }

@@ -347,6 +347,45 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected ≤2 shuffle exchanges, found $shuffles:\n" + s.take(3000))
   }
 
+  test("q107 chunking is map-only: no Exchange, pruned scan") {
+    val df = SparkEntry.queries("q107_chunking")(spark, sf())
+    val s  = planString(df)
+    assert(!s.contains("Exchange"), s.take(2000))
+    assert(s.contains("Generate"), s.take(2000)) // the window-start explode
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("q108 global shuffle: ONE hash exchange on shard, no global sort funnel") {
+    val df = SparkEntry.queries("q108_global_shuffle")(spark, sf())
+    val s  = planString(df)
+    val shuffles = s.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") && !l.contains("Reused"))
+    assert(shuffles === 1, s"expected exactly 1 shuffle:\n" + s.take(3000))
+    assert(!s.contains("Exchange SinglePartition"), s.take(3000))
+    assert(!s.contains("rangepartitioning"), s.take(3000)) // per-shard sort, not a global one
+  }
+
+  test("q111 semantic decontamination: benchmark broadcast, corpus never shuffled before the agg") {
+    val df = SparkEntry.queries("q111_semantic_decontamination")(spark, sf())
+    val s  = planString(df)
+    assert(s.contains("BroadcastExchange"), s.take(3000))
+    assert(!s.contains("SortMergeJoin"), s.take(3000))
+    // the only non-broadcast exchange is the final per-vec_id hash agg
+    val shuffles = s.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") && !l.contains("Reused"))
+    assert(shuffles <= 1, s"corpus must not shuffle before the max-cos agg:\n" + s.take(3000))
+  }
+
+  test("q115 realized epochs: plan broadcast back, expansion is a map-side Generate") {
+    val df = SparkEntry.queries("q115_realized_epochs")(spark, sf())
+    val s  = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+    assert(s.contains("Generate"), s.take(3000))
+    assert(!s.contains("SortMergeJoin"), s.take(3000))
+  }
+
   test("q104 bloom gate: only the bloom-hit sliver reaches the history join; novel rows never join") {
     val df = SparkEntry.queries("q104_bloom_dedup_gate")(spark, sf())
     df.collect()

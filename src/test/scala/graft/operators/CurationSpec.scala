@@ -82,6 +82,40 @@ class CurationSpec extends SparkSpec {
     assert(out("big").getAs[Long]("effective_docs") === 400L)
   }
 
+  test("vocabCoverage: exact coverage at each K on known frequencies") {
+    val s = spark; import s.implicits._
+    // a×3, b×2, c×1 → total 6 occurrences, vocab 3
+    val df = Seq("a a a b", "b c").toDF("text")
+    val out = TextAnalysis.vocabCoverage(df, col("text"), Seq(1, 2, 10))
+      .collect().map(r => r.getAs[Int]("k") -> r).toMap
+    assert(out(1).getAs[Long]("vocab_size") === 3L)
+    assert(out(1).getAs[Long]("total_occurrences") === 6L)
+    assert(out(1).getAs[Long]("covered_occurrences") === 3L) // top-1 = a
+    assert(out(1).getAs[Long]("coverage_ppm") === 500000L)
+    assert(out(2).getAs[Long]("covered_occurrences") === 5L) // a + b
+    assert(out(10).getAs[Long]("coverage_ppm") === 1000000L) // K > vocab covers all
+  }
+
+  test("realizeMixture: floor epochs for all, hash-gated extras, deterministic") {
+    val s = spark; import s.implicits._
+    val df = ((1 to 100).map(i => ("small", i.toLong)) ++ (1 to 400).map(i => ("big", i.toLong + 1000)))
+      .toDF("src", "id")
+    val out = Profile.realizeMixture(df, col("src"), col("id")).collect()
+    val copies = out.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      .map { case (k, rows) => k -> rows.map(_.getAs[Long]("epoch")).sorted.toSeq }
+    // big source: repeat 1.000 → exactly one epoch per doc
+    assert(copies.filter(_._1._1 == "big").forall(_._2 == Seq(1L)))
+    // small source: repeat 1.666 → every doc 1 or 2 epochs, dense from 1
+    val smalls = copies.filter(_._1._1 == "small").values
+    assert(smalls.forall(e => e == Seq(1L) || e == Seq(1L, 2L)))
+    // the hash gate realizes the fractional remainder on SOME but not all
+    assert(smalls.exists(_.size == 2) && smalls.exists(_.size == 1))
+    // deterministic: a second run over a different layout is identical
+    val again = Profile.realizeMixture(df.repartition(7), col("src"), col("id"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"))).sorted.toSeq
+    assert(again === out.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"))).sorted.toSeq)
+  }
+
   test("recallAudit: tp/fn/fp partition and exact ppm ratios") {
     val s = spark; import s.implicits._
     val truth = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L))
