@@ -99,4 +99,37 @@ object Relevance {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(topK)
   }
+
+  /** Hybrid retrieval by reciprocal-rank fusion: combine a lexical
+    * ranked list (`text`: (doc_id, score), e.g. [[bm25]]) with
+    * per-query vector ranked lists (`vec`: (qid, cid, rank), e.g.
+    * [[Similarity.bruteForceTopK]]) into one fused top-k per query.
+    * RRF uses only RANKS — contribution 1/(rrfK + rank) per list,
+    * here in exact integer ppm (1000000 div (rrfK + rank)) so the
+    * fusion is bit-portable; docs present in one list only keep that
+    * list's contribution. The standard way a retrieval pipeline
+    * marries BM25 and embeddings without score calibration.
+    *
+    * Scale shape: fusion touches only the top-k LISTS (k·|queries|
+    * rows) — the corpus-sized work lives upstream in the operators
+    * that produced them. The one unpartitioned window ranks the ≤ k
+    * lexical rows (constant size); everything downstream is
+    * per-query. */
+  def rrfFuse(text: DataFrame, vec: DataFrame, rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    require(rrfK >= 1 && topK >= 1, s"bad rrfK/topK: $rrfK/$topK")
+    val t = text
+      .withColumn("rank_text", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select(col("doc_id"), col("rank_text"))
+    val v = vec.select(col("qid"), col("cid").as("doc_id"), col("rank").as("rank_vec"))
+    val tq = v.select(col("qid")).distinct().crossJoin(t)
+    val w  = Window.partitionBy(col("qid")).orderBy(desc("rrf_ppm"), asc("doc_id"))
+    tq.join(v, Seq("qid", "doc_id"), "full_outer")
+      .withColumn(
+        "rrf_ppm",
+        coalesce(expr(s"1000000L div ($rrfK + rank_text)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($rrfK + rank_vec)"), lit(0L)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("qid"), col("doc_id"), col("rrf_ppm"), col("rk"))
+  }
 }

@@ -65,6 +65,16 @@ object Documents {
       TextDedup.jaccardPairsFromRows(
         sharedShingles(s, dir), 0.8, maxShingleDf = Some(SharedJaccardDfCap)))
 
+  // Exact full-universe Jaccard pairs (PPJoin prefix filter) — the
+  // ground-truth relation consumed by q99 (export) and q112 (audit
+  // truth side). Exactness makes it cost ∝ true-pair mass, so at
+  // scale it is computed once per corpus snapshot (or on a sample)
+  // and read by every auditor — the cache models that lifecycle.
+  private val prefixPairsCache = new DirCached
+  private def sharedPrefixPairs(s: SparkSession, dir: String): DataFrame =
+    prefixPairsCache(s, dir)(
+      TextDedup.prefixJaccardPairs(sharedShingles(s, dir), 0.8))
+
   private val clustersCache = new DirCached
   private def sharedClusters(s: SparkSession, dir: String): DataFrame =
     clustersCache(s, dir)(
@@ -459,8 +469,7 @@ object Documents {
     // Prefix-filtered EXACT Jaccard ≥ 0.8 over the FULL shingle
     // universe — no cap, no LSH recall loss; hot posting lists shrink
     // by rarest-first ordering instead of dropping (PPJoin family).
-    "q99_prefix_jaccard" -> ((s, dir) =>
-      TextDedup.prefixJaccardPairs(sharedShingles(s, dir), 0.8)),
+    "q99_prefix_jaccard" -> ((s, dir) => sharedPrefixPairs(s, dir)),
 
     // PQ encode: the m-codes-per-vector compression artifact (with
     // exact per-subspace quantization error) a 100 TB corpus
@@ -514,7 +523,7 @@ object Documents {
     // sides reuse the shared shingle/signature intermediates.
     "q112_lsh_recall_audit" -> ((s, dir) =>
       TextDedup.recallAudit(
-        TextDedup.prefixJaccardPairs(sharedShingles(s, dir), 0.8),
+        sharedPrefixPairs(s, dir),
         TextDedup.lshRescoredPairs(
           sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8,
           precomputedSigs = Some(sharedSigs(s, dir))))),
@@ -544,7 +553,17 @@ object Documents {
     // epoch-expanded training list (⌊repeat⌋ copies each + hash-gated
     // fractional extras) — map-only explode, plan broadcast back.
     "q115_realized_epochs" -> ((s, dir) =>
-      Profile.realizeMixture(Tables.documents(s, dir), col("source"), col("doc_id")))
+      Profile.realizeMixture(Tables.documents(s, dir), col("source"), col("doc_id"))),
+
+    // Hybrid retrieval: q73's BM25 list fused with q36's per-query
+    // vector lists by reciprocal-rank fusion (integer-ppm RRF — ranks
+    // only, no score calibration). The fixture pairs vec_id 1:1 with
+    // doc_id, so both lists speak the same id space.
+    "q116_hybrid_rrf" -> ((s, dir) =>
+      Relevance.rrfFuse(
+        Relevance.bm25(
+          Tables.documents(s, dir), col("doc_id"), col("text"), Bm25Terms, topK = 20),
+        Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryIds, 10)))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -2101,6 +2120,71 @@ object Documents {
            FROM d
          )
          SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
-         FROM n"""
+         FROM n""",
+
+    // Text side = q73's BM25 CTE chain (top-20); vector side = q36's
+    // cosine top-10 per query; fusion = integer-ppm RRF on ranks.
+    "q116_hybrid_rrf" ->
+      s"""WITH $wordsCte,
+          tok AS (SELECT doc_id, unnest(ws) AS token FROM words),
+          dl AS (SELECT doc_id, COUNT(1) AS dl FROM tok GROUP BY 1),
+          st AS (SELECT COUNT(1) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+          tf AS (
+            SELECT doc_id, token, COUNT(1) AS tf FROM tok
+            WHERE token IN ('spark', 'join', 'window', 'hash', 'filter') GROUP BY 1, 2
+          ),
+          dfr AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY 1),
+          sc AS (
+            SELECT tf.doc_id, tf.token,
+                   ((st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+                     / (tf.tf + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + 0.75 * dl.dl
+                          / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS score_t
+            FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), st
+          ),
+          g AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN token = 'spark' THEN score_t END) AS s0,
+                   SUM(CASE WHEN token = 'join' THEN score_t END) AS s1,
+                   SUM(CASE WHEN token = 'window' THEN score_t END) AS s2,
+                   SUM(CASE WHEN token = 'hash' THEN score_t END) AS s3,
+                   SUM(CASE WHEN token = 'filter' THEN score_t END) AS s4
+            FROM sc GROUP BY doc_id
+          ),
+          text20 AS (
+            SELECT doc_id,
+                   COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0)
+                     + COALESCE(s3, 0.0) + COALESCE(s4, 0.0) AS score
+            FROM g ORDER BY score DESC, doc_id LIMIT 20
+          ),
+          textr AS (
+            SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_text
+            FROM text20
+          ),
+          $quantCte,
+          q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id IN (0,1,2,3,4)),
+          vscored AS (
+            SELECT q.qid, c.vec_id AS cid,
+                   ${cosSql("q.qv", "c.v", "q.qn2", "c.n2")} AS cosine
+            FROM en c, q WHERE c.vec_id <> q.qid
+          ),
+          vecr AS (
+            SELECT qid, cid AS doc_id, rk AS rank_vec FROM (
+              SELECT qid, cid, cosine,
+                     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM vscored) WHERE rk <= 10
+          ),
+          tq AS (SELECT qs.qid, textr.doc_id, textr.rank_text
+                 FROM (SELECT DISTINCT qid FROM vecr) qs, textr),
+          f AS (
+            SELECT COALESCE(tq.qid, v.qid) AS qid,
+                   COALESCE(tq.doc_id, v.doc_id) AS doc_id,
+                   CAST(COALESCE(1000000 // (60 + tq.rank_text), 0)
+                     + COALESCE(1000000 // (60 + v.rank_vec), 0) AS BIGINT) AS rrf_ppm
+            FROM tq FULL OUTER JOIN vecr v ON tq.qid = v.qid AND tq.doc_id = v.doc_id
+          )
+          SELECT qid, doc_id, rrf_ppm, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_ppm DESC, doc_id ASC) AS rk
+            FROM f) WHERE rk <= 10"""
   )
 }

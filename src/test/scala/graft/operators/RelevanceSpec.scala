@@ -147,4 +147,19 @@ class RelevanceSpec extends SparkSpec {
     assert(byLabel(0).find(_._3 == 1).get._2 === 9L)
     assert(byLabel(1).size === 2) // labels smaller than k emit all members
   }
+
+  test("rrfFuse: exact ppm contributions, single-list docs survive, fused order") {
+    val s = spark; import s.implicits._
+    val text = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("doc_id", "score")
+    val vec  = Seq((0L, 2L, 1), (0L, 9L, 2)).toDF("qid", "cid", "rank")
+    val out = Relevance.rrfFuse(text, vec, rrfK = 60, topK = 10)
+      .orderBy("rk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_ppm"), r.getAs[Long]("rk")))
+    // doc2: both lists → 1e6 div 62 + 1e6 div 61 = 16129 + 16393
+    assert(out(0) === ((2L, 32522L, 1L)))
+    // doc1 text-only rank 1, doc9 vec-only rank 2, doc3 text-only rank 3
+    assert(out(1) === ((1L, 16393L, 2L)))
+    assert(out(2) === ((9L, 16129L, 3L)))
+    assert(out(3) === ((3L, 15873L, 4L)))
+  }
 }
