@@ -309,4 +309,79 @@ object Indicators {
         count(when(col("__gap") > bucketSeconds, 1)).as("n_gaps"),
         max(col("__gap")).as("max_gap_seconds"))
   }
+
+  /** Per-symbol risk summary over a daily-change relation: annualized
+    * Sharpe ratio and beta against the MARKET COMPOSITE — defined as
+    * the day's SUM of quantized per-symbol changes (an equal-dollar
+    * composite index). Sum, not mean, deliberately: the mean would put
+    * a per-day integer DIVISION inside the aggregation (floor error ×
+    * engine-specific rounding), while beta against the sum is the same
+    * economic quantity up to the constituent-count factor and keeps
+    * every aggregated term an exact integer. Only the final
+    * closed-form ratios are double — single correctly-rounded IEEE ops
+    * from identical integers, bit-stable across partitionings and the
+    * oracle ([[correlationMatrix]]'s contract).
+    *
+    * Scale shape: input is the pre-aggregated (symbol, day) relation;
+    * one |days|-row composite aggregate joined back (broadcast-shaped
+    * under AQE — days ≪ rows), one hash-agg to |symbols| rows.
+    * Sharpe is null when n < 2 or the variance is 0; beta null when
+    * the market variance is 0. */
+  def riskStats(
+      daily: DataFrame,
+      key: Column,
+      change: Column,
+      scale: Long = 100L,
+      annualization: Int = 252): DataFrame = {
+    val s = daily.select(col("symbol"), key.as("__k"), round(change * scale).cast("long").as("__x"))
+    val mkt = s.groupBy(col("__k")).agg(sum(col("__x")).as("__m"))
+    def dec(c: Column)  = c.cast(DecimalType(38, 0))
+    def isum(c: Column) = sum(c).cast("double")
+    val agg = s
+      .join(mkt, Seq("__k"))
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        isum(dec(col("__x"))).as("sx"),
+        isum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
+        isum(dec(col("__m"))).as("sm"),
+        isum(dec(col("__m")) * dec(col("__m"))).as("smm"),
+        isum(dec(col("__x")) * dec(col("__m"))).as("sxm"))
+    val n    = col("n_days")
+    val varX = n * col("sxx") - col("sx") * col("sx") // n²·(n−1)/n · sample var
+    val varM = n * col("smm") - col("sm") * col("sm")
+    agg.select(
+      col("symbol"),
+      n,
+      (col("sx") / scale / n).as("mean_change"),
+      when(n >= 2 && varX > 0, sqrt(varX / (n * (n - 1))) / scale).as("vol"),
+      when(n >= 2 && varX > 0,
+        (col("sx") / n) / sqrt(varX / (n * (n - 1))) * sqrt(lit(annualization.toDouble)))
+        .as("sharpe_ann"),
+      when(varM > 0, (n * col("sxm") - col("sx") * col("sm")) / varM).as("beta"))
+  }
+
+  /** Donchian channels over a candle relation: rolling `n`-bucket
+    * highest high / lowest low (current bucket inclusive), the channel
+    * midpoint, and breakout flags against the PREVIOUS bucket's
+    * channel (close beyond yesterday's band — the classic turtle
+    * entry; comparing against the current channel would be vacuous,
+    * the close can never exceed a max that includes its own bucket).
+    *
+    * Exactness: rolling max/min and lag move values UNCHANGED (no
+    * accumulation), the midpoint is one double add + halve — nothing
+    * to quantize. Scale: both frames share one (symbol, order) sort —
+    * a single window exchange; per-symbol sequential semantics are
+    * inherent (the [[emaMacd]] contract note applies). */
+  def withDonchian(candles: DataFrame, n: Int, order: Column): DataFrame = {
+    require(n >= 1, s"channel length must be positive (got $n)")
+    val wRoll = Window.partitionBy(col("symbol")).orderBy(order.asc).rowsBetween(-(n - 1), 0)
+    val wLag  = Window.partitionBy(col("symbol")).orderBy(order.asc)
+    candles
+      .withColumn("dc_high", max(col("high")).over(wRoll))
+      .withColumn("dc_low", min(col("low")).over(wRoll))
+      .withColumn("dc_mid", (col("dc_high") + col("dc_low")) / 2)
+      .withColumn("breakout_up", col("close") > lag(col("dc_high"), 1).over(wLag))
+      .withColumn("breakout_down", col("close") < lag(col("dc_low"), 1).over(wLag))
+  }
 }

@@ -515,4 +515,103 @@ object Similarity {
       .agg(max(cosine(Portable.dotQ(col("v"), col("bv")), col("n2"), col("bn2"))).as("max_benchmark_cos"))
       .withColumn("contaminated", col("max_benchmark_cos") >= threshold)
   }
+
+  /** Hard-negative mining for contrastive training: for each query,
+    * the top-k most-similar vectors whose LABEL DIFFERS — the
+    * highest-value negatives (closest to the decision boundary), the
+    * relation a retriever-training pipeline joins positives against.
+    * Same scale shape as [[bruteForceTopK]]: the query set broadcasts,
+    * the corpus never shuffles, per-query rank is a WindowGroupLimit
+    * top-k (never a global sort). Exact integer dot products
+    * ([[Portable.quantize]]); ties broken by candidate id. */
+  def hardNegatives(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = embs
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(
+        col("vec_id").as("qid"),
+        col("label").as("__ql"),
+        Portable.quantize(col("embedding")).as("qv"))
+      .withColumn("qn2", normQ(col("qv")))
+    val c = embs
+      .select(col("vec_id").as("cid"), col("label").as("neg_label"), Portable.quantize(col("embedding")).as("cv"))
+      .withColumn("cn2", normQ(col("cv")))
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("cid") && !(col("neg_label") <=> col("__ql")))
+      .withColumn("cosine", cosine(Portable.dotQ(col("qv"), col("cv")), col("qn2"), col("cn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("neg_label"), col("cosine"), col("rank"))
+  }
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98)
+    * diversified re-ranking: from each query's cosine top-`poolSize`
+    * candidates, greedily select `k` maximizing
+    * `0.5·rel(q,c) − 0.5·max_{s∈selected} sim(c,s)` — relevance traded
+    * against redundancy, the standard diversity pass between retrieval
+    * and a RAG context window. λ is FIXED at 0.5: multiplying by 0.5
+    * is exact binary halving, so the score is two exact halvings and
+    * one subtraction of doubles derived from exact integer dots —
+    * bit-identical in any engine, which keeps the greedy argmax (ties
+    * by candidate id) deterministic and oracle-checkable.
+    *
+    * Scale shape: the corpus is touched ONLY by the broadcast top-k
+    * scan ([[bruteForceTopK]]'s plan — swap in [[lshTopK]]/[[ivfTopK]]
+    * at scale); the greedy loop runs per query over `poolSize` rows
+    * inside one `flatMapGroups` — state is poolSize vectors, O(k·pool)
+    * exact integer dots, never a shuffle of anything corpus-sized. */
+  def mmrTopK(embs: DataFrame, queryIds: Seq[Long], poolSize: Int, k: Int): DataFrame = {
+    require(poolSize >= k && k >= 1, s"need poolSize >= k >= 1 (got pool=$poolSize, k=$k)")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(embs, queryIds, poolSize)
+      .join(embs.select(col("vec_id").as("cid"), Portable.quantize(col("embedding")).as("cv")), Seq("cid"))
+      .select(col("qid"), col("cid"), col("cosine"), col("cv"))
+      .as[(Long, Long, Double, Array[Long])]
+    cands
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val pool = it.toArray.sortBy(t => (-t._3, t._2)) // rel desc, cid asc
+        val n2   = pool.map(t => dotL(t._4, t._4))
+        def sim(i: Int, j: Int): Double = {
+          val d = dotL(pool(i)._4, pool(j)._4)
+          if (n2(i) > 0L && n2(j) > 0L)
+            d.toDouble / (math.sqrt(n2(i).toDouble) * math.sqrt(n2(j).toDouble))
+          else 0.0
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out      = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Int)]
+        while (selected.size < math.min(k, pool.length)) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < pool.length) {
+            if (!selected.contains(i)) {
+              var pen = 0.0
+              selected.foreach { s => val v = sim(i, s); if (v > pen) pen = v }
+              val score = 0.5 * pool(i)._3 - 0.5 * pen
+              // strict > with cid-ascending scan order = ties keep the
+              // smallest cid (pool is sorted rel desc, cid asc, and
+              // equal scores from equal (rel, pen) pairs scan in order)
+              if (score > bestScore) { bestScore = score; bestIdx = i }
+            }
+            i += 1
+          }
+          selected += bestIdx
+          out += ((qid, pool(bestIdx)._2, pool(bestIdx)._3, bestScore, selected.size))
+        }
+        out.iterator
+      }
+      .toDF("qid", "cid", "cosine", "mmr_score", "sel_rank")
+  }
+
+  /** Exact int64 dot product of two quantized vectors (driver/executor
+    * local twin of [[Portable.dotQ]]). */
+  private def dotL(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
 }

@@ -629,4 +629,45 @@ object TextAnalysis {
         concat_ws(" ", col("__chunk")).as("chunk_text"),
         md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
   }
+
+  /** Per-document character statistics via the one-pass codegen'd
+    * [[graft.functions.CharSimpson]] expression: total / distinct code
+    * points and the character collision probability in exact integer
+    * ppm. Map-only — the per-char explode the naive formulation needs
+    * (one shuffled row per CHARACTER of the corpus) never exists. */
+  def charStats(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs
+      .select(id.as("doc_id"), graft.functions.CharSimpson(text).as("__cs"))
+      .select(
+        col("doc_id"),
+        col("__cs.n_chars").as("n_chars"),
+        col("__cs.distinct_chars").as("distinct_chars"),
+        col("__cs.char_coll_ppm").as("char_coll_ppm"))
+
+  /** Truncation-loss accounting: what a `maxLen`-token context window
+    * costs per source, BEFORE packing/chunking is chosen — the number
+    * a curriculum designer reads to pick between truncate / chunk /
+    * pack ([[chunkDocuments]], [[Packing]]). Per source:
+    * docs, total whitespace tokens, docs longer than `maxLen`, tokens
+    * lost to truncation, and the exact-integer loss rate in ppm
+    * (`lost·10⁶ div total`).
+    *
+    * Scale shape: token counts are map-only (`size(split(..))`, no
+    * explode), then ONE hash-agg on the low-cardinality source key
+    * with map-side partials — the whole corpus reduces to |sources|
+    * rows. */
+  def truncationLoss(docs: DataFrame, source: Column, text: Column, maxLen: Int): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive (got $maxLen)")
+    docs
+      .select(source.as("source"), size(tokens(text)).cast("long").as("__nt"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        sum(when(col("__nt") > maxLen, 1L).otherwise(0L)).as("truncated_docs"),
+        sum(greatest(col("__nt") - maxLen, lit(0L))).as("lost_tokens"))
+      .withColumn(
+        "lost_ppm",
+        when(col("total_tokens") > 0, expr("(lost_tokens * 1000000) div total_tokens")))
+  }
 }

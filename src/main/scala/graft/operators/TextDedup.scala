@@ -966,4 +966,63 @@ object TextDedup {
         expr("(tp * 1000000L) div greatest(tp + fn, 1L)").as("recall_ppm"),
         expr("(tp * 1000000L) div greatest(tp + fp, 1L)").as("precision_ppm"))
   }
+
+  /** Token-yield accounting for exact dedup — "what does dedup save,
+    * per source": total docs/tokens vs the docs/tokens that survive
+    * keep-minimum exact dedup (keeper = min doc_id per fingerprint
+    * group, the [[exactDupGroups]] contract), and the duplicated-token
+    * rate in exact integer ppm. The keeper is assigned GLOBALLY (a
+    * cross-source duplicate is kept in exactly one source), then the
+    * rollup attributes each doc to its own source — so the per-source
+    * rows sum to the corpus totals with no double counting.
+    *
+    * Scale shape: token counts are map-only; keeper assignment is one
+    * window-min over the fingerprint exchange (no separate groups
+    * relation to join back); the final hash-agg reduces to |sources|
+    * rows with map-side partials. */
+  def dedupTokenYield(docs: DataFrame, id: Column, key: Column, source: Column, text: Column): DataFrame = {
+    val w = Window.partitionBy(col("__fp"))
+    docs
+      .select(
+        id.as("doc_id"),
+        key.as("__fp"),
+        source.as("source"),
+        size(TextAnalysis.tokens(text)).cast("long").as("__nt"))
+      .withColumn("__keeper", min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        sum(when(col("doc_id") === col("__keeper"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("doc_id") === col("__keeper"), col("__nt")).otherwise(lit(0L))).as("kept_tokens"))
+      .withColumn(
+        "dup_token_ppm",
+        when(col("total_tokens") > 0,
+          expr("((total_tokens - kept_tokens) * 1000000) div total_tokens")))
+  }
+
+  /** Epoch-rotated exact-dedup keepers: one representative per
+    * fingerprint group, chosen by a SEEDED deterministic hash of the
+    * group key — so successive epochs (seeds) rotate through the
+    * copies instead of always training on the same one, while each
+    * epoch still sees exactly one doc per duplicate group. The
+    * complement of [[graft.operators.Profile.withSplit]]-style
+    * hash-gating: the unit of sampling is the GROUP, not the row.
+    * (Quality-ranked selection is [[dedupVerdicts]]' sibling
+    * `canonicalKeepers`; this one is uniform-rotating by design.)
+    *
+    * pick = hash60(fp‖seed) mod group_size (0-based rank in doc_id
+    * order) — 60-bit positive hash, so Spark `pmod` and DuckDB `%`
+    * agree. One fingerprint exchange carries the window rank, count
+    * and pick; no second shuffle, no join. */
+  def epochKeepers(docs: DataFrame, id: Column, key: Column, seed: String): DataFrame = {
+    val wFp = Window.partitionBy(col("fp"))
+    docs
+      .select(id.as("doc_id"), key.as("fp"))
+      .withColumn("group_size", count(lit(1)).over(wFp))
+      .withColumn("__rn", row_number().over(wFp.orderBy(col("doc_id"))))
+      .withColumn("__pick", pmod(Portable.hash60(concat(col("fp"), lit(seed))), col("group_size")) + 1)
+      .filter(col("__rn") === col("__pick"))
+      .select(col("doc_id"), col("fp"), col("group_size"))
+  }
 }

@@ -563,7 +563,47 @@ object Documents {
       Relevance.rrfFuse(
         Relevance.bm25(
           Tables.documents(s, dir), col("doc_id"), col("text"), Bm25Terms, topK = 20),
-        Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryIds, 10)))
+        Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryIds, 10))),
+
+    // Per-doc character statistics via the one-pass codegen'd
+    // CharSimpson expression — map-only; the per-character explode
+    // only the ORACLE runs would be a corpus-of-chars shuffle.
+    "q117_char_stats" -> ((s, dir) =>
+      TextAnalysis.charStats(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // What a 64-token context window costs per source — map-only token
+    // counts, one hash-agg to |sources| rows.
+    "q118_truncation_loss" -> ((s, dir) =>
+      TextAnalysis.truncationLoss(
+        Tables.documents(s, dir), col("source"), col("text"), maxLen = 64)),
+
+    // Token savings of exact dedup per source: global keep-min keeper
+    // assignment (one fp window), per-source rollup.
+    "q119_dedup_token_yield" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.dedupTokenYield(
+        d, col("doc_id"), TextAnalysis.fingerprint(col("text")), col("source"), col("text"))
+    }),
+
+    // Hard negatives for contrastive training: top-10 most-similar
+    // DIFFERENT-label vectors per query; corpus never shuffles.
+    "q120_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), QueryIds, 10)
+        .withColumnRenamed("rank", "rk")),
+
+    // Epoch-rotated exact-dedup keepers: seeded hash of the GROUP key
+    // picks which copy trains this epoch — one per group, rotating.
+    "q121_epoch_keepers" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.epochKeepers(
+        d, col("doc_id"), TextAnalysis.fingerprint(col("text")), seed = "epoch0")
+    }),
+
+    // MMR diversity re-rank of the cosine top-10 pool down to 5 — the
+    // greedy loop touches poolSize rows per query; corpus only sees
+    // the broadcast top-k scan.
+    "q124_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrTopK(Tables.embeddings(s, dir), QueryIds, poolSize = 10, k = 5))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
@@ -2185,6 +2225,191 @@ object Documents {
           )
           SELECT qid, doc_id, rrf_ppm, CAST(rk AS BIGINT) AS rk FROM (
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_ppm DESC, doc_id ASC) AS rk
-            FROM f) WHERE rk <= 10"""
+            FROM f) WHERE rk <= 10""",
+
+    "q117_char_stats" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM documents WHERE length(text) > 0
+         ),
+         cc AS (SELECT doc_id, c, CAST(COUNT(1) AS BIGINT) AS k FROM ch GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id,
+                  CAST(SUM(k) AS BIGINT) AS n_chars,
+                  CAST(COUNT(1) AS INT) AS distinct_chars,
+                  SUM(k * (k - 1)) AS coll
+           FROM cc GROUP BY 1
+         )
+         SELECT d.doc_id,
+                CAST(COALESCE(a.n_chars, 0) AS BIGINT) AS n_chars,
+                CAST(COALESCE(a.distinct_chars, 0) AS INT) AS distinct_chars,
+                CASE WHEN a.n_chars >= 2
+                     THEN CAST((a.coll * 1000000) // (a.n_chars * (a.n_chars - 1)) AS BIGINT)
+                END AS char_coll_ppm
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    "q118_truncation_loss" ->
+      """WITH t AS (
+           SELECT source,
+                  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents
+         )
+         SELECT source,
+                CAST(COUNT(1) AS BIGINT) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                CAST(SUM(CASE WHEN nt > 64 THEN 1 ELSE 0 END) AS BIGINT) AS truncated_docs,
+                CAST(SUM(CASE WHEN nt > 64 THEN nt - 64 ELSE 0 END) AS BIGINT) AS lost_tokens,
+                CASE WHEN SUM(nt) > 0
+                     THEN CAST((SUM(CASE WHEN nt > 64 THEN nt - 64 ELSE 0 END) * 1000000)
+                               // SUM(nt) AS BIGINT)
+                END AS lost_ppm
+         FROM t GROUP BY source""",
+
+    "q119_dedup_token_yield" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp,
+                  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents
+         ),
+         k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM b)
+         SELECT source,
+                CAST(COUNT(1) AS BIGINT) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+                CAST(SUM(CASE WHEN doc_id = keeper THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+                CASE WHEN SUM(nt) > 0
+                     THEN CAST(((SUM(nt) - SUM(CASE WHEN doc_id = keeper THEN nt ELSE 0 END)) * 1000000)
+                               // SUM(nt) AS BIGINT)
+                END AS dup_token_ppm
+         FROM k GROUP BY source""",
+
+    "q120_hard_negatives" ->
+      s"""WITH $quantCte,
+          el AS (SELECT en.vec_id, v, n2, label FROM en JOIN embeddings USING (vec_id)),
+          q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, label AS ql
+                FROM el WHERE vec_id IN (0,1,2,3,4)),
+          scored AS (
+            SELECT q.qid, c.vec_id AS cid, c.label AS neg_label,
+                   ${cosSql("q.qv", "c.v", "q.qn2", "c.n2")} AS cosine
+            FROM el c, q
+            WHERE c.vec_id <> q.qid AND c.label IS DISTINCT FROM q.ql
+          ),
+          r AS (SELECT qid, cid, neg_label, cosine,
+                       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+                FROM scored)
+          SELECT qid, cid, neg_label, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""",
+
+    "q121_epoch_keepers" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+           FROM documents
+         ),
+         g AS (
+           SELECT doc_id, fp,
+                  CAST(COUNT(1) OVER (PARTITION BY fp) AS BIGINT) AS group_size,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM b
+         )
+         SELECT doc_id, fp, group_size FROM g
+         WHERE rn = ('0x' || substr(md5(fp || 'epoch0'), 1, 15))::BIGINT % group_size + 1""",
+
+    // Greedy MMR unrolled to k=5 selection stages: sN = argmax of
+    // 0.5·rel − 0.5·max(0, sim to s1..s_{N−1}), ties (score, rel desc,
+    // cid asc) — exactly the operator's scan order. All sims/rels are
+    // doubles from exact integer dots; ×0.5 is exact halving.
+    "q124_mmr_rerank" ->
+      s"""WITH $quantCte,
+          q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id IN (0,1,2,3,4)),
+          sc AS (
+            SELECT q.qid, c.vec_id AS cid, c.v AS cv, c.n2 AS cn2,
+                   ${cosSql("q.qv", "c.v", "q.qn2", "c.n2")} AS rel
+            FROM en c, q WHERE c.vec_id <> q.qid
+          ),
+          cand AS (
+            SELECT qid, cid, cv, cn2, rel FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+              FROM sc)
+            WHERE rn <= 10
+          ),
+          ps AS (
+            SELECT a.qid, a.cid AS ca, b.cid AS cb,
+                   greatest(0.0, ${cosSql("a.cv", "b.cv", "a.cn2", "b.cn2")}) AS sim
+            FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+          ),
+          s1 AS (
+            SELECT qid, cid, rel, 0.5*rel - 0.5*0.0 AS score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+              FROM cand)
+            WHERE rn = 1
+          ),
+          r2 AS (
+            SELECT c.qid, c.cid, c.rel, 0.5*c.rel - 0.5*p1.sim AS score
+            FROM cand c
+            JOIN s1 ON s1.qid = c.qid AND c.cid <> s1.cid
+            JOIN ps p1 ON p1.qid = c.qid AND p1.ca = c.cid AND p1.cb = s1.cid
+          ),
+          s2 AS (
+            SELECT qid, cid, rel, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, rel DESC, cid ASC) AS rn
+              FROM r2)
+            WHERE rn = 1
+          ),
+          r3 AS (
+            SELECT c.qid, c.cid, c.rel, 0.5*c.rel - 0.5*greatest(p1.sim, p2.sim) AS score
+            FROM cand c
+            JOIN s1 ON s1.qid = c.qid AND c.cid <> s1.cid
+            JOIN s2 ON s2.qid = c.qid AND c.cid <> s2.cid
+            JOIN ps p1 ON p1.qid = c.qid AND p1.ca = c.cid AND p1.cb = s1.cid
+            JOIN ps p2 ON p2.qid = c.qid AND p2.ca = c.cid AND p2.cb = s2.cid
+          ),
+          s3 AS (
+            SELECT qid, cid, rel, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, rel DESC, cid ASC) AS rn
+              FROM r3)
+            WHERE rn = 1
+          ),
+          r4 AS (
+            SELECT c.qid, c.cid, c.rel,
+                   0.5*c.rel - 0.5*greatest(p1.sim, p2.sim, p3.sim) AS score
+            FROM cand c
+            JOIN s1 ON s1.qid = c.qid AND c.cid <> s1.cid
+            JOIN s2 ON s2.qid = c.qid AND c.cid <> s2.cid
+            JOIN s3 ON s3.qid = c.qid AND c.cid <> s3.cid
+            JOIN ps p1 ON p1.qid = c.qid AND p1.ca = c.cid AND p1.cb = s1.cid
+            JOIN ps p2 ON p2.qid = c.qid AND p2.ca = c.cid AND p2.cb = s2.cid
+            JOIN ps p3 ON p3.qid = c.qid AND p3.ca = c.cid AND p3.cb = s3.cid
+          ),
+          s4 AS (
+            SELECT qid, cid, rel, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, rel DESC, cid ASC) AS rn
+              FROM r4)
+            WHERE rn = 1
+          ),
+          r5 AS (
+            SELECT c.qid, c.cid, c.rel,
+                   0.5*c.rel - 0.5*greatest(p1.sim, p2.sim, p3.sim, p4.sim) AS score
+            FROM cand c
+            JOIN s1 ON s1.qid = c.qid AND c.cid <> s1.cid
+            JOIN s2 ON s2.qid = c.qid AND c.cid <> s2.cid
+            JOIN s3 ON s3.qid = c.qid AND c.cid <> s3.cid
+            JOIN s4 ON s4.qid = c.qid AND c.cid <> s4.cid
+            JOIN ps p1 ON p1.qid = c.qid AND p1.ca = c.cid AND p1.cb = s1.cid
+            JOIN ps p2 ON p2.qid = c.qid AND p2.ca = c.cid AND p2.cb = s2.cid
+            JOIN ps p3 ON p3.qid = c.qid AND p3.ca = c.cid AND p3.cb = s3.cid
+            JOIN ps p4 ON p4.qid = c.qid AND p4.ca = c.cid AND p4.cb = s4.cid
+          ),
+          s5 AS (
+            SELECT qid, cid, rel, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, rel DESC, cid ASC) AS rn
+              FROM r5)
+            WHERE rn = 1
+          )
+          SELECT qid, cid, rel AS cosine, score AS mmr_score, CAST(1 AS INT) AS sel_rank FROM s1
+          UNION ALL SELECT qid, cid, rel, score, CAST(2 AS INT) FROM s2
+          UNION ALL SELECT qid, cid, rel, score, CAST(3 AS INT) FROM s3
+          UNION ALL SELECT qid, cid, rel, score, CAST(4 AS INT) FROM s4
+          UNION ALL SELECT qid, cid, rel, score, CAST(5 AS INT) FROM s5"""
   )
 }

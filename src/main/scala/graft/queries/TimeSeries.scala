@@ -440,7 +440,22 @@ object TimeSeries {
         col("event_id"),
         Layout.zValue(Seq(
           pmod(col("user_id"), lit(65536L)),
-          Layout.dimBucket(col("value"), 25.0, 20L)), bits = 16).as("z")))
+          Layout.dimBucket(col("value"), 25.0, 20L)), bits = 16).as("z"))),
+
+    // Annualized Sharpe + beta vs the day's equal-dollar composite —
+    // exact integer moments end-to-end (correlationMatrix's numeric
+    // contract), one |days|-row composite join, one |symbols|-row agg.
+    "q122_risk_stats" -> ((s, dir) =>
+      Indicators.riskStats(sharedDaily(s, dir), col("trade_date"), col("price_change"))),
+
+    // Donchian channels + turtle breakout flags on hourly candles: two
+    // frames over ONE (symbol, time) sort, values move unchanged.
+    "q123_donchian" -> ((s, dir) =>
+      Indicators.withDonchian(hourlyCandles(s, dir), 20, col("bucket_start"))
+        .select(
+          col("symbol"), col("bucket_start"), col("close"),
+          col("dc_high"), col("dc_low"), col("dc_mid"),
+          col("breakout_up"), col("breakout_down")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -882,6 +897,51 @@ object TimeSeries {
          bits AS (SELECT unnest(generate_series(0, 15)) AS i)
          SELECT event_id,
                 CAST(SUM((((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i + 1))) AS BIGINT) AS z
-         FROM d, bits GROUP BY 1"""
+         FROM d, bits GROUP BY 1""",
+
+    "q122_risk_stats" -> (dailyStatsSql +
+      """, x AS (
+           SELECT symbol, trade_date, CAST(round(price_change * 100) AS BIGINT) AS x FROM daily
+         ),
+         m AS (SELECT trade_date, CAST(SUM(x) AS BIGINT) AS mv FROM x GROUP BY 1),
+         g AS (
+           SELECT symbol, COUNT(1) AS n,
+                  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(mv AS DECIMAL(38,0))) AS DOUBLE) AS sm,
+                  CAST(SUM(CAST(mv AS DECIMAL(38,0)) * CAST(mv AS DECIMAL(38,0))) AS DOUBLE) AS smm,
+                  CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(mv AS DECIMAL(38,0))) AS DOUBLE) AS sxm
+           FROM x JOIN m USING (trade_date) GROUP BY symbol
+         )
+         SELECT symbol,
+                CAST(n AS BIGINT) AS n_days,
+                sx / 100 / n AS mean_change,
+                CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+                     THEN sqrt((n*sxx - sx*sx) / (n*(n-1))) / 100 END AS vol,
+                CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+                     THEN (sx/n) / sqrt((n*sxx - sx*sx) / (n*(n-1))) * sqrt(252) END AS sharpe_ann,
+                CASE WHEN n*smm - sm*sm > 0
+                     THEN (n*sxm - sx*sm) / (n*smm - sm*sm) END AS beta
+         FROM g"""),
+
+    "q123_donchian" -> (hourlyCandlesSql +
+      """, w AS (
+           SELECT symbol, bucket_start, close,
+                  MAX(high) OVER f AS dc_high,
+                  MIN(low) OVER f AS dc_low
+           FROM candles
+           WINDOW f AS (PARTITION BY symbol ORDER BY bucket_start
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         ),
+         l AS (
+           SELECT *,
+                  lag(dc_high) OVER (PARTITION BY symbol ORDER BY bucket_start) AS ph,
+                  lag(dc_low) OVER (PARTITION BY symbol ORDER BY bucket_start) AS pl
+           FROM w
+         )
+         SELECT symbol, bucket_start, close, dc_high, dc_low,
+                (dc_high + dc_low) / 2 AS dc_mid,
+                close > ph AS breakout_up, close < pl AS breakout_down
+         FROM l""")
   )
 }

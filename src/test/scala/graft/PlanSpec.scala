@@ -402,4 +402,53 @@ class PlanSpec extends SparkSpec {
         s"history join not gated by the bloom filter:\n$subtree")
     }
   }
+
+  test("q117 char stats: map-only — no Exchange, scan pruned to (doc_id, text)") {
+    val df = SparkEntry.queries("q117_char_stats")(spark, sf())
+    val s  = planString(df)
+    assert(!s.contains("Exchange"), "char stats must not shuffle — the explode form would:\n" + s.take(2000))
+    val scanLine = s.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scanLine.contains("doc_id") && !scanLine.contains("lang"), scanLine)
+  }
+
+  test("q119 dedup token yield: one fingerprint exchange feeds window AND rollup (no second corpus shuffle)") {
+    val df = SparkEntry.queries("q119_dedup_token_yield")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    // exactly one exchange of the doc relation (on fp) plus the final
+    // |sources|-row agg exchange — nothing else (count only the final
+    // plan; AQE's toString repeats the initial plan below it)
+    val finalPlan = s.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges (fp window + source agg), got $exchanges:\n${s.take(3000)}")
+  }
+
+  test("q120 hard negatives: query side broadcast, rank is WindowGroupLimit, corpus never shuffles pre-join") {
+    val df = SparkEntry.queries("q120_hard_negatives")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(s.contains("WindowGroupLimit"), "top-k must prune before the full sort:\n" + s.take(2000))
+    assert(!s.contains("SortMergeJoin"), s.take(2000))
+  }
+
+  test("q122 risk stats: composite joined broadcast-shaped; both aggs have map-side partials") {
+    val df = SparkEntry.queries("q122_risk_stats")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("partial_sum"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
+  test("q123 donchian: both window frames share ONE sort — a single exchange on symbol") {
+    val df = SparkEntry.queries("q123_donchian")(spark, sf())
+    val s  = planString(df)
+    // rolling extrema + lag must ride the same (symbol, bucket_start)
+    // sort: one hashpartitioning(symbol) exchange for the window stage
+    // (upstream candle agg has its own); never a global single-partition
+    // window
+    assert(!s.contains("SinglePartition"), "unpartitioned window leaked in:\n" + s.take(2000))
+    val windowSorts = "Sort \\[symbol".r.findAllIn(s).size
+    assert(windowSorts <= 1, s"window frames did not share a sort:\n${s.take(3000)}")
+  }
 }
