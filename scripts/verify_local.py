@@ -55,6 +55,33 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1
             continue
+        # The driver hashes pandas values, where dtype matters: a DuckDB
+        # HUGEINT (uncast SUM of BIGINTs) converts to float64 while Spark
+        # writes int64 — identical values, different hashes (bit us in
+        # round 3: q97/q98). Compare numeric KIND per column so that
+        # divergence fails loudly here too. Datetime flavors (tz-aware vs
+        # naive) are normalized away — the driver accepts both.
+        def kind(dt):
+            s = str(dt)
+            if s.startswith("datetime64"):
+                return "datetime"
+            return dt.kind  # i/u=int f=float b=bool O=object
+        try:
+            gdf = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            edf = con.execute(sql).df()
+            bad = [c for c in gdf.columns
+                   if kind(gdf[c].dtype) != kind(edf[c].dtype)]
+            if bad:
+                print(f"FAIL {name}: dtype kind mismatch on {bad}: "
+                      f"got {[str(gdf[c].dtype) for c in bad]} vs "
+                      f"exp {[str(edf[c].dtype) for c in bad]}")
+                n_fail += 1
+                continue
+        except Exception as e:
+            print(f"FAIL {name}: dtype check exception {e}")
+            n_fail += 1
+            continue
         gk, ek = rows_key(got_rows, got_cols), rows_key(exp_rows, exp_cols)
         if len(gk) != len(ek):
             print(f"FAIL {name}: rowcount {len(gk)} != {len(ek)}")

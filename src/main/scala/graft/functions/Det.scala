@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
 
 /** Deterministic (order-independent) numeric aggregation helpers.
   *
@@ -55,4 +55,14 @@ object Det {
   /** Unix epoch seconds (floored), matching DuckDB
     * `CAST(floor(epoch(ts)) AS BIGINT)`. Spark's unix_timestamp floors. */
   def epochSec(ts: Column): Column = unix_timestamp(ts)
+
+  /** Exact epoch microseconds, tolerant of BOTH `TIMESTAMP` and
+    * `TIMESTAMP_NTZ` inputs. `unix_micros` rejects NTZ outright
+    * (DATATYPE_MISMATCH), so cast first; with the engine's pinned UTC
+    * session timezone the NTZ→TIMESTAMP cast is a pure type re-tag
+    * (identical micros). Every operator doing timestamp arithmetic
+    * (sessionize, range join, as-of tolerance) must use this instead of
+    * bare `unix_micros` so a storage-layer type shift (parquet
+    * isAdjustedToUTC flipping) cannot break them. */
+  def epochMicros(ts: Column): Column = unix_micros(ts.cast(TimestampType))
 }

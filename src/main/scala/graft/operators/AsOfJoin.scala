@@ -131,10 +131,17 @@ object AsOfJoin {
     val inBound = tolerance match {
       case None => col("__asof").isNotNull
       case Some(tol) =>
-        val isTs = r.schema("__t").dataType ==
-          org.apache.spark.sql.types.TimestampType
+        // Both timestamp flavors take the epoch-micros path; bare
+        // `unix_micros` rejects TIMESTAMP_NTZ, and the numeric branch
+        // would produce an INTERVAL from ts subtraction.
+        val isTs = r.schema("__t").dataType match {
+          case org.apache.spark.sql.types.TimestampType    => true
+          case org.apache.spark.sql.types.TimestampNTZType => true
+          case _                                           => false
+        }
         val (lv, rv, bound) =
-          if (isTs) (unix_micros(leftTime), unix_micros(col("__asof.__mt")), tol * 1000000L)
+          if (isTs) (graft.functions.Det.epochMicros(leftTime),
+            graft.functions.Det.epochMicros(col("__asof.__mt")), tol * 1000000L)
           else (leftTime, col("__asof.__mt"), tol)
         val age = if (isForward) rv - lv else lv - rv
         col("__asof").isNotNull && age <= bound

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Det.epochMicros
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -23,7 +24,7 @@ object RangeJoin {
     * division is over an exact multiple (no floating-point floor at
     * bucket boundaries), then divide as decimal→long. */
   private def bucketOf(ts: Column, bucketUs: Long): Column = {
-    val us = unix_micros(ts)
+    val us = epochMicros(ts)
     ((us - pmod(us, lit(bucketUs))).cast("decimal(28,0)") / lit(bucketUs)).cast("long")
   }
 

@@ -27,9 +27,9 @@ object Sessionize {
       gapSeconds: Long): DataFrame = {
     val w      = Window.partitionBy(key).orderBy(ts.asc, tieBreak.asc)
     val run    = w.rowsBetween(Window.unboundedPreceding, 0)
-    val prevUs = lag(unix_micros(ts), 1).over(w)
+    val prevUs = lag(epochMicros(ts), 1).over(w)
     val brk = when(
-      prevUs.isNull || unix_micros(ts) - prevUs > gapSeconds * 1000000L, 1L).otherwise(0L)
+      prevUs.isNull || epochMicros(ts) - prevUs > gapSeconds * 1000000L, 1L).otherwise(0L)
     events
       .withColumn("__brk", brk)
       .withColumn("session_idx", sum(col("__brk")).over(run))

@@ -1848,9 +1848,10 @@ object Documents {
            FROM cr LEFT JOIN ct USING (b), tt, tr
          )
          SELECT o.doc_id, o.is_target, COUNT(1) AS n_feats,
-                SUM(d.pt_ppm) AS sum_target_ppm,
-                SUM(d.pr_ppm) AS sum_raw_ppm,
-                (SUM(d.pt_ppm) * 1000000) // GREATEST(SUM(d.pr_ppm), 1) AS dsir_ppm
+                CAST(SUM(d.pt_ppm) AS BIGINT) AS sum_target_ppm,
+                CAST(SUM(d.pr_ppm) AS BIGINT) AS sum_raw_ppm,
+                CAST((SUM(d.pt_ppm) * 1000000)
+                     // GREATEST(SUM(d.pr_ppm), 1) AS BIGINT) AS dsir_ppm
          FROM occ o JOIN dict d USING (b)
          GROUP BY 1, 2""",
 
@@ -1862,7 +1863,8 @@ object Documents {
            FROM documents
          ),
          cgt AS (SELECT source, t, COUNT(1) AS c_gt FROM tok GROUP BY 1, 2),
-         totg AS (SELECT source, SUM(c_gt) AS n_tokens FROM cgt GROUP BY 1),
+         totg AS (SELECT source, CAST(SUM(c_gt) AS BIGINT) AS n_tokens
+                  FROM cgt GROUP BY 1),
          ct AS (SELECT t, SUM(c_gt) AS c_t FROM cgt GROUP BY 1),
          tot AS (SELECT SUM(c_t) AS v FROM ct),
          grid AS (
@@ -1874,11 +1876,12 @@ object Documents {
          ),
          stats AS (
            SELECT source, COUNT(c_gt) AS n_distinct_tokens,
-                  SUM(ABS(pg - pc)) AS l1_ppm
+                  CAST(SUM(ABS(pg - pc)) AS BIGINT) AS l1_ppm
            FROM grid GROUP BY 1
          ),
          top AS (
-           SELECT source, t AS top_token, ABS(pg - pc) AS top_gap_ppm,
+           SELECT source, t AS top_token,
+                  CAST(ABS(pg - pc) AS BIGINT) AS top_gap_ppm,
                   row_number() OVER (PARTITION BY source
                                      ORDER BY ABS(pg - pc) DESC, t ASC) AS rn
            FROM grid
