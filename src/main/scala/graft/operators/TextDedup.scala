@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.functions.Portable
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -905,9 +907,13 @@ object TextDedup {
     * trades JOIN VOLUME, never correctness, which is why this query
     * stays bit-deterministic and oracle-checkable despite the
     * probabilistic structure. (Same design as Spark's own
-    * InjectRuntimeFilter bloom pre-filter; membership is a scalar
-    * UDF because Spark exposes no public bloom-membership function —
-    * one cheap hash per row, off the shuffle path.)
+    * InjectRuntimeFilter bloom pre-filter — and the same EXPRESSIONS:
+    * the filter is built over `xxhash64(fp)` and membership is the
+    * native codegen'd `BloomFilterMightContain`, not a Scala UDF, so
+    * the gate projection stays inside whole-stage codegen. The
+    * serialized filter is a binary literal in the plan; Spark
+    * broadcasts task binaries per stage, so executors receive it once,
+    * exactly like the explicit `sparkContext.broadcast` it replaces.)
     *
     * Scale bound: the broadcast bloom is ~9.6 bits/item at fpp 0.01 —
     * ~1.2 GB at 1e9 history fingerprints, the practical ceiling. For
@@ -924,12 +930,21 @@ object TextDedup {
       fpp: Double = 0.01): DataFrame = {
     require(historyFps.columns.toSeq == Seq("fp"), "historyFps must be a single-column (fp) relation")
     val expected = math.max(1L, historyFps.count())
-    val bloom = historyFps.stat.bloomFilter("fp", expected, fpp)
-    val bc = newBatch.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
+    // Build over the 64-bit hash (putLong), matching what the native
+    // membership expression tests (mightContainLong of xxhash64) —
+    // inserting raw strings here would make every probe a miss.
+    val bloom = historyFps
+      .select(xxhash64(col("fp")).as("__h"))
+      .stat.bloomFilter("__h", expected, fpp)
+    val ser = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(ser)
+    val mightContain = ColumnBridge.column(
+      new BloomFilterMightContain(
+        Literal(ser.toByteArray),
+        ColumnBridge.expression(xxhash64(col("fp")))))
     val gated = newBatch
       .select(newId.as("doc_id"), newFp.as("fp"))
-      .withColumn("__hit", mightContain(col("fp")))
+      .withColumn("__hit", col("fp").isNotNull && mightContain)
     val novel = gated
       .filter(!col("__hit"))
       .select(col("doc_id"), lit(false).as("is_dup_exact"))

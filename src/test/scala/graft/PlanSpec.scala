@@ -398,9 +398,20 @@ class PlanSpec extends SparkSpec {
     val lines = s.linesIterator.toIndexedSeq
     joins.foreach { j =>
       val subtree = lines.drop(j).take(15).mkString("\n")
-      assert(subtree.contains("Filter") && subtree.contains("UDF"),
+      assert(subtree.contains("Filter") && subtree.contains("might_contain"),
         s"history join not gated by the bloom filter:\n$subtree")
     }
+    // membership is the native codegen'd expression, not a Scala UDF:
+    // the gate filter must carry the whole-stage-codegen `*(n)` marker.
+    // AQE's toString appends an un-annotated "Initial Plan" section —
+    // only the final plan's operators carry codegen markers.
+    assert(!s.contains("UDF"), "bloom gate regressed to a Scala UDF:\n" + s.take(2000))
+    val finalPlan = lines.takeWhile(!_.contains("== Initial Plan =="))
+    val gate = finalPlan.filter(l => l.contains("Filter") && l.contains("might_contain"))
+    assert(gate.nonEmpty, s.take(2000))
+    gate.foreach(l => assert(
+      l.indexOf("*(") >= 0 && l.indexOf("*(") < l.indexOf("Filter"),
+      s"bloom gate filter not codegen'd: $l"))
   }
 
   test("q117 char stats: map-only — no Exchange, scan pruned to (doc_id, text)") {
