@@ -339,6 +339,36 @@ object HttpIngest {
   // Real HTTP transport (java.net.http, JDK stdlib)
   // ---------------------------------------------------------------
 
+  /** Mutable Authorization-header holder with the reference's token
+    * lifecycle (ingestion/lambda_ingestion.py:339-360): an HTTP 401
+    * ALWAYS attempts a refresh (expiry can recur within a long run); a
+    * 403 attempts one only if no refresh has succeeded yet this run —
+    * after that, a 403 is a real permission failure, not expiry (the
+    * reference's `token_refreshed` flag). `refreshFn` is the analogue
+    * of `refresh_fyers_access_token` + the SSM write-back (:246-290):
+    * it returns the NEW header value, persisting it wherever the
+    * caller keeps credentials, or None when refresh is impossible (no
+    * refresh token — reference :249). Thread-safe: one instance may
+    * back every connection in a [[fetchDistributed]] partition. */
+  final class TokenAuth(initial: String, refreshFn: () => Option[String]) {
+    @volatile private var token: String = initial
+    @volatile private var refreshedOnce = false
+    def current: String = token
+    /** Called on an auth-rejected response; true iff a new token was
+      * installed and the request should be retried once. */
+    def refreshFor(status: Int): Boolean = synchronized {
+      if (status == 403 && refreshedOnce) false
+      else refreshFn() match {
+        case Some(t) => token = t; refreshedOnce = true; true
+        case None    => false
+      }
+    }
+  }
+
+  /** Static-token auth: refresh is impossible, 401s surface as-is. */
+  def staticAuth(authorization: String): TokenAuth =
+    new TokenAuth(authorization, () => None)
+
   /** Production [[Transport]] over `java.net.http.HttpClient`: GET
     * `{baseUrl}/history?symbol=…&resolution=…&date_format=1&
     * range_from=…&range_to=…&cont_flag=1` with the `Authorization`
@@ -347,10 +377,21 @@ object HttpIngest {
     * JSON body (jackson-databind, already on Spark's classpath).
     * Status ≥ 500 and I/O errors THROW (retryable → drives backoff +
     * breaker); a well-formed body without candles, or an application
-    * code ≠ 200, returns None (no retry — upstream said no data). */
+    * code ≠ 200, returns None (no retry — upstream said no data).
+    * An auth-rejected response (401/403) consults [[TokenAuth]] and
+    * replays the request ONCE with the refreshed header (reference
+    * lambda_ingestion.py:339-365); if the replay is rejected too, the
+    * error throws like any other 4xx (→ retry loop + breaker). */
   def httpTransport(
       baseUrl: String,
       authorization: Option[String] = None,
+      timeoutSeconds: Long = 30): Transport =
+    httpTransportAuth(baseUrl, authorization.map(staticAuth), timeoutSeconds)
+
+  /** [[httpTransport]] with a refreshable [[TokenAuth]]. */
+  def httpTransportAuth(
+      baseUrl: String,
+      auth: Option[TokenAuth],
       timeoutSeconds: Long = 30): Transport = {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
@@ -360,13 +401,18 @@ object HttpIngest {
       val q = s"symbol=${java.net.URLEncoder.encode(req.symbol, "UTF-8")}" +
         s"&resolution=${req.resolution}&date_format=1" +
         s"&range_from=${req.rangeFromUnix}&range_to=${req.rangeToUnix}&cont_flag=1"
-      val b = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(s"$baseUrl/history?$q"))
-        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
-        .GET()
-      authorization.foreach(a => b.header("Authorization", a))
-      val resp = client.send(b.build(),
-        java.net.http.HttpResponse.BodyHandlers.ofString())
+      def send(): java.net.http.HttpResponse[String] = {
+        val b = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"$baseUrl/history?$q"))
+          .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+          .GET()
+        auth.foreach(a => b.header("Authorization", a.current))
+        client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      var resp = send()
+      if ((resp.statusCode() == 401 || resp.statusCode() == 403) &&
+        auth.exists(_.refreshFor(resp.statusCode())))
+        resp = send()
       if (resp.statusCode() >= 400)
         throw new java.io.IOException(s"HTTP ${resp.statusCode()} for ${req.symbol}")
       val root = mapper.readTree(resp.body())

@@ -196,6 +196,51 @@ class HttpIngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("httpTransportAuth: expired token → refresh → replay succeeds; 403 refreshes only once") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var valid = "cid:new" // the token the upstream accepts NOW
+    server.createContext("/history", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      if (auth != valid) { ex.sendResponseHeaders(401, -1); ex.close() }
+      else {
+        val bytes = """{"code":200,"candles":[[600,1,2,0.5,1.5,10]]}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val refreshes = new java.util.concurrent.atomic.AtomicInteger(0)
+      val auth = new HttpIngest.TokenAuth("cid:old", () => {
+        refreshes.incrementAndGet(); Some("cid:new")
+      })
+      val t = HttpIngest.httpTransportAuth(base, Some(auth))
+      // expired token: 401 → refresh → transparent replay succeeds
+      val got = t(FetchRequest("NSE:TCS-EQ", "5", 0, 900))
+      assert(got.get.head.toSeq === Seq(600.0, 1.0, 2.0, 0.5, 1.5, 10.0))
+      assert(refreshes.get() === 1 && hits.get() === 2 && auth.current === "cid:new")
+      // token still valid: no further refresh, single request
+      assert(t(FetchRequest("NSE:TCS-EQ", "5", 0, 900)).isDefined)
+      assert(refreshes.get() === 1 && hits.get() === 3)
+      // upstream rotates again: the NEXT 401 refreshes again (401 is
+      // always treated as expiry, unlike 403)
+      valid = "cid:new2"
+      val auth2hits = hits.get()
+      intercept[java.io.IOException](t(FetchRequest("NSE:TCS-EQ", "5", 0, 900)))
+      assert(refreshes.get() === 2 && hits.get() === auth2hits + 2) // replayed with (stale) refresh result, still 401
+      // 403 after a successful refresh is a REAL permission failure:
+      // no refresh attempt, error surfaces directly
+      assert(!auth.refreshFor(403))
+      // static auth: 401 surfaces as IOException, no refresh machinery
+      val tStatic = HttpIngest.httpTransport(base, authorization = Some("cid:stale"))
+      intercept[java.io.IOException](tStatic(FetchRequest("NSE:TCS-EQ", "5", 0, 900)))
+    } finally server.stop(0)
+  }
+
   test("ingestStream: rate-source cron twin lands envelopes on trigger; restart resumes from checkpoint") {
     val s = spark
     val rawDir = java.nio.file.Files.createTempDirectory("ingest_stream_raw").toString
