@@ -1,0 +1,804 @@
+package graft.queries
+
+/** Second half of the [[Documents]] oracle pack (q104+: maintenance,
+  * semantic dedup, PQ, curation) — continuation of
+  * [[DocumentsOracles]], same contract, split only to keep file sizes
+  * reviewable. */
+private[queries] object DocumentsOracles2 {
+
+  import Documents.{EmbDim, ParagraphBreakDivisor, ParagraphMaxDf, PqK, PqM, SharedJaccardDfCap}
+  import DocumentsOracles._
+
+  val oracles: Map[String, String] = Map(
+    // The bloom gate is exact by construction (no false negatives),
+    // so the oracle is the plain fingerprint membership join.
+    "q104_bloom_dedup_gate" ->
+      """WITH hist AS (
+           SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+           FROM documents WHERE doc_id % 2 = 0
+         ),
+         nb AS (
+           SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+           FROM documents WHERE doc_id % 2 = 1
+         )
+         SELECT nb.doc_id, (hist.fp IS NOT NULL) AS is_dup_exact
+         FROM nb LEFT JOIN hist ON nb.fp = hist.fp""",
+
+    // Mirror of dupSpans: word 6-gram 60-bit hashes → rightmost-min
+    // winnow selection (the q54 sel formula at w=8) → cross-doc
+    // df ≥ 2 → per-doc span merge.
+    "q89_dup_spans" ->
+      s"""WITH $wordsCte,
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(ws) >= 6
+                       THEN list_transform(generate_series(1, len(ws)-5),
+                              i -> ('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||
+                                                       ws[i+3]||' '||ws[i+4]||' '||ws[i+5]), 1, 15))::BIGINT)
+                       ELSE []::BIGINT[] END AS hs
+           FROM words
+         ),
+         sel AS (
+           SELECT doc_id, hs,
+                  CASE WHEN len(hs) >= 1 THEN
+                       list_distinct(list_transform(generate_series(1, greatest(len(hs)-7, 1)),
+                         j -> CAST(j + len(hs[j:j+7])
+                                   - list_position(list_reverse(hs[j:j+7]),
+                                                   list_aggregate(hs[j:j+7], 'min')) AS INT)))
+                  ELSE []::INT[] END AS ps
+           FROM g
+         ),
+         occ AS (
+           SELECT doc_id, p, hs[p] AS h
+           FROM (SELECT doc_id, hs, unnest(ps) AS p FROM sel)
+         ),
+         duph AS (SELECT h FROM occ GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         d AS (SELECT o.doc_id, o.p FROM occ o JOIN duph USING (h)),
+         l AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM d),
+         b AS (SELECT doc_id, p, CASE WHEN pp IS NULL OR p - pp > 8 THEN 1 ELSE 0 END AS brk FROM l),
+         sid AS (
+           SELECT doc_id, p,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_idx
+           FROM b
+         )
+         SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+                CAST(MIN(p) AS BIGINT) AS span_start_word,
+                CAST(MAX(p) + 5 AS BIGINT) AS span_end_word, COUNT(1) AS n_anchors
+         FROM sid GROUP BY 1, 2""",
+
+    "q85_prep_pipeline" ->
+      s"""WITH RECURSIVE $verdictCtes,
+          keep AS (
+            SELECT doc_id FROM j WHERE doc_id = COALESCE(cluster_min, exact_keeper)
+          ),
+          nb AS (
+            SELECT d.doc_id, d.text, d.source, d.n_chars
+            FROM documents d JOIN keep USING (doc_id)
+            WHERE d.source <> 'src0'
+          ),
+          grn AS (
+            SELECT doc_id, source, n_chars, string_split_regex(trim(text), '\\s+') AS ws FROM nb
+          ),
+          gr5 AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 5
+                        THEN list_distinct(list_transform(generate_series(1, len(ws)-4),
+                               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+                        ELSE []::VARCHAR[] END AS gs
+            FROM grn
+          ),
+          exg AS (SELECT doc_id, unnest(gs) AS s FROM gr5),
+          bw AS (
+            SELECT string_split_regex(trim(text), '\\s+') AS ws FROM documents WHERE source = 'src0'
+          ),
+          bgr AS (
+            SELECT DISTINCT unnest(
+              CASE WHEN len(ws) >= 5
+                   THEN list_distinct(list_transform(generate_series(1, len(ws)-4),
+                          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+                   ELSE []::VARCHAR[] END) AS s
+            FROM bw
+          ),
+          contam AS (SELECT DISTINCT e.doc_id FROM exg e JOIN bgr ON e.s = bgr.s),
+          k2 AS (
+            SELECT nb.* FROM nb WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = nb.doc_id)
+          ),
+          cnts AS (SELECT source, COUNT(1) AS n FROM k2 GROUP BY source),
+          mn AS (SELECT MIN(n) AS nmin FROM cnts),
+          rates AS (
+            SELECT source,
+                   GREATEST(1, CAST(round(sqrt(CAST(nmin AS DOUBLE) / n) * 10000) AS BIGINT)) AS bps
+            FROM cnts, mn
+          ),
+          k3 AS (
+            SELECT k2.source, k2.n_chars FROM k2 JOIN rates USING (source)
+            WHERE ('0x' || substr(md5('prep_' || doc_id), 1, 15))::BIGINT % 10000 < rates.bps
+          )
+          SELECT source, COUNT(1) AS n_docs,
+                 CAST(SUM(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE) AS sum_chars
+          FROM k3 GROUP BY source""",
+
+    "q84_lsh_rescored" ->
+      s"""WITH $sigCte,
+          bands AS (
+            SELECT doc_id, k // 2 AS band,
+                   SUM(CASE WHEN k % 2 = 0 THEN minhash * 2147483647 ELSE minhash END) AS band_key
+            FROM sig GROUP BY doc_id, k // 2
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          ),
+          est AS (
+            SELECT c.da, c.db
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db AND sb.k = sa.k
+            GROUP BY 1, 2
+            HAVING COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END) / 16.0 >= 0.5
+          ),
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT e.da, e.db, COUNT(1) AS i
+            FROM est e
+            JOIN sh a ON a.doc_id = e.da
+            JOIN sh b ON b.doc_id = e.db AND b.s = a.s
+            GROUP BY 1, 2
+          )
+          SELECT i2.da AS doc_a, i2.db AS doc_b,
+                 CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) AS jaccard
+          FROM inter i2
+          JOIN sizes sa ON sa.doc_id = i2.da
+          JOIN sizes sb ON sb.doc_id = i2.db
+          WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.8""",
+
+    "q76_lm_score" ->
+      s"""WITH $wordsCte,
+          t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM words),
+          bg0 AS (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM t
+          ),
+          bg AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+          cb AS (SELECT w1, w2, COUNT(1) AS c2 FROM bg GROUP BY 1, 2),
+          cu AS (SELECT w1, SUM(c2) AS c1 FROM cb GROUP BY 1),
+          pr AS (SELECT w1, w2, (c2 * 1000000) // c1 AS p_ppm FROM cb JOIN cu USING (w1))
+          SELECT bg.doc_id, COUNT(1) AS n_bigrams,
+                 CAST(SUM(p.p_ppm) AS DOUBLE) / COUNT(1) AS avg_p_ppm,
+                 CAST(MIN(p.p_ppm) AS BIGINT) AS min_p_ppm
+          FROM bg JOIN pr p USING (w1, w2)
+          GROUP BY bg.doc_id""",
+
+    // SemDeDup over the trained codebook: assignment = q61's argmax,
+    // then within-cell pairwise cosine ≥ 0.4 against lower ids.
+    "q96_semdedup" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          ),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1
+          ),
+          m AS (SELECT en.vec_id, en.v, en.n2, asg.cell FROM en JOIN asg USING (vec_id)),
+          sc AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS bid,
+                   ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cos
+            FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id > b.vec_id
+          ),
+          p AS (
+            SELECT vec_id, MIN(bid) AS survivor_id, MAX(cos) AS max_cos
+            FROM sc WHERE cos >= 0.4 GROUP BY 1
+          )
+          SELECT m.vec_id, m.cell AS cluster_id,
+                 CASE WHEN p.vec_id IS NULL THEN 'keep' ELSE 'drop_semantic' END AS verdict,
+                 p.survivor_id, p.max_cos
+          FROM m LEFT JOIN p ON p.vec_id = m.vec_id""",
+
+    // DSIR weights: hashed-bigram cells (md5-60bit % 256, the
+    // portable-hash convention), Laplace-smoothed ppm distributions,
+    // floor-division score ratio — integer-exact on both engines.
+    "q97_dsir_weights" ->
+      """WITH w AS (
+           SELECT doc_id, source = 'src1' AS is_target,
+                  string_split_regex(trim(text), '\s+') AS ws
+           FROM documents
+         ),
+         f AS (
+           SELECT doc_id, is_target,
+                  unnest(list_transform(generate_series(2, len(ws)),
+                                        i -> ws[i-1] || '_' || ws[i])) AS f
+           FROM w WHERE len(ws) >= 2
+         ),
+         occ AS (
+           SELECT doc_id, is_target,
+                  ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b
+           FROM f
+         ),
+         ct AS (SELECT b, COUNT(1) AS c FROM occ WHERE is_target GROUP BY 1),
+         cr AS (SELECT b, COUNT(1) AS c FROM occ GROUP BY 1),
+         tt AS (SELECT COALESCE(SUM(c), 0) AS v FROM ct),
+         tr AS (SELECT COALESCE(SUM(c), 0) AS v FROM cr),
+         dict AS (
+           SELECT cr.b,
+                  ((COALESCE(ct.c, 0) + 1) * 1000000) // (tt.v + 256) AS pt_ppm,
+                  ((cr.c + 1) * 1000000) // (tr.v + 256) AS pr_ppm
+           FROM cr LEFT JOIN ct USING (b), tt, tr
+         )
+         SELECT o.doc_id, o.is_target, COUNT(1) AS n_feats,
+                CAST(SUM(d.pt_ppm) AS BIGINT) AS sum_target_ppm,
+                CAST(SUM(d.pr_ppm) AS BIGINT) AS sum_raw_ppm,
+                CAST((SUM(d.pt_ppm) * 1000000)
+                     // GREATEST(SUM(d.pr_ppm), 1) AS BIGINT) AS dsir_ppm
+         FROM occ o JOIN dict d USING (b)
+         GROUP BY 1, 2""",
+
+    // Per-source drift: integer-ppm unigram distributions, L1 over the
+    // vocab × sources grid, rank-1 most-divergent token per source.
+    "q98_source_drift" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+           FROM documents
+         ),
+         cgt AS (SELECT source, t, COUNT(1) AS c_gt FROM tok GROUP BY 1, 2),
+         totg AS (SELECT source, CAST(SUM(c_gt) AS BIGINT) AS n_tokens
+                  FROM cgt GROUP BY 1),
+         ct AS (SELECT t, SUM(c_gt) AS c_t FROM cgt GROUP BY 1),
+         tot AS (SELECT SUM(c_t) AS v FROM ct),
+         grid AS (
+           SELECT g.source, ct.t, c.c_gt,
+                  (COALESCE(c.c_gt, 0) * 1000000) // g.n_tokens AS pg,
+                  (ct.c_t * 1000000) // tot.v AS pc
+           FROM totg g CROSS JOIN ct CROSS JOIN tot
+           LEFT JOIN cgt c ON c.source = g.source AND c.t = ct.t
+         ),
+         stats AS (
+           SELECT source, COUNT(c_gt) AS n_distinct_tokens,
+                  CAST(SUM(ABS(pg - pc)) AS BIGINT) AS l1_ppm
+           FROM grid GROUP BY 1
+         ),
+         top AS (
+           SELECT source, t AS top_token,
+                  CAST(ABS(pg - pc) AS BIGINT) AS top_gap_ppm,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY ABS(pg - pc) DESC, t ASC) AS rn
+           FROM grid
+         )
+         SELECT g.source, g.n_tokens, s.n_distinct_tokens, s.l1_ppm,
+                top.top_token, top.top_gap_ppm
+         FROM totg g
+         JOIN stats s USING (source)
+         JOIN top ON top.source = g.source AND top.rn = 1""",
+
+    // Prefix-filter join is EXACT: the oracle is the plain uncapped
+    // posting-list Jaccard — same output, different (scale-safe) plan.
+    "q99_prefix_jaccard" ->
+      s"""WITH $shinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          )
+          SELECT da AS doc_a, db AS doc_b,
+                 CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""",
+
+    "q101_pq_codes" ->
+      s"""WITH $quantCte,
+          $pqCte
+          SELECT vec_id, CAST(sub AS INT) AS sub, code, d2 FROM pcodes""",
+
+    "q102_pq_topk" ->
+      s"""WITH $quantCte,
+          $pqCte,
+          dt AS (
+            SELECT vec_id AS qid, sub, cell AS code, d2 AS qd2
+            FROM pd2 WHERE vec_id IN (0, 1, 2, 3, 4)
+          ),
+          sc AS (
+            SELECT dt.qid, p.vec_id AS cid, CAST(SUM(dt.qd2) AS BIGINT) AS adc_dist2
+            FROM pcodes p JOIN dt ON dt.sub = p.sub AND dt.code = p.code
+            WHERE p.vec_id <> dt.qid
+            GROUP BY 1, 2
+          ),
+          r AS (
+            SELECT qid, cid, adc_dist2,
+                   row_number() OVER (PARTITION BY qid ORDER BY adc_dist2 ASC, cid ASC) AS rk
+            FROM sc
+          )
+          SELECT qid, cid, adc_dist2, rk FROM r WHERE rk <= 5""",
+
+    "q107_chunking" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+         ),
+         st AS (
+           SELECT doc_id, ws,
+                  unnest(generate_series(0, greatest(len(ws) - 1, 0), 48)) AS start
+           FROM w
+         ),
+         ch AS (
+           SELECT doc_id, start // 48 AS chunk_idx,
+                  ws[start + 1 : start + 64] AS chunk
+           FROM st
+         )
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(chunk, ' ') AS chunk_text,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch""",
+
+    "q108_global_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('shuf_' || doc_id), 1, 15))::BIGINT AS shuffle_key
+           FROM documents
+         )
+         SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard,
+                CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+                                        ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+         FROM k""",
+
+    "q109_length_quantiles" ->
+      """WITH h AS (
+           SELECT source AS "group", n_chars AS len, CAST(COUNT(1) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2
+         ),
+         c AS (
+           SELECT "group", len, cnt,
+                  CAST(SUM(cnt) OVER (PARTITION BY "group" ORDER BY len) AS BIGINT) AS cum,
+                  CAST(SUM(cnt) OVER (PARTITION BY "group") AS BIGINT) AS tot
+           FROM h
+         )
+         SELECT "group", MAX(tot) AS n, MIN(len) AS min_len,
+                MIN(CASE WHEN cum >= (tot * 25 + 99) // 100 THEN len END) AS p25,
+                MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN len END) AS p50,
+                MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN len END) AS p90,
+                MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN len END) AS p99,
+                MAX(len) AS max_len
+         FROM c GROUP BY 1""",
+
+    "q110_mixture_plan" ->
+      """WITH c AS (
+           SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+                  CAST(round(sqrt(CAST(COUNT(1) AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+           FROM documents GROUP BY 1
+         ),
+         t AS (
+           SELECT CAST(SUM(n_docs) AS BIGINT) AS tot, CAST(SUM(sq) AS BIGINT) AS sqtot FROM c
+         ),
+         p AS (
+           SELECT source, n_docs,
+                  (n_docs * 1000000) // tot AS natural_ppm,
+                  (sq * 1000000) // sqtot AS target_ppm
+           FROM c, t
+         ),
+         r AS (
+           SELECT *, least(8000, greatest(1000, (target_ppm * 1000) // greatest(natural_ppm, 1)))
+                       AS repeat_x1000
+           FROM p
+         )
+         SELECT source, n_docs, natural_ppm, target_ppm, repeat_x1000,
+                (n_docs * repeat_x1000) // 1000 AS effective_docs
+         FROM r""",
+
+    "q111_semantic_decontamination" ->
+      s"""WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS v
+            FROM embeddings
+          ),
+          en AS (
+            SELECT vec_id, label, v,
+                   CAST(list_aggregate(list_transform(v, x -> x*x), 'sum') AS BIGINT) AS n2
+            FROM e
+          ),
+          b AS (SELECT v AS bv, n2 AS bn2 FROM en WHERE label = 0),
+          c AS (SELECT vec_id, label, v, n2 FROM en WHERE label <> 0),
+          s AS (
+            SELECT c.vec_id, c.label,
+                   MAX(${cosSql("c.v", "b.bv", "c.n2", "b.bn2")}) AS max_benchmark_cos
+            FROM c, b GROUP BY 1, 2
+          )
+          SELECT vec_id, label, max_benchmark_cos,
+                 max_benchmark_cos >= CAST(0.35 AS DOUBLE) AS contaminated
+          FROM s""",
+
+    // Truth side = q99's oracle (uncapped posting-list Jaccard);
+    // candidate side = q84's oracle (band join → estimate gate →
+    // exact rescore); the audit is the full-outer count rollup.
+    "q112_lsh_recall_audit" ->
+      s"""WITH $sigCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          tinter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ),
+          truth AS (
+            SELECT da, db FROM tinter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+          ),
+          bands AS (
+            SELECT doc_id, k // 2 AS band,
+                   SUM(CASE WHEN k % 2 = 0 THEN minhash * 2147483647 ELSE minhash END) AS band_key
+            FROM sig GROUP BY doc_id, k // 2
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          ),
+          est AS (
+            SELECT c.da, c.db
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db AND sb.k = sa.k
+            GROUP BY 1, 2
+            HAVING COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END) / 16.0 >= 0.5
+          ),
+          linter AS (
+            SELECT e.da, e.db, COUNT(1) AS i
+            FROM est e
+            JOIN sh a ON a.doc_id = e.da
+            JOIN sh b ON b.doc_id = e.db AND b.s = a.s
+            GROUP BY 1, 2
+          ),
+          lsh AS (
+            SELECT l.da, l.db FROM linter l
+            JOIN sizes sa ON sa.doc_id = l.da JOIN sizes sb ON sb.doc_id = l.db
+            WHERE CAST(l.i AS DOUBLE) / (sa.n + sb.n - l.i) >= 0.8
+          ),
+          j AS (
+            SELECT CAST(COUNT(CASE WHEN t.da IS NOT NULL AND l.da IS NOT NULL THEN 1 END) AS BIGINT) AS tp,
+                   CAST(COUNT(CASE WHEN t.da IS NOT NULL AND l.da IS NULL THEN 1 END) AS BIGINT) AS fn,
+                   CAST(COUNT(CASE WHEN t.da IS NULL AND l.da IS NOT NULL THEN 1 END) AS BIGINT) AS fp
+            FROM truth t FULL OUTER JOIN lsh l ON t.da = l.da AND t.db = l.db
+          )
+          SELECT tp + fn AS n_truth, tp + fp AS n_candidate, tp, fn, fp,
+                 (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm,
+                 (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm
+          FROM j""",
+
+    "q113_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+         ),
+         counts AS (SELECT t, CAST(COUNT(1) AS BIGINT) AS occ FROM toks GROUP BY 1),
+         ranked AS (
+           SELECT occ, row_number() OVER (ORDER BY occ DESC, t ASC) AS rnk FROM counts
+         ),
+         tot AS (
+           SELECT CAST(COUNT(1) AS BIGINT) AS vocab_size,
+                  CAST(SUM(occ) AS BIGINT) AS total_occurrences
+           FROM counts
+         ),
+         cov AS (
+           SELECT ks.k,
+                  CAST(coalesce(SUM(CASE WHEN rnk <= ks.k THEN occ END), 0) AS BIGINT) AS covered_occurrences
+           FROM ranked CROSS JOIN (VALUES (10), (100), (1000)) ks(k)
+           GROUP BY 1
+         )
+         SELECT CAST(k AS INT) AS k, vocab_size, total_occurrences, covered_occurrences,
+                (covered_occurrences * 1000000) // greatest(total_occurrences, 1) AS coverage_ppm
+         FROM cov, tot""",
+
+    "q114_perplexity_buckets" ->
+      s"""WITH $wordsCte,
+          t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM words),
+          bg0 AS (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM t
+          ),
+          bg AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+          cb AS (SELECT w1, w2, COUNT(1) AS c2 FROM bg GROUP BY 1, 2),
+          cu AS (SELECT w1, SUM(c2) AS c1 FROM cb GROUP BY 1),
+          pr AS (SELECT w1, w2, (c2 * 1000000) // c1 AS p_ppm FROM cb JOIN cu USING (w1)),
+          scored AS (
+            SELECT bg.doc_id, CAST(SUM(p.p_ppm) AS DOUBLE) / COUNT(1) AS avg_p_ppm
+            FROM bg JOIN pr p USING (w1, w2)
+            GROUP BY bg.doc_id
+          ),
+          b AS (
+            SELECT doc_id, avg_p_ppm,
+                   CAST(ntile(3) OVER (ORDER BY avg_p_ppm DESC, doc_id ASC) AS INT) AS tile
+            FROM scored
+          )
+          SELECT doc_id, avg_p_ppm, tile,
+                 CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+          FROM b""",
+
+    "q115_realized_epochs" ->
+      """WITH c AS (
+           SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+                  CAST(round(sqrt(CAST(COUNT(1) AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+           FROM documents GROUP BY 1
+         ),
+         t AS (
+           SELECT CAST(SUM(n_docs) AS BIGINT) AS tot, CAST(SUM(sq) AS BIGINT) AS sqtot FROM c
+         ),
+         plan AS (
+           SELECT source,
+                  least(8000, greatest(1000,
+                    (((sq * 1000000) // sqtot) * 1000)
+                      // greatest((n_docs * 1000000) // tot, 1))) AS repeat_x1000
+           FROM c, t
+         ),
+         d AS (
+           SELECT doc_id, documents.source, repeat_x1000,
+                  ('0x' || substr(md5('epoch_' || doc_id), 1, 15))::BIGINT % 1000 AS hv
+           FROM documents JOIN plan ON plan.source = documents.source
+         ),
+         n AS (
+           SELECT doc_id, source,
+                  repeat_x1000 // 1000
+                    + CASE WHEN hv < repeat_x1000 % 1000 THEN 1 ELSE 0 END AS n_copies
+           FROM d
+         )
+         SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+         FROM n""",
+
+    // Text side = q73's BM25 CTE chain (top-20); vector side = q36's
+    // cosine top-10 per query; fusion = integer-ppm RRF on ranks.
+    "q116_hybrid_rrf" ->
+      s"""WITH $wordsCte,
+          tok AS (SELECT doc_id, unnest(ws) AS token FROM words),
+          dl AS (SELECT doc_id, COUNT(1) AS dl FROM tok GROUP BY 1),
+          st AS (SELECT COUNT(1) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+          tf AS (
+            SELECT doc_id, token, COUNT(1) AS tf FROM tok
+            WHERE token IN ('spark', 'join', 'window', 'hash', 'filter') GROUP BY 1, 2
+          ),
+          dfr AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY 1),
+          sc AS (
+            SELECT tf.doc_id, tf.token,
+                   ((st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+                     / (tf.tf + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + 0.75 * dl.dl
+                          / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS score_t
+            FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id), st
+          ),
+          g AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN token = 'spark' THEN score_t END) AS s0,
+                   SUM(CASE WHEN token = 'join' THEN score_t END) AS s1,
+                   SUM(CASE WHEN token = 'window' THEN score_t END) AS s2,
+                   SUM(CASE WHEN token = 'hash' THEN score_t END) AS s3,
+                   SUM(CASE WHEN token = 'filter' THEN score_t END) AS s4
+            FROM sc GROUP BY doc_id
+          ),
+          text20 AS (
+            SELECT doc_id,
+                   COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0)
+                     + COALESCE(s3, 0.0) + COALESCE(s4, 0.0) AS score
+            FROM g ORDER BY score DESC, doc_id LIMIT 20
+          ),
+          textr AS (
+            SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_text
+            FROM text20
+          ),
+          $quantCte,
+          q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id IN (0,1,2,3,4)),
+          vscored AS (
+            SELECT q.qid, c.vec_id AS cid,
+                   ${cosSql("q.qv", "c.v", "q.qn2", "c.n2")} AS cosine
+            FROM en c, q WHERE c.vec_id <> q.qid
+          ),
+          vecr AS (
+            SELECT qid, cid AS doc_id, rk AS rank_vec FROM (
+              SELECT qid, cid, cosine,
+                     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM vscored) WHERE rk <= 10
+          ),
+          tq AS (SELECT qs.qid, textr.doc_id, textr.rank_text
+                 FROM (SELECT DISTINCT qid FROM vecr) qs, textr),
+          f AS (
+            SELECT COALESCE(tq.qid, v.qid) AS qid,
+                   COALESCE(tq.doc_id, v.doc_id) AS doc_id,
+                   CAST(COALESCE(1000000 // (60 + tq.rank_text), 0)
+                     + COALESCE(1000000 // (60 + v.rank_vec), 0) AS BIGINT) AS rrf_ppm
+            FROM tq FULL OUTER JOIN vecr v ON tq.qid = v.qid AND tq.doc_id = v.doc_id
+          )
+          SELECT qid, doc_id, rrf_ppm, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_ppm DESC, doc_id ASC) AS rk
+            FROM f) WHERE rk <= 10""",
+
+    "q117_char_stats" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM documents WHERE length(text) > 0
+         ),
+         cc AS (SELECT doc_id, c, CAST(COUNT(1) AS BIGINT) AS k FROM ch GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id,
+                  CAST(SUM(k) AS BIGINT) AS n_chars,
+                  CAST(COUNT(1) AS INT) AS distinct_chars,
+                  SUM(k * (k - 1)) AS coll
+           FROM cc GROUP BY 1
+         )
+         SELECT d.doc_id,
+                CAST(COALESCE(a.n_chars, 0) AS BIGINT) AS n_chars,
+                CAST(COALESCE(a.distinct_chars, 0) AS INT) AS distinct_chars,
+                CASE WHEN a.n_chars >= 2
+                     THEN CAST((a.coll * 1000000) // (a.n_chars * (a.n_chars - 1)) AS BIGINT)
+                END AS char_coll_ppm
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    "q118_truncation_loss" ->
+      """WITH t AS (
+           SELECT source,
+                  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents
+         )
+         SELECT source,
+                CAST(COUNT(1) AS BIGINT) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                CAST(SUM(CASE WHEN nt > 64 THEN 1 ELSE 0 END) AS BIGINT) AS truncated_docs,
+                CAST(SUM(CASE WHEN nt > 64 THEN nt - 64 ELSE 0 END) AS BIGINT) AS lost_tokens,
+                CASE WHEN SUM(nt) > 0
+                     THEN CAST((SUM(CASE WHEN nt > 64 THEN nt - 64 ELSE 0 END) * 1000000)
+                               // SUM(nt) AS BIGINT)
+                END AS lost_ppm
+         FROM t GROUP BY source""",
+
+    "q119_dedup_token_yield" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp,
+                  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents
+         ),
+         k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM b)
+         SELECT source,
+                CAST(COUNT(1) AS BIGINT) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+                CAST(SUM(CASE WHEN doc_id = keeper THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+                CASE WHEN SUM(nt) > 0
+                     THEN CAST(((SUM(nt) - SUM(CASE WHEN doc_id = keeper THEN nt ELSE 0 END)) * 1000000)
+                               // SUM(nt) AS BIGINT)
+                END AS dup_token_ppm
+         FROM k GROUP BY source""",
+
+    "q120_hard_negatives" ->
+      s"""WITH $quantCte,
+          el AS (SELECT en.vec_id, v, n2, label FROM en JOIN embeddings USING (vec_id)),
+          q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, label AS ql
+                FROM el WHERE vec_id IN (0,1,2,3,4)),
+          scored AS (
+            SELECT q.qid, c.vec_id AS cid, c.label AS neg_label,
+                   ${cosSql("q.qv", "c.v", "q.qn2", "c.n2")} AS cosine
+            FROM el c, q
+            WHERE c.vec_id <> q.qid AND c.label IS DISTINCT FROM q.ql
+          ),
+          r AS (SELECT qid, cid, neg_label, cosine,
+                       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+                FROM scored)
+          SELECT qid, cid, neg_label, cosine, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""",
+
+    "q121_epoch_keepers" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+           FROM documents
+         ),
+         g AS (
+           SELECT doc_id, fp,
+                  CAST(COUNT(1) OVER (PARTITION BY fp) AS BIGINT) AS group_size,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM b
+         )
+         SELECT doc_id, fp, group_size FROM g
+         WHERE rn = ('0x' || substr(md5(fp || 'epoch0'), 1, 15))::BIGINT % group_size + 1""",
+
+    // Greedy MMR unrolled to k=5 selection stages: sN = argmax of
+    // 0.5·rel − 0.5·max(0, sim to s1..s_{N−1}), ties (score, rel desc,
+    // cid asc) — exactly the operator's scan order. All sims/rels are
+    // doubles from exact integer dots; ×0.5 is exact halving.
+    "q124_mmr_rerank" ->
+      s"""WITH $quantCte,
+          q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id IN (0,1,2,3,4)),
+          sc AS (
+            SELECT q.qid, c.vec_id AS cid, c.v AS cv, c.n2 AS cn2,
+                   ${cosSql("q.qv", "c.v", "q.qn2", "c.n2")} AS rel
+            FROM en c, q WHERE c.vec_id <> q.qid
+          ),
+          cand AS (
+            SELECT qid, cid, cv, cn2, rel FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+              FROM sc)
+            WHERE rn <= 10
+          ),
+          ps AS (
+            SELECT a.qid, a.cid AS ca, b.cid AS cb,
+                   greatest(0.0, ${cosSql("a.cv", "b.cv", "a.cn2", "b.cn2")}) AS sim
+            FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+          ),
+          s1 AS (
+            SELECT qid, cid, rel, 0.5*rel - 0.5*0.0 AS score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+              FROM cand)
+            WHERE rn = 1
+          ),
+          r2 AS (
+            SELECT c.qid, c.cid, c.rel, 0.5*c.rel - 0.5*p1.sim AS score
+            FROM cand c
+            JOIN s1 ON s1.qid = c.qid AND c.cid <> s1.cid
+            JOIN ps p1 ON p1.qid = c.qid AND p1.ca = c.cid AND p1.cb = s1.cid
+          ),
+          s2 AS (
+            SELECT qid, cid, rel, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, rel DESC, cid ASC) AS rn
+              FROM r2)
+            WHERE rn = 1
+          ),
+          r3 AS (
+            SELECT c.qid, c.cid, c.rel, 0.5*c.rel - 0.5*greatest(p1.sim, p2.sim) AS score
+            FROM cand c
+            JOIN s1 ON s1.qid = c.qid AND c.cid <> s1.cid
+            JOIN s2 ON s2.qid = c.qid AND c.cid <> s2.cid
+            JOIN ps p1 ON p1.qid = c.qid AND p1.ca = c.cid AND p1.cb = s1.cid
+            JOIN ps p2 ON p2.qid = c.qid AND p2.ca = c.cid AND p2.cb = s2.cid
+          ),
+          s3 AS (
+            SELECT qid, cid, rel, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, rel DESC, cid ASC) AS rn
+              FROM r3)
+            WHERE rn = 1
+          ),
+          r4 AS (
+            SELECT c.qid, c.cid, c.rel,
+                   0.5*c.rel - 0.5*greatest(p1.sim, p2.sim, p3.sim) AS score
+            FROM cand c
+            JOIN s1 ON s1.qid = c.qid AND c.cid <> s1.cid
+            JOIN s2 ON s2.qid = c.qid AND c.cid <> s2.cid
+            JOIN s3 ON s3.qid = c.qid AND c.cid <> s3.cid
+            JOIN ps p1 ON p1.qid = c.qid AND p1.ca = c.cid AND p1.cb = s1.cid
+            JOIN ps p2 ON p2.qid = c.qid AND p2.ca = c.cid AND p2.cb = s2.cid
+            JOIN ps p3 ON p3.qid = c.qid AND p3.ca = c.cid AND p3.cb = s3.cid
+          ),
+          s4 AS (
+            SELECT qid, cid, rel, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, rel DESC, cid ASC) AS rn
+              FROM r4)
+            WHERE rn = 1
+          ),
+          r5 AS (
+            SELECT c.qid, c.cid, c.rel,
+                   0.5*c.rel - 0.5*greatest(p1.sim, p2.sim, p3.sim, p4.sim) AS score
+            FROM cand c
+            JOIN s1 ON s1.qid = c.qid AND c.cid <> s1.cid
+            JOIN s2 ON s2.qid = c.qid AND c.cid <> s2.cid
+            JOIN s3 ON s3.qid = c.qid AND c.cid <> s3.cid
+            JOIN s4 ON s4.qid = c.qid AND c.cid <> s4.cid
+            JOIN ps p1 ON p1.qid = c.qid AND p1.ca = c.cid AND p1.cb = s1.cid
+            JOIN ps p2 ON p2.qid = c.qid AND p2.ca = c.cid AND p2.cb = s2.cid
+            JOIN ps p3 ON p3.qid = c.qid AND p3.ca = c.cid AND p3.cb = s3.cid
+            JOIN ps p4 ON p4.qid = c.qid AND p4.ca = c.cid AND p4.cb = s4.cid
+          ),
+          s5 AS (
+            SELECT qid, cid, rel, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, rel DESC, cid ASC) AS rn
+              FROM r5)
+            WHERE rn = 1
+          )
+          SELECT qid, cid, rel AS cosine, score AS mmr_score, CAST(1 AS INT) AS sel_rank FROM s1
+          UNION ALL SELECT qid, cid, rel, score, CAST(2 AS INT) FROM s2
+          UNION ALL SELECT qid, cid, rel, score, CAST(3 AS INT) FROM s3
+          UNION ALL SELECT qid, cid, rel, score, CAST(4 AS INT) FROM s4
+          UNION ALL SELECT qid, cid, rel, score, CAST(5 AS INT) FROM s5"""
+  )
+
+}
