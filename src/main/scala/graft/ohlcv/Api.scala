@@ -12,6 +12,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Api {
 
+  /** Adapter: the NORMALIZED table schema ([[Normalize.normalize]]:
+    * symbol, timestamp_unix, open…volume, fetch_timestamp, partition
+    * cols) → the canonical candle frame this facade queries. Column
+    * pruning still reaches the scan (the select is narrow); the ts
+    * reconstruction is one codegen'd `timestamp_seconds`. */
+  def fromNormalized(df: DataFrame): DataFrame =
+    df.select(
+      col("symbol"),
+      timestamp_seconds(col("timestamp_unix")).as("ts"),
+      col("open"), col("high"), col("low"), col("close"),
+      col("volume"), col("fetch_timestamp"))
+
   /** P14: period token → days. `"3m"` ≈ 90 d, `"2y"` ≈ 730 d — the
     * reference's approximate arithmetic (m=30 d, y=365 d,
     * api/api_handler.py:746-769) reproduced exactly, NOT calendar

@@ -1,0 +1,335 @@
+package graft.serving
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.ohlcv.Api
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** REST serving layer (the reference's primary entry point:
+  * `api/api_handler.py:19-58` routes API-Gateway requests to handlers;
+  * here a JDK-stdlib `com.sun.net.httpserver.HttpServer` routes the
+  * same paths to the [[graft.ohlcv.Api]] facade). Zero new
+  * dependencies — the same stdlib server the ingest spec uses.
+  *
+  * Endpoints (same paths, params, response envelopes and error shapes
+  * as the reference):
+  *  - `GET /symbols?limit=`                          (:67-103)
+  *  - `GET /ohlcv/{symbol}?from=&to=&interval=&limit=` (:105-160)
+  *  - `GET /latest?symbols=`                         (:162-194)
+  *  - `GET /historical?symbol=&symbols=&from=&to=&format=` (:196-249)
+  *  - `GET /alfaquantz/price/get/{symbol},{interval},{period}`
+  *    (also query-style, :654-731)
+  *  - anything else → 404 + available_endpoints     (:51-58)
+  *
+  * Scale boundary: every handler runs a DataFrame pipeline that is
+  * LIMITED before it is collected — tail-limit for /ohlcv, one row per
+  * symbol for /latest, a symbol cap for /historical (the reference
+  * caps at 10 / 5 "for performance" — same constants) — so the driver
+  * materializes responses, never the table. The serving JVM is a thin
+  * Spark driver; the cluster does the scan/dedup/resample work.
+  *
+  * The candle frame is a PROVIDER (`() => DataFrame`) so the backing
+  * view can pick up newly-landed files per request (a parquet path
+  * re-read, or a streaming sink's output table).
+  */
+object ApiServer {
+
+  /** Handler knobs, defaulted to the reference's constants. */
+  final case class Config(
+      port: Int = 0, // 0 = ephemeral
+      latestSymbolCap: Int = 10, // api_handler.py:177
+      historicalSymbolCap: Int = 5, // :224
+      clock: () => java.time.Instant = () => java.time.Instant.now())
+
+  final class Server private[serving] (
+      http: com.sun.net.httpserver.HttpServer,
+      pool: java.util.concurrent.ExecutorService) {
+    def port: Int = http.getAddress.getPort
+    def stop(): Unit = { http.stop(0); pool.shutdownNow(); () }
+  }
+
+  private val mapper = new ObjectMapper()
+
+  /** Start serving `candles` (canonical frame: symbol, ts, open, high,
+    * low, close, volume, fetch_timestamp). Binds 127.0.0.1. */
+  def start(candles: () => DataFrame, cfg: Config = Config()): Server = {
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", cfg.port), 0)
+    http.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try route(ex, candles, cfg)
+      catch {
+        case scala.util.control.NonFatal(e) => // :62-66
+          val err = mapper.createObjectNode()
+          err.put("error", "Internal server error")
+          err.put("message", String.valueOf(e.getMessage))
+          respond(ex, 500, err)
+      }
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    http.setExecutor(pool)
+    http.start()
+    new Server(http, pool)
+  }
+
+  // ---------------------------------------------------------------
+  // Routing
+  // ---------------------------------------------------------------
+
+  private def route(
+      ex: com.sun.net.httpserver.HttpExchange,
+      candles: () => DataFrame,
+      cfg: Config): Unit = {
+    val path = ex.getRequestURI.getPath
+    val qp   = queryParams(ex)
+    if (ex.getRequestMethod == "OPTIONS") { respondRaw(ex, 200, "", "application/json"); return }
+    if (path.startsWith("/symbols")) handleSymbols(ex, candles(), qp, cfg)
+    else if (path.startsWith("/ohlcv/")) handleOhlcv(ex, candles(), path.stripPrefix("/ohlcv/"), qp, cfg)
+    else if (path.startsWith("/latest")) handleLatest(ex, candles(), qp, cfg)
+    else if (path.startsWith("/historical")) handleHistorical(ex, candles(), qp, cfg)
+    else if (path.startsWith("/alfaquantz/price/get")) handleAlfaPrice(ex, candles(), path, qp, cfg)
+    else { // :51-58
+      val err = mapper.createObjectNode()
+      err.put("error", "Endpoint not found")
+      val eps = err.putObject("available_endpoints")
+      eps.put("/symbols", "List all available symbols")
+      eps.put("/ohlcv/{symbol}", "Get OHLCV data for specific symbol")
+      eps.put("/latest", "Get latest data for symbols")
+      eps.put("/historical", "Get historical data")
+      respond(ex, 404, err)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Handlers
+  // ---------------------------------------------------------------
+
+  /** GET /symbols — distinct sorted symbols, optional limit (:67-103). */
+  private def handleSymbols(
+      ex: com.sun.net.httpserver.HttpExchange,
+      candles: DataFrame, qp: Map[String, String], cfg: Config): Unit = {
+    val limit = qp.get("limit").map(l => (l, l.toIntOption))
+    limit match {
+      case Some((_, None)) => // :88-91
+        val err = mapper.createObjectNode()
+        err.put("error", "Invalid limit parameter")
+        err.put("message", "Limit must be a valid integer")
+        respond(ex, 400, err)
+      case _ =>
+        val base = Api.symbols(candles)
+        val lim  = limit.flatMap(_._2)
+        val syms = lim.fold(base)(base.limit).collect().map(_.getString(0))
+        val out = mapper.createObjectNode()
+        val arr = out.putArray("symbols")
+        syms.foreach(arr.add)
+        out.put("count", syms.length)
+        out.put("timestamp", cfg.clock().toString)
+        respond(ex, 200, out)
+    }
+  }
+
+  /** GET /ohlcv/{symbol} — ranged, deduped, tail-limited candles;
+    * interval ≠ 5 resamples (:105-160). */
+  private def handleOhlcv(
+      ex: com.sun.net.httpserver.HttpExchange,
+      candles: DataFrame, rawSymbol: String, qp: Map[String, String], cfg: Config): Unit = {
+    val symbol   = normalizeSymbol(java.net.URLDecoder.decode(rawSymbol, "UTF-8"))
+    val interval = qp.getOrElse("interval", "5")
+    val rows =
+      if (Api.intervalToMinutes(interval) == 5)
+        Api.getOhlcv(candles, symbol, qp.get("from"), qp.get("to"),
+          qp.get("limit").flatMap(_.toIntOption))
+          .select(unix_timestamp(col("ts")), col("open"), col("high"),
+            col("low"), col("close"), col("volume").cast("double"))
+          .collect()
+      else
+        Api.getOhlcvResampled(candles, symbol, qp.get("from"), qp.get("to"), interval)
+          .select(col("bucket_start"), col("open"), col("high"),
+            col("low"), col("close"), col("volume").cast("double"))
+          .collect()
+    if (rows.isEmpty) { // :139-144
+      val err = mapper.createObjectNode()
+      err.put("error", "No data found")
+      err.put("message", s"No OHLCV data found for symbol $symbol")
+      err.put("symbol", symbol)
+      respond(ex, 404, err)
+    } else {
+      val out = mapper.createObjectNode()
+      out.put("symbol", symbol)
+      out.put("interval", interval)
+      candleArray(out.putArray("data"), rows)
+      out.put("count", rows.length)
+      out.put("timestamp", cfg.clock().toString)
+      respond(ex, 200, out)
+    }
+  }
+
+  /** GET /latest — latest candle per requested symbol (default: first
+    * `latestSymbolCap` available, :162-194). */
+  private def handleLatest(
+      ex: com.sun.net.httpserver.HttpExchange,
+      candles: DataFrame, qp: Map[String, String], cfg: Config): Unit = {
+    val symbols = qp.get("symbols") match {
+      case Some(s) => s.split(",").map(x => normalizeSymbol(x.trim)).toSeq
+      case None =>
+        Api.symbols(candles).limit(cfg.latestSymbolCap).collect().map(_.getString(0)).toSeq
+    }
+    val rows = Api.latest(candles.filter(col("symbol").isin(symbols: _*)))
+      .select(col("symbol"), unix_timestamp(col("ts")), col("open"),
+        col("high"), col("low"), col("close"), col("volume").cast("double"))
+      .collect()
+    val out = mapper.createObjectNode()
+    val sa = out.putArray("symbols")
+    symbols.foreach(sa.add)
+    val data = out.putObject("data")
+    rows.foreach { r =>
+      val o = data.putObject(r.getString(0))
+      o.put("timestamp", r.getLong(1))
+      o.put("open", r.getDouble(2)); o.put("high", r.getDouble(3))
+      o.put("low", r.getDouble(4)); o.put("close", r.getDouble(5))
+      o.put("volume", r.getDouble(6).toLong)
+    }
+    out.put("count", rows.length)
+    out.put("timestamp", cfg.clock().toString)
+    respond(ex, 200, out)
+  }
+
+  /** GET /historical — bulk candles per symbol, JSON or CSV
+    * (:196-249; CSV lines via [[Api.toCsvRows]], :614-631). */
+  private def handleHistorical(
+      ex: com.sun.net.httpserver.HttpExchange,
+      candles: DataFrame, qp: Map[String, String], cfg: Config): Unit = {
+    val symbols = (qp.get("symbol"), qp.get("symbols")) match {
+      case (Some(s), _)    => Seq(normalizeSymbol(s))
+      case (None, Some(m)) => m.split(",").map(x => normalizeSymbol(x.trim)).toSeq
+      case _ =>
+        Api.symbols(candles).limit(cfg.historicalSymbolCap).collect().map(_.getString(0)).toSeq
+    }
+    val perSymbol = symbols.map { s =>
+      s -> Api.getOhlcv(candles, s, qp.get("from"), qp.get("to"), limit = None)
+    }
+    if (qp.get("format").map(_.toLowerCase).contains("csv")) {
+      val header = "symbol,timestamp,datetime,open,high,low,close,volume"
+      val lines = perSymbol.flatMap { case (_, df) =>
+        Api.toCsvRows(df).collect().map(_.getString(0))
+      }
+      respondRaw(ex, 200, (header +: lines).mkString("\n"), "text/csv")
+    } else {
+      val out = mapper.createObjectNode()
+      val sa = out.putArray("symbols")
+      symbols.foreach(sa.add)
+      qp.get("from").foreach(out.put("from_date", _))
+      qp.get("to").foreach(out.put("to_date", _))
+      val data = out.putObject("data")
+      var total = 0
+      perSymbol.foreach { case (s, df) =>
+        val rows = df.select(unix_timestamp(col("ts")), col("open"), col("high"),
+          col("low"), col("close"), col("volume").cast("double")).collect()
+        val o = data.putObject(s)
+        candleArray(o.putArray("candles"), rows)
+        o.put("count", rows.length)
+        total += rows.length
+      }
+      out.put("total_records", total)
+      out.put("timestamp", cfg.clock().toString)
+      respond(ex, 200, out)
+    }
+  }
+
+  /** GET /alfaquantz/price/get/{symbol},{interval},{period} — period
+    * token → from-date, resampled candles (:654-731). Query-style
+    * params take precedence over the path tail, like the reference. */
+  private def handleAlfaPrice(
+      ex: com.sun.net.httpserver.HttpExchange,
+      candles: DataFrame, path: String, qp: Map[String, String], cfg: Config): Unit = {
+    val fromQuery = for {
+      s <- qp.get("symbol"); i <- qp.get("interval"); p <- qp.get("period")
+    } yield (s, i, p)
+    val parsed = fromQuery.orElse {
+      val tail = java.net.URLDecoder.decode(
+        path.stripPrefix("/alfaquantz/price/get").stripPrefix("/"), "UTF-8")
+      val parts = tail.split(",").map(_.trim).filter(_.nonEmpty)
+      if (parts.length >= 3) Some((parts(0), parts(1), parts(2))) else None
+    }
+    parsed match {
+      case None => // :671,675
+        val err = mapper.createObjectNode()
+        err.put("error",
+          "Missing parameters. Expected /alfaquantz/price/get/{symbol},{interval},{period} or query params")
+        respond(ex, 400, err)
+      case Some((rawSym, interval, period)) =>
+        val symbol = normalizeSymbol(rawSym)
+        val today  = cfg.clock().atZone(java.time.ZoneOffset.UTC).toLocalDate
+        val from   = today.minusDays(Api.periodToDays(period).toLong)
+        val rows = Api
+          .getOhlcvResampled(candles, symbol, Some(from.toString), Some(today.toString), interval)
+          .select(col("bucket_start"), col("open"), col("high"),
+            col("low"), col("close"), col("volume").cast("double"))
+          .collect()
+        val out = mapper.createObjectNode()
+        out.put("symbol", symbol)
+        out.put("interval", interval)
+        out.put("period", period)
+        candleArray(out.putArray("candles"), rows)
+        out.put("count", rows.length)
+        out.put("timestamp", cfg.clock().toString)
+        respond(ex, 200, out)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Plumbing
+  // ---------------------------------------------------------------
+
+  /** Driver-side normalize of one user-supplied symbol — same branches
+    * as [[graft.ohlcv.Normalize.toExchangeSymbol]] /
+    * api_handler.py:592-612. */
+  private[serving] def normalizeSymbol(s: String): String = {
+    val up = s.trim.toUpperCase
+    if (up.isEmpty || up.contains(":")) up
+    else if (up.endsWith("-EQ")) s"NSE:$up"
+    else s"NSE:$up-EQ"
+  }
+
+  /** Rows of (epoch-sec, o, h, l, c, v) → reference candle arrays
+    * `[ts, open, high, low, close, volume]`. */
+  private def candleArray(arr: ArrayNode, rows: Array[Row]): Unit =
+    rows.foreach { r =>
+      val c = arr.addArray()
+      c.add(r.getLong(0))
+      c.add(r.getDouble(1)); c.add(r.getDouble(2))
+      c.add(r.getDouble(3)); c.add(r.getDouble(4))
+      c.add(r.getDouble(5).toLong)
+    }
+
+  private def queryParams(ex: com.sun.net.httpserver.HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty).fold(Map.empty[String, String]) {
+      _.split("&").iterator.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case Array(k) => Some(java.net.URLDecoder.decode(k, "UTF-8") -> "")
+          case _        => None
+        }
+      }.toMap
+    }
+
+  private def respond(
+      ex: com.sun.net.httpserver.HttpExchange, status: Int, body: ObjectNode): Unit =
+    respondRaw(ex, status,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(body), "application/json")
+
+  /** Status + CORS headers of api_handler.py:633-652. */
+  private def respondRaw(
+      ex: com.sun.net.httpserver.HttpExchange, status: Int, body: String, contentType: String): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Content-Type", contentType)
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Allow-Headers", "Content-Type,Authorization")
+    h.set("Access-Control-Allow-Methods", "GET,OPTIONS")
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}

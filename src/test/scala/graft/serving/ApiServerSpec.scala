@@ -1,0 +1,119 @@
+package graft.serving
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import graft.ohlcv.{MockData, Normalize, RawIngest}
+import org.apache.spark.sql.DataFrame
+
+/** Live end-to-end test of the REST layer: JDK http client against the
+  * in-process server, over a normalized mock-candle frame — the same
+  * zero-egress pattern as HttpIngestSpec. */
+class ApiServerSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private lazy val candles: DataFrame = {
+    // two symbols × 10 five-minute candles starting 2025-10-08 03:45 UTC,
+    // landed as raw JSON and re-read (blocks needs source_file)
+    val tmp  = java.nio.file.Files.createTempDirectory("graft-apisrv").toString
+    val mock = MockData.candles(spark, Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"), 10, 1759895100L)
+    MockData.envelope(mock, "2025-10-08T04:00:00Z").write.json(s"$tmp/raw")
+    graft.ohlcv.Api.fromNormalized(
+      Normalize.normalize(RawIngest.blocks(RawIngest.readRaw(spark, s"$tmp/raw")), "spec")).cache()
+  }
+
+  private def get(server: ApiServer.Server, pathAndQuery: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:${server.port}$pathAndQuery"))
+        .GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def withServer(f: ApiServer.Server => Unit): Unit = {
+    val server = ApiServer.start(
+      () => candles,
+      ApiServer.Config(clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z")))
+    try f(server)
+    finally server.stop()
+  }
+
+  test("routes: /symbols, limit validation, 404 envelope") {
+    withServer { s =>
+      val (code, body) = get(s, "/symbols")
+      assert(code === 200)
+      val j = mapper.readTree(body)
+      assert(j.get("count").asInt === 2)
+      assert(j.get("symbols").get(0).asText === "NSE:RELIANCE-EQ")
+
+      val (c2, b2) = get(s, "/symbols?limit=1")
+      assert(c2 === 200 && mapper.readTree(b2).get("count").asInt === 1)
+
+      val (c3, b3) = get(s, "/symbols?limit=nope")
+      assert(c3 === 400 && mapper.readTree(b3).get("error").asText === "Invalid limit parameter")
+
+      val (c4, b4) = get(s, "/nothing/here")
+      assert(c4 === 404)
+      assert(mapper.readTree(b4).get("available_endpoints").has("/ohlcv/{symbol}"))
+    }
+  }
+
+  test("/ohlcv/{symbol}: bare symbol normalized, candles as [ts,o,h,l,c,v], limit, 404 on unknown") {
+    withServer { s =>
+      // bare lower-case symbol → NSE:TCS-EQ (reference normalize_symbol)
+      val (code, body) = get(s, "/ohlcv/tcs")
+      assert(code === 200)
+      val j = mapper.readTree(body)
+      assert(j.get("symbol").asText === "NSE:TCS-EQ")
+      assert(j.get("count").asInt === 10)
+      val c0 = j.get("data").get(0)
+      assert(c0.isArray && c0.size === 6)
+      assert(c0.get(0).asLong === 1759895100L) // ascending from the first tick
+      // tail-limit: most recent 3, still ascending
+      val j2 = mapper.readTree(get(s, "/ohlcv/tcs?limit=3")._2)
+      assert(j2.get("count").asInt === 3)
+      assert(j2.get("data").get(0).get(0).asLong === 1759895100L + 7 * 300)
+      // unknown symbol → reference 404 envelope
+      val (c3, b3) = get(s, "/ohlcv/NOPE")
+      assert(c3 === 404 && mapper.readTree(b3).get("error").asText === "No data found")
+    }
+  }
+
+  test("/ohlcv interval resample + /alfaquantz period path and query styles agree") {
+    withServer { s =>
+      // 10 5-min candles → 15-min buckets: ceil boundaries give 4 buckets
+      val j = mapper.readTree(get(s, "/ohlcv/tcs?interval=15m")._2)
+      assert(j.get("count").asInt === 4)
+      // alfaquantz path-style: comma triple, period 3m covers the data
+      val (ca, ba) = get(s, "/alfaquantz/price/get/tcs,15m,3m")
+      assert(ca === 200)
+      val ja = mapper.readTree(ba)
+      assert(ja.get("symbol").asText === "NSE:TCS-EQ" && ja.get("count").asInt === 4)
+      // query-style returns the same candles
+      val jq = mapper.readTree(get(s, "/alfaquantz/price/get?symbol=tcs&interval=15m&period=3m")._2)
+      assert(jq.get("candles") === ja.get("candles"))
+      // missing params → 400
+      assert(get(s, "/alfaquantz/price/get")._1 === 400)
+    }
+  }
+
+  test("/latest and /historical (json + csv) envelopes") {
+    withServer { s =>
+      val j = mapper.readTree(get(s, "/latest?symbols=tcs")._2)
+      assert(j.get("count").asInt === 1)
+      val last = j.get("data").get("NSE:TCS-EQ")
+      assert(last.get("timestamp").asLong === 1759895100L + 9 * 300)
+
+      val jh = mapper.readTree(get(s, "/historical?symbol=tcs&from=2025-10-08&to=2025-10-08")._2)
+      assert(jh.get("total_records").asInt === 10)
+      assert(jh.get("data").get("NSE:TCS-EQ").get("count").asInt === 10)
+
+      val (cc, csv) = get(s, "/historical?symbol=tcs&format=csv")
+      assert(cc === 200)
+      val lines = csv.split("\n")
+      assert(lines.head === "symbol,timestamp,datetime,open,high,low,close,volume")
+      assert(lines.length === 11 && lines(1).startsWith("NSE:TCS-EQ,1759895100,"))
+    }
+  }
+}
