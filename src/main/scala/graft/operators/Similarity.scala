@@ -606,6 +606,29 @@ object Similarity {
       .toDF("qid", "cid", "cosine", "mmr_score", "sel_rank")
   }
 
+  /** Recall@k audit of an approximate top-k retriever against exact
+    * truth — the per-ANN-index twin of [[TextDedup.recallAudit]] (which
+    * audits PAIR-finding): before trusting IVF/LSH/PQ at corpus scale,
+    * measure how much of the true neighborhood the fast path returns.
+    * Inputs are ranked-list relations carrying (qid, cid); output is
+    * one row per query: (qid, n_truth, n_hit, recall_ppm), exact
+    * integer ppm so the audit itself is oracle-checkable.
+    *
+    * Scale shape: both sides are top-k relations (|queries|·k rows —
+    * orders of magnitude below the corpus); one left join on (qid, cid)
+    * and a per-query count aggregate. Nothing corpus-sized moves; run
+    * it on the query sample you care about. */
+  def topKRecallAudit(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("qid"), col("cid"))
+    val a = approx.select(col("qid"), col("cid")).withColumn("__hit", lit(1))
+    t.join(a, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_truth"),
+        count(col("__hit")).as("n_hit"))
+      .withColumn("recall_ppm", expr("(n_hit * 1000000L) div n_truth"))
+  }
+
   /** Exact int64 dot product of two quantized vectors (driver/executor
     * local twin of [[Portable.dotQ]]). */
   private def dotL(a: Array[Long], b: Array[Long]): Long = {

@@ -955,6 +955,37 @@ object TextDedup {
     novel.unionByName(checked)
   }
 
+  /** Cross-source duplication matrix: how much near-dup mass each PAIR
+    * of ingest sources shares — the diagnostic that catches one crawl
+    * re-serving another's content (or a source re-ingesting itself)
+    * before the duplicate mass trains. Input is any (doc_a, doc_b,
+    * jaccard) pair relation plus the doc→source mapping; output one
+    * row per unordered source pair: (source_a ≤ source_b, n_pairs,
+    * max_jaccard).
+    *
+    * Scale shape: the pair relation is orders of magnitude smaller
+    * than the corpus, so the two id→source joins are classic
+    * small-probe joins (AQE broadcasts the pair side); the matrix
+    * aggregate is |sources|² rows. The corpus-sized side is a
+    * 2-column projection — column pruning reaches the scan. */
+  def dupSourceMatrix(
+      pairs: DataFrame,
+      docs: DataFrame,
+      id: Column,
+      source: Column): DataFrame = {
+    val g = docs.select(id.as("__did"), source.as("__src"))
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(g.select(col("__did").as("doc_a"), col("__src").as("__sa")), Seq("doc_a"))
+      .join(g.select(col("__did").as("doc_b"), col("__src").as("__sb")), Seq("doc_b"))
+      .groupBy(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Recall/precision audit of an approximate pair-finding path
     * against exact truth — the number a pipeline owner needs before
     * trusting LSH at 100 TB ("how much near-dup mass does the fast

@@ -603,7 +603,21 @@ object Documents {
     // greedy loop touches poolSize rows per query; corpus only sees
     // the broadcast top-k scan.
     "q124_mmr_rerank" -> ((s, dir) =>
-      Similarity.mmrTopK(Tables.embeddings(s, dir), QueryIds, poolSize = 10, k = 5))
+      Similarity.mmrTopK(Tables.embeddings(s, dir), QueryIds, poolSize = 10, k = 5)),
+
+    // ANN recall audit: IVF(nProbe=2) top-5 measured against the
+    // exact top-5 — the trust gate before serving an index at scale.
+    "q125_ann_recall_audit" -> ((s, dir) =>
+      Similarity.topKRecallAudit(
+        Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryIds, 5),
+        Similarity.ivfTopK(Tables.embeddings(s, dir), QueryIds, nCells = 16, nProbe = 2, k = 5))),
+
+    // Cross-source duplication matrix over the shared (capped) exact
+    // Jaccard pairs — which ingest sources share near-dup mass.
+    "q126_dup_source_matrix" -> ((s, dir) =>
+      TextDedup.dupSourceMatrix(
+        sharedJaccardPairs(s, dir),
+        Tables.documents(s, dir), col("doc_id"), col("source")))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

@@ -798,7 +798,68 @@ private[queries] object DocumentsOracles2 {
           UNION ALL SELECT qid, cid, rel, score, CAST(2 AS INT) FROM s2
           UNION ALL SELECT qid, cid, rel, score, CAST(3 AS INT) FROM s3
           UNION ALL SELECT qid, cid, rel, score, CAST(4 AS INT) FROM s4
-          UNION ALL SELECT qid, cid, rel, score, CAST(5 AS INT) FROM s5"""
+          UNION ALL SELECT qid, cid, rel, score, CAST(5 AS INT) FROM s5""",
+
+    // Truth = brute top-5 (q36 chain at k=5); approx = the q45 IVF
+    // chain; recall joined per query in exact integer ppm.
+    "q125_ann_recall_audit" ->
+      s"""WITH $quantCte,
+          tq AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id IN (0,1,2,3,4)),
+          tscored AS (
+            SELECT tq.qid, c.vec_id AS cid,
+                   ${cosSql("tq.qv", "c.v", "tq.qn2", "c.n2")} AS cosine
+            FROM en c, tq WHERE c.vec_id <> tq.qid),
+          truth AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM tscored) WHERE rk <= 5),
+          cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM en WHERE vec_id < 16),
+          cc AS (
+            SELECT en.vec_id, en.v, en.n2, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cents c),
+          assigned AS (
+            SELECT vec_id, v, n2, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, v AS qv, n2 AS qn2, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc WHERE vec_id IN (0,1,2,3,4)) WHERE rn <= 2),
+          ascored AS (
+            SELECT p.qid, a.vec_id AS cid,
+                   ${cosSql("p.qv", "a.v", "p.qn2", "a.n2")} AS cosine
+            FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid),
+          approx AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM ascored) WHERE rk <= 5)
+          SELECT t.qid, COUNT(1) AS n_truth, COUNT(a.cid) AS n_hit,
+                 CAST((COUNT(a.cid) * 1000000) // COUNT(1) AS BIGINT) AS recall_ppm
+          FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.cid = t.cid
+          GROUP BY 1""",
+
+    // Same capped pair relation as q31, source-joined both sides.
+    "q126_dup_source_matrix" ->
+      s"""WITH $cappedShinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM shj GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+          SELECT least(x.source, y.source) AS source_a,
+                 greatest(x.source, y.source) AS source_b,
+                 COUNT(1) AS n_pairs, MAX(jaccard) AS max_jaccard
+          FROM pairs
+          JOIN documents x ON x.doc_id = pairs.doc_a
+          JOIN documents y ON y.doc_id = pairs.doc_b
+          GROUP BY 1, 2"""
   )
 
 }
