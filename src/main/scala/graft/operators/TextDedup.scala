@@ -928,23 +928,8 @@ object TextDedup {
       newFp: Column,
       historyFps: DataFrame,
       fpp: Double = 0.01): DataFrame = {
-    require(historyFps.columns.toSeq == Seq("fp"), "historyFps must be a single-column (fp) relation")
-    val expected = math.max(1L, historyFps.count())
-    // Build over the 64-bit hash (putLong), matching what the native
-    // membership expression tests (mightContainLong of xxhash64) —
-    // inserting raw strings here would make every probe a miss.
-    val bloom = historyFps
-      .select(xxhash64(col("fp")).as("__h"))
-      .stat.bloomFilter("__h", expected, fpp)
-    val ser = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(ser)
-    val mightContain = ColumnBridge.column(
-      new BloomFilterMightContain(
-        Literal(ser.toByteArray),
-        ColumnBridge.expression(xxhash64(col("fp")))))
-    val gated = newBatch
-      .select(newId.as("doc_id"), newFp.as("fp"))
-      .withColumn("__hit", col("fp").isNotNull && mightContain)
+    val gated = bloomHitGate(
+      newBatch.select(newId.as("doc_id"), newFp.as("fp")), col("fp"), historyFps, fpp)
     val novel = gated
       .filter(!col("__hit"))
       .select(col("doc_id"), lit(false).as("is_dup_exact"))
@@ -953,6 +938,35 @@ object TextDedup {
       .join(historyFps.distinct().withColumn("__in_hist", lit(true)), Seq("fp"), "left")
       .select(col("doc_id"), coalesce(col("__in_hist"), lit(false)).as("is_dup_exact"))
     novel.unionByName(checked)
+  }
+
+  /** Shared bloom machinery for [[bloomDedupGate]] and the streaming
+    * [[graft.streaming.DocStream.historyGated]]: builds the filter from
+    * `historyFps` in one treeAggregate pass (no shuffle of history) and
+    * adds a boolean `__hit` column to `df`. Built over the 64-bit hash
+    * (putLong) to match what the native membership expression tests
+    * (mightContainLong of xxhash64) — inserting raw strings would make
+    * every probe a miss. The serialized filter rides the plan as a
+    * binary literal (task binaries are broadcast once per stage), and
+    * the test is the codegen'd `BloomFilterMightContain` — stateless,
+    * so it composes with streaming plans. */
+  private[graft] def bloomHitGate(
+      df: DataFrame,
+      fp: Column,
+      historyFps: DataFrame,
+      fpp: Double): DataFrame = {
+    require(historyFps.columns.toSeq == Seq("fp"), "historyFps must be a single-column (fp) relation")
+    val expected = math.max(1L, historyFps.count())
+    val bloom = historyFps
+      .select(xxhash64(col("fp")).as("__h"))
+      .stat.bloomFilter("__h", expected, fpp)
+    val ser = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(ser)
+    val mightContain = ColumnBridge.column(
+      new BloomFilterMightContain(
+        Literal(ser.toByteArray),
+        ColumnBridge.expression(xxhash64(fp))))
+    df.withColumn("__hit", fp.isNotNull && mightContain)
   }
 
   /** Cross-source duplication matrix: how much near-dup mass each PAIR

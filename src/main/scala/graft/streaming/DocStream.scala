@@ -74,4 +74,35 @@ object DocStream {
     * then redact PII on the surviving rows. */
   def ingest(docs: DataFrame, minScore: Double, watermark: String = "10 minutes"): DataFrame =
     piiRedacted(qualityGated(dedupedDocs(docs, watermark), minScore))
+
+  /** History gate — the streaming face of
+    * [[graft.operators.TextDedup.bloomDedupGate]]: drop arriving docs
+    * whose content fingerprint already exists in the (static) history
+    * corpus. The bloom is built ONCE from history at stream start
+    * (treeAggregate over the static side, no shuffle) and tested with
+    * the native `BloomFilterMightContain` expression — a STATELESS map
+    * on the stream, so it adds no streaming state. Bloom-miss rows are
+    * provably novel and bypass the join entirely; only the hit sliver
+    * (true dups + ~fpp false positives) runs the stream-static
+    * anti-join against history. Exactness is unaffected by fpp.
+    *
+    * Watermark-vs-history division of labor: [[dedupedDocs]] suppresses
+    * re-lands WITHIN the stream's watermark window; this gate suppresses
+    * docs already ingested in any PAST run. Together they are the
+    * incremental exact-dedup contract of a daily-append corpus. Rebuild
+    * the stream (new bloom) after compacting new arrivals into history. */
+  def historyGated(docs: DataFrame, historyFps: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val withFp =
+      if (docs.columns.contains("fp")) docs
+      else docs.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val gated = graft.operators.TextDedup.bloomHitGate(withFp, col("fp"), historyFps, fpp)
+    val novel = gated.filter(!col("__hit")).drop("__hit")
+    val checked = gated
+      .filter(col("__hit"))
+      .drop("__hit")
+      .join(historyFps.distinct().withColumn("__in_hist", lit(true)), Seq("fp"), "left")
+      .filter(col("__in_hist").isNull)
+      .drop("__in_hist")
+    novel.unionByName(checked)
+  }
 }

@@ -87,4 +87,41 @@ class DocStreamSpec extends SparkSpec {
     val expected = Seq(withPii).toDF("text").select(batch).collect().head.getDouble(0)
     assert(r.getAs[Double]("quality_score") === expected)
   }
+
+  test("historyGated: docs already in the history corpus are dropped, novel docs pass") {
+    val s = spark; import s.implicits._
+    val knownA = "previously ingested document alpha"
+    val knownB = "previously ingested document beta"
+    val history = Seq(knownA, knownB)
+      .toDF("text")
+      .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .cache()
+    val rows = Seq(
+      (10L, knownA, "en", "s0", "2025-10-08 10:00:00"), // in history → dropped
+      (11L, "a genuinely new document", "en", "s0", "2025-10-08 10:00:05"),
+      (12L, knownB, "en", "s1", "2025-10-08 10:00:10"), // in history → dropped
+      (13L, "another novel arrival", "en", "s1", "2025-10-08 10:00:15"))
+    rows.toDF("doc_id", "text", "lang", "source", "ts")
+      .withColumn("ingest_ts", to_timestamp(col("ts"))).drop("ts")
+      .coalesce(1).write.json(s"$tmp/hland/f1")
+
+    val stream = DocStream.readDocStream(spark, s"$tmp/hland/*")
+    val q = DocStream.historyGated(DocStream.dedupedDocs(stream), history).writeStream
+      .format("memory")
+      .queryName("doc_hist_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/hckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("doc_hist_out")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L, 13L))
+    // batch/stream agreement: the batch gate's verdicts match
+    val batchVerdicts = graft.operators.TextDedup.bloomDedupGate(
+      rows.toDF("doc_id", "text", "lang", "source", "ts"),
+      col("doc_id"), graft.operators.TextAnalysis.fingerprint(col("text")), history)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batchVerdicts === Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
+  }
 }
