@@ -98,6 +98,35 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("CSV-backed provider serves identical answers (api_handler_csv.py parity)") {
+    // the reference ships a CSV-reader twin of the API
+    // (api/api_handler_csv.py) over the S7 partitioned CSV layout;
+    // here the same server runs over Storage.writeCsv/readCsv and must
+    // agree with the parquet-backed answers byte-for-byte
+    val tmp = java.nio.file.Files.createTempDirectory("graft-apisrv-csv").toString
+    val normalized = {
+      val mock = MockData.candles(spark, Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"), 10, 1759895100L)
+      MockData.envelope(mock, "2025-10-08T04:00:00Z").write.json(s"$tmp/raw")
+      Normalize.normalize(RawIngest.blocks(RawIngest.readRaw(spark, s"$tmp/raw")), "spec")
+    }
+    graft.ohlcv.Storage.writeCsv(normalized, s"$tmp/csvtbl")
+    val csvCandles = graft.ohlcv.Api.fromNormalized(
+      graft.ohlcv.Storage.readCsv(spark, s"$tmp/csvtbl"))
+    val server = ApiServer.start(
+      () => csvCandles,
+      ApiServer.Config(clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z")))
+    try {
+      val fromCsv     = get(server, "/ohlcv/tcs?limit=3")._2
+      val fromParquet = {
+        val s2 = ApiServer.start(() => candles,
+          ApiServer.Config(clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z")))
+        try get(s2, "/ohlcv/tcs?limit=3")._2 finally s2.stop()
+      }
+      assert(mapper.readTree(fromCsv) === mapper.readTree(fromParquet))
+      assert(mapper.readTree(get(server, "/symbols")._2).get("count").asInt === 2)
+    } finally server.stop()
+  }
+
   test("/latest and /historical (json + csv) envelopes") {
     withServer { s =>
       val j = mapper.readTree(get(s, "/latest?symbols=tcs")._2)
