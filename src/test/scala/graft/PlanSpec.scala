@@ -17,6 +17,26 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("GLOBAL LINT: no query plans a cartesian product or a UDF") {
+    // Suite-wide invariant over every registered query's physical plan:
+    //  - CartesianProduct = a join neither broadcast nor keyed — always
+    //    a 100-TB accident (broadcast cross joins show as
+    //    BroadcastNestedLoopJoin and are the deliberate 1-row pattern);
+    //  - Scala/Python UDFs block codegen — the house rule is native
+    //    expressions only.
+    // Analysis-only (no execution), so this covers all 126 plans fast.
+    // sf0.01, not sf0.001: a few operators validate data-shape
+    // invariants eagerly at build time and need the driver-gate corpus.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val s = planString(fn(spark, sf("sf0.01")))
+      Seq("CartesianProduct", "BatchEvalPython", "ArrowEvalPython", "SQLAppUDF")
+        .filter(s.contains)
+        .map(tok => s"$name: $tok") ++
+        (if (s.linesIterator.exists(l => l.contains("UDF(") || l.contains("udf("))) Seq(s"$name: udf") else Nil)
+    }
+    assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+
   test("q02 filter+projection reach the parquet scan (PushedFilters, pruned ReadSchema)") {
     val df = SparkEntry.queries("q02_filter_project")(spark, sf())
     val s  = planString(df)
