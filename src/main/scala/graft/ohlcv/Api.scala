@@ -77,12 +77,16 @@ object Api {
       toDate: Option[String],
       limit: Option[Int]): DataFrame = {
     val bySymbol = candles.filter(col("symbol") === symbol)
-    val fromTs = fromDate.map(d => unix_timestamp(to_timestamp(lit(d), "yyyy-MM-dd")))
-    val toTs   = toDate.map(d => unix_timestamp(to_timestamp(lit(d), "yyyy-MM-dd")) + 86399L)
+    // Direct timestamp comparisons, NOT `unix_timestamp(ts) between …`:
+    // a function wrapping the column would block parquet filter
+    // pushdown on stored-ts tables. `ts < to+1day` ≡ the reference's
+    // floored `epoch(ts) <= to 23:59:59` at any sub-second precision.
+    val fromTs = fromDate.map(d => to_timestamp(lit(d), "yyyy-MM-dd"))
+    val toTs   = toDate.map(d => to_timestamp(lit(d), "yyyy-MM-dd") + expr("INTERVAL 1 DAY"))
     val ranged = (fromTs, toTs) match {
-      case (Some(f), Some(t)) => bySymbol.filter(unix_timestamp(col("ts")).between(f, t))
-      case (Some(f), None)    => bySymbol.filter(unix_timestamp(col("ts")) >= f)
-      case (None, Some(t))    => bySymbol.filter(unix_timestamp(col("ts")) <= t)
+      case (Some(f), Some(t)) => bySymbol.filter(col("ts") >= f && col("ts") < t)
+      case (Some(f), None)    => bySymbol.filter(col("ts") >= f)
+      case (None, Some(t))    => bySymbol.filter(col("ts") < t)
       case _                  => bySymbol
     }
     val deduped = Dedup.keepLatest(
@@ -94,6 +98,33 @@ object Api {
       case None    => deduped
     }
     tailed.orderBy(col("ts"))
+  }
+
+  /** [[getOhlcv]] straight off the PARTITIONED normalized table — the
+    * form the REST layer runs at scale. The symbol filter hits the
+    * `symbol_clean` PARTITION column (directory pruning: only that
+    * symbol's files are even listed) and the date range becomes plain
+    * `timestamp_unix` bounds (PushedFilters → parquet row-group stats
+    * skipping) BEFORE the ts projection — filtering after
+    * `timestamp_seconds()` would defeat both. Pinned by PlanSpec.
+    * Epoch bounds are computed driver-side in UTC, identical to the
+    * session-UTC `to_timestamp` arithmetic in [[getOhlcv]]. */
+  def getOhlcvFromTable(
+      normalized: DataFrame,
+      symbol: String,
+      fromDate: Option[String],
+      toDate: Option[String],
+      limit: Option[Int]): DataFrame = {
+    def dayStartUtc(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val clean = symbol.toUpperCase.replaceAll("NSE:|-EQ", "")
+    val pruned = Seq(
+      Some(col("symbol_clean") === clean && col("symbol") === symbol),
+      fromDate.map(d => col("timestamp_unix") >= dayStartUtc(d)),
+      toDate.map(d => col("timestamp_unix") < dayStartUtc(d) + 86400L)
+    ).flatten.reduce(_ && _)
+    getOhlcv(fromNormalized(normalized.filter(pruned)), symbol,
+      fromDate = None, toDate = None, limit) // range already applied, pushably
   }
 
   /** /alfaquantz resample path (api/api_handler.py:718-727): getOhlcv

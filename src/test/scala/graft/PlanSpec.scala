@@ -37,6 +37,27 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
 
+  test("getOhlcvFromTable: symbol prunes partitions, date range reaches parquet as timestamp_unix bounds") {
+    import graft.ohlcv.{Api, MockData, Normalize, RawIngest, Storage}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planapi").toString
+    val mock = MockData.candles(spark, Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"), 5, 1759895100L)
+    MockData.envelope(mock, "2025-10-08T04:00:00Z").write.json(s"$tmp/raw")
+    Storage.writeParquet(
+      Normalize.normalize(RawIngest.blocks(RawIngest.readRaw(spark, s"$tmp/raw")), "p"),
+      s"$tmp/table", "overwrite")
+    val df = Api.getOhlcvFromTable(
+      spark.read.parquet(s"$tmp/table"), "NSE:TCS-EQ",
+      Some("2025-10-08"), Some("2025-10-08"), limit = None)
+    val s = planString(df)
+    val scan = s.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scan.contains("PartitionFilters:") && scan.contains("symbol_clean"),
+      s"symbol not pruning partitions:\n$scan")
+    // plan strings truncate long filter lists — match the prefix
+    assert(scan.contains("IsNotNull(timestamp_unix") && scan.contains("GreaterThanOrEqual(tim"),
+      s"date range not pushed as timestamp_unix bounds:\n$scan")
+    assert(df.count() === 5) // and it still answers
+  }
+
   test("q02 filter+projection reach the parquet scan (PushedFilters, pruned ReadSchema)") {
     val df = SparkEntry.queries("q02_filter_project")(spark, sf())
     val s  = planString(df)
