@@ -51,13 +51,53 @@ object ApiServer {
 
   private val mapper = new ObjectMapper()
 
+  /** What the handlers query. `frame()` is the canonical candle frame;
+    * `ohlcv()` is the symbol+range+dedup+tail pipeline, overridable so
+    * a table-backed source can push the filters into the scan. */
+  private[serving] sealed trait Source {
+    def frame(): DataFrame
+    def ohlcv(symbol: String, from: Option[String], to: Option[String],
+        limit: Option[Int]): DataFrame
+  }
+  private final class FrameSource(provider: () => DataFrame) extends Source {
+    def frame(): DataFrame = provider()
+    def ohlcv(symbol: String, from: Option[String], to: Option[String],
+        limit: Option[Int]): DataFrame =
+      Api.getOhlcv(frame(), symbol, from, to, limit)
+  }
+  /** Serves the PARTITIONED normalized parquet table directly:
+    * [[Api.getOhlcvFromTable]] turns the symbol into a partition-prune
+    * on `symbol_clean` and the date range into pushed `timestamp_unix`
+    * bounds — the plan a 100 TB table needs (PlanSpec-pinned). The
+    * path is re-read per request, so newly landed files appear without
+    * a restart. */
+  private final class TableSource(
+      spark: org.apache.spark.sql.SparkSession, path: String) extends Source {
+    private def table = spark.read.parquet(path)
+    def frame(): DataFrame = Api.fromNormalized(table)
+    def ohlcv(symbol: String, from: Option[String], to: Option[String],
+        limit: Option[Int]): DataFrame =
+      Api.getOhlcvFromTable(table, symbol, from, to, limit)
+  }
+
   /** Start serving `candles` (canonical frame: symbol, ts, open, high,
     * low, close, volume, fetch_timestamp). Binds 127.0.0.1. */
-  def start(candles: () => DataFrame, cfg: Config = Config()): Server = {
+  def start(candles: () => DataFrame, cfg: Config = Config()): Server =
+    startWith(new FrameSource(candles), cfg)
+
+  /** Start serving a partitioned normalized parquet table with
+    * predicate pushdown on the /ohlcv family ([[TableSource]]). */
+  def startFromTable(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      cfg: Config = Config()): Server =
+    startWith(new TableSource(spark, tablePath), cfg)
+
+  private def startWith(source: Source, cfg: Config): Server = {
     val http = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", cfg.port), 0)
     http.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
-      try route(ex, candles, cfg)
+      try route(ex, source, cfg)
       catch {
         case scala.util.control.NonFatal(e) => // :62-66
           val err = mapper.createObjectNode()
@@ -78,16 +118,16 @@ object ApiServer {
 
   private def route(
       ex: com.sun.net.httpserver.HttpExchange,
-      candles: () => DataFrame,
+      source: Source,
       cfg: Config): Unit = {
     val path = ex.getRequestURI.getPath
     val qp   = queryParams(ex)
     if (ex.getRequestMethod == "OPTIONS") { respondRaw(ex, 200, "", "application/json"); return }
-    if (path.startsWith("/symbols")) handleSymbols(ex, candles(), qp, cfg)
-    else if (path.startsWith("/ohlcv/")) handleOhlcv(ex, candles(), path.stripPrefix("/ohlcv/"), qp, cfg)
-    else if (path.startsWith("/latest")) handleLatest(ex, candles(), qp, cfg)
-    else if (path.startsWith("/historical")) handleHistorical(ex, candles(), qp, cfg)
-    else if (path.startsWith("/alfaquantz/price/get")) handleAlfaPrice(ex, candles(), path, qp, cfg)
+    if (path.startsWith("/symbols")) handleSymbols(ex, source.frame(), qp, cfg)
+    else if (path.startsWith("/ohlcv/")) handleOhlcv(ex, source, path.stripPrefix("/ohlcv/"), qp, cfg)
+    else if (path.startsWith("/latest")) handleLatest(ex, source.frame(), qp, cfg)
+    else if (path.startsWith("/historical")) handleHistorical(ex, source, qp, cfg)
+    else if (path.startsWith("/alfaquantz/price/get")) handleAlfaPrice(ex, source, path, qp, cfg)
     else { // :51-58
       val err = mapper.createObjectNode()
       err.put("error", "Endpoint not found")
@@ -132,18 +172,18 @@ object ApiServer {
     * interval ≠ 5 resamples (:105-160). */
   private def handleOhlcv(
       ex: com.sun.net.httpserver.HttpExchange,
-      candles: DataFrame, rawSymbol: String, qp: Map[String, String], cfg: Config): Unit = {
+      source: Source, rawSymbol: String, qp: Map[String, String], cfg: Config): Unit = {
     val symbol   = normalizeSymbol(java.net.URLDecoder.decode(rawSymbol, "UTF-8"))
     val interval = qp.getOrElse("interval", "5")
     val rows =
       if (Api.intervalToMinutes(interval) == 5)
-        Api.getOhlcv(candles, symbol, qp.get("from"), qp.get("to"),
+        source.ohlcv(symbol, qp.get("from"), qp.get("to"),
           qp.get("limit").flatMap(_.toIntOption))
           .select(unix_timestamp(col("ts")), col("open"), col("high"),
             col("low"), col("close"), col("volume").cast("double"))
           .collect()
       else
-        Api.getOhlcvResampled(candles, symbol, qp.get("from"), qp.get("to"), interval)
+        resampled(source.ohlcv(symbol, qp.get("from"), qp.get("to"), None), interval)
           .select(col("bucket_start"), col("open"), col("high"),
             col("low"), col("close"), col("volume").cast("double"))
           .collect()
@@ -198,15 +238,16 @@ object ApiServer {
     * (:196-249; CSV lines via [[Api.toCsvRows]], :614-631). */
   private def handleHistorical(
       ex: com.sun.net.httpserver.HttpExchange,
-      candles: DataFrame, qp: Map[String, String], cfg: Config): Unit = {
+      source: Source, qp: Map[String, String], cfg: Config): Unit = {
     val symbols = (qp.get("symbol"), qp.get("symbols")) match {
       case (Some(s), _)    => Seq(normalizeSymbol(s))
       case (None, Some(m)) => m.split(",").map(x => normalizeSymbol(x.trim)).toSeq
       case _ =>
-        Api.symbols(candles).limit(cfg.historicalSymbolCap).collect().map(_.getString(0)).toSeq
+        Api.symbols(source.frame()).limit(cfg.historicalSymbolCap)
+          .collect().map(_.getString(0)).toSeq
     }
     val perSymbol = symbols.map { s =>
-      s -> Api.getOhlcv(candles, s, qp.get("from"), qp.get("to"), limit = None)
+      s -> source.ohlcv(s, qp.get("from"), qp.get("to"), limit = None)
     }
     if (qp.get("format").map(_.toLowerCase).contains("csv")) {
       val header = "symbol,timestamp,datetime,open,high,low,close,volume"
@@ -241,7 +282,7 @@ object ApiServer {
     * params take precedence over the path tail, like the reference. */
   private def handleAlfaPrice(
       ex: com.sun.net.httpserver.HttpExchange,
-      candles: DataFrame, path: String, qp: Map[String, String], cfg: Config): Unit = {
+      source: Source, path: String, qp: Map[String, String], cfg: Config): Unit = {
     val fromQuery = for {
       s <- qp.get("symbol"); i <- qp.get("interval"); p <- qp.get("period")
     } yield (s, i, p)
@@ -261,11 +302,11 @@ object ApiServer {
         val symbol = normalizeSymbol(rawSym)
         val today  = cfg.clock().atZone(java.time.ZoneOffset.UTC).toLocalDate
         val from   = today.minusDays(Api.periodToDays(period).toLong)
-        val rows = Api
-          .getOhlcvResampled(candles, symbol, Some(from.toString), Some(today.toString), interval)
-          .select(col("bucket_start"), col("open"), col("high"),
-            col("low"), col("close"), col("volume").cast("double"))
-          .collect()
+        val rows =
+          resampled(source.ohlcv(symbol, Some(from.toString), Some(today.toString), None), interval)
+            .select(col("bucket_start"), col("open"), col("high"),
+              col("low"), col("close"), col("volume").cast("double"))
+            .collect()
         val out = mapper.createObjectNode()
         out.put("symbol", symbol)
         out.put("interval", interval)
@@ -280,6 +321,14 @@ object ApiServer {
   // ---------------------------------------------------------------
   // Plumbing
   // ---------------------------------------------------------------
+
+  /** Interval aggregation of an already-ranged canonical frame — the
+    * body of [[Api.getOhlcvResampled]], applied after the source's own
+    * (possibly pushed-down) range filter. */
+  private def resampled(base: DataFrame, interval: String): DataFrame =
+    graft.operators.Resample
+      .candles(base, Api.intervalToMinutes(interval) * 60, col("fetch_timestamp"))
+      .orderBy(col("bucket_start"))
 
   /** Driver-side normalize of one user-supplied symbol — same branches
     * as [[graft.ohlcv.Normalize.toExchangeSymbol]] /

@@ -127,6 +127,30 @@ class ApiServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("startFromTable: partitioned-table serving agrees with the frame-backed server") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-apisrv-tbl").toString
+    val normalized = {
+      val mock = MockData.candles(spark, Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"), 10, 1759895100L)
+      MockData.envelope(mock, "2025-10-08T04:00:00Z").write.json(s"$tmp/raw")
+      Normalize.normalize(RawIngest.blocks(RawIngest.readRaw(spark, s"$tmp/raw")), "spec")
+    }
+    graft.ohlcv.Storage.writeParquet(normalized, s"$tmp/table", "overwrite")
+    val clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z")
+    val tableSrv = ApiServer.startFromTable(spark, s"$tmp/table", ApiServer.Config(clock = clock))
+    try withServer { frameSrv =>
+      for (q <- Seq(
+          "/ohlcv/tcs?from=2025-10-08&to=2025-10-08&limit=4",
+          "/ohlcv/tcs?interval=15m",
+          "/historical?symbol=reliance&from=2025-10-08&to=2025-10-08",
+          "/alfaquantz/price/get/tcs,15m,3m")) {
+        val (ct, bt) = get(tableSrv, q)
+        val (cf, bf) = get(frameSrv, q)
+        assert(ct === cf, q)
+        assert(mapper.readTree(bt) === mapper.readTree(bf), s"table vs frame diverge on $q")
+      }
+    } finally tableSrv.stop()
+  }
+
   test("/latest and /historical (json + csv) envelopes") {
     withServer { s =>
       val j = mapper.readTree(get(s, "/latest?symbols=tcs")._2)
