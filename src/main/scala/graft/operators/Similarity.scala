@@ -63,6 +63,27 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
+  /** Brute-force EXACT squared-L2 top-k over the quantized vectors:
+    * d² = ‖q‖² + ‖c‖² − 2·q·c in pure int64 — the truth baseline for
+    * distance-ranked indexes ([[pqTopKWith]] ranks by ADC L2², so its
+    * recall must be audited against L2 truth, not cosine truth). */
+  def bruteForceL2TopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = embs
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), Portable.quantize(col("embedding")).as("qv"))
+      .withColumn("qn2", normQ(col("qv")))
+    val c = embs
+      .select(col("vec_id").as("cid"), Portable.quantize(col("embedding")).as("cv"))
+      .withColumn("cn2", normQ(col("cv")))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("d2", col("qn2") + col("cn2") - lit(2L) * Portable.dotQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(asc("d2"), asc("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("d2"), col("rank"))
+  }
+
   /** LSH bucket id (0..2^H−1) of a quantized vector: bit h is the sign
     * of the exact integer dot with hyperplane h. Statically unrolled —
     * whole-row, codegen-friendly, zero shuffle to assign buckets. */

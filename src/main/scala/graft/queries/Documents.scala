@@ -617,7 +617,17 @@ object Documents {
     "q126_dup_source_matrix" -> ((s, dir) =>
       TextDedup.dupSourceMatrix(
         sharedJaccardPairs(s, dir),
-        Tables.documents(s, dir), col("doc_id"), col("source")))
+        Tables.documents(s, dir), col("doc_id"), col("source"))),
+
+    // PQ recall audit: ADC top-5 vs EXACT L2 top-5 (PQ ranks by
+    // distance, so the truth side is L2, not cosine) — completes the
+    // audit family: LSH pairs q112, IVF q125, PQ here.
+    "q127_pq_recall_audit" -> ((s, dir) =>
+      Similarity.topKRecallAudit(
+        Similarity.bruteForceL2TopK(Tables.embeddings(s, dir), QueryIds, 5),
+        Similarity.pqTopKWith(
+          Tables.embeddings(s, dir), sharedPqCodebooks(s, dir),
+          QueryIds, EmbDim, PqM, k = 5)))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

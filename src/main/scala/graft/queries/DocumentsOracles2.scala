@@ -859,7 +859,38 @@ private[queries] object DocumentsOracles2 {
           FROM pairs
           JOIN documents x ON x.doc_id = pairs.doc_a
           JOIN documents y ON y.doc_id = pairs.doc_b
-          GROUP BY 1, 2"""
+          GROUP BY 1, 2""",
+
+    // Truth = exact int64 L2 top-5 over the quantized vectors; approx
+    // = the q102 ADC chain at k=5; recall joined per query.
+    "q127_pq_recall_audit" ->
+      s"""WITH $quantCte,
+          $pqCte,
+          tq AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id IN (0,1,2,3,4)),
+          tsc AS (
+            SELECT tq.qid, c.vec_id AS cid,
+                   tq.qn2 + c.n2 - 2 * ${dotSql.format("tq.qv", "c.v")} AS d2
+            FROM en c, tq WHERE c.vec_id <> tq.qid),
+          truth AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cid ASC) AS rk
+              FROM tsc) WHERE rk <= 5),
+          dt AS (
+            SELECT vec_id AS qid, sub, cell AS code, d2 AS qd2
+            FROM pd2 WHERE vec_id IN (0, 1, 2, 3, 4)),
+          sc AS (
+            SELECT dt.qid, p.vec_id AS cid, CAST(SUM(dt.qd2) AS BIGINT) AS adc_dist2
+            FROM pcodes p JOIN dt ON dt.sub = p.sub AND dt.code = p.code
+            WHERE p.vec_id <> dt.qid
+            GROUP BY 1, 2),
+          approx AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc_dist2 ASC, cid ASC) AS rk
+              FROM sc) WHERE rk <= 5)
+          SELECT t.qid, COUNT(1) AS n_truth, COUNT(a.cid) AS n_hit,
+                 CAST((COUNT(a.cid) * 1000000) // COUNT(1) AS BIGINT) AS recall_ppm
+          FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.cid = t.cid
+          GROUP BY 1"""
   )
 
 }

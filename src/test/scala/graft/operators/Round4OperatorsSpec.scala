@@ -30,6 +30,20 @@ class Round4OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getLong(3) == 1000000L))
   }
 
+  test("bruteForceL2TopK: exact integer d2 ranking on hand-checked vectors") {
+    // quantize scales by 1e7 and rounds; ints below stay exact
+    val embs = Seq(
+      (0L, Seq(0.0f, 0.0f)),   // query
+      (1L, Seq(1.0f, 0.0f)),   // d2 = 1e12
+      (2L, Seq(0.0f, 2.0f)),   // d2 = 4e12
+      (3L, Seq(1.0f, 1.0f))    // d2 = 2e12
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceL2TopK(embs, Seq(0L), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L))
+    assert(out.head.getLong(2) === 10000000L * 10000000L)
+  }
+
   test("dupSourceMatrix: unordered source pairs, counts, max jaccard") {
     val pairs = Seq(
       (1L, 2L, 0.9),  // srcA-srcB
