@@ -32,6 +32,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object HttpIngest {
 
+  /** Thrown by [[CircuitBreaker.call]] when the circuit is OPEN.
+    * Object-level (not breaker-inner) so catch sites are a plain class
+    * test — a path-dependent inner type can't be checked at runtime. */
+  final class OpenCircuitException
+    extends RuntimeException("circuit breaker is OPEN")
+
   /** One upstream request: fetch `resolution`-minute candles for
     * `symbol` over `[rangeFromUnix, rangeToUnix]` (epoch seconds) —
     * the parameter set of ingestion/ingestion.py:240-248. A real
@@ -66,9 +72,6 @@ object HttpIngest {
     private var st: String = "CLOSED"
 
     def state: String = st
-
-    final class OpenCircuitException
-      extends RuntimeException("circuit breaker is OPEN")
 
     def call[A](f: => A): A = {
       if (st == "OPEN") {
@@ -180,7 +183,7 @@ object HttpIngest {
         val out =
           try cb.call(fetchSymbol(transport, req, cfg))
           catch {
-            case e: cb.OpenCircuitException =>
+            case e: OpenCircuitException =>
               SymbolFetch(sym, Nil, 0, Some(e.getMessage))
             case scala.util.control.NonFatal(e) =>
               SymbolFetch(sym, Nil, cfg.attempts, Some(String.valueOf(e.getMessage)))
@@ -231,7 +234,7 @@ object HttpIngest {
           val out =
             try cb.call(fetchSymbol(transport, req, cfg))
             catch {
-              case e: cb.OpenCircuitException => SymbolFetch(sym, Nil, 0, Some(e.getMessage))
+              case e: OpenCircuitException => SymbolFetch(sym, Nil, 0, Some(e.getMessage))
               case scala.util.control.NonFatal(e) =>
                 SymbolFetch(sym, Nil, cfg.attempts, Some(String.valueOf(e.getMessage)))
             }
@@ -476,7 +479,7 @@ object HttpIngest {
           val out =
             try { val (body, att) = cb.call(fetchOne(u)); (u, body, Option.empty[String], att) }
             catch {
-              case e: cb.OpenCircuitException => (u, null, Some(e.getMessage), 0)
+              case e: OpenCircuitException => (u, null, Some(e.getMessage), 0)
               case scala.util.control.NonFatal(e) =>
                 (u, null, Some(String.valueOf(e.getMessage)), cfg.attempts)
             }

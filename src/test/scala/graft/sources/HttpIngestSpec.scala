@@ -27,7 +27,7 @@ class HttpIngestSpec extends SparkSpec {
     assert(cb.state === "OPEN")
     // OPEN fast-fails WITHOUT invoking the body
     var touched = false
-    intercept[cb.OpenCircuitException](cb.call { touched = true; 1 })
+    intercept[HttpIngest.OpenCircuitException](cb.call { touched = true; 1 })
     assert(!touched)
     // after the cooldown the next call probes (HALF_OPEN) and a
     // success resets to CLOSED
