@@ -151,6 +151,21 @@ class ApiServerSpec extends SparkSpec {
     } finally tableSrv.stop()
   }
 
+  test("concurrent requests: parallel Spark queries on the handler pool all answer correctly") {
+    withServer { s =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val bodies = Await.result(
+        Future.sequence(Seq.fill(8)(Future(get(s, "/ohlcv/tcs?limit=2")))), 120.seconds)
+      bodies.foreach { case (code, body) =>
+        assert(code === 200)
+        assert(mapper.readTree(body).get("count").asInt === 2)
+      }
+    }
+  }
+
   test("/latest and /historical (json + csv) envelopes") {
     withServer { s =>
       val j = mapper.readTree(get(s, "/latest?symbols=tcs")._2)
