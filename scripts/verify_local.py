@@ -67,9 +67,15 @@ def main(sf_dir, out_dir):
                 return "datetime"
             return dt.kind  # i/u=int f=float b=bool O=object
         try:
+            # LIMIT-0 probes: DuckDB's pandas dtype mapping is driven by
+            # the DECLARED column types (HUGEINT→float64, BIGINT→int64),
+            # so a zero-row fetch carries the exact signal this check
+            # wants without re-executing the full oracle SQL / re-reading
+            # the result parquet a second time.
             gdf = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-            edf = con.execute(sql).df()
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").df()
+            edf = con.execute(
+                f"SELECT * FROM ({sql.rstrip().rstrip(';')}) __dt LIMIT 0").df()
             bad = [c for c in gdf.columns
                    if kind(gdf[c].dtype) != kind(edf[c].dtype)]
             if bad:

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence measurement harness for the dedup/ANN headliners
+  * against a [[ScaleData]]-generated corpus (SCALING.md "scale
+  * evidence" runs). Usage:
+  *
+  *   runMain graft.ScaleBench [dir] [name ...]
+  *
+  * Each measurement runs ISOLATED (explicit GC, then min of two
+  * passes — the Bench self-verification protocol) and the result is
+  * ONE JSON line of name → warm seconds.
+  *
+  * Three measurements deliberately run the PRODUCTION-capped
+  * configuration rather than the registered harness query, because the
+  * ×K corpus's duplicate density makes the uncapped form quadratic BY
+  * CONSTRUCTION (dup groups of size K: band buckets, IVF cells and
+  * true-pair mass all grow ∝ K², which is exactly the regime the caps
+  * exist for — SCALING.md documents the exact-dup layer + caps as the
+  * 100 TB path):
+  *  - `q84_capped`: [[TextDedup.lshRescoredPairs]] with
+  *    `maxBandDf = 64` — hot band buckets (the K-sized dup groups,
+  *    which collide in EVERY band) belong to the exact-dup layer;
+  *  - `q96_capped`: [[Similarity.semDedupVerdicts]] with
+  *    `maxCellCompare = 64` — within-cell candidates bounded to
+  *    |cell|·64, never |cell|²/2;
+  *  - `q99_sampled`: exact prefix-Jaccard truth over the deterministic
+  *    10%-of-base-docs slice (copy offsets are multiples of 10⁷, so
+  *    `doc_id % 10` keeps whole dup groups — full local density,
+  *    bounded mass), the documented once-per-snapshot/sampled-slice
+  *    contract for exact-truth relations.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir  = args.lift(0).getOrElse("/tmp/sfscale")
+    val only = args.drop(1).toSet
+    val spark = GraftSession.local()
+
+    def docs = Tables.documents(spark, dir)
+    def embs = Tables.embeddings(spark, dir)
+
+    // Shared index artifacts, built once outside the timed region —
+    // the sign-once/train-once lifecycle the registered queries model
+    // with DirCached (their build cost is reported separately).
+    lazy val shingles = TextDedup
+      .shingleRows(docs, col("doc_id"), col("text"), 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lazy val sigs = TextDedup
+      .minhashSignaturesFromRows(shingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val measurements: Seq[(String, () => DataFrame)] = Seq(
+      "q104_bloom_dedup_gate" ->
+        (() => SparkEntry.queries("q104_bloom_dedup_gate")(spark, dir)),
+      "q106_paragraph_dedup" ->
+        (() => SparkEntry.queries("q106_paragraph_dedup")(spark, dir)),
+      "q102_pq_topk" ->
+        (() => SparkEntry.queries("q102_pq_topk")(spark, dir)),
+      "q84_capped" ->
+        (() => TextDedup.lshRescoredPairs(
+          shingles, estThreshold = 0.5, threshold = 0.8,
+          maxBandDf = Some(64L), precomputedSigs = Some(sigs))),
+      "q96_capped" ->
+        (() => Similarity.semDedupVerdicts(
+          embs, Similarity.kmeansCentroids(embs, 8), tau = 0.4,
+          maxCellCompare = Some(64L))),
+      "q99_sampled" ->
+        (() => TextDedup.prefixJaccardPairs(
+          TextDedup.shingleRows(
+            docs.filter(pmod(col("doc_id"), lit(10L)) === 0),
+            col("doc_id"), col("text"), 3),
+          0.8))
+    ).filter { case (n, _) => only.isEmpty || only.contains(n) }
+
+    def once(fn: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n  = fn().count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"  rows=$n  ${"%.2f".format(dt)}s")
+      dt
+    }
+    // prebuild shared artifacts so their cost is visible but untimed
+    if (measurements.exists(m => m._1.startsWith("q84"))) {
+      val t0 = System.nanoTime()
+      val ns = shingles.count(); val nsig = sigs.count()
+      System.err.println(
+        s"index build: $ns shingle rows, $nsig sigs in ${"%.1f".format((System.nanoTime() - t0) / 1e9)}s")
+    }
+    val timed = measurements.map { case (name, fn) =>
+      System.err.println(s"[$name]")
+      System.gc()
+      val w = math.min(once(fn), once(fn))
+      System.gc()
+      name -> w
+    }
+    val qs = timed.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"scale_bench":"$dir","warm_sec":$qs}""")
+    spark.stop()
+  }
+}

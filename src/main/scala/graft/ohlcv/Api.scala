@@ -146,20 +146,41 @@ object Api {
   def latest(candles: DataFrame): DataFrame =
     Analytics.latestPerSymbol(candles, col("fetch_timestamp"))
 
+  /** GET /latest per-symbol SUMMARY, the reference envelope's field
+    * set (api_handler.py:501-508): latest_price (close of the newest
+    * candle — the stored envelope's own latest_price derives the same
+    * way), total_candles, resolution (native "5"), the newest fetch
+    * timestamp, and the newest candle itself as (t, o, h, l, c, v).
+    * ONE hash-aggregate — count/max/max_by all share the
+    * groupBy(symbol) exchange; newest = max (ts, fetch_timestamp), the
+    * keep-latest-fetch tie rule [[getOhlcv]] dedups by. */
+  def latestSummary(candles: DataFrame): DataFrame =
+    candles
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("total_candles"),
+        max(col("fetch_timestamp")).cast("string").as("fetch_ts"),
+        max_by(
+          struct(
+            unix_timestamp(col("ts")).as("t"), col("open"), col("high"),
+            col("low"), col("close"), col("volume").cast("double").as("v")),
+          struct(col("ts"), col("fetch_timestamp"))).as("last"))
+
   /** GET /symbols (D5): distinct symbols, sorted. */
   def symbols(candles: DataFrame): DataFrame =
     candles.select(col("symbol")).distinct().orderBy(col("symbol"))
 
   /** S12: render candles as the reference's CSV export lines
     * (api/api_handler.py:614-631):
-    * symbol,timestamp,datetime,open,high,low,close,volume. */
+    * symbol,timestamp,datetime,open,high,low,close,volume — datetime
+    * in the candle-dict's isoformat+'Z' shape (:571). */
   def toCsvRows(candles: DataFrame): DataFrame =
     candles.select(
       concat_ws(
         ",",
         col("symbol"),
         unix_timestamp(col("ts")).cast("string"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
         col("open").cast("string"),
         col("high").cast("string"),
         col("low").cast("string"),

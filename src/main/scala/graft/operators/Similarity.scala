@@ -44,11 +44,28 @@ object Similarity {
   def cosine(dot: Column, na2: Column, nb2: Column): Column =
     when(na2 > 0 && nb2 > 0, dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))))
 
-  /** Brute-force cosine top-k: every query (a small id set, broadcast)
-    * against the whole corpus; rank per query. Exact baseline. */
-  def bruteForceTopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val q = embs
-      .filter(col("vec_id").isin(queryIds: _*))
+  // ---- Query-side plumbing ----------------------------------------
+  //
+  // Every retrieval entry point takes its query set as a RELATION with
+  // the corpus schema (vec_id, embedding, …) — the production shape: a
+  // query batch is data, not an expression. The `Seq[Long]` overloads
+  // are sugar for the interactive handful-of-probes case; they select
+  // the query rows with an In-list (which parquet pushdown prunes at
+  // the scan) and delegate to the relation core, so the probe/join
+  // machinery itself NEVER holds an id list in its expression tree —
+  // a 10⁴–10⁵-id batch neither bloats the plan nor the task binaries.
+
+  /** The Seq-overload sugar: the corpus rows whose id is in `ids`
+    * (In-list → parquet PushedFilters — right for a small driver-side
+    * probe list; a big query batch should arrive as a relation). */
+  private def idRows(embs: DataFrame, ids: Seq[Long]): DataFrame =
+    embs.filter(col("vec_id").isin(ids: _*))
+
+  /** Brute-force cosine top-k: every query (a small relation with the
+    * corpus schema, broadcast) against the whole corpus; rank per
+    * query. Exact baseline. */
+  def bruteForceTopK(embs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries
       .select(col("vec_id").as("qid"), Portable.quantize(col("embedding")).as("qv"))
       .withColumn("qn2", normQ(col("qv")))
     val c = embs
@@ -63,13 +80,16 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
+  /** [[bruteForceTopK]] sugar for a driver-side id list. */
+  def bruteForceTopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    bruteForceTopK(embs, idRows(embs, queryIds), k)
+
   /** Brute-force EXACT squared-L2 top-k over the quantized vectors:
     * d² = ‖q‖² + ‖c‖² − 2·q·c in pure int64 — the truth baseline for
     * distance-ranked indexes ([[pqTopKWith]] ranks by ADC L2², so its
     * recall must be audited against L2 truth, not cosine truth). */
-  def bruteForceL2TopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val q = embs
-      .filter(col("vec_id").isin(queryIds: _*))
+  def bruteForceL2TopK(embs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries
       .select(col("vec_id").as("qid"), Portable.quantize(col("embedding")).as("qv"))
       .withColumn("qn2", normQ(col("qv")))
     val c = embs
@@ -83,6 +103,10 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("d2"), col("rank"))
   }
+
+  /** [[bruteForceL2TopK]] sugar for a driver-side id list. */
+  def bruteForceL2TopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    bruteForceL2TopK(embs, idRows(embs, queryIds), k)
 
   /** LSH bucket id (0..2^H−1) of a quantized vector: bit h is the sign
     * of the exact integer dot with hyperplane h. Statically unrolled —
@@ -141,14 +165,18 @@ object Similarity {
     * a cell-key equi-join against the broadcast query set. With the
     * corpus written bucketed by cell id, a probe touches only matching
     * buckets. */
+  def ivfTopK(embs: DataFrame, queries: DataFrame, nCells: Int, nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(embs, seedCentroids(embs, nCells), queries, nProbe, k)
+
+  /** [[ivfTopK]] sugar for a driver-side id list. */
   def ivfTopK(embs: DataFrame, queryIds: Seq[Long], nCells: Int, nProbe: Int, k: Int): DataFrame =
-    ivfTopKWith(embs, seedCentroids(embs, nCells), queryIds, nProbe, k)
+    ivfTopK(embs, idRows(embs, queryIds), nCells, nProbe, k)
 
   /** [[ivfTopK]] against an EXPLICIT codebook relation (cell, cv, cn2)
     * — pass [[kmeansCentroids]] output to serve ANN from a trained
     * codebook instead of raw seeds (train once, index at write time,
     * probe forever: the production IVF lifecycle). */
-  def ivfTopKWith(embs: DataFrame, codebook: DataFrame, queryIds: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+  def ivfTopKWith(embs: DataFrame, codebook: DataFrame, queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val base  = quantized(embs)
     val cents = codebook.select(col("cell"), col("cv"), col("cn2"))
     // cosine of every vector to every (broadcast) centroid
@@ -161,9 +189,11 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"))
     val assigned = base.join(homeCell, "vec_id")
-    // queries probe their nProbe nearest cells (tiny row set → window)
-    val probes = withCos
-      .filter(col("vec_id").isin(queryIds: _*))
+    // queries probe their nProbe nearest cells: the QUERY relation gets
+    // its own tiny centroid cross product — the corpus-wide withCos is
+    // never filtered for probes, so no id expression rides the plan
+    val probes = quantized(queries).crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(Portable.dotQ(col("v"), col("cv")), col("n2"), col("cn2")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("cell"))))
       .filter(col("crank") <= nProbe)
@@ -178,6 +208,10 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("cid"), col("cell"), col("cosine"), col("rank"))
   }
+
+  /** [[ivfTopKWith]] sugar for a driver-side id list. */
+  def ivfTopKWith(embs: DataFrame, codebook: DataFrame, queryIds: Seq[Long], nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(embs, codebook, idRows(embs, queryIds), nProbe, k)
 
   /** Quantized corpus relation (vec_id, v, n2) — the common prefix of
     * every vector operator here. */
@@ -291,26 +325,31 @@ object Similarity {
     *
     * Scale shape: the codebook is broadcast for assignment (corpus
     * never shuffles to get its cell), then the self-join shuffles each
-    * vector ONCE keyed by cell. Candidate volume is Σ|cell|²/2 — the
-    * cluster count is the blocking knob (k ∝ √n keeps expected cell
-    * size, and therefore per-cell pair cost, flat as the corpus
-    * grows; the paper uses k in the tens of thousands at
-    * billion-document scale). A runaway cell is the hot-band
-    * analogue: watch `semdedup_max_cell` via `observe` on the
-    * assignment if cell sizes are unknown. */
-  def semDedupVerdicts(embs: DataFrame, codebook: DataFrame, tau: Double): DataFrame = {
+    * vector ONCE keyed by cell. Candidate volume is Σ|cell|²/2 with
+    * the cluster count as the blocking knob (k ∝ √n keeps expected
+    * cell size flat; the paper uses k in the tens of thousands at
+    * billion-document scale) — but SemDeDup runs precisely on
+    * near-duplicate-heavy corpora, where one dense cell goes quadratic
+    * no matter how k was sized. `maxCellCompare` is the hot-cell
+    * bound (the [[TextDedup.lshPairs]] `maxBandDf` analogue): each
+    * vector compares only against the `cap` LOWEST-id members of its
+    * cell, so candidate volume is ≤ Σ|cell|·cap — LINEAR in cell
+    * population. Exact whenever |cell| ≤ cap; above it the verdicts
+    * degrade gracefully in exactly the grain that matters least — the
+    * greedy keep-earliest chain defers to low-id members, so the
+    * capped comparison set is the set of likely survivors, and a
+    * vector can only be mis-kept if its ONLY matches sit past the
+    * cell's id-head. Over/under-cap cell counts and the max cell
+    * population are published via the `semdedup_cell_cap`
+    * observation. */
+  def semDedupVerdicts(
+      embs: DataFrame,
+      codebook: DataFrame,
+      tau: Double,
+      maxCellCompare: Option[Long] = None): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
-    val base = quantized(embs)
-    val assign = nearestCell(base, codebook.select(col("cell"), col("cv"), col("cn2")))
-      .select(col("vec_id"), col("cell"))
-    val m = base.join(assign, "vec_id")
-    val dropped = m.as("a")
-      .join(m.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_id"),
-        col("b.vec_id").as("bid"),
-        cosine(Portable.dotQ(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+    val m = assignedCorpus(embs, codebook)
+    val dropped = semDedupCandidates(m, maxCellCompare)
       .filter(col("cos") >= tau)
       .groupBy(col("vec_id"))
       .agg(min(col("bid")).as("survivor_id"), max(col("cos")).as("max_cos"))
@@ -321,6 +360,51 @@ object Similarity {
         when(col("survivor_id").isNotNull, lit("drop_semantic"))
           .otherwise(lit("keep")).as("verdict"),
         col("survivor_id"), col("max_cos"))
+  }
+
+  /** [[semDedupVerdicts]]' scored candidate relation (vec_id, bid,
+    * cos) over an assigned (vec_id, v, n2, cell) corpus — split out so
+    * the hot-cell bound is testable: with `maxCellCompare = Some(cap)`
+    * the b-side of the within-cell join is pruned to each cell's `cap`
+    * lowest ids BEFORE the join (one rank window riding the same
+    * cell-keyed exchange the join needs — no extra shuffle of the
+    * corpus), making candidates per cell ≤ |cell|·cap, never
+    * |cell|²/2. */
+  private[operators] def semDedupCandidates(
+      m: DataFrame,
+      maxCellCompare: Option[Long]): DataFrame = {
+    val bSide = maxCellCompare match {
+      case None => m
+      case Some(cap) =>
+        require(cap >= 1, s"maxCellCompare must be >= 1 (got $cap)")
+        val wC = Window.partitionBy(col("cell"))
+        m.withColumn("__rn", row_number().over(wC.orderBy(col("vec_id"))))
+          .withColumn("__pop", count(lit(1)).over(wC))
+          .observe(
+            "semdedup_cell_cap",
+            count(when(col("__rn") === 1 && col("__pop") > cap, 1)).as("capped_cells"),
+            count(when(col("__rn") === 1 && col("__pop") <= cap, 1)).as("exact_cells"),
+            max(col("__pop")).as("max_cell_pop"))
+          .filter(col("__rn") <= cap)
+          .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    }
+    m.as("a")
+      .join(bSide.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("bid"),
+        cosine(Portable.dotQ(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+  }
+
+  /** Assigned corpus relation (vec_id, v, n2, cell) for
+    * [[semDedupCandidates]] — exposed for the hot-cell spec. */
+  private[operators] def assignedCorpus(embs: DataFrame, codebook: DataFrame): DataFrame = {
+    val base = quantized(embs)
+    base.join(
+      nearestCell(base, codebook.select(col("cell"), col("cv"), col("cn2")))
+        .select(col("vec_id"), col("cell")),
+      "vec_id")
   }
 
   /** Embedding-quality screen: the k vectors per label FARTHEST (by
@@ -353,8 +437,12 @@ object Similarity {
     * bucket as the query; exact cosine rescoring + top-k within the
     * bucket. Approximate by construction (bucket recall < 1) — the
     * scale path where brute force is infeasible. */
+  def lshTopK(embs: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame =
+    probedTopK(embs, queries, dim, k, masks = Seq(0L), keepBucket = true)
+
+  /** [[lshTopK]] sugar for a driver-side id list. */
   def lshTopK(embs: DataFrame, queryIds: Seq[Long], dim: Int, k: Int): DataFrame =
-    probedTopK(embs, queryIds, dim, k, masks = Seq(0L), keepBucket = true)
+    lshTopK(embs, idRows(embs, queryIds), dim, k)
 
   /** Multi-probe hyperplane LSH (Lv et al., VLDB '07): each query
     * probes its own bucket PLUS the H single-bit-flip neighbors — the
@@ -363,26 +451,32 @@ object Similarity {
     * with NO extra tables or rehashing — the standard fix for LSH's
     * all-or-nothing bucket miss ([[lshTopK]], which is the
     * masks = {0} special case of the same probing core). */
-  def lshTopKMultiProbe(embs: DataFrame, queryIds: Seq[Long], dim: Int, k: Int): DataFrame =
-    probedTopK(embs, queryIds, dim, k,
+  def lshTopKMultiProbe(embs: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame =
+    probedTopK(embs, queries, dim, k,
       masks = 0L +: (0 until H).map(h => 1L << h), keepBucket = false)
+
+  /** [[lshTopKMultiProbe]] sugar for a driver-side id list. */
+  def lshTopKMultiProbe(embs: DataFrame, queryIds: Seq[Long], dim: Int, k: Int): DataFrame =
+    lshTopKMultiProbe(embs, idRows(embs, queryIds), dim, k)
 
   /** Shared LSH probing core: queries probe `bucket XOR mask` for each
     * mask. Each corpus vector lives in exactly one bucket and a
     * query's probe keys are distinct, so a (query, candidate) pair
     * joins at most once — no dedup pass. The probe set stays tiny and
-    * BROADCAST; the corpus is never shuffled. `keepBucket` keeps the
-    * matched bucket column (meaningful for single-probe output). */
+    * BROADCAST (its bucket ids are recomputed from its own vectors —
+    * no corpus filter, no id list in the plan); the corpus is never
+    * shuffled. `keepBucket` keeps the matched bucket column
+    * (meaningful for single-probe output). */
   private def probedTopK(
       embs: DataFrame,
-      queryIds: Seq[Long],
+      queries: DataFrame,
       dim: Int,
       k: Int,
       masks: Seq[Long],
       keepBucket: Boolean): DataFrame = {
     val withBucket = quantized(embs).withColumn("bucket", bucketId(col("v"), dim))
-    val probes = withBucket
-      .filter(col("vec_id").isin(queryIds: _*))
+    val probes = quantized(queries)
+      .withColumn("bucket", bucketId(col("v"), dim))
       .select(
         col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
         explode(transform(typedlit(masks), m => col("bucket").bitwiseXOR(m))).as("bucket"))
@@ -481,14 +575,15 @@ object Similarity {
   def pqTopKWith(
       embs: DataFrame,
       codebooks: DataFrame,
-      queryIds: Seq[Long],
+      queries: DataFrame,
       dim: Int,
       m: Int,
       k: Int): DataFrame = {
     val sl    = pqSlices(embs, dim, m)
     val codes = nearestSubCell(sl, codebooks).select(col("vec_id").as("cid"), col("sub"), col("code"))
-    val dt = sl
-      .filter(col("vec_id").isin(queryIds: _*))
+    // queries slice themselves — the corpus slice relation is never
+    // filtered for the distance tables
+    val dt = pqSlices(queries, dim, m)
       .join(broadcast(codebooks), Seq("sub"))
       .select(
         col("vec_id").as("qid"), col("sub"), col("cell").as("code"),
@@ -502,6 +597,16 @@ object Similarity {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** [[pqTopKWith]] sugar for a driver-side id list. */
+  def pqTopKWith(
+      embs: DataFrame,
+      codebooks: DataFrame,
+      queryIds: Seq[Long],
+      dim: Int,
+      m: Int,
+      k: Int): DataFrame =
+    pqTopKWith(embs, codebooks, idRows(embs, queryIds), dim, m, k)
 
   /** Semantic decontamination — the embedding-space complement of
     * n-gram decontamination ([[TextDedup.contaminationFlags]]):
@@ -545,9 +650,8 @@ object Similarity {
     * the corpus never shuffles, per-query rank is a WindowGroupLimit
     * top-k (never a global sort). Exact integer dot products
     * ([[Portable.quantize]]); ties broken by candidate id. */
-  def hardNegatives(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val q = embs
-      .filter(col("vec_id").isin(queryIds: _*))
+  def hardNegatives(embs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries
       .select(
         col("vec_id").as("qid"),
         col("label").as("__ql"),
@@ -566,6 +670,10 @@ object Similarity {
       .select(col("qid"), col("cid"), col("neg_label"), col("cosine"), col("rank"))
   }
 
+  /** [[hardNegatives]] sugar for a driver-side id list. */
+  def hardNegatives(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    hardNegatives(embs, idRows(embs, queryIds), k)
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98)
     * diversified re-ranking: from each query's cosine top-`poolSize`
     * candidates, greedily select `k` maximizing
@@ -582,11 +690,11 @@ object Similarity {
     * at scale); the greedy loop runs per query over `poolSize` rows
     * inside one `flatMapGroups` — state is poolSize vectors, O(k·pool)
     * exact integer dots, never a shuffle of anything corpus-sized. */
-  def mmrTopK(embs: DataFrame, queryIds: Seq[Long], poolSize: Int, k: Int): DataFrame = {
+  def mmrTopK(embs: DataFrame, queries: DataFrame, poolSize: Int, k: Int): DataFrame = {
     require(poolSize >= k && k >= 1, s"need poolSize >= k >= 1 (got pool=$poolSize, k=$k)")
     val spark = embs.sparkSession
     import spark.implicits._
-    val cands = bruteForceTopK(embs, queryIds, poolSize)
+    val cands = bruteForceTopK(embs, queries, poolSize)
       .join(embs.select(col("vec_id").as("cid"), Portable.quantize(col("embedding")).as("cv")), Seq("cid"))
       .select(col("qid"), col("cid"), col("cosine"), col("cv"))
       .as[(Long, Long, Double, Array[Long])]
@@ -626,6 +734,10 @@ object Similarity {
       }
       .toDF("qid", "cid", "cosine", "mmr_score", "sel_rank")
   }
+
+  /** [[mmrTopK]] sugar for a driver-side id list. */
+  def mmrTopK(embs: DataFrame, queryIds: Seq[Long], poolSize: Int, k: Int): DataFrame =
+    mmrTopK(embs, idRows(embs, queryIds), poolSize, k)
 
   /** Recall@k audit of an approximate top-k retriever against exact
     * truth — the per-ANN-index twin of [[TextDedup.recallAudit]] (which

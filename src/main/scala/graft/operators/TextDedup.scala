@@ -956,7 +956,12 @@ object TextDedup {
       historyFps: DataFrame,
       fpp: Double): DataFrame = {
     require(historyFps.columns.toSeq == Seq("fp"), "historyFps must be a single-column (fp) relation")
-    val expected = math.max(1L, historyFps.count())
+    val nHistory = historyFps.count()
+    // Empty history (first batch of a growing index): nothing can hit —
+    // and Spark's bloom aggregate returns null over zero rows, so the
+    // build below would NPE on serialization.
+    if (nHistory == 0L) return df.withColumn("__hit", lit(false))
+    val expected = nHistory
     val bloom = historyFps
       .select(xxhash64(col("fp")).as("__h"))
       .stat.bloomFilter("__h", expected, fpp)

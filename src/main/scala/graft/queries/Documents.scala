@@ -15,7 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Documents {
 
-  private val QueryIds = Seq(0L, 1L, 2L, 3L, 4L)
+  /** The harness's 5-probe query set as a RELATION — the production
+    * shape every ANN entry point takes (a query batch is data, not an
+    * In-list expression; PlanSpec pins the no-In-list plan). The range
+    * predicate still pushes down to the parquet scan. */
+  private def QueryRel(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 5)
 
   /** The dedup family (q31/q32/q33/q53) consumes ONE logical shingle
     * relation, and q54/q57 share the winnowing fingerprint relation
@@ -147,18 +152,18 @@ object Documents {
     // Brute-force cosine top-10 for 5 broadcast query vectors —
     // exact ANN baseline on integer-quantized embeddings.
     "q36_cosine_topk" -> ((s, dir) =>
-      Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryIds, 10)
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryRel(s, dir), 10)
         .withColumnRenamed("rank", "rk")),
 
     // Hyperplane-LSH ANN: same queries restricted to their bucket.
     "q37_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(Tables.embeddings(s, dir), QueryIds, dim = 64, k = 5)
+      Similarity.lshTopK(Tables.embeddings(s, dir), QueryRel(s, dir), dim = 64, k = 5)
         .withColumnRenamed("rank", "rk")),
 
     // Multi-probe LSH: own bucket + all single-bit flips — recall
     // recovered at (H+1)× candidate cost, corpus still unshuffled.
     "q88_ann_multiprobe" -> ((s, dir) =>
-      Similarity.lshTopKMultiProbe(Tables.embeddings(s, dir), QueryIds, dim = 64, k = 5)
+      Similarity.lshTopKMultiProbe(Tables.embeddings(s, dir), QueryRel(s, dir), dim = 64, k = 5)
         .withColumnRenamed("rank", "rk")),
 
     // Token counting (whitespace + BPE-ish regex) & quality scoring.
@@ -197,7 +202,7 @@ object Documents {
 
     // IVF ANN: 16 seed-centroid cells, 2-cell probe, exact rescoring.
     "q45_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), QueryIds, nCells = 16, nProbe = 2, k = 5)
+      Similarity.ivfTopK(Tables.embeddings(s, dir), QueryRel(s, dir), nCells = 16, nProbe = 2, k = 5)
         .withColumnRenamed("rank", "rk")),
 
     // Multimodal resize: REAL decode + aspect-fit + nearest-neighbor
@@ -284,7 +289,7 @@ object Documents {
     // the production lifecycle: train once, probe forever.
     "q63_ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTopKWith(
-        Tables.embeddings(s, dir), sharedCodebook(s, dir), QueryIds, nProbe = 2, k = 5)
+        Tables.embeddings(s, dir), sharedCodebook(s, dir), QueryRel(s, dir), nProbe = 2, k = 5)
         .withColumnRenamed("rank", "rk")),
 
     // The dedup DECISION list: keep / drop_exact / drop_near per doc
@@ -483,7 +488,7 @@ object Documents {
     "q102_pq_topk" -> ((s, dir) =>
       Similarity.pqTopKWith(
         Tables.embeddings(s, dir), sharedPqCodebooks(s, dir),
-        Seq(0L, 1L, 2L, 3L, 4L), EmbDim, PqM, k = 5)),
+        QueryRel(s, dir), EmbDim, PqM, k = 5)),
 
     // Sliding-window chunking: 64-token windows every 48 tokens —
     // the context-length splitter feeding embedding/indexing stages.
@@ -563,7 +568,7 @@ object Documents {
       Relevance.rrfFuse(
         Relevance.bm25(
           Tables.documents(s, dir), col("doc_id"), col("text"), Bm25Terms, topK = 20),
-        Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryIds, 10))),
+        Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryRel(s, dir), 10))),
 
     // Per-doc character statistics via the one-pass codegen'd
     // CharSimpson expression — map-only; the per-character explode
@@ -588,7 +593,7 @@ object Documents {
     // Hard negatives for contrastive training: top-10 most-similar
     // DIFFERENT-label vectors per query; corpus never shuffles.
     "q120_hard_negatives" -> ((s, dir) =>
-      Similarity.hardNegatives(Tables.embeddings(s, dir), QueryIds, 10)
+      Similarity.hardNegatives(Tables.embeddings(s, dir), QueryRel(s, dir), 10)
         .withColumnRenamed("rank", "rk")),
 
     // Epoch-rotated exact-dedup keepers: seeded hash of the GROUP key
@@ -603,14 +608,14 @@ object Documents {
     // greedy loop touches poolSize rows per query; corpus only sees
     // the broadcast top-k scan.
     "q124_mmr_rerank" -> ((s, dir) =>
-      Similarity.mmrTopK(Tables.embeddings(s, dir), QueryIds, poolSize = 10, k = 5)),
+      Similarity.mmrTopK(Tables.embeddings(s, dir), QueryRel(s, dir), poolSize = 10, k = 5)),
 
     // ANN recall audit: IVF(nProbe=2) top-5 measured against the
     // exact top-5 — the trust gate before serving an index at scale.
     "q125_ann_recall_audit" -> ((s, dir) =>
       Similarity.topKRecallAudit(
-        Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryIds, 5),
-        Similarity.ivfTopK(Tables.embeddings(s, dir), QueryIds, nCells = 16, nProbe = 2, k = 5))),
+        Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryRel(s, dir), 5),
+        Similarity.ivfTopK(Tables.embeddings(s, dir), QueryRel(s, dir), nCells = 16, nProbe = 2, k = 5))),
 
     // Cross-source duplication matrix over the shared (capped) exact
     // Jaccard pairs — which ingest sources share near-dup mass.
@@ -624,10 +629,10 @@ object Documents {
     // audit family: LSH pairs q112, IVF q125, PQ here.
     "q127_pq_recall_audit" -> ((s, dir) =>
       Similarity.topKRecallAudit(
-        Similarity.bruteForceL2TopK(Tables.embeddings(s, dir), QueryIds, 5),
+        Similarity.bruteForceL2TopK(Tables.embeddings(s, dir), QueryRel(s, dir), 5),
         Similarity.pqTopKWith(
           Tables.embeddings(s, dir), sharedPqCodebooks(s, dir),
-          QueryIds, EmbDim, PqM, k = 5)))
+          QueryRel(s, dir), EmbDim, PqM, k = 5)))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

@@ -13,7 +13,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   * dependencies — the same stdlib server the ingest spec uses.
   *
   * Endpoints (same paths, params, response envelopes and error shapes
-  * as the reference):
+  * as the reference — dict-shaped candles with `datetime` on
+  * /ohlcv//historical, the {latest_price, total_candles, resolution,
+  * timestamp, last_candle} set on /latest, list-form aggregated
+  * candles + the full symbol_requested/…/to_date key set on
+  * /alfaquantz. ONE documented divergence: /ohlcv with interval ≠ 5
+  * actually resamples — the reference only echoes the param — with
+  * `limit` applied to the aggregated buckets, alfaquantz-style):
   *  - `GET /symbols?limit=`                          (:67-103)
   *  - `GET /ohlcv/{symbol}?from=&to=&interval=&limit=` (:105-160)
   *  - `GET /latest?symbols=`                         (:162-194)
@@ -168,25 +174,34 @@ object ApiServer {
     }
   }
 
-  /** GET /ohlcv/{symbol} — ranged, deduped, tail-limited candles;
-    * interval ≠ 5 resamples (:105-160). */
+  /** GET /ohlcv/{symbol} — ranged, deduped, tail-limited DICT-shaped
+    * candles (:105-160). DELIBERATE divergence, documented: the
+    * reference only ECHOES `interval` (get_ohlcv_data ignores it,
+    * :360-445); here interval ≠ 5 actually resamples — same
+    * aggregation order as /alfaquantz (aggregate first, then the
+    * tail-limit applies to the aggregated buckets, so `limit` is
+    * honored in BOTH branches). */
   private def handleOhlcv(
       ex: com.sun.net.httpserver.HttpExchange,
       source: Source, rawSymbol: String, qp: Map[String, String], cfg: Config): Unit = {
     val symbol   = normalizeSymbol(java.net.URLDecoder.decode(rawSymbol, "UTF-8"))
     val interval = qp.getOrElse("interval", "5")
+    val limit    = qp.get("limit").flatMap(_.toIntOption)
     val rows =
       if (Api.intervalToMinutes(interval) == 5)
-        source.ohlcv(symbol, qp.get("from"), qp.get("to"),
-          qp.get("limit").flatMap(_.toIntOption))
+        source.ohlcv(symbol, qp.get("from"), qp.get("to"), limit)
           .select(unix_timestamp(col("ts")), col("open"), col("high"),
             col("low"), col("close"), col("volume").cast("double"))
           .collect()
-      else
-        resampled(source.ohlcv(symbol, qp.get("from"), qp.get("to"), None), interval)
+      else {
+        val agg = resampled(source.ohlcv(symbol, qp.get("from"), qp.get("to"), None), interval)
+        // tail-limit AFTER resampling: most-recent N buckets, ascending
+        limit.fold(agg)(n => agg.orderBy(desc("bucket_start")).limit(n))
+          .orderBy(col("bucket_start"))
           .select(col("bucket_start"), col("open"), col("high"),
             col("low"), col("close"), col("volume").cast("double"))
           .collect()
+      }
     if (rows.isEmpty) { // :139-144
       val err = mapper.createObjectNode()
       err.put("error", "No data found")
@@ -197,7 +212,7 @@ object ApiServer {
       val out = mapper.createObjectNode()
       out.put("symbol", symbol)
       out.put("interval", interval)
-      candleArray(out.putArray("data"), rows)
+      candleDicts(out.putArray("data"), rows)
       out.put("count", rows.length)
       out.put("timestamp", cfg.clock().toString)
       respond(ex, 200, out)
@@ -214,9 +229,13 @@ object ApiServer {
       case None =>
         Api.symbols(candles).limit(cfg.latestSymbolCap).collect().map(_.getString(0)).toSeq
     }
-    val rows = Api.latest(candles.filter(col("symbol").isin(symbols: _*)))
-      .select(col("symbol"), unix_timestamp(col("ts")), col("open"),
-        col("high"), col("low"), col("close"), col("volume").cast("double"))
+    // reference per-symbol shape (:501-508): {symbol, latest_price,
+    // total_candles, resolution, timestamp, last_candle} — ONE
+    // aggregate over the filtered frame supplies every field.
+    val rows = Api.latestSummary(candles.filter(col("symbol").isin(symbols: _*)))
+      .select(col("symbol"), col("total_candles"), col("fetch_ts"),
+        col("last.t"), col("last.open"), col("last.high"),
+        col("last.low"), col("last.close"), col("last.v"))
       .collect()
     val out = mapper.createObjectNode()
     val sa = out.putArray("symbols")
@@ -224,10 +243,19 @@ object ApiServer {
     val data = out.putObject("data")
     rows.foreach { r =>
       val o = data.putObject(r.getString(0))
-      o.put("timestamp", r.getLong(1))
-      o.put("open", r.getDouble(2)); o.put("high", r.getDouble(3))
-      o.put("low", r.getDouble(4)); o.put("close", r.getDouble(5))
-      o.put("volume", r.getDouble(6).toLong)
+      o.put("symbol", r.getString(0))
+      numOpt(r, 7).fold { o.putNull("latest_price"); () } { v => o.put("latest_price", v); () }
+      o.put("total_candles", r.getLong(1))
+      o.put("resolution", "5")
+      if (r.isNullAt(2)) o.putNull("timestamp") else o.put("timestamp", r.getString(2))
+      if (r.isNullAt(3)) o.putNull("last_candle")
+      else {
+        val c = o.putArray("last_candle")
+        c.add(r.getLong(3))
+        c.add(numOpt(r, 4).getOrElse(0.0)); c.add(numOpt(r, 5).getOrElse(0.0))
+        c.add(numOpt(r, 6).getOrElse(0.0)); c.add(numOpt(r, 7).getOrElse(0.0))
+        c.add(numOpt(r, 8).getOrElse(0.0).toLong)
+      }
     }
     out.put("count", rows.length)
     out.put("timestamp", cfg.clock().toString)
@@ -259,15 +287,17 @@ object ApiServer {
       val out = mapper.createObjectNode()
       val sa = out.putArray("symbols")
       symbols.foreach(sa.add)
-      qp.get("from").foreach(out.put("from_date", _))
-      qp.get("to").foreach(out.put("to_date", _))
+      // reference includes both keys unconditionally (null when absent)
+      qp.get("from").fold { out.putNull("from_date"); () } { v => out.put("from_date", v); () }
+      qp.get("to").fold { out.putNull("to_date"); () } { v => out.put("to_date", v); () }
       val data = out.putObject("data")
       var total = 0
       perSymbol.foreach { case (s, df) =>
         val rows = df.select(unix_timestamp(col("ts")), col("open"), col("high"),
           col("low"), col("close"), col("volume").cast("double")).collect()
         val o = data.putObject(s)
-        candleArray(o.putArray("candles"), rows)
+        o.put("symbol", s) // get_historical_data seeds {symbol, candles} (:531-534)
+        candleDicts(o.putArray("candles"), rows)
         o.put("count", rows.length)
         total += rows.length
       }
@@ -307,12 +337,17 @@ object ApiServer {
             .select(col("bucket_start"), col("open"), col("high"),
               col("low"), col("close"), col("volume").cast("double"))
             .collect()
+        // full reference key set (:729-739); candles stay LIST-form
+        // here (the aggregate_candles output shape)
         val out = mapper.createObjectNode()
-        out.put("symbol", symbol)
+        out.put("symbol_requested", rawSym)
+        out.put("symbol_normalized", symbol)
         out.put("interval", interval)
         out.put("period", period)
-        candleArray(out.putArray("candles"), rows)
+        out.put("from_date", from.toString)
+        out.put("to_date", today.toString)
         out.put("count", rows.length)
+        candleLists(out.putArray("candles"), rows)
         out.put("timestamp", cfg.clock().toString)
         respond(ex, 200, out)
     }
@@ -340,15 +375,56 @@ object ApiServer {
     else s"NSE:$up-EQ"
   }
 
-  /** Rows of (epoch-sec, o, h, l, c, v) → reference candle arrays
-    * `[ts, open, high, low, close, volume]`. */
-  private def candleArray(arr: ArrayNode, rows: Array[Row]): Unit =
+  /** Epoch seconds → the reference's candle `datetime` string
+    * (`datetime.fromtimestamp(ts).isoformat() + 'Z'`,
+    * api_handler.py:394). The reference renders in the Lambda's local
+    * zone; we render UTC — deterministic, and the Lambda zone IS UTC. */
+  private def isoZ(epochSec: Long): String =
+    java.time.LocalDateTime
+      .ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC)
+      .toString match { // LocalDateTime drops :00 seconds; reference keeps them
+        case s if s.length == 16 => s + ":00Z"
+        case s                   => s + "Z"
+      }
+
+  /** Null-safe numeric read: a row with one null OHLCV field must not
+    * 500 the whole request — emit JSON null (dict form) or the
+    * reference's `or 0` tolerance (list form) instead. */
+  private def numOpt(r: Row, i: Int): Option[Double] =
+    if (r.isNullAt(i)) None else Some(r.getDouble(i))
+
+  /** Rows of (epoch-sec, o, h, l, c, v) → the reference's DICT-shaped
+    * candles `{timestamp, datetime, open, high, low, close, volume}`
+    * (api_handler.py:393-401). Null numeric fields pass through as
+    * JSON null (the reference's `candle.get(...)` does the same); a
+    * null timestamp drops the candle (`if timestamp:` gate, :425). */
+  private def candleDicts(arr: ArrayNode, rows: Array[Row]): Unit =
     rows.foreach { r =>
-      val c = arr.addArray()
-      c.add(r.getLong(0))
-      c.add(r.getDouble(1)); c.add(r.getDouble(2))
-      c.add(r.getDouble(3)); c.add(r.getDouble(4))
-      c.add(r.getDouble(5).toLong)
+      if (!r.isNullAt(0)) {
+        val ts = r.getLong(0)
+        val c  = arr.addObject()
+        c.put("timestamp", ts)
+        c.put("datetime", isoZ(ts))
+        def putd(k: String, i: Int): Unit =
+          numOpt(r, i).fold { c.putNull(k); () } { v => c.put(k, v); () }
+        putd("open", 1); putd("high", 2); putd("low", 3); putd("close", 4)
+        numOpt(r, 5).fold { c.putNull("volume"); () } { v => c.put("volume", v.toLong); () }
+      }
+    }
+
+  /** Rows of (epoch-sec, o, h, l, c, v) → LIST-shaped candles
+    * `[ts, open, high, low, close, volume]` — the /alfaquantz
+    * aggregation format (api_handler.py:700-715), with the reference's
+    * `float(c.get(...) or 0)` null tolerance. */
+  private def candleLists(arr: ArrayNode, rows: Array[Row]): Unit =
+    rows.foreach { r =>
+      if (!r.isNullAt(0)) {
+        val c = arr.addArray()
+        c.add(r.getLong(0))
+        c.add(numOpt(r, 1).getOrElse(0.0)); c.add(numOpt(r, 2).getOrElse(0.0))
+        c.add(numOpt(r, 3).getOrElse(0.0)); c.add(numOpt(r, 4).getOrElse(0.0))
+        c.add(numOpt(r, 5).getOrElse(0.0).toLong)
+      }
     }
 
   private def queryParams(ex: com.sun.net.httpserver.HttpExchange): Map[String, String] =

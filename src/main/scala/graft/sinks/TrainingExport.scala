@@ -49,17 +49,28 @@ object TrainingExport {
       shards: Int,
       seed: String): DataFrame = {
     val payloadCols = docs.columns.toSeq
+    // Internal shuffle columns use collision-proof __-names so a
+    // payload column called `shard` or `pos` can never be silently
+    // shadowed by (or shadow) the shuffle's own columns; `pos` is also
+    // a JSON key in every output line, so a payload `pos` would write
+    // a duplicate key — rejected loudly instead.
+    val reserved = payloadCols.filter(c => c == "pos" || c.startsWith("__"))
+    require(
+      reserved.isEmpty,
+      s"payload column(s) ${reserved.mkString(", ")} collide with the export's " +
+        "own keys: `pos` is the in-shard-order key in every JSONL line and " +
+        "`__`-prefixed names are reserved for shuffle internals — rename them first")
     val order = Profile.globalShuffle(docs, id, shards, seed)
-      .select(col("doc_id").as("__did"), col("shard"), col("pos"))
+      .select(col("doc_id").as("__did"), col("shard").as("__shard"), col("pos").as("__pos"))
     docs
       .withColumn("__did", id)
       .join(order, Seq("__did"))
       // one partition per shard value (collisions only merge tasks,
       // never split a shard), then in-shard order by pos
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("pos"))
+      .repartition(shards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__pos"))
       .select(
-        col("shard"),
-        to_json(struct(col("pos") +: payloadCols.map(col): _*)).as("value"))
+        col("__shard").as("shard"),
+        to_json(struct(col("__pos").as("pos") +: payloadCols.map(col): _*)).as("value"))
   }
 }

@@ -105,4 +105,64 @@ object DocStream {
       .drop("__in_hist")
     novel.unionByName(checked)
   }
+
+  /** The GROWING-history twin of [[historyGated]], as a `foreachBatch`
+    * stage: each micro-batch runs the BATCH bloom gate
+    * ([[graft.operators.TextDedup.bloomDedupGate]] — same contract,
+    * same verdicts) against every prior batch's fingerprints, and its
+    * novel rows land in `historyDir` under their own `batch_id=N`
+    * partition — so batch N+1's gate sees them without a stream
+    * restart. State lives in the TABLE, not the state store: the gate
+    * itself stays stateless (bloom rebuilt per batch from the index —
+    * at 100 TB, cache the bloom sidecar and fold in only new
+    * partitions; the per-batch rebuild here keeps the local contract
+    * exact).
+    *
+    * REPLAY-SAFE by construction: history is read EXCLUDING the
+    * current batch's own partition (partition-pruned), and the write
+    * dynamic-partition-OVERWRITES exactly that partition — a
+    * re-delivered batch recomputes the same novel set and rewrites it
+    * in place, never double-appends and never drops its own rows as
+    * "already seen". Within-batch/within-watermark duplicates are
+    * [[dedupedDocs]]' job upstream; this gate owns the cross-run
+    * contract, exactly like the batch pair (q104). */
+  def bloomGatedBatchSink(
+      historyDir: String,
+      fpp: Double = 0.01): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val withFp =
+      if (batch.columns.contains("fp")) batch
+      else batch.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val priorFps = scala.util.Try {
+        spark.read.parquet(historyDir)
+          .filter(col("batch_id") =!= batchId) // replay: own partition invisible
+          .select(col("fp"))
+      }.getOrElse(Seq.empty[String].toDF("fp")) // first batch: no index yet
+    val novelIds = graft.operators.TextDedup
+      .bloomDedupGate(withFp, col("doc_id"), col("fp"), priorFps, fpp)
+      .filter(!col("is_dup_exact"))
+      .select(col("doc_id"))
+    withFp
+      .join(novelIds, Seq("doc_id"), "left_semi")
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(historyDir)
+  }
+
+  /** Wire [[bloomGatedBatchSink]] onto a document stream: the full
+    * incremental exact-dedup ingest (watermark dedup upstream, growing
+    * bloom-gated history index downstream), checkpointed for restart. */
+  def startBloomGatedIngest(
+      docs: DataFrame,
+      historyDir: String,
+      checkpointDir: String,
+      fpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(bloomGatedBatchSink(historyDir, fpp))
+      .start()
 }

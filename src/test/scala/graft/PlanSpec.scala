@@ -110,6 +110,22 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("Broadcast"), s.take(2000))
   }
 
+  test("ANN probes take a query RELATION: no In-list id expression in any retrieval plan") {
+    // The registered retrieval queries all route through the
+    // DataFrame-relation overloads — a query batch is data, joined
+    // broadcast-side, never an `isin` expression whose literal list
+    // would bloat the plan and task binaries at 10⁴–10⁵ ids. The
+    // harness's 5-id probe set arrives as a pushed-down range filter.
+    for (q <- Seq(
+        "q36_cosine_topk", "q37_ann_lsh", "q88_ann_multiprobe", "q45_ann_ivf",
+        "q63_ann_ivf_trained", "q102_pq_topk", "q120_hard_negatives",
+        "q124_mmr_rerank", "q125_ann_recall_audit", "q127_pq_recall_audit")) {
+      val s = planString(SparkEntry.queries(q)(spark, sf()))
+      assert(!s.contains(" IN ("), s"$q still plans an In-list probe filter:\n${s.take(2000)}")
+      assert(!s.contains("INSET"), s"$q plans an InSet probe filter:\n${s.take(2000)}")
+    }
+  }
+
   test("columnProfile: exact mode pays an Expand; approx mode fuses into one partial aggregate") {
     val df = Tables.documents(spark, sf())
     val exact  = planString(graft.operators.Profile.profileAggregate(df, exact = true))

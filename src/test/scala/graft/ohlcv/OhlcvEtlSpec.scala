@@ -343,6 +343,6 @@ class ApiSpec extends SparkSpec {
       .toDF("symbol", "tss", "open", "high", "low", "close", "volume", "fetch_timestamp")
       .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
     val line = Api.toCsvRows(candles).collect().head.getString(0)
-    assert(line === "A,1759914900,2025-10-08 09:15:00,1.0,1.5,0.5,1.2,10")
+    assert(line === "A,1759914900,2025-10-08T09:15:00Z,1.0,1.5,0.5,1.2,10")
   }
 }

@@ -662,6 +662,63 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L)._2 !== out(3L)._2)
     assert(out(2L)._1 === "keep" && out(3L)._1 === "keep")
   }
+
+  test("semDedup hot-cell cap: candidate volume bounded to |cell|·cap, verdicts exact when cap covers the cell") {
+    val s = spark; import s.implicits._
+    // ONE deliberately hot cell: 40 near-identical vectors (tiny angle
+    // fan around the x-axis) all assigned to the single seed cell —
+    // uncapped pairing would be 40·39/2 = 780 candidates
+    val n = 40
+    val e = (0L until n.toLong).map { i =>
+      val a = 0.001f * i
+      (i, Array(1.0f, a))
+    }.toDF("vec_id", "embedding")
+    val m = Similarity.assignedCorpus(e, Similarity.seedCentroids(e, 1))
+    val uncapped = Similarity.semDedupCandidates(m, None).count()
+    assert(uncapped === n.toLong * (n - 1) / 2)
+    // cap = 4: each vector compares only against the cell's 4 lowest
+    // ids → at most (n-1)·cap candidates, linear in cell population
+    val capped = Similarity.semDedupCandidates(m, Some(4L)).count()
+    assert(capped === (3 + 2 + 1) + (n - 4) * 4L) // ids 1..3 see <4 lower ids
+    // verdict semantics survive the cap here: every vector matches the
+    // id-head (all are near-dups of vector 0), so survivor chains are
+    // identical to the uncapped run
+    val full = Similarity.semDedupVerdicts(e, Similarity.seedCentroids(e, 1), tau = 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("verdict"),
+        Option(r.getAs[java.lang.Long]("survivor_id")))).sortBy(_._1).toSeq
+    val cap4 = Similarity.semDedupVerdicts(e, Similarity.seedCentroids(e, 1), tau = 0.9,
+        maxCellCompare = Some(4L))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("verdict"),
+        Option(r.getAs[java.lang.Long]("survivor_id")))).sortBy(_._1).toSeq
+    assert(cap4 === full)
+    // cap ≥ cell size ⇒ bit-identical to uncapped by construction
+    val capBig = Similarity.semDedupVerdicts(e, Similarity.seedCentroids(e, 1), tau = 0.9,
+        maxCellCompare = Some(4096L))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("verdict"),
+        Option(r.getAs[java.lang.Long]("survivor_id")))).sortBy(_._1).toSeq
+    assert(capBig === full)
+  }
+
+  test("ANN query-relation overloads agree with the Seq sugar (and with each other)") {
+    val e  = graft.Tables.embeddings(spark, sf())
+    val qr = e.filter(col("vec_id") < 3)
+    val qs = Seq(0L, 1L, 2L)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(
+      key(Similarity.bruteForceTopK(e, qr, 5).collect())
+        === key(Similarity.bruteForceTopK(e, qs, 5).collect()))
+    assert(
+      key(Similarity.ivfTopK(e, qr, nCells = 8, nProbe = 2, k = 5).collect())
+        === key(Similarity.ivfTopK(e, qs, nCells = 8, nProbe = 2, k = 5).collect()))
+    assert(
+      key(Similarity.lshTopKMultiProbe(e, qr, dim = 64, k = 5).collect())
+        === key(Similarity.lshTopKMultiProbe(e, qs, dim = 64, k = 5).collect()))
+    val cb = Similarity.pqCodebooks(e, 64, 4, 8)
+    assert(
+      key(Similarity.pqTopKWith(e, cb, qr, 64, 4, 5).collect())
+        === key(Similarity.pqTopKWith(e, cb, qs, 64, 4, 5).collect()))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -59,7 +59,7 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
-  test("/ohlcv/{symbol}: bare symbol normalized, candles as [ts,o,h,l,c,v], limit, 404 on unknown") {
+  test("/ohlcv/{symbol}: bare symbol normalized, reference dict candles, limit, 404 on unknown") {
     withServer { s =>
       // bare lower-case symbol → NSE:TCS-EQ (reference normalize_symbol)
       val (code, body) = get(s, "/ohlcv/tcs")
@@ -67,13 +67,16 @@ class ApiServerSpec extends SparkSpec {
       val j = mapper.readTree(body)
       assert(j.get("symbol").asText === "NSE:TCS-EQ")
       assert(j.get("count").asInt === 10)
+      // dict-shaped candle with the reference's datetime field
       val c0 = j.get("data").get(0)
-      assert(c0.isArray && c0.size === 6)
-      assert(c0.get(0).asLong === 1759895100L) // ascending from the first tick
+      assert(c0.isObject)
+      assert(c0.get("timestamp").asLong === 1759895100L) // ascending from the first tick
+      assert(c0.get("datetime").asText === "2025-10-08T03:45:00Z")
+      assert(c0.has("open") && c0.has("high") && c0.has("low") && c0.has("close") && c0.has("volume"))
       // tail-limit: most recent 3, still ascending
       val j2 = mapper.readTree(get(s, "/ohlcv/tcs?limit=3")._2)
       assert(j2.get("count").asInt === 3)
-      assert(j2.get("data").get(0).get(0).asLong === 1759895100L + 7 * 300)
+      assert(j2.get("data").get(0).get("timestamp").asLong === 1759895100L + 7 * 300)
       // unknown symbol → reference 404 envelope
       val (c3, b3) = get(s, "/ohlcv/NOPE")
       assert(c3 === 404 && mapper.readTree(b3).get("error").asText === "No data found")
@@ -85,11 +88,22 @@ class ApiServerSpec extends SparkSpec {
       // 10 5-min candles → 15-min buckets: ceil boundaries give 4 buckets
       val j = mapper.readTree(get(s, "/ohlcv/tcs?interval=15m")._2)
       assert(j.get("count").asInt === 4)
-      // alfaquantz path-style: comma triple, period 3m covers the data
+      // limit applies AFTER resampling: most-recent 2 buckets, ascending
+      val jl = mapper.readTree(get(s, "/ohlcv/tcs?interval=15m&limit=2")._2)
+      assert(jl.get("count").asInt === 2)
+      assert(jl.get("data").get(0).get("timestamp").asLong
+        === j.get("data").get(2).get("timestamp").asLong)
+      // alfaquantz path-style: comma triple, period 3m covers the data;
+      // full reference key set, LIST-form candles
       val (ca, ba) = get(s, "/alfaquantz/price/get/tcs,15m,3m")
       assert(ca === 200)
       val ja = mapper.readTree(ba)
-      assert(ja.get("symbol").asText === "NSE:TCS-EQ" && ja.get("count").asInt === 4)
+      assert(ja.get("symbol_requested").asText === "tcs")
+      assert(ja.get("symbol_normalized").asText === "NSE:TCS-EQ")
+      assert(ja.get("count").asInt === 4)
+      assert(ja.get("to_date").asText === "2025-10-08")
+      assert(ja.has("from_date") && ja.get("period").asText === "3m")
+      assert(ja.get("candles").get(0).isArray && ja.get("candles").get(0).size === 6)
       // query-style returns the same candles
       val jq = mapper.readTree(get(s, "/alfaquantz/price/get?symbol=tcs&interval=15m&period=3m")._2)
       assert(jq.get("candles") === ja.get("candles"))
@@ -170,18 +184,102 @@ class ApiServerSpec extends SparkSpec {
     withServer { s =>
       val j = mapper.readTree(get(s, "/latest?symbols=tcs")._2)
       assert(j.get("count").asInt === 1)
+      // reference per-symbol shape: {symbol, latest_price,
+      // total_candles, resolution, timestamp, last_candle}
       val last = j.get("data").get("NSE:TCS-EQ")
-      assert(last.get("timestamp").asLong === 1759895100L + 9 * 300)
+      assert(last.get("symbol").asText === "NSE:TCS-EQ")
+      assert(last.get("total_candles").asLong === 10L)
+      assert(last.get("resolution").asText === "5")
+      assert(last.get("timestamp").asText === "2025-10-08T04:00:00Z") // envelope fetch ts
+      val lc = last.get("last_candle")
+      assert(lc.isArray && lc.size === 6)
+      assert(lc.get(0).asLong === 1759895100L + 9 * 300)
+      assert(last.get("latest_price").asDouble === lc.get(4).asDouble) // close of newest
 
       val jh = mapper.readTree(get(s, "/historical?symbol=tcs&from=2025-10-08&to=2025-10-08")._2)
       assert(jh.get("total_records").asInt === 10)
-      assert(jh.get("data").get("NSE:TCS-EQ").get("count").asInt === 10)
+      assert(jh.get("from_date").asText === "2025-10-08")
+      val sym = jh.get("data").get("NSE:TCS-EQ")
+      assert(sym.get("symbol").asText === "NSE:TCS-EQ")
+      assert(sym.get("count").asInt === 10)
+      // dict candles with datetime, like /ohlcv
+      assert(sym.get("candles").get(0).get("datetime").asText === "2025-10-08T03:45:00Z")
+      // to/from omitted → explicit nulls, reference-style
+      val jh2 = mapper.readTree(get(s, "/historical?symbol=tcs")._2)
+      assert(jh2.get("from_date").isNull && jh2.get("to_date").isNull)
 
       val (cc, csv) = get(s, "/historical?symbol=tcs&format=csv")
       assert(cc === 200)
       val lines = csv.split("\n")
       assert(lines.head === "symbol,timestamp,datetime,open,high,low,close,volume")
-      assert(lines.length === 11 && lines(1).startsWith("NSE:TCS-EQ,1759895100,"))
+      assert(lines.length === 11 && lines(1).startsWith("NSE:TCS-EQ,1759895100,2025-10-08T03:45:00Z,"))
     }
+  }
+
+  test("streaming-fed serving: a newly-landed file is visible on the NEXT request, no restart") {
+    // The reference promises 15-minute freshness (api_config.json:119)
+    // by re-listing S3 per request; here the chain is raw landing →
+    // OhlcvStream upsertSink → partitioned table → startFromTable,
+    // which re-reads the table path per request — so data landed after
+    // the server started appears on the next GET.
+    val tmp  = java.nio.file.Files.createTempDirectory("graft-apisrv-stream").toString
+    val land = s"$tmp/land"; val table = s"$tmp/table"; val ckpt = s"$tmp/ckpt"
+    def landFile(startTs: Long, sub: String): Unit = {
+      val mock = MockData.candles(spark, Seq("NSE:TCS-EQ"), 3, startTs)
+      MockData.envelope(mock, "2025-10-08T04:00:00Z").write.json(s"$land/$sub")
+    }
+    def pump(): Unit = {
+      val q = graft.streaming.OhlcvStream.upsertSink(
+        graft.streaming.OhlcvStream.dedupedStream(
+          graft.streaming.OhlcvStream.normalized(
+            graft.streaming.OhlcvStream.readRawStream(spark, s"$land/*"), "stream"))
+          .drop("event_time"),
+        table, ckpt, partCol = "day",
+        keyCols = Seq("symbol_clean", "timestamp_unix"), version = "fetch_timestamp",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    landFile(1759895100L, "f1")
+    pump()
+    val server = ApiServer.startFromTable(
+      spark, table,
+      ApiServer.Config(clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z")))
+    try {
+      assert(mapper.readTree(get(server, "/ohlcv/tcs")._2).get("count").asInt === 3)
+      // new file lands AFTER the server started; the stream upserts it
+      landFile(1759895100L + 3 * 300, "f2")
+      pump()
+      // next request sees the merged table — 6 candles, no restart
+      val j = mapper.readTree(get(server, "/ohlcv/tcs")._2)
+      assert(j.get("count").asInt === 6)
+      val ts = (0 until 6).map(i => j.get("data").get(i).get("timestamp").asLong)
+      assert(ts === (0 until 6).map(i => 1759895100L + i * 300))
+    } finally server.stop()
+  }
+
+  test("null OHLCV fields degrade to JSON nulls, not a 500") {
+    val s = spark; import s.implicits._
+    val frame = Seq(
+      ("NSE:NULLY-EQ", 1759895100L, Some(1.0), Some(2.0), Some(0.5), None: Option[Double], Some(10.0), "f1"),
+      ("NSE:NULLY-EQ", 1759895400L, Some(1.1), Some(2.1), Some(0.6), Some(1.9), Some(11.0), "f1"))
+      .toDF("symbol", "tsu", "open", "high", "low", "close", "volume", "fetch_timestamp")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.col("tsu"))).drop("tsu")
+    val server = ApiServer.start(
+      () => frame,
+      ApiServer.Config(clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z")))
+    try {
+      val (code, body) = get(server, "/ohlcv/nully")
+      assert(code === 200)
+      val j = mapper.readTree(body)
+      assert(j.get("count").asInt === 2)
+      assert(j.get("data").get(0).get("close").isNull) // null passes through
+      assert(j.get("data").get(1).get("close").asDouble === 1.9)
+      // /latest with a null close → latest_price null, still 200
+      val (c2, b2) = get(server, "/latest?symbols=nully")
+      assert(c2 === 200)
+      assert(mapper.readTree(b2).get("data").get("NSE:NULLY-EQ").get("last_candle").get(0).asLong === 1759895400L)
+    } finally server.stop()
   }
 }

@@ -50,4 +50,23 @@ class TrainingExportSpec extends SparkSpec {
     assert(ids0.toSeq !== ids0.sorted.toSeq, "export order should be a shuffle, not input order")
     assert(byShard.nonEmpty)
   }
+
+  test("payload columns named shard/doc_id survive; pos and __-names are rejected loudly") {
+    // a payload column literally named `shard` must serialize ITS value
+    // into the JSON and not collide with the export's shard column
+    val withShard = corpus(3).withColumn("shard", lit("payload-shard"))
+    val lines = TrainingExport.jsonlLines(withShard, col("doc_id"), 2, "shuf")
+    assert(lines.schema.fieldNames.toSeq === Seq("shard", "value"))
+    val parsed = spark.read.json(lines.select("value").as[String])
+    assert(parsed.filter(col("shard") === "payload-shard").count() === 200)
+
+    val ePos = intercept[IllegalArgumentException] {
+      TrainingExport.jsonlLines(corpus(3).withColumn("pos", lit(1)), col("doc_id"), 2, "shuf")
+    }
+    assert(ePos.getMessage.contains("pos"))
+    val eInternal = intercept[IllegalArgumentException] {
+      TrainingExport.jsonlLines(corpus(3).withColumn("__did", lit(1)), col("doc_id"), 2, "shuf")
+    }
+    assert(eInternal.getMessage.contains("__did"))
+  }
 }

@@ -124,4 +124,64 @@ class DocStreamSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(batchVerdicts === Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
   }
+
+  test("bloomGatedBatchSink: growing history index — cross-batch dup dropped, novel kept, replay-safe") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("docstream-bloom").toString
+    val histDir = s"$dir/history"
+    def docs(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+        .withColumn("ingest_ts", to_timestamp(lit("2025-10-08 10:00:00")))
+    val sink = DocStream.bloomGatedBatchSink(histDir)
+
+    // batch 0: two docs — both novel, both land in the index
+    sink(docs(Seq(0L -> "first document body", 1L -> "second document body")), 0L)
+    val afterB0 = spark.read.parquet(histDir)
+    assert(afterB0.select("doc_id").collect().map(_.getLong(0)).toSet === Set(0L, 1L))
+
+    // batch 1: re-lands doc 0's CONTENT under a new id (cross-batch
+    // duplicate → dropped) plus a genuinely novel doc (→ kept)
+    sink(docs(Seq(2L -> "first document body", 3L -> "third document body")), 1L)
+    val afterB1 = spark.read.parquet(histDir)
+    assert(afterB1.select("doc_id").collect().map(_.getLong(0)).toSet === Set(0L, 1L, 3L))
+    assert(afterB1.filter(col("batch_id") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+
+    // REPLAY of batch 1 (foreachBatch redelivery after a failure): its
+    // own partition is invisible to the gate and gets overwritten in
+    // place — same rows, no double-append, no self-suppression
+    sink(docs(Seq(2L -> "first document body", 3L -> "third document body")), 1L)
+    val afterReplay = spark.read.parquet(histDir)
+    assert(afterReplay.select("doc_id").collect().map(_.getLong(0)).toSet === Set(0L, 1L, 3L))
+    assert(afterReplay.count() === 3)
+
+    // batch 2 sees batch 1's novel rows as history too (the GROWING contract)
+    sink(docs(Seq(4L -> "third document body", 5L -> "fourth document body")), 2L)
+    assert(spark.read.parquet(histDir).filter(col("batch_id") === 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(5L))
+
+    // end-to-end: the same sink wired through a real streaming query on
+    // a FRESH index (the stream's checkpoint owns batch numbering —
+    // one index dir per stream): two files → two micro-batches; the
+    // second batch's re-land of batch 1's content must gate against
+    // the index rows batch 1 just wrote
+    val landDir = s"$dir/land"
+    val histDir2 = s"$dir/history2"
+    def land(rows: Seq[(Long, String)], sub: String, bumpMs: Long): Unit = {
+      docs(rows).coalesce(1).write.json(s"$landDir/$sub")
+      val now = System.currentTimeMillis()
+      Files.walk(java.nio.file.Paths.get(s"$landDir/$sub")).forEach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(now + bumpMs))
+      }
+    }
+    land(Seq(6L -> "stream alpha body", 7L -> "stream beta body"), "f1", 0L)
+    land(Seq(8L -> "stream alpha body", 9L -> "stream gamma body"), "f2", 60000L)
+    val q = DocStream.startBloomGatedIngest(
+      DocStream.readDocStream(spark, s"$landDir/*", maxFilesPerTrigger = 1),
+      histDir2, s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    val finalIds = spark.read.parquet(histDir2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIds === Set(6L, 7L, 9L)) // 8 re-lands 6's content across batches
+  }
 }
