@@ -43,15 +43,37 @@ object Maintenance {
       updates: DataFrame,
       partCol: String,
       keyCols: Seq[String],
-      version: String): Seq[Any] = {
+      version: String): Seq[Any] =
+    upsertPartitions(spark, path, updates, Seq(partCol), keyCols, version).map(_.head)
+
+  /** [[upsertPartitions]] over a COMPOSITE partition key — e.g. a
+    * serving table laid out `(day, symbol_clean)` so the REST layer's
+    * symbol+range filters prune at the directory level. The touched
+    * set is the batch's distinct partition TUPLES; pruning is the
+    * exact OR-of-ANDs over those tuples (all partition-column
+    * predicates — Spark prunes directories, never lists untouched
+    * ones). Returns the rewritten tuples. */
+  def upsertPartitions(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      partCols: Seq[String],
+      keyCols: Seq[String],
+      version: String): Seq[Seq[Any]] = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(
-      updates.columns.contains(partCol) && keyCols.forall(updates.columns.contains),
-      s"updates must carry partition column '$partCol' and keys $keyCols")
-    val touched = updates.select(partCol).distinct().collect().map(_.get(0)).toIndexedSeq
+      partCols.forall(updates.columns.contains) && keyCols.forall(updates.columns.contains),
+      s"updates must carry partition columns $partCols and keys $keyCols")
+    val touched = updates.select(partCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toIndexedSeq
     if (touched.isEmpty) return touched
+    val pruning = touched
+      .map(tuple =>
+        partCols.zip(tuple).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+      .reduce(_ || _)
     val existing = spark.read.parquet(path)
-      .filter(col(partCol).isin(touched: _*)) // partition pruning: only touched dirs are read
+      .filter(pruning) // partition pruning: only touched dirs are read
     // updates win ties via a side marker ordered AFTER version
     val merged = Dedup.keepLatest(
       existing.withColumn("__src", lit(0))
@@ -62,7 +84,7 @@ object Maintenance {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     merged.write
       .mode("overwrite") // dynamic: replaces ONLY partitions present in `merged`
-      .partitionBy(partCol)
+      .partitionBy(partCols: _*)
       .parquet(path)
     touched
   }
@@ -76,8 +98,17 @@ object Maintenance {
       partCol: String,
       keyCols: Seq[String],
       version: String): Unit =
+    bootstrapTable(batch, path, Seq(partCol), keyCols, version)
+
+  /** [[bootstrapTable]] over a composite partition key. */
+  def bootstrapTable(
+      batch: DataFrame,
+      path: String,
+      partCols: Seq[String],
+      keyCols: Seq[String],
+      version: String): Unit =
     Dedup.keepLatest(batch, keyCols.map(col), Seq(col(version)))
-      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
   /** Per-partition file census of a Hive-partitioned table — the
     * metadata scan both maintenance ops and a human operator consult.

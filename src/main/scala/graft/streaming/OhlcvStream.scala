@@ -167,6 +167,21 @@ object OhlcvStream {
       keyCols: Seq[String],
       version: String,
       trigger: Trigger = Trigger.ProcessingTime("5 minutes")): DataStreamWriter[Row] =
+    upsertSink(deduped, outPath, checkpoint, Seq(partCol), keyCols, version, trigger)
+
+  /** [[upsertSink]] over a COMPOSITE partition key — the serving-table
+    * layout: partition the streamed table `(day, symbol_clean)` so the
+    * REST layer's symbol + date-range filters prune directories on
+    * every request (the same pruning PlanSpec pins for the batch
+    * table). */
+  def upsertSink(
+      deduped: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      partCols: Seq[String],
+      keyCols: Seq[String],
+      version: String,
+      trigger: Trigger): DataStreamWriter[Row] =
     deduped
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -179,10 +194,10 @@ object OhlcvStream {
         if (!tableExists) {
           // first batch bootstraps the table (dedup within the batch)
           graft.operators.Maintenance.bootstrapTable(
-            batch, outPath, partCol, keyCols, version)
+            batch, outPath, partCols, keyCols, version)
         } else {
           graft.operators.Maintenance.upsertPartitions(
-            spark, outPath, batch, partCol, keyCols, version)
+            spark, outPath, batch, partCols, keyCols, version)
         }
         ()
       }

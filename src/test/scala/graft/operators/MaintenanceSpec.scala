@@ -59,6 +59,33 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("payload").as[String].collect().toSeq === Seq("tied"))
   }
 
+  test("upsertPartitions composite key: only touched (day, sym) tuples rewritten; other symbol same day untouched") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_comp").toString + "/t"
+    Seq(
+      ("2024-01-01", "A", 1L, "a", 10L),
+      ("2024-01-01", "B", 2L, "b", 10L),
+      ("2024-01-02", "A", 3L, "c", 10L))
+      .toDF("day", "sym", "id", "payload", "v")
+      .write.partitionBy("day", "sym").parquet(dir)
+    val beforeB  = fileList(dir, "day=2024-01-01/sym=B")
+    val beforeA2 = fileList(dir, "day=2024-01-02/sym=A")
+
+    // touches ONLY the (2024-01-01, A) tuple — same-day symbol B and
+    // same-symbol other-day partitions must keep their exact files
+    val touched = Maintenance.upsertPartitions(
+      spark, dir,
+      Seq(("2024-01-01", "A", 1L, "a2", 20L)).toDF("day", "sym", "id", "payload", "v"),
+      Seq("day", "sym"), Seq("id"), "v")
+    assert(touched === Seq(Seq("2024-01-01", "A")))
+
+    val got = spark.read.parquet(dir)
+      .select("id", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    assert(fileList(dir, "day=2024-01-01/sym=B") === beforeB)
+    assert(fileList(dir, "day=2024-01-02/sym=A") === beforeA2)
+  }
+
   test("compactPartitions: only fragmented partitions rewritten, contents preserved") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"

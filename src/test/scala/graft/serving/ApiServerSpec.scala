@@ -234,7 +234,7 @@ class ApiServerSpec extends SparkSpec {
           graft.streaming.OhlcvStream.normalized(
             graft.streaming.OhlcvStream.readRawStream(spark, s"$land/*"), "stream"))
           .drop("event_time"),
-        table, ckpt, partCol = "day",
+        table, ckpt, partCols = Seq("day", "symbol_clean"), // serving layout: both filters prune
         keyCols = Seq("symbol_clean", "timestamp_unix"), version = "fetch_timestamp",
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(120000)
