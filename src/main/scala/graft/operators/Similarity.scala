@@ -762,6 +762,42 @@ object Similarity {
       .withColumn("recall_ppm", expr("(n_hit * 1000000L) div n_truth"))
   }
 
+  /** Recall@k vs nProbe TUNING CURVE for the IVF index — the artifact
+    * an operator reads before fixing nProbe in production: one row per
+    * probed-cell count with the pooled recall against exact brute-force
+    * truth (integer ppm, so the curve itself is oracle-checkable).
+    * Returns (n_probe, n_queries, n_truth, n_hit, recall_ppm).
+    *
+    * Scale shape: each curve point is one [[ivfTopK]] plan over the
+    * SAME query relation (broadcast; candidate cost ∝ nProbe) plus the
+    * top-k-sized audit join of [[topKRecallAudit]] — the truth side is
+    * computed once and reused by every point. Run it on the query
+    * sample you tune with; at corpus scale pass a persisted trained
+    * codebook via the [[ivfTopKWith]] route and materialized
+    * assignments so curve points share the index build. */
+  def ivfRecallCurve(
+      embs: DataFrame,
+      queries: DataFrame,
+      nCells: Int,
+      nProbes: Seq[Int],
+      k: Int): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1), s"need nProbes >= 1 (got $nProbes)")
+    val truth = bruteForceTopK(embs, queries, k).select(col("qid"), col("cid"))
+    nProbes.distinct.sorted
+      .map { p =>
+        topKRecallAudit(truth, ivfTopK(embs, queries, nCells, p, k))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum(col("n_truth")).as("n_truth"),
+            sum(col("n_hit")).as("n_hit"))
+          .select(
+            lit(p).as("n_probe"),
+            col("n_queries"), col("n_truth"), col("n_hit"),
+            expr("(n_hit * 1000000L) div n_truth").as("recall_ppm"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** Exact int64 dot product of two quantized vectors (driver/executor
     * local twin of [[Portable.dotQ]]). */
   private def dotL(a: Array[Long], b: Array[Long]): Long = {

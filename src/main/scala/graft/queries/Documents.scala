@@ -632,7 +632,26 @@ object Documents {
         Similarity.bruteForceL2TopK(Tables.embeddings(s, dir), QueryRel(s, dir), 5),
         Similarity.pqTopKWith(
           Tables.embeddings(s, dir), sharedPqCodebooks(s, dir),
-          QueryRel(s, dir), EmbDim, PqM, k = 5)))
+          QueryRel(s, dir), EmbDim, PqM, k = 5))),
+
+    // Recall-vs-nProbe tuning curve for the IVF index: the number an
+    // operator reads before fixing nProbe in production. Truth side
+    // computed once; each point is one ivfTopK plan + a top-k-sized
+    // audit join.
+    "q128_ivf_recall_curve" -> ((s, dir) =>
+      Similarity.ivfRecallCurve(
+        Tables.embeddings(s, dir), QueryRel(s, dir),
+        nCells = 16, nProbes = Seq(1, 2, 4, 8), k = 10)),
+
+    // SemDeDup under the hot-cell cap, with a cap chosen so it BITES
+    // at test scale (cap 4 vs cells ≈ 250: drop count falls 21 → 4 vs
+    // uncapped q96) — the capped SEMANTICS, head-comparison rank and
+    // all, are oracle-checked, not just spec-pinned; both engines must
+    // agree on exactly which drops survive the cap.
+    "q129_semdedup_capped" -> ((s, dir) =>
+      Similarity.semDedupVerdicts(
+        Tables.embeddings(s, dir), sharedCodebook(s, dir), tau = 0.4,
+        maxCellCompare = Some(4L)))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

@@ -890,7 +890,91 @@ private[queries] object DocumentsOracles2 {
           SELECT t.qid, COUNT(1) AS n_truth, COUNT(a.cid) AS n_hit,
                  CAST((COUNT(a.cid) * 1000000) // COUNT(1) AS BIGINT) AS recall_ppm
           FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.cid = t.cid
-          GROUP BY 1"""
+          GROUP BY 1""",
+
+    // q125's IVF machinery swept over nProbe ∈ {1,2,4,8} at k=10:
+    // probes keep their rank (prank), each curve point filters
+    // prank <= n_probe, and recall pools across the query set per
+    // point (880000 → 960000 ppm at sf0.01 — a real monotone curve).
+    "q128_ivf_recall_curve" ->
+      s"""WITH $quantCte,
+          tq AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id IN (0,1,2,3,4)),
+          tscored AS (
+            SELECT tq.qid, c.vec_id AS cid,
+                   ${cosSql("tq.qv", "c.v", "tq.qn2", "c.n2")} AS cosine
+            FROM en c, tq WHERE c.vec_id <> tq.qid),
+          truth AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM tscored) WHERE rk <= 10),
+          cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM en WHERE vec_id < 16),
+          cc AS (
+            SELECT en.vec_id, en.v, en.n2, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cents c),
+          assigned AS (
+            SELECT vec_id, v, n2, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, v AS qv, n2 AS qn2, cell, rn AS prank FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc WHERE vec_id IN (0,1,2,3,4)) WHERE rn <= 8),
+          np AS (SELECT * FROM (VALUES (1),(2),(4),(8)) AS t(n_probe)),
+          ascored AS (
+            SELECT np.n_probe, p.qid, a.vec_id AS cid,
+                   ${cosSql("p.qv", "a.v", "p.qn2", "a.n2")} AS cosine
+            FROM assigned a
+            JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid
+            CROSS JOIN np WHERE p.prank <= np.n_probe),
+          approx AS (
+            SELECT n_probe, qid, cid FROM (
+              SELECT n_probe, qid, cid,
+                     row_number() OVER (PARTITION BY n_probe, qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM ascored) WHERE rk <= 10)
+          SELECT np.n_probe,
+                 COUNT(DISTINCT t.qid) AS n_queries,
+                 COUNT(1) AS n_truth,
+                 COUNT(a.cid) AS n_hit,
+                 CAST((COUNT(a.cid) * 1000000) // COUNT(1) AS BIGINT) AS recall_ppm
+          FROM truth t CROSS JOIN np
+          LEFT JOIN approx a ON a.n_probe = np.n_probe AND a.qid = t.qid AND a.cid = t.cid
+          GROUP BY 1""",
+
+    // q96's SemDeDup chain with the PRODUCTION hot-cell cap mirrored:
+    // the comparison (b) side keeps only each cell's 64 lowest ids.
+    "q129_semdedup_capped" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          ),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1
+          ),
+          m AS (SELECT en.vec_id, en.v, en.n2, asg.cell FROM en JOIN asg USING (vec_id)),
+          mb AS (
+            SELECT vec_id, v, n2, cell FROM (
+              SELECT m.*, row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS crn
+              FROM m) WHERE crn <= 4
+          ),
+          sc AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS bid,
+                   ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cos
+            FROM m a JOIN mb b ON a.cell = b.cell AND a.vec_id > b.vec_id
+          ),
+          p AS (
+            SELECT vec_id, MIN(bid) AS survivor_id, MAX(cos) AS max_cos
+            FROM sc WHERE cos >= 0.4 GROUP BY 1
+          )
+          SELECT m.vec_id, m.cell AS cluster_id,
+                 CASE WHEN p.vec_id IS NULL THEN 'keep' ELSE 'drop_semantic' END AS verdict,
+                 p.survivor_id, p.max_cos
+          FROM m LEFT JOIN p ON p.vec_id = m.vec_id"""
   )
 
 }
