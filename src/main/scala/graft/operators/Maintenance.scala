@@ -115,22 +115,35 @@ object Maintenance {
     * Driver-side file listing (same cost class as the planner's own
     * listing); returns (partition, n_files, total_bytes, min_bytes,
     * max_bytes). */
-  def partitionFileStats(spark: SparkSession, path: String, partCol: String): DataFrame = {
+  def partitionFileStats(spark: SparkSession, path: String, partCol: String): DataFrame =
+    partitionFileStats(spark, path, Seq(partCol))
+      .withColumn("partition", stripHivePrefix(partCol))
+
+  /** [[partitionFileStats]] over a composite partition key: one level
+    * of `col=value` directories per partition column, leaf stats per
+    * full tuple. `partition` is the relative Hive path
+    * (`day=2024-01-01/sym=A`). */
+  def partitionFileStats(spark: SparkSession, path: String, partCols: Seq[String]): DataFrame = {
     import spark.implicits._
+    require(partCols.nonEmpty, "partCols must be non-empty")
     val fs   = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.resolvePath(new Path(path))
-    val parts = fs.listStatus(root).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith(s"$partCol="))
-    parts.map { p =>
-      val files = fs.listStatus(p.getPath)
+    def leaves(p: Path, level: Int): Seq[Path] =
+      if (level == partCols.length) Seq(p)
+      else fs.listStatus(p)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"${partCols(level)}="))
+        .toIndexedSeq
+        .flatMap(d => leaves(d.getPath, level + 1))
+    leaves(root, 0).map { p =>
+      val files = fs.listStatus(p)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       val sizes = files.map(_.getLen)
-      (p.getPath.getName.stripPrefix(s"$partCol="),
+      (root.toUri.relativize(p.toUri).getPath.stripSuffix("/"),
         files.length.toLong,
         sizes.sum,
         if (sizes.isEmpty) 0L else sizes.min,
         if (sizes.isEmpty) 0L else sizes.max)
-    }.toIndexedSeq.toDF("partition", "n_files", "total_bytes", "min_bytes", "max_bytes")
+    }.toDF("partition", "n_files", "total_bytes", "min_bytes", "max_bytes")
   }
 
   /** Small-file compaction: rewrite every partition whose file count
@@ -150,10 +163,30 @@ object Maintenance {
       path: String,
       partCol: String,
       maxFiles: Int,
+      targetBytes: Long): DataFrame =
+    compactPartitions(spark, path, Seq(partCol), maxFiles, targetBytes)
+      .withColumn("partition", stripHivePrefix(partCol))
+
+  /** Single-partition-column callers see bare VALUES (`2024-01-01`),
+    * the original contract; the composite forms report the relative
+    * Hive path (`day=2024-01-01/sym=A`). */
+  private def stripHivePrefix(partCol: String): Column =
+    regexp_replace(col("partition"),
+      "^" + java.util.regex.Pattern.quote(partCol) + "=", "")
+
+  /** [[compactPartitions]] over a composite partition key — the shape
+    * the streaming upsert's serving layout `(day, symbol_clean)`
+    * needs: micro-batch ingest leaves one file per batch per touched
+    * TUPLE, and only the fragmented tuples are rewritten. */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      partCols: Seq[String],
+      maxFiles: Int,
       targetBytes: Long): DataFrame = {
     import spark.implicits._
     require(maxFiles >= 1 && targetBytes > 0, s"bad thresholds: $maxFiles/$targetBytes")
-    val stats = partitionFileStats(spark, path, partCol).collect()
+    val stats = partitionFileStats(spark, path, partCols).collect()
     val todo = stats.filter(_.getAs[Long]("n_files") > maxFiles).map { r =>
       val bytes = r.getAs[Long]("total_bytes")
       (r.getAs[String]("partition"),
@@ -161,15 +194,22 @@ object Maintenance {
         math.max(1L, (bytes + targetBytes - 1) / targetBytes))
     }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    todo.foreach { case (partValue, _, nOut) =>
+    todo.foreach { case (partPath, _, nOut) =>
       val table = spark.read.parquet(path)
-      // literal cast to the DISCOVERED partition type (not a cast on
+      // `day=2024-01-01/sym=A` → per-segment equality predicates, each
+      // a literal cast to the DISCOVERED partition type (not a cast on
       // the column) so partition pruning stays effective
-      val dt = table.schema(partCol).dataType
+      val pred = partPath.split("/").toIndexedSeq
+        .map { seg =>
+          val Array(c, v) = seg.split("=", 2)
+          val decoded = java.net.URLDecoder.decode(v, "UTF-8")
+          col(c) === lit(decoded).cast(table.schema(c).dataType)
+        }
+        .reduce(_ && _)
       table
-        .filter(col(partCol) === lit(partValue).cast(dt))
+        .filter(pred)
         .repartition(nOut.toInt)
-        .write.mode("overwrite").partitionBy(partCol).parquet(path)
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
     }
     todo.toIndexedSeq.toDF("partition", "files_before", "files_target")
   }

@@ -798,6 +798,43 @@ object Similarity {
       .reduce(_ unionByName _)
   }
 
+  /** Recall@k vs PROBE COUNT tuning curve for the hyperplane-LSH index
+    * — [[ivfRecallCurve]]'s twin on the multi-probe dial: each point
+    * probes the query's own bucket plus its first `f` single-bit-flip
+    * neighbors (f = 0 is [[lshTopK]], f = H is
+    * [[lshTopKMultiProbe]]), audited against exact brute-force truth.
+    * Returns (n_flips, n_queries, n_truth, n_hit, recall_ppm) — the
+    * measured recall/cost trade an operator reads before fixing the
+    * probe budget. Same scale shape as [[ivfRecallCurve]]: truth once,
+    * per-point candidate cost ∝ (f+1) probe buckets, audit joins are
+    * top-k-sized. */
+  def lshRecallCurve(
+      embs: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      nFlips: Seq[Int],
+      k: Int): DataFrame = {
+    require(
+      nFlips.nonEmpty && nFlips.forall(f => f >= 0 && f <= H),
+      s"need 0 <= nFlips <= H=$H (got $nFlips)")
+    val truth = bruteForceTopK(embs, queries, k).select(col("qid"), col("cid"))
+    nFlips.distinct.sorted
+      .map { f =>
+        val masks = 0L +: (0 until f).map(h => 1L << h)
+        topKRecallAudit(
+          truth, probedTopK(embs, queries, dim, k, masks, keepBucket = false))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum(col("n_truth")).as("n_truth"),
+            sum(col("n_hit")).as("n_hit"))
+          .select(
+            lit(f).as("n_flips"),
+            col("n_queries"), col("n_truth"), col("n_hit"),
+            expr("(n_hit * 1000000L) div n_truth").as("recall_ppm"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** Exact int64 dot product of two quantized vectors (driver/executor
     * local twin of [[Portable.dotQ]]). */
   private def dotL(a: Array[Long], b: Array[Long]): Long = {

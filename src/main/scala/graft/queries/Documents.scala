@@ -651,7 +651,15 @@ object Documents {
     "q129_semdedup_capped" -> ((s, dir) =>
       Similarity.semDedupVerdicts(
         Tables.embeddings(s, dir), sharedCodebook(s, dir), tau = 0.4,
-        maxCellCompare = Some(4L)))
+        maxCellCompare = Some(4L))),
+
+    // Recall-vs-probe-count curve for the LSH index (q128's twin on
+    // the multi-probe dial): own bucket + first f bit-flip neighbors,
+    // f ∈ {0, 2, 4, 8}, audited against exact truth at k=10.
+    "q130_lsh_recall_curve" -> ((s, dir) =>
+      Similarity.lshRecallCurve(
+        Tables.embeddings(s, dir), QueryRel(s, dir),
+        dim = 64, nFlips = Seq(0, 2, 4, 8), k = 10))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

@@ -974,7 +974,63 @@ private[queries] object DocumentsOracles2 {
           SELECT m.vec_id, m.cell AS cluster_id,
                  CASE WHEN p.vec_id IS NULL THEN 'keep' ELSE 'drop_semantic' END AS verdict,
                  p.survivor_id, p.max_cos
-          FROM m LEFT JOIN p ON p.vec_id = m.vec_id"""
+          FROM m LEFT JOIN p ON p.vec_id = m.vec_id""",
+
+    // q88's multi-probe machinery swept over the probe budget: probe
+    // j = 0 is the own bucket, j >= 1 flips bit j-1; each curve point
+    // keeps probes j <= n_flips, ranked per (n_flips, qid) at k=10,
+    // recall pooled across the query set per point.
+    "q130_lsh_recall_curve" ->
+      s"""WITH $quantCte,
+          tq AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id IN (0,1,2,3,4)),
+          tscored AS (
+            SELECT tq.qid, c.vec_id AS cid,
+                   ${cosSql("tq.qv", "c.v", "tq.qn2", "c.n2")} AS cosine
+            FROM en c, tq WHERE c.vec_id <> tq.qid),
+          truth AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM tscored) WHERE rk <= 10),
+          hp AS (
+            SELECT h, i, ('0x' || substr(md5('hp_' || h || '_' || i), 1, 15))::BIGINT % 2001 - 1000 AS hv
+            FROM (SELECT unnest(generate_series(0, 7)) AS h), (SELECT unnest(generate_series(1, 64)) AS i)
+          ),
+          comp AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+          dots AS (
+            SELECT c.vec_id, hp.h, SUM(c.x * hp.hv) AS d
+            FROM comp c JOIN hp ON hp.i = c.i GROUP BY 1, 2
+          ),
+          buckets AS (
+            SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY 1
+          ),
+          eb AS (SELECT en.vec_id, en.v, en.n2, b.bucket FROM en JOIN buckets b USING (vec_id)),
+          q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket FROM eb WHERE vec_id IN (0,1,2,3,4)),
+          pq AS (
+            SELECT qid, qv, qn2, j,
+                   xor(bucket, CASE WHEN j = 0 THEN 0 ELSE (1::BIGINT << (j-1)) END) AS bucket
+            FROM q, (SELECT unnest(generate_series(0, 8)) AS j)
+          ),
+          nf AS (SELECT * FROM (VALUES (0),(2),(4),(8)) AS t(n_flips)),
+          ascored AS (
+            SELECT nf.n_flips, pq.qid, c.vec_id AS cid,
+                   ${cosSql("pq.qv", "c.v", "pq.qn2", "c.n2")} AS cosine
+            FROM eb c
+            JOIN pq ON c.bucket = pq.bucket AND c.vec_id <> pq.qid
+            CROSS JOIN nf WHERE pq.j <= nf.n_flips),
+          approx AS (
+            SELECT n_flips, qid, cid FROM (
+              SELECT n_flips, qid, cid,
+                     row_number() OVER (PARTITION BY n_flips, qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM ascored) WHERE rk <= 10)
+          SELECT nf.n_flips,
+                 COUNT(DISTINCT t.qid) AS n_queries,
+                 COUNT(1) AS n_truth,
+                 COUNT(a.cid) AS n_hit,
+                 CAST((COUNT(a.cid) * 1000000) // COUNT(1) AS BIGINT) AS recall_ppm
+          FROM truth t CROSS JOIN nf
+          LEFT JOIN approx a ON a.n_flips = nf.n_flips AND a.qid = t.qid AND a.cid = t.cid
+          GROUP BY 1"""
   )
 
 }

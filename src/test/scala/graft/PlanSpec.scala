@@ -120,7 +120,7 @@ class PlanSpec extends SparkSpec {
         "q36_cosine_topk", "q37_ann_lsh", "q88_ann_multiprobe", "q45_ann_ivf",
         "q63_ann_ivf_trained", "q102_pq_topk", "q120_hard_negatives",
         "q124_mmr_rerank", "q125_ann_recall_audit", "q127_pq_recall_audit",
-        "q128_ivf_recall_curve")) {
+        "q128_ivf_recall_curve", "q130_lsh_recall_curve")) {
       val s = planString(SparkEntry.queries(q)(spark, sf()))
       assert(!s.contains(" IN ("), s"$q still plans an In-list probe filter:\n${s.take(2000)}")
       assert(!s.contains("INSET"), s"$q plans an InSet probe filter:\n${s.take(2000)}")

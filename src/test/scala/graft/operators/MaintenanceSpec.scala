@@ -114,4 +114,37 @@ class MaintenanceSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids === (0L until 80L).toSeq)
   }
+
+  test("compactPartitions composite key: only the fragmented (day, sym) tuple rewritten") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_comp").toString + "/t"
+    // fragmented tuple (d1, A): 6 files; compact tuples: 1 file each
+    (0L until 60L).map(i => ("d1", "A", i)).toDF("day", "sym", "id")
+      .repartition(6).write.partitionBy("day", "sym").parquet(dir)
+    (0L until 10L).map(i => ("d1", "B", i)).toDF("day", "sym", "id")
+      .coalesce(1).write.mode("append").partitionBy("day", "sym").parquet(dir)
+    (0L until 10L).map(i => ("d2", "A", i)).toDF("day", "sym", "id")
+      .coalesce(1).write.mode("append").partitionBy("day", "sym").parquet(dir)
+
+    val beforeB  = fileList(dir, "day=d1/sym=B")
+    val beforeD2 = fileList(dir, "day=d2/sym=A")
+    val stats = Maintenance.partitionFileStats(spark, dir, Seq("day", "sym"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_files")).toMap
+    assert(stats === Map("day=d1/sym=A" -> 6L, "day=d1/sym=B" -> 1L, "day=d2/sym=A" -> 1L))
+
+    val done = Maintenance.compactPartitions(
+      spark, dir, Seq("day", "sym"), maxFiles = 4, targetBytes = 1L << 30)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("files_target"))).toMap
+    assert(done === Map("day=d1/sym=A" -> 1L))
+
+    val after = Maintenance.partitionFileStats(spark, dir, Seq("day", "sym"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_files")).toMap
+    assert(after("day=d1/sym=A") === 1L)
+    assert(fileList(dir, "day=d1/sym=B") === beforeB)   // same day, other symbol untouched
+    assert(fileList(dir, "day=d2/sym=A") === beforeD2)  // same symbol, other day untouched
+    val ids = spark.read.parquet(dir)
+      .filter(col("day") === "d1" && col("sym") === "A")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === (0L until 60L).toSeq)
+  }
 }
