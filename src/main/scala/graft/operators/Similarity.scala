@@ -372,8 +372,25 @@ object Similarity {
     * |cell|²/2. */
   private[operators] def semDedupCandidates(
       m: DataFrame,
-      maxCellCompare: Option[Long]): DataFrame = {
-    val bSide = maxCellCompare match {
+      maxCellCompare: Option[Long]): DataFrame =
+    m.as("a")
+      .join(headCapped(m, maxCellCompare, "semdedup_cell_cap").as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("bid"),
+        cosine(Portable.dotQ(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+
+  /** The hot-cell bound shared by [[semDedupCandidates]] and
+    * [[semDedupAgainstIndex]]: keep each cell's `cap` LOWEST ids (one
+    * rank window riding the cell-keyed exchange the downstream join
+    * needs), publishing over/under-cap cell counts under
+    * `metricName`. `None` = pass-through. */
+  private def headCapped(
+      m: DataFrame,
+      maxCellCompare: Option[Long],
+      metricName: String): DataFrame =
+    maxCellCompare match {
       case None => m
       case Some(cap) =>
         require(cap >= 1, s"maxCellCompare must be >= 1 (got $cap)")
@@ -381,20 +398,55 @@ object Similarity {
         m.withColumn("__rn", row_number().over(wC.orderBy(col("vec_id"))))
           .withColumn("__pop", count(lit(1)).over(wC))
           .observe(
-            "semdedup_cell_cap",
+            metricName,
             count(when(col("__rn") === 1 && col("__pop") > cap, 1)).as("capped_cells"),
             count(when(col("__rn") === 1 && col("__pop") <= cap, 1)).as("exact_cells"),
             max(col("__pop")).as("max_cell_pop"))
           .filter(col("__rn") <= cap)
           .select(col("vec_id"), col("v"), col("n2"), col("cell"))
     }
-    m.as("a")
-      .join(bSide.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+
+  /** INCREMENTAL SemDeDup: a NEW embedding batch against an EXISTING
+    * index corpus — the steady-state ingest question "is this new
+    * vector a semantic dup of anything already ingested?", answered
+    * without re-pairing the index against itself (the vector twin of
+    * [[TextDedup.lshPairsAgainstIndex]] / [[TextDedup.bloomDedupGate]]).
+    * Both sides assign to the SAME codebook's cells (broadcast); the
+    * new batch joins ONLY the index members of its own cell — cost
+    * scales with the batch × cell occupancy, never the index². The
+    * index is authoritative: `dup_of` is the LOWEST index id within
+    * `tau`, with no keep-chain (index members were already deduped when
+    * they landed). `maxCellCompare` head-caps the INDEX side (the side
+    * that grows), metrics under `semdedup_index_cell_cap`.
+    * Returns one row per NEW vector:
+    * (vec_id, cluster_id, verdict keep|drop_semantic, dup_of, max_cos). */
+  def semDedupAgainstIndex(
+      newEmbs: DataFrame,
+      indexEmbs: DataFrame,
+      codebook: DataFrame,
+      tau: Double,
+      maxCellCompare: Option[Long] = None): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val mNew = assignedCorpus(newEmbs, codebook)
+    val mIdx = headCapped(
+      assignedCorpus(indexEmbs, codebook), maxCellCompare, "semdedup_index_cell_cap")
+    val dup = mNew.as("a")
+      .join(mIdx.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_id"),
         col("b.vec_id").as("bid"),
         cosine(Portable.dotQ(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("bid")).as("dup_of"), max(col("cos")).as("max_cos"))
+    mNew.select(col("vec_id"), col("cell").as("cluster_id"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("cluster_id"),
+        when(col("dup_of").isNotNull, lit("drop_semantic"))
+          .otherwise(lit("keep")).as("verdict"),
+        col("dup_of"), col("max_cos"))
   }
 
   /** Assigned corpus relation (vec_id, v, n2, cell) for

@@ -50,6 +50,37 @@ object TextAnalysis {
       when(avgLen.between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0))
   }
 
+  /** Quality-bar TOKEN-YIELD sweep: for each candidate threshold, the
+    * document and token count that survive `qualityScore >= bar` — the
+    * curve an operator reads before fixing the quality gate (the knob
+    * trades corpus size against quality; this makes the trade a
+    * number, not a guess). Returns one row per bar:
+    * (min_score, n_docs_kept, n_tokens_kept, n_docs_total).
+    *
+    * Scale shape: ONE map-only scoring pass over the corpus; the
+    * |bars|-way explode multiplies only the slim (score, n_tokens)
+    * projection, and the rollup is a map-side-combined hash-agg to
+    * |bars| rows. Threshold comparisons are double-vs-double on the
+    * oracle-proven score expression, so the curve itself hash-matches
+    * DuckDB. */
+  def qualityYieldCurve(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      bars: Seq[Double]): DataFrame = {
+    require(bars.nonEmpty, "bars must be non-empty")
+    docs
+      .select(qualityScore(text).as("quality_score"), size(tokens(text)).cast("long").as("n_tokens"))
+      .select(col("quality_score"), col("n_tokens"),
+        explode(typedlit(bars.distinct.sorted)).as("min_score"))
+      .groupBy(col("min_score"))
+      .agg(
+        count(when(col("quality_score") >= col("min_score"), 1)).as("n_docs_kept"),
+        coalesce(sum(when(col("quality_score") >= col("min_score"), col("n_tokens"))), lit(0L))
+          .as("n_tokens_kept"),
+        count(lit(1)).as("n_docs_total"))
+  }
+
   /** Per-document token/quality metrics:
     * n_tokens, n_bpe_tokens, avg_word_len, stopword_ratio,
     * punct_count, and [[qualityScore]]. All double arithmetic is

@@ -659,7 +659,26 @@ object Documents {
     "q130_lsh_recall_curve" -> ((s, dir) =>
       Similarity.lshRecallCurve(
         Tables.embeddings(s, dir), QueryRel(s, dir),
-        dim = 64, nFlips = Seq(0, 2, 4, 8), k = 10))
+        dim = 64, nFlips = Seq(0, 2, 4, 8), k = 10)),
+
+    // Incremental SemDeDup (q95/q104's vector sibling, same odd=new /
+    // even=index split): the new batch joins only its own cell's index
+    // members — cost ∝ batch × cell occupancy, never index².
+    "q131_semdedup_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.semDedupAgainstIndex(
+        e.filter(col("vec_id") % 2 === 1),
+        e.filter(col("vec_id") % 2 === 0),
+        sharedCodebook(s, dir), tau = 0.4)
+    }),
+
+    // Quality-bar token-yield sweep: docs/tokens surviving each
+    // candidate gate threshold — the number read before fixing the
+    // quality bar (one scoring pass, |bars|-row rollup).
+    "q132_quality_yield_curve" -> ((s, dir) =>
+      TextAnalysis.qualityYieldCurve(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        bars = Seq(0.3, 0.5, 0.7, 0.9)))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

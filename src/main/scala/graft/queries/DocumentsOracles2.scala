@@ -1030,6 +1030,59 @@ private[queries] object DocumentsOracles2 {
                  CAST((COUNT(a.cid) * 1000000) // COUNT(1) AS BIGINT) AS recall_ppm
           FROM truth t CROSS JOIN nf
           LEFT JOIN approx a ON a.n_flips = nf.n_flips AND a.qid = t.qid AND a.cid = t.cid
+          GROUP BY 1""",
+
+    // q96's assignment chain split odd (new) vs even (index); dup_of =
+    // lowest index id within tau, no keep-chain (index authoritative).
+    "q131_semdedup_incremental" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          ),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1
+          ),
+          m AS (SELECT en.vec_id, en.v, en.n2, asg.cell FROM en JOIN asg USING (vec_id)),
+          mN AS (SELECT * FROM m WHERE vec_id % 2 = 1),
+          mI AS (SELECT * FROM m WHERE vec_id % 2 = 0),
+          sc AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS bid,
+                   ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cos
+            FROM mN a JOIN mI b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          ),
+          p AS (
+            SELECT vec_id, MIN(bid) AS dup_of, MAX(cos) AS max_cos
+            FROM sc WHERE cos >= 0.4 GROUP BY 1
+          )
+          SELECT mN.vec_id, mN.cell AS cluster_id,
+                 CASE WHEN p.vec_id IS NULL THEN 'keep' ELSE 'drop_semantic' END AS verdict,
+                 p.dup_of, p.max_cos
+          FROM mN LEFT JOIN p ON p.vec_id = mN.vec_id""",
+
+    // q38's score expression swept over candidate gate thresholds:
+    // one scoring CTE, |bars|-way cross join, conditional rollup.
+    "q132_quality_yield_curve" ->
+      s"""WITH $wordsCte,
+          m AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   least(1.0, len(ws) / 100.0) * 0.5
+                     + least(1.0, (CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in','to','is','that','it','for'))) AS DOUBLE) / len(ws)) * 4) * 0.3
+                     + CASE WHEN CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END AS quality_score
+            FROM words
+          ),
+          bars AS (SELECT CAST(min_score AS DOUBLE) AS min_score
+                   FROM (VALUES (0.3),(0.5),(0.7),(0.9)) AS t(min_score))
+          SELECT bars.min_score,
+                 COUNT(CASE WHEN quality_score >= min_score THEN 1 END) AS n_docs_kept,
+                 COALESCE(CAST(SUM(CASE WHEN quality_score >= min_score THEN n_tokens END) AS BIGINT), 0) AS n_tokens_kept,
+                 COUNT(1) AS n_docs_total
+          FROM m CROSS JOIN bars
           GROUP BY 1"""
   )
 

@@ -699,6 +699,36 @@ class SimilaritySpec extends SparkSpec {
     assert(capBig === full)
   }
 
+  test("semDedupAgainstIndex: new-batch dup of an index member dropped, novel kept; index head-cap bounds the join side") {
+    val s = spark; import s.implicits._
+    val index = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.97f, 0.05f))) // same cell as 0
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Array(0.95f, 0.1f)),  // cell 0, cos vs 0 ≈ 0.994 → drop, dup_of 0
+      (11L, Array(0.7f, -0.7f)),  // cell 0, cos vs 0 ≈ 0.707 < 0.8 → keep
+      (12L, Array(0.05f, 0.99f))) // cell 1, cos vs 1 ≈ 0.999 → drop, dup_of 1
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.seedCentroids(index, 2)
+    val out = Similarity.semDedupAgainstIndex(batch, index, cb, tau = 0.8)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(out.size === 3)
+    assert(out(10L) === ("drop_semantic", Some(0L)))
+    assert(out(11L) === ("keep", None))
+    assert(out(12L) === ("drop_semantic", Some(1L)))
+    // head-cap = 1: only the cell's lowest index id (0) is compared —
+    // 10 still drops against 0; 2 is never on the comparison side
+    val capped = Similarity.semDedupAgainstIndex(batch, index, cb, tau = 0.8,
+        maxCellCompare = Some(1L))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(capped(10L) === ("drop_semantic", Some(0L)))
+    assert(capped(12L) === ("drop_semantic", Some(1L)))
+  }
+
   test("ANN query-relation overloads agree with the Seq sugar (and with each other)") {
     val e  = graft.Tables.embeddings(spark, sf())
     val qr = e.filter(col("vec_id") < 3)
