@@ -312,6 +312,33 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Dedup-threshold TUNING SWEEP over a scored pair relation
+    * (doc_a, doc_b, jaccard): pair mass and affected-doc count at each
+    * candidate threshold — the curve an operator reads before fixing
+    * the near-dup bar (too low deletes real content, too high keeps
+    * duplicates; this makes the trade a number per bar). Score ONCE at
+    * the LOOSEST bar you'd consider and sweep the tighter ones here.
+    * Returns (threshold, n_pairs, n_docs_affected).
+    *
+    * Scale shape: the pair relation is orders of magnitude below the
+    * corpus; the |thresholds|-way explode multiplies only the slim
+    * (jaccard) / (doc, jaccard) projections, and both rollups are
+    * map-side-combined hash-aggs to |thresholds| rows. */
+  def thresholdSweep(pairs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val th = thresholds.distinct.sorted
+    val nPairs = pairs
+      .select(col("jaccard"), explode(typedlit(th)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(when(col("jaccard") >= col("threshold"), 1)).as("n_pairs"))
+    val nDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"), col("jaccard"))
+      .select(col("doc_id"), col("jaccard"), explode(typedlit(th)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(when(col("jaccard") >= col("threshold"), col("doc_id"))).as("n_docs_affected"))
+    nPairs.join(nDocs, "threshold")
+  }
+
   /** EXACT thresholded Jaccard for a CANDIDATE pair list only — the
     * rescoring tail shared by every blocked path ([[lshRescoredPairs]],
     * [[prefixJaccardPairs]]): intersection counts come from joining the

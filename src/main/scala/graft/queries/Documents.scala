@@ -678,7 +678,17 @@ object Documents {
     "q132_quality_yield_curve" -> ((s, dir) =>
       TextAnalysis.qualityYieldCurve(
         Tables.documents(s, dir), col("doc_id"), col("text"),
-        bars = Seq(0.3, 0.5, 0.7, 0.9)))
+        bars = Seq(0.3, 0.5, 0.7, 0.9))),
+
+    // Near-dup threshold sweep over the SHARED capped exact-Jaccard
+    // pair relation (scored once at the production bar 0.8): pair mass
+    // and affected-doc count per tighter candidate bar — the number
+    // read before fixing the dedup threshold. Bars chosen to
+    // discriminate on this corpus (25 → 24 → 0 pairs at sf0.01).
+    "q133_dedup_threshold_sweep" -> ((s, dir) =>
+      TextDedup.thresholdSweep(
+        sharedJaccardPairs(s, dir),
+        thresholds = Seq(0.8, 0.95, 0.99)))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

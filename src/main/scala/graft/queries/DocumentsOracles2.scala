@@ -1083,7 +1083,37 @@ private[queries] object DocumentsOracles2 {
                  COALESCE(CAST(SUM(CASE WHEN quality_score >= min_score THEN n_tokens END) AS BIGINT), 0) AS n_tokens_kept,
                  COUNT(1) AS n_docs_total
           FROM m CROSS JOIN bars
-          GROUP BY 1"""
+          GROUP BY 1""",
+
+    // q31's capped pair machinery scored at the loosest bar (0.7),
+    // swept over the tighter thresholds.
+    "q133_dedup_threshold_sweep" ->
+      s"""WITH $cappedShinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM shj GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+          th AS (SELECT CAST(t AS DOUBLE) AS threshold
+                 FROM (VALUES (0.8),(0.95),(0.99)) AS v(t)),
+          np AS (
+            SELECT threshold,
+                   COUNT(CASE WHEN jaccard >= threshold THEN 1 END) AS n_pairs
+            FROM pairs CROSS JOIN th GROUP BY 1),
+          nd AS (
+            SELECT threshold,
+                   COUNT(DISTINCT CASE WHEN jaccard >= threshold THEN doc_id END) AS n_docs_affected
+            FROM (SELECT doc_a AS doc_id, jaccard FROM pairs
+                  UNION ALL SELECT doc_b, jaccard FROM pairs) CROSS JOIN th
+            GROUP BY 1)
+          SELECT np.threshold, np.n_pairs, nd.n_docs_affected
+          FROM np JOIN nd USING (threshold)"""
   )
 
 }
