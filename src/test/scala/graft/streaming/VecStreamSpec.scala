@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class VecStreamSpec extends SparkSpec {
+
+  // two well-separated seed cells: x-axis and y-axis
+  private lazy val codebook = {
+    val s = spark; import s.implicits._
+    Similarity.seedCentroids(
+      Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding"), 2)
+      .cache()
+  }
+
+  private def vecs(rows: Seq[(Long, Array[Float])]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0L))
+      .withColumn("ingest_ts", to_timestamp(lit("2025-10-08 10:00:00")))
+  }
+
+  test("semDedupGatedBatchSink: within-batch dedup + growing cross-run gate, replay-safe") {
+    val dir = Files.createTempDirectory("vecstream").toString
+    val hist = s"$dir/index"
+    val sink = VecStream.semDedupGatedBatchSink(hist, codebook, tau = 0.9)
+
+    // batch 0: two distinct directions PLUS a within-batch near-dup of
+    // the first — the dup is collapsed before anything lands
+    sink(vecs(Seq(
+      10L -> Array(1.0f, 0.02f),
+      11L -> Array(0.02f, 1.0f),
+      12L -> Array(0.99f, 0.05f))), 0L) // within-batch dup of 10
+    val b0 = spark.read.parquet(hist).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(b0 === Set(10L, 11L))
+
+    // batch 1: near-dup of an INDEX member (dropped) + novel diagonal-ish
+    // direction in cell 0 (kept)
+    sink(vecs(Seq(
+      20L -> Array(1.0f, 0.01f),   // semantic dup of 10 → dropped
+      21L -> Array(0.8f, 0.55f))), 1L) // cell 0 but cos vs 10 ≈ 0.82 < 0.9 → kept
+    val b1 = spark.read.parquet(hist).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(b1 === Set(10L, 11L, 21L))
+
+    // REPLAY of batch 1: own partition invisible to the gate,
+    // overwritten in place — same admit set, no double rows
+    sink(vecs(Seq(
+      20L -> Array(1.0f, 0.01f),
+      21L -> Array(0.8f, 0.55f))), 1L)
+    val replay = spark.read.parquet(hist)
+    assert(replay.select("vec_id").collect().map(_.getLong(0)).toSet === Set(10L, 11L, 21L))
+    assert(replay.count() === 3)
+
+    // batch 2 gates against batch 1's admit too (the GROWING contract)
+    sink(vecs(Seq(
+      30L -> Array(0.81f, 0.54f),  // dup of 21 → dropped
+      31L -> Array(0.02f, -1.0f))), 2L) // novel
+    assert(spark.read.parquet(hist).filter(col("batch_id") === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet === Set(31L))
+
+    // stream/batch agreement: the cross-run gate is the SAME operator
+    // the batch path runs (one definition of "semantic duplicate")
+    val batchVerdicts = Similarity.semDedupAgainstIndex(
+      vecs(Seq(20L -> Array(1.0f, 0.01f), 21L -> Array(0.8f, 0.55f))),
+      spark.read.parquet(hist).filter(col("batch_id") === 0).select("vec_id", "embedding"),
+      codebook, tau = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
+    assert(batchVerdicts === Map(20L -> "drop_semantic", 21L -> "keep"))
+  }
+
+  test("startSemDedupIngest end-to-end: two landed files, cross-batch semantic dup suppressed") {
+    val dir = Files.createTempDirectory("vecstream-e2e").toString
+    def land(rows: Seq[(Long, Array[Float])], sub: String, bumpMs: Long): Unit = {
+      vecs(rows).coalesce(1).write.json(s"$dir/land/$sub")
+      val now = System.currentTimeMillis()
+      Files.walk(java.nio.file.Paths.get(s"$dir/land/$sub")).forEach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(now + bumpMs))
+      }
+    }
+    land(Seq(40L -> Array(1.0f, 0.03f), 41L -> Array(0.03f, 1.0f)), "f1", 0L)
+    land(Seq(42L -> Array(1.0f, 0.02f), 43L -> Array(-1.0f, 0.1f)), "f2", 60000L)
+    val q = VecStream.startSemDedupIngest(
+      VecStream.readVecStream(spark, s"$dir/land/*", maxFilesPerTrigger = 1),
+      s"$dir/index", s"$dir/ckpt", codebook, tau = 0.9)
+    q.processAllAvailable(); q.stop()
+    val ids = spark.read.parquet(s"$dir/index").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(40L, 41L, 43L)) // 42 re-lands 40's direction across batches
+  }
+}
