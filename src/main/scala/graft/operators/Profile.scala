@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Portable
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
@@ -87,6 +88,34 @@ object Profile {
     df.withColumn(
       "split",
       when(h < trainPct, "train").when(h < trainPct + valPct, "val").otherwise("test"))
+  }
+
+  /** Leakage-free split: every member of a duplicate group lands in
+    * the SAME split by hashing the group's survivor id instead of the
+    * document's own ([[withSplit]] semantics otherwise unchanged).
+    * A plain per-doc split leaks near-duplicates across train/test —
+    * the classic eval-contamination bug: the model is scored on
+    * paraphrases of its own training set. Keying the hash on the
+    * dedup survivor (the cluster representative from
+    * [[graft.operators.TextDedup.dedupVerdictsFromClusters]], or any
+    * (doc_id, survivor_doc_id) relation) makes the whole cluster move
+    * as a unit, so membership in test implies NO near-copy in train.
+    *
+    * Scale shape: one doc_id-keyed join against the survivor relation
+    * (same cardinality as the corpus, co-partitioned on the join key)
+    * + the map-only hash gate — no new shuffle beyond the join, and
+    * splits remain reproducible across engines/partitionings/retries
+    * exactly like [[withSplit]]. */
+  def leakFreeSplit(
+      df: DataFrame,
+      id: Column,
+      survivors: DataFrame,
+      trainPct: Int,
+      valPct: Int,
+      seed: String = "split"): DataFrame = {
+    val sv = survivors.select(col("doc_id").as("__did"), col("survivor_doc_id"))
+    val keyed = df.withColumn("__did", id).join(sv, "__did")
+    withSplit(keyed, col("survivor_doc_id"), trainPct, valPct, seed).drop("__did")
   }
 
   /** Per-group document cap: keep at most `k` rows per group, chosen
@@ -286,6 +315,68 @@ object Profile {
           lit(maxRepeatX1000),
           greatest(lit(1000L), expr("(target_ppm * 1000L) div greatest(natural_ppm, 1L)"))))
       .withColumn("effective_docs", expr("(n_docs * repeat_x1000) div 1000L"))
+  }
+
+  /** UniMax budget allocation (Chung et al. 2023): split a total
+    * training-token budget across languages/sources so every group is
+    * sampled as UNIFORMLY as possible without repeating any group more
+    * than `epochCapX1000/1000` epochs — the fairer alternative to
+    * temperature sampling ([[mixturePlan]]), which over-samples head
+    * languages and starves the tail. Water-filling semantics, made
+    * closed-form and bit-portable:
+    *
+    * groups ascending by size n (ties by name), R_i groups from i on,
+    * cap_i = ⌊n_i·epochCapX1000/1000⌋; group i is CAPPED iff
+    * cap_i·R_i ≤ budget − Σ_{j<i} cap_j (it can take its full epoch
+    * cap and still leave every larger group at least as much).
+    * Capped groups get cap_i; the rest split the remaining budget
+    * evenly (floor). All decisions are exact int64 comparisons — no
+    * iterative driver loop, no doubles until nothing is left to get
+    * wrong. Output per group: n_tokens, capped, alloc_tokens,
+    * epochs_x1000 (= alloc·1000 div n).
+    *
+    * Scale shape: the corpus collapses to |groups| rows in ONE
+    * map-side-combined hash-agg; the ordering window and the leftover
+    * rollup run over that tiny relation (same bounded-window pattern
+    * as [[lengthQuantiles]]/[[mixturePlan]]). */
+  def unimaxPlan(
+      df: DataFrame,
+      group: Column,
+      weight: Column,
+      budget: Long,
+      epochCapX1000: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(epochCapX1000 >= 1000L, s"epoch cap must allow at least 1 epoch: $epochCapX1000")
+    val counts = df
+      .groupBy(group.as("language"))
+      .agg(sum(weight).as("n_tokens"))
+      .withColumn("cap_alloc", expr(s"(n_tokens * ${epochCapX1000}L) div 1000L"))
+    // |languages| rows: the unpartitioned windows below are bounded by
+    // group cardinality, not corpus size
+    val ord = Window.orderBy(col("n_tokens").asc, col("language").asc)
+    val flagged = counts
+      .withColumn("__idx", row_number().over(ord).cast("long"))
+      .withColumn("__l", count(lit(1)).over(Window.partitionBy()))
+      .withColumn(
+        "__prefix",
+        coalesce(sum(col("cap_alloc")).over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(
+        "capped",
+        col("cap_alloc") * (col("__l") - col("__idx") + 1) <= lit(budget) - col("__prefix"))
+    val leftover = flagged.agg(
+      (lit(budget) - coalesce(sum(when(col("capped"), col("cap_alloc"))), lit(0L))).as("__left"),
+      sum(when(!col("capped"), 1L).otherwise(0L)).as("__u"))
+    flagged
+      .crossJoin(broadcast(leftover))
+      .withColumn(
+        "alloc_tokens",
+        // __u = 0 (every group capped — the budget exceeds the whole
+        // corpus at its epoch cap) must not divide: guarded to 0
+        when(col("capped"), col("cap_alloc"))
+          .when(col("__u") > 0, expr("__left div __u"))
+          .otherwise(lit(0L)))
+      .withColumn("epochs_x1000", expr("(alloc_tokens * 1000L) div n_tokens"))
+      .select(col("language"), col("n_tokens"), col("capped"), col("alloc_tokens"), col("epochs_x1000"))
   }
 
   /** Materialize a [[mixturePlan]]: emit each document once per epoch

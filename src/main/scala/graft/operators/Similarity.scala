@@ -887,6 +887,143 @@ object Similarity {
       .reduce(_ unionByName _)
   }
 
+  // ---- Scalar quantization (int8 SQ) -------------------------------
+  //
+  // The 4-byte→1-byte compression every 100 TB vector store applies
+  // BEFORE building fancier indexes: symmetric per-dimension int8
+  // codes (FAISS's SQ8 / Lucene's int8 HNSW storage). 4× less I/O and
+  // memory per vector with ~1% ranking loss — and unlike PQ, decode is
+  // a multiply, so SQ composes under every index here (IVF cells store
+  // SQ codes at scale). All arithmetic is exact int64 on the already-
+  // quantized grid, so codes/scales/scores hash-match the oracle.
+
+  /** Per-dimension symmetric scale relation (i, s): s_i = max |x_i|
+    * over the corpus (0-guarded to 1 — an all-zero dimension encodes
+    * to 0 regardless). One posexplode + one (i)-keyed map-side-combined
+    * hash-agg: |dims| output rows — the train-once artifact of SQ. */
+  def sqScales(embs: DataFrame): DataFrame =
+    quantized(embs)
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(greatest(max(col("x")), -min(col("x")), lit(1L)).as("s"))
+
+  /** Int8 codes with per-dim reconstruction error:
+    * (vec_id, i, code ∈ [−127,127], abs_err) where
+    * code = sign(x)·⌊(254·|x| + s) / (2s)⌋ (round-half-away-from-zero,
+    * in pure int64 — `div` on negatives differs between engines, so
+    * the sign is factored out first) and abs_err = |127·x − code·s|
+    * div 127, the decode error on the quantized grid.
+    *
+    * Scale shape: scales broadcast (|dims| rows), encode is map-only
+    * per (vector, dim) — the corpus is read once and never shuffles. */
+  def sqEncode(embs: DataFrame, scales: DataFrame): DataFrame =
+    sqCodes(embs, scales)
+      .select(
+        col("vec_id"), col("i"), col("code"),
+        expr("abs(127L * x - code * s) div 127L").as("abs_err"))
+
+  /** Full-width encode relation (vec_id, i, x, s, code) shared by
+    * [[sqEncode]] (which adds the error column) and [[sqWeighted]]
+    * (which needs the scale to weight codes). */
+  private def sqCodes(embs: DataFrame, scales: DataFrame): DataFrame =
+    quantized(embs)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .join(broadcast(scales), Seq("i"))
+      .withColumn("__r", expr("(254L * abs(x) + s) div (2L * s)"))
+      .withColumn("code", when(col("x") < 0, -col("__r")).otherwise(col("__r")))
+
+  /** The SQ-compressed corpus as ranked-retrieval input: per vector
+    * the weighted-code array w_i = code_i · (s_i div 1000) and its
+    * norm. The div-1000 rescale keeps the worst-case 64-dim dot
+    * ≤ ~4·10¹³ — int64-exact with 5 orders of headroom — while
+    * preserving the quantizer's ranking (every dim rescales by the
+    * same deterministic truncation in both engines). */
+  private def sqWeighted(embs: DataFrame, scales: DataFrame): DataFrame =
+    sqCodes(embs, scales)
+      .withColumn("w", col("code") * expr("s div 1000L"))
+      .groupBy(col("vec_id"))
+      .agg(collect_list(struct(col("i"), col("w"))).as("ps"))
+      .select(
+        col("vec_id"),
+        transform(array_sort(col("ps")), p => p.getField("w")).as("w"))
+      .withColumn("wn2", normQ(col("w")))
+
+  /** Cosine top-k over the SQ-compressed corpus — brute force on
+    * codes: the "compressed flat" baseline (what FAISS calls
+    * IndexScalarQuantizer), 4× less data volume than the exact
+    * [[bruteForceTopK]] with near-identical ranking; audit the loss
+    * with [[topKRecallAudit]]. Queries are SQ-encoded with the SAME
+    * trained scales and broadcast; the corpus codes never shuffle. */
+  def sqTopKWith(embs: DataFrame, scales: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = sqWeighted(embs, scales)
+      .select(col("vec_id").as("cid"), col("w").as("cw"), col("wn2").as("cn2"))
+    val q = sqWeighted(queries, scales)
+      .select(col("vec_id").as("qid"), col("w").as("qw"), col("wn2").as("qn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cosine", cosine(Portable.dotQ(col("qw"), col("cw")), col("qn2"), col("cn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+  }
+
+  /** [[sqTopKWith]] sugar for a driver-side id list. */
+  def sqTopKWith(embs: DataFrame, scales: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    sqTopKWith(embs, scales, idRows(embs, queryIds), k)
+
+  // ---- Codebook quality ---------------------------------------------
+
+  /** Per-cell clustering-quality report for a trained codebook — the
+    * health check an operator reads before trusting the SAME codebook
+    * that serves IVF probes ([[ivfTopKWith]]) and SemDeDup cells
+    * ([[semDedupVerdicts]]): a cell whose members sit nearly as close
+    * to ANOTHER centroid (separation_ppm → 1·10⁶) smears its
+    * neighborhoods across cells, costing IVF recall and SemDeDup
+    * coverage. Simplified-silhouette style, on exact int64 squared L2
+    * over the quantized grid: per vector a = d²(own centroid),
+    * b = min d²(other centroids); per cell report n_vectors,
+    * mean a (`mean_own_d2`), and mean separation a·10⁶ div b
+    * (`separation_ppm`, 0 = perfectly tight, ≥ 10⁶ = mis-clustered).
+    *
+    * Scale shape: the codebook is broadcast twice (assignment argmax +
+    * runner-up min) in ONE crossJoin pass — per corpus row, a
+    * fixed-k fold and a slim two-value hash-agg; the corpus never
+    * shuffles and the output is |cells| rows. */
+  def codebookQuality(embs: DataFrame, codebook: DataFrame): DataFrame = {
+    val cents = codebook.select(col("cell"), col("cv"), col("cn2"))
+    // nearest + runner-up in ONE slim hash-agg: collect the k (d², cell)
+    // pairs per vector and struct-sort — d² asc then cell asc IS the
+    // assignment tie rule; payload is k fixed-width structs (codebooks
+    // are small by construction), map-side combined like every agg here
+    val top2 = quantized(embs)
+      .crossJoin(broadcast(cents))
+      .withColumn(
+        "__d2", col("n2") + col("cn2") - lit(2L) * Portable.dotQ(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("__d2").as("d2"), col("cell")))).as("ds"))
+      .select(
+        col("vec_id"),
+        col("ds")(0).getField("cell").as("cell"),
+        col("ds")(0).getField("d2").as("a"),
+        col("ds")(1).getField("d2").as("b"))
+    top2
+      .withColumn(
+        "sep_ppm",
+        // a·10³ / (b div 10³): quantized-grid d² runs ~10¹³–10¹⁵, so a
+        // direct a·10⁶ overflows int64 — splitting the 10⁶ across the
+        // operands keeps everything ≤ ~10¹⁸ with ≤10⁻¹⁰ relative loss,
+        // deterministically identical in both engines. b div 10³ = 0
+        // means a ≤ b < 1000 on a ~10¹³ grid — the vector effectively
+        // sits ON two centroids, maximally ambiguous: 10⁶
+        when(expr("b div 1000L") > 0, expr("(a * 1000L) div (b div 1000L)"))
+          .otherwise(lit(1000000L)))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        expr("sum(a) div count(1)").as("mean_own_d2"),
+        expr("sum(sep_ppm) div count(1)").as("mean_separation_ppm"))
+  }
+
   /** Exact int64 dot product of two quantized vectors (driver/executor
     * local twin of [[Portable.dotQ]]). */
   private def dotL(a: Array[Long], b: Array[Long]): Long = {

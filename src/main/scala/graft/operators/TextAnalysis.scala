@@ -675,6 +675,108 @@ object TextAnalysis {
         col("__cs.distinct_chars").as("distinct_chars"),
         col("__cs.char_coll_ppm").as("char_coll_ppm"))
 
+  /** C4/Gopher-style heuristic filter bundle — the rule-based gate
+    * every web-scale curation pipeline runs BEFORE the model-based
+    * ones (C4: Raffel et al. 2020 §2.2; Gopher: Rae et al. 2021 §A1.1
+    * — both published rule lists). Per document, one named boolean per
+    * rule plus the AND-composed `keep`, so downstream can both filter
+    * and attribute every drop to its rule:
+    *
+    *  - `too_short`          — fewer than `minWords` whitespace words
+    *  - `bad_word_len`       — mean word length outside [3, 10]
+    *  - `too_symbolic`       — (#  + …) symbols > 10% of words
+    *    (integer form: 10·symbols > words — no float ratio)
+    *  - `has_lorem`          — contains "lorem ipsum" (boilerplate)
+    *  - `has_brace`          — contains "{" (code in a text corpus)
+    *  - `no_terminal_punct`  — trimmed text doesn't end in . ! ?
+    *    (REPORTED but not part of `keep`: C4 applies it per LINE to
+    *    drop lines, not documents — as a doc-level AND it would
+    *    blanket-drop any corpus without sentence-final formatting)
+    *  - `too_few_stopwords`  — fewer than `minStopHits` English
+    *    stopword hits (C4's gibberish screen)
+    *
+    * Map-only single pass: every rule is a pure column expression over
+    * the one tokenization — no shuffle, no UDF, codegen throughout;
+    * at 100 TB this runs at scan speed next to the quality scorer. */
+  def heuristicGate(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      minWords: Int = 50,
+      minStopHits: Int = 2): DataFrame = {
+    require(minWords > 0, s"minWords must be positive (got $minWords)")
+    val ws      = tokens(text)
+    val nTok    = size(ws).cast("long")
+    val sumLen  = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val symbols =
+      (length(text) - length(regexp_replace(text, "#", ""))) +
+        (length(text) - length(regexp_replace(text, "…", ""))).cast("long")
+    val tooShort  = nTok < minWords
+    val badLen    = sumLen * 1L < nTok * 3L || sumLen > nTok * 10L
+    val symbolic  = symbols * 10L > nTok
+    val lorem     = lower(text).contains("lorem ipsum")
+    val brace     = text.contains("{")
+    val noTermP   = !rtrim(text).rlike("[.!?]$")
+    val fewStops  = hits(ws, StopEn) < minStopHits
+    docs.select(
+      id.as("doc_id"),
+      nTok.as("n_words"),
+      tooShort.as("too_short"),
+      badLen.as("bad_word_len"),
+      symbolic.as("too_symbolic"),
+      lorem.as("has_lorem"),
+      brace.as("has_brace"),
+      noTermP.as("no_terminal_punct"),
+      fewStops.as("too_few_stopwords"),
+      (!tooShort && !badLen && !symbolic && !lorem && !brace && !fewStops).as("keep"))
+  }
+
+  /** Unicode-script / char-class census — the "is this even text in
+    * the script I expect?" screen that runs before language ID on a
+    * crawled corpus (binary-as-text, ASCII-art, number dumps, and
+    * wrong-script pages all fail here before costing a model call).
+    * Exact integer counts per class (letters, digits, whitespace,
+    * sentence punctuation, other) via length-difference over a class
+    * strip — no explode, no per-char rows — then exact-ppm shares
+    * (`n·10⁶ div n_chars`) and a class verdict:
+    * `latin` (letters ≥ 50%), `numeric` (digits ≥ 30%), else `other`.
+    *
+    * Map-only pure column expressions; the 100 TB shape is a scan-
+    * speed pass exactly like [[charStats]], which measures diversity
+    * where this measures composition. */
+  def scriptProfile(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val n = length(text).cast("long")
+    def classCount(re: String): Column =
+      (length(text) - length(regexp_replace(text, re, ""))).cast("long")
+    val alpha = classCount("[A-Za-z]")
+    val digit = classCount("[0-9]")
+    val space = classCount("\\s")
+    val punct = classCount("[.,!?;:]")
+    val other = n - alpha - digit - space - punct
+    docs
+      .select(
+        id.as("doc_id"),
+        n.as("n_chars"),
+        alpha.as("n_alpha"),
+        digit.as("n_digit"),
+        space.as("n_space"),
+        punct.as("n_punct"),
+        other.as("n_other"))
+      // exact integer ppm (div, not /): bit-identical to the oracle's
+      // `//` — a double division could round across the verdict bar
+      .withColumn(
+        "alpha_ppm",
+        expr("CASE WHEN n_chars > 0 THEN (n_alpha * 1000000L) div n_chars ELSE 0L END"))
+      .withColumn(
+        "digit_ppm",
+        expr("CASE WHEN n_chars > 0 THEN (n_digit * 1000000L) div n_chars ELSE 0L END"))
+      .withColumn(
+        "script_class",
+        when(col("alpha_ppm") >= 500000L, "latin")
+          .when(col("digit_ppm") >= 300000L, "numeric")
+          .otherwise("other"))
+  }
+
   /** Truncation-loss accounting: what a `maxLen`-token context window
     * costs per source, BEFORE packing/chunking is chosen — the number
     * a curriculum designer reads to pick between truncate / chunk /

@@ -107,6 +107,13 @@ object Documents {
     codebookCache(s, dir)(
       Similarity.kmeansCentroids(Tables.embeddings(s, dir), 8))
 
+  // SQ8 per-dimension scales: |dims| rows, trained once on the corpus
+  // (the scalar-quantization twin of the PQ codebooks below) — q135
+  // encodes with them, q136 audits the ranking they serve.
+  private val sqScalesCache = new DirCached
+  private def sharedSqScales(s: SparkSession, dir: String): DataFrame =
+    sqScalesCache(s, dir)(Similarity.sqScales(Tables.embeddings(s, dir)))
+
   // PQ compression parameters: 64 dims → 4 subspaces × 16 dims,
   // 8 codewords each; the trained per-subspace codebooks are the
   // train-once artifact q101 encodes with and q102 serves from.
@@ -688,7 +695,64 @@ object Documents {
     "q133_dedup_threshold_sweep" -> ((s, dir) =>
       TextDedup.thresholdSweep(
         sharedJaccardPairs(s, dir),
-        thresholds = Seq(0.8, 0.95, 0.99)))
+        thresholds = Seq(0.8, 0.95, 0.99))),
+
+    // Leakage-free train/val/test split: the split hash keys on the
+    // dedup SURVIVOR (q64's verdict relation), so a whole near-dup
+    // cluster moves between splits as a unit — membership in test
+    // implies no near-copy leaked into train.
+    "q134_leakfree_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Profile.leakFreeSplit(
+        d.select(col("doc_id")), col("doc_id"),
+        TextDedup.dedupVerdictsFromClusters(
+          d, col("doc_id"), TextAnalysis.fingerprint(col("text")),
+          sharedClusters(s, dir)),
+        trainPct = 80, valPct = 10)
+    }),
+
+    // Int8 scalar quantization (SQ8): per-dim symmetric scales trained
+    // on the corpus, codes + exact decode error per (vector, dim) —
+    // the 4-byte→1-byte compression artifact every 100 TB vector
+    // store materializes before building indexes.
+    "q135_sq8_codes" -> ((s, dir) =>
+      Similarity.sqEncode(Tables.embeddings(s, dir), sharedSqScales(s, dir))),
+
+    // Recall@10 of cosine ranking over the SQ8-compressed corpus vs
+    // exact truth — the audit read before trusting 4×-compressed
+    // serving (the SQ sibling of q127's PQ audit).
+    "q136_sq8_recall" -> ((s, dir) =>
+      Similarity.topKRecallAudit(
+        Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryRel(s, dir), 10),
+        Similarity.sqTopKWith(
+          Tables.embeddings(s, dir), sharedSqScales(s, dir), QueryRel(s, dir), 10))),
+
+    // C4/Gopher heuristic rule bundle: one named boolean per published
+    // rule + the composed keep verdict — every drop attributable to
+    // its rule. minWords=30 splits this corpus ~1:4.
+    "q137_heuristic_gate" -> ((s, dir) =>
+      TextAnalysis.heuristicGate(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        minWords = 30, minStopHits = 1)),
+
+    // Unicode char-class census + script verdict — the is-this-even-
+    // text screen that runs before language ID on crawled data.
+    "q138_script_profile" -> ((s, dir) =>
+      TextAnalysis.scriptProfile(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // Clustering-quality report for the SHARED trained codebook (the
+    // one IVF probes and SemDeDup cells ride): per cell n, mean own
+    // d², mean separation ppm — read before trusting q45/q63/q96.
+    "q139_codebook_quality" -> ((s, dir) =>
+      Similarity.codebookQuality(Tables.embeddings(s, dir), sharedCodebook(s, dir))),
+
+    // UniMax budget allocation across languages (epoch cap 2.0,
+    // budget 200 k chars): the fairer alternative to temperature
+    // sampling — closed-form water-filling in exact int64.
+    "q140_unimax_plan" -> ((s, dir) =>
+      Profile.unimaxPlan(
+        Tables.documents(s, dir), col("lang"), col("n_chars"),
+        budget = 200000L, epochCapX1000 = 2000L))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

@@ -1113,7 +1113,188 @@ private[queries] object DocumentsOracles2 {
                   UNION ALL SELECT doc_b, jaccard FROM pairs) CROSS JOIN th
             GROUP BY 1)
           SELECT np.threshold, np.n_pairs, nd.n_docs_affected
-          FROM np JOIN nd USING (threshold)"""
+          FROM np JOIN nd USING (threshold)""",
+
+    // Split hash keys on the dedup SURVIVOR (q64's relation), not the
+    // doc's own id — whole clusters move between splits as a unit.
+    "q134_leakfree_split" ->
+      s"""WITH RECURSIVE $verdictCtes,
+          sv AS (SELECT doc_id, COALESCE(cluster_min, exact_keeper) AS survivor_doc_id FROM j),
+          h AS (
+            SELECT doc_id, survivor_doc_id,
+                   ('0x' || substr(md5('split_' || CAST(survivor_doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hv
+            FROM sv)
+          SELECT doc_id, survivor_doc_id,
+                 CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
+          FROM h""",
+
+    // SQ8 codes + exact decode error on the quantized grid (sqCte
+    // mirrors Similarity.sqScales/sqEncode bit for bit).
+    "q135_sq8_codes" ->
+      s"""WITH $quantCte,
+          $sqCte
+          SELECT vec_id, CAST(i AS INT) AS i, code,
+                 abs(127 * x - code * s) // 127 AS abs_err
+          FROM enc""",
+
+    // Recall@10 of SQ8-compressed cosine ranking vs exact truth.
+    "q136_sq8_recall" ->
+      s"""WITH $quantCte,
+          $sqCte,
+          wts AS (SELECT vec_id, i, code * (s // 1000) AS w FROM enc),
+          wn AS (SELECT vec_id, CAST(SUM(w * w) AS BIGINT) AS wn2 FROM wts GROUP BY 1),
+          dots AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid, CAST(SUM(q.w * c.w) AS BIGINT) AS d
+            FROM wts q JOIN wts c ON q.i = c.i AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          sqcos AS (
+            SELECT qid, cid,
+                   CASE WHEN qn.wn2 > 0 AND cn.wn2 > 0
+                        THEN CAST(d AS DOUBLE) / (sqrt(CAST(qn.wn2 AS DOUBLE)) * sqrt(CAST(cn.wn2 AS DOUBLE)))
+                   END AS cosine
+            FROM dots JOIN wn qn ON qn.vec_id = qid JOIN wn cn ON cn.vec_id = cid),
+          appr AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM sqcos) WHERE rk <= 10),
+          tsc AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   ${cosSql("q.v", "c.v", "q.n2", "c.n2")} AS cosine
+            FROM en c, en q WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+          tr AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM tsc) WHERE rk <= 10)
+          SELECT tr.qid, COUNT(1) AS n_truth,
+                 COUNT(appr.cid) AS n_hit,
+                 (COUNT(appr.cid) * 1000000) // COUNT(1) AS recall_ppm
+          FROM tr LEFT JOIN appr ON appr.qid = tr.qid AND appr.cid = tr.cid
+          GROUP BY 1""",
+
+    // C4/Gopher rule bundle (minWords=30, minStopHits=1); keep
+    // excludes the line-level terminal-punct rule, as documented.
+    "q137_heuristic_gate" ->
+      s"""WITH $wordsCte,
+          m AS (
+            SELECT doc_id, text,
+                   CAST(len(ws) AS BIGINT) AS nt,
+                   CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum') AS BIGINT) AS sumlen,
+                   CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','in','to','is','that','it','for'], w))) AS BIGINT) AS stops,
+                   CAST((len(text) - len(replace(text, '#', ''))) +
+                        (len(text) - len(replace(text, '…', ''))) AS BIGINT) AS symbols
+            FROM words)
+          SELECT doc_id,
+                 nt AS n_words,
+                 nt < 30 AS too_short,
+                 (sumlen < nt * 3 OR sumlen > nt * 10) AS bad_word_len,
+                 symbols * 10 > nt AS too_symbolic,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem,
+                 contains(text, '{') AS has_brace,
+                 NOT regexp_matches(rtrim(text), '[.!?]$$') AS no_terminal_punct,
+                 stops < 1 AS too_few_stopwords,
+                 (nt >= 30 AND NOT (sumlen < nt * 3 OR sumlen > nt * 10)
+                   AND NOT symbols * 10 > nt
+                   AND NOT contains(lower(text), 'lorem ipsum')
+                   AND NOT contains(text, '{')
+                   AND stops >= 1) AS keep
+          FROM m""",
+
+    // Char-class census in exact integer ppm + script verdict.
+    "q138_script_profile" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CAST(len(text) AS BIGINT) AS n_chars,
+                  CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                  CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                  CAST(len(text) - len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space,
+                  CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_punct,
+                  n_chars - n_alpha - n_digit - n_space - n_punct AS n_other,
+                  CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars ELSE 0 END AS alpha_ppm,
+                  CASE WHEN n_chars > 0 THEN (n_digit * 1000000) // n_chars ELSE 0 END AS digit_ppm
+           FROM c)
+         SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_punct, n_other,
+                alpha_ppm, digit_ppm,
+                CASE WHEN alpha_ppm >= 500000 THEN 'latin'
+                     WHEN digit_ppm >= 300000 THEN 'numeric'
+                     ELSE 'other' END AS script_class
+         FROM p""",
+
+    // Simplified-silhouette cell report over the shared trained
+    // codebook: nearest + runner-up by exact int64 L2², tie to the
+    // lowest cell — same ordering as the Spark struct sort.
+    "q139_codebook_quality" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          dd AS (
+            SELECT en.vec_id, c.cell,
+                   en.n2 + c.cn2 - 2 * ${dotSql.format("en.v", "c.cv")} AS d2
+            FROM en CROSS JOIN cn c),
+          rk AS (
+            SELECT vec_id, cell, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS r
+            FROM dd),
+          top2 AS (
+            SELECT a.vec_id, a.cell, a.d2 AS a_d2, b.d2 AS b_d2
+            FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.r = 1 AND b.r = 2),
+          sep AS (
+            SELECT cell, a_d2,
+                   CASE WHEN b_d2 // 1000 > 0 THEN (a_d2 * 1000) // (b_d2 // 1000)
+                        ELSE 1000000 END AS sep_ppm
+            FROM top2)
+          SELECT cell, COUNT(1) AS n_vectors,
+                 CAST(SUM(a_d2) AS BIGINT) // COUNT(1) AS mean_own_d2,
+                 CAST(SUM(sep_ppm) AS BIGINT) // COUNT(1) AS mean_separation_ppm
+          FROM sep GROUP BY 1""",
+
+    // UniMax water-filling in exact int64 (budget 200k chars, epoch
+    // cap 2.0): capped iff cap_i·R_i ≤ budget − Σ_{smaller} cap_j.
+    "q140_unimax_plan" ->
+      """WITH counts AS (
+           SELECT lang AS language, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         wi AS (
+           SELECT language, n_tokens,
+                  (n_tokens * 2000) // 1000 AS cap_alloc,
+                  row_number() OVER (ORDER BY n_tokens ASC, language ASC) AS idx,
+                  COUNT(1) OVER () AS l,
+                  COALESCE(SUM((n_tokens * 2000) // 1000) OVER (
+                    ORDER BY n_tokens ASC, language ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+           FROM counts),
+         fl AS (
+           SELECT *, cap_alloc * (l - idx + 1) <= 200000 - pfx AS capped FROM wi),
+         tot AS (
+           SELECT CAST(200000 - COALESCE(SUM(CASE WHEN capped THEN cap_alloc END), 0) AS BIGINT) AS lft,
+                  COUNT(CASE WHEN NOT capped THEN 1 END) AS u
+           FROM fl)
+         SELECT language, n_tokens, capped,
+                CAST(CASE WHEN capped THEN cap_alloc
+                          WHEN u > 0 THEN lft // u
+                          ELSE 0 END AS BIGINT) AS alloc_tokens,
+                CAST((CASE WHEN capped THEN cap_alloc
+                           WHEN u > 0 THEN lft // u
+                           ELSE 0 END * 1000) // n_tokens AS BIGINT) AS epochs_x1000
+         FROM fl CROSS JOIN tot"""
   )
 
+  /** SQ8 CTE chain (mirror of [[graft.operators.Similarity.sqScales]]/
+    * `sqEncode`): `ex` per-(vector, dim) components, `sc` per-dim
+    * symmetric scales, `enc` int8 codes. Requires [[quantCte]]'s `en`
+    * in scope. */
+  private def sqCte =
+    s"""ex AS (
+          SELECT vec_id, i, v[i + 1] AS x
+          FROM en CROSS JOIN (SELECT unnest(generate_series(0, ${EmbDim - 1})) AS i)),
+        sc AS (SELECT i, greatest(max(x), -min(x), 1) AS s FROM ex GROUP BY 1),
+        enc AS (
+          SELECT vec_id, i, s, x,
+                 CASE WHEN x < 0 THEN -((254 * abs(x) + s) // (2 * s))
+                      ELSE (254 * abs(x) + s) // (2 * s) END AS code
+          FROM ex JOIN sc USING (i))"""
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: leakage-free split, UniMax allocation, C4/Gopher
+  * gate, script census, int8 scalar quantization, codebook quality. */
+class Round5OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unimaxPlan: hand-checked water-filling — small groups capped, big group splits the leftover") {
+    val docs = (
+      (1 to 100).map(i => (i.toLong, "a", 1L)) ++
+        (1 to 200).map(i => (100L + i, "b", 1L)) ++
+        (1 to 1000).map(i => (300L + i, "c", 1L))
+    ).toDF("doc_id", "lang", "w")
+    // caps at 2.0 epochs: a 200, b 400, c 2000; budget 1000:
+    // a capped (200·3 = 600 ≤ 1000), b capped (400·2 = 800 ≤ 800),
+    // c uncapped → gets the leftover 400 (0.4 epochs)
+    val out = Profile.unimaxPlan(docs, col("lang"), col("w"), budget = 1000L, epochCapX1000 = 2000L)
+      .orderBy("language").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("a", 100L, true, 200L, 2000L),
+      ("b", 200L, true, 400L, 2000L),
+      ("c", 1000L, false, 400L, 400L)))
+  }
+
+  test("unimaxPlan: budget above the whole corpus at cap → every group capped, no div-by-zero") {
+    val docs = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "lang", "w")
+    val out = Profile.unimaxPlan(docs, col("lang"), col("w"), budget = 1000000L, epochCapX1000 = 3000L)
+      .collect().map(r => (r.getString(0), r.getBoolean(2), r.getLong(3)))
+    assert(out.toSet === Set(("a", true, 30L), ("b", true, 60L)))
+  }
+
+  test("leakFreeSplit: every member of a dup cluster lands in the survivor's split") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val survivors = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster {1,2,3} → survivor 1
+      (4L, 4L), (5L, 4L)            // cluster {4,5}   → survivor 4
+    ).toDF("doc_id", "survivor_doc_id")
+    val out = Profile.leakFreeSplit(docs, col("doc_id"), survivors, 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(4L) == out(5L))
+    // and the assignment matches a plain withSplit of the survivor id
+    val direct = Profile.withSplit(Seq(1L, 4L).toDF("id"), col("id"), 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(2L) == direct(1L) && out(5L) == direct(4L))
+  }
+
+  test("heuristicGate: each rule fires on its designed offender and keep composes") {
+    val good = ("the cat sat of the mat and it was good for all that it is " +
+      "a fine day in the sun to rest and the end is near for the story now done " * 2).trim
+    val docs = Seq(
+      (1L, good),                                // keeps
+      (2L, "too short"),                         // too_short
+      (3L, ("lorem ipsum dolor " * 20).trim),    // has_lorem (and no stopwords)
+      (4L, ("x{ " * 40).trim),                   // has_brace, short mean word len
+      (5L, ("the " + "# " * 60).trim)            // too_symbolic
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.heuristicGate(docs, col("doc_id"), col("text"), minWords = 10, minStopHits = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Boolean]("too_short") && !out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Boolean]("has_lorem") && !out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Boolean]("has_brace") && !out(4L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Boolean]("too_symbolic") && !out(5L).getAs[Boolean]("keep"))
+  }
+
+  test("scriptProfile: exact char-class counts and the verdict bars") {
+    val docs = Seq((1L, "abc 123."), (2L, "hello world.")).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_chars") == 8L && r1.getAs[Long]("n_alpha") == 3L)
+    assert(r1.getAs[Long]("n_digit") == 3L && r1.getAs[Long]("n_space") == 1L)
+    assert(r1.getAs[Long]("n_punct") == 1L && r1.getAs[Long]("n_other") == 0L)
+    assert(r1.getAs[Long]("alpha_ppm") == 375000L) // (3·10⁶) div 8
+    assert(r1.getAs[String]("script_class") == "numeric") // digits ≥ 30%
+    assert(out(2L).getAs[String]("script_class") == "latin")
+  }
+
+  test("sqScales + sqEncode: hand-checked symmetric int8 codes and decode error") {
+    val embs = Seq(
+      (0L, Seq(1.0f, -0.5f)),
+      (1L, Seq(0.5f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val scales = Similarity.sqScales(embs)
+    assert(scales.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      === Map(0 -> 10000000L, 1 -> 5000000L))
+    val codes = Similarity.sqEncode(embs, scales)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(codes((0L, 0)) === (127L, 0L))    // full-scale → 127, exact
+    assert(codes((0L, 1)) === (-127L, 0L))   // negative full-scale
+    assert(codes((1L, 0)) === (64L, 39370L)) // |127·5e6 − 64·1e7| div 127
+    assert(codes((1L, 1)) === (64L, 19685L))
+  }
+
+  test("sqTopKWith: compressed ranking matches exact ranking on well-separated vectors") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.1f, 0.9f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val truth  = Similarity.bruteForceTopK(embs, Seq(0L, 2L), k = 2)
+    val approx = Similarity.sqTopKWith(embs, Similarity.sqScales(embs), Seq(0L, 2L), k = 2)
+    val audit = Similarity.topKRecallAudit(truth, approx).collect()
+    assert(audit.length == 2 && audit.forall(_.getAs[Long]("recall_ppm") == 1000000L))
+  }
+
+  test("codebookQuality: tight cells report low separation, on-centroid vectors have a = 0") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f)), // == centroid 0
+      (1L, Seq(0.9f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), // == centroid 1
+      (3L, Seq(0.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cb = Seq(
+      (0L, Seq(10000000L, 0L)),
+      (1L, Seq(0L, 10000000L))
+    ).toDF("cell", "cv").withColumn("cn2", expr("cv[0]*cv[0] + cv[1]*cv[1]"))
+    val out = Similarity.codebookQuality(embs, cb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L)._1 == 2L && out(1L)._1 == 2L) // two vectors per cell
+    // mean own d²: cell 0 = (0 + 1e12)/2 = 5e11
+    assert(out(0L)._2 == 500000000000L)
+    // separation well under 10⁶ ppm: members sit much closer to their
+    // own centroid than to the other
+    assert(out(0L)._3 < 20000L && out(1L)._3 < 20000L)
+  }
+}
