@@ -563,12 +563,17 @@ object Similarity {
   /** (vec_id, sub, v, n2) subvector slices: `dim` split into `m`
     * consecutive equal subspaces. Map-only (explode of a per-row
     * literal-bounded array) — the one pass over the full vectors. */
-  private def pqSlices(embs: DataFrame, dim: Int, m: Int): DataFrame = {
+  private def pqSlices(embs: DataFrame, dim: Int, m: Int): DataFrame =
+    pqSlicesQ(quantized(embs).select(col("vec_id"), col("v")), dim, m)
+
+  /** [[pqSlices]] over an ALREADY-quantized (vec_id, v) relation —
+    * the entry point residual vectors take ([[ivfPqCodebooks]]). */
+  private def pqSlicesQ(vecs: DataFrame, dim: Int, m: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
     val step = dim / m
     val slices = array((0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("v"), s * step + 1, step).as("sv"))): _*)
-    quantized(embs)
+    vecs
       .select(col("vec_id"), explode(slices).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("v"))
       .withColumn("n2", normQ(col("v")))
@@ -595,9 +600,14 @@ object Similarity {
     * integer-mean centroid update ([[integerMeanCentroids]] keyed by
     * (sub, cell) — one generalized job trains ALL subspaces at once,
     * not m sequential jobs). Returns (sub, cell, cv, cn2). */
-  def pqCodebooks(embs: DataFrame, dim: Int, m: Int, k: Int, iters: Int = 1): DataFrame = {
+  def pqCodebooks(embs: DataFrame, dim: Int, m: Int, k: Int, iters: Int = 1): DataFrame =
+    trainPqSlices(pqSlices(embs, dim, m), k, iters)
+
+  /** The Lloyd loop shared by [[pqCodebooks]] (raw vectors) and
+    * [[ivfPqCodebooks]] (residuals): seed from the first `k` ids'
+    * slices, then `iters` integer-mean rounds. */
+  private def trainPqSlices(sl: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be positive (got $k)")
-    val sl = pqSlices(embs, dim, m)
     var cb = sl
       .filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("cell"), col("v").as("cv"), col("n2").as("cn2"))
@@ -659,6 +669,129 @@ object Similarity {
       m: Int,
       k: Int): DataFrame =
     pqTopKWith(embs, codebooks, idRows(embs, queryIds), dim, m, k)
+
+  // ---- IVF-PQ (residual product quantization) ----------------------
+  //
+  // The production 100 TB ANN layout (Jégou et al. 2011 §IV — IVFADC):
+  // a coarse quantizer partitions the corpus into cells, and PQ
+  // compresses each vector's RESIDUAL to its cell centroid instead of
+  // the vector itself. Residuals are centered near zero, so the same
+  // byte budget quantizes them far more finely than raw vectors —
+  // and serving probes only nProbe cells' code lists instead of every
+  // code. The coarse codebook is the SAME trained k-means artifact the
+  // plain IVF index and SemDeDup ride ([[kmeansCentroids]]): one
+  // clustering serves retrieval, dedup, and compression.
+
+  /** Residual relation (vec_id, cell, v): each quantized vector minus
+    * its assigned coarse centroid, exact per-dim int64. Assignment is
+    * [[nearestCell]]'s cosine argmax — identical to what the IVF index
+    * probes, so a served query probes the cells its residuals were
+    * encoded against. Scale shape: the codebook is broadcast; the
+    * corpus is mapped in place and never shuffles. */
+  private def residuals(embs: DataFrame, codebook: DataFrame): DataFrame =
+    assignedCorpus(embs, codebook)
+      .join(broadcast(codebook.select(col("cell"), col("cv"))), Seq("cell"))
+      .select(
+        col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+
+  /** Train the per-subspace RESIDUAL codebooks — same Lloyd contract
+    * as [[pqCodebooks]], fed residual slices. Returns
+    * (sub, cell, cv, cn2) where `cell` is the codeword id. */
+  def ivfPqCodebooks(
+      embs: DataFrame,
+      codebook: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int = 1): DataFrame =
+    trainPqSlices(pqSlicesQ(residuals(embs, codebook), dim, m), k, iters)
+
+  /** Encode the corpus: (vec_id, cell, sub, code, d2) — the coarse
+    * cell plus m residual codes per vector, with the exact per-subspace
+    * quantization error. The materialize-once index artifact: at
+    * 100 TB this relation (a few bytes/vector) is what serving reads —
+    * the full vectors appear in no serving plan. */
+  def ivfPqEncode(
+      embs: DataFrame,
+      codebook: DataFrame,
+      residCodebooks: DataFrame,
+      dim: Int,
+      m: Int): DataFrame = {
+    val r = residuals(embs, codebook)
+    nearestSubCell(pqSlicesQ(r.select(col("vec_id"), col("v")), dim, m), residCodebooks)
+      .join(r.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"), col("d2"))
+  }
+
+  /** IVFADC serving: each query probes its `nProbe` nearest coarse
+    * cells, builds per-(query, cell, subspace) distance TABLES from
+    * its residual in that cell to every residual codeword
+    * (|queries|·nProbe·m·k rows — tiny, broadcast), and the probed
+    * cells' CODE lists join the tables on (cell, sub, code); one
+    * (qid, cid) hash-agg sums the m lookups into the ADC distance.
+    * Only codes move, and only from probed cells — at scale the codes
+    * relation is partitioned by cell, so nProbe cells means nProbe
+    * partitions read, not a corpus scan. */
+  def ivfPqTopKWith(
+      embs: DataFrame,
+      codebook: DataFrame,
+      residCodebooks: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      m: Int,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    require(nProbe >= 1 && k >= 1, s"nProbe and k must be positive (got $nProbe, $k)")
+    val r = residuals(embs, codebook)
+    val codes = nearestSubCell(pqSlicesQ(r.select(col("vec_id"), col("v")), dim, m), residCodebooks)
+      .join(r.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id").as("cid"), col("cell"), col("sub"), col("code"))
+    // query → nProbe nearest coarse cells, carrying the query vector
+    val pw = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("cell"))
+    val probes = quantized(queries)
+      .crossJoin(broadcast(
+        codebook.select(col("cell"), col("cv").as("ccv"), col("cn2").as("ccn2"))))
+      .withColumn("ccos", cosine(Portable.dotQ(col("v"), col("ccv")), col("n2"), col("ccn2")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cell"), col("ccv"), col("v"))
+    // per-(query, probed cell) residual slices → distance tables
+    val step = dim / m
+    val sliceArr = array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("rv"), s * step + 1, step).as("sv"))): _*)
+    val rcb = residCodebooks
+      .select(col("sub"), col("cell").as("code"), col("cv").as("rcv"), col("cn2").as("rcn2"))
+    val dt = probes
+      .withColumn("rv", zip_with(col("v"), col("ccv"), (a, b) => a - b))
+      .select(col("qid"), col("cell"), explode(sliceArr).as("e"))
+      .select(col("qid"), col("cell"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .withColumn("sn2", normQ(col("sv")))
+      .join(broadcast(rcb), Seq("sub"))
+      .select(
+        col("qid"), col("cell"), col("sub"), col("code"),
+        (col("sn2") + col("rcn2") - lit(2L) * Portable.dotQ(col("sv"), col("rcv"))).as("qd2"))
+    val w = Window.partitionBy(col("qid")).orderBy(asc("adc_dist2"), asc("cid"))
+    codes
+      .join(broadcast(dt), Seq("cell", "sub", "code"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("qd2")).as("adc_dist2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** [[ivfPqTopKWith]] sugar for a driver-side id list. */
+  def ivfPqTopKWith(
+      embs: DataFrame,
+      codebook: DataFrame,
+      residCodebooks: DataFrame,
+      queryIds: Seq[Long],
+      dim: Int,
+      m: Int,
+      nProbe: Int,
+      k: Int): DataFrame =
+    ivfPqTopKWith(embs, codebook, residCodebooks, idRows(embs, queryIds), dim, m, nProbe, k)
 
   /** Semantic decontamination — the embedding-space complement of
     * n-gram decontamination ([[TextDedup.contaminationFlags]]):

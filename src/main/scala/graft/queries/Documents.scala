@@ -114,6 +114,14 @@ object Documents {
   private def sharedSqScales(s: SparkSession, dir: String): DataFrame =
     sqScalesCache(s, dir)(Similarity.sqScales(Tables.embeddings(s, dir)))
 
+  // Residual (IVF-PQ) codebooks: trained over residuals to the SHARED
+  // coarse codebook — q141 encodes with them, q142 serves ADC probes.
+  private val ivfPqCbCache = new DirCached
+  private def sharedIvfPqCodebooks(s: SparkSession, dir: String): DataFrame =
+    ivfPqCbCache(s, dir)(
+      Similarity.ivfPqCodebooks(
+        Tables.embeddings(s, dir), sharedCodebook(s, dir), EmbDim, PqM, PqK))
+
   // PQ compression parameters: 64 dims → 4 subspaces × 16 dims,
   // 8 codewords each; the trained per-subspace codebooks are the
   // train-once artifact q101 encodes with and q102 serves from.
@@ -752,7 +760,24 @@ object Documents {
     "q140_unimax_plan" -> ((s, dir) =>
       Profile.unimaxPlan(
         Tables.documents(s, dir), col("lang"), col("n_chars"),
-        budget = 200000L, epochCapX1000 = 2000L))
+        budget = 200000L, epochCapX1000 = 2000L)),
+
+    // IVF-PQ encode (IVFADC, Jégou et al. 2011): coarse cell + m
+    // residual codes + exact per-subspace quantization error — the
+    // bytes-per-vector index artifact a 100 TB corpus materializes
+    // once and serves from.
+    "q141_ivfpq_codes" -> ((s, dir) =>
+      Similarity.ivfPqEncode(
+        Tables.embeddings(s, dir), sharedCodebook(s, dir),
+        sharedIvfPqCodebooks(s, dir), EmbDim, PqM)),
+
+    // IVFADC serving: probe 2 coarse cells, ADC over residual codes —
+    // only probed cells' code lists move, never a vector.
+    "q142_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopKWith(
+        Tables.embeddings(s, dir), sharedCodebook(s, dir),
+        sharedIvfPqCodebooks(s, dir), QueryRel(s, dir),
+        EmbDim, PqM, nProbe = 2, k = 5))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

@@ -190,10 +190,14 @@ private[queries] object DocumentsOracles {
     * the [[kmeansCte]] contract per subspace) → codes. `pcbn` holds
     * the trained codebooks, `pcodes` the (vec_id, sub, code, d2)
     * encoding. Requires [[quantCte]] in scope. */
-  private[queries] def pqCte = s"""subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub),
+  private[queries] def pqCte = pqCteOn("en")
+
+  /** [[pqCte]] over an arbitrary (vec_id, v) source relation — the
+    * residual chain (q141/q142) trains the same PQ on `renn`. */
+  private[queries] def pqCteOn(src: String) = s"""subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub),
        sl AS (
          SELECT vec_id, sub, list_slice(v, sub*${EmbDim / PqM} + 1, sub*${EmbDim / PqM} + ${EmbDim / PqM}) AS sv
-         FROM en, subs
+         FROM $src, subs
        ),
        sn AS (
          SELECT vec_id, sub, sv,

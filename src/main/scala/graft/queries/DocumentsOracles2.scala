@@ -1280,8 +1280,81 @@ private[queries] object DocumentsOracles2 {
                 CAST((CASE WHEN capped THEN cap_alloc
                            WHEN u > 0 THEN lft // u
                            ELSE 0 END * 1000) // n_tokens AS BIGINT) AS epochs_x1000
-         FROM fl CROSS JOIN tot"""
+         FROM fl CROSS JOIN tot""",
+
+    // IVF-PQ encode: the pq chain run on residuals to the trained
+    // coarse codebook; coarse cell carried alongside the codes.
+    "q141_ivfpq_codes" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          $residCte,
+          ${pqCteOn("renn")}
+          SELECT p.vec_id, r.coarse_cell AS cell, CAST(p.sub AS INT) AS sub, p.code, p.d2
+          FROM pcodes p JOIN renn r ON r.vec_id = p.vec_id""",
+
+    // IVFADC serving: probe 2 coarse cells per query, distance tables
+    // from the query's residual IN EACH PROBED CELL to every residual
+    // codeword, ADC sum over probed cells' code lists.
+    "q142_ivfpq_topk" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          $residCte,
+          ${pqCteOn("renn")},
+          qpr AS (
+            SELECT vec_id AS qid, cell, ccv, qv FROM (
+              SELECT en.vec_id, c.cell, c.cv AS ccv, en.v AS qv,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} DESC, c.cell ASC) AS pr
+              FROM en CROSS JOIN cn c WHERE en.vec_id < 5) WHERE pr <= 2),
+          qres AS (
+            SELECT qid, cell, list_transform(list_zip(qv, ccv), p -> p[1] - p[2]) AS rv
+            FROM qpr),
+          qsl AS (
+            SELECT qid, cell, sub,
+                   list_slice(rv, sub*${EmbDim / PqM} + 1, sub*${EmbDim / PqM} + ${EmbDim / PqM}) AS sv
+            FROM qres, subs),
+          qsn AS (
+            SELECT qid, cell, sub, sv,
+                   CAST(list_aggregate(list_transform(sv, x -> x*x), 'sum') AS BIGINT) AS sn2
+            FROM qsl),
+          dt AS (
+            SELECT qid, qsn.cell, qsn.sub, c.cell AS code,
+                   qsn.sn2 + c.cn2 - 2*${dotSql.format("qsn.sv", "c.cv")} AS qd2
+            FROM qsn JOIN pcbn c ON c.sub = qsn.sub),
+          adc AS (
+            SELECT dt.qid, p.vec_id AS cid, CAST(SUM(dt.qd2) AS BIGINT) AS adc_dist2
+            FROM pcodes p
+            JOIN renn r ON r.vec_id = p.vec_id
+            JOIN dt ON dt.cell = r.coarse_cell AND dt.sub = p.sub AND dt.code = p.code
+            WHERE p.vec_id <> dt.qid
+            GROUP BY 1, 2)
+          SELECT qid, cid, adc_dist2, rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist2 ASC, cid ASC) AS rk
+            FROM adc) WHERE rk <= 5"""
   )
+
+  /** Residual chain for IVF-PQ (mirror of
+    * [[graft.operators.Similarity.ivfPqCodebooks]]'s residual
+    * relation): coarse assignment against the trained codebook `cn`
+    * (cosine argmax, ties to the lowest cell — [[kmeansCte]] in
+    * scope), then `renn` = (vec_id, v = residual, n2, coarse_cell).
+    * Feed it to [[pqCteOn]]("renn") for the residual PQ chain. */
+  private def residCte =
+    s"""rc0 AS (
+          SELECT en.vec_id, c.cell, ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+          FROM en CROSS JOIN cn c),
+        ras AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+            FROM rc0) WHERE rn = 1),
+        ren AS (
+          SELECT en.vec_id, ras.cell AS coarse_cell,
+                 list_transform(list_zip(en.v, c.cv), p -> p[1] - p[2]) AS v
+          FROM en JOIN ras USING (vec_id) JOIN cn c ON c.cell = ras.cell),
+        renn AS (
+          SELECT vec_id, coarse_cell, v,
+                 CAST(list_aggregate(list_transform(v, x -> x*x), 'sum') AS BIGINT) AS n2
+          FROM ren)"""
 
   /** SQ8 CTE chain (mirror of [[graft.operators.Similarity.sqScales]]/
     * `sqEncode`): `ex` per-(vector, dim) components, `sc` per-dim

@@ -111,6 +111,38 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(audit.length == 2 && audit.forall(_.getAs[Long]("recall_ppm") == 1000000L))
   }
 
+  test("ivfPqEncode + ivfPqTopKWith: m codes per vector, ADC ranking finds same-cluster neighbors") {
+    // two tight clusters in a 4-dim space; coarse codebook = the two
+    // cluster directions; m=2 subspaces of 2 dims, 2 codewords each
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+      (1L, Seq(0.95f, 0.0f, 0.05f, 0.0f)),
+      (2L, Seq(0.9f, 0.0f, 0.0f, 0.05f)),
+      (3L, Seq(0.0f, 0.05f, 1.0f, 0.0f)),
+      (4L, Seq(0.05f, 0.0f, 0.95f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 0.9f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val cb = Seq(
+      (0L, Seq(10000000L, 0L, 0L, 0L)),
+      (1L, Seq(0L, 0L, 10000000L, 0L))
+    ).toDF("cell", "cv")
+      .withColumn("cn2", expr("cv[0]*cv[0] + cv[1]*cv[1] + cv[2]*cv[2] + cv[3]*cv[3]"))
+    val rcb = Similarity.ivfPqCodebooks(embs, cb, dim = 4, m = 2, k = 2)
+    val codes = Similarity.ivfPqEncode(embs, cb, rcb, dim = 4, m = 2)
+    assert(codes.count() == 12) // 6 vectors × 2 subspaces
+    // every vector of the first cluster sits in cell 0, second in cell 1
+    val cells = codes.select("vec_id", "cell").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 2L).forall(cells(_) == 0L) && (3L to 5L).forall(cells(_) == 1L))
+    // ADC with nProbe=1: query 0's neighbors must come from its own cluster
+    val top = Similarity.ivfPqTopKWith(embs, cb, rcb, Seq(0L), dim = 4, m = 2, nProbe = 1, k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(top.subsetOf(Set(1L, 2L)))
+    // nProbe=2 reaches the other cell too: 5 candidates ranked
+    val top2 = Similarity.ivfPqTopKWith(embs, cb, rcb, Seq(0L), dim = 4, m = 2, nProbe = 2, k = 5)
+    assert(top2.count() == 5)
+  }
+
   test("codebookQuality: tight cells report low separation, on-centroid vectors have a = 0") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f)), // == centroid 0
