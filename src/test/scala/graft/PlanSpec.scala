@@ -520,4 +520,31 @@ class PlanSpec extends SparkSpec {
     val windowSorts = "Sort \\[symbol".r.findAllIn(s).size
     assert(windowSorts <= 1, s"window frames did not share a sort:\n${s.take(3000)}")
   }
+
+  test("q137/q138 rule gates are map-only passes: no Exchange, scan pruned to (doc_id, text)") {
+    for (q <- Seq("q137_heuristic_gate", "q138_script_profile")) {
+      val s = planString(SparkEntry.queries(q)(spark, sf()))
+      assert(!s.contains("Exchange"), s"$q must not shuffle:\n${s.take(2000)}")
+      val scanLine = s.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+      assert(scanLine.contains("doc_id") && !scanLine.contains("lang"), s"$q scan not pruned: $scanLine")
+    }
+  }
+
+  test("q135 SQ8 encode: per-dim scales join back as a broadcast, never a shuffle join") {
+    val df = SparkEntry.queries("q135_sq8_codes")(spark, sf())
+    val s  = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"), "scales (|dims| rows) must broadcast:\n" + s.take(2000))
+  }
+
+  test("q142 IVFADC serving: distance tables broadcast onto the code lists") {
+    val df = SparkEntry.queries("q142_ivfpq_topk")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    // the (cell, sub, code) table join is the serving hot path — it
+    // must be a broadcast of the |queries|·nProbe·m·k table, and
+    // nothing in the plan may fall back to a cartesian product
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
 }
