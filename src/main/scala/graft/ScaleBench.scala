@@ -59,6 +59,16 @@ object ScaleBench {
         (() => SparkEntry.queries("q106_paragraph_dedup")(spark, dir)),
       "q102_pq_topk" ->
         (() => SparkEntry.queries("q102_pq_topk")(spark, dir)),
+      "q135_sq8_codes" ->
+        (() => SparkEntry.queries("q135_sq8_codes")(spark, dir)),
+      "q136_sq8_recall" ->
+        (() => SparkEntry.queries("q136_sq8_recall")(spark, dir)),
+      "q139_codebook_quality" ->
+        (() => SparkEntry.queries("q139_codebook_quality")(spark, dir)),
+      "q141_ivfpq_codes" ->
+        (() => SparkEntry.queries("q141_ivfpq_codes")(spark, dir)),
+      "q142_ivfpq_topk" ->
+        (() => SparkEntry.queries("q142_ivfpq_topk")(spark, dir)),
       "q84_capped" ->
         (() => TextDedup.lshRescoredPairs(
           shingles, estThreshold = 0.5, threshold = 0.8,
