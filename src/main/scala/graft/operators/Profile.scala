@@ -317,6 +317,37 @@ object Profile {
       .withColumn("effective_docs", expr("(n_docs * repeat_x1000) div 1000L"))
   }
 
+  /** Curriculum schedule export: phase each document by a quality
+    * signal (phase 1 = highest-scoring ntile — train on clean data
+    * first, anneal toward the raw tail), then fix a deterministic
+    * within-corpus order (shard, pos) a data loader can consume
+    * phase-by-phase. The artifact a curriculum-training run reads
+    * instead of shuffling at load time.
+    *
+    * Determinism end to end: phases ride [[Ranking.globalNtile]] (the
+    * sharded exact ntile — no single-reducer sort) and order rides
+    * [[globalShuffle]]'s portable hash — the same corpus + seed yields
+    * the identical schedule on any engine or partitioning. Scale
+    * shape: one score pass, the two-phase rank machinery, one
+    * doc_id-keyed join — nothing corpus-sized crosses an
+    * unpartitioned window. */
+  def curriculumSchedule(
+      df: DataFrame,
+      id: Column,
+      score: Column,
+      phases: Int,
+      shards: Int,
+      seed: String = "curr"): DataFrame = {
+    require(phases >= 1, s"phases must be positive: $phases")
+    val scored = df.select(id.as("doc_id"), score.as("__score"))
+    val tiled = Ranking
+      .globalNtile(scored, -col("__score"), Seq(col("doc_id")), phases, tileName = "phase")
+      .select(col("doc_id"), col("phase"))
+    val order = globalShuffle(df.select(id.as("doc_id")), col("doc_id"), shards, seed)
+      .select(col("doc_id"), col("shard"), col("pos"))
+    tiled.join(order, "doc_id")
+  }
+
   /** UniMax budget allocation (Chung et al. 2023): split a total
     * training-token budget across languages/sources so every group is
     * sampled as UNIFORMLY as possible without repeating any group more

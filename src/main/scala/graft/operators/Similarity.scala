@@ -859,6 +859,32 @@ object Similarity {
   def hardNegatives(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
     hardNegatives(embs, idRows(embs, queryIds), k)
 
+  /** Contrastive TRIPLET mining — the (anchor, positive, negative)
+    * relation a retriever/embedding trainer consumes: positives are
+    * embedding near-duplicate pairs ([[neardupPairs]] at
+    * `posThreshold`, anchored at the lower id), negatives are each
+    * anchor's `kNeg` hardest different-label vectors
+    * ([[hardNegatives]] — closest to the boundary, the ones worth
+    * training on). One row per (pair, negative): anchor, positive,
+    * pos_cos, negative, neg_label, neg_cos, rk.
+    *
+    * Scale shape: positives come from band-blocked candidates (never
+    * all-pairs); the anchor set reaches [[hardNegatives]] as a
+    * SEMI-JOINED relation (no In-list) and is broadcast there — the
+    * anchor batch is the unit of work, so at corpus scale mine per
+    * anchor partition/batch exactly as the q120 contract documents. */
+  def tripletMining(embs: DataFrame, dim: Int, posThreshold: Double, kNeg: Int): DataFrame = {
+    val pos = neardupPairs(embs, dim, posThreshold)
+      .select(col("vec_a").as("anchor"), col("vec_b").as("positive"), col("cosine").as("pos_cos"))
+    val anchors = embs.join(
+      pos.select(col("anchor").as("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+    val negs = hardNegatives(embs, anchors, kNeg)
+      .select(
+        col("qid").as("anchor"), col("cid").as("negative"),
+        col("neg_label"), col("cosine").as("neg_cos"), col("rank").as("rk"))
+    pos.join(negs, Seq("anchor"))
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98)
     * diversified re-ranking: from each query's cosine top-`poolSize`
     * candidates, greedily select `k` maximizing

@@ -777,7 +777,22 @@ object Documents {
       Similarity.ivfPqTopKWith(
         Tables.embeddings(s, dir), sharedCodebook(s, dir),
         sharedIvfPqCodebooks(s, dir), QueryRel(s, dir),
-        EmbDim, PqM, nProbe = 2, k = 5))
+        EmbDim, PqM, nProbe = 2, k = 5)),
+
+    // Curriculum schedule: quality-phased ntiles (phase 1 = cleanest
+    // third) + deterministic (shard, pos) order — the artifact a
+    // curriculum-training data loader consumes phase by phase.
+    "q143_curriculum_schedule" -> ((s, dir) =>
+      Profile.curriculumSchedule(
+        Tables.documents(s, dir), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")), phases = 3, shards = 8)),
+
+    // Contrastive triplet mining: near-dup positives (q43's relation)
+    // × hardest different-label negatives (q120's) — the (anchor,
+    // positive, negative) list an embedding trainer consumes.
+    "q144_triplet_mining" -> ((s, dir) =>
+      Similarity.tripletMining(
+        Tables.embeddings(s, dir), dim = 64, posThreshold = 0.35, kNeg = 3))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

@@ -241,6 +241,41 @@ private[queries] object DocumentsOracles {
            FROM pd2) WHERE rn = 1
        )"""
 
+  /** LSH-band-blocked embedding near-dup candidate chain (mirror of
+    * [[graft.operators.Similarity.neardupPairs]]): hyperplanes →
+    * buckets → two 4-bit bands → candidate pairs → `ndscored`
+    * (vec_a, vec_b, cosine) — threshold applied by the caller.
+    * Requires [[quantCte]] in scope; shared by q43 and q144. */
+  private[queries] def neardupCte = s"""hp AS (
+         SELECT h, i, ('0x' || substr(md5('hp_' || h || '_' || i), 1, 15))::BIGINT % 2001 - 1000 AS hv
+         FROM (SELECT unnest(generate_series(0, 7)) AS h), (SELECT unnest(generate_series(1, 64)) AS i)
+       ),
+       comp AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+       dots AS (
+         SELECT c.vec_id, hp.h, SUM(c.x * hp.hv) AS d
+         FROM comp c JOIN hp ON hp.i = c.i GROUP BY 1, 2
+       ),
+       buckets AS (
+         SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+         FROM dots GROUP BY 1
+       ),
+       eb AS (SELECT en.vec_id, en.v, en.n2, b.bucket FROM en JOIN buckets b USING (vec_id)),
+       bands AS (
+         SELECT vec_id, 0 AS band, bucket & 15 AS bval FROM eb
+         UNION ALL
+         SELECT vec_id, 1 AS band, (bucket >> 4) & 15 AS bval FROM eb
+       ),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+       ),
+       ndscored AS (
+         SELECT c.va AS vec_a, c.vb AS vec_b,
+                ${cosSql("ea.v", "eb2.v", "ea.n2", "eb2.n2")} AS cosine
+         FROM cand c JOIN en ea ON ea.vec_id = c.va JOIN en eb2 ON eb2.vec_id = c.vb
+       )"""
+
   /** Guarded cosine, mirroring [[graft.operators.Similarity.cosine]]:
     * NULL (not inf/NaN) when either squared norm is 0 — a zero
     * quantized embedding must hash-compare identically on both
@@ -389,36 +424,8 @@ private[queries] object DocumentsOracles {
 
     "q43_embedding_neardup" ->
       s"""WITH $quantCte,
-          hp AS (
-            SELECT h, i, ('0x' || substr(md5('hp_' || h || '_' || i), 1, 15))::BIGINT % 2001 - 1000 AS hv
-            FROM (SELECT unnest(generate_series(0, 7)) AS h), (SELECT unnest(generate_series(1, 64)) AS i)
-          ),
-          comp AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
-          dots AS (
-            SELECT c.vec_id, hp.h, SUM(c.x * hp.hv) AS d
-            FROM comp c JOIN hp ON hp.i = c.i GROUP BY 1, 2
-          ),
-          buckets AS (
-            SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
-            FROM dots GROUP BY 1
-          ),
-          eb AS (SELECT en.vec_id, en.v, en.n2, b.bucket FROM en JOIN buckets b USING (vec_id)),
-          bands AS (
-            SELECT vec_id, 0 AS band, bucket & 15 AS bval FROM eb
-            UNION ALL
-            SELECT vec_id, 1 AS band, (bucket >> 4) & 15 AS bval FROM eb
-          ),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
-          ),
-          scored AS (
-            SELECT c.va AS vec_a, c.vb AS vec_b,
-                   ${cosSql("ea.v", "eb2.v", "ea.n2", "eb2.n2")} AS cosine
-            FROM cand c JOIN en ea ON ea.vec_id = c.va JOIN en eb2 ON eb2.vec_id = c.vb
-          )
-          SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.35""",
+          $neardupCte
+          SELECT vec_a, vec_b, cosine FROM ndscored WHERE cosine >= 0.35""",
 
     "q44_vocabulary" ->
       s"""WITH $wordsCte,

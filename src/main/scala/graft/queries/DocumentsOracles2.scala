@@ -1330,7 +1330,59 @@ private[queries] object DocumentsOracles2 {
             GROUP BY 1, 2)
           SELECT qid, cid, adc_dist2, rk FROM (
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist2 ASC, cid ASC) AS rk
-            FROM adc) WHERE rk <= 5"""
+            FROM adc) WHERE rk <= 5""",
+
+    // Curriculum schedule: quality-score ntile (3 phases, cleanest
+    // first) + the q108 deterministic shard/pos order.
+    "q143_curriculum_schedule" ->
+      s"""WITH $wordsCte,
+          m AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS nt,
+                   CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in','to','is','that','it','for'))) AS DOUBLE) / len(ws) AS stopr,
+                   CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) AS awl
+            FROM words),
+          sc AS (
+            SELECT doc_id,
+                   least(1.0, nt / 100.0) * 0.5 + least(1.0, stopr * 4) * 0.3
+                     + CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END AS score
+            FROM m),
+          ph AS (
+            SELECT doc_id,
+                   CAST(ntile(3) OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS phase
+            FROM sc),
+          k AS (
+            SELECT doc_id, ('0x' || substr(md5('curr_' || doc_id), 1, 15))::BIGINT AS sk
+            FROM documents)
+          SELECT ph.doc_id, phase, sk % 8 AS shard,
+                 CAST(row_number() OVER (PARTITION BY sk % 8 ORDER BY sk, ph.doc_id) AS BIGINT) AS pos
+          FROM ph JOIN k ON k.doc_id = ph.doc_id""",
+
+    // Triplet mining: q43's banded near-dup positives joined with
+    // q120's hard-negative ranking restricted to the anchor set.
+    "q144_triplet_mining" ->
+      s"""WITH $quantCte,
+          $neardupCte,
+          pos AS (
+            SELECT vec_a AS anchor, vec_b AS positive, cosine AS pos_cos
+            FROM ndscored WHERE cosine >= 0.35),
+          el AS (SELECT en.vec_id, v, n2, label FROM en JOIN embeddings USING (vec_id)),
+          anch AS (SELECT DISTINCT anchor FROM pos),
+          q AS (
+            SELECT vec_id AS qid, v AS qv, n2 AS qn2, label AS ql
+            FROM el JOIN anch ON anch.anchor = el.vec_id),
+          nsc AS (
+            SELECT q.qid, c.vec_id AS cid, c.label AS neg_label,
+                   ${cosSql("q.qv", "c.v", "q.qn2", "c.n2")} AS cosine
+            FROM el c, q
+            WHERE c.vec_id <> q.qid AND c.label IS DISTINCT FROM q.ql),
+          nr AS (
+            SELECT qid, cid, neg_label, cosine,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+            FROM nsc)
+          SELECT pos.anchor, pos.positive, pos.pos_cos,
+                 nr.cid AS negative, nr.neg_label, nr.cosine AS neg_cos, CAST(nr.rk AS INT) AS rk
+          FROM pos JOIN nr ON nr.qid = pos.anchor WHERE nr.rk <= 3"""
   )
 
   /** Residual chain for IVF-PQ (mirror of

@@ -143,6 +143,40 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(top2.count() == 5)
   }
 
+  test("curriculumSchedule: phases follow the score ntile, order matches globalShuffle") {
+    val docs = Seq(
+      (1L, 60L), (2L, 50L), (3L, 40L), (4L, 30L), (5L, 20L), (6L, 10L)
+    ).toDF("doc_id", "s")
+    val out = Profile.curriculumSchedule(docs, col("doc_id"), col("s").cast("double"),
+      phases = 3, shards = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // ntile(3) over score DESC: docs 1,2 → phase 1; 3,4 → 2; 5,6 → 3
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3, 6L -> 3))
+    val sched = Profile.curriculumSchedule(docs, col("doc_id"), col("s").cast("double"),
+      phases = 3, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val shuf = Profile.globalShuffle(docs.select(col("doc_id")), col("doc_id"), 2, "curr")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(sched === shuf)
+  }
+
+  test("tripletMining: near-dup pair becomes the positive, closest different-label the top negative") {
+    // 0 and 1 nearly identical (same label) → the mined pair; 2 is a
+    // different-label vector close to the pair; 3 is far away
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.01f, 0.0f), 7),
+      (1L, Seq(1.0f, 0.02f, 0.0f), 7),
+      (2L, Seq(0.9f, 0.1f, 0.1f), 8),
+      (3L, Seq(0.0f, 0.0f, 1.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.tripletMining(embs, dim = 3, posThreshold = 0.999, kNeg = 1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("anchor") == 0L && r.getAs[Long]("positive") == 1L)
+    assert(r.getAs[Long]("negative") == 2L && r.getAs[Int]("rk") == 1)
+    assert(r.getAs[Double]("pos_cos") > 0.999 && r.getAs[Double]("neg_cos") < r.getAs[Double]("pos_cos"))
+  }
+
   test("codebookQuality: tight cells report low separation, on-centroid vectors have a = 0") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f)), // == centroid 0
