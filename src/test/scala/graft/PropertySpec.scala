@@ -351,4 +351,95 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("unimax allocation: within caps, within budget, capped groups form the ascending prefix") {
+    val s = spark; import s.implicits._
+    val gGroups = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 500L)))
+    forAll2(gGroups, Gen.chooseNum(100L, 3000L), n = 8) { (sizes, budget) =>
+      val docs = sizes.zipWithIndex
+        .map { case (w, i) => (i.toLong, s"g$i", w) }
+        .toDF("doc_id", "g", "w")
+      val out = graft.operators.Profile
+        .unimaxPlan(docs, col("g"), col("w"), budget, epochCapX1000 = 2500L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      // every alloc within its epoch cap and non-negative
+      out.foreach { case (g, n, _, alloc) =>
+        assert(alloc >= 0L && alloc <= n * 2500L / 1000L, s"$g alloc=$alloc n=$n")
+      }
+      // total never exceeds the budget
+      assert(out.map(_._4).sum <= budget)
+      // capped groups are a prefix of the ascending-size order, and all
+      // uncapped groups receive the same floor share
+      val asc = out.sortBy(r => (r._2, r._1))
+      val firstUncapped = asc.indexWhere(!_._3)
+      if (firstUncapped >= 0) {
+        assert(asc.drop(firstUncapped).forall(!_._3), "capped set not a prefix")
+        assert(asc.drop(firstUncapped).map(_._4).distinct.size == 1, "uncapped shares differ")
+      }
+    }
+  }
+
+  test("SQ8 codes bounded to ±127, decode error within one quantization half-step") {
+    val s = spark; import s.implicits._
+    val gVecs = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-0.6, 0.6))))
+    forAll(gVecs, n = 6) { vs =>
+      val embs = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val scales = graft.operators.Similarity.sqScales(embs)
+      val sByDim = scales.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      graft.operators.Similarity.sqEncode(embs, scales).collect().foreach { r =>
+        val (i, code, err) = (r.getInt(1), r.getLong(2), r.getLong(3))
+        assert(math.abs(code) <= 127L, s"code $code out of int8 range")
+        // |127·x − code·s| ≤ (s+1)/2 by round-half-away ⇒ err ≤ s/254 + 1
+        assert(err * 254L <= sByDim(i) + 508L, s"err=$err s=${sByDim(i)}")
+      }
+    }
+  }
+
+  test("leakFreeSplit: co-survivor docs always share a split, equal to the survivor's own split") {
+    val s = spark; import s.implicits._
+    val gMap = Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 4L)))
+    forAll(gMap, n = 8) { reps =>
+      // doc i defers to survivor reps(i) (an id in 0..4)
+      val survivors = reps.zipWithIndex
+        .map { case (rep, i) => (i.toLong, rep) }
+        .toDF("doc_id", "survivor_doc_id")
+      val docs = reps.indices.map(_.toLong).toDF("doc_id")
+      val out = graft.operators.Profile
+        .leakFreeSplit(docs, col("doc_id"), survivors, 70, 15)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      val bySurvivor = out.values.groupBy(_._1)
+      bySurvivor.foreach { case (sv, grp) =>
+        assert(grp.map(_._2).toSet.size == 1, s"survivor $sv split not constant")
+      }
+      val direct = graft.operators.Profile
+        .withSplit(reps.distinct.toDF("id"), col("id"), 70, 15)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.values.foreach { case (sv, sp) => assert(direct(sv) == sp) }
+    }
+  }
+
+  test("curriculumSchedule: phases balanced like ntile, (shard, pos) is a total order") {
+    val s = spark; import s.implicits._
+    forAll(Gen.chooseNum(4, 20), n = 6) { n =>
+      val docs = (0 until n).map(i => (i.toLong, (i * 37 % 11).toDouble)).toDF("doc_id", "sc")
+      val out = graft.operators.Profile
+        .curriculumSchedule(docs, col("doc_id"), col("sc"), phases = 3, shards = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      assert(out.length == n)
+      // ntile balance: phase sizes differ by at most one
+      val sizes = out.groupBy(_._2).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+      // (shard, pos) unique; pos dense from 1 within each shard
+      assert(out.map(r => (r._3, r._4)).distinct.length == n)
+      out.groupBy(_._3).foreach { case (_, rows) =>
+        assert(rows.map(_._4).sorted.toSeq == (1L to rows.size).toSeq)
+      }
+    }
+  }
 }
