@@ -1046,6 +1046,64 @@ object Similarity {
       .reduce(_ unionByName _)
   }
 
+  /** Matryoshka truncation-recall curve (Kusupati et al. 2022,
+    * arXiv:2205.13147): recall@k of cosine ranking over only the FIRST
+    * `d` dimensions vs the full-dim exact truth, one row per candidate
+    * `d`. MRL-style embeddings front-load information, so serving can
+    * truncate vectors to a prefix — this curve is the number an
+    * operator reads before choosing the serving dimension (truncation
+    * is the cheapest compression of all: no codebooks, no training).
+    * Returns (dim, n_queries, n_truth, n_hit, recall_ppm).
+    *
+    * Scale shape: identical to [[lshRecallCurve]] — the truth side is
+    * computed once and reused by every point; each point is a
+    * broadcast-query row-scan over prefix slices (at scale, swap the
+    * brute-force point for the IVF path over truncated vectors). */
+  def matryoshkaRecallCurve(
+      embs: DataFrame,
+      queries: DataFrame,
+      dims: Seq[Int],
+      k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"dims must be positive (got $dims)")
+    val truth = bruteForceTopK(embs, queries, k).select(col("qid"), col("cid"))
+    def trunc(df: DataFrame, d: Int): DataFrame =
+      df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+    dims.distinct.sorted
+      .map { d =>
+        topKRecallAudit(truth, bruteForceTopK(trunc(embs, d), trunc(queries, d), k))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum(col("n_truth")).as("n_truth"),
+            sum(col("n_hit")).as("n_hit"))
+          .select(
+            lit(d).as("dim"),
+            col("n_queries"), col("n_truth"), col("n_hit"),
+            expr("(n_hit * 1000000L) div n_truth").as("recall_ppm"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** Cross-label near-duplicate matrix — the vector twin of
+    * [[TextDedup.dupSourceMatrix]]: where does semantic duplication
+    * concentrate? Near-dup pairs ([[neardupPairs]]) rolled up by
+    * unordered label pair: (label_a ≤ label_b, n_pairs, max_cosine).
+    * Off-diagonal mass = cross-source/cross-lingual duplication
+    * (translations, mirrors, relabeled copies); diagonal mass =
+    * within-source. Pairs are band-blocked, the label join is a slim
+    * (vec_id, label) relation, and the rollup is |labels|² rows. */
+  def crossLabelNeardups(embs: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val lab = embs.select(col("vec_id"), col("label"))
+    neardupPairs(embs, dim, threshold)
+      .join(lab.select(col("vec_id").as("vec_a"), col("label").as("__la")), Seq("vec_a"))
+      .join(lab.select(col("vec_id").as("vec_b"), col("label").as("__lb")), Seq("vec_b"))
+      .groupBy(
+        least(col("__la"), col("__lb")).as("label_a"),
+        greatest(col("__la"), col("__lb")).as("label_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        max(col("cosine")).as("max_cosine"))
+  }
+
   // ---- Scalar quantization (int8 SQ) -------------------------------
   //
   // The 4-byte→1-byte compression every 100 TB vector store applies

@@ -792,7 +792,23 @@ object Documents {
     // positive, negative) list an embedding trainer consumes.
     "q144_triplet_mining" -> ((s, dir) =>
       Similarity.tripletMining(
-        Tables.embeddings(s, dir), dim = 64, posThreshold = 0.35, kNeg = 3))
+        Tables.embeddings(s, dir), dim = 64, posThreshold = 0.35, kNeg = 3)),
+
+    // Matryoshka truncation-recall curve: recall@10 of prefix-dim
+    // cosine ranking vs full-dim truth — the number read before
+    // choosing a truncated serving dimension (the cheapest
+    // compression: no codebooks at all).
+    "q145_matryoshka_curve" -> ((s, dir) =>
+      Similarity.matryoshkaRecallCurve(
+        Tables.embeddings(s, dir), QueryRel(s, dir),
+        dims = Seq(8, 16, 32, 64), k = 10)),
+
+    // Cross-label near-dup matrix (vector twin of q126): where
+    // semantic duplication concentrates — off-diagonal mass is
+    // cross-source/cross-lingual duplication.
+    "q146_crosslabel_neardups" -> ((s, dir) =>
+      Similarity.crossLabelNeardups(
+        Tables.embeddings(s, dir), dim = 64, threshold = 0.35))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

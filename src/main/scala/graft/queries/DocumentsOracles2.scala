@@ -1382,7 +1382,60 @@ private[queries] object DocumentsOracles2 {
             FROM nsc)
           SELECT pos.anchor, pos.positive, pos.pos_cos,
                  nr.cid AS negative, nr.neg_label, nr.cosine AS neg_cos, CAST(nr.rk AS INT) AS rk
-          FROM pos JOIN nr ON nr.qid = pos.anchor WHERE nr.rk <= 3"""
+          FROM pos JOIN nr ON nr.qid = pos.anchor WHERE nr.rk <= 3""",
+
+    // Per-dim point: prefix-sliced vectors re-normed, cosine top-10,
+    // pooled hit counts vs the full-dim truth list.
+    "q145_matryoshka_curve" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val sliceCtes = dims.map { d =>
+        s"""s$d AS (SELECT vec_id, list_slice(v, 1, $d) AS v FROM e),
+            sn$d AS (SELECT vec_id, v,
+                            CAST(list_aggregate(list_transform(v, x -> x*x), 'sum') AS BIGINT) AS n2
+                     FROM s$d),
+            aq$d AS (
+              SELECT q.vec_id AS qid, c.vec_id AS cid,
+                     ${cosSql("q.v", "c.v", "q.n2", "c.n2")} AS cosine
+              FROM sn$d c, sn$d q WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+            ap$d AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid,
+                       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+                FROM aq$d) WHERE rk <= 10)"""
+      }.mkString(",\n")
+      val points = dims.map { d =>
+        s"""SELECT $d AS dim, COUNT(DISTINCT tr.qid) AS n_queries,
+                   COUNT(1) AS n_truth, COUNT(ap$d.cid) AS n_hit,
+                   (COUNT(ap$d.cid) * 1000000) // COUNT(1) AS recall_ppm
+            FROM tr LEFT JOIN ap$d ON ap$d.qid = tr.qid AND ap$d.cid = tr.cid"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $quantCte,
+          tq AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   ${cosSql("q.v", "c.v", "q.n2", "c.n2")} AS cosine
+            FROM en c, en q WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+          tr AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM tq) WHERE rk <= 10),
+          $sliceCtes
+          $points"""
+    },
+
+    // Vector twin of q126's cross-source matrix: banded near-dup pairs
+    // rolled up by unordered label pair.
+    "q146_crosslabel_neardups" ->
+      s"""WITH $quantCte,
+          $neardupCte,
+          pr AS (SELECT vec_a, vec_b, cosine FROM ndscored WHERE cosine >= 0.35),
+          lab AS (SELECT vec_id, label FROM embeddings),
+          j AS (
+            SELECT least(a.label, b.label) AS label_a,
+                   greatest(a.label, b.label) AS label_b, cosine
+            FROM pr JOIN lab a ON a.vec_id = pr.vec_a JOIN lab b ON b.vec_id = pr.vec_b)
+          SELECT label_a, label_b, COUNT(1) AS n_pairs, MAX(cosine) AS max_cosine
+          FROM j GROUP BY 1, 2"""
   )
 
   /** Residual chain for IVF-PQ (mirror of

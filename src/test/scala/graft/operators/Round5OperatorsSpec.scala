@@ -177,6 +177,35 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("pos_cos") > 0.999 && r.getAs[Double]("neg_cos") < r.getAs[Double]("pos_cos"))
   }
 
+  test("matryoshkaRecallCurve: full-dim point is perfect recall, curve is monotone on a front-loaded corpus") {
+    // information entirely in the first 2 dims → truncation to 2 is
+    // already perfect; dim 1 loses the second coordinate
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.1f, 0.9f, 0.0f, 0.0f)),
+      (3L, Seq(0.5f, 0.5f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") === 0L)
+    val out = Similarity.matryoshkaRecallCurve(embs, q, dims = Seq(2, 4), k = 2)
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("recall_ppm")).toMap
+    assert(out(4) == 1000000L) // full dim == truth by construction
+    assert(out(2) == 1000000L) // all signal lives in the prefix
+  }
+
+  test("crossLabelNeardups: unordered label cells, counts and max cosine") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(1.0f, 0.01f), 2), // near-dup of 0, cross-label
+      (2L, Seq(0.99f, 0.0f), 1), // near-dup of 0, same label
+      (3L, Seq(0.0f, 1.0f), 3)   // far from everything
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.crossLabelNeardups(embs, dim = 2, threshold = 0.999)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1, 2)) && out.contains((1, 1)))
+    assert(!out.keys.exists { case (a, b) => a == 3 || b == 3 })
+  }
+
   test("codebookQuality: tight cells report low separation, on-centroid vectors have a = 0") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f)), // == centroid 0
