@@ -675,6 +675,21 @@ object TextAnalysis {
         col("__cs.distinct_chars").as("distinct_chars"),
         col("__cs.char_coll_ppm").as("char_coll_ppm"))
 
+  /** Corpus token profile (t, ref_ppm): each distinct token's share of
+    * all token occurrences in exact integer ppm — the broadcastable
+    * REFERENCE distribution a drift monitor compares live traffic
+    * against ([[graft.streaming.DocStream.driftMonitor]]). One
+    * hash-agg + a 1-row total broadcast back; |vocab| output rows. */
+  def tokenProfile(docs: DataFrame, text: Column): DataFrame = {
+    val c = docs
+      .select(explode(tokens(text)).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = c.agg(sum(col("__c")).as("__tot"))
+    c.crossJoin(broadcast(tot))
+      .select(col("t"), expr("(__c * 1000000L) div __tot").as("ref_ppm"))
+  }
+
   /** C4/Gopher-style heuristic filter bundle — the rule-based gate
     * every web-scale curation pipeline runs BEFORE the model-based
     * ones (C4: Raffel et al. 2020 §2.2; Gopher: Rae et al. 2021 §A1.1

@@ -165,4 +165,44 @@ object DocStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(bloomGatedBatchSink(historyDir, fpp))
       .start()
+
+  /** Streaming source-drift monitor — the live twin of the batch
+    * drift report ([[TextAnalysis.sourceDrift]]): per event-time
+    * window and source, how reference-like is the arriving text?
+    * Each token joins the broadcast REFERENCE profile
+    * ([[TextAnalysis.tokenProfile]] trained on a trusted batch
+    * corpus) and the window aggregates
+    *  - `mean_ref_ppm` — mean reference share of observed tokens
+    *    (a cross-entropy-style likelihood: drops when the source
+    *    drifts off-profile),
+    *  - `oov_ppm`      — share of tokens the reference has never seen
+    *    (spam / language shift / encoding breakage spike here first),
+    * and flags `alert` when the mean falls below `alertBelowPpm`.
+    * The ingest-monitor a pipeline pages on BEFORE bad data lands.
+    *
+    * Scale/streaming shape: tokenization is a stateless Generate; the
+    * profile join is stream-static broadcast (no state); the only
+    * state is the ONE windowed aggregation, watermark-evicted — a
+    * single-agg plan, so it runs in append mode with late data
+    * bounded by `watermark`. All-integer scoring (exact ppm, `div`)
+    * keeps stream and batch verdicts bit-identical. */
+  def driftMonitor(
+      docs: DataFrame,
+      refProfile: DataFrame,
+      windowDur: String = "5 minutes",
+      watermark: String = "10 minutes",
+      alertBelowPpm: Long = 100L): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(
+        col("ingest_ts"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .join(broadcast(refProfile), Seq("t"), "left")
+      .withColumn("__ppm", coalesce(col("ref_ppm"), lit(0L)))
+      .groupBy(window(col("ingest_ts"), windowDur), col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        expr("sum(__ppm) div count(1)").as("mean_ref_ppm"),
+        expr("(sum(CASE WHEN __ppm = 0 THEN 1 ELSE 0 END) * 1000000) div count(1)").as("oov_ppm"))
+      .withColumn("alert", col("mean_ref_ppm") < alertBelowPpm)
 }

@@ -184,4 +184,37 @@ class DocStreamSpec extends SparkSpec {
     val finalIds = spark.read.parquet(histDir2).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(finalIds === Set(6L, 7L, 9L)) // 8 re-lands 6's content across batches
   }
+
+  test("driftMonitor: off-profile source alerts, in-profile source does not, oov share exact") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("docstream-drift").toString
+    // reference corpus: the vocabulary live traffic SHOULD look like
+    val ref = Seq("the data value table row", "the value row data the")
+      .toDF("text")
+    val refProfile = graft.operators.TextAnalysis.tokenProfile(ref, col("text"))
+    // source s0 speaks the reference language; s1 is pure OOV gibberish
+    Seq(
+      (0L, "the data value row", "en", "s0", "2025-10-08 10:00:00"),
+      (1L, "table the value data", "en", "s0", "2025-10-08 10:00:30"),
+      (2L, "zzq qqx vvk bbn", "en", "s1", "2025-10-08 10:00:40"))
+      .toDF("doc_id", "text", "lang", "source", "ts")
+      .withColumn("ingest_ts", to_timestamp(col("ts"))).drop("ts")
+      .coalesce(1).write.json(s"$dir/land/f1")
+    val q = DocStream.driftMonitor(
+      DocStream.readDocStream(spark, s"$dir/land/*"),
+      refProfile, windowDur = "5 minutes", alertBelowPpm = 1000L)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("drift_out")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("mean_ref_ppm"), r.getAs[Long]("oov_ppm"), r.getAs[Boolean]("alert"))).toMap
+    val (s0Mean, s0Oov, s0Alert) = out("s0")
+    val (s1Mean, s1Oov, s1Alert) = out("s1")
+    assert(!s0Alert && s0Oov == 0L && s0Mean > 1000L)
+    assert(s1Alert && s1Mean == 0L && s1Oov == 1000000L)
+  }
 }
