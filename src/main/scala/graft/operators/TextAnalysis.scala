@@ -675,6 +675,51 @@ object TextAnalysis {
         col("__cs.distinct_chars").as("distinct_chars"),
         col("__cs.char_coll_ppm").as("char_coll_ppm"))
 
+  /** Per-document novelty / memorization-risk rate: the share of a
+    * document's distinct word `gramWords`-grams that appear in at
+    * least one OTHER document (`shared_ppm`, exact integer), and its
+    * complement `novelty_ppm`. The per-doc summary statistic next to
+    * [[dupSpans]]' span-level view: a doc near 10⁶ shared_ppm is
+    * assembled from corpus-repeated text (templates, mirrors,
+    * boilerplate) — exactly the content a memorization audit
+    * downweights. Docs shorter than `gramWords` words emit nothing.
+    *
+    * Scale shape: grams are 60-bit md5 hashes ([[Portable.hash60]] —
+    * the q89 gram key), distinct per doc map-side; one (g)-keyed
+    * hash-agg for document frequency, one join back, one per-doc agg.
+    * Cost tracks distinct-gram mass, never corpus². */
+  def noveltyScores(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      gramWords: Int = 6): DataFrame = {
+    require(gramWords >= 1, s"gramWords must be positive (got $gramWords)")
+    val gramAt: Column => Column = i =>
+      concat_ws(" ", (0 until gramWords).map(j => element_at(col("__ws"), i + lit(j))): _*)
+    val grams = docs
+      .select(id.as("doc_id"), tokens(text).as("__ws"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("__ws")) >= gramWords,
+            array_distinct(transform(
+              sequence(lit(1), size(col("__ws")) - (gramWords - 1)),
+              i => Portable.hash60(gramAt(i)))))
+            .otherwise(array().cast("array<bigint>"))).as("g"))
+    // grams are distinct per doc, so count(1) per gram IS document
+    // frequency
+    val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    grams
+      .join(gdf, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("shared_grams"))
+      .withColumn("shared_ppm", expr("(shared_grams * 1000000L) div n_grams"))
+      .withColumn("novelty_ppm", lit(1000000L) - col("shared_ppm"))
+  }
+
   /** Corpus token profile (t, ref_ppm): each distinct token's share of
     * all token occurrences in exact integer ppm — the broadcastable
     * REFERENCE distribution a drift monitor compares live traffic

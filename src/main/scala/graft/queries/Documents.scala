@@ -808,7 +808,13 @@ object Documents {
     // cross-source/cross-lingual duplication.
     "q146_crosslabel_neardups" -> ((s, dir) =>
       Similarity.crossLabelNeardups(
-        Tables.embeddings(s, dir), dim = 64, threshold = 0.35))
+        Tables.embeddings(s, dir), dim = 64, threshold = 0.35)),
+
+    // Per-doc novelty / memorization-risk rate: share of a doc's
+    // distinct 6-grams appearing in ≥1 other doc — the per-doc
+    // summary next to q89's span view.
+    "q147_novelty_scores" -> ((s, dir) =>
+      TextAnalysis.noveltyScores(Tables.documents(s, dir), col("doc_id"), col("text")))
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

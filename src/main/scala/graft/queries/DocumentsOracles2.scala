@@ -1435,7 +1435,30 @@ private[queries] object DocumentsOracles2 {
                    greatest(a.label, b.label) AS label_b, cosine
             FROM pr JOIN lab a ON a.vec_id = pr.vec_a JOIN lab b ON b.vec_id = pr.vec_b)
           SELECT label_a, label_b, COUNT(1) AS n_pairs, MAX(cosine) AS max_cosine
-          FROM j GROUP BY 1, 2"""
+          FROM j GROUP BY 1, 2""",
+
+    // Distinct word 6-gram hashes per doc (q89's gram key), gram
+    // document frequency, per-doc shared/novel split in exact ppm.
+    "q147_novelty_scores" ->
+      s"""WITH $wordsCte,
+          g0 AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 6
+                        THEN list_distinct(list_transform(generate_series(1, len(ws)-5),
+                               i -> ('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||
+                                                        ws[i+3]||' '||ws[i+4]||' '||ws[i+5]), 1, 15))::BIGINT))
+                        ELSE []::BIGINT[] END AS gs
+            FROM words),
+          g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+          dfc AS (SELECT g, COUNT(1) AS dfn FROM g GROUP BY 1),
+          per AS (
+            SELECT doc_id, COUNT(1) AS n_grams,
+                   COUNT(CASE WHEN dfn >= 2 THEN 1 END) AS shared_grams
+            FROM g JOIN dfc USING (g) GROUP BY 1)
+          SELECT doc_id, n_grams, shared_grams,
+                 (shared_grams * 1000000) // n_grams AS shared_ppm,
+                 1000000 - (shared_grams * 1000000) // n_grams AS novelty_ppm
+          FROM per"""
   )
 
   /** Residual chain for IVF-PQ (mirror of

@@ -206,6 +206,19 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(!out.keys.exists { case (a, b) => a == 3 || b == 3 })
   }
 
+  test("noveltyScores: shared-gram counts against the rest of the corpus, exact ppm") {
+    val docs = Seq(
+      (1L, "a b c d e f x y"), // grams: abcdef, bcdefx, cdefxy
+      (2L, "a b c d e f q"),   // grams: abcdef, bcdefq → shares 1 of 2
+      (3L, "p q r s t u")      // unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out(1L) === ((3L, 1L, 1000000L - 333333L)))
+    assert(out(2L) === ((2L, 1L, 500000L)))
+    assert(out(3L) === ((1L, 0L, 1000000L)))
+  }
+
   test("codebookQuality: tight cells report low separation, on-centroid vectors have a = 0") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f)), // == centroid 0
