@@ -239,6 +239,35 @@ object Relational {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
         .na.fill(0L)
+    }),
+
+    // Incremental materialized-aggregate maintenance: the rollup of
+    // even-key orders (the "materialized view") absorbs the odd-key
+    // delta by MERGING partial-aggregate states — the oracle is the
+    // full direct aggregate, so the gate proves merge == recompute.
+    "q148_incremental_rollup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.operators.Maintenance
+        .mergeAggregateStates(
+          graft.operators.Maintenance.aggregateState(
+            li.filter(col("l_orderkey") % 2 === 0), col("l_returnflag"), col("l_quantity")),
+          graft.operators.Maintenance.aggregateState(
+            li.filter(col("l_orderkey") % 2 === 1), col("l_returnflag"), col("l_quantity")))
+        .withColumn("avg_x100", expr("sum_x100 div n_rows"))
+    }),
+
+    // Snapshot diff over two deterministic versions of documents:
+    // %5==4 keys only in the new snapshot, %5==0 only in the old,
+    // %3==0 payloads edited in the new — added/removed/changed audit.
+    "q149_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 5 =!= 4)
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn(
+          "text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Maintenance.snapshotDiff(
+        oldSnap, newSnap, col("doc_id"), md5(col("text")))
     })
   )
 
@@ -366,6 +395,33 @@ object Relational {
          COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
          COUNT(CASE WHEN event_type='signup' THEN 1 END) AS signup,
          COUNT(CASE WHEN event_type='view' THEN 1 END) AS "view"
-         FROM events GROUP BY CAST(ts AS DATE)"""
+         FROM events GROUP BY CAST(ts AS DATE)""",
+
+    // The FULL direct aggregate — the merged incremental state must
+    // equal a recompute over the whole table, bit for bit.
+    "q148_incremental_rollup" ->
+      """WITH x AS (
+           SELECT l_returnflag AS key, CAST(round(l_quantity * 100) AS BIGINT) AS x
+           FROM lineitem)
+         SELECT key, COUNT(1) AS n_rows,
+                CAST(SUM(x) AS BIGINT) AS sum_x100,
+                MIN(x) AS min_x100, MAX(x) AS max_x100,
+                CAST(SUM(x) AS BIGINT) // COUNT(1) AS avg_x100
+         FROM x GROUP BY 1""",
+
+    "q149_snapshot_diff" ->
+      """WITH oldsnap AS (
+           SELECT doc_id AS key, md5(text) AS p FROM documents WHERE doc_id % 5 <> 4),
+         newsnap AS (
+           SELECT doc_id AS key,
+                  md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS p
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT COALESCE(o.key, n.key) AS key,
+                CASE WHEN o.key IS NULL THEN 'added'
+                     WHEN n.key IS NULL THEN 'removed'
+                     WHEN o.p <> n.p THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM oldsnap o FULL OUTER JOIN newsnap n ON o.key = n.key
+         WHERE o.key IS NULL OR n.key IS NULL OR o.p <> n.p"""
   )
 }

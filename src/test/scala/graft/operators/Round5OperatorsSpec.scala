@@ -219,6 +219,29 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(out(3L) === ((1L, 0L, 1000000L)))
   }
 
+  test("mergeAggregateStates: merge of split states equals the direct full aggregate") {
+    val rows = Seq(
+      (1L, "a", 1.5), (2L, "a", 2.0), (3L, "a", 0.25),
+      (4L, "b", 10.0), (5L, "b", -3.5)
+    ).toDF("id", "k", "v")
+    val full = Maintenance.aggregateState(rows, col("k"), col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val merged = Maintenance.mergeAggregateStates(
+      Maintenance.aggregateState(rows.filter(col("id") <= 2), col("k"), col("v")),
+      Maintenance.aggregateState(rows.filter(col("id") > 2), col("k"), col("v")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(merged === full)
+    assert(full("a") === ((3L, 375L, 25L, 200L))) // centi-units
+  }
+
+  test("snapshotDiff: added/removed/changed classified, unchanged suppressed") {
+    val oldSnap = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("doc_id", "text")
+    val out = Maintenance.snapshotDiff(oldSnap, newSnap, col("doc_id"), md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
   test("codebookQuality: tight cells report low separation, on-centroid vectors have a = 0") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f)), // == centroid 0
