@@ -103,4 +103,37 @@ object Packing {
           expr(s"(start_offset + n_tokens - 1) DIV $capacity") -
             expr(s"start_offset DIV $capacity") + lit(1L)).as("n_bins"))
   }
+
+  /** Packing-vs-padding efficiency report — the number a pipeline
+    * designer reads BEFORE choosing between pad-to-capacity (each doc
+    * alone in ⌈n/C⌉ bins, remainder padded) and contiguous packing
+    * ([[packSequences]] — docs laid end-to-end, ⌈Σn/C⌉ bins per
+    * group): per group, both bin counts, both waste-token counts, and
+    * the exact-ppm savings of packing over padding. A corpus of many
+    * short documents wastes most of every padded bin; this quantifies
+    * exactly how much compute packing buys back.
+    *
+    * All integer arithmetic over ONE map-side-combined hash-agg on the
+    * group key — the corpus collapses to |groups| rows before any
+    * division. */
+  def packingEfficiency(
+      df: DataFrame,
+      group: Column,
+      weight: Column,
+      capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive (got $capacity)")
+    df
+      .select(group.as("source"), coalesce(weight.cast("long"), lit(0L)).as("__n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        sum(expr(s"(__n + $capacity - 1) DIV $capacity")).as("padded_bins"))
+      .withColumn("packed_bins", expr(s"(total_tokens + $capacity - 1) DIV $capacity"))
+      .withColumn("padded_waste", expr(s"padded_bins * $capacity - total_tokens"))
+      .withColumn("packed_waste", expr(s"packed_bins * $capacity - total_tokens"))
+      .withColumn(
+        "savings_ppm",
+        expr(s"((padded_bins - packed_bins) * 1000000L) div greatest(padded_bins, 1L)"))
+  }
 }

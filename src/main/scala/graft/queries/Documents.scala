@@ -814,7 +814,16 @@ object Documents {
     // distinct 6-grams appearing in ≥1 other doc — the per-doc
     // summary next to q89's span view.
     "q147_novelty_scores" -> ((s, dir) =>
-      TextAnalysis.noveltyScores(Tables.documents(s, dir), col("doc_id"), col("text")))
+      TextAnalysis.noveltyScores(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // Packing-vs-padding efficiency: per source, bins and waste under
+    // pad-to-512 vs contiguous packing, savings in exact ppm — the
+    // number read before choosing the batch layout.
+    "q150_packing_efficiency" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Packing.packingEfficiency(
+        d, col("source"), size(TextAnalysis.tokens(col("text"))), capacity = 512L)
+    })
   )
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */

@@ -1458,7 +1458,26 @@ private[queries] object DocumentsOracles2 {
           SELECT doc_id, n_grams, shared_grams,
                  (shared_grams * 1000000) // n_grams AS shared_ppm,
                  1000000 - (shared_grams * 1000000) // n_grams AS novelty_ppm
-          FROM per"""
+          FROM per""",
+
+    // Pad-to-512 vs contiguous packing per source, integer waste math.
+    "q150_packing_efficiency" ->
+      """WITH t AS (
+           SELECT source,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+           FROM documents),
+         agg AS (
+           SELECT source, COUNT(1) AS n_docs,
+                  CAST(SUM(n) AS BIGINT) AS total_tokens,
+                  CAST(SUM((n + 511) // 512) AS BIGINT) AS padded_bins
+           FROM t GROUP BY 1),
+         b AS (
+           SELECT *, (total_tokens + 511) // 512 AS packed_bins FROM agg)
+         SELECT source, n_docs, total_tokens, padded_bins, packed_bins,
+                padded_bins * 512 - total_tokens AS padded_waste,
+                packed_bins * 512 - total_tokens AS packed_waste,
+                ((padded_bins - packed_bins) * 1000000) // greatest(padded_bins, 1) AS savings_ppm
+         FROM b"""
   )
 
   /** Residual chain for IVF-PQ (mirror of

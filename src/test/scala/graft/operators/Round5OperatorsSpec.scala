@@ -242,6 +242,21 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  test("packingEfficiency: hand-checked bins and waste at capacity 10") {
+    val docs = Seq(
+      (1L, "a", 7L), (2L, "a", 7L), (3L, "a", 7L), // padded: 3 bins; packed: ⌈21/10⌉ = 3
+      (4L, "b", 3L), (5L, "b", 3L), (6L, "b", 3L)  // padded: 3 bins; packed: 1
+    ).toDF("id", "src", "n")
+    val out = Packing.packingEfficiency(docs, col("src"), col("n"), capacity = 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a"); val b = out("b")
+    assert(a.getAs[Long]("padded_bins") == 3L && a.getAs[Long]("packed_bins") == 3L)
+    assert(a.getAs[Long]("savings_ppm") == 0L)
+    assert(b.getAs[Long]("padded_bins") == 3L && b.getAs[Long]("packed_bins") == 1L)
+    assert(b.getAs[Long]("padded_waste") == 21L && b.getAs[Long]("packed_waste") == 1L)
+    assert(b.getAs[Long]("savings_ppm") == 666666L)
+  }
+
   test("codebookQuality: tight cells report low separation, on-centroid vectors have a = 0") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f)), // == centroid 0
