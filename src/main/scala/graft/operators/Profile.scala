@@ -118,6 +118,42 @@ object Profile {
     withSplit(keyed, col("survivor_doc_id"), trainPct, valPct, seed).drop("__did")
   }
 
+  /** Split-leakage audit — measures what [[leakFreeSplit]] buys: for a
+    * near-dup pair relation, how many pairs STRADDLE a split boundary
+    * under (a) the plain per-doc hash split and (b) the survivor-keyed
+    * split. One row per mode: (mode, n_pairs, n_cross_split). The
+    * survivor-keyed row is structurally zero — a near-dup pair lies
+    * inside one cluster, the whole cluster hashes on one survivor —
+    * and the oracle gate re-derives that zero independently, so the
+    * no-leakage guarantee is itself hash-checked, not just asserted.
+    *
+    * Scale shape: two slim (doc_id, split) relations joined onto the
+    * (pairs-sized) pair relation, one counting agg per mode. */
+  def splitLeakageAudit(
+      df: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      survivors: DataFrame,
+      trainPct: Int,
+      valPct: Int,
+      seed: String = "split"): DataFrame = {
+    val ids = df.select(id.as("doc_id"))
+    val perDoc = withSplit(ids, col("doc_id"), trainPct, valPct, seed)
+      .select(col("doc_id"), col("split"))
+    val byKeeper = leakFreeSplit(ids, col("doc_id"), survivors, trainPct, valPct, seed)
+      .select(col("doc_id"), col("split"))
+    def cross(assign: DataFrame, mode: String): DataFrame =
+      pairs
+        .select(col("doc_a"), col("doc_b"))
+        .join(assign.select(col("doc_id").as("doc_a"), col("split").as("__sa")), Seq("doc_a"))
+        .join(assign.select(col("doc_id").as("doc_b"), col("split").as("__sb")), Seq("doc_b"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)).as("n_cross_split"))
+        .select(lit(mode).as("mode"), col("n_pairs"), col("n_cross_split"))
+    cross(perDoc, "per_doc").unionByName(cross(byKeeper, "survivor_keyed"))
+  }
+
   /** Per-group document cap: keep at most `k` rows per group, chosen
     * by a DETERMINISTIC hash ranking (md5 of seed ∥ id, id tiebreak) —
     * the "max N docs per domain/source" curation stage of a

@@ -823,6 +823,19 @@ object Documents {
       val d = Tables.documents(s, dir)
       Packing.packingEfficiency(
         d, col("source"), size(TextAnalysis.tokens(col("text"))), capacity = 512L)
+    }),
+
+    // Split-leakage audit: near-dup pairs straddling a split boundary
+    // under the per-doc hash split vs the survivor-keyed split — the
+    // survivor row is structurally ZERO and the oracle re-derives it.
+    "q151_split_leakage" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Profile.splitLeakageAudit(
+        d, col("doc_id"), sharedJaccardPairs(s, dir),
+        TextDedup.dedupVerdictsFromClusters(
+          d, col("doc_id"), TextAnalysis.fingerprint(col("text")),
+          sharedClusters(s, dir)),
+        trainPct = 80, valPct = 10)
     })
   )
 

@@ -1477,7 +1477,35 @@ private[queries] object DocumentsOracles2 {
                 padded_bins * 512 - total_tokens AS padded_waste,
                 packed_bins * 512 - total_tokens AS packed_waste,
                 ((padded_bins - packed_bins) * 1000000) // greatest(padded_bins, 1) AS savings_ppm
-         FROM b"""
+         FROM b""",
+
+    // Both split assignments re-derived over the SAME capped pair
+    // relation the verdict chain uses; the survivor-keyed row must
+    // count zero cross-split pairs.
+    "q151_split_leakage" ->
+      s"""WITH RECURSIVE $verdictCtes,
+          sv AS (SELECT doc_id, COALESCE(cluster_min, exact_keeper) AS s_id FROM j),
+          pda AS (
+            SELECT doc_id,
+                   CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hv
+                  FROM documents)),
+          sva AS (
+            SELECT doc_id,
+                   CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('split_' || CAST(s_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hv
+                  FROM sv)),
+          m1 AS (
+            SELECT 'per_doc' AS mode, COUNT(1) AS n_pairs,
+                   COUNT(CASE WHEN a.split <> b.split THEN 1 END) AS n_cross_split
+            FROM pairs JOIN pda a ON a.doc_id = doc_a JOIN pda b ON b.doc_id = doc_b),
+          m2 AS (
+            SELECT 'survivor_keyed' AS mode, COUNT(1) AS n_pairs,
+                   COUNT(CASE WHEN a.split <> b.split THEN 1 END) AS n_cross_split
+            FROM pairs JOIN sva a ON a.doc_id = doc_a JOIN sva b ON b.doc_id = doc_b)
+          SELECT * FROM m1 UNION ALL SELECT * FROM m2"""
   )
 
   /** Residual chain for IVF-PQ (mirror of

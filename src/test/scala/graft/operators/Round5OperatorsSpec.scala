@@ -257,6 +257,25 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(b.getAs[Long]("savings_ppm") == 666666L)
   }
 
+  test("splitLeakageAudit: survivor-keyed mode has zero cross-split pairs, per-doc mode counted honestly") {
+    val docs = (0L to 9L).toDF("doc_id")
+    // pairs 0-1, 2-3, 4-5: three near-dup clusters
+    val pairs = Seq((0L, 1L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val survivors = Seq(
+      (0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 7L), (8L, 8L), (9L, 9L)
+    ).toDF("doc_id", "survivor_doc_id")
+    val out = Profile.splitLeakageAudit(docs, col("doc_id"), pairs, survivors, 50, 25)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("survivor_keyed") === ((3L, 0L)))
+    assert(out("per_doc")._1 == 3L && out("per_doc")._2 >= 0L)
+    // cross-check per_doc against a direct recount
+    val splits = Profile.withSplit(docs, col("doc_id"), 50, 25)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = Seq((0L, 1L), (2L, 3L), (4L, 5L)).count { case (a, b) => splits(a) != splits(b) }
+    assert(out("per_doc")._2 == expect.toLong)
+  }
+
   test("codebookQuality: tight cells report low separation, on-centroid vectors have a = 0") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f)), // == centroid 0
