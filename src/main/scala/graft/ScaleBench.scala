@@ -61,6 +61,12 @@ object ScaleBench {
         (() => SparkEntry.queries("q102_pq_topk")(spark, dir)),
       "q135_sq8_codes" ->
         (() => SparkEntry.queries("q135_sq8_codes")(spark, dir)),
+      "q143_curriculum_schedule" ->
+        (() => SparkEntry.queries("q143_curriculum_schedule")(spark, dir)),
+      "q147_novelty_scores" ->
+        (() => SparkEntry.queries("q147_novelty_scores")(spark, dir)),
+      "q150_packing_efficiency" ->
+        (() => SparkEntry.queries("q150_packing_efficiency")(spark, dir)),
       "q136_sq8_recall" ->
         (() => SparkEntry.queries("q136_sq8_recall")(spark, dir)),
       "q139_codebook_quality" ->
