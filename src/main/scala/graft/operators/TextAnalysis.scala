@@ -368,6 +368,68 @@ object TextAnalysis {
         col("min_p_ppm"))
   }
 
+  /** Word trigram occurrences (doc_id, w1, w2, w3) — the [[bigramRows]]
+    * shape one order higher; docs with < 3 tokens emit nothing. */
+  def trigramRows(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .withColumn("w3", lead(col("w1"), 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"), col("w3"))
+  }
+
+  /** Interpolated trigram-LM document scores — the classic
+    * Jelinek-Mercer backoff one order above [[bigramLmScore]]:
+    * p̂(w3|w1w2) = 0.5·p3 + 0.3·p2 + 0.2·p1, with every component a
+    * maximum-likelihood estimate over the corpus's own trigram
+    * universe (p3 = c₃/c₁₂, p2 and p1 the (w2,w3)/(w3) marginals of
+    * the same relation — self-consistent, so the whole model derives
+    * from ONE counted relation) and the mixture computed in exact
+    * integer ppm (`(500·p3 + 300·p2 + 200·p1) div 1000`). Unseen-event
+    * smoothing is the point of the interpolation: a trigram never seen
+    * with that prefix still scores through its bigram/unigram mass.
+    * Returns (doc_id, n_trigrams, avg_interp_ppm, min_interp_ppm);
+    * docs with < 3 tokens are absent.
+    *
+    * Scale shape: one trigram hash-agg, three marginal roll-ups OF
+    * THAT (vocab-bounded) relation — the corpus is token-scanned once;
+    * the probability joins run on n-gram keys against vocab-sized
+    * tables, all map-side combinable. */
+  def trigramLmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tg  = trigramRows(docs, id, text)
+    val c3  = tg.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val c12 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12"))
+    val c23 = c3.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("c23"))
+    val c2  = c23.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
+    val cw3 = c3.groupBy(col("w3")).agg(sum(col("c3")).as("cw3"))
+    val nt  = cw3.agg(sum(col("cw3")).as("ntot"))
+    val pr = c3
+      .join(c12, Seq("w1", "w2"))
+      .join(c23, Seq("w2", "w3"))
+      .join(c2, Seq("w2"))
+      .join(cw3, Seq("w3"))
+      .crossJoin(broadcast(nt))
+      .select(
+        col("w1"), col("w2"), col("w3"),
+        expr("""(500L * ((c3 * 1000000L) div c12)
+               + 300L * ((c23 * 1000000L) div c2)
+               + 200L * ((cw3 * 1000000L) div ntot)) div 1000L""").as("ip_ppm"))
+    tg.join(pr, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(col("ip_ppm")).as("__sp"),
+        min(col("ip_ppm")).as("min_interp_ppm"))
+      .select(
+        col("doc_id"),
+        col("n_trigrams"),
+        (col("__sp").cast("double") / col("n_trigrams")).as("avg_interp_ppm"),
+        col("min_interp_ppm"))
+  }
+
   /** Corpus vocabulary stats: per-token document frequency, total
     * occurrences, and (exact decimal) mean per-doc occurrences —
     * top `k` tokens by document frequency. Explode → one hash-agg on

@@ -825,6 +825,12 @@ object Documents {
         d, col("source"), size(TextAnalysis.tokens(col("text"))), capacity = 512L)
     }),
 
+    // Interpolated trigram LM (Jelinek-Mercer 0.5/0.3/0.2): the
+    // quality signal one order above q76's bigram model, smoothing
+    // included — unseen prefixes still score via backoff mass.
+    "q152_trigram_lm" -> ((s, dir) =>
+      TextAnalysis.trigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
     // Split-leakage audit: near-dup pairs straddling a split boundary
     // under the per-doc hash split vs the survivor-keyed split — the
     // survivor row is structurally ZERO and the oracle re-derives it.

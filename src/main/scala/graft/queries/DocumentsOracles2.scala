@@ -1505,7 +1505,37 @@ private[queries] object DocumentsOracles2 {
             SELECT 'survivor_keyed' AS mode, COUNT(1) AS n_pairs,
                    COUNT(CASE WHEN a.split <> b.split THEN 1 END) AS n_cross_split
             FROM pairs JOIN sva a ON a.doc_id = doc_a JOIN sva b ON b.doc_id = doc_b)
-          SELECT * FROM m1 UNION ALL SELECT * FROM m2"""
+          SELECT * FROM m1 UNION ALL SELECT * FROM m2""",
+
+    // Jelinek-Mercer interpolated trigram LM: all components are
+    // marginals of ONE counted trigram relation, mixed in exact ppm.
+    "q152_trigram_lm" ->
+      s"""WITH $wordsCte,
+          t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM words),
+          tg0 AS (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+                   lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+            FROM t),
+          tg AS (SELECT doc_id, w1, w2, w3 FROM tg0 WHERE w3 IS NOT NULL),
+          c3 AS (SELECT w1, w2, w3, COUNT(1) AS c3 FROM tg GROUP BY 1, 2, 3),
+          c12 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12 FROM c3 GROUP BY 1, 2),
+          c23 AS (SELECT w2, w3, CAST(SUM(c3) AS BIGINT) AS c23 FROM c3 GROUP BY 1, 2),
+          c2 AS (SELECT w2, CAST(SUM(c23) AS BIGINT) AS c2 FROM c23 GROUP BY 1),
+          cw3 AS (SELECT w3, CAST(SUM(c3) AS BIGINT) AS cw3 FROM c3 GROUP BY 1),
+          nt AS (SELECT CAST(SUM(cw3) AS BIGINT) AS ntot FROM cw3),
+          pr AS (
+            SELECT c3.w1, c3.w2, c3.w3,
+                   (500 * ((c3.c3 * 1000000) // c12.c12)
+                    + 300 * ((c23.c23 * 1000000) // c2.c2)
+                    + 200 * ((cw3.cw3 * 1000000) // nt.ntot)) // 1000 AS ip_ppm
+            FROM c3 JOIN c12 USING (w1, w2) JOIN c23 USING (w2, w3)
+            JOIN c2 USING (w2) JOIN cw3 USING (w3) CROSS JOIN nt)
+          SELECT tg.doc_id, COUNT(1) AS n_trigrams,
+                 CAST(SUM(p.ip_ppm) AS DOUBLE) / COUNT(1) AS avg_interp_ppm,
+                 CAST(MIN(p.ip_ppm) AS BIGINT) AS min_interp_ppm
+          FROM tg JOIN pr p USING (w1, w2, w3)
+          GROUP BY 1"""
   )
 
   /** Residual chain for IVF-PQ (mirror of

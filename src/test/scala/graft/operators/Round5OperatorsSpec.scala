@@ -276,6 +276,18 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(out("per_doc")._2 == expect.toLong)
   }
 
+  test("trigramLmScore: hand-computed interpolated ppm on a tiny corpus") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramLmScore(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // doc1 trigrams: abc(x2, ip 613332), bca(840000), cab(840000)
+    assert(out(1L)._1 == 4L && out(1L)._3 == 613332L)
+    assert(math.abs(out(1L)._2 - 2906664.0 / 4) < 1e-9)
+    // doc2: abd alone — backoff mass keeps it nonzero despite the
+    // unseen-ish prefix
+    assert(out(2L) === ((1L, 306666.0, 306666L)))
+  }
+
   test("codebookQuality: tight cells report low separation, on-centroid vectors have a = 0") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f)), // == centroid 0
