@@ -825,6 +825,37 @@ object Documents {
         d, col("source"), size(TextAnalysis.tokens(col("text"))), capacity = 512L)
     }),
 
+    // Curation funnel report: docs/chars surviving each stage of the
+    // q85 prep pipeline (raw → dedup → bench-drop → decontaminate →
+    // rebalance) — the dashboard artifact an operator reads to see
+    // where the corpus went; every stage reuses q85's exact operators.
+    "q153_curation_funnel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val keep = TextDedup.dedupVerdictsFromClusters(
+        d, col("doc_id"), TextAnalysis.fingerprint(col("text")), sharedClusters(s, dir))
+        .filter(col("verdict") === "keep")
+        .select("doc_id")
+      val kept1    = d.join(keep, Seq("doc_id"), "left_semi")
+      val nonBench = kept1.filter(col("source") =!= "src0")
+      val contaminated = TextDedup.contaminationFlags(
+        nonBench, col("doc_id"), col("text"),
+        d.filter(col("source") === "src0"), col("text"), 5)
+        .select("doc_id")
+      val kept2 = nonBench.join(contaminated, Seq("doc_id"), "left_anti")
+      val kept3 = Profile.temperatureSample(kept2, col("source"), col("doc_id"), seed = "prep")
+      def stage(df: DataFrame, i: Int, name: String): DataFrame =
+        df.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"), col("n_chars"))
+      Seq(
+        stage(d, 1, "raw"),
+        stage(kept1, 2, "dedup"),
+        stage(nonBench, 3, "bench_drop"),
+        stage(kept2, 4, "decontaminated"),
+        stage(kept3, 5, "rebalanced")).reduce(_ unionByName _)
+    }),
+
     // Interpolated trigram LM (Jelinek-Mercer 0.5/0.3/0.2): the
     // quality signal one order above q76's bigram model, smoothing
     // included — unseen prefixes still score via backoff mass.

@@ -1535,7 +1535,68 @@ private[queries] object DocumentsOracles2 {
                  CAST(SUM(p.ip_ppm) AS DOUBLE) / COUNT(1) AS avg_interp_ppm,
                  CAST(MIN(p.ip_ppm) AS BIGINT) AS min_interp_ppm
           FROM tg JOIN pr p USING (w1, w2, w3)
-          GROUP BY 1"""
+          GROUP BY 1""",
+
+    // The q85 chain re-derived per stage: docs/chars surviving raw →
+    // dedup → bench-drop → decontaminate → rebalance.
+    "q153_curation_funnel" ->
+      s"""WITH RECURSIVE $verdictCtes,
+          keep AS (
+            SELECT doc_id FROM j WHERE doc_id = COALESCE(cluster_min, exact_keeper)
+          ),
+          k1 AS (
+            SELECT d.doc_id, d.text, d.source, d.n_chars
+            FROM documents d JOIN keep USING (doc_id)
+          ),
+          nb AS (SELECT * FROM k1 WHERE source <> 'src0'),
+          grn AS (
+            SELECT doc_id, source, n_chars, string_split_regex(trim(text), '\\s+') AS ws FROM nb
+          ),
+          gr5 AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 5
+                        THEN list_distinct(list_transform(generate_series(1, len(ws)-4),
+                               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+                        ELSE []::VARCHAR[] END AS gs
+            FROM grn
+          ),
+          exg AS (SELECT doc_id, unnest(gs) AS s FROM gr5),
+          bw AS (
+            SELECT string_split_regex(trim(text), '\\s+') AS ws FROM documents WHERE source = 'src0'
+          ),
+          bgr AS (
+            SELECT DISTINCT unnest(
+              CASE WHEN len(ws) >= 5
+                   THEN list_distinct(list_transform(generate_series(1, len(ws)-4),
+                          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+                   ELSE []::VARCHAR[] END) AS s
+            FROM bw
+          ),
+          contam AS (SELECT DISTINCT e.doc_id FROM exg e JOIN bgr ON e.s = bgr.s),
+          k2 AS (
+            SELECT nb.* FROM nb WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = nb.doc_id)
+          ),
+          cnts AS (SELECT source, COUNT(1) AS n FROM k2 GROUP BY source),
+          mn AS (SELECT MIN(n) AS nmin FROM cnts),
+          rates AS (
+            SELECT source,
+                   GREATEST(1, CAST(round(sqrt(CAST(nmin AS DOUBLE) / n) * 10000) AS BIGINT)) AS bps
+            FROM cnts, mn
+          ),
+          k3 AS (
+            SELECT k2.source, k2.n_chars FROM k2 JOIN rates USING (source)
+            WHERE ('0x' || substr(md5('prep_' || doc_id), 1, 15))::BIGINT % 10000 < rates.bps
+          )
+          SELECT 1 AS stage_idx, 'raw' AS stage, COUNT(1) AS n_docs,
+                 CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars FROM documents
+          UNION ALL
+          SELECT 2, 'dedup', COUNT(1), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM k1
+          UNION ALL
+          SELECT 3, 'bench_drop', COUNT(1), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM nb
+          UNION ALL
+          SELECT 4, 'decontaminated', COUNT(1), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM k2
+          UNION ALL
+          SELECT 5, 'rebalanced', COUNT(1), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM k3"""
   )
 
   /** Residual chain for IVF-PQ (mirror of
