@@ -1104,6 +1104,41 @@ object Similarity {
         max(col("cosine")).as("max_cosine"))
   }
 
+  /** IVF cell-population skew report — the "will one probe be slow?"
+    * number next to [[codebookQuality]]'s geometric view: ONE row with
+    * n_cells, min/median/p99/max cell population and
+    * `imbalance_x1000 = max·n_cells·1000 div n_vectors` (1000 =
+    * perfectly balanced; a probe of the hottest cell costs
+    * imbalance/1000 × the balanced cost). At corpus scale a single
+    * hot cell dominates tail latency for IVF serving AND goes
+    * quadratic under SemDeDup — this report is the early warning that
+    * says "retrain the codebook" or "turn the cell cap on".
+    *
+    * Exact integer percentiles (percentile_disc rank arithmetic over
+    * the |cells|-row population relation) — bit-portable; the corpus
+    * contributes one slim assignment hash-agg. */
+  def cellSkewReport(embs: DataFrame, codebook: DataFrame): DataFrame = {
+    val pops = assignedCorpus(embs, codebook)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n"))
+    // |cells| rows: the unpartitioned window is bounded by codebook size
+    val ranked = pops
+      .withColumn("__rk", row_number().over(Window.orderBy(col("__n").asc, col("cell").asc)))
+      .withColumn("__nc", count(lit(1)).over(Window.partitionBy()))
+    def pick(num: Int, den: Int): Column =
+      min(when(col("__rk") * den >= col("__nc") * num, col("__n")))
+    ranked.agg(
+      max(col("__nc")).as("n_cells"),
+      sum(col("__n")).as("n_vectors"),
+      min(col("__n")).as("min_pop"),
+      pick(1, 2).as("p50_pop"),
+      pick(99, 100).as("p99_pop"),
+      max(col("__n")).as("max_pop"))
+      .withColumn(
+        "imbalance_x1000",
+        expr("(max_pop * n_cells * 1000L) div greatest(n_vectors, 1L)"))
+  }
+
   // ---- Scalar quantization (int8 SQ) -------------------------------
   //
   // The 4-byte→1-byte compression every 100 TB vector store applies

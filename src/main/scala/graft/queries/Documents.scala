@@ -825,6 +825,12 @@ object Documents {
         d, col("source"), size(TextAnalysis.tokens(col("text"))), capacity = 512L)
     }),
 
+    // IVF cell-population skew: min/median/p99/max cell size +
+    // imbalance factor over the shared codebook — the probe-latency
+    // early warning next to q139's geometric quality view.
+    "q154_cell_skew" -> ((s, dir) =>
+      Similarity.cellSkewReport(Tables.embeddings(s, dir), sharedCodebook(s, dir))),
+
     // Curation funnel report: docs/chars surviving each stage of the
     // q85 prep pipeline (raw → dedup → bench-drop → decontaminate →
     // rebalance) — the dashboard artifact an operator reads to see

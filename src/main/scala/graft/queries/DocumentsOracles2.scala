@@ -1537,6 +1537,28 @@ private[queries] object DocumentsOracles2 {
           FROM tg JOIN pr p USING (w1, w2, w3)
           GROUP BY 1""",
 
+    // Cell populations from the residCte assignment (cosine argmax vs
+    // the trained codebook), exact integer percentiles over the
+    // |cells|-row relation.
+    "q154_cell_skew" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          $residCte,
+          pops AS (SELECT cell, COUNT(1) AS n FROM ras GROUP BY 1),
+          rk AS (
+            SELECT cell, n,
+                   row_number() OVER (ORDER BY n ASC, cell ASC) AS r,
+                   COUNT(1) OVER () AS nc
+            FROM pops)
+          SELECT MAX(nc) AS n_cells,
+                 CAST(SUM(n) AS BIGINT) AS n_vectors,
+                 MIN(n) AS min_pop,
+                 MIN(CASE WHEN r * 2 >= nc * 1 THEN n END) AS p50_pop,
+                 MIN(CASE WHEN r * 100 >= nc * 99 THEN n END) AS p99_pop,
+                 MAX(n) AS max_pop,
+                 (MAX(n) * MAX(nc) * 1000) // GREATEST(CAST(SUM(n) AS BIGINT), 1) AS imbalance_x1000
+          FROM rk""",
+
     // The q85 chain re-derived per stage: docs/chars surviving raw →
     // dedup → bench-drop → decontaminate → rebalance.
     "q153_curation_funnel" ->

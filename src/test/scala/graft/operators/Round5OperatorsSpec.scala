@@ -288,6 +288,21 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(out(2L) === ((1L, 306666.0, 306666L)))
   }
 
+  test("cellSkewReport: hand-checked populations and imbalance on a lopsided assignment") {
+    // 3 vectors land on centroid 0's direction, 1 on centroid 1's
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Seq((0L, Seq(10000000L, 0L)), (1L, Seq(0L, 10000000L)))
+      .toDF("cell", "cv").withColumn("cn2", expr("cv[0]*cv[0] + cv[1]*cv[1]"))
+    val r = Similarity.cellSkewReport(embs, cb).collect().head
+    assert(r.getAs[Long]("n_cells") == 2L && r.getAs[Long]("n_vectors") == 4L)
+    assert(r.getAs[Long]("min_pop") == 1L && r.getAs[Long]("max_pop") == 3L)
+    assert(r.getAs[Long]("p50_pop") == 1L) // rank ⌈nc/2⌉ = 1 of 2 → smaller cell
+    assert(r.getAs[Long]("imbalance_x1000") == 1500L) // 3·2·1000/4
+  }
+
   test("codebookQuality: tight cells report low separation, on-centroid vectors have a = 0") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f)), // == centroid 0
