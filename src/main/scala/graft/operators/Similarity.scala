@@ -140,9 +140,12 @@ object Similarity {
     // HashAggregate over fixed-width columns. Deduping first would
     // carry the vectors through the exchange and force SortAggregate
     // (array-typed first()) — measured 3-5× slower.
+    // both sides of the band self-join are the banded CORPUS — keyed
+    // shuffle on the band key, never a broadcast (tiny-SF AQE would
+    // happily broadcast 2N rows here; at corpus scale that's fatal)
     bands.as("a")
       .join(
-        bands.as("b"),
+        bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(
@@ -859,6 +862,64 @@ object Similarity {
   def hardNegatives(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
     hardNegatives(embs, idRows(embs, queryIds), k)
 
+  /** [[hardNegatives]] served THROUGH the IVF index: each query probes
+    * its `nProbe` nearest cells of the trained `codebook`
+    * ([[kmeansCentroids]] output, as [[ivfTopKWith]] consumes) and
+    * ranks only the DIFFERENT-label vectors found there. Recall trades
+    * exactly as IVF serving does — a negative outside the probed cells
+    * is unseen ([[topKRecallAudit]] measures the loss).
+    *
+    * Scale shape — the corpus-scale mining path: unlike
+    * [[hardNegatives]] (query set broadcast, right only for a bounded
+    * query batch), the query relation here is NEVER broadcast. Queries
+    * cross only the tiny broadcast codebook to pick probe cells, then
+    * meet the cell-assigned corpus in a SHUFFLE hash join keyed on
+    * cell (`shuffle_hash` hint — both sides may be corpus-fraction, so
+    * neither is allowed to broadcast); per-query rank is a
+    * WindowGroupLimit top-k. With the corpus stored bucketed by cell,
+    * the corpus side of that join pre-exists on disk. */
+  def hardNegativesIndexed(
+      embs: DataFrame,
+      codebook: DataFrame,
+      queries: DataFrame,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val cents = codebook.select(col("cell"), col("cv"), col("cn2"))
+    val base = embs
+      .select(col("vec_id"), col("label"), Portable.quantize(col("embedding")).as("v"))
+      .withColumn("n2", normQ(col("v")))
+    // the (vec_id → cell) map is one row PER CORPUS VECTOR — slim but
+    // corpus-sized, so it joins back by keyed shuffle, never broadcast
+    val assigned = base.join(
+      nearestCell(base.select(col("vec_id"), col("v"), col("n2")), cents)
+        .select(col("vec_id"), col("cell"))
+        .hint("shuffle_hash"),
+      "vec_id")
+    val probes = queries
+      .select(
+        col("vec_id").as("qid"),
+        col("label").as("__ql"),
+        Portable.quantize(col("embedding")).as("qv"))
+      .withColumn("qn2", normQ(col("qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(Portable.dotQ(col("qv"), col("cv")), col("qn2"), col("cn2")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("ccos"), asc("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("__ql"), col("qv"), col("qn2"), col("cell"))
+    val scored = assigned
+      .join(probes.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid") && !(col("label") <=> col("__ql")))
+      .withColumn("cosine", cosine(Portable.dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("qid"), col("vec_id").as("cid"), col("label").as("neg_label"),
+        col("cosine"), col("rank"))
+  }
+
   /** Contrastive TRIPLET mining — the (anchor, positive, negative)
     * relation a retriever/embedding trainer consumes: positives are
     * embedding near-duplicate pairs ([[neardupPairs]] at
@@ -883,6 +944,36 @@ object Similarity {
         col("qid").as("anchor"), col("cid").as("negative"),
         col("neg_label"), col("cosine").as("neg_cos"), col("rank").as("rk"))
     pos.join(negs, Seq("anchor"))
+  }
+
+  /** [[tripletMining]] with negatives mined THROUGH the IVF index —
+    * the corpus-scale variant: positives are still band-blocked
+    * near-dup pairs ([[neardupPairs]]), but negatives come from
+    * [[hardNegativesIndexed]] (probed cells only, shuffle-joined on
+    * cell), so NO corpus-fraction relation is broadcast anywhere in
+    * the plan. The anchor set (every doc in a near-dup pair — a
+    * corpus-scale fraction) is what made the brute-force path's
+    * broadcast unsafe; here anchors ride a keyed shuffle like any
+    * other large relation. The pair↔negative stitch is likewise
+    * forced to a shuffle hash join: both sides scale with the corpus. */
+  def tripletMiningIndexed(
+      embs: DataFrame,
+      codebook: DataFrame,
+      dim: Int,
+      posThreshold: Double,
+      nProbe: Int,
+      kNeg: Int): DataFrame = {
+    val pos = neardupPairs(embs, dim, posThreshold)
+      .select(col("vec_a").as("anchor"), col("vec_b").as("positive"), col("cosine").as("pos_cos"))
+    // the anchor id set is corpus-fraction too: keyed-shuffle semi-join
+    val anchors = embs.join(
+      pos.select(col("anchor").as("vec_id")).distinct().hint("shuffle_hash"),
+      Seq("vec_id"), "left_semi")
+    val negs = hardNegativesIndexed(embs, codebook, anchors, nProbe, kNeg)
+      .select(
+        col("qid").as("anchor"), col("cid").as("negative"),
+        col("neg_label"), col("cosine").as("neg_cos"), col("rank").as("rk"))
+    pos.hint("shuffle_hash").join(negs, Seq("anchor"))
   }
 
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98)

@@ -85,6 +85,38 @@ object Documents {
     clustersCache(s, dir)(
       TextDedup.dedupClusters(sharedJaccardPairs(s, dir)))
 
+  // The q85 funnel's two doc-id gate sets, materialized once and
+  // shared by q85 (the pipeline) and q153 (the funnel report): the
+  // dedup KEEP set and the contamination set. The contamination set is
+  // computed over ALL non-benchmark docs — a superset of the funnel's
+  // stage-3 population — which is sound because
+  // [[TextDedup.contaminationFlags]] scores each doc independently
+  // against the broadcast benchmark grams (no cross-doc dependence):
+  // flags on docs that already exited the funnel are never read. The
+  // superset is what lets q153 classify every doc in ONE pass instead
+  // of re-deriving each stage's prefix chain, and it means the
+  // expensive contamination gram-join runs ONCE per corpus snapshot
+  // no matter how many downstream stages/reports consume it.
+  private val keepSetCache = new DirCached
+  private def sharedKeepSet(s: SparkSession, dir: String): DataFrame =
+    keepSetCache(s, dir) {
+      val d = Tables.documents(s, dir)
+      TextDedup.dedupVerdictsFromClusters(
+        d, col("doc_id"), TextAnalysis.fingerprint(col("text")), sharedClusters(s, dir))
+        .filter(col("verdict") === "keep")
+        .select("doc_id")
+    }
+
+  private val contamSetCache = new DirCached
+  private def sharedContamSet(s: SparkSession, dir: String): DataFrame =
+    contamSetCache(s, dir) {
+      val d = Tables.documents(s, dir)
+      TextDedup.contaminationFlags(
+        d.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        d.filter(col("source") === "src0"), col("text"), 5)
+        .select("doc_id")
+    }
+
   private val simhashCache = new DirCached
   private def sharedSimhashes(s: SparkSession, dir: String): DataFrame =
     simhashCache(s, dir)(
@@ -447,17 +479,9 @@ object Documents {
     // oracle chains the same CTE fragments.
     "q85_prep_pipeline" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val keep = TextDedup.dedupVerdictsFromClusters(
-        d, col("doc_id"), TextAnalysis.fingerprint(col("text")), sharedClusters(s, dir))
-        .filter(col("verdict") === "keep")
-        .select("doc_id")
-      val kept1    = d.join(keep, Seq("doc_id"), "left_semi")
-      val nonBench = kept1.filter(col("source") =!= "src0")
-      val contaminated = TextDedup.contaminationFlags(
-        nonBench, col("doc_id"), col("text"),
-        d.filter(col("source") === "src0"), col("text"), 5)
-        .select("doc_id")
-      val kept2 = nonBench.join(contaminated, Seq("doc_id"), "left_anti")
+      val kept2 = d.join(sharedKeepSet(s, dir), Seq("doc_id"), "left_semi")
+        .filter(col("source") =!= "src0")
+        .join(sharedContamSet(s, dir), Seq("doc_id"), "left_anti")
       Profile.temperatureSample(kept2, col("source"), col("doc_id"), seed = "prep")
         .groupBy(col("source"))
         .agg(
@@ -788,11 +812,15 @@ object Documents {
         TextAnalysis.qualityScore(col("text")), phases = 3, shards = 8)),
 
     // Contrastive triplet mining: near-dup positives (q43's relation)
-    // × hardest different-label negatives (q120's) — the (anchor,
-    // positive, negative) list an embedding trainer consumes.
+    // × hard different-label negatives mined THROUGH the trained IVF
+    // index (q61's codebook, q63's probe discipline) — the (anchor,
+    // positive, negative) list an embedding trainer consumes. The
+    // anchor set is corpus-fraction, so it is never broadcast: probes
+    // meet the cell-assigned corpus in a keyed shuffle.
     "q144_triplet_mining" -> ((s, dir) =>
-      Similarity.tripletMining(
-        Tables.embeddings(s, dir), dim = 64, posThreshold = 0.35, kNeg = 3)),
+      Similarity.tripletMiningIndexed(
+        Tables.embeddings(s, dir), sharedCodebook(s, dir), dim = 64,
+        posThreshold = 0.35, nProbe = 2, kNeg = 3)),
 
     // Matryoshka truncation-recall curve: recall@10 of prefix-dim
     // cosine ranking vs full-dim truth — the number read before
@@ -835,31 +863,43 @@ object Documents {
     // q85 prep pipeline (raw → dedup → bench-drop → decontaminate →
     // rebalance) — the dashboard artifact an operator reads to see
     // where the corpus went; every stage reuses q85's exact operators.
+    // Rewritten round 6 as a SINGLE pass: instead of five unioned agg
+    // branches each re-deriving its prefix of the stage chain (the
+    // contamination join ran twice, the dedup semi-join four times),
+    // every doc is classified ONCE with its max surviving stage —
+    // three doc-id-set left joins against the shared (persisted) gate
+    // sets — then one tiny groupBy and a 5-row cumulative expansion.
+    // Stages are nested subsets, so stage i's totals = Σ over docs
+    // with __stage ≥ i.
     "q153_curation_funnel" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val keep = TextDedup.dedupVerdictsFromClusters(
-        d, col("doc_id"), TextAnalysis.fingerprint(col("text")), sharedClusters(s, dir))
-        .filter(col("verdict") === "keep")
+      val kept2 = d.join(sharedKeepSet(s, dir), Seq("doc_id"), "left_semi")
+        .filter(col("source") =!= "src0")
+        .join(sharedContamSet(s, dir), Seq("doc_id"), "left_anti")
+      val tempKept = Profile.temperatureSample(kept2, col("source"), col("doc_id"), seed = "prep")
         .select("doc_id")
-      val kept1    = d.join(keep, Seq("doc_id"), "left_semi")
-      val nonBench = kept1.filter(col("source") =!= "src0")
-      val contaminated = TextDedup.contaminationFlags(
-        nonBench, col("doc_id"), col("text"),
-        d.filter(col("source") === "src0"), col("text"), 5)
-        .select("doc_id")
-      val kept2 = nonBench.join(contaminated, Seq("doc_id"), "left_anti")
-      val kept3 = Profile.temperatureSample(kept2, col("source"), col("doc_id"), seed = "prep")
-      def stage(df: DataFrame, i: Int, name: String): DataFrame =
-        df.agg(
-          count(lit(1)).as("n_docs"),
-          coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
-          .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"), col("n_chars"))
-      Seq(
-        stage(d, 1, "raw"),
-        stage(kept1, 2, "dedup"),
-        stage(nonBench, 3, "bench_drop"),
-        stage(kept2, 4, "decontaminated"),
-        stage(kept3, 5, "rebalanced")).reduce(_ unionByName _)
+      val flagged = d
+        .join(sharedKeepSet(s, dir).withColumn("__k", lit(1)), Seq("doc_id"), "left")
+        .join(sharedContamSet(s, dir).withColumn("__c", lit(1)), Seq("doc_id"), "left")
+        .join(tempKept.withColumn("__t", lit(1)), Seq("doc_id"), "left")
+        .withColumn("__stage",
+          when(col("__k").isNull, lit(1))
+            // survives the bench drop only if source ≠ 'src0' is TRUE
+            // (a NULL source exits here, matching the =!= filter)
+            .when(!coalesce(col("source") =!= lit("src0"), lit(false)), lit(2))
+            .when(col("__c").isNotNull, lit(3))
+            .when(col("__t").isNull, lit(4))
+            .otherwise(lit(5)))
+      val per = flagged.groupBy(col("__stage")).agg(
+        count(lit(1)).as("__nd"), sum(col("n_chars")).as("__nc"))
+      val stageRel = s.createDataFrame(Seq(
+        (1, "raw"), (2, "dedup"), (3, "bench_drop"),
+        (4, "decontaminated"), (5, "rebalanced"))).toDF("stage_idx", "stage")
+      stageRel.join(broadcast(per), col("__stage") >= col("stage_idx"), "left")
+        .groupBy(col("stage_idx"), col("stage"))
+        .agg(
+          coalesce(sum(col("__nd")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("__nc")), lit(0L)).as("n_chars"))
     }),
 
     // Interpolated trigram LM (Jelinek-Mercer 0.5/0.3/0.2): the

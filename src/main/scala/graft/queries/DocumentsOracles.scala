@@ -170,11 +170,11 @@ private[queries] object DocumentsOracles {
            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
            FROM cc1) WHERE rn = 1
        ),
-       comp AS (
+       kcomp AS (
          SELECT a1.cell, generate_subscripts(en.v, 1) AS i, unnest(en.v) AS x
          FROM en JOIN a1 USING (vec_id)
        ),
-       sums AS (SELECT cell, i, SUM(x) AS sx, COUNT(1) AS cnt FROM comp GROUP BY 1, 2),
+       sums AS (SELECT cell, i, SUM(x) AS sx, COUNT(1) AS cnt FROM kcomp GROUP BY 1, 2),
        cents1 AS (
          SELECT cell,
                 list(CAST(trunc(CAST(sx AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cv

@@ -1359,23 +1359,39 @@ private[queries] object DocumentsOracles2 {
           FROM ph JOIN k ON k.doc_id = ph.doc_id""",
 
     // Triplet mining: q43's banded near-dup positives joined with
-    // q120's hard-negative ranking restricted to the anchor set.
+    // hard negatives mined THROUGH the trained IVF index — anchors
+    // probe their 2 nearest k-means cells (q63's probe discipline) and
+    // rank only different-label vectors assigned to those cells.
     "q144_triplet_mining" ->
       s"""WITH $quantCte,
+          $kmeansCte,
           $neardupCte,
           pos AS (
             SELECT vec_a AS anchor, vec_b AS positive, cosine AS pos_cos
             FROM ndscored WHERE cosine >= 0.35),
           el AS (SELECT en.vec_id, v, n2, label FROM en JOIN embeddings USING (vec_id)),
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c),
+          cellrk AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+            FROM cc2),
+          assigned AS (
+            SELECT el.vec_id, el.v, el.n2, el.label, a.cell
+            FROM el JOIN (SELECT vec_id, cell FROM cellrk WHERE rn = 1) a USING (vec_id)),
           anch AS (SELECT DISTINCT anchor FROM pos),
-          q AS (
-            SELECT vec_id AS qid, v AS qv, n2 AS qn2, label AS ql
-            FROM el JOIN anch ON anch.anchor = el.vec_id),
+          probes AS (
+            SELECT q.vec_id AS qid, q.v AS qv, q.n2 AS qn2, q.label AS ql, p.cell
+            FROM el q
+            JOIN anch ON anch.anchor = q.vec_id
+            JOIN (SELECT vec_id, cell FROM cellrk WHERE rn <= 2) p ON p.vec_id = q.vec_id),
           nsc AS (
-            SELECT q.qid, c.vec_id AS cid, c.label AS neg_label,
-                   ${cosSql("q.qv", "c.v", "q.qn2", "c.n2")} AS cosine
-            FROM el c, q
-            WHERE c.vec_id <> q.qid AND c.label IS DISTINCT FROM q.ql),
+            SELECT p.qid, a.vec_id AS cid, a.label AS neg_label,
+                   ${cosSql("p.qv", "a.v", "p.qn2", "a.n2")} AS cosine
+            FROM assigned a JOIN probes p ON a.cell = p.cell
+            WHERE a.vec_id <> p.qid AND a.label IS DISTINCT FROM p.ql),
           nr AS (
             SELECT qid, cid, neg_label, cosine,
                    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
