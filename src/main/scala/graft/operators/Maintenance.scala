@@ -256,14 +256,19 @@ object Maintenance {
     * of the compared columns). One full-outer key join; at scale both
     * snapshots are key-partitioned so the join co-locates. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: Column, payload: Column): DataFrame = {
-    val o = oldDf.select(key.as("key"), payload.as("__po"))
-    val n = newDf.select(key.as("key"), payload.as("__pn"))
+    // Presence is an EXPLICIT per-side flag, not payload nullness: a
+    // present key whose payload evaluates to NULL must not read as
+    // added/removed, and NULL-vs-value payloads must compare CHANGED
+    // (=!= yields NULL there and would silently suppress the row) —
+    // hence the null-safe <=> negated.
+    val o = oldDf.select(key.as("key"), payload.as("__po"), lit(true).as("__eo"))
+    val n = newDf.select(key.as("key"), payload.as("__pn"), lit(true).as("__en"))
     o.join(n, Seq("key"), "full_outer")
       .withColumn(
         "status",
-        when(col("__po").isNull, "added")
-          .when(col("__pn").isNull, "removed")
-          .when(col("__po") =!= col("__pn"), "changed")
+        when(col("__eo").isNull, "added")
+          .when(col("__en").isNull, "removed")
+          .when(!(col("__po") <=> col("__pn")), "changed")
           .otherwise("unchanged"))
       .filter(col("status") =!= "unchanged")
       .select(col("key"), col("status"))

@@ -442,7 +442,9 @@ object Profile {
         when(col("capped"), col("cap_alloc"))
           .when(col("__u") > 0, expr("__left div __u"))
           .otherwise(lit(0L)))
-      .withColumn("epochs_x1000", expr("(alloc_tokens * 1000L) div n_tokens"))
+      // greatest(…, 1): a zero-weight group (possible with arbitrary
+      // caller weights) must report 0 epochs, not NULL/div-by-zero
+      .withColumn("epochs_x1000", expr("(alloc_tokens * 1000L) div greatest(n_tokens, 1L)"))
       .select(col("language"), col("n_tokens"), col("capped"), col("alloc_tokens"), col("epochs_x1000"))
   }
 

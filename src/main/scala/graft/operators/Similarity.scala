@@ -1331,9 +1331,19 @@ object Similarity {
     * Scale shape: the codebook is broadcast twice (assignment argmax +
     * runner-up min) in ONE crossJoin pass — per corpus row, a
     * fixed-k fold and a slim two-value hash-agg; the corpus never
-    * shuffles and the output is |cells| rows. */
+    * shuffles and the output is |cells| rows.
+    *
+    * Domain: embeddings are assumed unit-norm-ish (components ≲ 1, the
+    * usual cosine-embedding shape) — on the 1e7 quantization grid d²
+    * then stays ≲ 4·10¹⁵·(dim/64) and `a·10³` below cannot wrap int64.
+    * Heavily unnormalized vectors (own-centroid d² > ~9.2·10¹⁵) would
+    * overflow; rescale them before auditing. `b` is the RUNNER-UP
+    * distance, so the codebook must have ≥ 2 cells (required eagerly —
+    * a 1-cell report would be vacuous and engine-divergent). */
   def codebookQuality(embs: DataFrame, codebook: DataFrame): DataFrame = {
     val cents = codebook.select(col("cell"), col("cv"), col("cn2"))
+    require(cents.limit(2).count() >= 2,
+      "codebookQuality needs a codebook with >= 2 cells (b = runner-up distance)")
     // nearest + runner-up in ONE slim hash-agg: collect the k (d², cell)
     // pairs per vector and struct-sort — d² asc then cell asc IS the
     // assignment tie rule; payload is k fixed-width structs (codebooks

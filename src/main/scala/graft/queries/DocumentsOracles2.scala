@@ -1279,7 +1279,7 @@ private[queries] object DocumentsOracles2 {
                           ELSE 0 END AS BIGINT) AS alloc_tokens,
                 CAST((CASE WHEN capped THEN cap_alloc
                            WHEN u > 0 THEN lft // u
-                           ELSE 0 END * 1000) // n_tokens AS BIGINT) AS epochs_x1000
+                           ELSE 0 END * 1000) // GREATEST(n_tokens, 1) AS BIGINT) AS epochs_x1000
          FROM fl CROSS JOIN tot""",
 
     // IVF-PQ encode: the pq chain run on residuals to the trained

@@ -199,10 +199,14 @@ object DocStream {
         explode(TextAnalysis.tokens(col("text"))).as("t"))
       .join(broadcast(refProfile), Seq("t"), "left")
       .withColumn("__ppm", coalesce(col("ref_ppm"), lit(0L)))
+      // OOV = the LEFT-JOIN MISS, not __ppm = 0: the integer-ppm
+      // profile truncates any in-vocab token rarer than 1-in-1M to
+      // ppm 0, and a rare-but-seen token is not "never seen"
+      .withColumn("__oov", when(col("ref_ppm").isNull, 1L).otherwise(0L))
       .groupBy(window(col("ingest_ts"), windowDur), col("source"))
       .agg(
         count(lit(1)).as("n_tokens"),
         expr("sum(__ppm) div count(1)").as("mean_ref_ppm"),
-        expr("(sum(CASE WHEN __ppm = 0 THEN 1 ELSE 0 END) * 1000000) div count(1)").as("oov_ppm"))
+        expr("(sum(__oov) * 1000000) div count(1)").as("oov_ppm"))
       .withColumn("alert", col("mean_ref_ppm") < alertBelowPpm)
 }

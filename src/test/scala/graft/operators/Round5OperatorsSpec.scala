@@ -33,6 +33,15 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(out.toSet === Set(("a", true, 30L), ("b", true, 60L)))
   }
 
+  test("unimaxPlan: a zero-weight group reports 0 epochs, never NULL/div-by-zero") {
+    val docs = Seq((1L, "a", 0L), (2L, "a", 0L), (3L, "b", 10L)).toDF("doc_id", "lang", "w")
+    val byLang = Profile.unimaxPlan(docs, col("lang"), col("w"), budget = 100L, epochCapX1000 = 2000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.isNullAt(4), r.getLong(4))).toMap
+    val (na, aNull, aEpochs) = byLang("a")
+    assert(na == 0L && !aNull && aEpochs == 0L) // 0-token group: alloc 0 → 0 epochs
+    assert(!byLang("b")._2)
+  }
+
   test("leakFreeSplit: every member of a dup cluster lands in the survivor's split") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val survivors = Seq(
@@ -242,6 +251,18 @@ class Round5OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  test("snapshotDiff: NULL payloads — present key with NULL payload is not added/removed; NULL-vs-value is CHANGED") {
+    val oldSnap = Seq((1L, Option("x")), (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (3L, Option("z")))
+      .toDF("doc_id", "text")
+    val out = Maintenance.snapshotDiff(oldSnap, newSnap, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: value→NULL = changed; 2: NULL<=>NULL = unchanged (suppressed);
+    // 3: NULL→value = changed — never misread as added/removed
+    assert(out === Map(1L -> "changed", 3L -> "changed"))
+  }
+
   test("packingEfficiency: hand-checked bins and waste at capacity 10") {
     val docs = Seq(
       (1L, "a", 7L), (2L, "a", 7L), (3L, "a", 7L), // padded: 3 bins; packed: ⌈21/10⌉ = 3
@@ -322,5 +343,13 @@ class Round5OperatorsSpec extends SparkSpec {
     // separation well under 10⁶ ppm: members sit much closer to their
     // own centroid than to the other
     assert(out(0L)._3 < 20000L && out(1L)._3 < 20000L)
+  }
+
+  test("codebookQuality: a 1-cell codebook is rejected eagerly (b = runner-up distance needs >= 2 cells)") {
+    val embs = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cb = Seq((0L, Seq(10000000L, 0L)))
+      .toDF("cell", "cv").withColumn("cn2", expr("cv[0]*cv[0] + cv[1]*cv[1]"))
+    val e = intercept[IllegalArgumentException](Similarity.codebookQuality(embs, cb))
+    assert(e.getMessage.contains(">= 2 cells"))
   }
 }
