@@ -35,6 +35,14 @@ object Portable {
   /** 32-bit md5-prefix hash. DuckDB: `('0x'||substr(md5(s),1,8))::BIGINT`. */
   def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Deterministic basis-point sample gate: TRUE for the `rateBps`
+    * /10000 fraction of ids (a pure function of the id — partition-,
+    * engine- and retry-invariant; the gate every sampled mode in the
+    * library shares). DuckDB:
+    * `('0x'||substr(md5(seed||'_'||id),1,15))::BIGINT % 10000 < rateBps`. */
+  def sampleGate(id: Column, rateBps: Int, seed: String): Column =
+    pmod(hash60(concat(lit(seed), lit("_"), id.cast("string"))), lit(10000L)) < rateBps
+
   /** Minhash permutation k: h ↦ (a_k·h + b_k) mod P with
     * a_k = (k+1)·2654435761 mod P, b_k = (k+7)·976369 mod P.
     * Same closed form is embedded in the oracle SQL — no literal tables

@@ -1053,6 +1053,27 @@ object Similarity {
     * orders of magnitude below the corpus); one left join on (qid, cid)
     * and a per-query count aggregate. Nothing corpus-sized moves; run
     * it on the query sample you care about. */
+  /** [[topKRecallAudit]] in SAMPLED mode — the 100 TB audit shape: a
+    * deterministic hash gate ([[Portable.sampleGate]]) picks
+    * `rateBps`/10000 of the QUERIES and the audit runs only on them.
+    * Because both inputs are lazy relations, the qid gate pushes
+    * through the rank windows (qid is the partition key) down to the
+    * query-relation scan — so when `truth` is a declared brute-force
+    * plan, the EXACT-TRUTH cost itself shrinks to the sample, which is
+    * the point: full-universe truth is unaffordable at corpus scale,
+    * a hash-sampled unbiased recall estimate is not. Deterministic
+    * gate ⇒ the sampled audit is still oracle-checkable row-for-row. */
+  def topKRecallAuditSampled(
+      truth: DataFrame,
+      approx: DataFrame,
+      rateBps: Int,
+      seed: String = "audit"): DataFrame = {
+    require(rateBps > 0 && rateBps <= 10000, s"rateBps must be in (0, 10000]: $rateBps")
+    topKRecallAudit(
+      truth.filter(Portable.sampleGate(col("qid"), rateBps, seed)),
+      approx.filter(Portable.sampleGate(col("qid"), rateBps, seed)))
+  }
+
   def topKRecallAudit(truth: DataFrame, approx: DataFrame): DataFrame = {
     val t = truth.select(col("qid"), col("cid"))
     val a = approx.select(col("qid"), col("cid")).withColumn("__hit", lit(1))

@@ -1043,6 +1043,26 @@ object TextDedup {
     * PAIR relations — orders of magnitude smaller than the corpus)
     * folded into a single count aggregate; nothing corpus-sized moves.
     * Deterministic, so the audit itself is oracle-checkable. */
+  /** [[recallAudit]] in SAMPLED mode — the 100 TB audit shape: a
+    * deterministic hash gate ([[Portable.sampleGate]]) restricts both
+    * pair relations to ANCHORS (doc_a) in the `rateBps`/10000 sample
+    * before the compare. With lazily-declared inputs the doc_a gate
+    * pushes through the pair aggregations (doc_a leads every group
+    * key), so the exact-truth side (e.g. [[prefixJaccardPairs]]) only
+    * materializes the sampled anchors' pairs — full-universe truth is
+    * unaffordable at corpus scale, a hash-sampled unbiased estimate is
+    * not. Deterministic gate ⇒ still oracle-checkable. */
+  def recallAuditSampled(
+      truth: DataFrame,
+      candidate: DataFrame,
+      rateBps: Int,
+      seed: String = "audit"): DataFrame = {
+    require(rateBps > 0 && rateBps <= 10000, s"rateBps must be in (0, 10000]: $rateBps")
+    recallAudit(
+      truth.filter(Portable.sampleGate(col("doc_a"), rateBps, seed)),
+      candidate.filter(Portable.sampleGate(col("doc_a"), rateBps, seed)))
+  }
+
   def recallAudit(truth: DataFrame, candidate: DataFrame): DataFrame = {
     val t = truth.select(col("doc_a"), col("doc_b")).withColumn("__t", lit(1))
     val c = candidate.select(col("doc_a"), col("doc_b")).withColumn("__c", lit(1))

@@ -908,6 +908,30 @@ object Documents {
     "q152_trigram_lm" -> ((s, dir) =>
       TextAnalysis.trigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // SAMPLED audit mode — the 100 TB shape of q125: a deterministic
+    // hash gate (Portable.sampleGate, 50% here → qids 0 and 3 of the
+    // probe set) restricts BOTH the exact brute-force truth and the
+    // IVF list to the sampled queries; the gate pushes through the
+    // rank windows to the query scan, so exact-truth cost shrinks
+    // with the sample instead of the corpus.
+    "q155_sampled_ann_audit" -> ((s, dir) =>
+      Similarity.topKRecallAuditSampled(
+        Similarity.bruteForceTopK(Tables.embeddings(s, dir), QueryRel(s, dir), 5),
+        Similarity.ivfTopK(
+          Tables.embeddings(s, dir), QueryRel(s, dir), nCells = 16, nProbe = 2, k = 5),
+        rateBps = 5000)),
+
+    // SAMPLED LSH recall audit — q112 with the anchor-gated sample:
+    // both the exact PPJoin truth and the LSH candidate relation are
+    // restricted to the hash-sampled anchors before the compare.
+    "q156_sampled_lsh_audit" -> ((s, dir) =>
+      TextDedup.recallAuditSampled(
+        sharedPrefixPairs(s, dir),
+        TextDedup.lshRescoredPairs(
+          sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8,
+          precomputedSigs = Some(sharedSigs(s, dir))),
+        rateBps = 5000)),
+
     // Split-leakage audit: near-dup pairs straddling a split boundary
     // under the per-doc hash split vs the survivor-keyed split — the
     // survivor row is structurally ZERO and the oracle re-derives it.

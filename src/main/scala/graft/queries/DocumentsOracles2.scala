@@ -1634,7 +1634,109 @@ private[queries] object DocumentsOracles2 {
           UNION ALL
           SELECT 4, 'decontaminated', COUNT(1), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM k2
           UNION ALL
-          SELECT 5, 'rebalanced', COUNT(1), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM k3"""
+          SELECT 5, 'rebalanced', COUNT(1), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM k3""",
+
+    // q125's audit restricted to the deterministic 50% query sample
+    // (gate = md5-hash of 'audit_<qid>' mod 10000 < 5000).
+    "q155_sampled_ann_audit" ->
+      s"""WITH $quantCte,
+          tq AS (
+            SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en
+            WHERE vec_id IN (0,1,2,3,4)
+              AND ('0x' || substr(md5('audit_' || vec_id), 1, 15))::BIGINT % 10000 < 5000),
+          tscored AS (
+            SELECT tq.qid, c.vec_id AS cid,
+                   ${cosSql("tq.qv", "c.v", "tq.qn2", "c.n2")} AS cosine
+            FROM en c, tq WHERE c.vec_id <> tq.qid),
+          truth AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM tscored) WHERE rk <= 5),
+          cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM en WHERE vec_id < 16),
+          cc AS (
+            SELECT en.vec_id, en.v, en.n2, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cents c),
+          assigned AS (
+            SELECT vec_id, v, n2, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, v AS qv, n2 AS qn2, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc WHERE vec_id IN (0,1,2,3,4)
+                AND ('0x' || substr(md5('audit_' || vec_id), 1, 15))::BIGINT % 10000 < 5000)
+            WHERE rn <= 2),
+          ascored AS (
+            SELECT p.qid, a.vec_id AS cid,
+                   ${cosSql("p.qv", "a.v", "p.qn2", "a.n2")} AS cosine
+            FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid),
+          approx AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+              FROM ascored) WHERE rk <= 5)
+          SELECT t.qid, COUNT(1) AS n_truth, COUNT(a.cid) AS n_hit,
+                 CAST((COUNT(a.cid) * 1000000) // COUNT(1) AS BIGINT) AS recall_ppm
+          FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.cid = t.cid
+          GROUP BY 1""",
+
+    // q112's audit with both sides anchor-gated to the deterministic
+    // 50% doc_a sample before the compare.
+    "q156_sampled_lsh_audit" ->
+      s"""WITH $sigCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          tinter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ),
+          truth AS (
+            SELECT da, db FROM tinter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+              AND ('0x' || substr(md5('audit_' || da), 1, 15))::BIGINT % 10000 < 5000
+          ),
+          bands AS (
+            SELECT doc_id, k // 2 AS band,
+                   SUM(CASE WHEN k % 2 = 0 THEN minhash * 2147483647 ELSE minhash END) AS band_key
+            FROM sig GROUP BY doc_id, k // 2
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          ),
+          est AS (
+            SELECT c.da, c.db
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db AND sb.k = sa.k
+            GROUP BY 1, 2
+            HAVING COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END) / 16.0 >= 0.5
+          ),
+          linter AS (
+            SELECT e.da, e.db, COUNT(1) AS i
+            FROM est e
+            JOIN sh a ON a.doc_id = e.da
+            JOIN sh b ON b.doc_id = e.db AND b.s = a.s
+            GROUP BY 1, 2
+          ),
+          lsh AS (
+            SELECT l.da, l.db FROM linter l
+            JOIN sizes sa ON sa.doc_id = l.da JOIN sizes sb ON sb.doc_id = l.db
+            WHERE CAST(l.i AS DOUBLE) / (sa.n + sb.n - l.i) >= 0.8
+              AND ('0x' || substr(md5('audit_' || l.da), 1, 15))::BIGINT % 10000 < 5000
+          ),
+          j AS (
+            SELECT CAST(COUNT(CASE WHEN t.da IS NOT NULL AND l.da IS NOT NULL THEN 1 END) AS BIGINT) AS tp,
+                   CAST(COUNT(CASE WHEN t.da IS NOT NULL AND l.da IS NULL THEN 1 END) AS BIGINT) AS fn,
+                   CAST(COUNT(CASE WHEN t.da IS NULL AND l.da IS NOT NULL THEN 1 END) AS BIGINT) AS fp
+            FROM truth t FULL OUTER JOIN lsh l ON t.da = l.da AND t.db = l.db
+          )
+          SELECT tp + fn AS n_truth, tp + fp AS n_candidate, tp, fn, fp,
+                 (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm,
+                 (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm
+          FROM j"""
   )
 
   /** Residual chain for IVF-PQ (mirror of
