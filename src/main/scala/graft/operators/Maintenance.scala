@@ -27,6 +27,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Maintenance {
 
+  /** Hard ceiling on an upsert batch's distinct-partition fan-out —
+    * the touched set turns into an OR-of-ANDs pruning predicate, which
+    * must stay far below Catalyst-pathological sizes. */
+  val MaxUpsertPartitionFanout = 4096
+
   /** Partition-pruned upsert: merge `updates` into the parquet table
     * at `path` partitioned by `partCol`. Key identity is `keyCols`;
     * when both sides have a key, the row with the greater `version`
@@ -68,6 +73,12 @@ object Maintenance {
     val touched = updates.select(partCols.map(col): _*).distinct()
       .collect().map(_.toSeq).toIndexedSeq
     if (touched.isEmpty) return touched
+    // the touched set becomes an OR-of-ANDs pruning predicate — fine
+    // for a sane ingest batch, catastrophic past a few thousand terms
+    // (Catalyst predicate size, driver memory): fail loudly instead
+    require(touched.size <= MaxUpsertPartitionFanout,
+      s"upsert batch touches ${touched.size} partitions (> $MaxUpsertPartitionFanout); " +
+        "split the batch or coarsen the partition key")
     val pruning = touched
       .map(tuple =>
         partCols.zip(tuple).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
@@ -112,9 +123,8 @@ object Maintenance {
 
   /** Per-partition file census of a Hive-partitioned table — the
     * metadata scan both maintenance ops and a human operator consult.
-    * Driver-side file listing (same cost class as the planner's own
-    * listing); returns (partition, n_files, total_bytes, min_bytes,
-    * max_bytes). */
+    * Returns (partition, n_files, total_bytes, min_bytes, max_bytes)
+    * as a DISTRIBUTED relation. */
   def partitionFileStats(spark: SparkSession, path: String, partCol: String): DataFrame =
     partitionFileStats(spark, path, Seq(partCol))
       .withColumn("partition", stripHivePrefix(partCol))
@@ -122,28 +132,49 @@ object Maintenance {
   /** [[partitionFileStats]] over a composite partition key: one level
     * of `col=value` directories per partition column, leaf stats per
     * full tuple. `partition` is the relative Hive path
-    * (`day=2024-01-01/sym=A`). */
+    * (`day=2024-01-01/sym=A`).
+    *
+    * Scale shape: the driver lists ONLY the first partition level
+    * (its cardinality — days, typically — is the one a layout keeps
+    * small); every level below is walked ON EXECUTORS, so a
+    * ~500 k-partition/year census scales out instead of funneling one
+    * listStatus RPC per partition through the driver. The result is a
+    * DataFrame, not a driver collection — consumers decide what (if
+    * anything) to materialize. Executors reach the filesystem via the
+    * standard Hadoop config discovery (core-site on the classpath),
+    * the same mechanism every executor-side read already relies on. */
   def partitionFileStats(spark: SparkSession, path: String, partCols: Seq[String]): DataFrame = {
     import spark.implicits._
     require(partCols.nonEmpty, "partCols must be non-empty")
     val fs   = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.resolvePath(new Path(path))
-    def leaves(p: Path, level: Int): Seq[Path] =
-      if (level == partCols.length) Seq(p)
-      else fs.listStatus(p)
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"${partCols(level)}="))
-        .toIndexedSeq
-        .flatMap(d => leaves(d.getPath, level + 1))
-    leaves(root, 0).map { p =>
-      val files = fs.listStatus(p)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      val sizes = files.map(_.getLen)
-      (root.toUri.relativize(p.toUri).getPath.stripSuffix("/"),
-        files.length.toLong,
-        sizes.sum,
-        if (sizes.isEmpty) 0L else sizes.min,
-        if (sizes.isEmpty) 0L else sizes.max)
-    }.toDF("partition", "n_files", "total_bytes", "min_bytes", "max_bytes")
+    val firstLevel = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"${partCols.head}="))
+      .map(_.getPath.toString).toIndexedSeq
+    val rootUri  = root.toUri
+    val restCols = partCols.drop(1)
+    spark.sparkContext
+      .parallelize(firstLevel, math.max(1, math.min(firstLevel.size, 64)))
+      .flatMap { dirStr =>
+        val top = new Path(dirStr)
+        val efs = top.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        def leaves(q: Path, level: Int): Seq[Path] =
+          if (level == restCols.length) Seq(q)
+          else efs.listStatus(q).toIndexedSeq
+            .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"${restCols(level)}="))
+            .flatMap(d => leaves(d.getPath, level + 1))
+        leaves(top, 0).map { leaf =>
+          val files = efs.listStatus(leaf)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          val sizes = files.map(_.getLen)
+          (rootUri.relativize(leaf.toUri).getPath.stripSuffix("/"),
+            files.length.toLong,
+            sizes.sum,
+            if (sizes.isEmpty) 0L else sizes.min,
+            if (sizes.isEmpty) 0L else sizes.max)
+        }
+      }
+      .toDF("partition", "n_files", "total_bytes", "min_bytes", "max_bytes")
   }
 
   /** Small-file compaction: rewrite every partition whose file count
@@ -164,7 +195,16 @@ object Maintenance {
       partCol: String,
       maxFiles: Int,
       targetBytes: Long): DataFrame =
-    compactPartitions(spark, path, Seq(partCol), maxFiles, targetBytes)
+    compactPartitions(spark, path, partCol, maxFiles, targetBytes, maxPartitionsPerRun = 1024)
+
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      maxFiles: Int,
+      targetBytes: Long,
+      maxPartitionsPerRun: Int): DataFrame =
+    compactPartitions(spark, path, Seq(partCol), maxFiles, targetBytes, maxPartitionsPerRun)
       .withColumn("partition", stripHivePrefix(partCol))
 
   /** Single-partition-column callers see bare VALUES (`2024-01-01`),
@@ -183,16 +223,28 @@ object Maintenance {
       path: String,
       partCols: Seq[String],
       maxFiles: Int,
-      targetBytes: Long): DataFrame = {
+      targetBytes: Long,
+      maxPartitionsPerRun: Int = 1024): DataFrame = {
     import spark.implicits._
     require(maxFiles >= 1 && targetBytes > 0, s"bad thresholds: $maxFiles/$targetBytes")
-    val stats = partitionFileStats(spark, path, partCols).collect()
-    val todo = stats.filter(_.getAs[Long]("n_files") > maxFiles).map { r =>
-      val bytes = r.getAs[Long]("total_bytes")
-      (r.getAs[String]("partition"),
-        r.getAs[Long]("n_files"),
-        math.max(1L, (bytes + targetBytes - 1) / targetBytes))
-    }
+    require(maxPartitionsPerRun >= 1, s"maxPartitionsPerRun must be >= 1: $maxPartitionsPerRun")
+    // Bounded planning: the census stays a distributed relation; the
+    // driver materializes ONLY the `maxPartitionsPerRun` MOST
+    // fragmented offenders (worst-first, deterministic tiebreak) —
+    // never the full ~500 k-partition census. Anything left over is
+    // simply picked up by the next run, which is exactly how a
+    // periodic optimizer should drain a backlog.
+    val todo = partitionFileStats(spark, path, partCols)
+      .filter(col("n_files") > maxFiles)
+      .orderBy(desc("n_files"), asc("partition"))
+      .limit(maxPartitionsPerRun)
+      .collect()
+      .map { r =>
+        val bytes = r.getAs[Long]("total_bytes")
+        (r.getAs[String]("partition"),
+          r.getAs[Long]("n_files"),
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes))
+      }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     todo.foreach { case (partPath, _, nOut) =>
       val table = spark.read.parquet(path)

@@ -147,4 +147,47 @@ class MaintenanceSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids === (0L until 60L).toSeq)
   }
+
+  test("bounded planning at thousands of partitions: census is distributed, planner drains worst-first up to the cap") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_cap").toString + "/t"
+    val n = 2048
+    (0 until n).map(i => (f"p$i%04d", i.toLong)).toDF("part", "id")
+      .repartition(32, col("part"))
+      .write.partitionBy("part").parquet(dir)
+    // fragment six partitions with a second file each
+    (0 until 6).map(i => (f"p$i%04d", (10000 + i).toLong)).toDF("part", "id")
+      .repartition(6, col("part"))
+      .write.mode("append").partitionBy("part").parquet(dir)
+
+    // the census is a DataFrame (never a forced driver collection) and
+    // covers every leaf
+    val census = Maintenance.partitionFileStats(spark, dir, "part")
+    assert(census.count() === n.toLong)
+    assert(census.filter(col("n_files") > 1).count() === 6L)
+
+    // cap 3 < 6 offenders: the planner materializes/rewrites only the
+    // worst 3 (all tie at 2 files -> partition-asc tiebreak); the rest
+    // wait for the next run
+    val done = Maintenance.compactPartitions(
+      spark, dir, "part", maxFiles = 1, targetBytes = 1L << 30, maxPartitionsPerRun = 3)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(done === Seq("p0000", "p0001", "p0002"))
+    val after = Maintenance.partitionFileStats(spark, dir, "part")
+      .filter(col("n_files") > 1)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(after === Seq("p0003", "p0004", "p0005")) // backlog intact for run 2
+  }
+
+  test("upsertPartitions: partition fan-out beyond the pruning-predicate budget is rejected loudly") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_fanout").toString + "/t"
+    Seq(("d0", 0L, "x", 1L)).toDF("day", "id", "payload", "v")
+      .write.partitionBy("day").parquet(dir)
+    val wide = (0 until Maintenance.MaxUpsertPartitionFanout + 1)
+      .map(i => (f"d$i%05d", i.toLong, "y", 2L)).toDF("day", "id", "payload", "v")
+    val e = intercept[IllegalArgumentException](
+      Maintenance.upsertPartitions(spark, dir, wide, "day", Seq("id"), "v"))
+    assert(e.getMessage.contains("split the batch"))
+  }
 }
