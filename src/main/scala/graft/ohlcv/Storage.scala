@@ -85,21 +85,35 @@ object Storage {
       spark: SparkSession,
       dir: String,
       k: Int,
-      modifiedAfterIso: Option[String] = None): Seq[String] = {
+      modifiedAfterIso: Option[String] = None): Seq[String] =
+    fileInventory(spark.sparkContext.hadoopConfiguration, dir, modifiedAfterIso)
+      .take(k).map(_._1)
+
+  /** Newest-first metadata INVENTORY of the data files under `dir`:
+    * (absolute path, bytes, modified epoch millis). Metadata-only
+    * recursive listing on any supported store; hidden/temp files
+    * (dot/underscore prefixed) skipped like Spark's own file index;
+    * optional recency pre-filter. Shared core of [[newestFiles]] and
+    * the serving layer's `/files` dashboard surface (reference
+    * `scripts/dashboard.py:48-93`). */
+  def fileInventory(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String,
+      modifiedAfterIso: Option[String] = None): Seq[(String, Long, Long)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
-    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs   = path.getFileSystem(conf)
     if (!fs.exists(path)) return Seq.empty
     val cutoff = modifiedAfterIso.map(java.time.Instant.parse(_).toEpochMilli)
     val it     = fs.listFiles(path, true)
-    val files  = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val files  = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     while (it.hasNext) {
       val st   = it.next()
       val name = st.getPath.getName
       if (st.isFile && !name.startsWith(".") && !name.startsWith("_") &&
         cutoff.forall(st.getModificationTime > _))
-        files += ((st.getPath.toString, st.getModificationTime))
+        files += ((st.getPath.toString, st.getLen, st.getModificationTime))
     }
-    files.sortBy { case (p, m) => (-m, p) }.take(k).map(_._1).toSeq
+    files.sortBy { case (p, _, m) => (-m, p) }.toSeq
   }
 
   /** S7: partitioned gzip CSV sink (header, reference column order). */

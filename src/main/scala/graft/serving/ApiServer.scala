@@ -41,12 +41,17 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object ApiServer {
 
-  /** Handler knobs, defaulted to the reference's constants. */
+  /** Handler knobs, defaulted to the reference's constants.
+    * `filesDir` opts into the /files inventory surface (the
+    * dashboard's raw-landing listing, `scripts/dashboard.py:48-93`);
+    * None (default) keeps the surface 404. */
   final case class Config(
       port: Int = 0, // 0 = ephemeral
       latestSymbolCap: Int = 10, // api_handler.py:177
       historicalSymbolCap: Int = 5, // :224
-      clock: () => java.time.Instant = () => java.time.Instant.now())
+      clock: () => java.time.Instant = () => java.time.Instant.now(),
+      filesDir: Option[String] = None,
+      filesListCap: Int = 10) // dashboard.py list_recent_data(limit=10)
 
   final class Server private[serving] (
       http: com.sun.net.httpserver.HttpServer,
@@ -134,6 +139,8 @@ object ApiServer {
     else if (path.startsWith("/latest")) handleLatest(ex, source.frame(), qp, cfg)
     else if (path.startsWith("/historical")) handleHistorical(ex, source, qp, cfg)
     else if (path.startsWith("/alfaquantz/price/get")) handleAlfaPrice(ex, source, path, qp, cfg)
+    else if (path == "/files" || path == "/files/") handleFiles(ex, qp, cfg)
+    else if (path.startsWith("/file/")) handleFileDetail(ex, path.stripPrefix("/file/"), cfg)
     else { // :51-58
       val err = mapper.createObjectNode()
       err.put("error", "Endpoint not found")
@@ -351,6 +358,123 @@ object ApiServer {
         out.put("timestamp", cfg.clock().toString)
         respond(ex, 200, out)
     }
+  }
+
+  /** GET /files?limit= — newest-first inventory of landed raw files
+    * with size/modified metadata (`scripts/dashboard.py:48-93`:
+    * list_objects_v2 → json filter → sort by modified desc → cap).
+    * Metadata-only listing; never opens a data file. 404 unless the
+    * server was started with `Config.filesDir`. */
+  private def handleFiles(
+      ex: com.sun.net.httpserver.HttpExchange,
+      qp: Map[String, String],
+      cfg: Config): Unit = cfg.filesDir match {
+    case None =>
+      val err = mapper.createObjectNode()
+      err.put("error", "Files surface not configured")
+      respond(ex, 404, err)
+    case Some(dir) =>
+      val limit = qp.get("limit").flatMap(s => scala.util.Try(s.toInt).toOption)
+        .filter(_ > 0).getOrElse(cfg.filesListCap)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val rootUri = {
+        val p  = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        (if (fs.exists(p)) fs.resolvePath(p) else fs.makeQualified(p)).toUri
+      }
+      val inv = graft.ohlcv.Storage.fileInventory(conf, dir)
+        .filter(_._1.endsWith(".json")) // dashboard lists raw JSON only
+        .take(limit)
+      val body = mapper.createObjectNode()
+      val arr  = body.putArray("files")
+      inv.foreach { case (p, size, m) =>
+        val o = arr.addObject()
+        o.put("key", rootUri.relativize(new org.apache.hadoop.fs.Path(p).toUri).getPath)
+        o.put("size", size)
+        o.put("modified", java.time.Instant.ofEpochMilli(m).toString)
+      }
+      body.put("count", inv.size)
+      respond(ex, 200, body)
+  }
+
+  /** GET /file/{key} — per-file detail (`scripts/dashboard.py:201-260`):
+    * the raw envelope parsed into per-symbol candle objects
+    * ({timestamp, datetime, open, high, low, close, volume}), both
+    * envelope formats handled (legacy `data` map and direct-symbol).
+    * The key is the /files-relative path; traversal is rejected. */
+  private def handleFileDetail(
+      ex: com.sun.net.httpserver.HttpExchange,
+      key: String,
+      cfg: Config): Unit = cfg.filesDir match {
+    case None =>
+      val err = mapper.createObjectNode()
+      err.put("error", "Files surface not configured")
+      respond(ex, 404, err)
+    case Some(dir) =>
+      if (key.isEmpty || key.split("/").contains("..") || key.startsWith("/")) {
+        val err = mapper.createObjectNode()
+        err.put("error", "Invalid file key")
+        respond(ex, 400, err); return
+      }
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs   = root.getFileSystem(conf)
+      val file = new org.apache.hadoop.fs.Path(root, key)
+      if (!fs.exists(file) || !fs.getFileStatus(file).isFile) {
+        val err = mapper.createObjectNode()
+        err.put("error", "File not found")
+        err.put("key", key)
+        respond(ex, 404, err); return
+      }
+      val text = {
+        val in = fs.open(file)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      val body = mapper.createObjectNode()
+      body.put("key", key)
+      val symbols = body.putArray("symbols")
+      // Spark-written raw files are JSON LINES of envelopes; a
+      // hand-landed file is one multi-line document — accept both.
+      val docs: Seq[com.fasterxml.jackson.databind.JsonNode] = {
+        val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+        val parsed = lines.flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
+        if (parsed.nonEmpty && parsed.size == lines.size) parsed
+        else scala.util.Try(mapper.readTree(text)).toOption.toSeq
+      }
+      docs.headOption.flatMap(d => Option(d.get("metadata"))).foreach { m =>
+        body.set[com.fasterxml.jackson.databind.JsonNode]("metadata", m); ()
+      }
+      docs.foreach { doc =>
+        // legacy format: symbol blocks under `data`; new format:
+        // symbol blocks directly at top level (dashboard.py:224-232)
+        val src =
+          if (doc.has("data") && doc.get("data").isObject) doc.get("data")
+          else doc
+        src.fields().forEachRemaining { e =>
+          val (sym, block) = (e.getKey, e.getValue)
+          if (sym != "metadata" && block.isObject) {
+            val cand = Option(block.get("candles")).orElse(Option(block.get("candles_sample")))
+            cand.filter(_.isArray).foreach { cs =>
+              val o = symbols.addObject()
+              o.put("symbol", sym)
+              o.put("total_records", cs.size())
+              val arr = o.putArray("candles")
+              cs.forEach { c =>
+                if (c.isArray && c.size() >= 6) {
+                  val row = arr.addObject()
+                  val ts  = c.get(0).asLong()
+                  row.put("timestamp", ts)
+                  row.put("datetime", isoZ(ts)) // dashboard.py:246-249, UTC here
+                  row.put("open", c.get(1).asDouble()); row.put("high", c.get(2).asDouble())
+                  row.put("low", c.get(3).asDouble()); row.put("close", c.get(4).asDouble())
+                  row.put("volume", c.get(5).asLong())
+                }
+              }
+            }
+          }
+        }
+      }
+      respond(ex, 200, body)
   }
 
   // ---------------------------------------------------------------

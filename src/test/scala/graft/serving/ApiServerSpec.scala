@@ -282,4 +282,58 @@ class ApiServerSpec extends SparkSpec {
       assert(mapper.readTree(b2).get("data").get("NSE:NULLY-EQ").get("last_candle").get(0).asLong === 1759895400L)
     } finally server.stop()
   }
+
+  test("/files inventory + /file/{key} detail: landed raw files listed newest-first with size/modified, detail parses the envelope") {
+    val landDir = java.nio.file.Files.createTempDirectory("graft-files").toString
+    val mock1 = MockData.candles(spark, Seq("NSE:TCS-EQ"), 3, 1759895100L)
+    MockData.envelope(mock1, "2025-10-08T04:00:00Z").coalesce(1).write.json(s"$landDir/f1")
+    Thread.sleep(1100) // distinct mtimes at FS resolution
+    val mock2 = MockData.candles(spark, Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"), 2, 1759898700L)
+    MockData.envelope(mock2, "2025-10-08T05:00:00Z").coalesce(1).write.json(s"$landDir/f2")
+
+    val server = ApiServer.start(
+      () => candles,
+      ApiServer.Config(
+        clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z"),
+        filesDir = Some(landDir)))
+    try {
+      val (code, body) = get(server, "/files")
+      assert(code === 200)
+      val j = mapper.readTree(body)
+      assert(j.get("count").asInt === 2)
+      val first = j.get("files").get(0)
+      assert(first.get("key").asText.startsWith("f2/")) // newest first
+      assert(first.get("size").asLong > 0L)
+      assert(first.get("modified").asText.endsWith("Z"))
+      assert(j.get("files").get(1).get("key").asText.startsWith("f1/"))
+
+      val (cl, bl) = get(server, "/files?limit=1")
+      assert(cl === 200 && mapper.readTree(bl).get("count").asInt === 1)
+
+      // detail: both symbols parsed out of the newest envelope
+      val key = first.get("key").asText
+      val (cd, bd) = get(server, s"/file/$key")
+      assert(cd === 200, bd)
+      val d = mapper.readTree(bd)
+      assert(d.get("key").asText === key)
+      assert(d.get("metadata").get("total_symbols").asLong === 2L)
+      val syms = (0 until d.get("symbols").size())
+        .map(i => d.get("symbols").get(i).get("symbol").asText).sorted
+      assert(syms === Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"))
+      val c0 = d.get("symbols").get(0).get("candles").get(0)
+      assert(c0.has("timestamp") && c0.has("datetime") && c0.has("open") && c0.has("volume"))
+
+      // traversal rejected; missing file is a clean 404
+      assert(get(server, "/file/../etc/passwd")._1 === 400)
+      assert(get(server, "/file/f9/nope.json")._1 === 404)
+    } finally server.stop()
+  }
+
+  test("/files without a configured dir stays 404") {
+    withServer { s =>
+      val (code, body) = get(s, "/files")
+      assert(code === 404)
+      assert(mapper.readTree(body).get("error").asText === "Files surface not configured")
+    }
+  }
 }
