@@ -185,6 +185,59 @@ class DocStreamSpec extends SparkSpec {
     assert(finalIds === Set(6L, 7L, 9L)) // 8 re-lands 6's content across batches
   }
 
+  test("CHAOS: batch dies AFTER its index append; restart redelivers it — no duplicate admits, no self-suppression") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("docstream-chaos").toString
+    def docs(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+        .withColumn("ingest_ts", to_timestamp(lit("2025-10-08 10:00:00")))
+    def land(rows: Seq[(Long, String)], sub: String, bumpMs: Long): Unit = {
+      docs(rows).coalesce(1).write.json(s"$dir/land/$sub")
+      val now = System.currentTimeMillis()
+      Files.walk(java.nio.file.Paths.get(s"$dir/land/$sub")).forEach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(now + bumpMs))
+      }
+    }
+    land(Seq(1L -> "chaos alpha body", 2L -> "chaos beta body"), "f1", 0L)
+    land(Seq(3L -> "chaos alpha body", 4L -> "chaos gamma body"), "f2", 60000L)
+    val histDir = s"$dir/history"
+    val ckpt    = s"$dir/ckpt"
+
+    // wrap the REAL sink: the first delivery of batch 0 completes its
+    // index append, then the query dies BEFORE the batch can commit —
+    // the exact torn state a crash between table write and checkpoint
+    // commit leaves behind
+    val real = DocStream.bloomGatedBatchSink(histDir)
+    @volatile var crashed = false
+    val chaotic: (org.apache.spark.sql.DataFrame, Long) => Unit = { (b, id) =>
+      real(b, id)
+      if (id == 0L && !crashed) {
+        crashed = true
+        throw new RuntimeException("injected: died after index append")
+      }
+    }
+    val q1 = DocStream.readDocStream(spark, s"$dir/land/*", maxFilesPerTrigger = 1)
+      .writeStream.option("checkpointLocation", ckpt).foreachBatch(chaotic).start()
+    val died = intercept[Throwable] { q1.processAllAvailable(); q1.awaitTermination() }
+    assert(String.valueOf(died.getMessage).contains("injected") ||
+      Option(died.getCause).exists(c => String.valueOf(c.getMessage).contains("injected")))
+    q1.stop()
+    // the append DID land before the crash — batch 0's partition exists
+    assert(spark.read.parquet(histDir).filter(col("batch_id") === 0).count() === 2)
+
+    // restart on the same checkpoint: batch 0 is redelivered (offset
+    // logged, never committed) and must overwrite itself in place,
+    // then batch 1 gates against it normally
+    val q2 = DocStream.startBloomGatedIngest(
+      DocStream.readDocStream(spark, s"$dir/land/*", maxFilesPerTrigger = 1), histDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val hist = spark.read.parquet(histDir)
+    assert(hist.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    assert(hist.count() === 3) // exactly once each: no double-append, no drop
+    assert(hist.filter(col("batch_id") === 0).count() === 2)
+  }
+
   test("driftMonitor: off-profile source alerts, in-profile source does not, oov share exact") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("docstream-drift").toString

@@ -88,4 +88,49 @@ class VecStreamSpec extends SparkSpec {
     val ids = spark.read.parquet(s"$dir/index").select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ids === Set(40L, 41L, 43L)) // 42 re-lands 40's direction across batches
   }
+
+  test("CHAOS: batch dies AFTER its index append; restart redelivers it — no duplicate admits, no self-suppression") {
+    val dir = Files.createTempDirectory("vecstream-chaos").toString
+    def land(rows: Seq[(Long, Array[Float])], sub: String, bumpMs: Long): Unit = {
+      vecs(rows).coalesce(1).write.json(s"$dir/land/$sub")
+      val now = System.currentTimeMillis()
+      Files.walk(java.nio.file.Paths.get(s"$dir/land/$sub")).forEach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(now + bumpMs))
+      }
+    }
+    land(Seq(50L -> Array(1.0f, 0.03f), 51L -> Array(0.03f, 1.0f)), "f1", 0L)
+    land(Seq(52L -> Array(1.0f, 0.02f), 53L -> Array(-1.0f, 0.1f)), "f2", 60000L)
+    val histDir = s"$dir/index"
+    val ckpt    = s"$dir/ckpt"
+
+    // first delivery of batch 0: index append completes, then the
+    // query dies BEFORE the batch commits — torn crash state
+    val real = VecStream.semDedupGatedBatchSink(histDir, codebook, tau = 0.9)
+    @volatile var crashed = false
+    val chaotic: (org.apache.spark.sql.DataFrame, Long) => Unit = { (b, id) =>
+      real(b, id)
+      if (id == 0L && !crashed) {
+        crashed = true
+        throw new RuntimeException("injected: died after index append")
+      }
+    }
+    val q1 = VecStream.readVecStream(spark, s"$dir/land/*", maxFilesPerTrigger = 1)
+      .writeStream.option("checkpointLocation", ckpt).foreachBatch(chaotic).start()
+    val died = intercept[Throwable] { q1.processAllAvailable(); q1.awaitTermination() }
+    assert(String.valueOf(died.getMessage).contains("injected") ||
+      Option(died.getCause).exists(c => String.valueOf(c.getMessage).contains("injected")))
+    q1.stop()
+    assert(spark.read.parquet(histDir).filter(col("batch_id") === 0).count() === 2)
+
+    // restart on the same checkpoint: batch 0 redelivered and rewritten
+    // in place; batch 1 then gates against it (52 drops, 53 admits)
+    val q2 = VecStream.startSemDedupIngest(
+      VecStream.readVecStream(spark, s"$dir/land/*", maxFilesPerTrigger = 1),
+      histDir, ckpt, codebook, tau = 0.9)
+    q2.processAllAvailable(); q2.stop()
+    val hist = spark.read.parquet(histDir)
+    assert(hist.select("vec_id").collect().map(_.getLong(0)).toSet === Set(50L, 51L, 53L))
+    assert(hist.count() === 3) // exactly once each across the crash/replay
+    assert(hist.filter(col("batch_id") === 0).count() === 2)
+  }
 }
