@@ -32,6 +32,71 @@ object Enrichment {
       "industry", "market_lot", "face_value", "instrument_type", "is_active")
   }
 
+  /** Deterministic mock of the share-capital side of
+    * `marketcap_snapshot` (rds_schema.sql:74-87): per master symbol,
+    * shares outstanding and the free-float share (bps) — the inputs a
+    * cap table provides. */
+  def mockShareCapital(spark: SparkSession, symbols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    symbols.zipWithIndex.map { case (s, i) =>
+      val clean    = s.toUpperCase.replaceAll("^[A-Z]+:|-EQ$", "")
+      val exchange = if (s.contains(":")) s.split(":")(0).toUpperCase else "NSE"
+      (clean, exchange, (i + 1) * 100000000L, 2500 + 1500 * (i % 4)) // 25–70% free float
+    }.toDF("symbol", "exchange", "shares_outstanding", "free_float_bps")
+  }
+
+  /** Build the `marketcap_snapshot` reference table
+    * (rds_schema.sql:74-87) for one trading day — the derived table
+    * the reference's DDL declares but its code never computes: per
+    * (symbol, exchange), the day's CLOSING price (last candle of the
+    * snapshot date), market cap and free-float market cap in crores
+    * (₹ 10⁷), and the day's dense ranks by both — the uniqueness key
+    * (symbol, exchange, snapshot_date) and both rank columns exactly
+    * as the DDL lays them out.
+    *
+    * Scale shape: the fact side collapses to ONE row per symbol in a
+    * slim max_by hash-agg (map-side combined) before anything joins;
+    * the share-capital side is a broadcast dimension; the rank windows
+    * run over the |symbols|-sized snapshot partitioned by exchange —
+    * never over candles. */
+  def marketcapSnapshot(
+      candles: DataFrame,
+      shareCapital: DataFrame,
+      snapshotDate: String): DataFrame = {
+    val cleanKey = regexp_replace(upper(col("symbol")), "^[A-Z]+:|-EQ$", "")
+    val exchOf = when(upper(col("symbol")).contains(":"),
+      split(upper(col("symbol")), ":").getItem(0)).otherwise(lit("NSE"))
+    val dayClose = candles
+      .filter(to_date(col("ts")) === to_date(lit(snapshotDate)))
+      .select(cleanKey.as("symbol"), exchOf.as("exchange"), col("ts"), col("close"))
+      .groupBy(col("symbol"), col("exchange"))
+      .agg(max_by(col("close"), col("ts")).as("close_price"))
+    val sc = shareCapital.select(
+      col("symbol"), col("exchange"),
+      col("shares_outstanding"), col("free_float_bps"))
+    val snap = dayClose
+      .join(broadcast(sc), Seq("symbol", "exchange"))
+      .withColumn("snapshot_date", to_date(lit(snapshotDate)))
+      .withColumn("market_cap_cr",
+        round(col("close_price") * col("shares_outstanding") / 1e7, 2))
+      .withColumn("free_float_market_cap_cr",
+        round(col("market_cap_cr") * col("free_float_bps") / 10000.0, 2))
+    val byCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("exchange"))
+      .orderBy(desc("market_cap_cr"), asc("symbol"))
+    val byFf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("exchange"))
+      .orderBy(desc("free_float_market_cap_cr"), asc("symbol"))
+    snap
+      .withColumn("rank_by_market_cap", row_number().over(byCap))
+      .withColumn("rank_by_free_float", row_number().over(byFf))
+      .select(
+        col("symbol"), col("exchange"), col("snapshot_date"),
+        col("market_cap_cr"), col("shares_outstanding"), col("close_price"),
+        col("free_float_market_cap_cr"),
+        col("rank_by_market_cap"), col("rank_by_free_float"))
+  }
+
   /** Left-join master attributes onto the canonical candle frame.
     * Left join: a candle for an unlisted/unknown symbol survives with
     * null attributes (enrichment must never drop fact rows). */
