@@ -88,7 +88,55 @@ object ScaleBench {
           TextDedup.shingleRows(
             docs.filter(pmod(col("doc_id"), lit(10L)) === 0),
             col("doc_id"), col("text"), 3),
-          0.8))
+          0.8)),
+      // Round-6 additions. q144/q156 run the SAMPLED production shape
+      // on the deterministic 10% base-doc slice (copy offsets are
+      // multiples of 10⁷, so the slice keeps WHOLE dup groups — full
+      // local duplicate density, bounded total mass): triplet anchors
+      // and exact-truth audits are the two relations whose uncapped
+      // form grows with true-pair mass ∝ K² on this corpus BY
+      // CONSTRUCTION, which is exactly what the sampled contract
+      // (SCALING.md / q155–q156) exists for.
+      "q144_sampled" ->
+        (() => {
+          val slice = embs.filter(pmod(col("vec_id"), lit(10L)) === 0)
+          Similarity.tripletMiningIndexed(
+            slice, Similarity.kmeansCentroids(slice, 8),
+            dim = 64, posThreshold = 0.35, nProbe = 2, kNeg = 3)
+        }),
+      // same mining with the codebook sized k ≈ √N (the documented IVF
+      // scale sizing): probe-join candidate mass = anchors · nProbe ·
+      // N/k drops ∝ 1/k — the knob that keeps the negative-mining side
+      // linear-ish while the 8-cell harness codebook leaves cells 17×
+      // oversized at ×100
+      "q144_sqrtn" ->
+        (() => {
+          val slice = embs.filter(pmod(col("vec_id"), lit(10L)) === 0)
+          val k = math.max(8, math.sqrt(slice.count().toDouble).toInt)
+          Similarity.tripletMiningIndexed(
+            slice, Similarity.kmeansCentroids(slice, k),
+            dim = 64, posThreshold = 0.35, nProbe = 2, kNeg = 3)
+        }),
+      "q151_split_leakage" ->
+        (() => SparkEntry.queries("q151_split_leakage")(spark, dir)),
+      "q152_trigram_lm" ->
+        (() => SparkEntry.queries("q152_trigram_lm")(spark, dir)),
+      "q153_curation_funnel" ->
+        (() => SparkEntry.queries("q153_curation_funnel")(spark, dir)),
+      "q154_cell_skew" ->
+        (() => SparkEntry.queries("q154_cell_skew")(spark, dir)),
+      "q155_sampled_ann_audit" ->
+        (() => SparkEntry.queries("q155_sampled_ann_audit")(spark, dir)),
+      "q156_sampled" ->
+        (() => {
+          val sh = TextDedup.shingleRows(
+            docs.filter(pmod(col("doc_id"), lit(10L)) === 0),
+            col("doc_id"), col("text"), 3)
+          TextDedup.recallAuditSampled(
+            TextDedup.prefixJaccardPairs(sh, 0.8),
+            TextDedup.lshRescoredPairs(sh, estThreshold = 0.5, threshold = 0.8),
+            rateBps = 5000)
+        })
     ).filter { case (n, _) => only.isEmpty || only.contains(n) }
 
     def once(fn: () => DataFrame): Double = {
