@@ -17,7 +17,12 @@ import org.apache.spark.sql.SparkSession
   * in the working directory and lists queries >1.5× slower (with a
   * 0.15 s absolute floor so sub-100 ms queries don't page on noise) —
   * so a q33-style regression surfaces in the round it lands, not one
-  * round later in the judge's diff.
+  * round later in the judge's diff. Thresholds are scaled by
+  * `host_drift`, the suite-median now/prior ratio: prior baselines
+  * come from a different session on a shared host whose speed moves
+  * round to round (measured 1.4× uniformly in a round-6 dev run), and
+  * a real single-query regression cannot move the median of 150
+  * queries — so host drift cancels while plan regressions survive.
   *
   * `confirmed_regressions` is the self-verification of that list:
   * each flagged query re-runs ISOLATED after the suite (fresh GC, min
@@ -92,9 +97,24 @@ object Bench {
       // queries the round artifact is missing.
       parse(new java.io.File("BENCH_SELF.json")) ++ newestRound
     }
+    // Host-drift normalizer: the prior baselines come from a DIFFERENT
+    // session on a shared host, and a round-6 dev run measured the
+    // WHOLE 154-query suite uniformly ~1.4× slower than its round-5
+    // baseline (146/154 slower, untouched queries included) — host
+    // speed, not plans. The suite-median now/prior ratio estimates
+    // that drift (a real single-query regression cannot move the
+    // median of 150 queries), and the regression thresholds scale by
+    // it — in BOTH directions: a faster host tightens them. With too
+    // few shared queries to estimate (subset runs), drift stays 1.
+    val drift: Double = {
+      val rs = results.flatMap { case (name, _, w) =>
+        prior.get(name).collect { case p if p > 0 && w > 0 => w / p }
+      }.sorted
+      if (rs.size < 20) 1.0 else rs(rs.size / 2)
+    }
     val flagged = results.flatMap { case (name, _, w) =>
       prior.get(name).collect {
-        case p if p > 0 && w > 1.5 * p && w - p > 0.15 => (name, p, w)
+        case p if p > 0 && w > 1.5 * p * drift && w - p * drift > 0.15 => (name, p, w)
       }
     }
     val regs = flagged
@@ -126,7 +146,7 @@ object Bench {
         val iso = toMeasure.map(n => n -> isolated(n)).toMap
         val conf = flagged.flatMap { case (name, p, _) =>
           val i = iso(name)
-          if (i < 0 || (i > 1.5 * p && i - p > 0.15))
+          if (i < 0 || (i > 1.5 * p * drift && i - p * drift > 0.15))
             Some(s""""$name":{"prior":$p,"isolated":$i}""")
           else None
         }.mkString("{", ",", "}")
@@ -142,6 +162,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_cold":$totalCold,"n_queries":${results.size},"n_failed":$nFailed,""" +
+        s""""host_drift":${"%.3f".format(drift)},""" +
         s""""regressions":$regs,"confirmed_regressions":$confirmed,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with a bounded tail — round 3's artifact

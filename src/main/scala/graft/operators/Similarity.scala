@@ -1363,7 +1363,9 @@ object Similarity {
     * a 1-cell report would be vacuous and engine-divergent). */
   def codebookQuality(embs: DataFrame, codebook: DataFrame): DataFrame = {
     val cents = codebook.select(col("cell"), col("cv"), col("cn2"))
-    require(cents.limit(2).count() >= 2,
+    // take(2) is the incremental 1-partition probe, not a full count —
+    // the codebook is a persisted k-row relation, so this is ~free
+    require(cents.select(col("cell")).take(2).length >= 2,
       "codebookQuality needs a codebook with >= 2 cells (b = runner-up distance)")
     // nearest + runner-up in ONE slim hash-agg: collect the k (d², cell)
     // pairs per vector and struct-sort — d² asc then cell asc IS the
