@@ -296,6 +296,49 @@ object Similarity {
           transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"): _*)
       .withColumn("cn2", normQ(col("cv")))
 
+  // ---- Incremental codebook maintenance -----------------------------
+
+  /** MERGEABLE k-means refresh STATE: per (cell, i), the exact int64
+    * component sum and member count of the vectors assigned to `cell`
+    * under the GIVEN codebook — the index-maintenance representation.
+    * Everything is exact integer arithmetic, so
+    * `state(old ∪ delta) == mergeCodebookStates(state(old),
+    * state(delta))` holds BIT-identically: a nightly delta batch is
+    * absorbed at O(|delta|) instead of re-scanning the corpus, the
+    * k-means twin of [[Maintenance.aggregateState]] (oracle-gated).
+    *
+    * Scale shape: one slim assignment hash-agg + one (cell, dim)
+    * hash-agg, both map-side combined; the state is k·dim rows. */
+  def codebookState(embs: DataFrame, codebook: DataFrame): DataFrame = {
+    val base = quantized(embs)
+    val assign = nearestCell(base, codebook.select(col("cell"), col("cv"), col("cn2")))
+      .select(col("vec_id"), col("cell"))
+    base.join(assign, "vec_id")
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two [[codebookState]] relations — associative-commutative
+    * exact-int sums, so merge order and partitioning never matter. */
+  def mergeCodebookStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(col("sx")).as("sx"), sum(col("cnt")).as("cnt"))
+
+  /** Refreshed codebook (cell, cv, cn2) from a (merged) state — the
+    * SAME trunc-toward-zero integer-mean contract as
+    * [[kmeansCentroids]] (exact int64 sums « 2^53, one exact-input
+    * double divide, trunc), so the refreshed codebook plugs straight
+    * back into [[ivfTopKWith]]/[[semDedupVerdicts]]. */
+  def centroidsFromState(state: DataFrame): DataFrame =
+    state
+      .withColumn("cx", (col("sx") / col("cnt")).cast("long"))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("i"), col("cx"))).as("ps"))
+      .select(col("cell"), transform(array_sort(col("ps")), p => p.getField("cx")).as("cv"))
+      .withColumn("cn2", normQ(col("cv")))
+
   /** Final k-means cluster assignment: one row per vector
     * (vec_id, cluster_id, cosine-to-final-centroid) against the
     * [[kmeansCentroids]]-trained codebook. */
@@ -745,11 +788,31 @@ object Similarity {
       m: Int,
       nProbe: Int,
       k: Int): DataFrame = {
-    require(nProbe >= 1 && k >= 1, s"nProbe and k must be positive (got $nProbe, $k)")
     val r = residuals(embs, codebook)
     val codes = nearestSubCell(pqSlicesQ(r.select(col("vec_id"), col("v")), dim, m), residCodebooks)
       .join(r.select(col("vec_id"), col("cell")), "vec_id")
-      .select(col("vec_id").as("cid"), col("cell"), col("sub"), col("code"))
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+    ivfPqTopKWithCodes(codes, codebook, residCodebooks, queries, dim, m, nProbe, k)
+  }
+
+  /** [[ivfPqTopKWith]] serving from a MATERIALIZED code relation
+    * ([[ivfPqEncode]]'s output: vec_id, cell, sub, code) — the actual
+    * 100 TB lifecycle: encode ONCE ([[ivfPqEncode]], q141's artifact,
+    * written partitioned by coarse cell), then every query batch reads
+    * codes only — the plan never touches a full vector or re-derives a
+    * residual for the corpus side. nProbe cells means nProbe code
+    * partitions read, not a corpus scan. */
+  def ivfPqTopKWithCodes(
+      codes: DataFrame,
+      codebook: DataFrame,
+      residCodebooks: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      m: Int,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    require(nProbe >= 1 && k >= 1, s"nProbe and k must be positive (got $nProbe, $k)")
+    val c = codes.select(col("vec_id").as("cid"), col("cell"), col("sub"), col("code"))
     // query → nProbe nearest coarse cells, carrying the query vector
     val pw = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("cell"))
     val probes = quantized(queries)
@@ -775,7 +838,7 @@ object Similarity {
         col("qid"), col("cell"), col("sub"), col("code"),
         (col("sn2") + col("rcn2") - lit(2L) * Portable.dotQ(col("sv"), col("rcv"))).as("qd2"))
     val w = Window.partitionBy(col("qid")).orderBy(asc("adc_dist2"), asc("cid"))
-    codes
+    c
       .join(broadcast(dt), Seq("cell", "sub", "code"))
       .filter(col("cid") =!= col("qid"))
       .groupBy(col("qid"), col("cid"))

@@ -154,6 +154,17 @@ object Documents {
       Similarity.ivfPqCodebooks(
         Tables.embeddings(s, dir), sharedCodebook(s, dir), EmbDim, PqM, PqK))
 
+  // The IVF-PQ CODE relation itself — q141 materializes it, q142
+  // serves from it: encode once, serve forever. At 100 TB this is the
+  // cell-partitioned parquet artifact; serving never re-derives a
+  // residual for the corpus side.
+  private val ivfPqCodesCache = new DirCached
+  private def sharedIvfPqCodes(s: SparkSession, dir: String): DataFrame =
+    ivfPqCodesCache(s, dir)(
+      Similarity.ivfPqEncode(
+        Tables.embeddings(s, dir), sharedCodebook(s, dir),
+        sharedIvfPqCodebooks(s, dir), EmbDim, PqM))
+
   // PQ compression parameters: 64 dims → 4 subspaces × 16 dims,
   // 8 codewords each; the trained per-subspace codebooks are the
   // train-once artifact q101 encodes with and q102 serves from.
@@ -790,16 +801,14 @@ object Documents {
     // residual codes + exact per-subspace quantization error — the
     // bytes-per-vector index artifact a 100 TB corpus materializes
     // once and serves from.
-    "q141_ivfpq_codes" -> ((s, dir) =>
-      Similarity.ivfPqEncode(
-        Tables.embeddings(s, dir), sharedCodebook(s, dir),
-        sharedIvfPqCodebooks(s, dir), EmbDim, PqM)),
+    "q141_ivfpq_codes" -> ((s, dir) => sharedIvfPqCodes(s, dir)),
 
-    // IVFADC serving: probe 2 coarse cells, ADC over residual codes —
-    // only probed cells' code lists move, never a vector.
+    // IVFADC serving FROM THE MATERIALIZED CODES (q141's artifact) —
+    // probe 2 coarse cells, ADC over residual code lists; the corpus
+    // side is codes-only, never a vector, never a re-encode.
     "q142_ivfpq_topk" -> ((s, dir) =>
-      Similarity.ivfPqTopKWith(
-        Tables.embeddings(s, dir), sharedCodebook(s, dir),
+      Similarity.ivfPqTopKWithCodes(
+        sharedIvfPqCodes(s, dir), sharedCodebook(s, dir),
         sharedIvfPqCodebooks(s, dir), QueryRel(s, dir),
         EmbDim, PqM, nProbe = 2, k = 5)),
 
@@ -907,6 +916,45 @@ object Documents {
     // included — unseen prefixes still score via backoff mass.
     "q152_trigram_lm" -> ((s, dir) =>
       TextAnalysis.trigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // Near-dup cluster-size histogram: how duplicate mass distributes
+    // — many pairs or few giant blobs decides dedup write
+    // amplification and cluster-contraction round count; the dedup
+    // health dashboard next to q53's raw labels. Singletons (docs in
+    // no cluster) are the size-1 row via one anti-join count.
+    "q157_cluster_histogram" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val members = sharedClusters(s, dir)
+      val multi = members
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .select(
+          col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      val singles = d
+        .join(members.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("cluster_size"), col("n_clusters"), col("n_clusters").as("n_docs"))
+      multi.unionByName(singles)
+    }),
+
+    // Incremental codebook refresh — the ANN-index-maintenance twin of
+    // q148: per-(cell, dim) exact-int sums/counts are the MERGEABLE
+    // state, a delta batch is absorbed at O(|delta|), and the
+    // refreshed centroids (one more Lloyd round over the shared
+    // codebook) come out bit-identical to the full recompute — this
+    // query IS the equivalence, built as merge(state(even half),
+    // state(odd half)) and oracle-checked against the direct
+    // full-corpus round.
+    "q158_codebook_refresh" -> ((s, dir) => {
+      val e  = Tables.embeddings(s, dir)
+      val cb = sharedCodebook(s, dir)
+      val merged = Similarity.mergeCodebookStates(
+        Similarity.codebookState(e.filter(col("vec_id") % 2 === 0), cb),
+        Similarity.codebookState(e.filter(col("vec_id") % 2 === 1), cb))
+      Similarity.centroidsFromState(merged)
+        .select(col("cell"), posexplode(col("cv")).as(Seq("i", "cx")))
+    }),
 
     // SAMPLED audit mode — the 100 TB shape of q125: a deterministic
     // hash gate (Portable.sampleGate, 50% here → qids 0 and 3 of the

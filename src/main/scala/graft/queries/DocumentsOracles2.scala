@@ -1636,6 +1636,64 @@ private[queries] object DocumentsOracles2 {
           UNION ALL
           SELECT 5, 'rebalanced', COUNT(1), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM k3""",
 
+    // q53's cluster labels rolled into a size histogram; singletons
+    // (docs in no near-dup cluster) are the size-1 row.
+    "q157_cluster_histogram" ->
+      s"""WITH RECURSIVE $cappedShinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM shj GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ),
+          pairs AS (
+            SELECT da AS doc_a, db AS doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+          ),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+          ),
+          reach AS (
+            SELECT DISTINCT src AS doc_id, src AS r FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON r.doc_id = e.dst
+          ),
+          cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+          sz AS (SELECT cluster_id, CAST(COUNT(1) AS BIGINT) AS cluster_size FROM cl GROUP BY 1),
+          multi AS (SELECT cluster_size, CAST(COUNT(1) AS BIGINT) AS n_clusters FROM sz GROUP BY 1),
+          singles AS (
+            SELECT CAST(COUNT(1) AS BIGINT) AS n_clusters FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.doc_id = d.doc_id))
+          SELECT cluster_size, n_clusters,
+                 CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+          FROM multi
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), n_clusters, n_clusters FROM singles""",
+
+    // One more Lloyd round over the trained codebook `cn` — the direct
+    // full-corpus recompute the incremental merge must equal exactly.
+    "q158_codebook_refresh" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c),
+          a2 AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1),
+          comp2 AS (
+            SELECT a2.cell, generate_subscripts(en.v, 1) AS i, unnest(en.v) AS x
+            FROM en JOIN a2 USING (vec_id))
+          SELECT cell, CAST(i - 1 AS INT) AS i,
+                 CAST(trunc(CAST(SUM(x) AS DOUBLE) / COUNT(1)) AS BIGINT) AS cx
+          FROM comp2 GROUP BY cell, i""",
+
     // q125's audit restricted to the deterministic 50% query sample
     // (gate = md5-hash of 'audit_<qid>' mod 10000 < 5000).
     "q155_sampled_ann_audit" ->
