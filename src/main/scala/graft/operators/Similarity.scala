@@ -686,10 +686,24 @@ object Similarity {
       queries: DataFrame,
       dim: Int,
       m: Int,
+      k: Int): DataFrame =
+    pqTopKWithCodes(
+      nearestSubCell(pqSlices(embs, dim, m), codebooks), codebooks, queries, dim, m, k)
+
+  /** [[pqTopKWith]] serving from a MATERIALIZED code relation
+    * ([[pqEncode]]'s output: vec_id, sub, code[, d2]) — the 100 TB
+    * lifecycle: encode ONCE (q101's artifact), then every query batch
+    * joins distance tables onto the stored codes; the corpus vectors
+    * appear nowhere in the serving plan. */
+  def pqTopKWithCodes(
+      codes: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      m: Int,
       k: Int): DataFrame = {
-    val sl    = pqSlices(embs, dim, m)
-    val codes = nearestSubCell(sl, codebooks).select(col("vec_id").as("cid"), col("sub"), col("code"))
-    // queries slice themselves — the corpus slice relation is never
+    val c = codes.select(col("vec_id").as("cid"), col("sub"), col("code"))
+    // queries slice themselves — the corpus code relation is never
     // filtered for the distance tables
     val dt = pqSlices(queries, dim, m)
       .join(broadcast(codebooks), Seq("sub"))
@@ -697,7 +711,7 @@ object Similarity {
         col("vec_id").as("qid"), col("sub"), col("cell").as("code"),
         (col("n2") + col("cn2") - lit(2L) * Portable.dotQ(col("v"), col("cv"))).as("qd2"))
     val w = Window.partitionBy(col("qid")).orderBy(asc("adc_dist2"), asc("cid"))
-    codes
+    c
       .join(broadcast(dt), Seq("sub", "code"))
       .filter(col("cid") =!= col("qid"))
       .groupBy(col("qid"), col("cid"))

@@ -176,6 +176,14 @@ object Documents {
     pqCbCache(s, dir)(
       Similarity.pqCodebooks(Tables.embeddings(s, dir), EmbDim, PqM, PqK))
 
+  // The PQ CODE relation — q101 materializes it, q102/q127 serve from
+  // it (encode once, serve forever; the corpus vectors appear nowhere
+  // in a serving plan).
+  private val pqCodesCache = new DirCached
+  private def sharedPqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodesCache(s, dir)(
+      Similarity.pqEncode(Tables.embeddings(s, dir), EmbDim, PqM, sharedPqCodebooks(s, dir)))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via normalized-content fingerprint: hash-groupBy,
     // one shuffle on the 128-bit key, partial agg map-side.
@@ -529,15 +537,14 @@ object Documents {
     // PQ encode: the m-codes-per-vector compression artifact (with
     // exact per-subspace quantization error) a 100 TB corpus
     // materializes once — vectors never leave the scan again.
-    "q101_pq_codes" -> ((s, dir) =>
-      Similarity.pqEncode(
-        Tables.embeddings(s, dir), EmbDim, PqM, sharedPqCodebooks(s, dir))),
+    "q101_pq_codes" -> ((s, dir) => sharedPqCodes(s, dir)),
 
-    // PQ ADC top-k: distance tables broadcast, only CODES move —
-    // the serving plan never touches a full vector.
+    // PQ ADC top-k FROM THE MATERIALIZED CODES (q101's artifact):
+    // distance tables broadcast, only stored CODES move — the serving
+    // plan never touches or re-encodes a vector.
     "q102_pq_topk" -> ((s, dir) =>
-      Similarity.pqTopKWith(
-        Tables.embeddings(s, dir), sharedPqCodebooks(s, dir),
+      Similarity.pqTopKWithCodes(
+        sharedPqCodes(s, dir), sharedPqCodebooks(s, dir),
         QueryRel(s, dir), EmbDim, PqM, k = 5)),
 
     // Sliding-window chunking: 64-token windows every 48 tokens —
@@ -680,8 +687,8 @@ object Documents {
     "q127_pq_recall_audit" -> ((s, dir) =>
       Similarity.topKRecallAudit(
         Similarity.bruteForceL2TopK(Tables.embeddings(s, dir), QueryRel(s, dir), 5),
-        Similarity.pqTopKWith(
-          Tables.embeddings(s, dir), sharedPqCodebooks(s, dir),
+        Similarity.pqTopKWithCodes(
+          sharedPqCodes(s, dir), sharedPqCodebooks(s, dir),
           QueryRel(s, dir), EmbDim, PqM, k = 5))),
 
     // Recall-vs-nProbe tuning curve for the IVF index: the number an
