@@ -720,6 +720,42 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** ADC + exact-refine serving (the "+R" variant of Jégou et al.'s
+    * IVFADC, TPAMI 2011 §V): the compressed index proposes `kCand`
+    * candidates per query ([[pqTopKWithCodes]] — stored codes only),
+    * then ONLY those candidates' full vectors are fetched and exactly
+    * re-scored (int64 cosine) to the final top-`k`. Exactness of the
+    * final ranking is restored at a refine cost of |queries|·kCand
+    * vector lookups — at scale a bucketed join on vec_id against the
+    * vector table — so the corpus is never scanned uncompressed. The
+    * production two-stage retrieval shape: cheap recall from the
+    * index, precision from the refine. */
+  def pqRerank(
+      embs: DataFrame,
+      codes: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      m: Int,
+      kCand: Int,
+      k: Int): DataFrame = {
+    require(kCand >= k && k >= 1, s"need kCand >= k >= 1 (got kCand=$kCand, k=$k)")
+    val cand = pqTopKWithCodes(codes, codebooks, queries, dim, m, kCand)
+      .select(col("qid"), col("cid"))
+    val q = quantized(queries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val c = quantized(embs)
+      .select(col("vec_id").as("cid"), col("v"), col("n2"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("cid"))
+    cand
+      .join(c, "cid")  // the refine fetch: |queries|·kCand keyed lookups
+      .join(q, "qid")
+      .withColumn("cosine", cosine(Portable.dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+  }
+
   /** [[pqTopKWith]] sugar for a driver-side id list. */
   def pqTopKWith(
       embs: DataFrame,

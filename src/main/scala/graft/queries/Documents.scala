@@ -924,6 +924,39 @@ object Documents {
     "q152_trigram_lm" -> ((s, dir) =>
       TextAnalysis.trigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // Two-stage retrieval — ADC + exact refine (IVFADC's "+R"): the
+    // compressed index proposes 20 candidates per query from STORED
+    // codes, only those 20 vectors are fetched and exactly re-scored
+    // to the final top-5. Cheap recall from the index, precision from
+    // the refine; the corpus is never scanned uncompressed.
+    "q159_pq_rerank" -> ((s, dir) =>
+      Similarity.pqRerank(
+        Tables.embeddings(s, dir), sharedPqCodes(s, dir), sharedPqCodebooks(s, dir),
+        QueryRel(s, dir), EmbDim, PqM, kCand = 20, k = 5)),
+
+    // Dataset card: the one-row corpus summary every shipped training
+    // set carries — docs/tokens/chars, language and source breadth,
+    // exact-dup rate (keep-min keeper contract), mean doc length.
+    // One pass + one fingerprint window; everything exact-integer.
+    "q160_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+      d.select(
+        col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("__nt"),
+        TextAnalysis.fingerprint(col("text")).as("__fp"))
+        .withColumn("__keeper", min(col("doc_id")).over(w))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          expr("(sum(CASE WHEN doc_id <> __keeper THEN 1 ELSE 0 END) * 1000000) div count(1)")
+            .as("dup_doc_ppm"),
+          expr("sum(__nt) div count(1)").as("mean_doc_tokens"))
+    }),
+
     // Near-dup cluster-size histogram: how duplicate mass distributes
     // — many pairs or few giant blobs decides dedup write
     // amplification and cluster-contraction round count; the dedup

@@ -1636,6 +1636,59 @@ private[queries] object DocumentsOracles2 {
           UNION ALL
           SELECT 5, 'rebalanced', COUNT(1), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM k3""",
 
+    // q102's ADC chain at kCand=20, then exact cosine re-rank of only
+    // those candidates to the top-5 (IVFADC's "+R" refine).
+    "q159_pq_rerank" ->
+      s"""WITH $quantCte,
+          $pqCte,
+          dt AS (
+            SELECT vec_id AS qid, sub, cell AS code, d2 AS qd2
+            FROM pd2 WHERE vec_id IN (0, 1, 2, 3, 4)
+          ),
+          sc AS (
+            SELECT dt.qid, p.vec_id AS cid, CAST(SUM(dt.qd2) AS BIGINT) AS adc_dist2
+            FROM pcodes p JOIN dt ON dt.sub = p.sub AND dt.code = p.code
+            WHERE p.vec_id <> dt.qid
+            GROUP BY 1, 2
+          ),
+          cand AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY adc_dist2 ASC, cid ASC) AS rk
+              FROM sc) WHERE rk <= 20
+          ),
+          rr AS (
+            SELECT c.qid, c.cid,
+                   ${cosSql("q.v", "e2.v", "q.n2", "e2.n2")} AS cosine
+            FROM cand c
+            JOIN en q ON q.vec_id = c.qid
+            JOIN en e2 ON e2.vec_id = c.cid
+          )
+          SELECT qid, cid, cosine, CAST(rk AS INT) AS rk FROM (
+            SELECT qid, cid, cosine,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+            FROM rr) WHERE rk <= 5""",
+
+    // One-row corpus summary; exact-dup rate under the keep-min
+    // keeper contract (q30's fingerprint).
+    "q160_dataset_card" ->
+      """WITH b AS (
+           SELECT doc_id, source, lang, n_chars,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+                  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+           FROM documents
+         ),
+         k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM b)
+         SELECT CAST(COUNT(1) AS BIGINT) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST((CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                     // COUNT(1) AS BIGINT) AS dup_doc_ppm,
+                CAST(SUM(nt) AS BIGINT) // COUNT(1) AS mean_doc_tokens
+         FROM k""",
+
     // q53's cluster labels rolled into a size histogram; singletons
     // (docs in no near-dup cluster) are the size-1 row.
     "q157_cluster_histogram" ->
