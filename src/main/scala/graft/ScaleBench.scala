@@ -136,7 +136,19 @@ object ScaleBench {
             TextDedup.prefixJaccardPairs(sh, 0.8),
             TextDedup.lshRescoredPairs(sh, estThreshold = 0.5, threshold = 0.8),
             rateBps = 5000)
-        })
+        }),
+      "q157_cluster_histogram" ->
+        (() => SparkEntry.queries("q157_cluster_histogram")(spark, dir)),
+      "q158_codebook_refresh" ->
+        (() => SparkEntry.queries("q158_codebook_refresh")(spark, dir)),
+      "q159_pq_rerank" ->
+        (() => SparkEntry.queries("q159_pq_rerank")(spark, dir)),
+      "q160_dataset_card" ->
+        (() => SparkEntry.queries("q160_dataset_card")(spark, dir)),
+      "q161_bpe_pair_counts" ->
+        (() => SparkEntry.queries("q161_bpe_pair_counts")(spark, dir)),
+      "q162_boilerplate_shingles" ->
+        (() => SparkEntry.queries("q162_boilerplate_shingles")(spark, dir))
     ).filter { case (n, _) => only.isEmpty || only.contains(n) }
 
     def once(fn: () => DataFrame): Double = {

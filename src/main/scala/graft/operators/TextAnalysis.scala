@@ -651,6 +651,32 @@ object TextAnalysis {
         expr("(sum_target_ppm * 1000000L) div greatest(sum_raw_ppm, 1L)"))
   }
 
+  /** BPE merge-candidate kernel — corpus-wide counts of ADJACENT
+    * character pairs within words, the relation one byte-pair-encoding
+    * training round consumes (argmax pair → merge; the iteration loop
+    * is a driver concern, the count is the distributed kernel — and
+    * round 1 over the raw character vocabulary is exactly this).
+    * Returns the top-`k` pairs (pair, cnt, rk), ties by pair.
+    *
+    * Scale shape: map-only explode to pairs → ONE map-side-combined
+    * hash-agg on the pair (the pair universe is tiny — |alphabet|²) →
+    * TakeOrderedAndProject for the top-k; the rank window runs on the
+    * k survivors, never the universe. */
+  def bpePairCounts(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val pairs = docs
+      .select(explode(tokens(text)).as("w"))
+      .select(explode(expr(
+        """CASE WHEN char_length(w) >= 2
+          |     THEN transform(sequence(1, char_length(w) - 1), i -> substr(w, i, 2))
+          |     ELSE CAST(array() AS array<string>) END""".stripMargin)).as("pair"))
+    pairs
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(k)
+      .withColumn(
+        "rk", row_number().over(Window.orderBy(desc("cnt"), asc("pair"))).cast("int"))
+  }
+
   /** Vocabulary coverage curve — for each K, the fraction of all token
     * OCCURRENCES covered by the K most frequent words: the number that
     * sizes a tokenizer vocabulary (and explains its OOV rate) before

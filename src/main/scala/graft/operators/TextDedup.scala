@@ -75,6 +75,29 @@ object TextDedup {
       .select(col("doc_id"), concat_ws(" ", (0 until n).map(j => if (j == 0) col("w") else col(s"w$j")): _*).as("s"))
   }
 
+  /** Top boilerplate shingles by DOCUMENT frequency — the review
+    * relation behind every df-cap in the dedup family
+    * ([[jaccardPairsFromRows]]' `maxShingleDf`, the banded paths'
+    * `maxBandDf`): before capping hot shingles away, an operator reads
+    * WHAT is hot (stop-phrases, boilerplate headers/footers) and tunes
+    * the cap against it. Input is a (doc_id, s) shingle relation
+    * (e.g. [[shingleRows]] — shared/persisted); df counts each doc
+    * once.
+    *
+    * Scale shape: one distinct + one map-side-combined hash-agg on the
+    * shingle, then TakeOrderedAndProject for the top-k (per-partition
+    * heaps + a k-row driver merge — never a global sort). */
+  def boilerplateShingles(shingles: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val df = shingles.select(col("doc_id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("s")).limit(k)
+    // rank assigned AFTER the limit: the window sees k rows, not the
+    // shingle universe
+    df.withColumn(
+      "rk", row_number().over(Window.orderBy(desc("df"), asc("s"))).cast("int"))
+  }
+
   /** Exact-duplicate groups by an arbitrary content key (use
     * [[TextAnalysis.fingerprint]] for normalized text): one row per
     * distinct key with the surviving doc id and group size.

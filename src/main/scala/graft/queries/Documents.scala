@@ -924,6 +924,19 @@ object Documents {
     "q152_trigram_lm" -> ((s, dir) =>
       TextAnalysis.trigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // BPE merge-candidate kernel: corpus-wide adjacent char-pair
+    // counts within words (round 1 of byte-pair tokenizer training,
+    // over the raw character vocabulary), top 50.
+    "q161_bpe_pair_counts" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), col("text"), k = 50)),
+
+    // Boilerplate-shingle review: the top-20 shingles by DOCUMENT
+    // frequency — what the dedup family's df-caps would drop; read
+    // before tuning SharedJaccardDfCap. Reuses the shared persisted
+    // shingle relation.
+    "q162_boilerplate_shingles" -> ((s, dir) =>
+      TextDedup.boilerplateShingles(sharedShingles(s, dir), k = 20)),
+
     // Two-stage retrieval — ADC + exact refine (IVFADC's "+R"): the
     // compressed index proposes 20 candidates per query from STORED
     // codes, only those 20 vectors are fetched and exactly re-scored

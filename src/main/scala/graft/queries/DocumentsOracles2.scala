@@ -1636,6 +1636,30 @@ private[queries] object DocumentsOracles2 {
           UNION ALL
           SELECT 5, 'rebalanced', COUNT(1), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM k3""",
 
+    // Adjacent char pairs within whitespace words, counted corpus-wide.
+    "q161_bpe_pair_counts" ->
+      """WITH w AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+         ),
+         p AS (
+           SELECT unnest(CASE WHEN length(w) >= 2
+                              THEN list_transform(generate_series(1, length(w) - 1),
+                                     i -> substr(w, i, 2))
+                              ELSE []::VARCHAR[] END) AS pair
+           FROM w
+         ),
+         c AS (SELECT pair, CAST(COUNT(1) AS BIGINT) AS cnt FROM p GROUP BY 1),
+         r AS (SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk FROM c)
+         SELECT pair, cnt, CAST(rk AS INT) AS rk FROM r WHERE rk <= 50""",
+
+    // Shingle document frequency over the (already doc-distinct)
+    // shared shingle relation, top 20.
+    "q162_boilerplate_shingles" ->
+      s"""WITH $shinglesCte,
+          c AS (SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM sh GROUP BY 1),
+          r AS (SELECT s, df, row_number() OVER (ORDER BY df DESC, s ASC) AS rk FROM c)
+          SELECT s, df, CAST(rk AS INT) AS rk FROM r WHERE rk <= 20""",
+
     // q102's ADC chain at kCand=20, then exact cosine re-rank of only
     // those candidates to the top-5 (IVFADC's "+R" refine).
     "q159_pq_rerank" ->
