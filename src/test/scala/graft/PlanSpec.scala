@@ -576,6 +576,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q102/q142/q159 serve from MATERIALIZED codes: the persisted code relation feeds the plan") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec        => allNodes(q.plan)
+        case _                        => Seq.empty
+      })
+    for (q <- Seq("q102_pq_topk", "q142_ivfpq_topk", "q159_pq_rerank")) {
+      val df = SparkEntry.queries(q)(spark, sf())
+      df.collect()
+      // encode once, serve forever: the serving/audit plan reads the
+      // shared persisted code relation instead of re-encoding the
+      // corpus — a refactor that silently re-derives codes fails here
+      assert(
+        allNodes(df.queryExecution.executedPlan).exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"$q must serve from the materialized code relation:\n" + planString(df).take(2000))
+    }
+  }
+
+  test("q161 BPE pairs: top-k is TakeOrderedAndProject (per-partition heaps), never a global sort of the pair universe") {
+    val df = SparkEntry.queries("q161_bpe_pair_counts")(spark, sf())
+    val s = planString(df)
+    assert(s.contains("TakeOrderedAndProject"), s.take(2000))
+  }
+
   test("q153 curation funnel: single-pass — stage gates come from cached sets, one tiny cumulative expansion") {
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
