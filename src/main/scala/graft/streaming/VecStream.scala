@@ -88,6 +88,86 @@ object VecStream {
       .parquet(historyDir)
   }
 
+  /** Streaming CELL-DISTRIBUTION drift monitor — the vector twin of
+    * [[DocStream.driftMonitor]]: per event-time window, arriving
+    * vectors are assigned to the trained codebook's cells (stateless
+    * broadcast argmax — the exact [[Similarity.kmeansAssignWith]]
+    * contract) and each (window, cell) reports its population share
+    * against the cell's BASELINE share from training time, in exact
+    * integer ppm. A cell whose live share runs far from baseline means
+    * the embedding distribution moved — the signal to retrain the
+    * codebook (q158's refresh) before IVF recall quietly decays.
+    * `alert` fires when |live − baseline| ≥ `alertBeyondPpm`.
+    *
+    * Scale/streaming shape: assignment is a stateless crossJoin with
+    * the broadcast k-row codebook folded to a slim argmax; baseline is
+    * a broadcast |cells|-row relation; the ONLY state is one windowed
+    * count aggregate, watermark-evicted — append-mode safe. */
+  def cellDriftMonitor(
+      vecs: DataFrame,
+      codebook: DataFrame,
+      baseline: DataFrame, // (cell, baseline_ppm) from training time
+      windowDur: String = "5 minutes",
+      watermark: String = "10 minutes",
+      alertBeyondPpm: Long = 200000L): DataFrame = {
+    import graft.functions.Portable
+    // The codebook is the train-once k-row artifact: LITERALIZE it at
+    // stream build (same driver-side cost class as the bloom gate's
+    // one-time build), so assignment is a pure per-row expression fold
+    // — no join, no per-row aggregation, nothing stateful but the one
+    // windowed agg below. Ties go to the LOWEST cell id
+    // (kmeansAssignWith's rule).
+    val cents: Array[(Long, Seq[Long], Long)] = codebook
+      .select(col("cell"), col("cv"), col("cn2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "cellDriftMonitor needs a non-empty codebook")
+    val assignExpr = cents.foldLeft(
+      struct(lit(-2.0).as("c"), lit(Long.MaxValue).as("cell"))) {
+      case (acc, (cellId, cv, cn2)) =>
+        val cos = Similarity.cosine(
+          Portable.dotQ(col("__v"), typedlit(cv)), col("__n2"), lit(cn2))
+        when(cos > acc.getField("c"), struct(cos.as("c"), lit(cellId).as("cell")))
+          .otherwise(acc)
+    }.getField("cell")
+    // ONE stateful agg keyed by window: total + one conditional count
+    // per (literal) cell — per-cell shares then need no second agg and
+    // no window function (neither is append-mode streamable).
+    val perCell = cents.map { case (cellId, _, _) =>
+      sum(when(col("__cell") === cellId, 1L).otherwise(0L)).as(s"__c$cellId")
+    }
+    val agged = vecs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("ingest_ts"), Portable.quantize(col("embedding")).as("__v"))
+      .withColumn("__n2", Similarity.normQ(col("__v")))
+      .withColumn("__cell", assignExpr)
+      .groupBy(window(col("ingest_ts"), windowDur))
+      .agg(count(lit(1)).as("__n"), perCell.toSeq: _*)
+    val rows = cents.map { case (cellId, _, _) =>
+      struct(
+        lit(cellId).as("cell"),
+        col(s"__c$cellId").as("n_vectors"),
+        expr(s"(__c$cellId * 1000000) div __n").as("live_ppm"))
+    }
+    agged
+      .select(col("window"), explode(array(rows.toIndexedSeq: _*)).as("e"))
+      .select(col("window"), col("e.cell"), col("e.n_vectors"), col("e.live_ppm"))
+      .join(broadcast(baseline.select(col("cell"), col("baseline_ppm"))), Seq("cell"), "left")
+      .withColumn("baseline_ppm", coalesce(col("baseline_ppm"), lit(0L)))
+      .withColumn("alert", abs(col("live_ppm") - col("baseline_ppm")) >= alertBeyondPpm)
+  }
+
+  /** Per-cell baseline population share (cell, baseline_ppm) of a
+    * static corpus under the trained codebook — computed once at
+    * training time, broadcast into [[cellDriftMonitor]]. */
+  def cellBaseline(embs: DataFrame, codebook: DataFrame): DataFrame =
+    Similarity.kmeansAssignWith(embs, codebook)
+      .groupBy(col("cluster_id").as("cell"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("baseline_ppm", expr("(__n * 1000000) div sum(__n) over ()"))
+      .select(col("cell"), col("baseline_ppm"))
+
   /** Wire [[semDedupGatedBatchSink]] onto a vector stream,
     * checkpointed for restart. */
   def startSemDedupIngest(

@@ -89,6 +89,41 @@ class VecStreamSpec extends SparkSpec {
     assert(ids === Set(40L, 41L, 43L)) // 42 re-lands 40's direction across batches
   }
 
+  test("cellDriftMonitor: live cell shares vs training baseline in exact ppm; shifted distribution alerts") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("vecstream-drift").toString
+    // training corpus: balanced 2+2 across the two cells → 50/50 baseline
+    val static = Seq(
+      (100L, Array(1.0f, 0.01f)), (101L, Array(0.99f, 0.02f)),
+      (102L, Array(0.01f, 1.0f)), (103L, Array(0.02f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val baseline = VecStream.cellBaseline(static, codebook)
+    assert(baseline.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(0L -> 500000L, 1L -> 500000L))
+
+    // live traffic: 3 x-ish + 1 y-ish in one window → 75/25, both
+    // cells shifted by 250000 ppm ≥ the 200000 alert bar
+    vecs(Seq(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.9f, 0.1f),
+      2L -> Array(0.95f, 0.05f), 3L -> Array(0.0f, 1.0f)))
+      .coalesce(1).write.json(s"$dir/land/f1")
+    val q = VecStream.cellDriftMonitor(
+      VecStream.readVecStream(spark, s"$dir/land/*"), codebook, baseline,
+      alertBeyondPpm = 200000L)
+      .writeStream.format("memory").queryName("vec_drift")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("vec_drift").collect()
+      .map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("live_ppm"),
+          r.getAs[Long]("baseline_ppm"), r.getAs[Boolean]("alert"))).toMap
+    assert(out(0L) === ((3L, 750000L, 500000L, true)))
+    assert(out(1L) === ((1L, 250000L, 500000L, true)))
+  }
+
   test("CHAOS: batch dies AFTER its index append; restart redelivers it — no duplicate admits, no self-suppression") {
     val dir = Files.createTempDirectory("vecstream-chaos").toString
     def land(rows: Seq[(Long, Array[Float])], sub: String, bumpMs: Long): Unit = {
