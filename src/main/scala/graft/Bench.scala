@@ -162,7 +162,9 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_cold":$totalCold,"n_queries":${results.size},"n_failed":$nFailed,""" +
-        s""""host_drift":${"%.3f".format(drift)},""" +
+        // Double.toString, not %.3f: String.format is LOCALE-dependent
+        // (a de/fr default locale emits "1,251" — invalid JSON)
+        s""""host_drift":${math.rint(drift * 1000) / 1000},""" +
         s""""regressions":$regs,"confirmed_regressions":$confirmed,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with a bounded tail — round 3's artifact

@@ -50,9 +50,11 @@ object Enrichment {
     * the reference's DDL declares but its code never computes: per
     * (symbol, exchange), the day's CLOSING price (last candle of the
     * snapshot date), market cap and free-float market cap in crores
-    * (₹ 10⁷), and the day's dense ranks by both — the uniqueness key
-    * (symbol, exchange, snapshot_date) and both rank columns exactly
-    * as the DDL lays them out.
+    * (₹ 10⁷), and the day's ranks by both (row_number, ties broken by
+    * symbol — a deterministic TOTAL order, which a reference table
+    * with a uniqueness key wants; equal caps after the 2-decimal crore
+    * rounding still rank distinctly) — the column surface exactly as
+    * the DDL lays it out.
     *
     * Scale shape: the fact side collapses to ONE row per symbol in a
     * slim max_by hash-agg (map-side combined) before anything joins;

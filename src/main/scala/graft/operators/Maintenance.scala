@@ -153,11 +153,23 @@ object Maintenance {
       .map(_.getPath.toString).toIndexedSeq
     val rootUri  = root.toUri
     val restCols = partCols.drop(1)
+    // the SESSION's Hadoop config must reach the executor listings —
+    // object-store credentials/endpoints usually live in spark.hadoop.*
+    // (session conf), not classpath core-site; ship the entries and
+    // rebuild (Configuration itself is not serializable)
+    val confEntries: Seq[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b  = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     spark.sparkContext
       .parallelize(firstLevel, math.max(1, math.min(firstLevel.size, 64)))
       .flatMap { dirStr =>
-        val top = new Path(dirStr)
-        val efs = top.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val top  = new Path(dirStr)
+        val hc   = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => hc.set(k, v) }
+        val efs = top.getFileSystem(hc)
         def leaves(q: Path, level: Int): Seq[Path] =
           if (level == restCols.length) Seq(q)
           else efs.listStatus(q).toIndexedSeq

@@ -51,7 +51,14 @@ object ApiServer {
       historicalSymbolCap: Int = 5, // :224
       clock: () => java.time.Instant = () => java.time.Instant.now(),
       filesDir: Option[String] = None,
-      filesListCap: Int = 10) // dashboard.py list_recent_data(limit=10)
+      filesListCap: Int = 10, // dashboard.py list_recent_data(limit=10)
+      // Hadoop config for the /files filesystem. None = classpath
+      // defaults; startFromTable wires the session's config in so
+      // spark.hadoop.* credentials (object stores) reach the listing.
+      hadoopConf: Option[() => org.apache.hadoop.conf.Configuration] = None)
+
+  private def hadoopConf(cfg: Config): org.apache.hadoop.conf.Configuration =
+    cfg.hadoopConf.map(_()).getOrElse(new org.apache.hadoop.conf.Configuration())
 
   final class Server private[serving] (
       http: com.sun.net.httpserver.HttpServer,
@@ -102,7 +109,10 @@ object ApiServer {
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
       cfg: Config = Config()): Server =
-    startWith(new TableSource(spark, tablePath), cfg)
+    startWith(
+      new TableSource(spark, tablePath),
+      cfg.copy(hadoopConf = cfg.hadoopConf.orElse(
+        Some(() => spark.sparkContext.hadoopConfiguration))))
 
   private def startWith(source: Source, cfg: Config): Server = {
     val http = com.sun.net.httpserver.HttpServer.create(
@@ -376,7 +386,7 @@ object ApiServer {
     case Some(dir) =>
       val limit = qp.get("limit").flatMap(s => scala.util.Try(s.toInt).toOption)
         .filter(_ > 0).getOrElse(cfg.filesListCap)
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = hadoopConf(cfg)
       val rootUri = {
         val p  = new org.apache.hadoop.fs.Path(dir)
         val fs = p.getFileSystem(conf)
@@ -411,15 +421,26 @@ object ApiServer {
       err.put("error", "Files surface not configured")
       respond(ex, 404, err)
     case Some(dir) =>
-      if (key.isEmpty || key.split("/").contains("..") || key.startsWith("/")) {
+      // ':' would make the key an ABSOLUTE scheme-qualified URI, which
+      // Path(root, key) resolution returns unchanged — i.e. an
+      // arbitrary-file read (file:/etc/passwd). Reject it, then verify
+      // the RESOLVED path still sits under the resolved root.
+      if (key.isEmpty || key.split("/").contains("..") ||
+        key.startsWith("/") || key.contains(":")) {
         val err = mapper.createObjectNode()
         err.put("error", "Invalid file key")
         respond(ex, 400, err); return
       }
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = hadoopConf(cfg)
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs   = root.getFileSystem(conf)
       val file = new org.apache.hadoop.fs.Path(root, key)
+      val rootPath = fs.makeQualified(root).toUri.getPath
+      if (!fs.makeQualified(file).toUri.getPath.startsWith(rootPath + "/")) {
+        val err = mapper.createObjectNode()
+        err.put("error", "Invalid file key")
+        respond(ex, 400, err); return
+      }
       if (!fs.exists(file) || !fs.getFileStatus(file).isFile) {
         val err = mapper.createObjectNode()
         err.put("error", "File not found")

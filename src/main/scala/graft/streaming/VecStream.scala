@@ -123,14 +123,23 @@ object VecStream {
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1)
     require(cents.nonEmpty, "cellDriftMonitor needs a non-empty codebook")
-    val assignExpr = cents.foldLeft(
-      struct(lit(-2.0).as("c"), lit(Long.MaxValue).as("cell"))) {
-      case (acc, (cellId, cv, cn2)) =>
+    // argmax via aggregate() over ONE literal array of cells: the
+    // lambda's `acc` is a variable REFERENCE, so the expression tree
+    // stays linear in k (a when/otherwise foldLeft would embed the
+    // whole accumulator tree twice per cell — O(2^k) and fatal at the
+    // k ≈ √N codebook sizes the IVF docs prescribe). Ascending cell
+    // order + strict > keeps ties on the LOWEST cell id
+    // (kmeansAssignWith's rule).
+    val cellsLit = typedlit(cents.map { case (cid, cv, cn2) => (cid, cv, cn2) }.toSeq)
+    val assignExpr = aggregate(
+      cellsLit,
+      struct(lit(-2.0).as("c"), lit(Long.MaxValue).as("cell")),
+      (acc, cell) => {
         val cos = Similarity.cosine(
-          Portable.dotQ(col("__v"), typedlit(cv)), col("__n2"), lit(cn2))
-        when(cos > acc.getField("c"), struct(cos.as("c"), lit(cellId).as("cell")))
-          .otherwise(acc)
-    }.getField("cell")
+          Portable.dotQ(col("__v"), cell.getField("_2")), col("__n2"), cell.getField("_3"))
+        when(cos > acc.getField("c"),
+          struct(cos.as("c"), cell.getField("_1").as("cell"))).otherwise(acc)
+      }).getField("cell")
     // ONE stateful agg keyed by window: total + one conditional count
     // per (literal) cell — per-cell shares then need no second agg and
     // no window function (neither is append-mode streamable).

@@ -323,8 +323,11 @@ class ApiServerSpec extends SparkSpec {
       val c0 = d.get("symbols").get(0).get("candles").get(0)
       assert(c0.has("timestamp") && c0.has("datetime") && c0.has("open") && c0.has("volume"))
 
-      // traversal rejected; missing file is a clean 404
+      // traversal rejected — dot-dot segments AND scheme-qualified
+      // absolute URIs (Path(root, "file:/x") resolves to file:/x);
+      // missing file is a clean 404
       assert(get(server, "/file/../etc/passwd")._1 === 400)
+      assert(get(server, "/file/file:%2Fetc%2Fpasswd")._1 === 400)
       assert(get(server, "/file/f9/nope.json")._1 === 404)
     } finally server.stop()
   }
