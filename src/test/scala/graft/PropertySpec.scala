@@ -442,4 +442,52 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sampleGate: deterministic per id, partition-invariant, pass fraction tracks rateBps") {
+    val s = spark; import s.implicits._
+    forAll(Gen.chooseNum(500, 9500), n = 5) { rate =>
+      val ids = (0L until 2000L).toDF("id")
+      def kept(parts: Int): Seq[Long] = ids.repartition(parts)
+        .filter(graft.functions.Portable.sampleGate(col("id"), rate, "prop"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val k1 = kept(1)
+      assert(k1 == kept(7)) // a row's fate is a pure function of its id
+      // md5 uniformity: observed rate within ±5 points of the target
+      val obs = k1.size * 10000.0 / 2000
+      assert(math.abs(obs - rate) < 500, s"rate=$rate observed=$obs")
+    }
+  }
+
+  test("codebook state: merge of any random split == direct state; centroids match kmeans round") {
+    val s = spark; import s.implicits._
+    forAll(Gen.chooseNum(6, 24), n = 5) { n =>
+      val embs = (0 until n).map { i =>
+        (i.toLong, Array.tabulate(4)(d => ((i * 31 + d * 17) % 13 - 6) / 7.0f))
+      }.toDF("vec_id", "embedding")
+      val cb = graft.operators.Similarity.seedCentroids(embs, 2)
+      def stateMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      val full = stateMap(graft.operators.Similarity.codebookState(embs, cb))
+      val merged = stateMap(graft.operators.Similarity.mergeCodebookStates(
+        graft.operators.Similarity.codebookState(embs.filter(col("vec_id") % 3 === 0), cb),
+        graft.operators.Similarity.mergeCodebookStates(
+          graft.operators.Similarity.codebookState(embs.filter(col("vec_id") % 3 === 1), cb),
+          graft.operators.Similarity.codebookState(embs.filter(col("vec_id") % 3 === 2), cb))))
+      assert(merged == full)
+    }
+  }
+
+  test("bpePairCounts equals a local count on random words") {
+    val s = spark; import s.implicits._
+    val wordGen = Gen.listOfN(12, Gen.oneOf("ab", "abc", "a", "banana", "xyzzy", "zz"))
+    forAll(wordGen, n = 6) { words =>
+      val docs = Seq(words.mkString(" ")).toDF("text")
+      val out = TextAnalysis.bpePairCounts(docs, col("text"), k = 100)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val local = words
+        .flatMap(w => if (w.length >= 2) w.sliding(2).toSeq else Nil)
+        .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      assert(out == local)
+    }
+  }
 }
