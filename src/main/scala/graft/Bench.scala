@@ -49,9 +49,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // 1-min system load at each query's start — the round-6 q84 episode
+    // (10.4 s in-suite, 1.2 s isolated minutes later, plan unchanged,
+    // gone next round) was only attributable AFTER the fact by
+    // elimination; recording load per query makes a transient
+    // host-interference spike readable right in the flagged entry.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loads = scala.collection.mutable.Map.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
+        loads(name) = loadAvg()
         val cold = once(fn)
         val warm = if (cold >= 0) math.min(once(fn), once(fn)) else -1.0
         // Each query leaves broadcasts/shuffle state behind; the
@@ -106,19 +117,32 @@ object Bench {
     // median of 150 queries), and the regression thresholds scale by
     // it — in BOTH directions: a faster host tightens them. With too
     // few shared queries to estimate (subset runs), drift stays 1.
-    val drift: Double = {
+    //
+    // The estimate is CLAMPED to [0.8, 1.6] (the measured shared-host
+    // envelope): an unbounded median would also absorb a genuine
+    // suite-wide regression — a slowdown in a shared helper or a Spark
+    // conf change that hits most of the 150+ queries uniformly looks
+    // exactly like host drift to a median. With the clamp, any uniform
+    // slowdown beyond 1.6× starts flagging queries, and
+    // `host_drift_saturated` in the output says the normalizer hit its
+    // rail so the flags need a human eye (host vs plan).
+    val driftRaw: Double = {
       val rs = results.flatMap { case (name, _, w) =>
         prior.get(name).collect { case p if p > 0 && w > 0 => w / p }
       }.sorted
       if (rs.size < 20) 1.0 else rs(rs.size / 2)
     }
+    val drift          = math.max(0.8, math.min(1.6, driftRaw))
+    val driftSaturated = drift != driftRaw
     val flagged = results.flatMap { case (name, _, w) =>
       prior.get(name).collect {
         case p if p > 0 && w > 1.5 * p * drift && w - p * drift > 0.15 => (name, p, w)
       }
     }
     val regs = flagged
-      .map { case (name, p, w) => s""""$name":{"prior":$p,"now":$w}""" }
+      .map { case (name, p, w) =>
+        s""""$name":{"prior":$p,"now":$w,"load_at_start":${loads.getOrElse(name, -1.0)}}"""
+      }
       .mkString("{", ",", "}")
 
     // ---- Self-verification pass (full runs only) --------------------
@@ -147,7 +171,7 @@ object Bench {
         val conf = flagged.flatMap { case (name, p, _) =>
           val i = iso(name)
           if (i < 0 || (i > 1.5 * p * drift && i - p * drift > 0.15))
-            Some(s""""$name":{"prior":$p,"isolated":$i}""")
+            Some(s""""$name":{"prior":$p,"isolated":$i,"load_now":${loadAvg()}}""")
           else None
         }.mkString("{", ",", "}")
         val round = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
@@ -165,8 +189,32 @@ object Bench {
         // Double.toString, not %.3f: String.format is LOCALE-dependent
         // (a de/fr default locale emits "1,251" — invalid JSON)
         s""""host_drift":${math.rint(drift * 1000) / 1000},""" +
+        s""""host_drift_raw":${math.rint(driftRaw * 1000) / 1000},""" +
+        s""""host_drift_saturated":$driftSaturated,""" +
         s""""regressions":$regs,"confirmed_regressions":$confirmed,"sf":"$sfDir"}"""
     println(line)
+    // The driver's artifact keeps only the LAST ~2000 chars of stdout,
+    // so the full 160-query line above always truncates mid-JSON and
+    // BENCH_r{1..6}.json all carry `parsed: null`. Print a COMPACT
+    // summary line LAST — guaranteed to fit the tail whole (≤ ~1.2 KB:
+    // 15 slowest queries at ms precision, regression count, confirmed
+    // list capped at 5) — so the round artifact finally parses. The
+    // complete per-query map still lands in BENCH_SELF.json below.
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val slowQs = results.filter(_._3 >= 0).sortBy(-_._3).take(15)
+      .map { case (k, _, w) => s""""$k":${r3(w)}""" }.mkString("{", ",", "}")
+    val confirmedCapped = {
+      val entries = confirmed.stripPrefix("{").stripSuffix("}")
+      val parts   = if (entries.isEmpty) Seq.empty else entries.split("(?<=\\}),").toSeq
+      parts.take(5).mkString("{", ",", "}")
+    }
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowQs,""" +
+        s""""queries_are_slowest":15,"total_cold":${r3(totalCold)},""" +
+        s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+        s""""host_drift":${r3(drift)},"host_drift_saturated":$driftSaturated,""" +
+        s""""n_regressions":${flagged.size},"confirmed_regressions":$confirmedCapped,""" +
+        s""""full":"BENCH_SELF.json","sf":"$sfDir"}""")
     // The driver captures stdout with a bounded tail — round 3's artifact
     // truncated mid-JSON and lost most per-query times. Persist the full
     // line ourselves (full runs only, so an ad-hoc subset run can't

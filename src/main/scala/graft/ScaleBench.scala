@@ -97,9 +97,16 @@ object ScaleBench {
       // form grows with true-pair mass ∝ K² on this corpus BY
       // CONSTRUCTION, which is exactly what the sampled contract
       // (SCALING.md / q155–q156) exists for.
+      // Both slices REINDEX vec_id/10 before seeding: seedCentroids
+      // takes the first k vectors BY ID (vec_id < k), and a slice of
+      // id-multiples-of-10 contains only ~k/10 such ids — the round-6
+      // run silently trained a ~45-cell codebook while labeling it
+      // "k ≈ √N = 447". Dividing the (unique, multiple-of-10) ids by
+      // 10 restores a dense 0..N/10 id space so k means k.
       "q144_sampled" ->
         (() => {
           val slice = embs.filter(pmod(col("vec_id"), lit(10L)) === 0)
+            .withColumn("vec_id", (col("vec_id") / 10).cast("long"))
           Similarity.tripletMiningIndexed(
             slice, Similarity.kmeansCentroids(slice, 8),
             dim = 64, posThreshold = 0.35, nProbe = 2, kNeg = 3)
@@ -112,6 +119,7 @@ object ScaleBench {
       "q144_sqrtn" ->
         (() => {
           val slice = embs.filter(pmod(col("vec_id"), lit(10L)) === 0)
+            .withColumn("vec_id", (col("vec_id") / 10).cast("long"))
           val k = math.max(8, math.sqrt(slice.count().toDouble).toInt)
           Similarity.tripletMiningIndexed(
             slice, Similarity.kmeansCentroids(slice, k),

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ohlcv.{Api, MockData, Normalize, RawIngest, Storage}
+import graft.operators.Resample
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the OHLCV SERVING read path (the ApiServer
+  * `/ohlcv/{symbol}` chain: P13 partition pruning → D2 dedup → A6
+  * resample → tail limit) — the measurement SCALING.md's "serving path
+  * at ×10/×100" table rows come from. For each (symbols × days) scale
+  * it builds the reference-shaped partitioned table through the REAL
+  * ETL (mock envelopes → raw JSON → normalize → dedup-contract →
+  * parquet partitioned by symbol_clean/year/month/day), then runs one
+  * serving query and reports, from the EXECUTED plan's scan metrics,
+  * how many files the scan actually opened vs how many exist — the
+  * number that decides whether serving cost scales with the TABLE or
+  * with the ANSWER.
+  *
+  * Usage: `runMain graft.ServeScale [workdir]` — prints one JSON line
+  * per scale: {scale, symbols, days, table_files, scan_files,
+  * scan_rows, out_rows, serve_cold_s, serve_warm_s}.
+  */
+object ServeScale {
+  def main(args: Array[String]): Unit = {
+    val work  = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-servescale").toString)
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // base 3×2 sym-days, ×10 = 60, ×100 = 600; 288 five-min candles/day
+    val scales = Seq(("x1", 3, 2), ("x10", 10, 6), ("x100", 30, 20))
+    val t0     = 1759881600L // 2025-10-08 00:00 UTC
+
+    scales.foreach { case (label, nSym, nDays) =>
+      val dir  = s"$work/$label"
+      val syms = (1 to nSym).map(i => f"NSE:SYM$i%03d-EQ")
+      // the real ETL, twice with overlapping windows so the D2 dedup
+      // contract has actual duplicates to collapse (the T4 scenario)
+      val all = MockData.candles(spark, syms, nDays * 288, t0)
+      MockData.envelope(all, "2025-11-01T04:00:00Z")
+        .write.mode("overwrite").json(s"$dir/raw/f1")
+      MockData.envelope(all.filter(col("timestamp_unix") >= t0 + (nDays - 1) * 86400L),
+        "2025-11-01T04:05:00Z")
+        .write.mode("overwrite").json(s"$dir/raw/f2")
+      Storage.writeParquet(
+        Storage.dedupContract(Normalize.normalize(
+          RawIngest.blocks(RawIngest.readRaw(spark, s"$dir/raw/*")), "2025-11-01T05:00:00Z")),
+        s"$dir/table", mode = "overwrite")
+
+      val tableFiles = countParquetFiles(new java.io.File(s"$dir/table"))
+      val midSym     = syms(nSym / 2)
+      val fromDate   = java.time.LocalDate.ofEpochDay(t0 / 86400).plusDays(nDays / 2L).toString
+
+      // the /ohlcv serving chain: pruned scan → dedup → 15m resample →
+      // most-recent-10 buckets (exactly what handleOhlcv runs)
+      def serve(): DataFrame = {
+        val table = Storage.readParquet(spark, s"$dir/table")
+        val base  = Api.getOhlcvFromTable(
+          table, midSym, Some(fromDate), Some(fromDate), limit = None)
+        Resample.candles(base, 900, col("fetch_timestamp"))
+          .orderBy(desc("bucket_start")).limit(10)
+      }
+      // collect(), not count(): count() spawns a SEPARATE query
+      // execution, and the scan metrics below must come from the plan
+      // that actually ran
+      def timed(): (Double, Long, DataFrame) = {
+        val t = System.nanoTime(); val df = serve(); val n = df.collect().length.toLong
+        ((System.nanoTime() - t) / 1e9, n, df)
+      }
+      val (cold, outRows, df) = timed()
+      val (warm, _, _)        = timed()
+      val (scanFiles, scanRows) = scanMetrics(df.queryExecution.executedPlan)
+      println(
+        s"""{"scale":"$label","symbols":$nSym,"days":$nDays,""" +
+          s""""table_files":$tableFiles,"scan_files":$scanFiles,""" +
+          s""""scan_rows":$scanRows,"out_rows":$outRows,""" +
+          s""""serve_cold_s":${math.rint(cold * 1000) / 1000},""" +
+          s""""serve_warm_s":${math.rint(warm * 1000) / 1000}}""")
+    }
+    spark.stop()
+  }
+
+  private def countParquetFiles(root: java.io.File): Int = {
+    val kids = Option(root.listFiles()).getOrElse(Array.empty)
+    kids.count(f => f.isFile && f.getName.endsWith(".parquet")) +
+      kids.filter(_.isDirectory).map(countParquetFiles).sum
+  }
+
+  /** (numFiles, numOutputRows) summed over the executed plan's parquet
+    * scans — what the query actually opened and read, post-pruning. */
+  private def scanMetrics(plan: SparkPlan): (Long, Long) = {
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(all)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case q: QueryStageExec        => all(q.plan)
+        case _                        => Seq.empty
+      })
+    val scans = all(plan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    (
+      scans.map(s => s.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum,
+      scans.map(s => s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum)
+  }
+}

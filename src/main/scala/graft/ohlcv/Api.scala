@@ -118,10 +118,26 @@ object Api {
     def dayStartUtc(d: String): Long =
       java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
     val clean = symbol.toUpperCase.replaceAll("NSE:|-EQ", "")
+    // The date range must ALSO reach the year/month/day PARTITION
+    // columns, or the scan lists (and foot-reads) every day-directory
+    // of the symbol — measured 160 files opened for a 1-day answer at
+    // the ServeScale ×100 shape, vs the ≤ 3 day-dirs this predicate
+    // leaves. The range is widened ±1 day because the partition
+    // calendar derives from the SESSION timezone while the row filter
+    // is exact UTC epoch bounds — pruning stays a superset of the
+    // answer under any tz skew, and timestamp_unix does the exact cut.
+    val hasDayCols = Seq("year", "month", "day").forall(normalized.columns.contains)
+    def dateInt(d: java.time.LocalDate): Int =
+      d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth
+    val dayKey = col("year") * 10000 + col("month") * 100 + col("day")
     val pruned = Seq(
       Some(col("symbol_clean") === clean && col("symbol") === symbol),
       fromDate.map(d => col("timestamp_unix") >= dayStartUtc(d)),
-      toDate.map(d => col("timestamp_unix") < dayStartUtc(d) + 86400L)
+      toDate.map(d => col("timestamp_unix") < dayStartUtc(d) + 86400L),
+      fromDate.filter(_ => hasDayCols)
+        .map(d => dayKey >= dateInt(java.time.LocalDate.parse(d).minusDays(1))),
+      toDate.filter(_ => hasDayCols)
+        .map(d => dayKey <= dateInt(java.time.LocalDate.parse(d).plusDays(1)))
     ).flatten.reduce(_ && _)
     getOhlcv(fromNormalized(normalized.filter(pruned)), symbol,
       fromDate = None, toDate = None, limit) // range already applied, pushably

@@ -116,6 +116,42 @@ object Storage {
     files.sortBy { case (p, _, m) => (-m, p) }.toSeq
   }
 
+  /** Newest-`k` subset of [[fileInventory]] in BOUNDED memory: the
+    * recursive walk keeps only the current k newest candidates in a
+    * size-k heap, so a landing dir with millions of objects costs
+    * O(files) listing time but O(k) server memory — the shape the
+    * serving layer's `/files` endpoint needs (its `limit` is
+    * client-supplied). Same ordering, same hidden-file and recency
+    * rules as [[fileInventory]]; `nameFilter` prunes before the heap
+    * (the dashboard lists raw JSON only). */
+  def newestInventory(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String,
+      k: Int,
+      nameFilter: String => Boolean = _ => true,
+      modifiedAfterIso: Option[String] = None): Seq[(String, Long, Long)] = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs   = path.getFileSystem(conf)
+    if (!fs.exists(path)) return Seq.empty
+    val cutoff = modifiedAfterIso.map(java.time.Instant.parse(_).toEpochMilli)
+    // max-heap on the SORT key (-modified, path): the head is the
+    // OLDEST retained candidate and is evicted when a newer one lands
+    val heap = scala.collection.mutable.PriorityQueue.empty[(String, Long, Long)](
+      Ordering.by { case (p, _, m) => (-m, p) })
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st   = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith(".") && !name.startsWith("_") &&
+        nameFilter(name) && cutoff.forall(st.getModificationTime > _)) {
+        heap += ((st.getPath.toString, st.getLen, st.getModificationTime))
+        if (heap.size > k) { heap.dequeue(); () }
+      }
+    }
+    heap.dequeueAll.reverse.toSeq
+  }
+
   /** S7: partitioned gzip CSV sink (header, reference column order). */
   def writeCsv(normalized: DataFrame, path: String, mode: String = "append"): Unit =
     normalized.write

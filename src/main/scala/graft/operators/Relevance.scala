@@ -121,7 +121,10 @@ object Relevance {
       .withColumn("rank_text", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
       .select(col("doc_id"), col("rank_text"))
     val v = vec.select(col("qid"), col("cid").as("doc_id"), col("rank").as("rank_vec"))
-    val tq = v.select(col("qid")).distinct().crossJoin(t)
+    // t is the ≤ topK-row lexical list — pin the broadcast explicitly
+    // (every sibling tiny-side crossJoin in the library does) rather
+    // than rely on AQE noticing the size at runtime.
+    val tq = v.select(col("qid")).distinct().crossJoin(broadcast(t))
     val w  = Window.partitionBy(col("qid")).orderBy(desc("rrf_ppm"), asc("doc_id"))
     tq.join(v, Seq("qid", "doc_id"), "full_outer")
       .withColumn(

@@ -658,6 +658,13 @@ object TextAnalysis {
     * round 1 over the raw character vocabulary is exactly this).
     * Returns the top-`k` pairs (pair, cnt, rk), ties by pair.
     *
+    * "Character" means UNICODE CODE POINT on both sides of the oracle
+    * contract: Spark's `char_length`/`substr` walk UTF-8 by code point
+    * (verified empirically — `char_length('a🙂b')` = 3 and the word
+    * yields the two pairs `a🙂`/`🙂b`, never three UTF-16-unit pairs),
+    * exactly matching DuckDB's `length`/`substr`. The non-BMP case is
+    * pinned in `PropertySpec` against a code-point reference.
+    *
     * Scale shape: map-only explode to pairs → ONE map-side-combined
     * hash-agg on the pair (the pair universe is tiny — |alphabet|²) →
     * TakeOrderedAndProject for the top-k; the rank window runs on the

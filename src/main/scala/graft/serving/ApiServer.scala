@@ -52,6 +52,14 @@ object ApiServer {
       clock: () => java.time.Instant = () => java.time.Instant.now(),
       filesDir: Option[String] = None,
       filesListCap: Int = 10, // dashboard.py list_recent_data(limit=10)
+      // Server-side rails for the /files surface: ?limit= clamps to
+      // filesListMax (an uncapped client limit would size the newest-K
+      // heap), and /file/{key} refuses files over fileDetailMaxBytes
+      // (the whole envelope is parsed in server memory — a dashboard
+      // view of one 5-min raw landing is a few KB; a multi-GB object
+      // must not become one in-memory string).
+      filesListMax: Int = 500,
+      fileDetailMaxBytes: Long = 8L << 20,
       // Hadoop config for the /files filesystem. None = classpath
       // defaults; startFromTable wires the session's config in so
       // spark.hadoop.* credentials (object stores) reach the listing.
@@ -384,17 +392,19 @@ object ApiServer {
       err.put("error", "Files surface not configured")
       respond(ex, 404, err)
     case Some(dir) =>
+      // clamp, don't trust: ?limit=2000000000 must not size server
+      // memory (the newest-K heap below is O(limit))
       val limit = qp.get("limit").flatMap(s => scala.util.Try(s.toInt).toOption)
-        .filter(_ > 0).getOrElse(cfg.filesListCap)
+        .filter(_ > 0).getOrElse(cfg.filesListCap).min(cfg.filesListMax)
       val conf = hadoopConf(cfg)
       val rootUri = {
         val p  = new org.apache.hadoop.fs.Path(dir)
         val fs = p.getFileSystem(conf)
         (if (fs.exists(p)) fs.resolvePath(p) else fs.makeQualified(p)).toUri
       }
-      val inv = graft.ohlcv.Storage.fileInventory(conf, dir)
-        .filter(_._1.endsWith(".json")) // dashboard lists raw JSON only
-        .take(limit)
+      // bounded-memory walk: O(limit) heap, never the full listing
+      val inv = graft.ohlcv.Storage.newestInventory(
+        conf, dir, limit, _.endsWith(".json")) // dashboard lists raw JSON only
       val body = mapper.createObjectNode()
       val arr  = body.putArray("files")
       inv.foreach { case (p, size, m) =>
@@ -446,6 +456,17 @@ object ApiServer {
         err.put("error", "File not found")
         err.put("key", key)
         respond(ex, 404, err); return
+      }
+      // the whole envelope is parsed in server memory below — refuse
+      // anything over the configured cap instead of OOMing the server
+      val len = fs.getFileStatus(file).getLen
+      if (len > cfg.fileDetailMaxBytes) {
+        val err = mapper.createObjectNode()
+        err.put("error", "File too large")
+        err.put("key", key)
+        err.put("size", len)
+        err.put("max_bytes", cfg.fileDetailMaxBytes)
+        respond(ex, 413, err); return
       }
       val text = {
         val in = fs.open(file)

@@ -99,6 +99,25 @@ object VecStream {
     * codebook (q158's refresh) before IVF recall quietly decays.
     * `alert` fires when |live − baseline| ≥ `alertBeyondPpm`.
     *
+    * Zero-norm vectors (no cosine to ANY centroid) are excluded from
+    * the window population before assignment, so the per-cell
+    * `live_ppm` shares are a TRUE partition of the reported total —
+    * they sum to ~10⁶ (integer div truncation aside). Count
+    * unscorable vectors upstream with a quality gate if they matter;
+    * a silent sentinel row here would understate every live share.
+    * Every codebook centroid must itself have positive norm (enforced
+    * at build) — [[graft.operators.Similarity.kmeansCentroids]] only
+    * emits such cells.
+    *
+    * REFRESH CONTRACT: the codebook is literalized ONCE at stream
+    * build — a q158-style incremental refresh does NOT propagate into
+    * a running monitor; restart the query against the refreshed
+    * codebook. To make staleness observable instead of silent, pass
+    * `codebookVersion` (the training run's version stamp): every
+    * output row carries it as `codebook_version`, and the serving side
+    * alerts when it differs from the version of the codebook currently
+    * serving IVF queries.
+    *
     * Scale/streaming shape: assignment is a stateless crossJoin with
     * the broadcast k-row codebook folded to a slim argmax; baseline is
     * a broadcast |cells|-row relation; the ONLY state is one windowed
@@ -109,7 +128,8 @@ object VecStream {
       baseline: DataFrame, // (cell, baseline_ppm) from training time
       windowDur: String = "5 minutes",
       watermark: String = "10 minutes",
-      alertBeyondPpm: Long = 200000L): DataFrame = {
+      alertBeyondPpm: Long = 200000L,
+      codebookVersion: Long = 0L): DataFrame = {
     import graft.functions.Portable
     // The codebook is the train-once k-row artifact: LITERALIZE it at
     // stream build (same driver-side cost class as the bloom gate's
@@ -123,6 +143,9 @@ object VecStream {
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1)
     require(cents.nonEmpty, "cellDriftMonitor needs a non-empty codebook")
+    require(cents.forall(_._3 > 0L),
+      "cellDriftMonitor: zero-norm centroid in codebook — it can never win " +
+        "an argmax and would silently shrink the cell partition")
     // argmax via aggregate() over ONE literal array of cells: the
     // lambda's `acc` is a variable REFERENCE, so the expression tree
     // stays linear in k (a when/otherwise foldLeft would embed the
@@ -150,6 +173,9 @@ object VecStream {
       .withWatermark("ingest_ts", watermark)
       .select(col("ingest_ts"), Portable.quantize(col("embedding")).as("__v"))
       .withColumn("__n2", Similarity.normQ(col("__v")))
+      // zero-norm = unscorable: keep it out of BOTH the total and the
+      // cells, or live_ppm shares stop summing to the window
+      .filter(col("__n2") > 0L)
       .withColumn("__cell", assignExpr)
       .groupBy(window(col("ingest_ts"), windowDur))
       .agg(count(lit(1)).as("__n"), perCell.toSeq: _*)
@@ -165,6 +191,7 @@ object VecStream {
       .join(broadcast(baseline.select(col("cell"), col("baseline_ppm"))), Seq("cell"), "left")
       .withColumn("baseline_ppm", coalesce(col("baseline_ppm"), lit(0L)))
       .withColumn("alert", abs(col("live_ppm") - col("baseline_ppm")) >= alertBeyondPpm)
+      .withColumn("codebook_version", lit(codebookVersion))
   }
 
   /** Per-cell baseline population share (cell, baseline_ppm) of a

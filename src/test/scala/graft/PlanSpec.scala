@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     val scan = s.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
     assert(scan.contains("PartitionFilters:") && scan.contains("symbol_clean"),
       s"symbol not pruning partitions:\n$scan")
+    // the date range must prune DAY DIRECTORIES too (±1-day widened
+    // year/month/day key), not just row groups — without it a 1-day
+    // query foot-reads every day of the symbol (ServeScale ×100
+    // measured 160 files vs 24). Inspect the PartitionFilters segment
+    // specifically — year# also appears in the scan's column list.
+    val partFilters = scan.substring(scan.indexOf("PartitionFilters:"))
+      .takeWhile(_ != ']')
+    assert(partFilters.contains("year"),
+      s"date range not pruning day partitions:\n$scan")
     // plan strings truncate long filter lists — match the prefix
     assert(scan.contains("IsNotNull(timestamp_unix") && scan.contains("GreaterThanOrEqual(tim"),
       s"date range not pushed as timestamp_unix bounds:\n$scan")
@@ -595,6 +604,17 @@ class PlanSpec extends SparkSpec {
         allNodes(df.queryExecution.executedPlan).exists(_.isInstanceOf[InMemoryTableScanExec]),
         s"$q must serve from the materialized code relation:\n" + planString(df).take(2000))
     }
+  }
+
+  test("q116 RRF fusion: the qid×lexical-list cross join broadcasts the top-k side pre-AQE") {
+    val df = SparkEntry.queries("q116_hybrid_rrf")(spark, sf())
+    // sparkPlan = the INITIAL physical plan, before any AQE re-plan:
+    // the ≤ topK-row lexical list must broadcast because the hint says
+    // so, not because AQE happened to notice the size at runtime.
+    val s = df.queryExecution.sparkPlan.toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      "rrfFuse qid×lexical join must be a pinned broadcast:\n" + s.take(3000))
+    assert(!s.contains("CartesianProduct"), s.take(3000))
   }
 
   test("q161 BPE pairs: top-k is TakeOrderedAndProject (per-partition heaps), never a global sort of the pair universe") {

@@ -477,15 +477,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("bpePairCounts equals a local count on random words") {
+  test("globalNtile is bit-equal to SQL ntile across adversarial shard boundaries") {
     val s = spark; import s.implicits._
-    val wordGen = Gen.listOfN(12, Gen.oneOf("ab", "abc", "a", "banana", "xyzzy", "zz"))
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Ranking
+    // the three generator shapes target the sharding machinery's edges:
+    //  - all-equal keys → every row lands in ONE shard (max skew);
+    //  - N < buckets → the q = 0 degenerate tile arithmetic;
+    //  - negative keys with ties → the (__lead - __min_k) shard shift.
+    val keysGen = Gen.oneOf(
+      Gen.chooseNum(5, 60).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-50L, 50L))),
+      Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, Gen.const(7L))),
+      Gen.listOfN(3, Gen.chooseNum(-5L, 5L)))
+    forAll2(keysGen, Gen.chooseNum(1, 13), n = 8) { (keys, buckets) =>
+      val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "x")
+      val got = Ranking.globalNtile(df, col("x"), Seq(col("id")), buckets, shards = 5)
+        .select(col("id"), col("tile"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = df
+        .withColumn("tile", ntile(buckets).over(Window.orderBy(col("x"), col("id"))))
+        .select(col("id"), col("tile"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"buckets=$buckets keys=$keys")
+    }
+  }
+
+  test("bpePairCounts equals a local CODE-POINT count on random words, non-BMP included") {
+    val s = spark; import s.implicits._
+    // the non-ASCII entries pin the code-point contract: 🙂 (U+1F642,
+    // a surrogate PAIR in the JVM string) must count as ONE character,
+    // so "a🙂b" yields pairs a🙂 / 🙂b — a UTF-16-unit engine would
+    // see three pairs and a torn surrogate
+    val wordGen = Gen.listOfN(12, Gen.oneOf(
+      "ab", "abc", "a", "banana", "xyzzy", "zz", "a🙂b", "🙂🙃", "é漢🙂", "🙂"))
+    // sliding pairs over CODE POINTS, not UTF-16 units — the reference
+    // the engine and the DuckDB oracle both implement
+    def cpPairs(w: String): Seq[String] = {
+      val cps = w.codePoints().toArray
+      if (cps.length < 2) Nil
+      else (0 until cps.length - 1).map(i => new String(cps, i, 2))
+    }
     forAll(wordGen, n = 6) { words =>
       val docs = Seq(words.mkString(" ")).toDF("text")
       val out = TextAnalysis.bpePairCounts(docs, col("text"), k = 100)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val local = words
-        .flatMap(w => if (w.length >= 2) w.sliding(2).toSeq else Nil)
+        .flatMap(cpPairs)
         .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
       assert(out == local)
     }

@@ -144,6 +144,18 @@ class OhlcvEtlSpec extends SparkSpec {
     assert(none.count() === 0 && none.columns.contains("source_file"))
     // the recency path feeds the SAME normalize as every other scan
     assert(Normalize.normalize(RawIngest.blocks(both), "p").count() === 6)
+
+    // newestInventory (the /files bounded-heap walk) agrees with the
+    // full sort-then-take inventory at every k, filters included
+    val conf = spark.sparkContext.hadoopConfiguration
+    val full = Storage.fileInventory(conf, dir)
+    (1 to 4).foreach { k =>
+      assert(Storage.newestInventory(conf, dir, k) === full.take(k), s"k=$k")
+    }
+    assert(Storage.newestInventory(conf, dir, 2, modifiedAfterIso = Some(cutoff))
+      === Storage.fileInventory(conf, dir, Some(cutoff)).take(2))
+    assert(Storage.newestInventory(conf, dir, 3, _.contains("f1")).map(_._1)
+      === full.map(_._1).filter(_.contains("f1")))
   }
 
   test("dedup contract: overlapping fetches collapse to latest fetch_timestamp") {

@@ -329,6 +329,30 @@ class ApiServerSpec extends SparkSpec {
       assert(get(server, "/file/../etc/passwd")._1 === 400)
       assert(get(server, "/file/file:%2Fetc%2Fpasswd")._1 === 400)
       assert(get(server, "/file/f9/nope.json")._1 === 404)
+
+      // server-side rails: an absurd ?limit= clamps instead of sizing
+      // server memory (the response still answers with what exists)
+      val (cBig, bBig) = get(server, "/files?limit=2000000000")
+      assert(cBig === 200 && mapper.readTree(bBig).get("count").asInt === 2)
+    } finally server.stop()
+  }
+
+  test("/file/{key} refuses files over the configured byte cap with 413") {
+    val landDir = java.nio.file.Files.createTempDirectory("graft-files-cap").toString
+    MockData.envelope(MockData.candles(spark, Seq("NSE:TCS-EQ"), 3, 1759895100L),
+      "2025-10-08T04:00:00Z").coalesce(1).write.json(s"$landDir/f1")
+    val server = ApiServer.start(
+      () => candles,
+      ApiServer.Config(filesDir = Some(landDir), fileDetailMaxBytes = 10L))
+    try {
+      val (code, body) = get(server, "/files")
+      val key = mapper.readTree(body).get("files").get(0).get("key").asText
+      assert(code === 200)
+      val (cd, bd) = get(server, s"/file/$key")
+      assert(cd === 413, bd)
+      val d = mapper.readTree(bd)
+      assert(d.get("error").asText === "File too large")
+      assert(d.get("max_bytes").asLong === 10L)
     } finally server.stop()
   }
 

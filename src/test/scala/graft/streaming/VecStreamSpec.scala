@@ -124,6 +124,51 @@ class VecStreamSpec extends SparkSpec {
     assert(out(1L) === ((1L, 250000L, 500000L, true)))
   }
 
+  test("cellDriftMonitor: zero-norm vectors excluded (shares stay a true partition); restart-on-refresh contract via codebook_version") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("vecstream-drift2").toString
+    val baseline = VecStream.cellBaseline(
+      Seq((100L, Array(1.0f, 0.01f)), (101L, Array(0.01f, 1.0f)))
+        .toDF("vec_id", "embedding"),
+      codebook)
+    // 2 x-ish + 1 y-ish + 1 ZERO vector: the zero vector has no cosine
+    // to anything — it must appear in neither the total nor any cell,
+    // so shares are 666666/333333 over n=3 (not n=4 summing to 750k)
+    vecs(Seq(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.9f, 0.1f),
+      2L -> Array(0.0f, 1.0f), 3L -> Array(0.0f, 0.0f)))
+      .coalesce(1).write.json(s"$dir/land/f1")
+    def run(cb: org.apache.spark.sql.DataFrame, version: Long, name: String) = {
+      val q = VecStream.cellDriftMonitor(
+        VecStream.readVecStream(spark, s"$dir/land/*"), cb, baseline,
+        alertBeyondPpm = 200000L, codebookVersion = version)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$dir/ckpt-$name")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table(name).collect()
+    }
+    val v1 = run(codebook, 1L, "vec_drift_v1")
+    assert(v1.map(_.getAs[Long]("n_vectors")).sum === 3L)
+    assert(v1.map(_.getAs[Long]("live_ppm")).sum === 999999L) // 666666 + 333333
+    assert(v1.forall(_.getAs[Long]("codebook_version") === 1L))
+
+    // Refresh the codebook (q158's state→centroids path): the
+    // documented contract is restart-on-refresh — a RUNNING monitor
+    // keeps its literalized v1 centroids, and staleness is observable
+    // because every row carries the build-time version for the serving
+    // side to compare. A rebuilt monitor stamps the new version.
+    val refreshed = Similarity.centroidsFromState(
+      Similarity.codebookState(
+        Seq((200L, Array(0.7f, 0.7f)), (201L, Array(0.02f, 1.0f)))
+          .toDF("vec_id", "embedding"),
+        codebook))
+    val v2 = run(refreshed, 2L, "vec_drift_v2")
+    assert(v2.forall(_.getAs[Long]("codebook_version") === 2L))
+  }
+
   test("CHAOS: batch dies AFTER its index append; restart redelivers it — no duplicate admits, no self-suppression") {
     val dir = Files.createTempDirectory("vecstream-chaos").toString
     def land(rows: Seq[(Long, Array[Float])], sub: String, bumpMs: Long): Unit = {
