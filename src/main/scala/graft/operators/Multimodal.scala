@@ -199,6 +199,81 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "new_width", "new_height", "resized_sum")
   }
 
+  /** Perceptual average-hash (aHash) of each image — the 64-bit
+    * fingerprint image DEDUP rides: decode, block-average the luma
+    * into an 8×8 grid, threshold each cell against the grid mean
+    * (strict >, ties → 0), bit k = cell (k div 8, k mod 8). Exact
+    * integer arithmetic end to end (block sums, integer div means),
+    * so the hash is bit-identical on any JVM and partitioning — two
+    * re-encodes of the same pixels collide, and small perturbations
+    * (brightness touch-ups, single-pixel edits) land within a few
+    * bits. Output (doc_id, sh) plugs straight into
+    * [[TextDedup.simhashPairsFromHashes]] — the banded hamming join
+    * (never all-pairs) is SHARED between text simhash and image aHash,
+    * one pair machinery for both modalities.
+    *
+    * Public technique: average hash as popularized by the pHash
+    * family (Zauner '10, "Implementation and Benchmarking of
+    * Perceptual Image Hash Functions"). Batched `mapPartitions` like
+    * every codec path here — the one place Catalyst can't go. */
+  def aHash64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for doc_id=$id")
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val bands  = raster.getNumBands
+          // 8×8 block means in exact ints; blocks never empty (the
+          // max(lo+1, ·) bound nearest-neighbors images smaller than 8)
+          val cell = new Array[Long](64)
+          var gy = 0
+          while (gy < 8) {
+            val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+            var gx = 0
+            while (gx < 8) {
+              val x0 = gx * w / 8; val x1 = math.max(x0 + 1, (gx + 1) * w / 8)
+              var sum = 0L; var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  // luma = mean over bands (grayscale: the band itself)
+                  var b = 0; var p = 0L
+                  while (b < bands) { p += raster.getSample(x, y, b); b += 1 }
+                  sum += p / bands; n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              cell(gy * 8 + gx) = sum / n
+              gx += 1
+            }
+            gy += 1
+          }
+          val mean = cell.sum / 64
+          var sh = 0L; var k = 0
+          while (k < 64) { if (cell(k) > mean) sh |= (1L << k); k += 1 }
+          (id, sh)
+        })
+      }
+      .toDF("doc_id", "sh")
+  }
+
+  /** Image near-duplicate candidate pairs at hamming ≤ `maxHamming`
+    * over [[aHash64]] fingerprints — [[TextDedup.simhashPairsFromHashes]]'
+    * pigeonhole band join, so cost is banded, never corpus². The
+    * verdict/keeper/cluster machinery downstream is the same one text
+    * dedup uses ([[TextDedup.dedupVerdicts]]). */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame =
+    TextDedup.simhashPairsFromHashes(aHash64(media), maxHamming, bands = 8)
+
   // ---------------------------------------------------------------
   // Stub audio/video path (no codec in this container)
   // ---------------------------------------------------------------

@@ -923,9 +923,15 @@ object TextDedup {
 
   /** [[simhashPairs]] over an already-computed (doc_id, sh) relation
     * (e.g. a persisted [[simhashes]] output shared with other
-    * consumers — the materialized-intermediate pattern). */
-  def simhashPairsFromHashes(fps: DataFrame, maxHamming: Int): DataFrame = {
-    val bytes = array((0 until 4).map(j => shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)
+    * consumers — the materialized-intermediate pattern). `bands` sizes
+    * the pigeonhole blocking to the hash width: 4 byte-bands cover the
+    * 32-bit simhash (guarantee at hamming ≤ 3); 64-bit fingerprints
+    * (image aHash, [[Multimodal.aHash64]]) pass 8 for the ≤ 7
+    * guarantee. The guarantee is maxHamming ≤ bands − 1 over the bits
+    * the bands cover. */
+  def simhashPairsFromHashes(fps: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands <= 8, s"bands must be in [1, 8] (got $bands)")
+    val bytes = array((0 until bands).map(j => shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)
     val blocks = fps.select(col("doc_id"), col("sh"), posexplode(bytes).as(Seq("bpos", "bval")))
     blocks.as("a")
       .join(

@@ -937,6 +937,22 @@ object Documents {
     "q162_boilerplate_shingles" -> ((s, dir) =>
       TextDedup.boilerplateShingles(sharedShingles(s, dir), k = 20)),
 
+    // Perceptual image hash: REAL decode → 8×8 integer block-mean
+    // aHash (64-bit), oracle recomputed from the closed-form manifest
+    // like q40/q49 — PNG losslessness makes the codec round trip
+    // hash-exact.
+    "q163_image_ahash" -> ((s, dir) =>
+      Multimodal.aHash64(
+        Multimodal.syntheticImages(Tables.documents(s, dir), col("doc_id")))),
+
+    // Image NEAR-DUP pairs at hamming ≤ 3 over the aHash fingerprints
+    // — the banded pigeonhole join (8 bands ⇒ exact up to hamming 7),
+    // sharing the text-simhash pair machinery across modalities.
+    "q164_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDupPairs(
+        Multimodal.syntheticImages(Tables.documents(s, dir), col("doc_id")),
+        maxHamming = 3)),
+
     // Two-stage retrieval — ADC + exact refine (IVFADC's "+R"): the
     // compressed index proposes 20 candidates per query from STORED
     // codes, only those 20 vectors are fetched and exactly re-scored

@@ -9,6 +9,38 @@ private[queries] object DocumentsOracles2 {
   import Documents.{EmbDim, ParagraphBreakDivisor, ParagraphMaxDf, PqK, PqM, SharedJaccardDfCap}
   import DocumentsOracles._
 
+  /** aHash of every manifest image (q40's closed-form pixels): 8×8
+    * block means in exact integer division, strict-> threshold vs the
+    * grid mean, bit k = cell (k div 8, k mod 8). Shared by q163/q164. */
+  private val aHashCte =
+    """dims AS (
+         SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+                CAST(3 + doc_id % 11 AS BIGINT) AS h
+         FROM documents),
+       acells AS (
+         SELECT doc_id, w, h, gy*8 + gx AS k,
+                gx*w // 8 AS x0, GREATEST(gx*w // 8 + 1, (gx+1)*w // 8) AS x1,
+                gy*h // 8 AS y0, GREATEST(gy*h // 8 + 1, (gy+1)*h // 8) AS y1
+         FROM dims,
+         LATERAL (SELECT unnest(generate_series(0, 7)) AS gx),
+         LATERAL (SELECT unnest(generate_series(0, 7)) AS gy)),
+       acm AS (
+         SELECT doc_id, k,
+                CAST(SUM((doc_id*31 + x*7 + y*13) % 256) // COUNT(1) AS BIGINT) AS cv
+         FROM acells,
+         LATERAL (SELECT unnest(generate_series(x0, x1-1)) AS x),
+         LATERAL (SELECT unnest(generate_series(y0, y1-1)) AS y)
+         GROUP BY 1, 2),
+       amean AS (SELECT doc_id, CAST(SUM(cv) // 64 AS BIGINT) AS mean FROM acm GROUP BY 1),
+       shs AS (
+         SELECT acm.doc_id,
+                CAST(SUM(CASE WHEN cv > mean THEN
+                       CASE WHEN k = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << CAST(k AS INT)) END
+                     ELSE 0 END) AS BIGINT) AS sh
+         FROM acm JOIN amean ON acm.doc_id = amean.doc_id
+         GROUP BY 1)"""
+
   val oracles: Map[String, String] = Map(
     // The bloom gate is exact by construction (no false negatives),
     // so the oracle is the plain fingerprint membership join.
@@ -1659,6 +1691,27 @@ private[queries] object DocumentsOracles2 {
           c AS (SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM sh GROUP BY 1),
           r AS (SELECT s, df, row_number() OVER (ORDER BY df DESC, s ASC) AS rk FROM c)
           SELECT s, df, CAST(rk AS INT) AS rk FROM r WHERE rk <= 20""",
+
+    // Perceptual aHash recomputed from the closed-form image manifest
+    // (like q40/q49): 8×8 integer block means of the luma, threshold
+    // vs the grid mean (strict >), bit k = cell k. Bit 63 cannot be
+    // built as 1<<63 in DuckDB (overflow error) — it is the BIGINT
+    // min literal, which equals the two's-complement value Spark's
+    // `1L << 63` produces.
+    "q163_image_ahash" ->
+      s"""WITH $aHashCte
+          SELECT doc_id, sh FROM shs""",
+
+    // Exact all-pairs image near-dups at hamming ≤ 3 over the aHash:
+    // the engine's 8-band pigeonhole join is EXACT up to hamming 7,
+    // so the oracle may compare against ground truth, not a candidate
+    // mirror.
+    "q164_image_neardup" ->
+      s"""WITH $aHashCte
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+          FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
 
     // q102's ADC chain at kCand=20, then exact cosine re-rank of only
     // those candidates to the top-5 (IVFADC's "+R" refine).
