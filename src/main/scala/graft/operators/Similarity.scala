@@ -531,6 +531,63 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("centroid_cos"), col("rk"))
   }
 
+  /** kNN LABEL-NOISE audit (confident-learning style, Northcutt '21):
+    * for every vector, its k nearest within-cell neighbors vote on the
+    * label — a vector whose own label is a strict minority among its
+    * neighbors is a mislabel/out-of-distribution SUSPECT, the standard
+    * first pass before training on labeled embeddings. Output one row
+    * per vector: (vec_id, label, n_neighbors, n_same_label, suspect);
+    * `n_neighbors` < k in small cells, 0 for singleton cells (never a
+    * suspect — no evidence either way).
+    *
+    * Neighborhoods are WITHIN-CELL by design (the IVF approximation:
+    * a vector's true nearest neighbors overwhelmingly share its cell),
+    * so candidate mass is Σ|cell|² / corpus² — blocked, never
+    * all-pairs; `maxCellCompare` additionally bounds hot cells by the
+    * [[semDedupVerdicts]] cap contract (neighbors then come from the
+    * cell's cap lowest ids — an explicit recall trade, not a default).
+    * Ties on cosine break by neighbor id ascending; all arithmetic is
+    * the exact-int dot/norm contract, so the audit is oracle-portable.
+    *
+    * Scale shape: one broadcast-codebook assignment, one cell-keyed
+    * self-join, a rank window partitioned by vec_id, one hash-agg —
+    * the same plan family as [[semDedupVerdicts]]. */
+  def knnLabelAudit(
+      embs: DataFrame,
+      codebook: DataFrame,
+      label: Column,
+      k: Int,
+      maxCellCompare: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val labels = embs.select(col("vec_id"), label.as("label"))
+    val m = assignedCorpus(embs, codebook)
+      .join(labels, "vec_id")
+    val nb = m.as("a")
+      .join(headCapped(m, maxCellCompare, "knn_label_cell_cap").as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("bid"), col("b.label").as("nb_label"),
+        cosine(Portable.dotQ(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("bid"))
+    val counted = nb
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("vec_id"))
+      .agg(
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("nb_label") === col("label"), 1L).otherwise(0L)).as("n_same_label"))
+    labels
+      .join(counted, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("label"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("n_same_label"), lit(0L)).as("n_same_label"),
+        (coalesce(col("n_neighbors"), lit(0L)) > 0L &&
+          coalesce(col("n_same_label"), lit(0L)) * 2L <
+            coalesce(col("n_neighbors"), lit(0L))).as("suspect"))
+  }
+
   /** ANN via hyperplane-LSH: candidates are corpus vectors in the SAME
     * bucket as the query; exact cosine rescoring + top-k within the
     * bucket. Approximate by construction (bucket recall < 1) — the

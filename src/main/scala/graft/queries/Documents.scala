@@ -953,6 +953,14 @@ object Documents {
         Multimodal.syntheticImages(Tables.documents(s, dir), col("doc_id")),
         maxHamming = 3)),
 
+    // kNN label-noise audit (confident-learning style): each vector's
+    // 5 nearest within-cell neighbors vote on its label; a strict
+    // minority own-label is a mislabel suspect. Rides the SHARED
+    // trained codebook (train once).
+    "q165_label_audit" -> ((s, dir) =>
+      Similarity.knnLabelAudit(
+        Tables.embeddings(s, dir), sharedCodebook(s, dir), col("label"), k = 5)),
+
     // Two-stage retrieval — ADC + exact refine (IVFADC's "+R"): the
     // compressed index proposes 20 candidates per query from STORED
     // codes, only those 20 vectors are fetched and exactly re-scored

@@ -1713,6 +1713,49 @@ private[queries] object DocumentsOracles2 {
           FROM shs a JOIN shs b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
 
+    // kNN label audit over the trained codebook: q96's assignment,
+    // within-cell neighbor pairs BOTH directions, top-5 by (cos desc,
+    // bid asc), neighbor-label vote vs own label.
+    "q165_label_audit" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          ),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1
+          ),
+          lab AS (SELECT vec_id, label FROM embeddings),
+          m AS (
+            SELECT en.vec_id, en.v, en.n2, asg.cell, lab.label
+            FROM en JOIN asg USING (vec_id) JOIN lab USING (vec_id)
+          ),
+          nb AS (
+            SELECT a.vec_id, a.label, b.vec_id AS bid, b.label AS nb_label,
+                   ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cos
+            FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          ),
+          tops AS (
+            SELECT * FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS rn
+              FROM nb) WHERE rn <= 5
+          ),
+          agg AS (
+            SELECT vec_id, CAST(COUNT(1) AS BIGINT) AS n_neighbors,
+                   CAST(SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label
+            FROM tops GROUP BY 1
+          )
+          SELECT lab.vec_id, lab.label,
+                 CAST(COALESCE(n_neighbors, 0) AS BIGINT) AS n_neighbors,
+                 CAST(COALESCE(n_same_label, 0) AS BIGINT) AS n_same_label,
+                 (COALESCE(n_neighbors, 0) > 0 AND
+                  COALESCE(n_same_label, 0) * 2 < COALESCE(n_neighbors, 0)) AS suspect
+          FROM lab LEFT JOIN agg USING (vec_id)""",
+
     // q102's ADC chain at kCand=20, then exact cosine re-rank of only
     // those candidates to the top-5 (IVFADC's "+R" refine).
     "q159_pq_rerank" ->

@@ -75,6 +75,33 @@ class Round7OperatorsSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("knnLabelAudit: planted mislabel is a suspect, consistent vectors are not, singleton cell has no evidence") {
+    // cell 0 = x-direction (label 0, one vector PLANTED as label 1),
+    // cell 1 = y-direction (label 1), cell 2 = a lone diagonal vector
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 1),
+      (2L, Array(0.0f, 0.0f, 1.0f), 7), // singleton cell — no neighbors
+      (3L, Array(0.95f, 0.05f, 0.0f), 0),
+      (4L, Array(0.9f, 0.1f, 0.0f), 0),
+      (5L, Array(0.85f, 0.15f, 0.0f), 1), // planted noise in cell 0
+      (6L, Array(0.1f, 0.9f, 0.0f), 1),
+      (7L, Array(0.05f, 0.95f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cb  = Similarity.seedCentroids(embs, 3) // cells = vecs 0, 1, 2
+    val out = Similarity.knnLabelAudit(embs, cb, col("label"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(5L)._3, "planted mislabel must be a suspect")
+    assert(out(5L)._2 === 0L) // all 3 neighbors in cell 0 carry label 0
+    Seq(0L, 3L, 4L).foreach(i => assert(!out(i)._3, s"vec $i wrongly suspected"))
+    Seq(6L, 7L).foreach(i => assert(!out(i)._3, s"vec $i wrongly suspected"))
+    assert(out(2L) === ((0L, 0L, false))) // singleton: zero neighbors, never a suspect
+    // consistent vectors in cell 0 see the planted '1' among neighbors
+    // but keep majority agreement
+    assert(out(3L)._1 === 3L && out(3L)._2 >= 2L)
+  }
+
   test("simhashPairsFromHashes band guarantee: diffs spread one-per-low-band are missed at 4 bands, found at 8") {
     // hashes differ in bits 0, 8, 16, 24 — one per low byte-band, so
     // every 4-band blocking key differs; bands 4..7 (high bytes) agree
