@@ -948,6 +948,35 @@ object TextDedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Incremental twin of [[simhashPairsFromHashes]]: which NEW
+    * fingerprints sit within `maxHamming` bits of any INDEX member —
+    * the membership probe a streaming ingest gate runs per batch, cost
+    * ∝ |batch| · collision rate, never |batch| · |index|. Same banded
+    * pigeonhole (guarantee maxHamming ≤ bands − 1), same
+    * rescore-before-dedup-exchange shape. Output one row per matched
+    * (doc_id, index_id) pair with the exact hamming; novel docs simply
+    * don't appear (anti-join downstream). */
+  def simhashProbeIndex(
+      newFps: DataFrame,
+      indexFps: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands <= 8, s"bands must be in [1, 8] (got $bands)")
+    def blocks(df: DataFrame) = {
+      val bytes =
+        array((0 until bands).map(j => shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)
+      df.select(col("doc_id"), col("sh"), posexplode(bytes).as(Seq("bpos", "bval")))
+    }
+    blocks(newFps).as("a")
+      .join(blocks(indexFps).as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval"))
+      .select(
+        col("a.doc_id").as("doc_id"), col("b.doc_id").as("index_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_id", "index_id")
+  }
+
   /** Bloom-gated incremental exact dedup: which NEW-batch docs
     * already exist (by content fingerprint) in a much larger HISTORY
     * corpus — the daily-ingest membership check, without joining the

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.operators.{Multimodal, TextDedup}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming IMAGE ingestion — the multimodal twin of [[DocStream]]
+  * (text) and [[VecStream]] (embeddings): images land continuously and
+  * each micro-batch is perceptual-dedup-gated against the GROWING
+  * index of every fingerprint already admitted. Stream and batch share
+  * ONE definition of "near-duplicate image": [[Multimodal.aHash64]] +
+  * the banded hamming machinery the batch path oracle-checks
+  * (q163/q164).
+  *
+  * State lives in the fingerprint index TABLE (8 bytes per admitted
+  * image + id), never the streaming state store — the gate is a
+  * stateless banded join per batch, so streaming state cannot grow
+  * with the corpus. Each image is DECODED EXACTLY ONCE per batch (the
+  * hash relation is computed up front and reused by both dedup
+  * layers); the index side joins on (band, value) keys, cost ∝
+  * |batch| · collision rate, never |batch| · |index|.
+  */
+object MediaStream {
+
+  /** Landed-media envelope: id, PNG payload, landing time. Parquet,
+    * not JSON — binary payloads are first-class in parquet and the
+    * file-stream source replays it exactly. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("ingest_ts", TimestampType)))
+
+  /** Schema'd streaming read of landed media parquet. */
+  def readMediaStream(spark: SparkSession, glob: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(mediaSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(glob)
+
+  /** foreachBatch stage: aHash-gate each micro-batch against the
+    * growing fingerprint index at `historyDir`, admit only perceptually
+    * novel images, and land (doc_id, sh) under the batch's own
+    * `batch_id=N` partition so the NEXT batch gates against them too.
+    *
+    * Two-layer contract per batch (the [[VecStream]] split):
+    *  1. WITHIN the batch: keep-lowest-id per near-dup pair — a doc
+    *     within `maxHamming` of any LOWER batch id drops (the
+    *     keep-earliest chain [[graft.operators.Similarity.semDedupVerdicts]]
+    *     uses);
+    *  2. ACROSS runs: survivors probe the index
+    *     ([[TextDedup.simhashProbeIndex]]) and drop on any hit.
+    *
+    * REPLAY-SAFE exactly like [[VecStream.semDedupGatedBatchSink]]:
+    * the index is read EXCLUDING the current batch's own partition and
+    * the write dynamic-partition-OVERWRITES that partition, so a
+    * redelivered batch recomputes the same admit set in place. */
+  def aHashGatedBatchSink(
+      historyDir: String,
+      maxHamming: Int,
+      bands: Int = 8): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // decode once per image; both dedup layers ride this relation
+    val hashed = Multimodal.aHash64(batch)
+    val withinDropped = TextDedup
+      .simhashPairsFromHashes(hashed, maxHamming, bands)
+      .select(col("doc_b").as("doc_id"))
+    val keepers = hashed.join(withinDropped, Seq("doc_id"), "left_anti")
+    val priorIndex = scala.util.Try {
+        spark.read.parquet(historyDir)
+          .filter(col("batch_id") =!= batchId) // replay: own partition invisible
+          .select(col("doc_id"), col("sh"))
+      }.getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "sh"))
+    val dupIds = TextDedup
+      .simhashProbeIndex(keepers, priorIndex, maxHamming, bands)
+      .select(col("doc_id"))
+    keepers
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(historyDir)
+  }
+
+  /** Wire [[aHashGatedBatchSink]] onto a media stream. */
+  def startAHashIngest(
+      media: DataFrame,
+      historyDir: String,
+      checkpointDir: String,
+      maxHamming: Int,
+      bands: Int = 8): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(aHashGatedBatchSink(historyDir, maxHamming, bands))
+      .start()
+}

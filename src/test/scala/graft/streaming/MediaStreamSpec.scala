@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MediaStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(seed: Int, perturb: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(32, 24, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val base = (x * 37 + y * 11 + seed * 97) % 256
+      val v = if (perturb && x == 5 && y == 5) 255 else base
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def media(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("doc_id", "payload")
+      .withColumn("ingest_ts", to_timestamp(lit("2025-10-08 10:00:00")))
+
+  private def indexIds(hist: String): Set[Long] =
+    spark.read.parquet(hist).select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("aHashGatedBatchSink: within-batch near-dup collapses, growing cross-run gate, replay-safe") {
+    val dir  = Files.createTempDirectory("mediastream").toString
+    val hist = s"$dir/index"
+    val sink = MediaStream.aHashGatedBatchSink(hist, maxHamming = 3)
+
+    // batch 0: two distinct images + a perturbed copy of the first —
+    // the copy collapses WITHIN the batch (keep-lowest-id)
+    sink(media(Seq(
+      10L -> png(1),
+      11L -> png(2),
+      12L -> png(1, perturb = true))), 0L)
+    assert(indexIds(hist) === Set(10L, 11L))
+
+    // batch 1: perturbed copy of an INDEX member (dropped) + novel
+    sink(media(Seq(
+      20L -> png(2, perturb = true), // near-dup of 11 → dropped
+      21L -> png(3))), 1L)
+    assert(indexIds(hist) === Set(10L, 11L, 21L))
+
+    // REPLAY of batch 1: own partition invisible to the gate,
+    // overwritten in place — same admit set, no double rows
+    sink(media(Seq(
+      20L -> png(2, perturb = true),
+      21L -> png(3))), 1L)
+    assert(indexIds(hist) === Set(10L, 11L, 21L))
+    assert(spark.read.parquet(hist).count() === 3)
+
+    // batch 2 gates against batch 1's admit too (the GROWING contract)
+    sink(media(Seq(
+      30L -> png(3, perturb = true), // near-dup of 21 → dropped
+      31L -> png(4))), 2L)
+    assert(spark.read.parquet(hist).filter(col("batch_id") === 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(31L))
+  }
+
+  test("CHAOS: batch dies AFTER its index append; restart redelivers it — no duplicate admits, no self-suppression") {
+    val dir = Files.createTempDirectory("mediastream-chaos").toString
+    def land(rows: Seq[(Long, Array[Byte])], sub: String, bumpMs: Long): Unit = {
+      media(rows).coalesce(1).write.parquet(s"$dir/land/$sub")
+      val now = System.currentTimeMillis()
+      Files.walk(java.nio.file.Paths.get(s"$dir/land/$sub")).forEach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(now + bumpMs))
+      }
+    }
+    land(Seq(50L -> png(1), 51L -> png(2)), "f1", 0L)
+    land(Seq(52L -> png(1, perturb = true), 53L -> png(5)), "f2", 60000L)
+    val hist = s"$dir/index"
+    val ckpt = s"$dir/ckpt"
+
+    // first delivery of batch 0: index append completes, then the
+    // query dies BEFORE the batch commits — torn crash state
+    val real = MediaStream.aHashGatedBatchSink(hist, maxHamming = 3)
+    @volatile var crashed = false
+    val chaotic: (org.apache.spark.sql.DataFrame, Long) => Unit = { (b, id) =>
+      real(b, id)
+      if (id == 0L && !crashed) { crashed = true; throw new RuntimeException("injected: died after index append") }
+    }
+    val q1 = MediaStream.readMediaStream(spark, s"$dir/land/*", maxFilesPerTrigger = 1)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(chaotic)
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+
+    // restart from the same checkpoint: batch 0 redelivers, its own
+    // partition is invisible to the gate (no self-suppression) and is
+    // overwritten in place (no duplicate admits); batch 1 then drops
+    // the cross-batch near-dup 52 and admits 53
+    val q2 = MediaStream.startAHashIngest(
+      MediaStream.readMediaStream(spark, s"$dir/land/*", maxFilesPerTrigger = 1),
+      hist, ckpt, maxHamming = 3)
+    q2.processAllAvailable(); q2.stop()
+    assert(indexIds(hist) === Set(50L, 51L, 53L))
+    assert(spark.read.parquet(hist).count() === 3)
+  }
+}
