@@ -145,6 +145,37 @@ object ScaleBench {
             TextDedup.lshRescoredPairs(sh, estThreshold = 0.5, threshold = 0.8),
             rateBps = 5000)
         }),
+      // Round-7 additions: image hashing/dedup and the label audit run
+      // the REGISTERED query shape — image count and cell-blocked
+      // candidate mass are the scale axes; the ×K corpus multiplies
+      // both (identical embedding copies make every cell K× denser,
+      // the adversarial case for the within-cell self-join).
+      "q163_image_ahash" ->
+        (() => SparkEntry.queries("q163_image_ahash")(spark, dir)),
+      "q164_image_neardup" ->
+        (() => SparkEntry.queries("q164_image_neardup")(spark, dir)),
+      "q165_label_audit" ->
+        (() => SparkEntry.queries("q165_label_audit")(spark, dir)),
+      // the production pair shape for a dup-dense corpus: the EXACT
+      // layer collapses hash-identical images first (one keep-min
+      // representative per fingerprint — the same exact-before-near
+      // discipline as text dedup), and near-dup pairs are mined among
+      // REPRESENTATIVES only; raw q164 on the ×K corpus instead emits
+      // every within-group pair — output ∝ K² by construction
+      "q164_distinct" ->
+        (() => {
+          val reps = graft.operators.Multimodal.aHash64(
+            graft.operators.Multimodal.syntheticImages(docs, col("doc_id")))
+            .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+          TextDedup.simhashPairsFromHashes(reps, maxHamming = 3, bands = 8)
+        }),
+      // the production-capped form for the dup-dense corpus: neighbors
+      // drawn from each cell's 64 lowest ids (the semDedup cap
+      // contract) — candidate mass |cell|·64, never |cell|²
+      "q165_capped" ->
+        (() => Similarity.knnLabelAudit(
+          embs, Similarity.kmeansCentroids(embs, 8), col("label"), k = 5,
+          maxCellCompare = Some(64L))),
       "q157_cluster_histogram" ->
         (() => SparkEntry.queries("q157_cluster_histogram")(spark, dir)),
       "q158_codebook_refresh" ->

@@ -560,19 +560,23 @@ object Similarity {
       maxCellCompare: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be positive (got $k)")
     val labels = embs.select(col("vec_id"), label.as("label"))
+    // labels join AFTER the top-k filter, not before: headCapped
+    // projects the canonical (vec_id, v, n2, cell) shape, and the
+    // lookup then touches ≤ N·k survivor rows instead of the full
+    // candidate relation
     val m = assignedCorpus(embs, codebook)
-      .join(labels, "vec_id")
     val nb = m.as("a")
       .join(headCapped(m, maxCellCompare, "knn_label_cell_cap").as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(
-        col("a.vec_id").as("vec_id"), col("a.label").as("label"),
-        col("b.vec_id").as("bid"), col("b.label").as("nb_label"),
+        col("a.vec_id").as("vec_id"), col("b.vec_id").as("bid"),
         cosine(Portable.dotQ(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("bid"))
     val counted = nb
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+      .join(labels, "vec_id")
+      .join(labels.select(col("vec_id").as("bid"), col("label").as("nb_label")), "bid")
       .groupBy(col("vec_id"))
       .agg(
         count(lit(1)).as("n_neighbors"),

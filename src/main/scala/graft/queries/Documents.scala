@@ -132,6 +132,15 @@ object Documents {
     sigsCache(s, dir)(
       TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir)))
 
+  // Image fingerprints are hash-once artifacts: q163 materializes
+  // them, q164 pairs them, q166 probes them — each image is DECODED
+  // once per corpus, not once per consumer.
+  private val aHashCache = new DirCached
+  private def sharedAHashes(s: SparkSession, dir: String): DataFrame =
+    aHashCache(s, dir)(
+      Multimodal.aHash64(
+        Multimodal.syntheticImages(Tables.documents(s, dir), col("doc_id"))))
+
   // The trained codebook is the canonical materialized intermediate:
   // q61 assigns with it, q63 probes with it ("train once").
   private val codebookCache = new DirCached
@@ -941,17 +950,13 @@ object Documents {
     // aHash (64-bit), oracle recomputed from the closed-form manifest
     // like q40/q49 — PNG losslessness makes the codec round trip
     // hash-exact.
-    "q163_image_ahash" -> ((s, dir) =>
-      Multimodal.aHash64(
-        Multimodal.syntheticImages(Tables.documents(s, dir), col("doc_id")))),
+    "q163_image_ahash" -> ((s, dir) => sharedAHashes(s, dir)),
 
     // Image NEAR-DUP pairs at hamming ≤ 3 over the aHash fingerprints
     // — the banded pigeonhole join (8 bands ⇒ exact up to hamming 7),
     // sharing the text-simhash pair machinery across modalities.
     "q164_image_neardup" -> ((s, dir) =>
-      Multimodal.imageNearDupPairs(
-        Multimodal.syntheticImages(Tables.documents(s, dir), col("doc_id")),
-        maxHamming = 3)),
+      TextDedup.simhashPairsFromHashes(sharedAHashes(s, dir), maxHamming = 3, bands = 8)),
 
     // kNN label-noise audit (confident-learning style): each vector's
     // 5 nearest within-cell neighbors vote on its label; a strict
@@ -960,6 +965,19 @@ object Documents {
     "q165_label_audit" -> ((s, dir) =>
       Similarity.knnLabelAudit(
         Tables.embeddings(s, dir), sharedCodebook(s, dir), col("label"), k = 5)),
+
+    // Incremental image-dedup probe (the MediaStream gate's batch
+    // operator): odd-id images as the NEW batch, even-id images as the
+    // admitted INDEX — which new images sit within hamming 3 of an
+    // index member. Cost ∝ batch × band-collision rate, never
+    // batch × index.
+    "q166_image_probe" -> ((s, dir) => {
+      val fps = sharedAHashes(s, dir)
+      TextDedup.simhashProbeIndex(
+        fps.filter(col("doc_id") % 2 === 1),
+        fps.filter(col("doc_id") % 2 === 0),
+        maxHamming = 3, bands = 8)
+    }),
 
     // Two-stage retrieval — ADC + exact refine (IVFADC's "+R"): the
     // compressed index proposes 20 candidates per query from STORED

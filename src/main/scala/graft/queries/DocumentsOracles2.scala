@@ -1713,6 +1713,17 @@ private[queries] object DocumentsOracles2 {
           FROM shs a JOIN shs b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
 
+    // Incremental image probe: exact membership truth over the aHash
+    // CTE (8 bands cover all 64 bits up to hamming 7, so the banded
+    // engine plan equals exact truth at hamming 3).
+    "q166_image_probe" ->
+      s"""WITH $aHashCte
+          SELECT a.doc_id AS doc_id, b.doc_id AS index_id,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+          FROM shs a JOIN shs b
+            ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+
     // kNN label audit over the trained codebook: q96's assignment,
     // within-cell neighbor pairs BOTH directions, top-5 by (cos desc,
     // bid asc), neighbor-label vote vs own label.

@@ -100,6 +100,16 @@ class Round7OperatorsSpec extends SparkSpec {
     // consistent vectors in cell 0 see the planted '1' among neighbors
     // but keep majority agreement
     assert(out(3L)._1 === 3L && out(3L)._2 >= 2L)
+
+    // hot-cell cap: neighbors drawn from each cell's 2 LOWEST ids
+    // (the headCapped contract) — cell 0's cap set is {0, 3}, both
+    // label 0, so the planted vec 5 still shows 0-of-2 agreement
+    val capped = Similarity.knnLabelAudit(
+      embs, cb, col("label"), k = 3, maxCellCompare = Some(2L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(capped(5L) === ((2L, 0L, true)))
+    assert(capped(0L) === ((1L, 1L, false))) // own id excluded from its cap set
   }
 
   test("simhashPairsFromHashes band guarantee: diffs spread one-per-low-band are missed at 4 bands, found at 8") {
