@@ -271,7 +271,15 @@ object TextAnalysis {
     * Scale shape: map-only gram hashing + codegen'd `WinnowSelect`,
     * one (hash) hash-agg for document frequency, a semi-join back,
     * and a per-doc sessionization window — bounded shuffles, never
-    * all-pairs. */
+    * all-pairs. The anchor relation is DELIBERATELY computed twice
+    * (once into the df agg, once into the semi join — no
+    * ReusedExchange): the single-pass alternative (collect each
+    * hash's full occurrence list in one agg row) concentrates a
+    * boilerplate gram's entire corpus-wide occurrence set in a single
+    * row — unbounded skew at 100 TB — while the recompute costs one
+    * extra map pass. A pipeline that runs this repeatedly should
+    * materialize the anchors once (write → reuse), the same
+    * intermediate discipline as the shingle/signature relations. */
   def dupSpans(
       docs: DataFrame,
       id: Column,

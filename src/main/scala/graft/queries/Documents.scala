@@ -966,6 +966,43 @@ object Documents {
       Similarity.knnLabelAudit(
         Tables.embeddings(s, dir), sharedCodebook(s, dir), col("label"), k = 5)),
 
+    // Inter-source shingle-overlap matrix: for every source pair, how
+    // much distinct-shingle mass they share (containment vs the
+    // smaller side) — the "is CC already inside C4" dataset-analysis
+    // question, asked before mixing. Per-shingle fan-out is bounded by
+    // |sources|² (tiny), so the hot-boilerplate skew Jaccard pairs
+    // fight never appears here.
+    "q167_source_overlap" -> ((s, dir) => {
+      val srcSh = sharedShingles(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("s")).distinct()
+      val totals = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      srcSh.as("a")
+        .join(srcSh.as("b"), col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+        .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+        .select(
+          col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
+          expr("(n_shared * 1000000) div least(n_a, n_b)").as("containment_ppm"))
+    }),
+
+    // Tokenizer fertility per language: BPE-ish subwords per
+    // whitespace word — the number that sizes sequence budgets per
+    // language before committing a tokenizer. One map-side-combined
+    // hash-agg; both tokenizations are single-pass column expressions.
+    "q168_token_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_words"),
+          sum(size(TextAnalysis.bpeTokens(col("text"))).cast("long")).as("n_subwords"))
+        .withColumn(
+          "fertility_ppm",
+          expr("(n_subwords * 1000000) div greatest(n_words, 1L)"))),
+
     // Incremental image-dedup probe (the MediaStream gate's batch
     // operator): odd-id images as the NEW batch, even-id images as the
     // admitted INDEX — which new images sit within hamming 3 of an

@@ -1713,6 +1713,36 @@ private[queries] object DocumentsOracles2 {
           FROM shs a JOIN shs b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
 
+    // Inter-source shingle overlap: doc-distinct shingles from the
+    // shared CTE deduped to (source, shingle), pair-counted.
+    "q167_source_overlap" ->
+      s"""WITH $shinglesCte,
+          ssrc AS (SELECT DISTINCT d.source, sh.s FROM sh JOIN documents d USING (doc_id)),
+          tot AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n FROM ssrc GROUP BY 1),
+          ov AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(1) AS BIGINT) AS n_shared
+            FROM ssrc a JOIN ssrc b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
+          )
+          SELECT source_a, source_b, ta.n AS n_a, tb.n AS n_b, n_shared,
+                 CAST(n_shared * 1000000 // LEAST(ta.n, tb.n) AS BIGINT) AS containment_ppm
+          FROM ov
+          JOIN tot ta ON ta.source = ov.source_a
+          JOIN tot tb ON tb.source = ov.source_b""",
+
+    // Tokenizer fertility: same whitespace-word convention as
+    // wordsCte; subwords = letter runs | digit runs | single symbols
+    // (the engine's bpeTokens regex, RE2-compatible).
+    "q168_token_fertility" ->
+      """SELECT lang,
+                CAST(COUNT(1) AS BIGINT) AS n_docs,
+                CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_words,
+                CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_subwords,
+                CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) * 1000000
+                     // GREATEST(SUM(len(string_split_regex(trim(text), '\s+'))), 1) AS BIGINT) AS fertility_ppm
+         FROM documents GROUP BY lang""",
+
     // Incremental image probe: exact membership truth over the aHash
     // CTE (8 bands cover all 64 bits up to hamming 7, so the banded
     // engine plan equals exact truth at hamming 3).

@@ -112,6 +112,16 @@ class Round7OperatorsSpec extends SparkSpec {
     assert(capped(0L) === ((1L, 1L, false))) // own id excluded from its cap set
   }
 
+  test("edge cases: empty media hashes to empty; empty index means everything is novel") {
+    val empty = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+    assert(Multimodal.aHash64(empty).count() === 0L)
+    val fps = Seq((1L, 42L)).toDF("doc_id", "sh")
+    val emptyFps = Seq.empty[(Long, Long)].toDF("doc_id", "sh")
+    assert(TextDedup.simhashProbeIndex(fps, emptyFps, maxHamming = 3, bands = 8).count() === 0L)
+    // and a probe against itself is a full match at hamming 0
+    assert(TextDedup.simhashProbeIndex(fps, fps, maxHamming = 0, bands = 8).count() === 1L)
+  }
+
   test("simhashPairsFromHashes band guarantee: diffs spread one-per-low-band are missed at 4 bands, found at 8") {
     // hashes differ in bits 0, 8, 16, 24 — one per low byte-band, so
     // every 4-band blocking key differs; bands 4..7 (high bytes) agree
