@@ -176,6 +176,10 @@ object ScaleBench {
         (() => Similarity.knnLabelAudit(
           embs, Similarity.kmeansCentroids(embs, 8), col("label"), k = 5,
           maxCellCompare = Some(64L))),
+      "q167_source_overlap" ->
+        (() => SparkEntry.queries("q167_source_overlap")(spark, dir)),
+      "q168_token_fertility" ->
+        (() => SparkEntry.queries("q168_token_fertility")(spark, dir)),
       "q157_cluster_histogram" ->
         (() => SparkEntry.queries("q157_cluster_histogram")(spark, dir)),
       "q158_codebook_refresh" ->
