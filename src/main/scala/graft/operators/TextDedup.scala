@@ -929,10 +929,18 @@ object TextDedup {
     * (image aHash, [[Multimodal.aHash64]]) pass 8 for the ≤ 7
     * guarantee. The guarantee is maxHamming ≤ bands − 1 over the bits
     * the bands cover. */
-  def simhashPairsFromHashes(fps: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
+  /** The (doc_id, sh, bpos, bval) band-block relation both hamming
+    * joins build on — ONE definition of the banding scheme, so the
+    * self-join pair path and the index probe can never diverge on
+    * which candidates they generate. */
+  private def bandBlocks(fps: DataFrame, bands: Int): DataFrame = {
     require(bands >= 1 && bands <= 8, s"bands must be in [1, 8] (got $bands)")
     val bytes = array((0 until bands).map(j => shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)
-    val blocks = fps.select(col("doc_id"), col("sh"), posexplode(bytes).as(Seq("bpos", "bval")))
+    fps.select(col("doc_id"), col("sh"), posexplode(bytes).as(Seq("bpos", "bval")))
+  }
+
+  def simhashPairsFromHashes(fps: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
+    val blocks = bandBlocks(fps, bands)
     blocks.as("a")
       .join(
         blocks.as("b"),
@@ -961,14 +969,8 @@ object TextDedup {
       indexFps: DataFrame,
       maxHamming: Int,
       bands: Int = 4): DataFrame = {
-    require(bands >= 1 && bands <= 8, s"bands must be in [1, 8] (got $bands)")
-    def blocks(df: DataFrame) = {
-      val bytes =
-        array((0 until bands).map(j => shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L))): _*)
-      df.select(col("doc_id"), col("sh"), posexplode(bytes).as(Seq("bpos", "bval")))
-    }
-    blocks(newFps).as("a")
-      .join(blocks(indexFps).as("b"),
+    bandBlocks(newFps, bands).as("a")
+      .join(bandBlocks(indexFps, bands).as("b"),
         col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval"))
       .select(
         col("a.doc_id").as("doc_id"), col("b.doc_id").as("index_id"),

@@ -134,11 +134,10 @@ object DocStream {
     val withFp =
       if (batch.columns.contains("fp")) batch
       else batch.withColumn("fp", TextAnalysis.fingerprint(col("text")))
-    val priorFps = scala.util.Try {
-        spark.read.parquet(historyDir)
-          .filter(col("batch_id") =!= batchId) // replay: own partition invisible
-          .select(col("fp"))
-      }.getOrElse(Seq.empty[String].toDF("fp")) // first batch: no index yet
+    val priorFps = IndexRead.parquetIfExists(spark, historyDir)(
+        Seq.empty[String].toDF("fp").withColumn("batch_id", lit(-1L))) // first batch: no index yet
+      .filter(col("batch_id") =!= batchId) // replay: own partition invisible
+      .select(col("fp"))
     val novelIds = graft.operators.TextDedup
       .bloomDedupGate(withFp, col("doc_id"), col("fp"), priorFps, fpp)
       .filter(!col("is_dup_exact"))

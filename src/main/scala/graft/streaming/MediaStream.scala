@@ -62,28 +62,37 @@ object MediaStream {
       bands: Int = 8): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     import spark.implicits._
-    // decode once per image; both dedup layers ride this relation
+    // decode once per image: the hash relation feeds THREE consumers
+    // (the pair self-join, the index probe, the final write), and
+    // Spark has no common-subtree reuse outside ReusedExchange — only
+    // the persist makes the decode-once contract true
     val hashed = Multimodal.aHash64(batch)
-    val withinDropped = TextDedup
-      .simhashPairsFromHashes(hashed, maxHamming, bands)
-      .select(col("doc_b").as("doc_id"))
-    val keepers = hashed.join(withinDropped, Seq("doc_id"), "left_anti")
-    val priorIndex = scala.util.Try {
-        spark.read.parquet(historyDir)
-          .filter(col("batch_id") =!= batchId) // replay: own partition invisible
-          .select(col("doc_id"), col("sh"))
-      }.getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "sh"))
-    val dupIds = TextDedup
-      .simhashProbeIndex(keepers, priorIndex, maxHamming, bands)
-      .select(col("doc_id"))
-    keepers
-      .join(dupIds, Seq("doc_id"), "left_anti")
-      .withColumn("batch_id", lit(batchId))
-      .write
-      .partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(historyDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val withinDropped = TextDedup
+        .simhashPairsFromHashes(hashed, maxHamming, bands)
+        .select(col("doc_b").as("doc_id"))
+      val keepers = hashed.join(withinDropped, Seq("doc_id"), "left_anti")
+      // ONLY first-batch absence of the index dir is recoverable — a
+      // transient read failure (throttle, corrupt footer) must fail
+      // the batch loudly, or near-dups of admitted images are gated
+      // against an empty index and admitted forever, silently
+      val priorIndex = IndexRead.parquetIfExists(spark, historyDir)(
+          Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
+        .filter(col("batch_id") =!= batchId) // replay: own partition invisible
+        .select(col("doc_id"), col("sh"))
+      val dupIds = TextDedup
+        .simhashProbeIndex(keepers, priorIndex, maxHamming, bands)
+        .select(col("doc_id"))
+      keepers
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .withColumn("batch_id", lit(batchId))
+        .write
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(historyDir)
+    } finally { hashed.unpersist(); () }
   }
 
   /** Wire [[aHashGatedBatchSink]] onto a media stream. */

@@ -64,11 +64,11 @@ object VecStream {
       maxCellCompare: Option[Long] = None): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     import spark.implicits._
-    val priorIndex = scala.util.Try {
-        spark.read.parquet(historyDir)
-          .filter(col("batch_id") =!= batchId) // replay: own partition invisible
-          .select(col("vec_id"), col("embedding"))
-      }.getOrElse(Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+    val priorIndex = IndexRead.parquetIfExists(spark, historyDir)(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+          .withColumn("batch_id", lit(-1L)))
+      .filter(col("batch_id") =!= batchId) // replay: own partition invisible
+      .select(col("vec_id"), col("embedding"))
     val withinKeep = Similarity
       .semDedupVerdicts(batch, codebook, tau, maxCellCompare)
       .filter(col("verdict") === "keep")
@@ -196,9 +196,19 @@ object VecStream {
 
   /** Per-cell baseline population share (cell, baseline_ppm) of a
     * static corpus under the trained codebook — computed once at
-    * training time, broadcast into [[cellDriftMonitor]]. */
+    * training time, broadcast into [[cellDriftMonitor]].
+    *
+    * Zero-norm vectors are excluded — the SAME population rule the
+    * live monitor applies. Without it a zero-norm training vector has
+    * NULL cosine to every centroid and `kmeansAssignWith`'s max_by
+    * tie-break silently parks it in the lowest cell id, inflating
+    * that cell's baseline share vs a live side that drops such
+    * vectors — a permanent phantom drift delta. */
   def cellBaseline(embs: DataFrame, codebook: DataFrame): DataFrame =
-    Similarity.kmeansAssignWith(embs, codebook)
+    Similarity.kmeansAssignWith(
+      embs.filter(
+        Similarity.normQ(graft.functions.Portable.quantize(col("embedding"))) > 0L),
+      codebook)
       .groupBy(col("cluster_id").as("cell"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("baseline_ppm", expr("(__n * 1000000) div sum(__n) over ()"))

@@ -131,6 +131,18 @@ class VecStreamSpec extends SparkSpec {
       Seq((100L, Array(1.0f, 0.01f)), (101L, Array(0.01f, 1.0f)))
         .toDF("vec_id", "embedding"),
       codebook)
+    // a zero-norm TRAINING vector must not skew the baseline either —
+    // same population rule on both sides of the drift comparison (it
+    // would otherwise silently land in the lowest cell via the max_by
+    // tie-break and fabricate a permanent drift delta)
+    val baselineWithZero = VecStream.cellBaseline(
+      Seq((100L, Array(1.0f, 0.01f)), (101L, Array(0.01f, 1.0f)),
+        (102L, Array(0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"),
+      codebook)
+    assert(
+      baselineWithZero.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        === Map(0L -> 500000L, 1L -> 500000L))
     // 2 x-ish + 1 y-ish + 1 ZERO vector: the zero vector has no cosine
     // to anything — it must appear in neither the total nor any cell,
     // so shares are 666666/333333 over n=3 (not n=4 summing to 750k)
