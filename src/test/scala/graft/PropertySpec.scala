@@ -502,6 +502,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhashProbeIndex at 8 bands equals exact brute-force hamming membership up to the pigeonhole bound") {
+    val s = spark; import s.implicits._
+    import graft.operators.TextDedup
+    // random 64-bit fingerprints + bit-flipped perturbations: the
+    // banded probe must return EXACTLY the brute-force pair set for
+    // every maxHamming ≤ bands − 1 = 7 (the completeness guarantee)
+    val gen = for {
+      base  <- Gen.listOfN(6, Gen.long)
+      flips <- Gen.listOfN(6, Gen.chooseNum(0, 9))
+      t     <- Gen.chooseNum(0, 7)
+    } yield (base, flips, t)
+    forAll(gen, n = 8) { case (base, flips, t) =>
+      val newSide = base.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val idxSide = base.zip(flips).zipWithIndex.map { case ((h, nf), i) =>
+        // flip nf distinct deterministic bit positions
+        val perturbed = (0 until nf).foldLeft(h)((acc, j) => acc ^ (1L << ((j * 7 + i) % 64)))
+        (100L + i, perturbed)
+      }
+      val got = TextDedup.simhashProbeIndex(
+        newSide.toDF("doc_id", "sh"), idxSide.toDF("doc_id", "sh"), t, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (a, ha) <- newSide
+        (b, hb) <- idxSide
+        if java.lang.Long.bitCount(ha ^ hb) <= t
+      } yield (a, b)).toSet
+      assert(got === want, s"t=$t")
+    }
+  }
+
   test("bpePairCounts equals a local CODE-POINT count on random words, non-BMP included") {
     val s = spark; import s.implicits._
     // the non-ASCII entries pin the code-point contract: 🙂 (U+1F642,
