@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("IsNotNull(timestamp_unix") && scan.contains("GreaterThanOrEqual(tim"),
       s"date range not pushed as timestamp_unix bounds:\n$scan")
     assert(df.count() === 5) // and it still answers
+    // defensive guard: a frame WITHOUT the calendar partition columns
+    // (e.g. a raw candles view) must still answer — the day-key
+    // predicate only applies when year/month/day exist
+    val noDayCols = spark.read.parquet(s"$tmp/table").drop("year", "month", "day")
+    assert(Api.getOhlcvFromTable(
+      noDayCols, "NSE:TCS-EQ", Some("2025-10-08"), Some("2025-10-08"), None).count() === 5)
   }
 
   test("q02 filter+projection reach the parquet scan (PushedFilters, pruned ReadSchema)") {
