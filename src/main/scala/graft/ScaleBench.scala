@@ -176,6 +176,21 @@ object ScaleBench {
         (() => Similarity.knnLabelAudit(
           embs, Similarity.kmeansCentroids(embs, 8), col("label"), k = 5,
           maxCellCompare = Some(64L))),
+      // MediaStream's per-batch gate driven directly (the foreachBatch
+      // body, no streaming harness): the corpus's images arrive as 5
+      // equal batches, each gated against the growing admitted index.
+      // Timed = the whole 5-batch ingest; returned relation = the
+      // final admitted index. Fresh index dir per pass.
+      "media_gate_5batches" ->
+        (() => {
+          val hist = java.nio.file.Files
+            .createTempDirectory("graft-media-gate").toString + "/index"
+          val media = graft.operators.Multimodal
+            .syntheticImages(docs, col("doc_id"))
+          val sink = graft.streaming.MediaStream.aHashGatedBatchSink(hist, maxHamming = 3)
+          (0L until 5L).foreach(b => sink(media.filter(pmod(col("doc_id"), lit(5L)) === b), b))
+          spark.read.parquet(hist)
+        }),
       "q167_source_overlap" ->
         (() => SparkEntry.queries("q167_source_overlap")(spark, dir)),
       "q168_token_fertility" ->

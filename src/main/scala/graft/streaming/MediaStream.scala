@@ -69,10 +69,22 @@ object MediaStream {
     val hashed = Multimodal.aHash64(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // EXACT layer first (the text-dedup discipline): identical
+      // fingerprints collapse to their keep-min representative in one
+      // hash-agg BEFORE the banded pair join. Provably the same admit
+      // set — the drop rule "∃ lower id within maxHamming" depends
+      // only on (id, sh), and every exact group's representative
+      // carries the group-minimum id with the identical hash — but a
+      // dup-dense batch (the ingest steady state) no longer pays
+      // |group|² candidates per hot band bucket: measured 43× at 10×
+      // data without this (ScaleBench media_gate, SCALING.md).
+      val reps = hashed.groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
       val withinDropped = TextDedup
-        .simhashPairsFromHashes(hashed, maxHamming, bands)
+        .simhashPairsFromHashes(reps, maxHamming, bands)
         .select(col("doc_b").as("doc_id"))
-      val keepers = hashed.join(withinDropped, Seq("doc_id"), "left_anti")
+      val keepers = reps
+        .join(withinDropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("sh"))
       // ONLY first-batch absence of the index dir is recoverable — a
       // transient read failure (throttle, corrupt footer) must fail
       // the batch loudly, or near-dups of admitted images are gated
