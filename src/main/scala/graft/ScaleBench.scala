@@ -191,6 +191,19 @@ object ScaleBench {
           (0L until 5L).foreach(b => sink(media.filter(pmod(col("doc_id"), lit(5L)) === b), b))
           spark.read.parquet(hist)
         }),
+      // the vector twin of media_gate: the semantic ingest gate over 5
+      // equal embedding batches (the ×K corpus's identical copies are
+      // the dup-dense steady state the exact-layer collapse exists for)
+      "vec_gate_5batches" ->
+        (() => {
+          val hist = java.nio.file.Files
+            .createTempDirectory("graft-vec-gate").toString + "/index"
+          val cb   = Similarity.kmeansCentroids(embs, 8)
+          val sink = graft.streaming.VecStream.semDedupGatedBatchSink(
+            hist, cb, tau = 0.9, maxCellCompare = Some(64L))
+          (0L until 5L).foreach(b => sink(embs.filter(pmod(col("vec_id"), lit(5L)) === b), b))
+          spark.read.parquet(hist)
+        }),
       "q167_source_overlap" ->
         (() => SparkEntry.queries("q167_source_overlap")(spark, dir)),
       "q168_token_fertility" ->

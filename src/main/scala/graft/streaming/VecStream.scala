@@ -69,11 +69,24 @@ object VecStream {
           .withColumn("batch_id", lit(-1L)))
       .filter(col("batch_id") =!= batchId) // replay: own partition invisible
       .select(col("vec_id"), col("embedding"))
+    // EXACT layer first (the MediaStream lesson, measured there as a
+    // 36× step): byte-identical quantized embeddings collapse to
+    // their keep-min representative in one hash-agg BEFORE the
+    // within-cell semantic join — provably the same admit set, since
+    // cos(v, v) = 1 ≥ tau always and the drop rule "∃ lower id with
+    // cos ≥ tau" depends only on (id, v), but a dup-dense batch (the
+    // ingest steady state) no longer pays |group|² candidates inside
+    // its cell.
+    val repIds = batch
+      .select(col("vec_id"), graft.functions.Portable.quantize(col("embedding")).as("__v"))
+      .groupBy(col("__v")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"))
+    val batchReps = batch.join(repIds, Seq("vec_id"), "left_semi")
     val withinKeep = Similarity
-      .semDedupVerdicts(batch, codebook, tau, maxCellCompare)
+      .semDedupVerdicts(batchReps, codebook, tau, maxCellCompare)
       .filter(col("verdict") === "keep")
       .select(col("vec_id"))
-    val batchKeepers = batch.join(withinKeep, Seq("vec_id"), "left_semi")
+    val batchKeepers = batchReps.join(withinKeep, Seq("vec_id"), "left_semi")
     val novelIds = Similarity
       .semDedupAgainstIndex(batchKeepers, priorIndex, codebook, tau, maxCellCompare)
       .filter(col("verdict") === "keep")
