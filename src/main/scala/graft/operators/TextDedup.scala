@@ -956,6 +956,43 @@ object TextDedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Dedup DECISION list over a 64-bit fingerprint relation
+    * (doc_id, sh) — [[dedupVerdicts]]' contract for hamming-keyed
+    * modalities (image aHash, text simhash), computed EXACT-LAYER
+    * FIRST: identical hashes collapse to their keep-min representative
+    * in one hash-agg, the banded pair join and cluster contraction run
+    * on REPRESENTATIVES only, and every document inherits its
+    * representative's survivor through one join.
+    *
+    * Provably identical to running the full-pair chain over all
+    * documents (the q169 DuckDB oracle IS that full-pair recursive
+    * form — the hash match is the proof executed): identical hashes
+    * pair with exactly the same things, so the full-pair cluster is
+    * the union of the exact groups of a representative cluster, its
+    * minimum is a representative minimum (each rep is its group's
+    * min), and the verdict labels depend only on doc-vs-rep and
+    * rep-vs-survivor. What changes is COST: a dup-dense corpus stops
+    * paying |group|² hamming-0 candidates per hot band bucket —
+    * measured 36× on the ×100 media gate (SCALING.md). */
+  def hammingDedupVerdicts(fps: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
+    val keepers = fps.groupBy(col("sh")).agg(min(col("doc_id")).as("__rep"))
+    val repFps  = keepers.select(col("__rep").as("doc_id"), col("sh"))
+    val repV = dedupVerdicts(
+      repFps, col("doc_id"), col("sh"),
+      simhashPairsFromHashes(repFps, maxHamming, bands))
+    fps.select(col("doc_id"), col("sh"))
+      .join(keepers, "sh")
+      .join(
+        repV.select(col("doc_id").as("__rep"), col("survivor_doc_id")), "__rep")
+      .select(
+        col("doc_id"),
+        col("survivor_doc_id"),
+        when(col("doc_id") === col("survivor_doc_id"), "keep")
+          .when(col("doc_id") =!= col("__rep"), "drop_exact")
+          .otherwise("drop_near")
+          .as("verdict"))
+  }
+
   /** Incremental twin of [[simhashPairsFromHashes]]: which NEW
     * fingerprints sit within `maxHamming` bits of any INDEX member —
     * the membership probe a streaming ingest gate runs per batch, cost

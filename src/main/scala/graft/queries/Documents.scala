@@ -1003,6 +1003,17 @@ object Documents {
           "fertility_ppm",
           expr("(n_subwords * 1000000) div greatest(n_words, 1L)"))),
 
+    // Image dedup DECISIONS — what a pipeline actually consumes for
+    // images: exact keepers by identical fingerprint + near-dup
+    // clusters over the hamming pairs, one keep/drop_exact/drop_near
+    // verdict per image with its survivor. The SAME verdict machinery
+    // text dedup runs (one definition of "keeper" across modalities).
+    // Engine side runs the exact-layer-first form; the oracle is the
+    // FULL-PAIR recursive chain — the hash match executes the
+    // equivalence proof on real data.
+    "q169_image_verdicts" -> ((s, dir) =>
+      TextDedup.hammingDedupVerdicts(sharedAHashes(s, dir), maxHamming = 3, bands = 8)),
+
     // Incremental image-dedup probe (the MediaStream gate's batch
     // operator): odd-id images as the NEW batch, even-id images as the
     // admitted INDEX — which new images sit within hamming 3 of an
