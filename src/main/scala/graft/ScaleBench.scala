@@ -204,6 +204,8 @@ object ScaleBench {
           (0L until 5L).foreach(b => sink(embs.filter(pmod(col("vec_id"), lit(5L)) === b), b))
           spark.read.parquet(hist)
         }),
+      "q169_image_verdicts" ->
+        (() => SparkEntry.queries("q169_image_verdicts")(spark, dir)),
       "q167_source_overlap" ->
         (() => SparkEntry.queries("q167_source_overlap")(spark, dir)),
       "q168_token_fertility" ->
