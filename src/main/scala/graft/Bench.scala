@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints one JSON line.
+  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints TWO JSON lines — the
+  * complete per-query line first, then a compact summary line LAST
+  * (slowest-15 + totals, ≤ ~1.2 KB) sized to survive whole inside the
+  * driver's ~2000-char stdout tail so the round artifact parses.
   * Each query runs three times and reports the BEST of the two warm
   * passes — the first pass absorbs JVM/codegen/file-cache warmup
   * (which at this data scale otherwise dominates whichever query runs
