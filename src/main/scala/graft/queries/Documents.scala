@@ -1014,6 +1014,17 @@ object Documents {
     "q169_image_verdicts" -> ((s, dir) =>
       TextDedup.hammingDedupVerdicts(sharedAHashes(s, dir), maxHamming = 3, bands = 8)),
 
+    // Image dedup YIELD — the ops-dashboard rollup of q169 (the image
+    // twin of the text keeper/yield family): verdict counts + share of
+    // the corpus in exact ppm.
+    "q170_image_yield" -> ((s, dir) =>
+      TextDedup.hammingDedupVerdicts(sharedAHashes(s, dir), maxHamming = 3, bands = 8)
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_images"))
+        .withColumn(
+          "share_ppm",
+          expr("(n_images * 1000000) div sum(n_images) over ()"))),
+
     // Incremental image-dedup probe (the MediaStream gate's batch
     // operator): odd-id images as the NEW batch, even-id images as the
     // admitted INDEX — which new images sit within hamming 3 of an

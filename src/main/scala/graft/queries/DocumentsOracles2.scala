@@ -1776,6 +1776,42 @@ private[queries] object DocumentsOracles2 {
                       ELSE 'drop_near' END AS verdict
           FROM aj""",
 
+    // Image dedup yield: q169's verdict relation rolled to counts +
+    // exact-ppm shares.
+    "q170_image_yield" ->
+      s"""WITH RECURSIVE $aHashCte,
+          apairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+          ),
+          aedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM apairs
+            UNION
+            SELECT doc_b, doc_a FROM apairs
+          ),
+          areach AS (
+            SELECT DISTINCT src AS doc_id, src AS r FROM aedges
+            UNION
+            SELECT e.src, r.r FROM aedges e JOIN areach r ON r.doc_id = e.dst
+          ),
+          aclus AS (SELECT doc_id, MIN(r) AS cluster_min FROM areach GROUP BY doc_id),
+          aek AS (SELECT sh, MIN(doc_id) AS exact_keeper FROM shs GROUP BY 1),
+          aj AS (
+            SELECT s.doc_id, aek.exact_keeper, aclus.cluster_min
+            FROM shs s JOIN aek USING (sh) LEFT JOIN aclus USING (doc_id)
+          ),
+          v AS (
+            SELECT CASE WHEN doc_id = COALESCE(cluster_min, exact_keeper) THEN 'keep'
+                        WHEN doc_id <> exact_keeper THEN 'drop_exact'
+                        ELSE 'drop_near' END AS verdict
+            FROM aj
+          ),
+          c AS (SELECT verdict, CAST(COUNT(1) AS BIGINT) AS n_images FROM v GROUP BY 1)
+          SELECT verdict, n_images,
+                 CAST(n_images * 1000000 // SUM(n_images) OVER () AS BIGINT) AS share_ppm
+          FROM c""",
+
     // Incremental image probe: exact membership truth over the aHash
     // CTE (8 bands cover all 64 bits up to hamming 7, so the banded
     // engine plan equals exact truth at hamming 3).
