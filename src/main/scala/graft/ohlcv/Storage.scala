@@ -152,6 +152,36 @@ object Storage {
     heap.dequeueAll.reverse.toSeq
   }
 
+  /** Available dates for a symbol from the PARTITION LAYOUT alone
+    * (`quick_api_queries.py:155-188`): globs the
+    * `year=Y/month=M/day=D/symbol_clean=S` directories (the table's
+    * day-major layout) and parses the calendar from the path —
+    * metadata-only, no data file is opened
+    * (a partition-column `distinct` through the scan would still read
+    * parquet footers since Spark removed the metadata-only optimizer
+    * rule for correctness). Newest-first, capped at `limit` — the
+    * reference's exact list-keys-then-cap behavior. */
+  def availableDates(
+      conf: org.apache.hadoop.conf.Configuration,
+      tableDir: String,
+      symbolClean: String,
+      limit: Int = 10): Seq[String] = {
+    require(limit >= 1, s"limit must be positive (got $limit)")
+    val pattern = new org.apache.hadoop.fs.Path(
+      s"$tableDir/year=*/month=*/day=*/symbol_clean=$symbolClean")
+    val fs = pattern.getFileSystem(conf)
+    val re = ".*/year=(\\d+)/month=(\\d+)/day=(\\d+)/symbol_clean=[^/]+$".r
+    Option(fs.globStatus(pattern)).getOrElse(Array.empty).toSeq
+      .collect {
+        case st if st.isDirectory =>
+          st.getPath.toUri.getPath match {
+            case re(y, m, d) => Some(f"${y.toInt}%04d-${m.toInt}%02d-${d.toInt}%02d")
+            case _           => None
+          }
+      }
+      .flatten.distinct.sorted(Ordering[String].reverse).take(limit)
+  }
+
   /** S7: partitioned gzip CSV sink (header, reference column order). */
   def writeCsv(normalized: DataFrame, path: String, mode: String = "append"): Unit =
     normalized.write

@@ -158,6 +158,25 @@ class OhlcvEtlSpec extends SparkSpec {
       === full.map(_._1).filter(_.contains("f1")))
   }
 
+  test("S6: availableDates lists a symbol's partition dates newest-first from the directory layout only") {
+    val dir  = s"$tmp/avail-dates"
+    // two days for RELIANCE, one for TCS — via the real ETL write
+    val mock = MockData.candles(spark, symbols, n = 2, startUnix = t0)
+      .unionByName(
+        MockData.candles(spark, Seq("NSE:RELIANCE-EQ"), n = 2, startUnix = t0 + 86400L))
+    MockData.envelope(mock, "2025-10-08T04:00:00Z").write.json(s"$dir/raw")
+    Storage.writeParquet(
+      Normalize.normalize(RawIngest.blocks(RawIngest.readRaw(spark, s"$dir/raw")), "p"),
+      s"$dir/table", "overwrite")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Storage.availableDates(conf, s"$dir/table", "RELIANCE")
+      === Seq("2025-10-09", "2025-10-08")) // newest first
+    assert(Storage.availableDates(conf, s"$dir/table", "RELIANCE", limit = 1)
+      === Seq("2025-10-09"))
+    assert(Storage.availableDates(conf, s"$dir/table", "TCS") === Seq("2025-10-08"))
+    assert(Storage.availableDates(conf, s"$dir/table", "NOPE") === Seq.empty)
+  }
+
   test("dedup contract: overlapping fetches collapse to latest fetch_timestamp") {
     val m1 = MockData.candles(spark, symbols, n = 5, startUnix = t0)
     // second fetch re-downloads the same window (T4) with same values
