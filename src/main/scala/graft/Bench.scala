@@ -62,10 +62,25 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loads = scala.collection.mutable.Map.empty[String, Double]
+    // PLAN FINGERPRINT: hash of the canonicalized OPTIMIZED plan — the
+    // deterministic pre-execution shape (canonicalization strips expr
+    // ids; paths are fixed by sfDir). A flagged regression whose
+    // fingerprint matches the prior round's is host noise by
+    // construction (same plan, different wall clock); one whose
+    // fingerprint moved names a plan change to bisect — so flags
+    // auto-classify without re-running anything.
+    def planFp(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): String =
+      try {
+        val s  = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized.toString
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      } catch { case _: Throwable => "err" }
+    val planFps = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
         loads(name) = loadAvg()
+        planFps(name) = planFp(fn)
         val cold = once(fn)
         val warm = if (cold >= 0) math.min(once(fn), once(fn)) else -1.0
         // Each query leaves broadcasts/shuffle state behind; the
@@ -111,6 +126,26 @@ object Bench {
       // queries the round artifact is missing.
       parse(new java.io.File("BENCH_SELF.json")) ++ newestRound
     }
+    // Prior-round plan fingerprints (quoted 16-hex values — nothing
+    // else in the file matches that shape). Only BENCH_SELF carries
+    // them: the driver's tail truncates before the plans map.
+    val priorFps: Map[String, String] = {
+      val f = new java.io.File("BENCH_SELF.json")
+      if (!f.isFile) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"(q\d[^"\\]*)\\?":\\?"([0-9a-f]{16})\\?"""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2))
+          .toMap
+      }
+    }
+    // null = no prior fingerprint to compare (first fingerprinted run)
+    def planChanged(name: String): String = priorFps.get(name) match {
+      case Some(p) if planFps.getOrElse(name, "err") != "err" =>
+        (p != planFps(name)).toString
+      case _ => "null"
+    }
     // Host-drift normalizer: the prior baselines come from a DIFFERENT
     // session on a shared host, and a round-6 dev run measured the
     // WHOLE 154-query suite uniformly ~1.4× slower than its round-5
@@ -144,7 +179,8 @@ object Bench {
     }
     val regs = flagged
       .map { case (name, p, w) =>
-        s""""$name":{"prior":$p,"now":$w,"load_at_start":${loads.getOrElse(name, -1.0)}}"""
+        s""""$name":{"prior":$p,"now":$w,"load_at_start":${loads.getOrElse(name, -1.0)},""" +
+          s""""plan_changed":${planChanged(name)}}"""
       }
       .mkString("{", ",", "}")
 
@@ -165,6 +201,19 @@ object Bench {
       val a = once(fn); val b = once(fn)
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
+    // SPARK_GRAFT_BENCH_REPS=N (subset runs only): print every pass
+    // time for the named queries — the steady-state-floor probe used
+    // to attribute a confirmed regression as JIT-warmup/host-noise vs
+    // a real plan cost (the q112/q156 round-8 protocol).
+    sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).filter(_ > 0 && only.nonEmpty)
+      .foreach { reps =>
+        only.toSeq.sorted.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          val ts = (1 to reps).map { _ => System.gc(); once(fn) }
+          println(s"""{"reps_query":"$name","passes":[${ts.mkString(",")}],""" +
+            s""""floor":${ts.filter(_ >= 0).minOption.getOrElse(-1.0)}}""")
+        }
+      }
     val (confirmed, trendLine) =
       if (only.nonEmpty) ("{}", None)
       else {
@@ -174,7 +223,8 @@ object Bench {
         val conf = flagged.flatMap { case (name, p, _) =>
           val i = iso(name)
           if (i < 0 || (i > 1.5 * p * drift && i - p * drift > 0.15))
-            Some(s""""$name":{"prior":$p,"isolated":$i,"load_now":${loadAvg()}}""")
+            Some(s""""$name":{"prior":$p,"isolated":$i,"load_now":${loadAvg()},""" +
+              s""""plan_changed":${planChanged(name)}}""")
           else None
         }.mkString("{", ",", "}")
         val round = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
@@ -186,6 +236,9 @@ object Bench {
           Some(s"""{"round":$round,"source":"isolated","sf":"$sfDir","slowest_isolated":$isoJson}"""))
       }
 
+    val fpsJson = results
+      .map { case (k, _, _) => s""""$k":"${planFps.getOrElse(k, "err")}"""" }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_cold":$totalCold,"n_queries":${results.size},"n_failed":$nFailed,""" +
@@ -194,7 +247,8 @@ object Bench {
         s""""host_drift":${math.rint(drift * 1000) / 1000},""" +
         s""""host_drift_raw":${math.rint(driftRaw * 1000) / 1000},""" +
         s""""host_drift_saturated":$driftSaturated,""" +
-        s""""regressions":$regs,"confirmed_regressions":$confirmed,"sf":"$sfDir"}"""
+        s""""regressions":$regs,"confirmed_regressions":$confirmed,""" +
+        s""""plans":$fpsJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only the LAST ~2000 chars of stdout,
     // so the full 160-query line above always truncates mid-JSON and
@@ -206,17 +260,20 @@ object Bench {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val slowQs = results.filter(_._3 >= 0).sortBy(-_._3).take(15)
       .map { case (k, _, w) => s""""$k":${r3(w)}""" }.mkString("{", ",", "}")
-    val confirmedCapped = {
+    val (confirmedCapped, nConfirmed) = {
       val entries = confirmed.stripPrefix("{").stripSuffix("}")
       val parts   = if (entries.isEmpty) Seq.empty else entries.split("(?<=\\}),").toSeq
-      parts.take(5).mkString("{", ",", "}")
+      (parts.take(5).mkString("{", ",", "}"), parts.size)
     }
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowQs,""" +
         s""""queries_are_slowest":15,"total_cold":${r3(totalCold)},""" +
         s""""n_queries":${results.size},"n_failed":$nFailed,""" +
         s""""host_drift":${r3(drift)},"host_drift_saturated":$driftSaturated,""" +
-        s""""n_regressions":${flagged.size},"confirmed_regressions":$confirmedCapped,""" +
+        // n_confirmed is the TOTAL confirmed count; the object below is
+        // capped at 5 entries, so truncation is visible when they differ
+        s""""n_regressions":${flagged.size},"n_confirmed":$nConfirmed,""" +
+        s""""confirmed_regressions":$confirmedCapped,""" +
         s""""full":"BENCH_SELF.json","sf":"$sfDir"}""")
     // The driver captures stdout with a bounded tail — round 3's artifact
     // truncated mid-JSON and lost most per-query times. Persist the full

@@ -167,6 +167,15 @@ object Storage {
       symbolClean: String,
       limit: Int = 10): Seq[String] = {
     require(limit >= 1, s"limit must be positive (got $limit)")
+    // symbolClean is interpolated into a Hadoop GLOB: a value carrying
+    // glob metacharacters would over-match or throw instead of
+    // returning empty, so reject them up front (normalized symbols —
+    // Normalize.cleanSymbol output — never contain these, but `&`/`-`
+    // do occur in real NSE names and stay allowed).
+    val globMeta = "*?[]{}\\,"
+    require(
+      symbolClean.nonEmpty && !symbolClean.exists(globMeta.contains(_)),
+      s"symbolClean must not contain glob metacharacters ($globMeta): got '$symbolClean'")
     val pattern = new org.apache.hadoop.fs.Path(
       s"$tableDir/year=*/month=*/day=*/symbol_clean=$symbolClean")
     val fs = pattern.getFileSystem(conf)

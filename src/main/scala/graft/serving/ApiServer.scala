@@ -394,8 +394,9 @@ object ApiServer {
     case Some(dir) =>
       // clamp, don't trust: ?limit=2000000000 must not size server
       // memory (the newest-K heap below is O(limit))
-      val limit = qp.get("limit").flatMap(s => scala.util.Try(s.toInt).toOption)
-        .filter(_ > 0).getOrElse(cfg.filesListCap).min(cfg.filesListMax)
+      val requested = qp.get("limit").flatMap(s => scala.util.Try(s.toInt).toOption)
+        .filter(_ > 0).getOrElse(cfg.filesListCap)
+      val limit = requested.min(cfg.filesListMax)
       val conf = hadoopConf(cfg)
       val rootUri = {
         val p  = new org.apache.hadoop.fs.Path(dir)
@@ -414,6 +415,10 @@ object ApiServer {
         o.put("modified", java.time.Instant.ofEpochMilli(m).toString)
       }
       body.put("count", inv.size)
+      // a client asking for 1000 and getting 500 back must be able to
+      // tell "clamped" from "only 500 exist"
+      body.put("limit", limit)
+      if (requested > limit) body.put("clamped", true)
       respond(ex, 200, body)
   }
 

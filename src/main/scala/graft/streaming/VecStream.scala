@@ -72,9 +72,16 @@ object VecStream {
     // EXACT layer first (the MediaStream lesson, measured there as a
     // 36× step): byte-identical quantized embeddings collapse to
     // their keep-min representative in one hash-agg BEFORE the
-    // within-cell semantic join — provably the same admit set, since
-    // cos(v, v) = 1 ≥ tau always and the drop rule "∃ lower id with
-    // cos ≥ tau" depends only on (id, v), but a dup-dense batch (the
+    // within-cell semantic join. For UNCAPPED runs over nonzero-norm
+    // embeddings this is the same admit set: cos(v, v) = 1 ≥ tau and
+    // the drop rule "∃ lower id with cos ≥ tau" depends only on
+    // (id, v). Two deliberate behavior changes at the edges: (a) with
+    // maxCellCompare set, collapsing dups to reps changes which ids
+    // occupy the per-cell cap slots, so a capped run can admit a
+    // different (smaller, dup-free — i.e. better) set; (b) zero-norm
+    // embeddings have cos(v, v) = NULL, so exact dups of a zero-norm
+    // vector were previously all admitted and now collapse to one —
+    // also the intended outcome. Either way a dup-dense batch (the
     // ingest steady state) no longer pays |group|² candidates inside
     // its cell.
     val repIds = batch
