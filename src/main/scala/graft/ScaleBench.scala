@@ -161,7 +161,10 @@ object ScaleBench {
       // representative per fingerprint — the same exact-before-near
       // discipline as text dedup), and near-dup pairs are mined among
       // REPRESENTATIVES only; raw q164 on the ×K corpus instead emits
-      // every within-group pair — output ∝ K² by construction
+      // every within-group pair — output ∝ K² by construction.
+      // Registered since round 8 as the oracle-checked driver query
+      // q171_image_neardup_distinct; kept here under its historical
+      // scale-row name so SCALING.md trend lines stay comparable.
       "q164_distinct" ->
         (() => {
           val reps = graft.operators.Multimodal.aHash64(

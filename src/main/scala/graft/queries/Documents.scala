@@ -958,6 +958,22 @@ object Documents {
     "q164_image_neardup" -> ((s, dir) =>
       TextDedup.simhashPairsFromHashes(sharedAHashes(s, dir), maxHamming = 3, bands = 8)),
 
+    // q164's PRODUCTION twin for a dup-dense corpus (the ingest steady
+    // state the reference's overlapping fetches create): the EXACT
+    // layer collapses hash-identical images to their keep-min
+    // representative FIRST (one hash-agg), and near-dup pairs are
+    // mined among representatives only — raw q164's output grows ∝ K²
+    // in the within-group pair mass, this stays ∝ distinct
+    // fingerprints (measured 60.2 s → 4.2 s at ×100, SCALING.md). The
+    // pair join's input being the distinct-fingerprint relation is
+    // plan-pinned.
+    "q171_image_neardup_distinct" -> ((s, dir) =>
+      TextDedup.simhashPairsFromHashes(
+        sharedAHashes(s, dir)
+          .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("sh")),
+        maxHamming = 3, bands = 8)),
+
     // kNN label-noise audit (confident-learning style): each vector's
     // 5 nearest within-cell neighbors vote on its label; a strict
     // minority own-label is a mislabel suspect. Rides the SHARED

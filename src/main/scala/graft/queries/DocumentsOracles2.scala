@@ -1713,6 +1713,18 @@ private[queries] object DocumentsOracles2 {
           FROM shs a JOIN shs b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
 
+    // q171: q164 over keep-min representatives of each distinct hash —
+    // the exact-layer-first production pair shape. Reps are one per
+    // distinct sh, so every oracle pair has hamming ≥ 1 and the
+    // engine's 8-band pigeonhole (exact to hamming 7) still covers it.
+    "q171_image_neardup_distinct" ->
+      s"""WITH $aHashCte,
+          reps AS (SELECT sh, MIN(doc_id) AS doc_id FROM shs GROUP BY 1)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+          FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+
     // Inter-source shingle overlap: doc-distinct shingles from the
     // shared CTE deduped to (source, shingle), pair-counted.
     "q167_source_overlap" ->

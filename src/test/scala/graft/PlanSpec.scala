@@ -657,4 +657,36 @@ class PlanSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[UnionExec]),
       "funnel must not recompute per-stage branches:\n" + planString(df).take(3000))
   }
+
+  test("q171 pair join rides distinct-fingerprint representatives (exact layer first)") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = SparkEntry.queries("q171_image_neardup_distinct")(spark, sf())
+    df.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec        => allNodes(q.plan)
+        case _                        => Seq.empty
+      })
+    // Every band-block Generate (the posexplode feeding the pair join)
+    // must sit ABOVE the sh-keyed collapse: the join's input is the
+    // distinct-fingerprint representative relation, never the raw
+    // per-image hash relation — the property that keeps pair mass
+    // ∝ distinct fingerprints instead of ∝ K² on a dup-dense corpus.
+    val gens = allNodes(df.queryExecution.executedPlan).collect { case g: GenerateExec => g }
+    assert(gens.nonEmpty, "expected band-block Generates in the q171 plan:\n" +
+      planString(df).take(3000))
+    gens.foreach { g =>
+      val collapsedBelow = allNodes(g).exists {
+        case a: BaseAggregateExec =>
+          a.groupingExpressions.exists(_.references.exists(_.name == "sh"))
+        case _ => false
+      }
+      assert(collapsedBelow,
+        "band blocks must derive from the sh-collapsed representative relation:\n" +
+          g.toString.take(2000))
+    }
+  }
 }
