@@ -63,22 +63,44 @@ object ServeScale {
         Resample.candles(base, 900, col("fetch_timestamp"))
           .orderBy(desc("bucket_start")).limit(10)
       }
+      // the /latest chain (the reference's hottest endpoint): newest
+      // day per symbol from the partition LAYOUT (metadata-only), scan
+      // pruned to one day-partition per symbol — scan rows must stay
+      // ∝ symbols × 288, independent of how many days the table holds
+      def serveLatest(): DataFrame =
+        Api.latestSummaryFromTable(
+          Storage.readParquet(spark, s"$dir/table"),
+          spark.sparkContext.hadoopConfiguration, s"$dir/table", syms)
+
+      // the /historical chain for one symbol+day (handleHistorical's
+      // per-symbol source.ohlcv with both bounds): same pruned scan as
+      // /ohlcv but no resample — out rows = the day's candles
+      def serveHistorical(): DataFrame =
+        Api.getOhlcvFromTable(
+          Storage.readParquet(spark, s"$dir/table"),
+          midSym, Some(fromDate), Some(fromDate), limit = None)
+
       // collect(), not count(): count() spawns a SEPARATE query
       // execution, and the scan metrics below must come from the plan
       // that actually ran
-      def timed(): (Double, Long, DataFrame) = {
-        val t = System.nanoTime(); val df = serve(); val n = df.collect().length.toLong
+      def timed(mk: () => DataFrame): (Double, Long, DataFrame) = {
+        val t = System.nanoTime(); val df = mk(); val n = df.collect().length.toLong
         ((System.nanoTime() - t) / 1e9, n, df)
       }
-      val (cold, outRows, df) = timed()
-      val (warm, _, _)        = timed()
-      val (scanFiles, scanRows) = scanMetrics(df.queryExecution.executedPlan)
-      println(
-        s"""{"scale":"$label","symbols":$nSym,"days":$nDays,""" +
-          s""""table_files":$tableFiles,"scan_files":$scanFiles,""" +
-          s""""scan_rows":$scanRows,"out_rows":$outRows,""" +
-          s""""serve_cold_s":${math.rint(cold * 1000) / 1000},""" +
-          s""""serve_warm_s":${math.rint(warm * 1000) / 1000}}""")
+      def measure(endpoint: String, mk: () => DataFrame): Unit = {
+        val (cold, outRows, df)   = timed(mk)
+        val (warm, _, _)          = timed(mk)
+        val (scanFiles, scanRows) = scanMetrics(df.queryExecution.executedPlan)
+        println(
+          s"""{"scale":"$label","endpoint":"$endpoint","symbols":$nSym,"days":$nDays,""" +
+            s""""table_files":$tableFiles,"scan_files":$scanFiles,""" +
+            s""""scan_rows":$scanRows,"out_rows":$outRows,""" +
+            s""""serve_cold_s":${math.rint(cold * 1000) / 1000},""" +
+            s""""serve_warm_s":${math.rint(warm * 1000) / 1000}}""")
+      }
+      measure("/ohlcv", () => serve())
+      measure("/latest", () => serveLatest())
+      measure("/historical", () => serveHistorical())
     }
     spark.stop()
   }

@@ -182,6 +182,40 @@ object Api {
             col("low"), col("close"), col("volume").cast("double").as("v")),
           struct(col("ts"), col("fetch_timestamp"))).as("last"))
 
+  /** [[latestSummary]] off the PARTITIONED table WITHOUT scanning any
+    * symbol's history: each symbol's newest day comes from the
+    * PARTITION LAYOUT alone ([[Storage.availableDates]], metadata-only
+    * — no data file opened), and the scan is pruned to exactly those
+    * (symbol_clean, year, month, day) directories. Scan rows stay
+    * ∝ symbols × one day's candles no matter how many years the table
+    * holds (ServeScale: constant rows at ×100; PlanSpec-pinned).
+    *
+    * Semantics note, matching the reference: its /latest reads only
+    * the recent raw files (api/api_handler.py:451-477 lists the last
+    * N days capped at 50 objects), so the envelope's `total_candles`
+    * is scoped to what was read — here, the newest landed day per
+    * symbol. Symbols absent from the layout contribute no row, exactly
+    * like symbols absent from the reference's recent files. */
+  def latestSummaryFromTable(
+      normalized: DataFrame,
+      conf: org.apache.hadoop.conf.Configuration,
+      tableDir: String,
+      symbols: Seq[String]): DataFrame = {
+    val preds = symbols.flatMap { sym =>
+      val clean = sym.toUpperCase.replaceAll("NSE:|-EQ", "")
+      Storage.availableDates(conf, tableDir, clean, limit = 1).headOption.map { d =>
+        val ld = java.time.LocalDate.parse(d)
+        col("symbol_clean") === clean && col("symbol") === sym &&
+          col("year") === ld.getYear && col("month") === ld.getMonthValue &&
+          col("day") === ld.getDayOfMonth
+      }
+    }
+    val pruned =
+      if (preds.isEmpty) normalized.filter(lit(false))
+      else normalized.filter(preds.reduce(_ || _))
+    latestSummary(fromNormalized(pruned))
+  }
+
   /** GET /symbols (D5): distinct symbols, sorted. */
   def symbols(candles: DataFrame): DataFrame =
     candles.select(col("symbol")).distinct().orderBy(col("symbol"))

@@ -84,12 +84,16 @@ object ApiServer {
     def frame(): DataFrame
     def ohlcv(symbol: String, from: Option[String], to: Option[String],
         limit: Option[Int]): DataFrame
+    /** /latest aggregate for the requested symbols. */
+    def latestSummary(symbols: Seq[String]): DataFrame
   }
   private final class FrameSource(provider: () => DataFrame) extends Source {
     def frame(): DataFrame = provider()
     def ohlcv(symbol: String, from: Option[String], to: Option[String],
         limit: Option[Int]): DataFrame =
       Api.getOhlcv(frame(), symbol, from, to, limit)
+    def latestSummary(symbols: Seq[String]): DataFrame =
+      Api.latestSummary(frame().filter(col("symbol").isin(symbols: _*)))
   }
   /** Serves the PARTITIONED normalized parquet table directly:
     * [[Api.getOhlcvFromTable]] turns the symbol into a partition-prune
@@ -104,6 +108,12 @@ object ApiServer {
     def ohlcv(symbol: String, from: Option[String], to: Option[String],
         limit: Option[Int]): DataFrame =
       Api.getOhlcvFromTable(table, symbol, from, to, limit)
+    // /latest never scans a symbol's history: newest-day discovery is
+    // metadata-only, the scan prunes to one day-partition per symbol
+    // (reference semantics — its /latest reads recent files only)
+    def latestSummary(symbols: Seq[String]): DataFrame =
+      Api.latestSummaryFromTable(
+        table, spark.sparkContext.hadoopConfiguration, path, symbols)
   }
 
   /** Start serving `candles` (canonical frame: symbol, ts, open, high,
@@ -154,7 +164,7 @@ object ApiServer {
     if (ex.getRequestMethod == "OPTIONS") { respondRaw(ex, 200, "", "application/json"); return }
     if (path.startsWith("/symbols")) handleSymbols(ex, source.frame(), qp, cfg)
     else if (path.startsWith("/ohlcv/")) handleOhlcv(ex, source, path.stripPrefix("/ohlcv/"), qp, cfg)
-    else if (path.startsWith("/latest")) handleLatest(ex, source.frame(), qp, cfg)
+    else if (path.startsWith("/latest")) handleLatest(ex, source, qp, cfg)
     else if (path.startsWith("/historical")) handleHistorical(ex, source, qp, cfg)
     else if (path.startsWith("/alfaquantz/price/get")) handleAlfaPrice(ex, source, path, qp, cfg)
     else if (path == "/files" || path == "/files/") handleFiles(ex, qp, cfg)
@@ -248,16 +258,18 @@ object ApiServer {
     * `latestSymbolCap` available, :162-194). */
   private def handleLatest(
       ex: com.sun.net.httpserver.HttpExchange,
-      candles: DataFrame, qp: Map[String, String], cfg: Config): Unit = {
+      source: Source, qp: Map[String, String], cfg: Config): Unit = {
     val symbols = qp.get("symbols") match {
       case Some(s) => s.split(",").map(x => normalizeSymbol(x.trim)).toSeq
       case None =>
-        Api.symbols(candles).limit(cfg.latestSymbolCap).collect().map(_.getString(0)).toSeq
+        Api.symbols(source.frame()).limit(cfg.latestSymbolCap)
+          .collect().map(_.getString(0)).toSeq
     }
     // reference per-symbol shape (:501-508): {symbol, latest_price,
     // total_candles, resolution, timestamp, last_candle} — ONE
-    // aggregate over the filtered frame supplies every field.
-    val rows = Api.latestSummary(candles.filter(col("symbol").isin(symbols: _*)))
+    // aggregate supplies every field; the table-backed source prunes
+    // the scan to each symbol's newest day partition.
+    val rows = source.latestSummary(symbols)
       .select(col("symbol"), col("total_candles"), col("fetch_ts"),
         col("last.t"), col("last.open"), col("last.high"),
         col("last.low"), col("last.close"), col("last.v"))

@@ -73,6 +73,52 @@ class PlanSpec extends SparkSpec {
       noDayCols, "NSE:TCS-EQ", Some("2025-10-08"), Some("2025-10-08"), None).count() === 5)
   }
 
+  test("latestSummaryFromTable: scan prunes to each symbol's newest day partition") {
+    import graft.ohlcv.{Api, MockData, Normalize, RawIngest, Storage}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planlatest").toString
+    // two days per symbol: day 1 at t0, day 2 at t0+86400 — /latest
+    // must scan ONLY day 2
+    val mock = MockData.candles(spark, Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"), 5, 1759895100L)
+    val mock2 = MockData.candles(spark, Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"), 5, 1759895100L + 86400L)
+    MockData.envelope(mock, "2025-10-08T04:00:00Z").write.json(s"$tmp/raw/f1")
+    MockData.envelope(mock2, "2025-10-09T04:00:00Z").write.json(s"$tmp/raw/f2")
+    Storage.writeParquet(
+      Normalize.normalize(RawIngest.blocks(RawIngest.readRaw(spark, s"$tmp/raw/*")), "p"),
+      s"$tmp/table", "overwrite")
+    val df = Api.latestSummaryFromTable(
+      spark.read.parquet(s"$tmp/table"),
+      spark.sparkContext.hadoopConfiguration, s"$tmp/table",
+      Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"))
+    val rows = df.collect()
+    // answers from day 2 only: 5 candles per symbol, newest t = last of day 2
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[Long]("total_candles") === 5L))
+    assert(rows.forall(r =>
+      r.getAs[org.apache.spark.sql.Row]("last").getAs[Long]("t") ===
+        1759895100L + 86400L + 4 * 300))
+    // the scan is pruned to the newest day DIRECTORIES: partition
+    // filters carry the (year, month, day) key, and the executed scan
+    // reads only the day-2 rows (5 per symbol), never day 1
+    val s = planString(df)
+    val scan = s.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    // the printed filter list truncates, so assert the calendar key is
+    // there and let the scan-row metric below prove the full prune
+    val partFilters = scan.substring(scan.indexOf("PartitionFilters:")).takeWhile(_ != ']')
+    assert(partFilters.contains("year"),
+      s"/latest not pruning to newest day partitions:\n$scan")
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec        => allNodes(q.plan)
+        case _                        => Seq.empty
+      })
+    val scanRows = allNodes(df.queryExecution.executedPlan)
+      .collect { case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    assert(scanRows === 10L, s"/latest scanned $scanRows rows — history not pruned")
+  }
+
   test("q02 filter+projection reach the parquet scan (PushedFilters, pruned ReadSchema)") {
     val df = SparkEntry.queries("q02_filter_project")(spark, sf())
     val s  = planString(df)

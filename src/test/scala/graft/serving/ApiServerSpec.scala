@@ -152,9 +152,14 @@ class ApiServerSpec extends SparkSpec {
     val clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z")
     val tableSrv = ApiServer.startFromTable(spark, s"$tmp/table", ApiServer.Config(clock = clock))
     try withServer { frameSrv =>
+      // /latest included: the table source answers from the newest day
+      // partition only, which on this single-day fixture is the whole
+      // history — envelope shape and values must agree with the frame
+      // server exactly
       for (q <- Seq(
           "/ohlcv/tcs?from=2025-10-08&to=2025-10-08&limit=4",
           "/ohlcv/tcs?interval=15m",
+          "/latest?symbols=tcs,reliance",
           "/historical?symbol=reliance&from=2025-10-08&to=2025-10-08",
           "/alfaquantz/price/get/tcs,15m,3m")) {
         val (ct, bt) = get(tableSrv, q)
