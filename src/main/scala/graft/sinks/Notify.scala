@@ -43,6 +43,72 @@ object Notify {
   def logNotifier: Notifier = (subject, message) =>
     System.err.println(s"[notify] $subject\n$message")
 
+  /** LIVE webhook transport — the self-hosted equivalent of the
+    * reference's SNS publish (etl/glue_job.py:283-317): POST
+    * `{"subject":…,"message":…}` JSON to `url` over
+    * `java.net.http.HttpClient`, with bounded exponential retry on
+    * TRANSIENT failures only (5xx, connect/IO errors — at-least-once,
+    * like SNS redelivery). A 4xx is a permanent rejection (bad
+    * endpoint, bad auth) and throws immediately: retrying it would
+    * only hide a configuration error. Exhausted retries throw to the
+    * caller, where [[notifyCompletion]]/[[onBatchComplete]] apply the
+    * reference's swallow-and-log rule — the ETL outcome never depends
+    * on the notification channel.
+    *
+    * `sleep` is injectable (specs record backoffs instead of
+    * waiting); `headers` carries auth (e.g. a bearer token). */
+  def webhookNotifier(
+      url: String,
+      headers: Map[String, String] = Map.empty,
+      attempts: Int = 3,
+      timeoutSeconds: Long = 10,
+      sleep: Long => Unit = Thread.sleep): Notifier = {
+    require(attempts >= 1, s"attempts must be >= 1 (got $attempts)")
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      .build()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    (subject, message) => {
+      val body = {
+        val node = mapper.createObjectNode()
+        node.put("subject", subject)
+        node.put("message", message)
+        mapper.writeValueAsString(node)
+      }
+      // None = delivered; Some(reason) = transient failure (retryable)
+      def attemptOnce(): Option[String] =
+        try {
+          val b = java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(url))
+            .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          headers.foreach { case (k, v) => b.header(k, v) }
+          val resp =
+            client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+          val sc = resp.statusCode()
+          if (sc >= 200 && sc < 300) None
+          else if (sc >= 500) Some(s"HTTP $sc")
+          else throw new WebhookRejected(s"webhook rejected: HTTP $sc")
+        } catch {
+          case e: WebhookRejected => throw e
+          case e: java.io.IOException => Some(String.valueOf(e.getMessage))
+        }
+      var attempt = 1
+      var failure = attemptOnce()
+      while (failure.isDefined && attempt < attempts) {
+        sleep(1000L * (1L << (attempt - 1))) // 1s, 2s, 4s…
+        attempt += 1
+        failure = attemptOnce()
+      }
+      failure.foreach(r => throw new java.io.IOException(
+        s"webhook delivery failed after $attempt attempts: $r"))
+    }
+  }
+
+  /** Permanent (non-retryable) webhook rejection — a 4xx. */
+  final class WebhookRejected(msg: String) extends java.io.IOException(msg)
+
   /** Render the completion (subject, message) pair — the exact
     * content model of glue_job.py:290-307: success carries record /
     * symbol counts, resolution and a timestamp; failure carries the

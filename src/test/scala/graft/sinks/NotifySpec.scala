@@ -89,4 +89,81 @@ class NotifySpec extends SparkSpec {
     assert(lines.size === 2 && lines.head.startsWith("nightly-etl - Success\t"))
     assert(lines.head.contains("\\n- Symbols processed: 3")) // newline-escaped payload
   }
+
+  test("webhookNotifier: live POST to an in-process server — delivery, 5xx retry, 4xx permanent, swallow rule") {
+    // failure-injection server: responds from a programmable status
+    // queue (empty queue → 200), recording every request body
+    val statuses = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val bodies   = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      val sc = Option(statuses.poll()).getOrElse(200)
+      ex.sendResponseHeaders(sc, -1)
+      ex.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val n = Notify.webhookNotifier(url, attempts = 3, sleep = slept += _)
+
+      // clean delivery: one POST, JSON body carries subject + message
+      n("ETL Job - Success", "stats\nline2")
+      assert(bodies.size === 1)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val sentJson = mapper.readTree(bodies.poll())
+      assert(sentJson.get("subject").asText === "ETL Job - Success")
+      assert(sentJson.get("message").asText === "stats\nline2")
+
+      // transient 5xx retries with exponential backoff then delivers
+      statuses.add(500)
+      n("s", "m")
+      assert(bodies.size === 2 && slept.toSeq === Seq(1000L))
+      bodies.clear(); slept.clear()
+
+      // exhausted 5xx throws (at-least-once gave up) — exactly
+      // `attempts` requests hit the server
+      statuses.add(500); statuses.add(503); statuses.add(500)
+      intercept[java.io.IOException] { n("s", "m") }
+      assert(bodies.size === 3 && slept.toSeq === Seq(1000L, 2000L))
+      bodies.clear(); slept.clear()
+
+      // 4xx is a PERMANENT rejection: one request, no retry
+      statuses.add(404)
+      intercept[Notify.WebhookRejected] { n("s", "m") }
+      assert(bodies.size === 1 && slept.isEmpty)
+      bodies.clear()
+
+      // the swallow rule: a failing channel never fails the job —
+      // notifyCompletion logs and continues (reference
+      // glue_job.py:315-317)
+      val candles = MockData.candles(spark, Seq("NSE:TCS-EQ"), 3, 1704186000L)
+      val norm = Normalize.normalize(
+        RawIngest.blocks(MockData.envelope(candles, "2024-01-02T09:30:00")
+          .withColumn("source_file", org.apache.spark.sql.functions.lit("mem"))),
+        "2024-01-02T09:31:00")
+      statuses.add(500); statuses.add(500); statuses.add(500)
+      Notify.notifyCompletion(n, norm, "2024-01-02T16:00:00") // must not throw
+      assert(bodies.size === 3)
+      bodies.clear()
+
+      // at-least-once per batch: a replayed batch re-POSTs the same
+      // batch-id message; the receiver dedups on the embedded id
+      Notify.onBatchComplete(n, norm, batchId = 7, atIso = "2024-01-02T09:35:00")
+      Notify.onBatchComplete(n, norm, batchId = 7, atIso = "2024-01-02T09:35:00")
+      assert(bodies.size === 2)
+      val replayed = bodies.toArray(Array.empty[String]).map(mapper.readTree)
+      assert(replayed.forall(_.get("message").asText.contains("Batch id: 7")))
+    } finally server.stop(0)
+
+    // connect-refused (server down) is transient: retries then throws;
+    // the completion hook still swallows it
+    val deadUrl = url
+    val sleptDead = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val nDead = Notify.webhookNotifier(deadUrl, attempts = 2, sleep = sleptDead += _)
+    intercept[java.io.IOException] { nDead("s", "m") }
+    assert(sleptDead.toSeq === Seq(1000L))
+  }
 }
