@@ -211,6 +211,10 @@ object ScaleBench {
         (() => SparkEntry.queries("q169_image_verdicts")(spark, dir)),
       "q167_source_overlap" ->
         (() => SparkEntry.queries("q167_source_overlap")(spark, dir)),
+      // the df-capped production form (q172): rare-shingle mass only —
+      // the rail that holds when boilerplate dominates the ×K corpus
+      "q172_source_overlap_capped" ->
+        (() => SparkEntry.queries("q172_source_overlap_capped")(spark, dir)),
       "q168_token_fertility" ->
         (() => SparkEntry.queries("q168_token_fertility")(spark, dir)),
       "q157_cluster_histogram" ->

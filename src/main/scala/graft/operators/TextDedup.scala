@@ -98,6 +98,79 @@ object TextDedup {
       "rk", row_number().over(Window.orderBy(desc("df"), asc("s"))).cast("int"))
   }
 
+  /** Inter-source distinct-shingle overlap matrix — for every source
+    * pair, how much distinct-shingle mass they share (containment vs
+    * the smaller side, exact ppm): the "is CC already inside C4"
+    * dataset-analysis question, asked before mixing. Per-shingle
+    * fan-out is bounded by C(|sources|,2), so hot shingles never skew
+    * a single key the way they do in doc-pair joins — but total cost
+    * is ∝ DISTINCT-SHINGLE MASS (measured superlinear across scale
+    * decades, ×5.0 per ×10 — SCALING.md), and `keepShingles` is the
+    * same production rail every other shingle consumer has
+    * ([[jaccardPairsFromRows]]' df cap): only shingles in the keep set
+    * ([[rareShingles]]: df ≤ cap) survive to the join. Capped,
+    * containment is measured over the capped universe (totals count
+    * only surviving shingles — a true containment of the reduced
+    * sets, the [[jaccardPairsFromRows]] rule), which is also the more
+    * honest overlap signal: corpus-wide boilerplate (what the cap
+    * drops) says nothing about whether two sources carry the same
+    * CONTENT.
+    *
+    * `shingleRows` = (doc_id, s) occurrences ([[shingleRows]]);
+    * `docSources` = (doc_id, source). */
+  def sourceOverlapMatrix(
+      shingles: DataFrame,
+      docSources: DataFrame,
+      keepShingles: Option[DataFrame] = None): DataFrame = {
+    // keepShingles is a PRE-BUILT artifact (see [[rareShingles]]):
+    // computing exact doc-frequency costs a full (s, doc_id) dedup
+    // pass — measured ~2× this whole query at ×100 — so the capped
+    // production path builds the keep set ONCE per corpus snapshot
+    // (the sign-once lifecycle every other df-cap consumer models)
+    // and the capped serve costs the same as the uncapped one: the
+    // keep set is small by construction (rare shingles only), so the
+    // semi-join broadcasts.
+    val sh0 = shingles.select(col("doc_id"), col("s"))
+    val sh  = keepShingles.fold(sh0)(keep =>
+      sh0.join(broadcast(keep.select(col("s"))), Seq("s"), "left_semi"))
+    // the doc→source map is CORPUS-SIZED (one row per document) — a
+    // "small side" only relative to the shingle relation. Pre-AQE size
+    // estimates broadcast it (measured: the ×100 corpus's 500 k-row
+    // broadcast build OOM'd an 8 GB driver already holding the shingle
+    // cache), and at 100 TB broadcasting a per-document relation is
+    // wrong outright — pin the shuffled hash join, build side = the
+    // per-partition slice of the source map. The (source, s) distinct
+    // right after is the shape that keeps the shuffle slim: map-side
+    // partial aggregation collapses occurrences to the tiny
+    // (source, shingle) key space before anything moves.
+    val srcSh = sh
+      .join(docSources.select(col("doc_id"), col("source")).hint("shuffle_hash"), "doc_id")
+      .select(col("source"), col("s")).distinct()
+    val totals = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    srcSh.as("a")
+      .join(srcSh.as("b"), col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
+        expr("(n_shared * 1000000) div least(n_a, n_b)").as("containment_ppm"))
+  }
+
+  /** RARE-shingle keep set for [[sourceOverlapMatrix]]'s df cap:
+    * shingles in at most `maxDf` DOCUMENTS. One (s, doc_id) dedup +
+    * count — the expensive half of any exact doc-frequency cap, built
+    * ONCE per corpus snapshot and reused by every capped consumer
+    * (the q162 boilerplate review reads the same distribution). */
+  def rareShingles(shingles: DataFrame, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
+    shingles.select(col("doc_id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("s"))
+  }
+
   /** Exact-duplicate groups by an arbitrary content key (use
     * [[TextAnalysis.fingerprint]] for normalized text): one row per
     * distinct key with the surviving doc id and group size.

@@ -1743,6 +1743,28 @@ private[queries] object DocumentsOracles2 {
           JOIN tot ta ON ta.source = ov.source_a
           JOIN tot tb ON tb.source = ov.source_b""",
 
+    // q172: q167 over the df-capped shingle universe — shingles in
+    // more than 4 documents are dropped BEFORE the (source, shingle)
+    // dedup, and the per-source totals count only survivors (true
+    // containment of the reduced sets, the jaccardPairsFromRows rule).
+    "q172_source_overlap_capped" ->
+      s"""WITH $shinglesCte,
+          keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) <= 4),
+          shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+          ssrc AS (SELECT DISTINCT d.source, shc.s FROM shc JOIN documents d USING (doc_id)),
+          tot AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n FROM ssrc GROUP BY 1),
+          ov AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(1) AS BIGINT) AS n_shared
+            FROM ssrc a JOIN ssrc b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
+          )
+          SELECT source_a, source_b, ta.n AS n_a, tb.n AS n_b, n_shared,
+                 CAST(n_shared * 1000000 // LEAST(ta.n, tb.n) AS BIGINT) AS containment_ppm
+          FROM ov
+          JOIN tot ta ON ta.source = ov.source_a
+          JOIN tot tb ON tb.source = ov.source_b""",
+
     // Tokenizer fertility: same whitespace-word convention as
     // wordsCte; subwords = letter runs | digit runs | single symbols
     // (the engine's bpeTokens regex, RE2-compatible).
