@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * counterpart of [[graft.ohlcv.EtlDemo]]: one command takes a raw
   * document corpus through the full curation lifecycle this library
   * implements (every stage is an oracle-checked operator from the
-  * q30–q166 family) and leaves a packed, sharded JSONL training set on
+  * q30–q172 family) and leaves a packed, sharded JSONL training set on
   * disk.
   *
   *   raw docs → exact+near dedup verdicts → heuristic quality gate

@@ -101,6 +101,18 @@ object ServeScale {
       measure("/ohlcv", () => serve())
       measure("/latest", () => serveLatest())
       measure("/historical", () => serveHistorical())
+
+      // the maintenance story closing the file-count gap: micro-batch
+      // writers leave several files per day-partition (8 per partition
+      // at ×100 — 240 files for /latest's 30 one-partition answers);
+      // one worst-first compaction pass rewrites fragmented partitions
+      // to a single file and /latest opens exactly one file per symbol
+      val compacted = graft.operators.Maintenance.compactPartitions(
+        spark, s"$dir/table", Seq("year", "month", "day", "symbol_clean"),
+        maxFiles = 1, targetBytes = 128L << 20, maxPartitionsPerRun = 1024)
+        .count()
+      println(s"""{"scale":"$label","compacted_partitions":$compacted}""")
+      measure("/latest_compacted", () => serveLatest())
     }
     spark.stop()
   }
