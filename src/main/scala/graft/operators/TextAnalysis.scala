@@ -966,4 +966,50 @@ object TextAnalysis {
         "lost_ppm",
         when(col("total_tokens") > 0, expr("(lost_tokens * 1000000) div total_tokens")))
   }
+
+  /** URL CANONICALIZATION for crawl-frontier dedup — the
+    * normalization every web-corpus ingest runs before "have we
+    * crawled this?" (the same page arrives as `HTTPS://Www.X.com:443/
+    * p?utm_source=t&b=2&a=1#frag` and `https://www.x.com/p?a=1&b=2`):
+    *  - scheme + host lowercased; explicit default port stripped
+    *    (`:80` for http, `:443` for https);
+    *  - fragment dropped (never sent to the server);
+    *  - tracking params dropped (`utm_*`, `gclid`, `fbclid`);
+    *  - remaining query params SORTED (param order is not content);
+    *  - empty path → `/`.
+    * Pure codegen'd column expression — at 100 TB this runs inside
+    * the scan's projection, no shuffle. ASCII-regex only, so the
+    * DuckDB oracle mirrors it operator by operator. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest   = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostRaw = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val pathq = rest.substr(length(hostRaw) + lit(1), lit(1 << 20))
+    val path  = regexp_extract(pathq, "^([^?]*)", 1)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val kept = filter(
+      split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)="))
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(
+      scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** Crawl-frontier dedup over a URL relation: one row per CANONICAL
+    * url with its keep-min id (the fetch that wins) and the number of
+    * raw variants that collapsed into it — q30's exact-dedup contract
+    * re-keyed on [[canonicalUrl]]. One hash-agg, map-side partial. */
+  def urlFrontier(urls: DataFrame, id: Column, url: Column): DataFrame =
+    urls
+      .select(id.as("url_id"), canonicalUrl(url).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(
+        min(col("url_id")).as("keeper_id"),
+        count(lit(1)).as("n_variants"))
 }

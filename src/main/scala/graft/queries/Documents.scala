@@ -1023,6 +1023,31 @@ object Documents {
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
         keepShingles = Some(sharedRareShingles(s, dir)))),
 
+    // Crawl-frontier dedup: canonicalize URL variants (case, default
+    // ports, fragments, tracking params, param order, empty path) and
+    // collapse to one keep-min fetch per canonical URL — the gate a
+    // web-corpus ingest runs before spending a fetch. URLs come from a
+    // closed-form manifest (the syntheticImages trick): five variants
+    // per (host, path) cell that the canonicalizer must collapse into
+    // exactly two groups (https with sorted params / http bare host),
+    // recomputed independently by the DuckDB oracle.
+    "q173_url_frontier" -> ((s, dir) => {
+      val d    = Tables.documents(s, dir)
+      val host = concat(lit("www.site"), col("doc_id") % 37, lit(".com"))
+      val path = concat(lit("/doc/"), col("doc_id") % 211)
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("https://"), host, path, lit("?a=1&b=2")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("HTTPS://"), upper(host), lit(":443"), path, lit("?b=2&a=1#frag")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://"), host, path, lit("?utm_source=x&gclid=g&b=2&a=1")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://"), host, lit(":80")))
+        .otherwise(concat(lit("http://"), host, lit("/")))
+      TextAnalysis.urlFrontier(
+        d.select(col("doc_id"), url.as("url")), col("doc_id"), col("url"))
+    }),
+
     // Tokenizer fertility per language: BPE-ish subwords per
     // whitespace word — the number that sizes sequence budgets per
     // language before committing a tokenizer. One map-side-combined

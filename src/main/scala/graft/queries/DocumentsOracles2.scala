@@ -1765,6 +1765,66 @@ private[queries] object DocumentsOracles2 {
           JOIN tot ta ON ta.source = ov.source_a
           JOIN tot tb ON tb.source = ov.source_b""",
 
+    // q173: URL frontier — the closed-form URL manifest recomputed in
+    // SQL, then the canonicalizer mirrored operator by operator
+    // (fragment strip, lowercase scheme/host, default-port strip,
+    // tracking-param drop, param sort, empty path → '/').
+    "q173_url_frontier" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'https://www.site' || (doc_id % 37) || '.com/doc/' || (doc_id % 211) || '?a=1&b=2'
+               WHEN 1 THEN 'HTTPS://' || upper('www.site' || (doc_id % 37) || '.com') || ':443/doc/' || (doc_id % 211) || '?b=2&a=1#frag'
+               WHEN 2 THEN 'https://www.site' || (doc_id % 37) || '.com/doc/' || (doc_id % 211) || '?utm_source=x&gclid=g&b=2&a=1'
+               WHEN 3 THEN 'http://www.site' || (doc_id % 37) || '.com:80'
+               ELSE 'http://www.site' || (doc_id % 37) || '.com/'
+             END AS url
+           FROM documents
+         ),
+         p1 AS (
+           SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM u
+         ),
+         p2 AS (
+           SELECT doc_id,
+                  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           FROM p1
+         ),
+         p3 AS (
+           SELECT doc_id, scheme, rest,
+                  lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostraw
+           FROM p2
+         ),
+         p4 AS (
+           SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+                       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+                       ELSE hostraw END AS host,
+                  substr(rest, length(hostraw) + 1) AS pathq
+           FROM p3
+         ),
+         p5 AS (
+           SELECT doc_id, scheme, host,
+                  regexp_extract(pathq, '^([^?]*)', 1) AS path,
+                  list_aggregate(
+                    list_sort(list_filter(
+                      string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+                      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))),
+                    'string_agg', '&') AS sortedq
+           FROM p4
+         ),
+         c AS (
+           SELECT doc_id,
+                  scheme || '://' || host ||
+                    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+                    (CASE WHEN sortedq IS NOT NULL AND sortedq <> ''
+                          THEN '?' || sortedq ELSE '' END) AS canonical_url
+           FROM p5
+         )
+         SELECT canonical_url, MIN(doc_id) AS keeper_id,
+                CAST(COUNT(1) AS BIGINT) AS n_variants
+         FROM c GROUP BY 1""",
+
     // Tokenizer fertility: same whitespace-word convention as
     // wordsCte; subwords = letter runs | digit runs | single symbols
     // (the engine's bpeTokens regex, RE2-compatible).
