@@ -269,6 +269,15 @@ object Similarity {
     require(iters >= 0, s"iters must be non-negative (got $iters)")
     val base = quantized(embs)
     var cents = seedCentroids(embs, k)
+    // seed contract: ids [0, k) must exist, or the codebook trains
+    // EMPTY and every downstream consumer (IVF serving, semdedup,
+    // the vector ingest gate) silently drops every vector — fail the
+    // training call instead. take(1) is the build-time probe rule
+    // (one partition, pushdown on vec_id < k), never a full scan.
+    require(
+      cents.take(1).nonEmpty,
+      s"no seed centroids: no vec_id in [0, $k) exists in the training " +
+        "relation — an empty codebook would silently drop every vector downstream")
     for (_ <- 0 until iters) {
       val assign = nearestCell(base, cents).select(col("vec_id"), col("cell"))
       cents = integerMeanCentroids(base.join(assign, "vec_id"), "cell")

@@ -140,4 +140,31 @@ class S3ContractSpec extends SparkSpec {
     assert(ids() === Set(10L, 11L, 21L))
     assert(spark.read.parquet(hist).count() === 3)
   }
+
+  test("S3: vector ingest gate — semantic dedup index replay-safe under copy+delete rename") {
+    import graft.operators.Similarity
+    import graft.streaming.VecStream
+    def vec(x: Float, y: Float) = Array(x, y) ++ Array.fill(6)(0f)
+    def batch(rows: Seq[(Long, Array[Float])]) =
+      rows.toDF("vec_id", "embedding")
+    // seed contract: kmeansCentroids seeds from vec_id < k, so the
+    // training ids start at 0
+    val train = Seq(
+      (0L, vec(1f, 0f)), (1L, vec(0f, 1f)),
+      (2L, vec(0.95f, 0.05f)), (3L, vec(0.05f, 0.95f))).toDF("vec_id", "embedding")
+    val codebook = Similarity.kmeansCentroids(train, 2)
+    val hist = s3dir("vec") + "/index"
+    val sink = VecStream.semDedupGatedBatchSink(hist, codebook, tau = 0.95)
+    def ids(): Set[Long] =
+      spark.read.parquet(hist).select("vec_id").collect().map(_.getLong(0)).toSet
+
+    sink(batch(Seq(10L -> vec(1f, 0f), 11L -> vec(0.99f, 0.01f), 12L -> vec(0f, 1f))), 0L)
+    assert(ids() === Set(10L, 12L)) // 11 ≈ 10 within the batch
+    sink(batch(Seq(20L -> vec(0.98f, 0.02f), 21L -> vec(-1f, 0f))), 1L)
+    assert(ids() === Set(10L, 12L, 21L)) // 20 ≈ admitted 10
+    // replay batch 1 on the object store: same admit set, no dup rows
+    sink(batch(Seq(20L -> vec(0.98f, 0.02f), 21L -> vec(-1f, 0f))), 1L)
+    assert(ids() === Set(10L, 12L, 21L))
+    assert(spark.read.parquet(hist).count() === 3)
+  }
 }

@@ -29,6 +29,15 @@ class Round8OperatorsSpec extends SparkSpec {
       assert(r.getString(2) === r.getString(1), s"for url '${r.getString(0)}'"))
   }
 
+  test("kmeansCentroids fails loudly when the seed ids [0, k) are absent (empty codebook footgun)") {
+    val noSeeds = Seq((900L, Array(1f, 0f)), (901L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(noSeeds, 2)
+    }
+    assert(e.getMessage.contains("no seed centroids"))
+  }
+
   test("urlFrontier: variants collapse to canonical groups with keep-min fetch") {
     val urls = Seq(
       (10L, "https://a.com/p?b=2&a=1"),
