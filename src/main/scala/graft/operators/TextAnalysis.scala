@@ -1001,6 +1001,44 @@ object TextAnalysis {
       when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
 
+  /** DPO-style PREFERENCE-PAIR mining: within each group (e.g.
+    * (source, lang) — a stand-in for "same prompt/topic"), pair the
+    * highest-quality document (chosen) against the lowest (rejected),
+    * with the quality margin — the construction step for
+    * preference-tuning data when no human labels exist and a scored
+    * proxy ranks candidates. Deterministic tie-breaks (score, then
+    * lowest doc_id on both sides); single-document groups emit no
+    * pair.
+    *
+    * Plan shape: ONE exchange on the group key; both row_number
+    * windows share it and their `= 1` filters take the rank-limit
+    * pushdown (map-side top-1 per group), so nothing group-sized is
+    * ever sorted globally. */
+  def preferencePairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty, "at least one group column required")
+    val scored = docs.select(
+      groups.map(col) ++ Seq(id.as("doc_id"), qualityScore(text).as("quality_score")): _*)
+    val part = Window.partitionBy(groups.map(col): _*)
+    val marked = scored
+      .withColumn("__rt",
+        row_number().over(part.orderBy(desc("quality_score"), asc("doc_id"))))
+      .withColumn("__rb",
+        row_number().over(part.orderBy(asc("quality_score"), asc("doc_id"))))
+    val chosen = marked.filter(col("__rt") === 1).select(
+      groups.map(col) ++ Seq(
+        col("doc_id").as("chosen_doc_id"), col("quality_score").as("chosen_score")): _*)
+    val rejected = marked.filter(col("__rb") === 1).select(
+      groups.map(col) ++ Seq(
+        col("doc_id").as("rejected_doc_id"), col("quality_score").as("rejected_score")): _*)
+    chosen.join(rejected, groups)
+      .filter(col("chosen_doc_id") =!= col("rejected_doc_id"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+  }
+
   /** Crawl-frontier dedup over a URL relation: one row per CANONICAL
     * url with its keep-min id (the fetch that wins) and the number of
     * raw variants that collapsed into it — q30's exact-dedup contract

@@ -1048,6 +1048,16 @@ object Documents {
         d.select(col("doc_id"), url.as("url")), col("doc_id"), col("url"))
     }),
 
+    // DPO-style preference pairs: per (source, lang) group, the
+    // highest-quality document (chosen) vs the lowest (rejected) with
+    // the quality margin — preference-tuning data construction from a
+    // scored proxy when no human labels exist. Deterministic
+    // tie-breaks; single-doc groups emit nothing.
+    "q174_preference_pairs" -> ((s, dir) =>
+      TextAnalysis.preferencePairs(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        groups = Seq("source", "lang"))),
+
     // Tokenizer fertility per language: BPE-ish subwords per
     // whitespace word — the number that sizes sequence budgets per
     // language before committing a tokenizer. One map-side-combined

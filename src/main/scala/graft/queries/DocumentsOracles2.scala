@@ -1825,6 +1825,35 @@ private[queries] object DocumentsOracles2 {
                 CAST(COUNT(1) AS BIGINT) AS n_variants
          FROM c GROUP BY 1""",
 
+    // q174: preference pairs — q38's score expression per doc, then
+    // per-(source, lang) best-vs-worst with deterministic tie-breaks
+    // (score, then lowest doc_id) and the raw double margin.
+    "q174_preference_pairs" ->
+      s"""WITH $wordsCte,
+          m AS (
+            SELECT doc_id,
+                   least(1.0, len(ws) / 100.0) * 0.5
+                     + least(1.0, (CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','in','to','is','that','it','for'))) AS DOUBLE) / len(ws)) * 4) * 0.3
+                     + CASE WHEN CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END
+                     AS quality_score
+            FROM words
+          ),
+          r AS (
+            SELECT d.source, d.lang, m.doc_id, m.quality_score,
+                   row_number() OVER (PARTITION BY d.source, d.lang
+                     ORDER BY m.quality_score DESC, m.doc_id ASC) AS rt,
+                   row_number() OVER (PARTITION BY d.source, d.lang
+                     ORDER BY m.quality_score ASC, m.doc_id ASC) AS rb
+            FROM m JOIN documents d USING (doc_id)
+          )
+          SELECT c.source, c.lang,
+                 c.doc_id AS chosen_doc_id, c.quality_score AS chosen_score,
+                 j.doc_id AS rejected_doc_id, j.quality_score AS rejected_score,
+                 c.quality_score - j.quality_score AS margin
+          FROM r c
+          JOIN r j ON c.source = j.source AND c.lang = j.lang
+          WHERE c.rt = 1 AND j.rb = 1 AND c.doc_id <> j.doc_id""",
+
     // Tokenizer fertility: same whitespace-word convention as
     // wordsCte; subwords = letter runs | digit runs | single symbols
     // (the engine's bpeTokens regex, RE2-compatible).

@@ -704,6 +704,14 @@ class PlanSpec extends SparkSpec {
       "funnel must not recompute per-stage branches:\n" + planString(df).take(3000))
   }
 
+  test("q174 preference pairs: rank windows take the map-side WindowGroupLimit") {
+    val df = SparkEntry.queries("q174_preference_pairs")(spark, sf())
+    val s = planString(df)
+    // the row_number() = 1 filters must push as group-limits so each
+    // map partition forwards one candidate per group, never the group
+    assert(s.contains("WindowGroupLimit"), s.take(2500))
+  }
+
   test("q171 pair join rides distinct-fingerprint representatives (exact layer first)") {
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
     import org.apache.spark.sql.execution.GenerateExec
