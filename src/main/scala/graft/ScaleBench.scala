@@ -215,6 +215,13 @@ object ScaleBench {
       // the rail that holds when boilerplate dominates the ×K corpus
       "q172_source_overlap_capped" ->
         (() => SparkEntry.queries("q172_source_overlap_capped")(spark, dir)),
+      // round-8 additions: both single-exchange linear ops — the scale
+      // axis is plain row count (frontier: map-side canonicalize +
+      // hash-agg; preference pairs: group-keyed rank-limit windows)
+      "q173_url_frontier" ->
+        (() => SparkEntry.queries("q173_url_frontier")(spark, dir)),
+      "q174_preference_pairs" ->
+        (() => SparkEntry.queries("q174_preference_pairs")(spark, dir)),
       "q168_token_fertility" ->
         (() => SparkEntry.queries("q168_token_fertility")(spark, dir)),
       "q157_cluster_histogram" ->
