@@ -1001,6 +1001,128 @@ object TextAnalysis {
       when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
 
+  /** DISTRIBUTED BPE TRAINING (Sennrich '16) — the full iterative
+    * loop above [[bpePairCounts]]' single-round kernel: starting from
+    * the character vocabulary, each round counts adjacent symbol
+    * pairs corpus-wide, merges the most frequent pair (deterministic
+    * tie-break: count desc, then (left, right) asc) and rewrites the
+    * symbol sequences, for `nMerges` rounds or until no pair reaches
+    * `minCount`. Returns the ordered merge table
+    * (rank, left, right, merged, cnt) — the tokenizer artifact.
+    *
+    * Scale shape — why this trains on 100 TB: the corpus is touched
+    * ONCE, collapsing to the (word, n) VOCABULARY relation (one
+    * map-side-combined hash-agg; every later round runs on
+    * vocab-sized data, weighted by n). Per round: one hash-agg pair
+    * count (map-side partial), a driver-side top-1 (`take(1)` of an
+    * ordered relation — TakeOrdered, never a full sort), and a
+    * map-only greedy merge rewrite (SQL `aggregate` fold, codegen'd —
+    * left-to-right application, the BPE apply rule). The working
+    * relation is re-persisted and the previous round freed every
+    * round, so lineage stays O(1) instead of O(rounds). */
+  def bpeTrain(
+      docs: DataFrame,
+      text: Column,
+      nMerges: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be positive (got $nMerges)")
+    require(minCount >= 1, s"minCount must be positive (got $minCount)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the ONLY corpus-sized pass: word-frequency table, then chars
+    var vocab = docs
+      .select(explode(tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(expr("transform(sequence(1, char_length(w)), i -> substr(w, i, 1))").as("syms"),
+        col("n"))
+      .persist(level)
+    vocab.count()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank   = 0
+    var done   = false
+    while (rank < nMerges && !done) {
+      val top = vocab
+        .select(posexplode(col("syms")).as(Seq("i", "l")), col("syms"), col("n"))
+        .filter(col("i") < size(col("syms")) - 1)
+        .select(col("l"), element_at(col("syms"), col("i") + 2).as("r"), col("n"))
+        .groupBy(col("l"), col("r")).agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .take(1)
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < minCount) done = true
+      else {
+        val (l, r) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"))
+        rank += 1
+        merges += ((rank, l, r, l + r, top.head.getAs[Long]("cnt")))
+        // greedy left-to-right merge — the BPE apply rule ("aaa" under
+        // (a,a) becomes ["aa","a"]); pure codegen'd fold, no UDF
+        val lLit = lit(l); val rLit = lit(r)
+        val next = vocab
+          .select(
+            aggregate(
+              col("syms"),
+              expr("CAST(array() AS array<string>)"),
+              (acc, x) =>
+                when(
+                  size(acc) > 0 && element_at(acc, -1) === lLit && x === rLit,
+                  concat(slice(acc, lit(1), size(acc) - 1), array(concat(lLit, rLit))))
+                  .otherwise(concat(acc, array(x)))).as("syms"),
+            col("n"))
+          .persist(level)
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.result().toDF("rank", "left", "right", "merged", "cnt")
+  }
+
+  /** Apply a trained merge table ([[bpeTrain]] output, collected —
+    * merge tables are KBs) to tokenize text: whitespace words →
+    * characters → merges replayed in rank order per word. The merge
+    * loop is inherently sequential per word, so this is the
+    * documented `mapPartitions` kernel boundary (same class as the
+    * image codec) — the merge list rides the closure as a broadcast
+    * local, the relation never shuffles. Returns (id, subwords). */
+  def bpeApplyMerges(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    docs
+      .select(id.cast("long").as("doc_id"), text.as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (docId, t) =>
+          val subwords = Option(t).getOrElse("").trim
+            .split("\\s+").iterator.filter(_.nonEmpty)
+            .flatMap { w =>
+              var syms = w.map(_.toString).toVector
+              ms.foreach { case (l, r) =>
+                val out = Vector.newBuilder[String]
+                var i = 0
+                while (i < syms.length) {
+                  if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                    out += (l + r); i += 2
+                  } else { out += syms(i); i += 1 }
+                }
+                syms = out.result()
+              }
+              syms
+            }
+            .toSeq
+          (docId, subwords)
+        }
+      }
+      .toDF("doc_id", "subwords")
+  }
+
   /** DPO-style PREFERENCE-PAIR mining: within each group (e.g.
     * (source, lang) — a stand-in for "same prompt/topic"), pair the
     * highest-quality document (chosen) against the lowest (rejected),

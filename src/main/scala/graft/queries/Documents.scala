@@ -59,6 +59,11 @@ object Documents {
     * cap, which exists for the corpus where it matters. */
   private[graft] val SharedJaccardDfCap = 128L
 
+  /** q175 fixed merge table — five common-English merges (th, the,
+    * an, in, er chains) that all fire on the synthetic corpus. */
+  private[graft] val Q175Merges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r"))
+
   /** q172 source-overlap df cap — bites at test scale (observed max
     * shingle df: 7 at sf0.01, 25 at sf0.1), so the capped semantics
     * are actually exercised by the oracle, not just configured. */
@@ -1057,6 +1062,22 @@ object Documents {
       TextAnalysis.preferencePairs(
         Tables.documents(s, dir), col("doc_id"), col("text"),
         groups = Seq("source", "lang"))),
+
+    // BPE segmentation with a FIXED merge table (the serve side of
+    // the trained artifact — bpeTrain's output applied at corpus
+    // scale): per doc, the subword count and the full segmentation.
+    // The engine runs the sequential greedy kernel
+    // (TextAnalysis.bpeApplyMerges); the oracle replays the same
+    // merges as sentinel-delimited string replaces (left-to-right
+    // non-overlapping — exactly the greedy rule), so the two
+    // implementations share nothing but the semantics.
+    "q175_bpe_segmentation" -> ((s, dir) =>
+      TextAnalysis.bpeApplyMerges(
+        Tables.documents(s, dir), col("doc_id"), col("text"), Q175Merges)
+        .select(
+          col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          array_join(col("subwords"), " ").as("seg_text"))),
 
     // Tokenizer fertility per language: BPE-ish subwords per
     // whitespace word — the number that sizes sequence budgets per

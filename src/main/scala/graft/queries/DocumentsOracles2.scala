@@ -1825,6 +1825,37 @@ private[queries] object DocumentsOracles2 {
                 CAST(COUNT(1) AS BIGINT) AS n_variants
          FROM c GROUP BY 1""",
 
+    // q175: BPE apply via the sentinel trick — each word becomes
+    // '|c1||c2|…|cn|' and a merge (l, r) is the global replace
+    // '|l||r|' → '|lr|' (left-to-right non-overlapping = the greedy
+    // BPE rule); safe because the corpus alphabet is a–y + space and
+    // '|' never occurs. Independent of the engine's sequential kernel.
+    "q175_bpe_segmentation" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+           FROM documents
+         ),
+         seg AS (
+           SELECT doc_id,
+                  flatten(list_transform(ws, w ->
+                    string_split(
+                      trim(
+                        replace(replace(replace(replace(replace(
+                          '|' || array_to_string(string_split(w, ''), '||') || '|',
+                          '|t||h|', '|th|'),
+                          '|th||e|', '|the|'),
+                          '|a||n|', '|an|'),
+                          '|i||n|', '|in|'),
+                          '|e||r|', '|er|'),
+                        '|'),
+                      '||'))) AS subs
+           FROM w
+         )
+         SELECT doc_id, CAST(len(subs) AS BIGINT) AS n_subwords,
+                array_to_string(subs, ' ') AS seg_text
+         FROM seg""",
+
     // q174: preference pairs — q38's score expression per doc, then
     // per-(source, lang) best-vs-worst with deterministic tie-breaks
     // (score, then lowest doc_id) and the raw double margin.
