@@ -222,6 +222,18 @@ object ScaleBench {
         (() => SparkEntry.queries("q173_url_frontier")(spark, dir)),
       "q174_preference_pairs" ->
         (() => SparkEntry.queries("q174_preference_pairs")(spark, dir)),
+      // BPE training, 10 merge rounds: ONE corpus-sized pass (the
+      // word-count collapse), then every round runs on the VOCAB
+      // relation — which the ×K corpus leaves unchanged (copies add
+      // counts, not words), so training cost should flatten across
+      // decades. Returned relation = the merge table (timed end to
+      // end including the driver loop).
+      "bpe_train_10" ->
+        (() => {
+          val m = graft.operators.TextAnalysis.bpeTrain(
+            docs, col("text"), nMerges = 10)
+          m
+        }),
       "q168_token_fertility" ->
         (() => SparkEntry.queries("q168_token_fertility")(spark, dir)),
       "q157_cluster_histogram" ->
