@@ -359,6 +359,28 @@ object Documents {
         d.filter(col("source") === "src0"), col("text"), 5)
     }),
 
+    // Contamination by SOURCE — q58's doc-level flags rolled to the
+    // per-source rate in exact ppm: which corpus components carry the
+    // benchmark leak (the number that decides whether a source is
+    // cleaned or dropped). One left join of the flag set, one
+    // hash-agg; the expensive gram join is q58's and runs once.
+    "q176_contamination_by_source" -> ((s, dir) => {
+      val d      = Tables.documents(s, dir)
+      val corpus = d.filter(col("source") =!= "src0")
+      val flagged = TextDedup.contaminationFlags(
+        corpus, col("doc_id"), col("text"),
+        d.filter(col("source") === "src0"), col("text"), 5)
+        .select(col("doc_id")).withColumn("__c", lit(1L))
+      corpus.select(col("source"), col("doc_id"))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__c"), lit(0L))).as("n_contaminated"))
+        .withColumn(
+          "contaminated_ppm", expr("(n_contaminated * 1000000) div n_docs"))
+    }),
+
     // Per-language top-5 word bigrams: the per-subcorpus frequency
     // table (vocab pruning / boilerplate discovery per language).
     "q59_lang_ngrams" -> ((s, dir) =>

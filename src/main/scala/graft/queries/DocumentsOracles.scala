@@ -645,6 +645,32 @@ private[queries] object DocumentsOracles {
          WHERE e.source <> 'src0'
          GROUP BY 1""",
 
+    // q176: q58's flag set rolled to the per-source rate in exact ppm.
+    "q176_contamination_by_source" ->
+      """WITH words AS (
+           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws FROM documents
+         ),
+         gr AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(ws) >= 5
+                       THEN list_distinct(list_transform(generate_series(1, len(ws)-4),
+                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+                       ELSE []::VARCHAR[] END AS gs
+           FROM words
+         ),
+         ex AS (SELECT doc_id, source, unnest(gs) AS s FROM gr),
+         bg AS (SELECT DISTINCT s FROM ex WHERE source = 'src0'),
+         flagged AS (
+           SELECT DISTINCT e.doc_id FROM ex e JOIN bg ON e.s = bg.s WHERE e.source <> 'src0'
+         )
+         SELECT d.source,
+                CAST(COUNT(1) AS BIGINT) AS n_docs,
+                CAST(COUNT(f.doc_id) AS BIGINT) AS n_contaminated,
+                CAST(COUNT(f.doc_id) * 1000000 // COUNT(1) AS BIGINT) AS contaminated_ppm
+         FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+         WHERE d.source <> 'src0'
+         GROUP BY 1""",
+
     "q55_repetition" ->
       s"""WITH $wordsCte,
           b AS (
