@@ -69,9 +69,21 @@ object Bench {
     // construction (same plan, different wall clock); one whose
     // fingerprint moved names a plan change to bisect — so flags
     // auto-classify without re-running anything.
+    //
+    // Cached shared artifacts must NOT leak into the hash: an
+    // InMemoryRelation embeds its cached physical plan + materialized
+    // stats, which change with cache/materialization ORDER (measured:
+    // q101's fp flipped between a cold build and the same plan after
+    // one count()). Normalize every cache node to a schema-only leaf
+    // so the fingerprint sees the CONSUMING plan's shape, which is
+    // the thing a regression classifier needs.
     def planFp(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): String =
       try {
-        val s  = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized.toString
+        val normalized = fn(spark, sfDir).queryExecution.optimizedPlan.transform {
+          case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation(imr.output)
+        }
+        val s  = normalized.canonicalized.toString
         val md = java.security.MessageDigest.getInstance("SHA-256")
         md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
       } catch { case _: Throwable => "err" }
