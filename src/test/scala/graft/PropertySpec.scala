@@ -557,4 +557,31 @@ class PropertySpec extends SparkSpec {
       assert(out == local)
     }
   }
+
+  test("canonicalUrl is IDEMPOTENT on random urls: canon(canon(u)) == canon(u)") {
+    val s = spark; import s.implicits._
+    val schemeGen = Gen.oneOf("http", "https", "HTTP", "Https", "ftp")
+    val hostGen = for {
+      name <- Gen.oneOf("x", "Www.Site", "api.EXAMPLE", "a-b.c")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+    } yield name + ".com" + port
+    val pathGen  = Gen.oneOf("", "/", "/p", "/a/b.html")
+    val queryGen = Gen.oneOf(
+      "", "?b=2&a=1", "?utm_source=x", "?a=1&utm_campaign=c&b=2", "?gclid=g")
+    val fragGen  = Gen.oneOf("", "#f", "#a/b?c=1")
+    val urlGen = for {
+      sc <- schemeGen; h <- hostGen; p <- pathGen; q <- queryGen; f <- fragGen
+    } yield s"$sc://$h$p$q$f"
+    forAll(Gen.listOfN(8, urlGen), n = 12) { urls =>
+      if (urls.nonEmpty) {
+        val out = urls.toDF("url")
+          .select(
+            TextAnalysis.canonicalUrl(col("url")).as("c1"),
+            TextAnalysis.canonicalUrl(TextAnalysis.canonicalUrl(col("url"))).as("c2"))
+          .collect()
+        out.foreach(r => assert(r.getString(0) === r.getString(1),
+          s"not idempotent for some of $urls"))
+      }
+    }
+  }
 }
