@@ -160,6 +160,15 @@ object Documents {
       Multimodal.aHash64(
         Multimodal.syntheticImages(Tables.documents(s, dir), col("doc_id"))))
 
+  // The image dedup DECISION list is itself a shared artifact: q169
+  // exports it, q170 rolls it up — the verdict chain (exact collapse +
+  // banded pair join + cluster contraction) runs once per corpus, not
+  // once per consumer.
+  private val imageVerdictsCache = new DirCached
+  private def sharedImageVerdicts(s: SparkSession, dir: String): DataFrame =
+    imageVerdictsCache(s, dir)(
+      TextDedup.hammingDedupVerdicts(sharedAHashes(s, dir), maxHamming = 3, bands = 8))
+
   // The trained codebook is the canonical materialized intermediate:
   // q61 assigns with it, q63 probes with it ("train once").
   private val codebookCache = new DirCached
@@ -1124,14 +1133,13 @@ object Documents {
     // Engine side runs the exact-layer-first form; the oracle is the
     // FULL-PAIR recursive chain — the hash match executes the
     // equivalence proof on real data.
-    "q169_image_verdicts" -> ((s, dir) =>
-      TextDedup.hammingDedupVerdicts(sharedAHashes(s, dir), maxHamming = 3, bands = 8)),
+    "q169_image_verdicts" -> ((s, dir) => sharedImageVerdicts(s, dir)),
 
     // Image dedup YIELD — the ops-dashboard rollup of q169 (the image
     // twin of the text keeper/yield family): verdict counts + share of
     // the corpus in exact ppm.
     "q170_image_yield" -> ((s, dir) =>
-      TextDedup.hammingDedupVerdicts(sharedAHashes(s, dir), maxHamming = 3, bands = 8)
+      sharedImageVerdicts(s, dir)
         .groupBy(col("verdict"))
         .agg(count(lit(1)).as("n_images"))
         .withColumn(
