@@ -217,7 +217,9 @@ object Bench {
     // time for the named queries — the steady-state-floor probe used
     // to attribute a confirmed regression as JIT-warmup/host-noise vs
     // a real plan cost (the q112/q156 round-8 protocol).
-    sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).filter(_ > 0 && only.nonEmpty)
+    sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption) // malformed value: ignore, never crash a finished run
+      .filter(_ > 0 && only.nonEmpty)
       .foreach { reps =>
         only.toSeq.sorted.foreach { name =>
           val fn = SparkEntry.queries(name)

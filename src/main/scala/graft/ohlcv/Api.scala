@@ -201,9 +201,16 @@ object Api {
       conf: org.apache.hadoop.conf.Configuration,
       tableDir: String,
       symbols: Seq[String]): DataFrame = {
+    // ONE layout walk answers every symbol's newest day (per-symbol
+    // availableDates globs would cost symbols × layout listings).
+    // Symbols absent from the map — including empty or
+    // glob-metacharacter garbage a client might send — simply
+    // contribute no row, exactly like symbols absent from the
+    // reference's recent files (never a thrown 500).
+    val newest = Storage.newestDatePerSymbol(conf, tableDir)
     val preds = symbols.flatMap { sym =>
       val clean = sym.toUpperCase.replaceAll("NSE:|-EQ", "")
-      Storage.availableDates(conf, tableDir, clean, limit = 1).headOption.map { d =>
+      newest.get(clean).map { d =>
         val ld = java.time.LocalDate.parse(d)
         col("symbol_clean") === clean && col("symbol") === sym &&
           col("year") === ld.getYear && col("month") === ld.getMonthValue &&
@@ -214,6 +221,31 @@ object Api {
       if (preds.isEmpty) normalized.filter(lit(false))
       else normalized.filter(preds.reduce(_ || _))
     latestSummary(fromNormalized(pruned))
+  }
+
+  /** Default /latest symbol list for a table-backed server: distinct
+    * symbols scanned from the table's NEWEST landed day only — the
+    * date comes from the partition layout ([[Storage.newestDatePerSymbol]],
+    * metadata-only) and the scan prunes to that one day, so cost is
+    * one day × symbols regardless of table history. The reference
+    * derives its default list from recent files the same way
+    * (api/api_handler.py:451-477); the frame-side `Api.symbols`
+    * distinct would scan the WHOLE table just to enumerate names. */
+  def symbolsFromTable(
+      normalized: DataFrame,
+      conf: org.apache.hadoop.conf.Configuration,
+      tableDir: String): DataFrame = {
+    val newest = Storage.newestDatePerSymbol(conf, tableDir)
+    if (newest.isEmpty)
+      normalized.select(col("symbol")).filter(lit(false)).distinct()
+    else {
+      val ld = java.time.LocalDate.parse(newest.valuesIterator.max)
+      normalized
+        .filter(
+          col("year") === ld.getYear && col("month") === ld.getMonthValue &&
+            col("day") === ld.getDayOfMonth)
+        .select(col("symbol")).distinct().orderBy(col("symbol"))
+    }
   }
 
   /** GET /symbols (D5): distinct symbols, sorted. */

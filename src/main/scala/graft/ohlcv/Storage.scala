@@ -191,6 +191,34 @@ object Storage {
       .flatten.distinct.sorted(Ordering[String].reverse).take(limit)
   }
 
+  /** NEWEST date per symbol from ONE layout walk — the /latest
+    * discovery primitive: globbing the day-major layout once
+    * (`year=* / month=* / day=* / symbol_clean=*`, no spaces) and
+    * folding to each symbol's max date costs one listing no matter
+    * how many symbols are asked for, where per-symbol
+    * [[availableDates]] calls would cost symbols × layout.
+    * Metadata-only; no data file opened. */
+  def newestDatePerSymbol(
+      conf: org.apache.hadoop.conf.Configuration,
+      tableDir: String): Map[String, String] = {
+    val pattern = new org.apache.hadoop.fs.Path(
+      s"$tableDir/year=*/month=*/day=*/symbol_clean=*")
+    val fs = pattern.getFileSystem(conf)
+    val re = ".*/year=(\\d+)/month=(\\d+)/day=(\\d+)/symbol_clean=([^/]+)$".r
+    Option(fs.globStatus(pattern)).getOrElse(Array.empty).toSeq
+      .collect {
+        case st if st.isDirectory =>
+          st.getPath.toUri.getPath match {
+            case re(y, m, d, sym) =>
+              Some(sym -> f"${y.toInt}%04d-${m.toInt}%02d-${d.toInt}%02d")
+            case _ => None
+          }
+      }
+      .flatten
+      .groupBy(_._1)
+      .map { case (sym, ds) => sym -> ds.map(_._2).max }
+  }
+
   /** S7: partitioned gzip CSV sink (header, reference column order). */
   def writeCsv(normalized: DataFrame, path: String, mode: String = "append"): Unit =
     normalized.write

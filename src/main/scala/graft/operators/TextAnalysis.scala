@@ -973,6 +973,10 @@ object TextAnalysis {
     * p?utm_source=t&b=2&a=1#frag` and `https://www.x.com/p?a=1&b=2`):
     *  - scheme + host lowercased; explicit default port stripped
     *    (`:80` for http, `:443` for https);
+    *  - scheme-less and protocol-relative forms (`x.com/p`,
+    *    `//x.com/p`) normalized to `http://` so they dedup against
+    *    their absolute spellings — output ALWAYS carries a scheme,
+    *    which is what makes canonicalization idempotent;
     *  - fragment dropped (never sent to the server);
     *  - tracking params dropped (`utm_*`, `gclid`, `fbclid`);
     *  - remaining query params SORTED (param order is not content);
@@ -981,7 +985,14 @@ object TextAnalysis {
     * the scan's projection, no shuffle. ASCII-regex only, so the
     * DuckDB oracle mirrors it operator by operator. */
   def canonicalUrl(url: Column): Column = {
-    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val noFrag0 = regexp_replace(trim(url), "#.*$", "")
+    // scheme-less crawl-log variants: protocol-relative '//x.com/p'
+    // and bare 'x.com/p' both mean the http form of the page —
+    // normalize them to an explicit http:// so they dedup against
+    // their absolute spellings (and so the output always carries a
+    // scheme, which makes canonicalization idempotent)
+    val noFrag = when(noFrag0.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), noFrag0)
+      .otherwise(concat(lit("http://"), regexp_replace(noFrag0, "^//", "")))
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest   = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val hostRaw = lower(regexp_extract(rest, "^([^/?]+)", 1))

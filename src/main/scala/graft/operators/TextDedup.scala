@@ -126,13 +126,16 @@ object TextDedup {
     // computing exact doc-frequency costs a full (s, doc_id) dedup
     // pass — measured ~2× this whole query at ×100 — so the capped
     // production path builds the keep set ONCE per corpus snapshot
-    // (the sign-once lifecycle every other df-cap consumer models)
-    // and the capped serve costs the same as the uncapped one: the
-    // keep set is small by construction (rare shingles only), so the
-    // semi-join broadcasts.
+    // (the sign-once lifecycle every other df-cap consumer models).
+    // The keep set's SIZE depends on the corpus: tiny on a dup-dense
+    // ingest (every shingle's df ≥ copies), but on a diverse corpus
+    // "df ≤ cap" is the distinct-shingle LONG TAIL — most of the
+    // universe — so the semi-join is NOT pinned to a broadcast (a
+    // corpus-sized broadcast is the exact failure the doc→source join
+    // below avoids); AQE broadcasts it when it measures small.
     val sh0 = shingles.select(col("doc_id"), col("s"))
     val sh  = keepShingles.fold(sh0)(keep =>
-      sh0.join(broadcast(keep.select(col("s"))), Seq("s"), "left_semi"))
+      sh0.join(keep.select(col("s")), Seq("s"), "left_semi"))
     // the doc→source map is CORPUS-SIZED (one row per document) — a
     // "small side" only relative to the shingle relation. Pre-AQE size
     // estimates broadcast it (measured: the ×100 corpus's 500 k-row

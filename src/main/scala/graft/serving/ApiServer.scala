@@ -86,6 +86,8 @@ object ApiServer {
         limit: Option[Int]): DataFrame
     /** /latest aggregate for the requested symbols. */
     def latestSummary(symbols: Seq[String]): DataFrame
+    /** Default /latest symbol list (no ?symbols= given). */
+    def defaultSymbols(cap: Int): Seq[String]
   }
   private final class FrameSource(provider: () => DataFrame) extends Source {
     def frame(): DataFrame = provider()
@@ -94,6 +96,8 @@ object ApiServer {
       Api.getOhlcv(frame(), symbol, from, to, limit)
     def latestSummary(symbols: Seq[String]): DataFrame =
       Api.latestSummary(frame().filter(col("symbol").isin(symbols: _*)))
+    def defaultSymbols(cap: Int): Seq[String] =
+      Api.symbols(frame()).limit(cap).collect().map(_.getString(0)).toSeq
   }
   /** Serves the PARTITIONED normalized parquet table directly:
     * [[Api.getOhlcvFromTable]] turns the symbol into a partition-prune
@@ -114,6 +118,12 @@ object ApiServer {
     def latestSummary(symbols: Seq[String]): DataFrame =
       Api.latestSummaryFromTable(
         table, spark.sparkContext.hadoopConfiguration, path, symbols)
+    // bare /latest must not scan the table's history just to list
+    // names: symbols come from the newest landed day only (date from
+    // the partition layout, scan pruned to that day)
+    def defaultSymbols(cap: Int): Seq[String] =
+      Api.symbolsFromTable(table, spark.sparkContext.hadoopConfiguration, path)
+        .limit(cap).collect().map(_.getString(0)).toSeq
   }
 
   /** Start serving `candles` (canonical frame: symbol, ts, open, high,
@@ -261,9 +271,7 @@ object ApiServer {
       source: Source, qp: Map[String, String], cfg: Config): Unit = {
     val symbols = qp.get("symbols") match {
       case Some(s) => s.split(",").map(x => normalizeSymbol(x.trim)).toSeq
-      case None =>
-        Api.symbols(source.frame()).limit(cfg.latestSymbolCap)
-          .collect().map(_.getString(0)).toSeq
+      case None    => source.defaultSymbols(cfg.latestSymbolCap)
     }
     // reference per-symbol shape (:501-508): {symbol, latest_price,
     // total_candles, resolution, timestamp, last_candle} — ONE

@@ -59,11 +59,12 @@ object CurationDemo {
     // ---- land each modality in batch-id order (mod-N split, file
     // mod-times bumped so the file source triggers in batch order)
     def bump(dir: String, ms: Long): Unit = {
-      val now = System.currentTimeMillis()
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+      val now  = System.currentTimeMillis()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.forEach { p =>
         java.nio.file.Files.setLastModifiedTime(
           p, java.nio.file.attribute.FileTime.fromMillis(now + ms))
-      }
+      } finally walk.close() // Files.walk holds directory handles open
     }
     (0 until nBatches).foreach { b =>
       val ts = to_timestamp(lit(f"2025-10-08 10:${b}%02d:00"))

@@ -569,9 +569,12 @@ class PropertySpec extends SparkSpec {
     val queryGen = Gen.oneOf(
       "", "?b=2&a=1", "?utm_source=x", "?a=1&utm_campaign=c&b=2", "?gclid=g")
     val fragGen  = Gen.oneOf("", "#f", "#a/b?c=1")
+    // prefix includes the scheme-less and protocol-relative crawl-log
+    // forms — idempotence must hold for every input shape
+    val prefixGen = schemeGen.flatMap(sc => Gen.oneOf(s"$sc://", "", "//"))
     val urlGen = for {
-      sc <- schemeGen; h <- hostGen; p <- pathGen; q <- queryGen; f <- fragGen
-    } yield s"$sc://$h$p$q$f"
+      pre <- prefixGen; h <- hostGen; p <- pathGen; q <- queryGen; f <- fragGen
+    } yield s"$pre$h$p$q$f"
     forAll(Gen.listOfN(8, urlGen), n = 12) { urls =>
       if (urls.nonEmpty) {
         val out = urls.toDF("url")

@@ -21,7 +21,12 @@ class Round8OperatorsSpec extends SparkSpec {
       // no default-port rule for other schemes
       ("ftp://X.com:443/f", "ftp://x.com:443/f"),
       // whitespace trim + lone fragment
-      ("  https://x.com/p#a  ", "https://x.com/p"))
+      ("  https://x.com/p#a  ", "https://x.com/p"),
+      // scheme-less and protocol-relative crawl-log forms dedup
+      // against their absolute http spellings
+      ("www.X.com/p?b=2&a=1", "http://www.x.com/p?a=1&b=2"),
+      ("//x.com/p", "http://x.com/p"),
+      ("x.com:80", "http://x.com/"))
     val got = cases.toDF("url", "expect")
       .withColumn("canon", TextAnalysis.canonicalUrl(col("url")))
       .collect()

@@ -170,6 +170,35 @@ class ApiServerSpec extends SparkSpec {
     } finally tableSrv.stop()
   }
 
+  test("table-backed /latest: garbage symbols answer 200 with no data; bare /latest lists newest-day symbols") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-apisrv-tbl2").toString
+    val normalized = {
+      val mock = MockData.candles(spark, Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ"), 5, 1759895100L)
+      MockData.envelope(mock, "2025-10-08T04:00:00Z").write.json(s"$tmp/raw")
+      Normalize.normalize(RawIngest.blocks(RawIngest.readRaw(spark, s"$tmp/raw")), "spec")
+    }
+    graft.ohlcv.Storage.writeParquet(normalized, s"$tmp/table", "overwrite")
+    val srv = ApiServer.startFromTable(spark, s"$tmp/table",
+      ApiServer.Config(clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z")))
+    try {
+      // a symbols value that cleans to "" or carries glob
+      // metacharacters must answer like an unknown symbol (absent
+      // from data -> count 0), never a thrown 500
+      for (q <- Seq("/latest?symbols=", "/latest?symbols=FOO*", "/latest?symbols=%7Bbad%7D")) {
+        val (code, body) = get(srv, q)
+        assert(code === 200, s"$q -> $code: $body")
+        assert(mapper.readTree(body).get("count").asInt === 0, q)
+      }
+      // bare /latest: default symbols come from the NEWEST day's
+      // partitions (metadata-discovered), not a full-table distinct
+      val (c, b) = get(srv, "/latest")
+      assert(c === 200)
+      val j = mapper.readTree(b)
+      assert(j.get("count").asInt === 2)
+      assert(j.get("data").has("NSE:RELIANCE-EQ") && j.get("data").has("NSE:TCS-EQ"))
+    } finally srv.stop()
+  }
+
   test("concurrent requests: parallel Spark queries on the handler pool all answer correctly") {
     withServer { s =>
       import scala.concurrent.{Await, Future}
