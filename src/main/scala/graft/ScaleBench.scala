@@ -247,7 +247,19 @@ object ScaleBench {
       "q161_bpe_pair_counts" ->
         (() => SparkEntry.queries("q161_bpe_pair_counts")(spark, dir)),
       "q162_boilerplate_shingles" ->
-        (() => SparkEntry.queries("q162_boilerplate_shingles")(spark, dir))
+        (() => SparkEntry.queries("q162_boilerplate_shingles")(spark, dir)),
+      // round-8 second batch (snapshot lifecycle): all single-exchange
+      // key-join / hash-agg shapes — the scale axis is row count
+      "q177_snapshot_diff" ->
+        (() => SparkEntry.queries("q177_snapshot_diff")(spark, dir)),
+      "q178_modality_coverage" ->
+        (() => SparkEntry.queries("q178_modality_coverage")(spark, dir)),
+      "q179_curation_lineage" ->
+        (() => SparkEntry.queries("q179_curation_lineage")(spark, dir)),
+      "q180_length_drift" ->
+        (() => SparkEntry.queries("q180_length_drift")(spark, dir)),
+      "q181_domain_reputation" ->
+        (() => SparkEntry.queries("q181_domain_reputation")(spark, dir))
     ).filter { case (n, _) => only.isEmpty || only.contains(n) }
 
     def once(fn: () => DataFrame): Double = {

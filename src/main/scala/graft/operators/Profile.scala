@@ -482,4 +482,27 @@ object Profile {
         col("doc_id"), col("source"),
         explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
   }
+
+  /** Per-row curation LINEAGE: evaluate ALL named gates independently
+    * and pack the failures into a reason bitmask — bit k set ⇔ gate k
+    * FAILED (a NULL gate value counts as failed: an unscoreable row
+    * must not be silently admitted). `admitted` ⇔ mask == 0.
+    *
+    * This is the complement of the funnel report (q153): the funnel
+    * shows where each row EXITED first; the lineage shows every
+    * reason it would exit — the relation a curation post-mortem joins
+    * against ("how many contaminated docs were ALSO dedup losers?").
+    * Gates arrive as boolean columns the caller has already built
+    * (typically semi-join flags against gate sets materialized once
+    * per snapshot), so the lineage itself adds only a map-side
+    * projection over the flagged relation — no new shuffle, no new
+    * gate computation, linear at any scale. */
+  def gateLineage(df: DataFrame, id: Column, gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty && gates.size <= 63, s"1..63 gates, got ${gates.size}")
+    val mask = gates.zipWithIndex.map { case ((_, pass), i) =>
+      when(coalesce(pass, lit(false)), lit(0L)).otherwise(lit(1L << i))
+    }.reduce(_ + _)
+    df.select(id.as("row_id"), mask.as("reason_mask"))
+      .withColumn("admitted", (col("reason_mask") === 0L).cast("boolean"))
+  }
 }

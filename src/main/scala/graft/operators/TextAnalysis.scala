@@ -1183,4 +1183,36 @@ object TextAnalysis {
       .agg(
         min(col("url_id")).as("keeper_id"),
         count(lit(1)).as("n_variants"))
+
+  /** DOMAIN reputation rollup over a crawl-log URL relation: per
+    * canonical host, raw fetches vs distinct canonical pages and the
+    * duplicate-fetch rate in exact ppm — the table a crawler's
+    * politeness/budget scheduler reads ("which domains are we
+    * re-fetching pointlessly?"). Host comes from [[canonicalUrl]]'s
+    * output, so variant spellings of a domain (case, default ports,
+    * scheme-less forms) land on one row.
+    *
+    * Scale shape: canonicalization is a codegen'd projection inside
+    * the scan; then ONE hash-agg — `count` + `approx-free` exact
+    * distinct via a two-level (host, url) pre-collapse, both
+    * map-side combined. Domains are the natural partition key of a
+    * crawl at 100 TB and cardinality is ~10⁷ — the output relation
+    * stays small. */
+  def domainStats(urls: DataFrame, id: Column, url: Column): DataFrame =
+    urls
+      .select(canonicalUrl(url).as("__cu"))
+      .select(
+        regexp_extract(col("__cu"), "^[a-z][a-z0-9+.-]*://([^/?]+)", 1).as("host"),
+        col("__cu"))
+      // exact distinct WITHOUT an Expand: collapse (host, url) first —
+      // both aggs are plain map-side-combined hash-aggs
+      .groupBy(col("host"), col("__cu"))
+      .agg(count(lit(1)).as("__nf"))
+      .groupBy(col("host"))
+      .agg(
+        sum(col("__nf")).as("n_fetches"),
+        count(lit(1)).as("n_pages"))
+      .withColumn(
+        "dup_fetch_ppm",
+        expr("((n_fetches - n_pages) * 1000000) div n_fetches"))
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Multimodal, Packing, Profile, Ranking, Relevance, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Multimodal, Packing, Profile, Ranking, Relevance, Similarity, Snapshot, TextAnalysis, TextDedup}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -1067,22 +1067,8 @@ object Documents {
     // per (host, path) cell that the canonicalizer must collapse into
     // exactly two groups (https with sorted params / http bare host),
     // recomputed independently by the DuckDB oracle.
-    "q173_url_frontier" -> ((s, dir) => {
-      val d    = Tables.documents(s, dir)
-      val host = concat(lit("www.site"), col("doc_id") % 37, lit(".com"))
-      val path = concat(lit("/doc/"), col("doc_id") % 211)
-      val url = when(col("doc_id") % 5 === 0,
-          concat(lit("https://"), host, path, lit("?a=1&b=2")))
-        .when(col("doc_id") % 5 === 1,
-          concat(lit("HTTPS://"), upper(host), lit(":443"), path, lit("?b=2&a=1#frag")))
-        .when(col("doc_id") % 5 === 2,
-          concat(lit("https://"), host, path, lit("?utm_source=x&gclid=g&b=2&a=1")))
-        .when(col("doc_id") % 5 === 3,
-          concat(lit("http://"), host, lit(":80")))
-        .otherwise(concat(lit("http://"), host, lit("/")))
-      TextAnalysis.urlFrontier(
-        d.select(col("doc_id"), url.as("url")), col("doc_id"), col("url"))
-    }),
+    "q173_url_frontier" -> ((s, dir) =>
+      TextAnalysis.urlFrontier(q173Urls(s, dir), col("doc_id"), col("url"))),
 
     // DPO-style preference pairs: per (source, lang) group, the
     // highest-quality document (chosen) vs the lowest (rejected) with
@@ -1266,8 +1252,101 @@ object Documents {
           d, col("doc_id"), TextAnalysis.fingerprint(col("text")),
           sharedClusters(s, dir)),
         trainPct = 80, valPct = 10)
-    })
+    }),
+
+    // ── Corpus snapshot lifecycle (q177–q181) ──────────────────────
+    // Two deterministic snapshot VERSIONS derived from the documents
+    // table (closed-form, so the oracle rebuilds them bit-identically):
+    // the OLD snapshot misses every 7th doc and carries a truncated
+    // older text for every 5th; the NEW snapshot misses doc_id%11==3.
+
+    // Snapshot diff: per doc added/removed/changed/unchanged — the
+    // "what did the re-crawl actually change" relation an incremental
+    // curation run starts from. One co-partitioned full-outer join.
+    "q177_snapshot_diff" -> ((s, dir) =>
+      Snapshot.diff(
+        snapshotOld(s, dir), snapshotNew(s, dir), col("doc_id"), col("text"))),
+
+    // Modality coverage: which sources are missing embeddings (docs
+    // with no vec_id) — the completeness gate a multimodal corpus is
+    // admitted through. Exact ppm per source.
+    "q178_modality_coverage" -> ((s, dir) =>
+      Snapshot.coverage(
+        Tables.documents(s, dir), col("doc_id"), col("source"),
+        Tables.embeddings(s, dir), col("vec_id"))),
+
+    // Per-doc curation lineage: ALL admission gates evaluated
+    // independently into a reason bitmask (bit set = gate failed) —
+    // the funnel (q153) shows first-exit, this shows every reason.
+    // Gate sets (dedup keep, contamination) are the same shared
+    // once-per-snapshot artifacts q85/q153 read.
+    "q179_curation_lineage" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val flagged = d
+        .join(sharedKeepSet(s, dir).withColumn("__k", lit(1)), Seq("doc_id"), "left")
+        .join(sharedContamSet(s, dir).withColumn("__c", lit(1)), Seq("doc_id"), "left")
+      Profile.gateLineage(
+        flagged, col("doc_id"),
+        Seq(
+          "dedup_keep"    -> col("__k").isNotNull,
+          "not_benchmark" -> (col("source") =!= "src0"),
+          "clean"         -> col("__c").isNull,
+          "length_ok"     -> col("n_chars").between(100L, 450L)))
+        .withColumnRenamed("row_id", "doc_id")
+    }),
+
+    // Length-distribution drift between the snapshot versions: per
+    // 64-char bucket, each snapshot's exact-ppm share and the absolute
+    // delta — integer drift (no PSI logarithms), engine-exact.
+    "q180_length_drift" -> ((s, dir) =>
+      Snapshot.distributionDrift(
+        snapshotOld(s, dir), snapshotNew(s, dir),
+        expr("least(length(text) div 64, 9)"))),
+
+    // Domain reputation over the q173 crawl manifest: per canonical
+    // host, raw fetches vs distinct pages and the duplicate-fetch
+    // rate — the crawler's budget/politeness table.
+    "q181_domain_reputation" -> ((s, dir) =>
+      TextAnalysis.domainStats(
+        q173Urls(s, dir), col("doc_id"), col("url")))
   )
+
+  /** OLD snapshot version: every 7th doc absent; every 5th doc's text
+    * is the truncated older revision (last 7 chars not yet appended).
+    * Closed-form so the DuckDB oracle derives the identical relation. */
+  private def snapshotOld(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          col("text").substr(lit(1), greatest(col("n_chars") - 7L, lit(1L)).cast("int")))
+          .otherwise(col("text"))
+          .as("text"))
+
+  /** NEW snapshot version: current texts, doc_id%11==3 dropped. */
+  private def snapshotNew(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("text"))
+
+  /** The q173 crawl-log URL manifest (five spelling variants per
+    * (host, path) cell), shared by q173 and q181. */
+  private[queries] def q173Urls(s: SparkSession, dir: String): DataFrame = {
+    val d    = Tables.documents(s, dir)
+    val host = concat(lit("www.site"), col("doc_id") % 37, lit(".com"))
+    val path = concat(lit("/doc/"), col("doc_id") % 211)
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("https://"), host, path, lit("?a=1&b=2")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("HTTPS://"), upper(host), lit(":443"), path, lit("?b=2&a=1#frag")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://"), host, path, lit("?utm_source=x&gclid=g&b=2&a=1")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("http://"), host, lit(":80")))
+      .otherwise(concat(lit("http://"), host, lit("/")))
+    d.select(col("doc_id"), url.as("url"))
+  }
 
   /** Fixed BM25 query bag (shared with the oracle SQL). */
   private val Bm25Terms = Seq("spark", "join", "window", "hash", "filter")

@@ -41,6 +41,81 @@ private[queries] object DocumentsOracles2 {
          FROM acm JOIN amean ON acm.doc_id = amean.doc_id
          GROUP BY 1)"""
 
+  /** q173's closed-form URL manifest + the canonicalizer mirrored
+    * operator by operator (fragment strip, lowercase scheme/host,
+    * default-port strip, tracking-param drop, param sort, empty path
+    * → '/'). Ends with `c(doc_id, canonical_url)`. Shared by
+    * q173/q181. Plain-concatenated (not interpolated): the regexes
+    * contain `$` anchors. */
+  private val urlCanonCtes =
+    """u AS (
+         SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://www.site' || (doc_id % 37) || '.com/doc/' || (doc_id % 211) || '?a=1&b=2'
+             WHEN 1 THEN 'HTTPS://' || upper('www.site' || (doc_id % 37) || '.com') || ':443/doc/' || (doc_id % 211) || '?b=2&a=1#frag'
+             WHEN 2 THEN 'https://www.site' || (doc_id % 37) || '.com/doc/' || (doc_id % 211) || '?utm_source=x&gclid=g&b=2&a=1'
+             WHEN 3 THEN 'http://www.site' || (doc_id % 37) || '.com:80'
+             ELSE 'http://www.site' || (doc_id % 37) || '.com/'
+           END AS url
+         FROM documents
+       ),
+       p1 AS (
+         SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM u
+       ),
+       p2 AS (
+         SELECT doc_id,
+                lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         FROM p1
+       ),
+       p3 AS (
+         SELECT doc_id, scheme, rest,
+                lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostraw
+         FROM p2
+       ),
+       p4 AS (
+         SELECT doc_id, scheme,
+                CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+                     ELSE hostraw END AS host,
+                substr(rest, length(hostraw) + 1) AS pathq
+         FROM p3
+       ),
+       p5 AS (
+         SELECT doc_id, scheme, host,
+                regexp_extract(pathq, '^([^?]*)', 1) AS path,
+                list_aggregate(
+                  list_sort(list_filter(
+                    string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+                    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))),
+                  'string_agg', '&') AS sortedq
+         FROM p4
+       ),
+       c AS (
+         SELECT doc_id,
+                scheme || '://' || host ||
+                  (CASE WHEN path = '' THEN '/' ELSE path END) ||
+                  (CASE WHEN sortedq IS NOT NULL AND sortedq <> ''
+                        THEN '?' || sortedq ELSE '' END) AS canonical_url
+         FROM p5
+       )"""
+
+  /** The two deterministic snapshot versions q177/q180 diff (mirror of
+    * `Documents.snapshotOld/New`): OLD misses every 7th doc and holds
+    * the 7-char-truncated older text for every 5th; NEW misses
+    * doc_id%11==3. Each ends with (doc_id, p). */
+  private val snapshotCtes =
+    """snap_o AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0
+                     THEN substr(text, 1, CAST(GREATEST(n_chars - 7, 1) AS INT))
+                     ELSE text END AS p
+         FROM documents WHERE doc_id % 7 <> 0
+       ),
+       snap_n AS (
+         SELECT doc_id, text AS p FROM documents WHERE doc_id % 11 <> 3
+       )"""
+
   val oracles: Map[String, String] = Map(
     // The bloom gate is exact by construction (no false negatives),
     // so the oracle is the plain fingerprint membership join.
@@ -1770,60 +1845,104 @@ private[queries] object DocumentsOracles2 {
     // (fragment strip, lowercase scheme/host, default-port strip,
     // tracking-param drop, param sort, empty path → '/').
     "q173_url_frontier" ->
-      """WITH u AS (
-           SELECT doc_id,
-             CASE doc_id % 5
-               WHEN 0 THEN 'https://www.site' || (doc_id % 37) || '.com/doc/' || (doc_id % 211) || '?a=1&b=2'
-               WHEN 1 THEN 'HTTPS://' || upper('www.site' || (doc_id % 37) || '.com') || ':443/doc/' || (doc_id % 211) || '?b=2&a=1#frag'
-               WHEN 2 THEN 'https://www.site' || (doc_id % 37) || '.com/doc/' || (doc_id % 211) || '?utm_source=x&gclid=g&b=2&a=1'
-               WHEN 3 THEN 'http://www.site' || (doc_id % 37) || '.com:80'
-               ELSE 'http://www.site' || (doc_id % 37) || '.com/'
-             END AS url
-           FROM documents
-         ),
-         p1 AS (
-           SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM u
-         ),
-         p2 AS (
-           SELECT doc_id,
-                  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-           FROM p1
-         ),
-         p3 AS (
-           SELECT doc_id, scheme, rest,
-                  lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostraw
-           FROM p2
-         ),
-         p4 AS (
-           SELECT doc_id, scheme,
-                  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
-                       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
-                       ELSE hostraw END AS host,
-                  substr(rest, length(hostraw) + 1) AS pathq
-           FROM p3
-         ),
-         p5 AS (
-           SELECT doc_id, scheme, host,
-                  regexp_extract(pathq, '^([^?]*)', 1) AS path,
-                  list_aggregate(
-                    list_sort(list_filter(
-                      string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
-                      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))),
-                    'string_agg', '&') AS sortedq
-           FROM p4
-         ),
-         c AS (
-           SELECT doc_id,
-                  scheme || '://' || host ||
-                    (CASE WHEN path = '' THEN '/' ELSE path END) ||
-                    (CASE WHEN sortedq IS NOT NULL AND sortedq <> ''
-                          THEN '?' || sortedq ELSE '' END) AS canonical_url
-           FROM p5
-         )
+      ("WITH " + urlCanonCtes + """
          SELECT canonical_url, MIN(doc_id) AS keeper_id,
                 CAST(COUNT(1) AS BIGINT) AS n_variants
-         FROM c GROUP BY 1""",
+         FROM c GROUP BY 1"""),
+
+    // q181: the same canonicalization chain rolled to the per-HOST
+    // reputation table — raw fetches vs distinct canonical pages.
+    "q181_domain_reputation" ->
+      ("WITH " + urlCanonCtes + """,
+         h AS (
+           SELECT regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?]+)', 1) AS host,
+                  canonical_url
+           FROM c
+         ),
+         g AS (SELECT host, canonical_url, COUNT(1) AS nf FROM h GROUP BY 1, 2)
+         SELECT host,
+                CAST(SUM(nf) AS BIGINT) AS n_fetches,
+                CAST(COUNT(1) AS BIGINT) AS n_pages,
+                CAST(((SUM(nf) - COUNT(1)) * 1000000) // SUM(nf) AS BIGINT) AS dup_fetch_ppm
+         FROM g GROUP BY 1"""),
+
+    // q177: snapshot diff — null-safe payload comparison mirrors the
+    // engine's `<=>`.
+    "q177_snapshot_diff" ->
+      ("WITH " + snapshotCtes + """
+         SELECT COALESCE(o.doc_id, n.doc_id) AS snap_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.p IS NOT DISTINCT FROM n.p THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM snap_o o FULL OUTER JOIN snap_n n ON o.doc_id = n.doc_id"""),
+
+    // q178: modality coverage — docs with an embedding (vec_id keyed
+    // to doc_id), exact ppm per source.
+    "q178_modality_coverage" ->
+      """WITH ids AS (SELECT DISTINCT vec_id FROM embeddings)
+         SELECT d.source AS grp,
+                CAST(COUNT(1) AS BIGINT) AS n_rows,
+                CAST(COUNT(ids.vec_id) AS BIGINT) AS n_covered,
+                CAST((COUNT(ids.vec_id) * 1000000) // COUNT(1) AS BIGINT) AS coverage_ppm
+         FROM documents d LEFT JOIN ids ON d.doc_id = ids.vec_id
+         GROUP BY 1""",
+
+    // q179: curation lineage — ALL gates independently into a reason
+    // bitmask (bit set = gate failed): 1 dedup-loser, 2 benchmark
+    // source, 4 contaminated, 8 length out of [100, 450]. The keep
+    // set is q153's keep CTE; contamination is q58's flag set.
+    "q179_curation_lineage" ->
+      (s"""WITH RECURSIVE $verdictCtes,
+          keep AS (
+            SELECT doc_id FROM j WHERE doc_id = COALESCE(cluster_min, exact_keeper)
+          ),""" + """
+          cw AS (
+            SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws FROM documents
+          ),
+          cgr AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(ws) >= 5
+                        THEN list_distinct(list_transform(generate_series(1, len(ws)-4),
+                               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+                        ELSE []::VARCHAR[] END AS gs
+            FROM cw
+          ),
+          cex AS (SELECT doc_id, source, unnest(gs) AS s FROM cgr),
+          cbg AS (SELECT DISTINCT s FROM cex WHERE source = 'src0'),
+          contam AS (
+            SELECT DISTINCT e.doc_id FROM cex e JOIN cbg ON e.s = cbg.s
+            WHERE e.source <> 'src0'
+          ),
+          m AS (
+            SELECT d.doc_id,
+                   CAST(
+                     (CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END)
+                     + (CASE WHEN NOT COALESCE(d.source <> 'src0', FALSE) THEN 2 ELSE 0 END)
+                     + (CASE WHEN cm.doc_id IS NOT NULL THEN 4 ELSE 0 END)
+                     + (CASE WHEN NOT COALESCE(d.n_chars BETWEEN 100 AND 450, FALSE) THEN 8 ELSE 0 END)
+                   AS BIGINT) AS reason_mask
+            FROM documents d
+            LEFT JOIN keep k ON k.doc_id = d.doc_id
+            LEFT JOIN contam cm ON cm.doc_id = d.doc_id
+          )
+          SELECT doc_id, reason_mask, (reason_mask = 0) AS admitted FROM m"""),
+
+    // q180: length drift between the snapshot versions — per 64-char
+    // bucket, exact-ppm shares + absolute delta.
+    "q180_length_drift" ->
+      ("WITH " + snapshotCtes + """,
+         ob AS (SELECT LEAST(length(p) // 64, 9) AS bucket, COUNT(1) AS cn FROM snap_o GROUP BY 1),
+         ot AS (SELECT SUM(cn) AS t FROM ob),
+         os AS (SELECT bucket, CAST((cn * 1000000) // t AS BIGINT) AS old_ppm FROM ob, ot),
+         nb AS (SELECT LEAST(length(p) // 64, 9) AS bucket, COUNT(1) AS cn FROM snap_n GROUP BY 1),
+         nt AS (SELECT SUM(cn) AS t FROM nb),
+         ns AS (SELECT bucket, CAST((cn * 1000000) // t AS BIGINT) AS new_ppm FROM nb, nt)
+         SELECT CAST(COALESCE(os.bucket, ns.bucket) AS BIGINT) AS bucket,
+                COALESCE(old_ppm, 0) AS old_ppm,
+                COALESCE(new_ppm, 0) AS new_ppm,
+                ABS(COALESCE(new_ppm, 0) - COALESCE(old_ppm, 0)) AS delta_ppm
+         FROM os FULL OUTER JOIN ns ON os.bucket = ns.bucket"""),
 
     // q175: BPE apply via the sentinel trick — each word becomes
     // '|c1||c2|…|cn|' and a merge (l, r) is the global replace
