@@ -712,6 +712,45 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("WindowGroupLimit"), s.take(2500))
   }
 
+  test("q177 snapshot diff: keyed full-outer join, payload and unused columns pruned") {
+    val df = SparkEntry.queries("q177_snapshot_diff")(spark, sf())
+    val s = planString(df)
+    // one co-partitioned keyed join — never a nested-loop variant
+    assert(s.contains("SortMergeJoin") && s.contains("FullOuter"), s.take(2500))
+    // column pruning must reach the scans: the diff never reads
+    // lang/source, and the NEW side never reads n_chars
+    val scans = s.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size === 2, s.take(2500))
+    scans.foreach { sc =>
+      assert(!sc.contains("lang") && !sc.contains("source"),
+        s"unused column read by the diff scan:\n$sc")
+    }
+    // output is id+status sized — payload dropped before leaving the join
+    assert(df.columns.toSeq === Seq("snap_id", "status"))
+  }
+
+  test("q178 modality coverage: embeddings scan prunes the vector column") {
+    val df = SparkEntry.queries("q178_modality_coverage")(spark, sf())
+    val s = planString(df)
+    // the cover side needs only the KEY — reading the wide float-array
+    // embedding column for a coverage count would be a 100-TB accident
+    val emb = s.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("embeddings.parquet"))
+      .getOrElse(fail(s"no embeddings scan in plan:\n${s.take(2500)}"))
+    assert(emb.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"embedding column not pruned:\n$emb")
+  }
+
+  test("q181 domain reputation: exact distinct via two-level agg — no Expand") {
+    val df = SparkEntry.queries("q181_domain_reputation")(spark, sf())
+    val s = planString(df)
+    // count + count-distinct in ONE agg would plan an Expand (row
+    // replication per distinct column); the (host, url) pre-collapse
+    // keeps both aggs plain map-side-combined hash-aggs
+    assert(!s.contains("Expand"), s.take(2500))
+    assert(s.contains("HashAggregate"), s.take(2500))
+  }
+
   test("q171 pair join rides distinct-fingerprint representatives (exact layer first)") {
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
     import org.apache.spark.sql.execution.GenerateExec
