@@ -259,7 +259,9 @@ object ScaleBench {
       "q180_length_drift" ->
         (() => SparkEntry.queries("q180_length_drift")(spark, dir)),
       "q181_domain_reputation" ->
-        (() => SparkEntry.queries("q181_domain_reputation")(spark, dir))
+        (() => SparkEntry.queries("q181_domain_reputation")(spark, dir)),
+      "q182_incremental_recurate" ->
+        (() => SparkEntry.queries("q182_incremental_recurate")(spark, dir))
     ).filter { case (n, _) => only.isEmpty || only.contains(n) }
 
     def once(fn: () => DataFrame): Double = {

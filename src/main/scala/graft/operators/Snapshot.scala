@@ -72,6 +72,29 @@ object Snapshot {
       .withColumn("delta_ppm", abs(col("new_ppm") - col("old_ppm")))
   }
 
+  /** The incremental-recompute WORKLIST a re-crawl produces: the
+    * `added` + `changed` rows of [[diff]] with their NEW payload
+    * re-attached — the only rows that must re-enter the expensive
+    * curation gates (dedup probes, quality scores, embedding
+    * refresh). `removed`/`unchanged` rows never leave the diff.
+    *
+    * At 100 TB this is THE reason the diff exists: re-curation cost
+    * becomes ∝ |delta|, not ∝ |corpus|. The payload re-attach is one
+    * more co-partitioned join on the id against the new snapshot —
+    * the diff side is id+status sized, so the join moves the delta's
+    * payloads only.
+    */
+  def deltaWorklist(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      id: Column,
+      payload: Column): DataFrame =
+    diff(oldSnap, newSnap, id, payload)
+      .filter(col("status").isin("added", "changed"))
+      .join(
+        newSnap.select(id.as("snap_id"), payload.as("payload")),
+        Seq("snap_id"))
+
   /** COVERAGE audit: per group, how many base rows have at least one
     * cover row (e.g. documents with an embedding, images with a
     * caption) — the modality-completeness gate a multimodal training

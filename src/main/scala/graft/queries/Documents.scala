@@ -1308,21 +1308,55 @@ object Documents {
     // rate — the crawler's budget/politeness table.
     "q181_domain_reputation" -> ((s, dir) =>
       TextAnalysis.domainStats(
-        q173Urls(s, dir), col("doc_id"), col("url")))
+        q173Urls(s, dir), col("doc_id"), col("url"))),
+
+    // Incremental re-curation: ONLY the diff's added/changed docs
+    // re-enter the dedup gate, probed against the OLD snapshot's
+    // fingerprint index — re-curation cost ∝ |delta|, not |corpus|
+    // (the point of q177 at 100 TB). Verdict per worklist doc:
+    // admit (novel fingerprint) / drop_exact (already indexed, with
+    // the old keeper id).
+    "q182_incremental_recurate" -> ((s, dir) => {
+      val wl = Snapshot.deltaWorklist(
+        snapshotOld(s, dir), snapshotNew(s, dir), col("doc_id"), col("text"))
+      val oldIndex = snapshotOld(s, dir)
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      wl.withColumn("fp", TextAnalysis.fingerprint(col("payload")))
+        .join(oldIndex, Seq("fp"), "left")
+        .select(
+          col("snap_id"), col("status"),
+          when(col("keeper_id").isNotNull, lit("drop_exact"))
+            .otherwise(lit("admit")).as("verdict"),
+          col("keeper_id"))
+    })
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text
-    * is the truncated older revision (last 7 chars not yet appended).
-    * Closed-form so the DuckDB oracle derives the identical relation. */
-  private def snapshotOld(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .filter(col("doc_id") % 7 =!= 0)
+    * is the truncated older revision (last 7 chars not yet appended);
+    * plus two SHADOW populations — the same page crawled earlier under
+    * a different id (offsets ±1M/2M, collision-free with ScaleData's
+    * 10M copy blocks): doc_id%14==0 pages pre-crawled with their
+    * current text (so those `added` docs hit the q182 exact index) and
+    * doc_id%15==0 revisions already seen (so some `changed` docs hit
+    * it too). Closed-form so the DuckDB oracle derives the identical
+    * relation. */
+  private def snapshotOld(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.filter(col("doc_id") % 7 =!= 0)
       .select(
         col("doc_id"),
         when(col("doc_id") % 5 === 0,
           col("text").substr(lit(1), greatest(col("n_chars") - 7L, lit(1L)).cast("int")))
           .otherwise(col("text"))
           .as("text"))
+      .unionByName(
+        d.filter(col("doc_id") % 14 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
 
   /** NEW snapshot version: current texts, doc_id%11==3 dropped. */
   private def snapshotNew(s: SparkSession, dir: String): DataFrame =

@@ -111,6 +111,11 @@ private[queries] object DocumentsOracles2 {
                      THEN substr(text, 1, CAST(GREATEST(n_chars - 7, 1) AS INT))
                      ELSE text END AS p
          FROM documents WHERE doc_id % 7 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 14 = 0
+         UNION ALL
+         SELECT doc_id + 2000000, text FROM documents
+         WHERE doc_id % 7 <> 0 AND doc_id % 15 = 0
        ),
        snap_n AS (
          SELECT doc_id, text AS p FROM documents WHERE doc_id % 11 <> 3
@@ -1927,6 +1932,31 @@ private[queries] object DocumentsOracles2 {
             LEFT JOIN contam cm ON cm.doc_id = d.doc_id
           )
           SELECT doc_id, reason_mask, (reason_mask = 0) AS admitted FROM m"""),
+
+    // q182: incremental re-curation — the diff's added/changed docs
+    // probed against the OLD snapshot's exact-fingerprint index.
+    "q182_incremental_recurate" ->
+      ("WITH " + snapshotCtes + """,
+         d AS (
+           SELECT COALESCE(o.doc_id, n.doc_id) AS snap_id,
+                  CASE WHEN o.doc_id IS NULL THEN 'added'
+                       WHEN n.doc_id IS NULL THEN 'removed'
+                       WHEN o.p IS NOT DISTINCT FROM n.p THEN 'unchanged'
+                       ELSE 'changed' END AS status,
+                  n.p AS np
+           FROM snap_o o FULL OUTER JOIN snap_n n ON o.doc_id = n.doc_id
+         ),
+         wl AS (SELECT snap_id, status, np FROM d WHERE status IN ('added', 'changed')),
+         ofp AS (
+           SELECT md5(regexp_replace(lower(p), '[^a-z0-9]+', '', 'g')) AS fp,
+                  MIN(doc_id) AS keeper_id
+           FROM snap_o GROUP BY 1
+         )
+         SELECT wl.snap_id, wl.status,
+                CASE WHEN ofp.keeper_id IS NOT NULL THEN 'drop_exact' ELSE 'admit' END AS verdict,
+                ofp.keeper_id
+         FROM wl LEFT JOIN ofp
+           ON md5(regexp_replace(lower(wl.np), '[^a-z0-9]+', '', 'g')) = ofp.fp"""),
 
     // q180: length drift between the snapshot versions — per 64-char
     // bucket, exact-ppm shares + absolute delta.

@@ -36,6 +36,16 @@ class SnapshotSpec extends SparkSpec {
     assert(d.columns.toSeq === Seq("snap_id", "status"))
   }
 
+  test("Snapshot.deltaWorklist: only added/changed rows, NEW payload attached") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "p")
+    val neu = Seq((1L, "a"), (2L, "b2"), (4L, "d")).toDF("id", "p")
+    val got = Snapshot.deltaWorklist(old, neu, col("id"), col("p"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getString(2)))).toMap
+    // removed (3) and unchanged (1) never enter the worklist; payload
+    // is the NEW revision (b2, not b)
+    assert(got === Map(2L -> (("changed", "b2")), 4L -> (("added", "d"))))
+  }
+
   test("Snapshot.distributionDrift: exact ppm shares, zero-fill for missing buckets, abs delta") {
     // old: buckets 0 x3, 1 x1 -> 750000 / 250000 ppm
     // new: buckets 0 x1, 2 x1 -> 500000 / 500000 ppm
