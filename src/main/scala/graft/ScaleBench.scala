@@ -261,7 +261,9 @@ object ScaleBench {
       "q181_domain_reputation" ->
         (() => SparkEntry.queries("q181_domain_reputation")(spark, dir)),
       "q182_incremental_recurate" ->
-        (() => SparkEntry.queries("q182_incremental_recurate")(spark, dir))
+        (() => SparkEntry.queries("q182_incremental_recurate")(spark, dir)),
+      "q183_embedding_drift" ->
+        (() => SparkEntry.queries("q183_embedding_drift")(spark, dir))
     ).filter { case (n, _) => only.isEmpty || only.contains(n) }
 
     def once(fn: () => DataFrame): Double = {

@@ -1329,6 +1329,24 @@ object Documents {
           when(col("keeper_id").isNotNull, lit("drop_exact"))
             .otherwise(lit("admit")).as("verdict"),
           col("keeper_id"))
+    }),
+
+    // Embedding-population drift per IVF cell between snapshot
+    // versions under the FIXED trained codebook (q61's artifact) —
+    // the monitor that decides when q158's codebook refresh runs: a
+    // cell whose share moved is a cell whose centroid no longer
+    // represents its population. Assignment computed ONCE over the
+    // full corpus (the index's posting lists), drift is two slim
+    // hash-aggs over the (vec_id, cell) relation.
+    "q183_embedding_drift" -> ((s, dir) => {
+      val assign = Similarity
+        .kmeansAssignWith(Tables.embeddings(s, dir), sharedCodebook(s, dir))
+        .select(col("vec_id"), col("cluster_id"))
+      Snapshot.distributionDrift(
+        assign.filter(col("vec_id") % 7 =!= 0),
+        assign.filter(col("vec_id") % 11 =!= 3),
+        col("cluster_id"))
+        .withColumnRenamed("bucket", "cell")
     })
   )
 

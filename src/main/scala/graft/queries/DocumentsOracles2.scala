@@ -1958,6 +1958,34 @@ private[queries] object DocumentsOracles2 {
          FROM wl LEFT JOIN ofp
            ON md5(regexp_replace(lower(wl.np), '[^a-z0-9]+', '', 'g')) = ofp.fp"""),
 
+    // q183: embedding-population drift per IVF cell under the FIXED
+    // trained codebook (q61's kmeans chain) between the vec-snapshot
+    // versions (%7 / %11 residue scheme, as the doc snapshots).
+    "q183_embedding_drift" ->
+      (s"""WITH $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          ),
+          a AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1
+          ),""" + """
+          ob AS (SELECT cell, COUNT(1) AS cn_ FROM a WHERE vec_id % 7 <> 0 GROUP BY 1),
+          ot AS (SELECT SUM(cn_) AS t FROM ob),
+          os AS (SELECT cell, CAST((cn_ * 1000000) // t AS BIGINT) AS old_ppm FROM ob, ot),
+          nb AS (SELECT cell, COUNT(1) AS cn_ FROM a WHERE vec_id % 11 <> 3 GROUP BY 1),
+          nt AS (SELECT SUM(cn_) AS t FROM nb),
+          ns AS (SELECT cell, CAST((cn_ * 1000000) // t AS BIGINT) AS new_ppm FROM nb, nt)
+          SELECT COALESCE(os.cell, ns.cell) AS cell,
+                 COALESCE(old_ppm, 0) AS old_ppm,
+                 COALESCE(new_ppm, 0) AS new_ppm,
+                 ABS(COALESCE(new_ppm, 0) - COALESCE(old_ppm, 0)) AS delta_ppm
+          FROM os FULL OUTER JOIN ns ON os.cell = ns.cell"""),
+
     // q180: length drift between the snapshot versions — per 64-char
     // bucket, exact-ppm shares + absolute delta.
     "q180_length_drift" ->
