@@ -98,6 +98,32 @@ object LlmDemo {
         countDistinct(col("lang")).as("langs"),
         sum(col("n_chars")).as("chars"))
       .show(truncate = false)
+
+    // 9. the NEXT crawl snapshot arrives: diff against it and
+    //    re-curate ONLY the delta (q177/q182's contract) — at 100 TB
+    //    the re-run touches |added+changed| docs, not the corpus.
+    //    v2 here: some pages gone, every 5th revised.
+    val v1 = docs.select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val statuses = graft.operators.Snapshot.diff(v1, v2, col("doc_id"), col("text"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    val worklist = graft.operators.Snapshot
+      .deltaWorklist(v1, v2, col("doc_id"), col("text"))
+    val oldIndex = v1
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    val admitted = worklist
+      .withColumn("fp", TextAnalysis.fingerprint(col("payload")))
+      .join(oldIndex, Seq("fp"), "left")
+      .filter(col("keeper_id").isNull)
+      .count()
+    println(s"DEMO stage=incremental $statuses re_curated=$admitted")
+
     println(s"DEMO outdir=$out")
     spark.stop()
   }
