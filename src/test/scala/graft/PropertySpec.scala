@@ -587,4 +587,53 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("snapshot diff matches the reference map computation for arbitrary snapshot pairs") {
+    val s = spark; import s.implicits._
+    val entryGen = for {
+      id <- Gen.chooseNum(0L, 19L)
+      p  <- Gen.option(Gen.oneOf("a", "b", "c"))
+    } yield (id, p)
+    val snapGen = Gen.listOfN(12, entryGen).map(_.toMap) // map: last wins → unique ids
+    forAll2(snapGen, snapGen, n = 12) { (o, nw) =>
+      val odf = o.toSeq.toDF("id", "p")
+      val ndf = nw.toSeq.toDF("id", "p")
+      val got = graft.operators.Snapshot.diff(odf, ndf, col("id"), col("p"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = (o.keySet ++ nw.keySet).map { id =>
+        id -> ((o.get(id), nw.get(id)) match {
+          case (None, Some(_))          => "added"
+          case (Some(_), None)          => "removed"
+          case (Some(a), Some(b))       => if (a == b) "unchanged" else "changed"
+          case (None, None)             => fail("unreachable")
+        })
+      }.toMap
+      assert(got === want)
+      // worklist ⊆ diff: exactly the added/changed ids, with the NEW payload
+      val wl = graft.operators.Snapshot.deltaWorklist(odf, ndf, col("id"), col("p"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+      val wantWl = want.collect {
+        case (id, st) if st == "added" || st == "changed" => id -> nw(id)
+      }
+      assert(wl === wantWl)
+    }
+  }
+
+  test("distributionDrift shares sum to ~1e6 per snapshot and deltas are symmetric-abs") {
+    val s = spark; import s.implicits._
+    val bucketGen = Gen.listOfN(30, Gen.chooseNum(0L, 4L))
+    forAll2(bucketGen, bucketGen, n = 10) { (a, b) =>
+      if (a.nonEmpty && b.nonEmpty) {
+        val drift = graft.operators.Snapshot
+          .distributionDrift(a.toDF("b"), b.toDF("b"), col("b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // integer-floor shares: each side sums into (1e6 - |buckets|, 1e6]
+        val sumOld = drift.map(_._2).sum
+        val sumNew = drift.map(_._3).sum
+        assert(sumOld <= 1000000L && sumOld > 1000000L - drift.length)
+        assert(sumNew <= 1000000L && sumNew > 1000000L - drift.length)
+        drift.foreach { case (_, o, n2, d) => assert(d === math.abs(n2 - o)) }
+      }
+    }
+  }
 }
