@@ -718,9 +718,10 @@ class PlanSpec extends SparkSpec {
     // one co-partitioned keyed join — never a nested-loop variant
     assert(s.contains("SortMergeJoin") && s.contains("FullOuter"), s.take(2500))
     // column pruning must reach the scans: the diff never reads
-    // lang/source, and the NEW side never reads n_chars
+    // lang/source. 4 scans: OLD = base + two shadow populations
+    // (3-way union), NEW = 1.
     val scans = s.linesIterator.filter(_.contains("FileScan parquet")).toSeq
-    assert(scans.size === 2, s.take(2500))
+    assert(scans.size === 4, s.take(2500))
     scans.foreach { sc =>
       assert(!sc.contains("lang") && !sc.contains("source"),
         s"unused column read by the diff scan:\n$sc")
