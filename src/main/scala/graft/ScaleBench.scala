@@ -51,6 +51,9 @@ object ScaleBench {
     lazy val sigs = TextDedup
       .minhashSignaturesFromRows(shingles)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lazy val codebook = Similarity
+      .kmeansCentroids(embs, 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val measurements: Seq[(String, () => DataFrame)] = Seq(
       "q104_bloom_dedup_gate" ->
@@ -263,7 +266,28 @@ object ScaleBench {
       "q182_incremental_recurate" ->
         (() => SparkEntry.queries("q182_incremental_recurate")(spark, dir)),
       "q183_embedding_drift" ->
-        (() => SparkEntry.queries("q183_embedding_drift")(spark, dir))
+        (() => SparkEntry.queries("q183_embedding_drift")(spark, dir)),
+      "q184_span_surgery" ->
+        (() => SparkEntry.queries("q184_span_surgery")(spark, dir)),
+      "q185_hashed_quality" ->
+        (() => SparkEntry.queries("q185_hashed_quality")(spark, dir)),
+      "q186_cms_heavyhitters" ->
+        (() => SparkEntry.queries("q186_cms_heavyhitters")(spark, dir)),
+      "q187_mutual_pairs" ->
+        (() => SparkEntry.queries("q187_mutual_pairs")(spark, dir)),
+      // Production-capped form (see the q84/q96 note above): the ×K
+      // corpus's dup density packs cells quadratically by
+      // construction; the B-side hot-cell cap is the documented
+      // 100 TB configuration.
+      "q187_capped" ->
+        (() => {
+          codebook.count() // train-once artifact, prebuilt untimed
+          Similarity.marginMutualPairs(
+            embs.filter(col("vec_id") % 2 === 0),
+            embs.filter(col("vec_id") % 2 === 1),
+            codebook,
+            maxCellCompare = Some(256L))
+        })
     ).filter { case (n, _) => only.isEmpty || only.contains(n) }
 
     def once(fn: () => DataFrame): Double = {

@@ -601,6 +601,75 @@ object Similarity {
             coalesce(col("n_neighbors"), lit(0L))).as("suspect"))
   }
 
+  /** Margin-based MUTUAL-nearest-neighbor pair mining across two
+    * embedding populations (Artetxe & Schwenk, "Margin-based Parallel
+    * Corpus Mining with Multilingual Sentence Embeddings", ACL '19) —
+    * the bitext / image-caption pair-curation op: candidates are
+    * cell-restricted under the shared trained codebook, a pair is kept
+    * only when each side is the other's top-1, and the RATIO margin
+    * demotes hubs (a vector whose whole neighborhood scores high gets
+    * a denominator near its best, margin → 1e6; an isolated true match
+    * stands out, margin ≫ 1e6).
+    *
+    * All-integer scoring: `cos_ppm = floor(cos · 10⁶)` (floor of the
+    * one correctly-rounded double — exact and engine-portable), so the
+    * k-neighborhood sums and the final margin are pure int64 — no
+    * order-dependent double summation anywhere. margin_ppm =
+    * best·10⁶ div ((Σₖcosₐ div kₐ + Σₖcos_b div k_b) div 2). Pairs
+    * with cos ≤ 0 (or a zero-norm side) are never candidates.
+    *
+    * Scale shape: one broadcast-codebook assignment per side, ONE
+    * cell-keyed A×B join, two rank windows (each keyed by its own
+    * side, WindowGroupLimit keeps only per-partition top-k candidates
+    * ahead of the sort), two hash-aggs, one |A|-vs-|B|-sized keyed
+    * join for mutuality. Candidate mass is Σ_cell |A∩cell|·|B∩cell| —
+    * the [[semDedupCandidates]] family; a skewed corpus caps hot
+    * cells upstream exactly like [[knnLabelAudit]] does — pass
+    * `maxCellCompare` to head-cap the B side per cell (mass becomes
+    * Σ|A∩cell|·cap, linear in |A|; metrics under
+    * `mutual_pair_cell_cap`), the documented 100 TB form. A pipeline
+    * mining several margins should materialize the candidate relation
+    * once (the once-per-snapshot discipline). */
+  def marginMutualPairs(
+      embsA: DataFrame,
+      embsB: DataFrame,
+      codebook: DataFrame,
+      k: Int = 4,
+      maxCellCompare: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val a = assignedCorpus(embsA, codebook)
+      .select(col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"), col("cell"))
+    val b = headCapped(assignedCorpus(embsB, codebook), maxCellCompare, "mutual_pair_cell_cap")
+      .select(col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"), col("cell"))
+    val cand = a.join(b, "cell")
+      .select(
+        col("a_id"), col("b_id"),
+        floor(cosine(Portable.dotQ(col("av"), col("bv")), col("an2"), col("bn2"))
+          * lit(1000000.0)).cast("long").as("cos_ppm"))
+      .filter(col("cos_ppm") > 0L)
+    val wa = Window.partitionBy(col("a_id")).orderBy(desc("cos_ppm"), asc("b_id"))
+    val wb = Window.partitionBy(col("b_id")).orderBy(desc("cos_ppm"), asc("a_id"))
+    val aStats = cand
+      .withColumn("rn", row_number().over(wa)).filter(col("rn") <= k)
+      .groupBy(col("a_id"))
+      .agg(
+        sum(col("cos_ppm")).as("__sa"), count(lit(1)).as("__na"),
+        max(when(col("rn") === 1, col("b_id"))).as("__best_b"),
+        max(when(col("rn") === 1, col("cos_ppm"))).as("__best_cos"))
+    val bStats = cand
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .groupBy(col("b_id"))
+      .agg(sum(col("cos_ppm")).as("__sb"), count(lit(1)).as("__nb"),
+        max(when(col("rn") === 1, col("a_id"))).as("__best_a"))
+    aStats
+      .join(bStats, col("__best_b") === col("b_id") && col("__best_a") === col("a_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        col("__best_cos").as("cos_ppm"),
+        expr("__best_cos * 1000000L div ((__sa div __na + __sb div __nb) div 2)")
+          .as("margin_ppm"))
+  }
+
   /** ANN via hyperplane-LSH: candidates are corpus vectors in the SAME
     * bucket as the query; exact cosine rescoring + top-k within the
     * bucket. Approximate by construction (bucket recall < 1) — the

@@ -326,6 +326,96 @@ object TextAnalysis {
         count(lit(1)).as("n_anchors"))
   }
 
+  /** APPLY the [[dupSpans]] detection as a rewrite — the
+    * "deduplicate training data" surgery step (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL '22: all but one
+    * occurrence of each duplicated substring is removed). Keeper rule at
+    * anchor granularity: for every cross-doc-duplicated anchor hash the
+    * MIN doc_id occurrence is retained; every other doc's occurrences of
+    * that hash are removable. Removable anchors re-sessionize into
+    * excision spans exactly like [[dupSpans]] (gap > `window` breaks a
+    * span; a span covers `max(p) + gramWords − 1`). Returns one row per
+    * input doc: (doc_id, n_tokens, n_spans, words_removed, words_kept) —
+    * the per-doc cut ledger a surgical-dedup pass writes next to the
+    * rewritten text.
+    *
+    * Reference kept only whole-row dedup (SURVEY §2.6 D2/D3); span-level
+    * removal is the extension-pack form for partially-overlapping crawl
+    * text.
+    *
+    * Scale shape: identical to [[dupSpans]] — map-only anchor hashing
+    * (codegen'd [[graft.functions.WinnowSelect]]), ONE (hash → keeper)
+    * hash-agg, an equi-join back on the anchor hash, and a per-doc
+    * sessionization window whose exchange is REUSED by both downstream
+    * aggregations (span grouping keys extend the doc key). The trailing
+    * n_tokens pass is map-only. Never all-pairs; a hash's corpus-wide
+    * occurrence set is never concentrated in one row. */
+  def spanSurgery(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      gramWords: Int = 6,
+      window: Int = 8): DataFrame = {
+    val gramAt: Column => Column = i =>
+      concat_ws(" ", (0 until gramWords).map(j => element_at(col("__ws"), i + lit(j))): _*)
+    val withGrams = docs
+      .select(id.as("doc_id"), tokens(text).as("__ws"))
+      .select(
+        col("doc_id"),
+        when(
+          size(col("__ws")) >= gramWords,
+          transform(
+            sequence(lit(1), size(col("__ws")) - (gramWords - 1)),
+            i => Portable.hash60(gramAt(i))))
+          .otherwise(array().cast("array<bigint>"))
+          .as("hs"))
+    val occ = withGrams
+      .select(
+        col("doc_id"),
+        explode(transform(
+          graft.functions.WinnowSelect(col("hs"), window),
+          p => struct(p.as("p"), element_at(col("hs"), p).as("h")))).as("s"))
+      .select(col("doc_id"), col("s.p"), col("s.h"))
+    // Keeper per duplicated hash: the min-doc occurrence survives.
+    // Two-level agg (collapse to (h, doc) first, then per-h count +
+    // min) — the Expand-free exact-distinct shape (mixed
+    // countDistinct+min in one agg doubles the rows into the
+    // exchange via Expand; q181's documented discipline).
+    val keepers = occ
+      .select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("__nd"), min(col("doc_id")).as("__keeper"))
+      .filter(col("__nd") >= 2)
+      .select(col("h"), col("__keeper"))
+    val w   = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+    val brk = when(lag(col("p"), 1).over(w).isNull || col("p") - lag(col("p"), 1).over(w) > window, 1)
+      .otherwise(0)
+    val perDoc = occ.join(keepers, Seq("h"))
+      .filter(col("doc_id") =!= col("__keeper"))
+      .select(col("doc_id"), col("p"))
+      .withColumn("__brk", brk)
+      .withColumn(
+        "span_idx",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_idx"))
+      .agg(
+        min(col("p")).cast("long").as("__s"),
+        (max(col("p")) + (gramWords - 1)).cast("long").as("__e"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s") + 1L).as("words_removed"))
+    docs
+      .select(id.as("doc_id"), size(tokens(text)).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("words_removed"), lit(0L)).as("words_removed"),
+        (col("n_tokens") - coalesce(col("words_removed"), lit(0L))).as("words_kept"))
+  }
+
   /** Ordered bigram occurrences (doc_id, w1, w2) — posexplode once,
     * stitch with a lead window (the [[TextDedup.shingleRows]] shape,
     * columns kept separate for per-word grouping). Docs with < 2
@@ -453,6 +543,75 @@ object TextAnalysis {
         count(lit(1)).as("occurrences"))
       .orderBy(desc("doc_freq"), desc("occurrences"), asc("t"))
       .limit(k)
+
+  /** Count-min-sketch heavy-hitter audit (Cormode & Muthukrishnan,
+    * "An Improved Data Stream Summary: The Count-Min Sketch and its
+    * Applications", J. Algorithms 2005) — the novel-sketch slot of the
+    * extension pack, expressed RELATIONALLY: the sketch is the
+    * (depth × width) counter relation `groupBy(j, bucket).count()`,
+    * whose shuffle is `depth·width` keys REGARDLESS of corpus size
+    * (map-side combine collapses each partition to ≤ depth·width
+    * rows) — the fixed-size alternative to [[vocabulary]]'s
+    * |vocab|-key shuffle. A token's estimate is the MIN over depths of
+    * its bucket's counter; CMS guarantees estimate ≥ exact, so
+    * `overestimate ≥ 0` always.
+    *
+    * This form AUDITS the sketch: the exact top-`topN` tokens (count
+    * desc, token asc — total order) are joined against their sketch
+    * estimates → (token, exact_count, cms_estimate, overestimate).
+    * Production at 100 TB keeps only the counter relation (tiny,
+    * mergeable across shards by addition — the same union-then-sum
+    * contract as [[graft.operators.Similarity.mergeCodebookStates]]);
+    * the exact side here exists to MEASURE collision error at test
+    * scale. Everything exact int64; no doubles anywhere.
+    *
+    * Hash cost: the token is md5-hashed ONCE; the per-depth buckets
+    * come from the pairwise-independent `(a_j·h + b_j) mod P` family
+    * ([[Portable.minhashPermAt]] — the construction the CMS paper
+    * assumes) — arithmetic only, not `depth` extra digests per
+    * occurrence (measured 3.8× faster at ×100). */
+  def cmsHeavyHitters(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      depth: Int = 4,
+      width: Int = 512,
+      topN: Int = 32): DataFrame = {
+    require(depth >= 1 && width >= 1 && topN >= 1,
+      s"depth/width/topN must be positive (got $depth/$width/$topN)")
+    val bucketAt: (Int, Column) => Column = (j, hp) =>
+      pmod(Portable.minhashPermAt(j, hp), lit(width.toLong))
+    val hpOf: Column => Column = t => pmod(Portable.hash60(t), lit(Portable.P))
+    val toks = docs.select(explode(tokens(text)).as("t"))
+    // The sketch: ONE pass, one md5 per occurrence, one tiny (j, b)
+    // hash-agg.
+    val counters = toks
+      .select(hpOf(col("t")).as("hp"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), bucketAt(j, col("hp")).as("b"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    // Exact top-N (the audit's ground truth) + per-depth probe rows.
+    val exact = toks
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(desc("exact_count"), asc("t"))
+      .limit(topN)
+    val probes = exact.select(
+      col("t"), col("exact_count"),
+      explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), bucketAt(j, hpOf(col("t"))).as("b"))): _*)).as("jb"))
+      .select(col("t"), col("exact_count"), col("jb.j").as("j"), col("jb.b").as("b"))
+    probes
+      .join(broadcast(counters), Seq("j", "b"))
+      .groupBy(col("t"), col("exact_count"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .select(
+        col("t").as("token"),
+        col("exact_count"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overestimate"))
+  }
 
   /** Top-`k` word n-grams per group (e.g. per language / per source) by
     * occurrence count, ties broken gram-ascending — the per-subcorpus
@@ -836,6 +995,53 @@ object TextAnalysis {
     val tot = c.agg(sum(col("__c")).as("__tot"))
     c.crossJoin(broadcast(tot))
       .select(col("t"), expr("(__c * 1000000L) div __tot").as("ref_ppm"))
+  }
+
+  /** Model-based quality scoring via the hashing trick — the
+    * fasttext-linear-classifier shape every web-scale pipeline runs
+    * AFTER [[heuristicGate]] (CCNet: Wenzek et al. 2020 §4.3; DCLM:
+    * Li et al. 2024 §4.4 use fasttext quality classifiers; the
+    * hashing trick is Weinberger et al., ICML '09). Each whitespace
+    * token hashes into one of `buckets` feature buckets; the model is
+    * a weight per bucket; the doc score is the summed weight of its
+    * token stream (bag-of-words linear logit). Weights here are the
+    * closed-form pseudo-model `w_b = hash60(seed+"_"+b) % 2001 −
+    * 1000` ∈ [−1000, 1000] milli-units — a stand-in with the exact
+    * cost/shape of a learned table (a real model would bake its
+    * 1024-long weight array into the plan as a literal the same way;
+    * the oracle derives the identical table). Output per doc:
+    * (doc_id, n_tokens, logit_milli, avg_w_milli, pass) with
+    * `pass = logit_milli ≥ 0` — logit exact int64, the single divide
+    * correctly-rounded double.
+    *
+    * Scale shape: map-ONLY — the hash, bucket, weight lookup and sum
+    * all happen inside one row-level `aggregate` over the token
+    * array; no explode, no shuffle, no weight-table join. At 100 TB
+    * this runs at scan speed; scoring is never the bottleneck. */
+  def hashedQualityScores(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      buckets: Int = 1024,
+      seed: String = "qw"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val wOf: Column => Column = t =>
+      pmod(
+        Portable.hash60(concat(
+          lit(seed), lit("_"),
+          pmod(Portable.hash60(t), lit(buckets.toLong)).cast("string"))),
+        lit(2001L)) - 1000L
+    docs
+      .select(
+        id.as("doc_id"),
+        size(tokens(text)).cast("long").as("n_tokens"),
+        aggregate(tokens(text), lit(0L), (acc, t) => acc + wOf(t)).as("logit_milli"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("logit_milli"),
+        (col("logit_milli").cast("double") / col("n_tokens")).as("avg_w_milli"),
+        (col("logit_milli") >= 0L).as("pass"))
   }
 
   /** C4/Gopher-style heuristic filter bundle — the rule-based gate

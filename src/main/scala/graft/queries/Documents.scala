@@ -1347,6 +1347,38 @@ object Documents {
         assign.filter(col("vec_id") % 11 =!= 3),
         col("cluster_id"))
         .withColumnRenamed("bucket", "cell")
+    }),
+
+    // Surgical span dedup: the q89 detection APPLIED as a rewrite —
+    // per-doc excision ledger with the keeper-aware rule (the min-doc
+    // occurrence of each duplicated anchor survives; every other
+    // doc's spans are cut). The "remove all but one copy" step of
+    // Lee et al.'s exact-substring dedup, as a cut ledger.
+    "q184_span_surgery" -> ((s, dir) =>
+      TextAnalysis.spanSurgery(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // Model-based quality scoring (fasttext-linear shape): hashing-
+    // trick unigram buckets × a fixed weight table, exact integer
+    // logit per doc, pass = logit ≥ 0. Map-only — no shuffle.
+    "q185_hashed_quality" -> ((s, dir) =>
+      TextAnalysis.hashedQualityScores(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // Count-min-sketch heavy hitters: the fixed-size (depth×width)
+    // counter relation probed for the exact top-32 tokens — sketch
+    // estimate vs exact count, overestimate ≥ 0 by construction.
+    "q186_cms_heavyhitters" -> ((s, dir) =>
+      TextAnalysis.cmsHeavyHitters(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // Margin-based mutual-NN pair mining (bitext/CLIP-pair curation):
+    // even vec_ids vs odd vec_ids as the two populations under the
+    // shared trained codebook; mutual top-1 + integer ppm ratio
+    // margin. All-int64 scoring (floor(cos·1e6)).
+    "q187_mutual_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.marginMutualPairs(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        sharedCodebook(s, dir))
     })
   )
 

@@ -179,6 +179,175 @@ private[queries] object DocumentsOracles2 {
                 CAST(MAX(p) + 5 AS BIGINT) AS span_end_word, COUNT(1) AS n_anchors
          FROM sid GROUP BY 1, 2""",
 
+    // Mirror of spanSurgery: the q89 anchor/winnow machinery, but the
+    // duplicated-hash relation carries a MIN-doc keeper and only
+    // non-keeper occurrences re-sessionize into excision spans.
+    "q184_span_surgery" ->
+      s"""WITH $wordsCte,
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(ws) >= 6
+                       THEN list_transform(generate_series(1, len(ws)-5),
+                              i -> ('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||
+                                                       ws[i+3]||' '||ws[i+4]||' '||ws[i+5]), 1, 15))::BIGINT)
+                       ELSE []::BIGINT[] END AS hs
+           FROM words
+         ),
+         sel AS (
+           SELECT doc_id, hs,
+                  CASE WHEN len(hs) >= 1 THEN
+                       list_distinct(list_transform(generate_series(1, greatest(len(hs)-7, 1)),
+                         j -> CAST(j + len(hs[j:j+7])
+                                   - list_position(list_reverse(hs[j:j+7]),
+                                                   list_aggregate(hs[j:j+7], 'min')) AS INT)))
+                  ELSE []::INT[] END AS ps
+           FROM g
+         ),
+         occ AS (
+           SELECT doc_id, p, hs[p] AS h
+           FROM (SELECT doc_id, hs, unnest(ps) AS p FROM sel)
+         ),
+         duph AS (
+           SELECT h, MIN(doc_id) AS keeper
+           FROM occ GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+         ),
+         d AS (
+           SELECT o.doc_id, o.p FROM occ o JOIN duph USING (h)
+           WHERE o.doc_id <> duph.keeper
+         ),
+         l AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM d),
+         b AS (SELECT doc_id, p, CASE WHEN pp IS NULL OR p - pp > 8 THEN 1 ELSE 0 END AS brk FROM l),
+         sid AS (
+           SELECT doc_id, p,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_idx
+           FROM b
+         ),
+         sp AS (
+           SELECT doc_id, span_idx, MIN(p) AS s, MAX(p) + 5 AS e
+           FROM sid GROUP BY 1, 2
+         ),
+         per AS (
+           SELECT doc_id, COUNT(1) AS n_spans, SUM(e - s + 1) AS words_removed
+           FROM sp GROUP BY 1
+         ),
+         nt AS (SELECT doc_id, len(ws) AS n_tokens FROM words)
+         SELECT nt.doc_id,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(COALESCE(words_removed, 0) AS BIGINT) AS words_removed,
+                CAST(n_tokens - COALESCE(words_removed, 0) AS BIGINT) AS words_kept
+         FROM nt LEFT JOIN per USING (doc_id)""",
+
+    // Mirror of hashedQualityScores: token → bucket (hash60 % 1024)
+    // → closed-form milli-weight, summed per doc. hash60 is always
+    // positive so % == pmod.
+    "q185_hashed_quality" ->
+      s"""WITH $wordsCte,
+         occ AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('qw_' ||
+                      (('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)), 1, 15))::BIGINT
+                    % 2001 - 1000 AS w_milli
+           FROM (SELECT doc_id, unnest(ws) AS t FROM words)
+         ),
+         per AS (
+           SELECT doc_id,
+                  COUNT(1) AS n_tokens,
+                  CAST(SUM(w_milli) AS BIGINT) AS logit_milli
+           FROM occ GROUP BY doc_id
+         )
+         SELECT doc_id, n_tokens, logit_milli,
+                CAST(logit_milli AS DOUBLE) / n_tokens AS avg_w_milli,
+                logit_milli >= 0 AS pass
+         FROM per""",
+
+    // Mirror of cmsHeavyHitters: depth=4 × width=512 counter table,
+    // exact top-32 (count desc, token asc), estimate = min over
+    // depths of the probed counter. Buckets come from ONE md5 per
+    // token + the minhash-perm closed form (the sigCte family).
+    "q186_cms_heavyhitters" ->
+      s"""WITH $wordsCte,
+         tok AS (
+           SELECT t, ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647 AS hp
+           FROM (SELECT unnest(ws) AS t FROM words)
+         ),
+         dj AS (SELECT unnest(generate_series(0, 3)) AS j),
+         jb AS (
+           SELECT j,
+                  (( (((j+1)*2654435761) % 2147483647) * hp
+                     + (((j+7)*976369) % 2147483647) ) % 2147483647) % 512 AS b
+           FROM tok, dj
+         ),
+         counters AS (SELECT j, b, COUNT(1) AS c FROM jb GROUP BY 1, 2),
+         exact AS (
+           SELECT t, hp, COUNT(1) AS exact_count FROM tok GROUP BY t, hp
+           ORDER BY exact_count DESC, t ASC LIMIT 32
+         ),
+         est AS (
+           SELECT e.t, e.exact_count, MIN(c.c) AS cms_estimate
+           FROM exact e, dj
+           JOIN counters c
+             ON c.j = dj.j
+            AND c.b = (( (((dj.j+1)*2654435761) % 2147483647) * e.hp
+                         + (((dj.j+7)*976369) % 2147483647) ) % 2147483647) % 512
+           GROUP BY 1, 2
+         )
+         SELECT t AS token,
+                CAST(exact_count AS BIGINT) AS exact_count,
+                CAST(cms_estimate AS BIGINT) AS cms_estimate,
+                CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+         FROM est""",
+
+    // Mirror of marginMutualPairs: q61's trained-codebook assignment
+    // over BOTH parities, cell-restricted A(even)×B(odd) candidates,
+    // floor(cos·1e6) integer scoring, per-side top-4 (row_number,
+    // ties id-asc), mutual top-1 join, integer ratio margin.
+    "q187_mutual_pairs" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          ),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1
+          ),
+          m AS (SELECT en.vec_id, en.v, en.n2, asg.cell FROM en JOIN asg USING (vec_id)),
+          cand AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   CAST(floor(${cosSql("a.v", "b.v", "a.n2", "b.n2")} * 1000000.0) AS BIGINT) AS cos_ppm
+            FROM m a JOIN m b ON a.cell = b.cell
+            WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+          ),
+          cp AS (SELECT * FROM cand WHERE cos_ppm > 0),
+          ra AS (
+            SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id ASC) AS rn
+            FROM cp
+          ),
+          rb AS (
+            SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id ASC) AS rn
+            FROM cp
+          ),
+          asx AS (
+            SELECT a_id, SUM(cos_ppm) AS sa, COUNT(1) AS na,
+                   MAX(CASE WHEN rn = 1 THEN b_id END) AS best_b,
+                   MAX(CASE WHEN rn = 1 THEN cos_ppm END) AS best_cos
+            FROM ra WHERE rn <= 4 GROUP BY a_id
+          ),
+          bsx AS (
+            SELECT b_id, SUM(cos_ppm) AS sb, COUNT(1) AS nb,
+                   MAX(CASE WHEN rn = 1 THEN a_id END) AS best_a
+            FROM rb WHERE rn <= 4 GROUP BY b_id
+          )
+          SELECT a.a_id, b.b_id,
+                 CAST(a.best_cos AS BIGINT) AS cos_ppm,
+                 CAST((a.best_cos * 1000000) // (((a.sa // a.na) + (b.sb // b.nb)) // 2) AS BIGINT) AS margin_ppm
+          FROM asx a JOIN bsx b ON a.best_b = b.b_id AND b.best_a = a.a_id""",
+
     "q85_prep_pipeline" ->
       s"""WITH RECURSIVE $verdictCtes,
           keep AS (

@@ -783,4 +783,28 @@ class PlanSpec extends SparkSpec {
           g.toString.take(2000))
     }
   }
+
+  test("q185 hashed quality is a map-only pass: no Exchange, scan pruned to (doc_id, text)") {
+    val s = planString(SparkEntry.queries("q185_hashed_quality")(spark, sf()))
+    assert(!s.contains("Exchange"), s"q185 must not shuffle:\n${s.take(2000)}")
+    val scanLine = s.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scanLine.contains("doc_id") && !scanLine.contains("lang"),
+      s"q185 scan not pruned: $scanLine")
+  }
+
+  test("q186 CMS: counter relation broadcasts onto the probes — never a shuffle join") {
+    val s = planString(SparkEntry.queries("q186_cms_heavyhitters")(spark, sf()))
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      "the ≤ depth·width counter relation must broadcast:\n" + s.take(2000))
+    // top-N ground truth via per-partition heaps, not a global sort
+    assert(s.contains("TakeOrderedAndProject"), s.take(2000))
+  }
+
+  test("q184 span surgery: keeper agg is Expand-free; ledger join is keyed, nothing corpus-sized broadcasts") {
+    val s = planString(SparkEntry.queries("q184_span_surgery")(spark, sf()))
+    assert(!s.contains("Expand"),
+      "keeper (h → count, min) must use the two-level distinct shape, not Expand:\n" + s.take(3000))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+  }
 }

@@ -111,4 +111,128 @@ class Round8OperatorsSpec extends SparkSpec {
       "http://b.com/"           -> ((20L, 2L)),
       "https://c.com/only"      -> ((30L, 1L))))
   }
+
+  test("spanSurgery: min-doc keeper loses nothing; later docs get the shared passage cut") {
+    val s = spark; import s.implicits._
+    val shared = "the shared passage appears in both documents verbatim and it " +
+      "keeps going long enough to contain several winnowing anchors in a row"
+    val docs = Seq(
+      (1L, "unique prefix one " + shared + " unique suffix one"),
+      (2L, "a totally different beginning here of another length " + shared + " other end"),
+      (3L, "this document shares nothing with the others at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanSurgery(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("words_removed"), r.getAs[Long]("words_kept"))))
+      .toMap
+    // every input doc gets a ledger row, cut or not
+    assert(out.keySet === Set(1L, 2L, 3L))
+    // doc 1 is the min doc for every duplicated anchor → keeper, zero cut
+    assert(out(1L)._2 === 0L && out(1L)._3 === 0L)
+    // doc 2 loses (most of) the shared passage but keeps its unique text
+    val sharedWords = shared.split("\\s+").length
+    assert(out(2L)._3 >= sharedWords - 2 * 14 && out(2L)._3 < out(2L)._1)
+    // doc 3 shares nothing → untouched
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0L)
+    // ledger invariant everywhere
+    out.values.foreach { case (nt, _, rem, kept) => assert(kept === nt - rem && rem >= 0L) }
+  }
+
+  test("spanSurgery is strictly keeper-aware: dupSpans flags the keeper too, surgery does not") {
+    val s = spark; import s.implicits._
+    val shared = "one more sufficiently long shared passage with enough words " +
+      "to generate a stable run of winnowing anchors across both copies"
+    val docs = Seq(
+      (5L, "first copy " + shared),
+      (9L, "second copy comes later " + shared)).toDF("doc_id", "text")
+    val flagged = TextAnalysis.dupSpans(docs, col("doc_id"), col("text"))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(flagged === Set(5L, 9L)) // detection flags BOTH copies
+    val cut = TextAnalysis.spanSurgery(docs, col("doc_id"), col("text"))
+      .filter(col("words_removed") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cut === Set(9L)) // surgery cuts only the non-keeper
+  }
+
+  test("hashedQualityScores: logit is the sum of per-token bucket weights; identical tokens score identically") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha"),        // twice the weight of one 'alpha'
+      (3L, "alpha beta gamma"))   // same bag as doc 1 → same score
+    .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedQualityScores(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("logit_milli"), r.getAs[Boolean]("pass"))))
+      .toMap
+    assert(out(1L) === out(3L))
+    assert(out(1L)._1 === 3L && out(2L)._1 === 2L)
+    // doc 2's logit is exactly 2 × the single-token weight
+    val single = TextAnalysis.hashedQualityScores(
+      Seq((9L, "alpha")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect().head.getAs[Long]("logit_milli")
+    assert(out(2L)._2 === 2L * single)
+    // weights stay in the documented [-1000, 1000] milli range
+    assert(math.abs(single) <= 1000L)
+    // pass is exactly the sign of the logit
+    out.values.foreach { case (_, l, p) => assert(p === (l >= 0L)) }
+  }
+
+  test("cmsHeavyHitters: estimates are never below exact counts, and match exactly absent collisions") {
+    val s = spark; import s.implicits._
+    // few distinct tokens ≪ width=512 → collisions virtually impossible
+    // at depth 4 → every estimate should equal its exact count
+    val docs = Seq(
+      (1L, "x x x y y z"),
+      (2L, "x y w")).toDF("doc_id", "text")
+    val out = TextAnalysis.cmsHeavyHitters(docs, col("doc_id"), col("text"), topN = 10)
+      .collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("exact_count"), r.getAs[Long]("cms_estimate"), r.getAs[Long]("overestimate"))))
+      .toMap
+    assert(out("x")._1 === 4L && out("y")._1 === 3L && out("z")._1 === 1L && out("w")._1 === 1L)
+    out.values.foreach { case (exact, est, over) =>
+      assert(est >= exact && over === est - exact)
+    }
+    assert(out.values.forall(_._3 === 0L)) // no collisions at this scale
+    // a tiny width FORCES collisions: estimates inflate, never deflate
+    val tiny = TextAnalysis.cmsHeavyHitters(docs, col("doc_id"), col("text"), width = 1, topN = 10)
+      .collect()
+    tiny.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") === 9L) // every token shares the one bucket
+      assert(r.getAs[Long]("overestimate") >= 0L)
+    }
+  }
+
+  test("marginMutualPairs: mutual top-1 only; a one-sided preference never pairs; margin favors the isolated match") {
+    val s = spark; import s.implicits._
+    // One shared cell (all vectors in the +x half-space, one centroid).
+    // A-side: a0 matches b0 almost exactly; a1 sits between b1 and b0
+    //         but closest to b1; a2 prefers b0 which prefers a0 → a2
+    //         must NOT pair (one-sided).
+    val embsA = Seq(
+      (0L, Seq(1.0f, 0.00f, 0f, 0f)),
+      (2L, Seq(1.0f, 0.30f, 0f, 0f)),
+      (4L, Seq(1.0f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+    val embsB = Seq(
+      (1L, Seq(1.0f, 0.01f, 0f, 0f)),
+      (3L, Seq(1.0f, 0.28f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cb = Similarity.seedCentroids(embsA.union(embsB), 1)
+    val out = Similarity.marginMutualPairs(embsA, embsB, cb, k = 2)
+      .collect()
+      .map(r => r.getAs[Long]("a_id") ->
+        ((r.getAs[Long]("b_id"), r.getAs[Long]("cos_ppm"), r.getAs[Long]("margin_ppm"))))
+      .toMap
+    // b0(=1) prefers a0(=0) (cos higher than vs a4); b3 prefers a2
+    assert(out.keySet === Set(0L, 2L))
+    assert(out(0L)._1 === 1L && out(2L)._1 === 3L)
+    // 4 is absent: its best b (1) mutually prefers 0
+    // margins are positive and ≥ high-cos sanity
+    out.values.foreach { case (_, cos, margin) =>
+      assert(cos > 900000L && margin > 0L)
+    }
+  }
 }
