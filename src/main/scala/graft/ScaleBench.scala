@@ -275,6 +275,8 @@ object ScaleBench {
         (() => SparkEntry.queries("q186_cms_heavyhitters")(spark, dir)),
       "q187_mutual_pairs" ->
         (() => SparkEntry.queries("q187_mutual_pairs")(spark, dir)),
+      "q188_quality_calibration" ->
+        (() => SparkEntry.queries("q188_quality_calibration")(spark, dir)),
       // Production-capped form (see the q84/q96 note above): the ×K
       // corpus's dup density packs cells quadratically by
       // construction; the B-side hot-cell cap is the documented

@@ -183,6 +183,37 @@ object Profile {
       .filter(col("rk") <= k)
   }
 
+  /** Calibration table: a model score (bucketed) against a downstream
+    * binary outcome — "does the quality classifier's score actually
+    * track curation survival?" is the audit every model-based filter
+    * needs before its threshold is trusted (the reliability-diagram
+    * shape, computed in exact integer ppm). `flagged` is the outcome
+    * id-set (e.g. the dedup keep-set); rows absent from it count as
+    * not-flagged. Returns per bucket: (bucket, n_rows, n_flagged,
+    * flagged_ppm).
+    *
+    * Scale shape: one distinct-collapse of the flag set, one keyed
+    * left join, one hash-agg to |buckets| rows — map-side combinable
+    * end to end; the flag set is the once-per-snapshot artifact its
+    * producers already materialize. */
+  def calibrationByBucket(
+      rows: DataFrame,
+      id: Column,
+      bucket: Column,
+      flagged: DataFrame,
+      flagId: Column): DataFrame = {
+    val f = flagged.select(flagId.as("row_id")).distinct().withColumn("__f", lit(1L))
+    rows.select(id.as("row_id"), bucket.as("bucket"))
+      .join(f, Seq("row_id"), "left")
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(coalesce(col("__f"), lit(0L))).as("n_flagged"))
+      .select(
+        col("bucket"), col("n_rows"), col("n_flagged"),
+        expr("n_flagged * 1000000L div n_rows").as("flagged_ppm"))
+  }
+
   /** Deterministic stratified sampler: keep a row iff
     * hash60(seed ∥ id) mod 10000 < rate(stratum)·10000. Per-stratum
     * rates (4-decimal resolution) rebalance a corpus — e.g. downsample

@@ -544,6 +544,18 @@ object TextAnalysis {
       .orderBy(desc("doc_freq"), desc("occurrences"), asc("t"))
       .limit(k)
 
+  /** ONE definition of the CMS (depth, bucket) pairs for a token —
+    * shared by the batch audit ([[cmsHeavyHitters]]) and the
+    * streaming monitor ([[graft.streaming.DocStream.heavyHitterMonitor]])
+    * so the two sketches can never diverge (the bandBlocks
+    * discipline): one md5 per token, per-depth buckets from the
+    * pairwise-independent `(a_j·h + b_j) mod P` family. */
+  private[graft] def cmsBuckets(t: Column, depth: Int, width: Int): Column = {
+    val hp = pmod(Portable.hash60(t), lit(Portable.P))
+    array((0 until depth).map(j =>
+      struct(lit(j).as("j"), pmod(Portable.minhashPermAt(j, hp), lit(width.toLong)).as("b"))): _*)
+  }
+
   /** Count-min-sketch heavy-hitter audit (Cormode & Muthukrishnan,
     * "An Improved Data Stream Summary: The Count-Min Sketch and its
     * Applications", J. Algorithms 2005) — the novel-sketch slot of the
@@ -579,16 +591,11 @@ object TextAnalysis {
       topN: Int = 32): DataFrame = {
     require(depth >= 1 && width >= 1 && topN >= 1,
       s"depth/width/topN must be positive (got $depth/$width/$topN)")
-    val bucketAt: (Int, Column) => Column = (j, hp) =>
-      pmod(Portable.minhashPermAt(j, hp), lit(width.toLong))
-    val hpOf: Column => Column = t => pmod(Portable.hash60(t), lit(Portable.P))
     val toks = docs.select(explode(tokens(text)).as("t"))
     // The sketch: ONE pass, one md5 per occurrence, one tiny (j, b)
     // hash-agg.
     val counters = toks
-      .select(hpOf(col("t")).as("hp"))
-      .select(explode(array((0 until depth).map(j =>
-        struct(lit(j).as("j"), bucketAt(j, col("hp")).as("b"))): _*)).as("jb"))
+      .select(explode(cmsBuckets(col("t"), depth, width)).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
       .agg(count(lit(1)).as("c"))
     // Exact top-N (the audit's ground truth) + per-depth probe rows.
@@ -599,8 +606,7 @@ object TextAnalysis {
       .limit(topN)
     val probes = exact.select(
       col("t"), col("exact_count"),
-      explode(array((0 until depth).map(j =>
-        struct(lit(j).as("j"), bucketAt(j, hpOf(col("t"))).as("b"))): _*)).as("jb"))
+      explode(cmsBuckets(col("t"), depth, width)).as("jb"))
       .select(col("t"), col("exact_count"), col("jb.j").as("j"), col("jb.b").as("b"))
     probes
       .join(broadcast(counters), Seq("j", "b"))

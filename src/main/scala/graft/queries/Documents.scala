@@ -1379,6 +1379,18 @@ object Documents {
         e.filter(col("vec_id") % 2 === 0),
         e.filter(col("vec_id") % 2 === 1),
         sharedCodebook(s, dir))
+    }),
+
+    // Quality-model calibration: q185's score buckets × the dedup
+    // keep-set — does the classifier's score track curation
+    // survival? Reliability-diagram shape in exact integer ppm.
+    "q188_quality_calibration" -> ((s, dir) => {
+      val scored = TextAnalysis.hashedQualityScores(
+        Tables.documents(s, dir), col("doc_id"), col("text"))
+      Profile.calibrationByBucket(
+        scored, col("doc_id"),
+        greatest(least(floor(col("avg_w_milli") / 100.0), lit(9.0)), lit(-10.0)).cast("long"),
+        sharedKeepSet(s, dir), col("doc_id"))
     })
   )
 

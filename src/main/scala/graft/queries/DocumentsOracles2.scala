@@ -348,6 +348,36 @@ private[queries] object DocumentsOracles2 {
                  CAST((a.best_cos * 1000000) // (((a.sa // a.na) + (b.sb // b.nb)) // 2) AS BIGINT) AS margin_ppm
           FROM asx a JOIN bsx b ON a.best_b = b.b_id AND b.best_a = a.a_id""",
 
+    // Mirror of q188: q185's per-doc score → floor(avg/100) bucket
+    // clamped to [-10, 9], left-joined against the q85 keep set.
+    "q188_quality_calibration" ->
+      s"""WITH RECURSIVE $verdictCtes,
+          keep AS (
+            SELECT doc_id FROM j WHERE doc_id = COALESCE(cluster_min, exact_keeper)
+          ),
+          occ AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('qw_' ||
+                       (('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)), 1, 15))::BIGINT
+                     % 2001 - 1000 AS w_milli
+            FROM (SELECT doc_id, unnest(ws) AS t FROM words)
+          ),
+          per AS (
+            SELECT doc_id, COUNT(1) AS n_tokens,
+                   CAST(SUM(w_milli) AS BIGINT) AS logit_milli
+            FROM occ GROUP BY doc_id
+          ),
+          bk AS (
+            SELECT p.doc_id,
+                   CAST(GREATEST(LEAST(floor((CAST(logit_milli AS DOUBLE) / n_tokens) / 100.0), 9.0), -10.0) AS BIGINT) AS bucket,
+                   CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f
+            FROM per p LEFT JOIN keep k ON k.doc_id = p.doc_id
+          )
+          SELECT bucket, COUNT(1) AS n_rows,
+                 CAST(SUM(f) AS BIGINT) AS n_flagged,
+                 CAST((SUM(f) * 1000000) // COUNT(1) AS BIGINT) AS flagged_ppm
+          FROM bk GROUP BY bucket""",
+
     "q85_prep_pipeline" ->
       s"""WITH RECURSIVE $verdictCtes,
           keep AS (

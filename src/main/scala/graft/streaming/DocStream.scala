@@ -208,4 +208,33 @@ object DocStream {
         expr("sum(__ppm) div count(1)").as("mean_ref_ppm"),
         expr("(sum(__oov) * 1000000) div count(1)").as("oov_ppm"))
       .withColumn("alert", col("mean_ref_ppm") < alertBelowPpm)
+
+  /** Streaming heavy-hitter monitor: the q186 count-min sketch as a
+    * WINDOWED streaming aggregation — trending-token observability
+    * over the ingest stream. The sketch is exactly why this is
+    * streaming-safe: per-window state is ≤ depth·width counter rows
+    * REGARDLESS of traffic (a per-token windowed count would grow
+    * state with the live vocabulary — unbounded on web text), and the
+    * counters are addition-mergeable so watermark-late updates
+    * compose. Buckets come from [[TextAnalysis.cmsBuckets]] — the
+    * SAME definition as the batch audit, so a batch-computed probe
+    * (q186's min-over-depths estimate) reads this monitor's output
+    * directly. Emits (window, j, b, c) in append mode once the
+    * watermark closes a window. */
+  def heavyHitterMonitor(
+      docs: DataFrame,
+      depth: Int = 4,
+      width: Int = 512,
+      windowDur: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(
+        col("ingest_ts"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(
+        col("ingest_ts"),
+        explode(TextAnalysis.cmsBuckets(col("t"), depth, width)).as("jb"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
 }

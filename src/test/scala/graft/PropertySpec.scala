@@ -636,4 +636,73 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("spanSurgery ledger invariants on random corpora: keeper-of-all cuts nothing, removal bounded, kept = total - removed") {
+    val s = spark; import s.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.chooseNum(6, 20).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll(Gen.listOfN(6, docGen), n = 8) { texts =>
+      if (texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val out = TextAnalysis.spanSurgery(docs, col("doc_id"), col("text")).collect()
+        assert(out.length === texts.length) // one ledger row per doc
+        out.foreach { r =>
+          val (nt, rem, kept) = (r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("words_removed"), r.getAs[Long]("words_kept"))
+          assert(rem >= 0L && rem <= nt, s"removal out of bounds: $rem of $nt")
+          assert(kept === nt - rem)
+        }
+        // the global min doc id can never lose words to a LOWER keeper
+        val minDoc = out.minBy(_.getAs[Long]("doc_id"))
+        assert(minDoc.getAs[Long]("words_removed") === 0L)
+      }
+    }
+  }
+
+  test("cmsHeavyHitters: estimate >= exact on random corpora at any width; wide sketch is exact") {
+    val s = spark; import s.implicits._
+    val word = Gen.oneOf("t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8")
+    val docGen = Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll2(Gen.listOfN(5, docGen), Gen.chooseNum(1, 64), n = 8) { (texts, width) =>
+      if (texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val out = TextAnalysis.cmsHeavyHitters(docs, col("doc_id"), col("text"),
+          width = width, topN = 20).collect()
+        out.foreach { r =>
+          assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_count"))
+          assert(r.getAs[Long]("overestimate") ===
+            r.getAs[Long]("cms_estimate") - r.getAs[Long]("exact_count"))
+        }
+        // ≤8 distinct tokens in a 4096-bucket sketch: collisions in all
+        // 4 depths are impossible → exact
+        val wide = TextAnalysis.cmsHeavyHitters(docs, col("doc_id"), col("text"),
+          width = 4096, topN = 20).collect()
+        wide.foreach(r => assert(r.getAs[Long]("overestimate") === 0L))
+      }
+    }
+  }
+
+  test("marginMutualPairs: output is a partial matching (each id on each side appears at most once), margins positive") {
+    val s = spark; import s.implicits._
+    val comp = Gen.chooseNum(1, 100)
+    val vecGen = Gen.listOfN(4, comp).map(_.map(_.toFloat / 100f))
+    forAll(Gen.listOfN(10, vecGen), n = 8) { vecs =>
+      if (vecs.size >= 4) {
+        val embs = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+        val cb = graft.operators.Similarity.seedCentroids(embs, 2)
+        val out = graft.operators.Similarity.marginMutualPairs(
+          embs.filter(col("vec_id") % 2 === 0), embs.filter(col("vec_id") % 2 === 1), cb, k = 3)
+          .collect()
+        val as = out.map(_.getAs[Long]("a_id"))
+        val bs = out.map(_.getAs[Long]("b_id"))
+        assert(as.distinct.length === as.length, "an a_id paired twice")
+        assert(bs.distinct.length === bs.length, "a b_id paired twice")
+        out.foreach { r =>
+          assert(as.forall(_ % 2 === 0) && bs.forall(_ % 2 === 1))
+          assert(r.getAs[Long]("margin_ppm") > 0L)
+          assert(r.getAs[Long]("cos_ppm") > 0L)
+        }
+      }
+    }
+  }
 }

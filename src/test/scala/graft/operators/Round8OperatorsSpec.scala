@@ -235,4 +235,20 @@ class Round8OperatorsSpec extends SparkSpec {
       assert(cos > 900000L && margin > 0L)
     }
   }
+
+  test("calibrationByBucket: exact ppm per bucket; rows absent from the flag set count as unflagged") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), // bucket 0: 4 rows
+      (5L, 1L), (6L, 1L)).toDF("id", "bk")    // bucket 1: 2 rows
+    // flags: 3 of bucket 0 (one listed twice — distinct-collapse), 0 of bucket 1
+    val flags = Seq(1L, 2L, 3L, 3L, 99L).toDF("fid") // 99 is not a row → ignored
+    val out = Profile.calibrationByBucket(rows, col("id"), col("bk"), flags, col("fid"))
+      .collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_flagged"), r.getAs[Long]("flagged_ppm"))))
+      .toMap
+    assert(out(0L) === ((4L, 3L, 750000L)))
+    assert(out(1L) === ((2L, 0L, 0L)))
+  }
 }

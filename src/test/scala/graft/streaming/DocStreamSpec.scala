@@ -270,4 +270,41 @@ class DocStreamSpec extends SparkSpec {
     assert(!s0Alert && s0Oov == 0L && s0Mean > 1000L)
     assert(s1Alert && s1Mean == 0L && s1Oov == 1000000L)
   }
+
+  test("heavyHitterMonitor: depth mass equals occurrences; a batch probe of the stream's sketch is exact on a tiny vocab") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("docstream-cms").toString
+    // token stream: x ×3, y ×1, z ×1 inside one 5-minute window
+    Seq(
+      (0L, "x x y", "en", "s0", "2025-10-08 10:00:00"),
+      (1L, "x z", "en", "s0", "2025-10-08 10:00:30"))
+      .toDF("doc_id", "text", "lang", "source", "ts")
+      .withColumn("ingest_ts", to_timestamp(col("ts"))).drop("ts")
+      .coalesce(1).write.json(s"$dir/land/f1")
+    val q = DocStream.heavyHitterMonitor(
+      DocStream.readDocStream(spark, s"$dir/land/*"), windowDur = "5 minutes")
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val counters = spark.table("hh_out")
+      .collect().map(r => (r.getAs[Int]("j"), r.getAs[Long]("b")) -> r.getAs[Long]("c")).toMap
+    // every occurrence lands in exactly ONE bucket per depth
+    (0 until 4).foreach { j =>
+      assert(counters.collect { case ((`j`, _), c) => c }.sum === 5L, s"depth $j mass")
+    }
+    // batch-side probe of the STREAM's sketch (same cmsBuckets
+    // definition): min over depths == exact count on this tiny vocab
+    val probe = Seq("x", "y", "z").toDF("t")
+      .select(col("t"), explode(graft.operators.TextAnalysis.cmsBuckets(col("t"), 4, 512)).as("jb"))
+      .collect().map(r => r.getAs[String]("t") ->
+        ((r.getAs[org.apache.spark.sql.Row]("jb").getAs[Int]("j"),
+          r.getAs[org.apache.spark.sql.Row]("jb").getAs[Long]("b"))))
+    val est = probe.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.map { case (_, jb) => counters.getOrElse(jb, 0L) }.min
+    }
+    assert(est === Map("x" -> 3L, "y" -> 1L, "z" -> 1L))
+  }
 }
