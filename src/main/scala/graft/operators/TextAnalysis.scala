@@ -286,6 +286,8 @@ object TextAnalysis {
       text: Column,
       gramWords: Int = 6,
       window: Int = 8): DataFrame = {
+    require(gramWords >= 1 && window >= 1,
+      s"gramWords/window must be positive (got $gramWords/$window)")
     val gramAt: Column => Column = i =>
       concat_ws(" ", (0 until gramWords).map(j => element_at(col("__ws"), i + lit(j))): _*)
     val withGrams = docs
@@ -356,6 +358,17 @@ object TextAnalysis {
       text: Column,
       gramWords: Int = 6,
       window: Int = 8): DataFrame = {
+    require(gramWords >= 1 && window >= 1,
+      s"gramWords/window must be positive (got $gramWords/$window)")
+    // The cut ledger sums span word-lengths, which is exact only if
+    // spans are disjoint: consecutive anchor sessions are separated by
+    // a position gap > window, and a span extends gramWords − 1 words
+    // past its last anchor, so disjointness needs gramWords − 1 ≤
+    // window. (dupSpans has no such constraint — overlapping REPORT
+    // rows are fine; double-counted removal words are not.)
+    require(gramWords - 1 <= window,
+      s"gramWords - 1 (${gramWords - 1}) must be <= window ($window): " +
+        "otherwise excision spans can overlap and words_removed would double-count")
     val gramAt: Column => Column = i =>
       concat_ws(" ", (0 until gramWords).map(j => element_at(col("__ws"), i + lit(j))): _*)
     val withGrams = docs

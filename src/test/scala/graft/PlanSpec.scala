@@ -807,4 +807,33 @@ class PlanSpec extends SparkSpec {
       "keeper (h → count, min) must use the two-level distinct shape, not Expand:\n" + s.take(3000))
     assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
   }
+
+  test("q188 calibration: flag set distinct-collapses BELOW the outcome join; final agg is keyed on the bucket") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec        => allNodes(q.plan)
+        case _                        => Seq.empty
+      })
+    val df = SparkEntry.queries("q188_quality_calibration")(spark, sf())
+    val s  = planString(df)
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s.take(2000))
+    // the keep-set must reach the left join as a distinct id relation —
+    // a dup-bearing flag side would double-count n_flagged
+    val joins = allNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.sql == "LEFT OUTER" => j
+    }
+    assert(joins.nonEmpty, "expected the outcome LEFT join in the q188 plan:\n" + s.take(3000))
+    joins.foreach { j =>
+      val collapsed = allNodes(j.right).exists {
+        case a: BaseAggregateExec => a.aggregateExpressions.isEmpty // pure distinct
+        case _ => false
+      }
+      assert(collapsed,
+        "flag set must be distinct-collapsed below the join:\n" + j.toString.take(2000))
+    }
+  }
 }
