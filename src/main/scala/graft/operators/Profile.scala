@@ -536,4 +536,114 @@ object Profile {
     df.select(id.as("row_id"), mask.as("reason_mask"))
       .withColumn("admitted", (col("reason_mask") === 0L).cast("boolean"))
   }
+
+  /** ONE definition of the HyperLogLog (bucket, rho) pair for a 60-bit
+    * [[Portable.hash60]] value — shared by the batch audit
+    * ([[hllDistinctAudit]]) and the streaming distinct monitor
+    * ([[graft.streaming.DocStream.distinctTokenMonitor]]) so the two
+    * sketches can never diverge (the cmsBuckets discipline). Takes the
+    * HASH, not the key: callers with array-valued keys (n-grams) hash
+    * INSIDE their per-row transform and explode longs — exploding the
+    * gram strings themselves measured 5× slower at ×100 (36 s vs 6.7 s:
+    * 26 M UTF8 copies through the explode). bucket = low p bits; rho =
+    * 1 + leading zeros of the remaining 60−p bits (= 61−p when all
+    * zero). `length(bin(x))` gives the MSB position identically in
+    * Spark and DuckDB (both print minimal-width binary, `bin(0) =
+    * "0"`), and `shiftright` keeps the 60-bit value exact (a double
+    * division would lose low bits), so registers are engine-portable. */
+  private[graft] def hllBucketRho(hash60: Column, p: Int): Column = {
+    val m = 1L << p
+    struct(
+      pmod(hash60, lit(m)).as("b"),
+      when(hash60 < lit(m), lit(61 - p)) // rem == 0: all 60−p bits zero
+        .otherwise(lit(61 - p) - length(bin(shiftright(hash60, p))))
+        .as("rho"))
+  }
+
+  /** HyperLogLog distinct-count audit (Flajolet et al., AofA '07) — the
+    * CARDINALITY sibling of the q186 count-min sketch: "how many
+    * distinct keys per group" at FIXED state. The sketch is a
+    * (group, bucket → max rho) register RELATION of ≤ m = 2^p rows per
+    * group regardless of corpus size, max-mergeable across shards,
+    * snapshots and stream windows (union → groupBy max — associative,
+    * idempotent, so re-counting a key can never move a register).
+    * countDistinct at 100 TB shuffles every distinct key; the register
+    * relation shuffles ≤ m rows per group after map-side partial max.
+    *
+    * All-integer, engine-portable estimate: with C = 61−p (the max
+    * register), Z·2^C = Σ_j 2^(C − M_j) is an exact int64 (≤ m·2^C =
+    * 2^61), and est = α_m·m²·2^C div (Z·2^C·10^6) runs in
+    * DECIMAL(38,0) — both engines floor-divide the same integers, so
+    * the estimate (and therefore the in-bounds verdict) hash-matches
+    * DuckDB bit-exactly, unlike q47's engine-internal HLL++ whose
+    * oracle must assume TRUE. α_m = 0.7213/(1 + 1.079/m) is carried as
+    * the integer α_ppm = 7213·m·10^5 div (1000·m + 1079).
+    *
+    * No small-range (linear-counting) correction: `ln` is not
+    * correctly-rounded and would break engine portability; below
+    * ~2.5·m distinct keys the raw estimate biases high and `in_bounds`
+    * says so honestly (both engines compute the same boolean). Audit
+    * columns per group: exact distinct (the ground truth this sketch
+    * replaces at scale), the estimate, err_ppm, and in_bounds at the
+    * 3σ bar (σ ≈ 1.04/√m).
+    *
+    * `hash60` is the key's [[Portable.hash60]] (see [[hllBucketRho]]);
+    * both the sketch AND the exact side count distinct HASHES — md5
+    * collisions are ~n²/2⁶¹ (none at any realistic group size), both
+    * engines derive identical hashes, and a long shuffles ~4× lighter
+    * than an n-gram string. */
+  def hllDistinctAudit(
+      rows: DataFrame,
+      group: Column,
+      hash60: Column,
+      p: Int = 8): DataFrame = {
+    val m        = 1L << p
+    val boundPpm = (3.0 * 1040000.0 / math.sqrt(m.toDouble)).toLong
+    val est      = hllEstimate(hllRegisters(rows, group, hash60, p), p)
+    val exact = rows
+      .select(group.as("g"), hash60.as("k")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("exact_distinct"))
+    exact
+      .join(est, Seq("g"))
+      .select(
+        col("g").as("grp"),
+        col("exact_distinct"),
+        col("hll_estimate"),
+        expr("abs(hll_estimate - exact_distinct) * 1000000L div exact_distinct")
+          .as("err_ppm"))
+      .withColumn("in_bounds", col("err_ppm") <= lit(boundPpm))
+  }
+
+  /** The PRODUCTION side of [[hllDistinctAudit]]: just the register
+    * relation (grp, b, register) — ≤ 2^p rows per group after map-side
+    * partial max, the once-per-snapshot artifact shards/windows merge
+    * with a further groupBy-max. */
+  def hllRegisters(rows: DataFrame, group: Column, hash60: Column, p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 14, s"p must be in [7, 14] (got $p)")
+    rows.select(group.as("g"), hllBucketRho(hash60, p).as("br"))
+      .groupBy(col("g"), col("br.b").as("b"))
+      .agg(max(col("br.rho")).as("register"))
+  }
+
+  /** Per-group cardinality estimate from a [[hllRegisters]] relation —
+    * all-integer (see [[hllDistinctAudit]]), ≤ 2^p input rows per
+    * group, so this step costs nothing at any corpus size. */
+  def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 14, s"p must be in [7, 14] (got $p)")
+    val m        = 1L << p
+    val alphaPpm = 7213L * m * 100000L / (1000L * m + 1079L)
+    regs
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("__nb"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${61 - p} - register)")).as("__snz"))
+      .select(
+        col("g"),
+        (col("__snz") + (lit(m) - col("__nb")) * lit(1L << (61 - p))).as("__s"))
+      .select(
+        col("g"),
+        expr(
+          s"CAST(${alphaPpm}L AS DECIMAL(38,0)) * ${m * m}L * ${1L << (61 - p)}L" +
+            " div (CAST(__s AS DECIMAL(38,0)) * 1000000L)").as("hll_estimate"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Multimodal, Packing, Profile, Ranking, Relevance, Similarity, Snapshot, TextAnalysis, TextDedup}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** LLM-training-data operator pack over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
@@ -1391,6 +1391,32 @@ object Documents {
         scored, col("doc_id"),
         greatest(least(floor(col("avg_w_milli") / 100.0), lit(9.0)), lit(-10.0)).cast("long"),
         sharedKeepSet(s, dir), col("doc_id"))
+    }),
+
+    // HLL distinct-shingle audit per source: the q186 CMS's
+    // cardinality sibling — distinct 3-gram mass per source is the
+    // cost driver of the dedup/overlap family (q167/q172), counted at
+    // ≤ 2^p register rows per source instead of a corpus-wide
+    // distinct shuffle. Estimate + in-bounds verdict computed
+    // bit-exactly by BOTH engines (no assumed-TRUE oracle rows,
+    // unlike q47's engine-internal HLL++). Grams are HASHED inside
+    // the per-row transform and exploded as longs — exploding the
+    // gram strings measured 5× slower at ×100 (the q184 discipline);
+    // duplicates are fine, HLL and COUNT DISTINCT are both
+    // multiplicity-blind.
+    "q189_hll_distinct" -> ((s, dir) => {
+      val hashedGrams: Column => Column = ws =>
+        when(size(ws) >= 3,
+          transform(sequence(lit(1), size(ws) - 2), i =>
+            graft.functions.Portable.hash60(concat_ws(" ",
+              element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+          .otherwise(array().cast("array<bigint>"))
+      Profile.hllDistinctAudit(
+        Tables.documents(s, dir)
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("ws"))
+          .select(col("source"), explode(hashedGrams(col("ws"))).as("h")),
+        col("source"), col("h"))
+        .withColumnRenamed("grp", "source")
     })
   )
 

@@ -378,6 +378,47 @@ private[queries] object DocumentsOracles2 {
                  CAST((SUM(f) * 1000000) // COUNT(1) AS BIGINT) AS flagged_ppm
           FROM bk GROUP BY bucket""",
 
+    // Mirror of q189 hllDistinctAudit (p = 8, m = 256, C = 53,
+    // alpha_ppm = 7213*256*100000 // 257079 = 718272, 3-sigma bound
+    // = 3*1040000 // 16 = 195000): same md5 60-bit hash, bucket =
+    // h % 256, rho = 54 - msb-position of (h >> 8) via length(bin(x))
+    // (minimal-width binary in both engines), max-register per
+    // (source, bucket), all-integer estimate in HUGEINT.
+    "q189_hll_distinct" ->
+      """WITH w AS (
+           SELECT source, string_split_regex(trim(text), '\s+') AS ws FROM documents
+         ),
+         toks AS (
+           SELECT source,
+                  unnest(CASE WHEN len(ws) >= 3
+                              THEN list_transform(generate_series(1, len(ws)-2),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                              ELSE []::VARCHAR[] END) AS t
+           FROM w
+         ),
+         hb AS (
+           SELECT source, h, h % 256 AS b,
+                  CASE WHEN h < 256 THEN 53
+                       ELSE 53 - length(bin(h >> 8)) END AS rho
+           FROM (SELECT source, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks)
+         ),
+         regs AS (SELECT source, b, MAX(rho) AS register FROM hb GROUP BY 1, 2),
+         est AS (
+           SELECT source,
+                  CAST((718272::HUGEINT * 65536 * (1::BIGINT << 53))
+                       // ((SUM(1::BIGINT << (53 - register))
+                           + (256 - COUNT(1)) * (1::HUGEINT << 53)) * 1000000)
+                    AS BIGINT) AS hll_estimate
+           FROM regs GROUP BY source
+         ),
+         ex AS (SELECT source, COUNT(DISTINCT h) AS exact_distinct FROM hb GROUP BY source)
+         SELECT ex.source,
+                CAST(exact_distinct AS BIGINT) AS exact_distinct,
+                hll_estimate,
+                CAST(abs(hll_estimate - exact_distinct) * 1000000 // exact_distinct AS BIGINT) AS err_ppm,
+                (abs(hll_estimate - exact_distinct) * 1000000 // exact_distinct) <= 195000 AS in_bounds
+         FROM ex JOIN est USING (source)""",
+
     "q85_prep_pipeline" ->
       s"""WITH RECURSIVE $verdictCtes,
           keep AS (

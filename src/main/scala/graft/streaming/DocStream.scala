@@ -237,4 +237,34 @@ object DocStream {
         explode(TextAnalysis.cmsBuckets(col("t"), depth, width)).as("jb"))
       .groupBy(window(col("ingest_ts"), windowDur), col("jb.j").as("j"), col("jb.b").as("b"))
       .agg(count(lit(1)).as("c"))
+
+  /** Streaming distinct-vocabulary monitor: the q189 HyperLogLog as a
+    * watermarked windowed streaming aggregation — "how many distinct
+    * tokens is the crawl actually bringing in per window" at FIXED
+    * state, the cardinality twin of [[heavyHitterMonitor]]. Per-window
+    * state is ≤ 2^p register rows regardless of traffic (a per-token
+    * distinct would grow state with the live vocabulary), and the
+    * registers are max-mergeable AND idempotent, so watermark-late
+    * repeats of a token can never move a register. Buckets/rho come
+    * from [[graft.operators.Profile.hllBucketRho]] — the SAME
+    * definition as the batch audit, so a batch-computed estimate
+    * (q189's integer form) reads this monitor's registers directly.
+    * Emits (window, b, register) in append mode once the watermark
+    * closes a window. */
+  def distinctTokenMonitor(
+      docs: DataFrame,
+      p: Int = 8,
+      windowDur: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(
+        col("ingest_ts"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(
+        col("ingest_ts"),
+        graft.operators.Profile.hllBucketRho(
+          graft.functions.Portable.hash60(col("t")), p).as("br"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("br.b").as("b"))
+      .agg(max(col("br.rho")).as("register"))
 }

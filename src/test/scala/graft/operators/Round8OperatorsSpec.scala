@@ -236,6 +236,35 @@ class Round8OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hllDistinctAudit: exact side right; estimate invariant under row duplication and repartitioning") {
+    val s = spark; import s.implicits._
+    val rows = (0 until 900).map(i => (s"g${i % 3}", s"key_${i % 300}")).toDF("g", "k")
+    val out = Profile.hllDistinctAudit(rows, col("g"), graft.functions.Portable.hash60(col("k")))
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("exact_distinct"), r.getAs[Long]("hll_estimate"),
+          r.getAs[Long]("err_ppm"), r.getAs[Boolean]("in_bounds")))).toMap
+    // 300 distinct keys, each key hits every group (i%3 cycles through
+    // i%300's residues): 100 per group... actually key i%300 lands in
+    // group (i%300)%3 only — 100 distinct keys per group
+    out.foreach { case (g, (exact, est, err, _)) =>
+      assert(exact === 100L, s"$g exact")
+      assert(est > 0L)
+      assert(err === math.abs(est - exact) * 1000000L / exact)
+    }
+    // multiplicity-blindness: doubling every row changes nothing
+    val doubled = Profile.hllDistinctAudit(rows.union(rows), col("g"), graft.functions.Portable.hash60(col("k")))
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("exact_distinct"), r.getAs[Long]("hll_estimate"),
+          r.getAs[Long]("err_ppm"), r.getAs[Boolean]("in_bounds")))).toMap
+    assert(doubled === out)
+    // partition-invariance: registers are max-merged, order-free
+    val reparted = Profile.hllDistinctAudit(rows.repartition(7), col("g"), graft.functions.Portable.hash60(col("k")))
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("exact_distinct"), r.getAs[Long]("hll_estimate"),
+          r.getAs[Long]("err_ppm"), r.getAs[Boolean]("in_bounds")))).toMap
+    assert(reparted === out)
+  }
+
   test("calibrationByBucket: exact ppm per bucket; rows absent from the flag set count as unflagged") {
     val s = spark; import s.implicits._
     val rows = Seq(

@@ -307,4 +307,34 @@ class DocStreamSpec extends SparkSpec {
     }
     assert(est === Map("x" -> 3L, "y" -> 1L, "z" -> 1L))
   }
+
+  test("distinctTokenMonitor: stream registers equal the batch hllBucketRho registers on the same window") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("docstream-hll").toString
+    Seq(
+      (0L, "alpha beta gamma alpha", "en", "s0", "2025-10-08 10:00:00"),
+      (1L, "delta beta epsilon", "en", "s0", "2025-10-08 10:00:30"))
+      .toDF("doc_id", "text", "lang", "source", "ts")
+      .withColumn("ingest_ts", to_timestamp(col("ts"))).drop("ts")
+      .coalesce(1).write.json(s"$dir/land/f1")
+    val q = DocStream.distinctTokenMonitor(
+      DocStream.readDocStream(spark, s"$dir/land/*"), windowDur = "5 minutes")
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamRegs = spark.table("hll_out")
+      .collect().map(r => r.getAs[Long]("b") -> r.getAs[Int]("register")).toMap
+    // batch side: the SAME hllBucketRho definition over the same tokens
+    val batchRegs = Seq("alpha", "beta", "gamma", "delta", "epsilon").toDF("t")
+      .select(graft.operators.Profile.hllBucketRho(
+        graft.functions.Portable.hash60(col("t")), 8).as("br"))
+      .groupBy(col("br.b").as("b")).agg(max(col("br.rho")).as("register"))
+      .collect().map(r => r.getAs[Long]("b") -> r.getAs[Int]("register")).toMap
+    assert(streamRegs === batchRegs)
+    assert(streamRegs.size <= 5 && streamRegs.nonEmpty) // <= 2^p, one per hit bucket
+    streamRegs.values.foreach(r => assert(r >= 1 && r <= 53))
+  }
 }
