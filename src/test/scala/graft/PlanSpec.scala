@@ -836,4 +836,26 @@ class PlanSpec extends SparkSpec {
         "flag set must be distinct-collapsed below the join:\n" + j.toString.take(2000))
     }
   }
+
+  test("q189 HLL: grams explode as LONGS (no gram-string explode); register agg is map-side combined; no Expand") {
+    val df = SparkEntry.queries("q189_hll_distinct")(spark, sf())
+    val s  = planString(df)
+    assert(!s.contains("Expand"),
+      "register max and exact distinct must not plan an Expand:\n" + s.take(3000))
+    // the 16×-at-×100 lesson: the Generate (explode) must OUTPUT the
+    // hashed bigint column — concat_ws may appear only INSIDE the
+    // transform lambda, so the exploded rows carry longs, not grams
+    val genLines = s.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(genLines.nonEmpty, s.take(3000))
+    genLines.foreach { g =>
+      assert(g.contains("as bigint"),
+        s"explode element type must be the hashed bigint: $g")
+      assert(g.replaceAll(".*\\], \\[", "[").matches("\\[\\w+#\\d+L\\].*") ||
+        g.trim.endsWith("L]"),
+        s"Generate output must be a single long attribute: $g")
+    }
+    // partial max below the exchange (map-side combine on the registers)
+    assert(s.contains("partial_max") || s.contains("HashAggregate"),
+      "expected a partial register aggregate:\n" + s.take(3000))
+  }
 }

@@ -265,6 +265,30 @@ class Round8OperatorsSpec extends SparkSpec {
     assert(reparted === out)
   }
 
+  test("hllRegisters merge law: registers(A ∪ B) == per-bucket max of registers(A), registers(B)") {
+    val s = spark; import s.implicits._
+    val h = (k: org.apache.spark.sql.Column) => graft.functions.Portable.hash60(k)
+    val a = (0 until 400).map(i => ("g", s"a_$i")).toDF("g", "k")
+    val b = (0 until 400).map(i => ("g", s"b_${i % 150}")).toDF("g", "k")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Profile.hllRegisters(df, col("g"), h(col("k")))
+        .collect().map(r => r.getAs[Long]("b") -> r.getAs[Int]("register")).toMap
+    val ra = regs(a); val rb = regs(b); val runion = regs(a.union(b))
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))).toMap
+    assert(runion === merged)
+    // estimate from merged registers == estimate computed on the union
+    // directly (the shards-then-merge production path is lossless)
+    val estUnion = Profile.hllEstimate(
+      Profile.hllRegisters(a.union(b), col("g"), h(col("k"))))
+      .collect().head.getAs[Long]("hll_estimate")
+    val estMergedInput = merged.toSeq.map { case (bk, r) => ("g", bk, r) }
+      .toDF("g", "b", "register")
+    val estMerged = Profile.hllEstimate(estMergedInput)
+      .collect().head.getAs[Long]("hll_estimate")
+    assert(estUnion === estMerged)
+  }
+
   test("calibrationByBucket: exact ppm per bucket; rows absent from the flag set count as unflagged") {
     val s = spark; import s.implicits._
     val rows = Seq(
