@@ -283,20 +283,13 @@ object ScaleBench {
       // audit side (corpus-wide distinct-hash agg) is what the
       // sketch REPLACES at scale, so measure the sketch alone too.
       "q189_sketch_only" ->
-        (() => {
-          val hashedGrams: org.apache.spark.sql.Column => org.apache.spark.sql.Column = ws =>
-            when(size(ws) >= 3,
-              transform(sequence(lit(1), size(ws) - 2), i =>
-                graft.functions.Portable.hash60(concat_ws(" ",
-                  element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
-              .otherwise(array().cast("array<bigint>"))
-          graft.operators.Profile.hllEstimate(
-            graft.operators.Profile.hllRegisters(
-              docs
-                .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("ws"))
-                .select(col("source"), explode(hashedGrams(col("ws"))).as("h")),
-              col("source"), col("h")))
-        }),
+        (() => graft.operators.Profile.hllEstimate(
+          graft.operators.Profile.hllRegisters(
+            docs
+              .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("ws"))
+              .select(col("source"),
+                explode(TextDedup.hashedNgramsAllFromWords(col("ws"), 3)).as("h")),
+            col("source"), col("h")))),
       // Production-capped form (see the q84/q96 note above): the ×K
       // corpus's dup density packs cells quadratically by
       // construction; the B-side hot-cell cap is the documented

@@ -543,9 +543,11 @@ object Profile {
     * ([[graft.streaming.DocStream.distinctTokenMonitor]]) so the two
     * sketches can never diverge (the cmsBuckets discipline). Takes the
     * HASH, not the key: callers with array-valued keys (n-grams) hash
-    * INSIDE their per-row transform and explode longs — exploding the
-    * gram strings themselves measured 5× slower at ×100 (36 s vs 6.7 s:
-    * 26 M UTF8 copies through the explode). bucket = low p bits; rho =
+    * INSIDE their per-row transform and explode longs
+    * ([[TextDedup.hashedNgramsAllFromWords]]) — exploding the gram
+    * strings measured 16× slower end-to-end at ×100 (q189 audit 45.9 s
+    * → 2.9 s; isolated, the string explode alone is 36 s vs 0.9 s for
+    * the same count of longs: 26 M UTF8 copies). bucket = low p bits; rho =
     * 1 + leading zeros of the remaining 60−p bits (= 61−p when all
     * zero). `length(bin(x))` gives the MSB position identically in
     * Spark and DuckDB (both print minimal-width binary, `bin(0) =

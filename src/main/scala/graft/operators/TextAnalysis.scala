@@ -557,17 +557,26 @@ object TextAnalysis {
       .orderBy(desc("doc_freq"), desc("occurrences"), asc("t"))
       .limit(k)
 
-  /** ONE definition of the CMS (depth, bucket) pairs for a token —
-    * shared by the batch audit ([[cmsHeavyHitters]]) and the
-    * streaming monitor ([[graft.streaming.DocStream.heavyHitterMonitor]])
-    * so the two sketches can never diverge (the bandBlocks
-    * discipline): one md5 per token, per-depth buckets from the
-    * pairwise-independent `(a_j·h + b_j) mod P` family. */
-  private[graft] def cmsBuckets(t: Column, depth: Int, width: Int): Column = {
-    val hp = pmod(Portable.hash60(t), lit(Portable.P))
+  /** The CMS's token hash — materialize THIS as a column before
+    * calling [[cmsBuckets]] on it: Catalyst does no subexpression
+    * elimination inside a Generate's generator expression, so passing
+    * the raw token would inline one md5 into EVERY depth element of
+    * the exploded array (measured as the 2.4×-slower naive-depth-md5s
+    * form in SCALING.md's q186 row). */
+  private[graft] def cmsTokenHash(t: Column): Column =
+    pmod(Portable.hash60(t), lit(Portable.P))
+
+  /** ONE definition of the CMS (depth, bucket) pairs for a token's
+    * materialized [[cmsTokenHash]] — shared by the batch audit
+    * ([[cmsHeavyHitters]]) and the streaming monitor
+    * ([[graft.streaming.DocStream.heavyHitterMonitor]]) so the two
+    * sketches can never diverge (the bandBlocks discipline): one md5
+    * per occurrence (computed by the CALLER, see [[cmsTokenHash]]),
+    * per-depth buckets from the pairwise-independent
+    * `(a_j·h + b_j) mod P` family. */
+  private[graft] def cmsBuckets(hp: Column, depth: Int, width: Int): Column =
     array((0 until depth).map(j =>
       struct(lit(j).as("j"), pmod(Portable.minhashPermAt(j, hp), lit(width.toLong)).as("b"))): _*)
-  }
 
   /** Count-min-sketch heavy-hitter audit (Cormode & Muthukrishnan,
     * "An Improved Data Stream Summary: The Count-Min Sketch and its
@@ -605,10 +614,11 @@ object TextAnalysis {
     require(depth >= 1 && width >= 1 && topN >= 1,
       s"depth/width/topN must be positive (got $depth/$width/$topN)")
     val toks = docs.select(explode(tokens(text)).as("t"))
-    // The sketch: ONE pass, one md5 per occurrence, one tiny (j, b)
-    // hash-agg.
+    // The sketch: ONE pass, one md5 per occurrence (hp materialized
+    // BELOW the explode — see cmsTokenHash), one tiny (j, b) hash-agg.
     val counters = toks
-      .select(explode(cmsBuckets(col("t"), depth, width)).as("jb"))
+      .select(cmsTokenHash(col("t")).as("hp"))
+      .select(explode(cmsBuckets(col("hp"), depth, width)).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
       .agg(count(lit(1)).as("c"))
     // Exact top-N (the audit's ground truth) + per-depth probe rows.
@@ -617,9 +627,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("exact_count"))
       .orderBy(desc("exact_count"), asc("t"))
       .limit(topN)
-    val probes = exact.select(
-      col("t"), col("exact_count"),
-      explode(cmsBuckets(col("t"), depth, width)).as("jb"))
+    val probes = exact
+      .select(col("t"), col("exact_count"), cmsTokenHash(col("t")).as("hp"))
+      .select(col("t"), col("exact_count"), explode(cmsBuckets(col("hp"), depth, width)).as("jb"))
       .select(col("t"), col("exact_count"), col("jb.j").as("j"), col("jb.b").as("b"))
     probes
       .join(broadcast(counters), Seq("j", "b"))

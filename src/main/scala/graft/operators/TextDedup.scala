@@ -58,6 +58,18 @@ object TextDedup {
     when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
+  /** [[wordNgramsAllFromWords]] hashed INSIDE the per-row projection —
+    * the explode-longs discipline (q189's 16×-at-×100 lesson: grams
+    * must leave the row as int64 hashes, never as exploded strings).
+    * The gram string exists only transiently inside the lambda. */
+  def hashedNgramsAllFromWords(ws: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => Portable.hash60(
+        concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*)))
+    when(size(ws) >= n, grams).otherwise(array().cast("array<bigint>"))
+  }
+
   /** Corpus-scale shingling: one (doc_id, shingle) row per word
     * n-gram occurrence, built relationally — posexplode the words
     * once, then window `lead` to stitch grams. One shuffle on doc_id

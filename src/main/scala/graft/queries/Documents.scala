@@ -1400,24 +1400,19 @@ object Documents {
     // distinct shuffle. Estimate + in-bounds verdict computed
     // bit-exactly by BOTH engines (no assumed-TRUE oracle rows,
     // unlike q47's engine-internal HLL++). Grams are HASHED inside
-    // the per-row transform and exploded as longs — exploding the
-    // gram strings measured 5× slower at ×100 (the q184 discipline);
+    // the per-row projection and exploded as longs
+    // (TextDedup.hashedNgramsAllFromWords) — exploding the gram
+    // strings measured 16× slower end-to-end at ×100 (45.9 s → 2.9 s);
     // duplicates are fine, HLL and COUNT DISTINCT are both
     // multiplicity-blind.
-    "q189_hll_distinct" -> ((s, dir) => {
-      val hashedGrams: Column => Column = ws =>
-        when(size(ws) >= 3,
-          transform(sequence(lit(1), size(ws) - 2), i =>
-            graft.functions.Portable.hash60(concat_ws(" ",
-              element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
-          .otherwise(array().cast("array<bigint>"))
+    "q189_hll_distinct" -> ((s, dir) =>
       Profile.hllDistinctAudit(
         Tables.documents(s, dir)
           .select(col("source"), TextAnalysis.tokens(col("text")).as("ws"))
-          .select(col("source"), explode(hashedGrams(col("ws"))).as("h")),
+          .select(col("source"),
+            explode(TextDedup.hashedNgramsAllFromWords(col("ws"), 3)).as("h")),
         col("source"), col("h"))
-        .withColumnRenamed("grp", "source")
-    })
+        .withColumnRenamed("grp", "source"))
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

@@ -226,17 +226,23 @@ object DocStream {
       depth: Int = 4,
       width: Int = 512,
       windowDur: String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes"): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"depth/width must be positive (got $depth/$width)") // batch-twin contract
     docs
       .withWatermark("ingest_ts", watermark)
       .select(
         col("ingest_ts"),
         explode(TextAnalysis.tokens(col("text"))).as("t"))
+      // hp materialized below the bucket explode — one md5 per
+      // occurrence (see TextAnalysis.cmsTokenHash)
+      .select(col("ingest_ts"), TextAnalysis.cmsTokenHash(col("t")).as("hp"))
       .select(
         col("ingest_ts"),
-        explode(TextAnalysis.cmsBuckets(col("t"), depth, width)).as("jb"))
+        explode(TextAnalysis.cmsBuckets(col("hp"), depth, width)).as("jb"))
       .groupBy(window(col("ingest_ts"), windowDur), col("jb.j").as("j"), col("jb.b").as("b"))
       .agg(count(lit(1)).as("c"))
+  }
 
   /** Streaming distinct-vocabulary monitor: the q189 HyperLogLog as a
     * watermarked windowed streaming aggregation — "how many distinct
@@ -255,16 +261,21 @@ object DocStream {
       docs: DataFrame,
       p: Int = 8,
       windowDur: String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes"): DataFrame = {
+    require(p >= 7 && p <= 14,
+      s"p must be in [7, 14] (got $p)") // hllEstimate's contract — the batch reader
     docs
       .withWatermark("ingest_ts", watermark)
       .select(
         col("ingest_ts"),
         explode(TextAnalysis.tokens(col("text"))).as("t"))
+      // hash materialized in its own projection: hllBucketRho
+      // references it three times (bucket, zero-test, shiftright)
+      .select(col("ingest_ts"), graft.functions.Portable.hash60(col("t")).as("h"))
       .select(
         col("ingest_ts"),
-        graft.operators.Profile.hllBucketRho(
-          graft.functions.Portable.hash60(col("t")), p).as("br"))
+        graft.operators.Profile.hllBucketRho(col("h"), p).as("br"))
       .groupBy(window(col("ingest_ts"), windowDur), col("br.b").as("b"))
       .agg(max(col("br.rho")).as("register"))
+  }
 }

@@ -697,8 +697,8 @@ class PropertySpec extends SparkSpec {
         val bs = out.map(_.getAs[Long]("b_id"))
         assert(as.distinct.length === as.length, "an a_id paired twice")
         assert(bs.distinct.length === bs.length, "a b_id paired twice")
+        assert(as.forall(_ % 2 === 0) && bs.forall(_ % 2 === 1))
         out.foreach { r =>
-          assert(as.forall(_ % 2 === 0) && bs.forall(_ % 2 === 1))
           assert(r.getAs[Long]("margin_ppm") > 0L)
           assert(r.getAs[Long]("cos_ppm") > 0L)
         }

@@ -298,7 +298,8 @@ class DocStreamSpec extends SparkSpec {
     // batch-side probe of the STREAM's sketch (same cmsBuckets
     // definition): min over depths == exact count on this tiny vocab
     val probe = Seq("x", "y", "z").toDF("t")
-      .select(col("t"), explode(graft.operators.TextAnalysis.cmsBuckets(col("t"), 4, 512)).as("jb"))
+      .select(col("t"), graft.operators.TextAnalysis.cmsTokenHash(col("t")).as("hp"))
+      .select(col("t"), explode(graft.operators.TextAnalysis.cmsBuckets(col("hp"), 4, 512)).as("jb"))
       .collect().map(r => r.getAs[String]("t") ->
         ((r.getAs[org.apache.spark.sql.Row]("jb").getAs[Int]("j"),
           r.getAs[org.apache.spark.sql.Row]("jb").getAs[Long]("b"))))
