@@ -279,6 +279,8 @@ object ScaleBench {
         (() => SparkEntry.queries("q188_quality_calibration")(spark, dir)),
       "q189_hll_distinct" ->
         (() => SparkEntry.queries("q189_hll_distinct")(spark, dir)),
+      "q190_domain_reweight" ->
+        (() => SparkEntry.queries("q190_domain_reweight")(spark, dir)),
       // Production form: registers + estimate only — the exact-truth
       // audit side (corpus-wide distinct-hash agg) is what the
       // sketch REPLACES at scale, so measure the sketch alone too.

@@ -1412,7 +1412,17 @@ object Documents {
           .select(col("source"),
             explode(TextDedup.hashedNgramsAllFromWords(col("ws"), 3)).as("h")),
         col("source"), col("h"))
-        .withColumnRenamed("grp", "source"))
+        .withColumnRenamed("grp", "source")),
+
+    // DoReMi-style domain reweighting: ONE multiplicative-weights
+    // step over per-domain excess loss (rarity proxy), linear MW
+    // update in exact integer ppm — no exp(), so the step is
+    // bit-portable (libm exponentials are not correctly rounded).
+    // The corpus collapses map-side to (source, cell) partials;
+    // nothing bigger than |sources|·256 rows shuffles.
+    "q190_domain_reweight" -> ((s, dir) =>
+      Profile.domainReweight(
+        Tables.documents(s, dir), col("source"), col("text")))
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

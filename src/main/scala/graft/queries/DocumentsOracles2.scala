@@ -419,6 +419,55 @@ private[queries] object DocumentsOracles2 {
                 (abs(hll_estimate - exact_distinct) * 1000000 // exact_distinct) <= 195000 AS in_bounds
          FROM ex JOIN est USING (source)""",
 
+    // Mirror of Profile.domainReweight: 256 hashed-unigram cells
+    // (md5-60bit % 256, Laplace-smoothed — the q97 convention),
+    // rarity = 1e6 − freq_ppm, per-source mean rarity vs the corpus
+    // mean, linear MW step w′ ∝ w·(1 + η·excess) with η = 0.25 in
+    // ppm, renormalized — every step floor-division integer.
+    "q190_domain_reweight" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+           FROM documents
+         ),
+         sb AS (
+           SELECT source,
+                  ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b,
+                  COUNT(1) AS cnt
+           FROM tok GROUP BY 1, 2
+         ),
+         tot AS (SELECT SUM(cnt) AS v FROM sb),
+         dict AS (
+           SELECT b, 1000000 - ((SUM(cnt) + 1) * 1000000) // (tot.v + 256) AS rarity
+           FROM sb, tot GROUP BY b, tot.v
+         ),
+         per AS (
+           SELECT sb.source, SUM(rarity * cnt) AS rsum, SUM(cnt) AS n_occ
+           FROM sb JOIN dict USING (b) GROUP BY 1
+         ),
+         ref AS (SELECT SUM(rsum) AS rall, SUM(n_occ) AS nall FROM per),
+         dc AS (SELECT source, COUNT(1) AS n_docs FROM documents GROUP BY 1),
+         nd AS (SELECT SUM(n_docs) AS v FROM dc),
+         st AS (
+           SELECT p.source, d.n_docs, p.n_occ,
+                  p.rsum // p.n_occ AS loss_ppm,
+                  GREATEST(0, p.rsum // p.n_occ - r.rall // r.nall) AS excess_ppm,
+                  d.n_docs * 1000000 // nd.v AS w0_ppm
+           FROM per p JOIN dc d USING (source), ref r, nd
+         ),
+         w1 AS (
+           SELECT *,
+                  w0_ppm * (1000000 + 250000 * excess_ppm // 1000000) // 1000000 AS w1u
+           FROM st
+         ),
+         wt AS (SELECT SUM(w1u) AS v FROM w1)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_occ AS BIGINT) AS n_occ,
+                CAST(loss_ppm AS BIGINT) AS loss_ppm,
+                CAST(excess_ppm AS BIGINT) AS excess_ppm,
+                CAST(w0_ppm AS BIGINT) AS w0_ppm,
+                CAST(w1u * 1000000 // GREATEST(wt.v, 1) AS BIGINT) AS w1_ppm
+         FROM w1, wt""",
+
     "q85_prep_pipeline" ->
       s"""WITH RECURSIVE $verdictCtes,
           keep AS (

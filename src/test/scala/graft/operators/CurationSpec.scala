@@ -82,6 +82,49 @@ class CurationSpec extends SparkSpec {
     assert(out("big").getAs[Long]("effective_docs") === 400L)
   }
 
+  test("domainReweight: MW step shifts weight toward the rare-token domain; weights stay normalized") {
+    val s = spark; import s.implicits._
+    // "com": every occurrence is the corpus's most common token;
+    // "rar": all-distinct tokens → per-occurrence rarity above the
+    // corpus mean, so DoReMi's direction is weight toward "rar".
+    val com = (1 to 10).map(i => ("com", "x x x x"))
+    val rar = (1 to 10).map(i => ("rar", s"u${i}a u${i}b u${i}c u${i}d"))
+    val df = (com ++ rar).toDF("src", "text")
+    val out = Profile.domainReweight(df, col("src"), col("text"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("com").getAs[Long]("n_docs") === 10L)
+    assert(out("com").getAs[Long]("n_occ") === 40L)
+    assert(out("rar").getAs[Long]("n_occ") === 40L)
+    // equal doc counts → natural weights are exactly half each
+    assert(out("com").getAs[Long]("w0_ppm") === 500000L)
+    assert(out("rar").getAs[Long]("w0_ppm") === 500000L)
+    // the 40-occurrence token's cell is common → "com" sits below the
+    // corpus-mean loss (excess 0); the distinct-token domain above it
+    assert(out("com").getAs[Long]("excess_ppm") === 0L)
+    assert(out("rar").getAs[Long]("excess_ppm") > 0L)
+    assert(out("rar").getAs[Long]("loss_ppm") > out("com").getAs[Long]("loss_ppm"))
+    // MW direction + renormalization: rar gains, com loses, sum stays
+    // 1e6 up to one floor-division ulp per source
+    val w1 = out.values.map(_.getAs[Long]("w1_ppm")).toSeq
+    assert(out("rar").getAs[Long]("w1_ppm") > 500000L)
+    assert(out("com").getAs[Long]("w1_ppm") < 500000L)
+    assert(w1.sum <= 1000000L && w1.sum > 1000000L - 2L)
+    // losses are ppm-bounded
+    out.values.foreach { r =>
+      val l = r.getAs[Long]("loss_ppm")
+      assert(l >= 0L && l <= 1000000L)
+    }
+  }
+
+  test("domainReweight: η = 0 is a no-op on the natural weights") {
+    val s = spark; import s.implicits._
+    val df = ((1 to 10).map(i => ("a", s"t$i words here")) ++
+      (1 to 10).map(i => ("b", s"q$i other text"))).toDF("src", "text")
+    val out = Profile.domainReweight(df, col("src"), col("text"), etaPpm = 0L)
+      .collect()
+    out.foreach(r => assert(r.getAs[Long]("w1_ppm") === r.getAs[Long]("w0_ppm")))
+  }
+
   test("vocabCoverage: exact coverage at each K on known frequencies") {
     val s = spark; import s.implicits._
     // a×3, b×2, c×1 → total 6 occurrences, vocab 3
