@@ -281,6 +281,8 @@ object ScaleBench {
         (() => SparkEntry.queries("q189_hll_distinct")(spark, dir)),
       "q190_domain_reweight" ->
         (() => SparkEntry.queries("q190_domain_reweight")(spark, dir)),
+      "q191_audio_vad" ->
+        (() => SparkEntry.queries("q191_audio_vad")(spark, dir)),
       // Production form: registers + estimate only — the exact-truth
       // audit side (corpus-wide distinct-hash agg) is what the
       // sketch REPLACES at scale, so measure the sketch alone too.

@@ -331,8 +331,54 @@ object Multimodal {
       .select(
         col("doc_id"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
-      .withColumn(
-        "frame_hash",
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit("_"), col("frame_idx").cast("string"))), 1, 15), 16, 10)
-          .cast("long"))
+      .withColumn("frame_hash", frameHash(col("doc_id"), col("frame_idx")))
+
+  /** ONE definition of the stub per-frame hash (md5 60-bit of
+    * "docId_frameIdx") — shared by [[sampleFrames]] and
+    * [[vadSegments]] so frame-level consumers can never diverge. */
+  private def frameHash(docId: Column, frameIdx: Column): Column =
+    conv(substring(md5(concat(docId.cast("string"), lit("_"), frameIdx.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Voice-activity segmentation over the decoded audio/video table —
+    * the silence-trimming pass a speech-training pipeline runs before
+    * transcription/alignment (energy-threshold VAD, the classic
+    * pre-neural baseline). Frame ENERGY is the stub decode's
+    * deterministic per-frame feature (`frameHash % 1000` standing in
+    * for RMS energy of real samples — swap [[frameHash]]'s body for a
+    * real frame decode and nothing downstream changes); a frame is
+    * voiced iff energy ≥ `threshold`, and maximal runs of voiced
+    * frames become segments via the gaps-and-islands key
+    * (frame_idx − row_number over voiced frames — exact because
+    * frame indices are dense).
+    *
+    * Output per media item with ≥ 1 voiced frame: n_frames,
+    * n_segments, n_active (voiced frames), longest_seg, voiced_ppm.
+    * All-silent items drop out (they'd be dropped by the trim anyway).
+    *
+    * Scale shape: ONE pass over the decoded relation (n_frames rides
+    * through the explode, so no join back to the media table), one
+    * doc_id shuffle for the per-item window — partition-parallel in
+    * the number of media items, frames never cross items — then two
+    * map-side-combined hash-aggs. Linear in total frame count at any
+    * corpus size. */
+  def vadSegments(decoded: DataFrame, threshold: Long = 600L): DataFrame = {
+    require(threshold >= 0L && threshold <= 1000L, s"threshold in [0,1000]: $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    decoded
+      .select(
+        col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .filter(pmod(frameHash(col("doc_id"), col("frame_idx")), lit(1000L)) >= threshold)
+      .withColumn("__seg", col("frame_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("n_frames"), col("__seg"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("doc_id"), col("n_frames"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("__len")).as("n_active"),
+        max(col("__len")).as("longest_seg"))
+      .withColumn("voiced_ppm", expr("n_active * 1000000L div n_frames"))
+  }
 }

@@ -1422,7 +1422,15 @@ object Documents {
     // nothing bigger than |sources|·256 rows shuffles.
     "q190_domain_reweight" -> ((s, dir) =>
       Profile.domainReweight(
-        Tables.documents(s, dir), col("source"), col("text")))
+        Tables.documents(s, dir), col("source"), col("text"))),
+
+    // Energy-threshold VAD over the stub audio decode: maximal voiced
+    // runs via the gaps-and-islands key; n_frames rides through the
+    // explode so the media table is read ONCE (no join back).
+    "q191_audio_vad" -> ((s, dir) =>
+      Multimodal.vadSegments(
+        Multimodal.decodeFeatures(
+          Multimodal.asMediaTable(Tables.documents(s, dir), col("doc_id"), col("text")))))
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

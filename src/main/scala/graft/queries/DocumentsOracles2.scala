@@ -468,6 +468,39 @@ private[queries] object DocumentsOracles2 {
                 CAST(w1u * 1000000 // GREATEST(wt.v, 1) AS BIGINT) AS w1_ppm
          FROM w1, wt""",
 
+    // Mirror of Multimodal.vadSegments over the stub decode:
+    // n_frames = 1 + payload_bytes/256 (q41's convention), energy =
+    // frame-hash % 1000, voiced iff energy >= 600, segments via the
+    // gaps-and-islands key (dense frame indices).
+    "q191_audio_vad" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  1 + CAST(octet_length(encode(text)) AS BIGINT) // 256 AS n_frames
+           FROM documents
+         ),
+         f AS (
+           SELECT doc_id, n_frames,
+                  unnest(generate_series(0, n_frames - 1)) AS frame_idx
+           FROM m
+         ),
+         a AS (
+           SELECT doc_id, n_frames, frame_idx,
+                  frame_idx - row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY frame_idx) AS seg
+           FROM f
+           WHERE ('0x' || substr(md5(doc_id || '_' || frame_idx), 1, 15))::BIGINT % 1000 >= 600
+         ),
+         sg AS (
+           SELECT doc_id, n_frames, seg, COUNT(1) AS len
+           FROM a GROUP BY 1, 2, 3
+         )
+         SELECT doc_id, n_frames,
+                COUNT(1) AS n_segments,
+                CAST(SUM(len) AS BIGINT) AS n_active,
+                CAST(MAX(len) AS BIGINT) AS longest_seg,
+                CAST(SUM(len) * 1000000 // n_frames AS BIGINT) AS voiced_ppm
+         FROM sg GROUP BY doc_id, n_frames""",
+
     "q85_prep_pipeline" ->
       s"""WITH RECURSIVE $verdictCtes,
           keep AS (

@@ -1092,4 +1092,48 @@ class MultimodalSpec extends SparkSpec {
     val idx = Multimodal.sampleFrames(dec, 2).select("frame_idx").collect().map(_.getLong(0)).toSeq
     assert(idx === Seq(0L, 2L, 4L))
   }
+
+  test("vadSegments: segments match a host-side recomputation of the stub energies") {
+    val s = spark; import s.implicits._
+    // 301, 5, 3 and 1 frame(s): real run structure plus edge sizes
+    val items = Seq((1L, "z" * 76800), (2L, "y" * 1200), (3L, "x " * 300), (4L, "hello"))
+    val d = items.toDF("doc_id", "text")
+    val dec = Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text")))
+    val out = Multimodal.vadSegments(dec).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def energy(id: Long, i: Long): Long = {
+      val md  = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000L
+    }
+    items.foreach { case (id, text) =>
+      val nFrames = 1L + text.getBytes("UTF-8").length.toLong / 256L
+      val voiced  = (0L until nFrames).filter(i => energy(id, i) >= 600L)
+      val runs = voiced.foldLeft(Vector.empty[Vector[Long]]) { (acc, i) =>
+        if (acc.nonEmpty && acc.last.last == i - 1) acc.init :+ (acc.last :+ i)
+        else acc :+ Vector(i)
+      }
+      if (voiced.isEmpty) assert(!out.contains(id), s"all-silent item $id must drop")
+      else {
+        val r = out(id)
+        assert(r.getAs[Long]("n_frames") === nFrames)
+        assert(r.getAs[Long]("n_segments") === runs.size.toLong)
+        assert(r.getAs[Long]("n_active") === voiced.size.toLong)
+        assert(r.getAs[Long]("longest_seg") === runs.map(_.size).max.toLong)
+        assert(r.getAs[Long]("voiced_ppm") === voiced.size.toLong * 1000000L / nFrames)
+      }
+    }
+  }
+
+  test("vadSegments: threshold 0 is one full-span segment; threshold 1000 admits nothing") {
+    val s = spark; import s.implicits._
+    val d = Seq((7L, "a" * 2560)).toDF("doc_id", "text") // 11 frames
+    val dec = Multimodal.decodeFeatures(Multimodal.asMediaTable(d, col("doc_id"), col("text")))
+    val all = Multimodal.vadSegments(dec, threshold = 0L).collect()
+    assert(all.length === 1)
+    assert(all.head.getAs[Long]("n_segments") === 1L)
+    assert(all.head.getAs[Long]("longest_seg") === 11L)
+    assert(all.head.getAs[Long]("voiced_ppm") === 1000000L)
+    assert(Multimodal.vadSegments(dec, threshold = 1000L).collect().isEmpty)
+  }
 }
