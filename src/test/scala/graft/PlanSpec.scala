@@ -858,4 +858,27 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("partial_max") || s.contains("HashAggregate"),
       "expected a partial register aggregate:\n" + s.take(3000))
   }
+
+  test("q190 domain reweight: exactly 2 parquet scans (no crossJoin-broadcast replanning fan-out)") {
+    val df = SparkEntry.queries("q190_domain_reweight")(spark, sf())
+    val s  = planString(df)
+    // The naive totals-via-crossJoin(broadcast(agg)) form planned 16
+    // scans (pruning makes self-referencing subtrees non-identical, so
+    // ReuseExchange never fires). The single-flow window form is 2:
+    // the token pass and the source-column doc-count pass.
+    val scans = s.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 2, s"expected 2 parquet scans, got $scans:\n" + s.take(3000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
+  test("q191 audio VAD: ONE scan; n_frames rides the explode (no join back to the media table)") {
+    val df = SparkEntry.queries("q191_audio_vad")(spark, sf())
+    val s  = planString(df)
+    val scans = s.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected 1 parquet scan, got $scans:\n" + s.take(3000))
+    // the per-item window is the only wide stage besides the final aggs
+    assert(s.contains("Window"), "expected the gaps-and-islands window:\n" + s.take(3000))
+    assert(!s.toLowerCase.contains("sortmergejoin") && !s.contains("BroadcastHashJoin"),
+      "VAD must not join back to the media table:\n" + s.take(3000))
+  }
 }
