@@ -554,6 +554,15 @@ object Profile {
     * Output per domain: n_docs, n_occ, loss_ppm, excess_ppm, w0_ppm
     * (natural doc-share) and w1_ppm (the reweighted mixture, ppm,
     * renormalized after the MW step). */
+  /** ONE definition of the hashed-unigram cell for the domain-mixture
+    * family — shared by the batch MW step ([[domainReweight]]) and the
+    * streaming mixture monitor
+    * ([[graft.streaming.DocStream.domainCellMonitor]]) so a window's
+    * streamed partials feed the batch step directly (the cmsBuckets
+    * discipline). */
+  private[graft] def domainCell(t: Column, cells: Int): Column =
+    pmod(Portable.hash60(t), lit(cells.toLong))
+
   def domainReweight(
       df: DataFrame,
       source: Column,
@@ -566,7 +575,7 @@ object Profile {
     val wB   = Window.partitionBy(col("b"))
     val perSource = df
       .select(source.as("source"), explode(TextAnalysis.tokens(text)).as("t"))
-      .select(col("source"), pmod(Portable.hash60(col("t")), lit(cells.toLong)).as("b"))
+      .select(col("source"), domainCell(col("t"), cells).as("b"))
       .groupBy(col("source"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("__tot", sum(col("cnt")).over(wAll))

@@ -278,4 +278,35 @@ object DocStream {
       .groupBy(window(col("ingest_ts"), windowDur), col("br.b").as("b"))
       .agg(max(col("br.rho")).as("register"))
   }
+
+  /** Streaming domain-mixture monitor: per event-time window, the
+    * (source, cell) token partials of the q190 DoReMi step — the SAME
+    * cell definition as the batch ([[graft.operators.Profile.domainCell]],
+    * the cmsBuckets discipline), so a closed window's output IS the
+    * batch step's input relation: run
+    * [[graft.operators.Profile.domainReweight]]'s arithmetic over any
+    * window's partials to get the live mixture weights, no re-scan.
+    * Counts are addition-mergeable, so late data within the watermark
+    * composes exactly.
+    *
+    * State bound: ≤ windows · |sources| · cells rows regardless of
+    * traffic — the fixed-size-sketch property the other monitors
+    * (CMS, HLL) share. Single windowed agg → append mode. */
+  def domainCellMonitor(
+      docs: DataFrame,
+      cells: Int = 256,
+      windowDur: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(cells >= 2, s"cells must be >= 2 (got $cells)") // batch-twin contract
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(
+        col("ingest_ts"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(
+        col("ingest_ts"), col("source"),
+        graft.operators.Profile.domainCell(col("t"), cells).as("b"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -338,4 +338,38 @@ class DocStreamSpec extends SparkSpec {
     assert(streamRegs.size <= 5 && streamRegs.nonEmpty) // <= 2^p, one per hit bucket
     streamRegs.values.foreach(r => assert(r >= 1 && r <= 53))
   }
+
+  test("domainCellMonitor: a window's streamed partials equal the batch (source, cell) relation") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("docstream-mix").toString
+    val rows = Seq(
+      (0L, "alpha beta gamma alpha", "en", "s0", "2025-10-08 10:00:00"),
+      (1L, "delta beta epsilon", "en", "s1", "2025-10-08 10:00:30"),
+      (2L, "alpha alpha", "en", "s1", "2025-10-08 10:01:00"))
+    rows.toDF("doc_id", "text", "lang", "source", "ts")
+      .withColumn("ingest_ts", to_timestamp(col("ts"))).drop("ts")
+      .coalesce(1).write.json(s"$dir/land/f1")
+    val q = DocStream.domainCellMonitor(
+      DocStream.readDocStream(spark, s"$dir/land/*"), windowDur = "5 minutes")
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("mix_out").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("b")) -> r.getAs[Long]("cnt"))
+      .toMap
+    // batch side: the SAME domainCell definition over the same rows —
+    // i.e. exactly the relation Profile.domainReweight aggregates first
+    val batch = rows.map { case (_, text, _, src, _) => (src, text) }.toDF("source", "text")
+      .select(col("source"), explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("source"), graft.operators.Profile.domainCell(col("t"), 256).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("b")) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(streamed === batch)
+    assert(streamed.values.sum === 9L) // every token occurrence counted once
+  }
 }
