@@ -72,6 +72,16 @@ object LlmDemo {
       first(col("sample_rate_bps")).as("rate_bps"))
       .orderBy(col("source")).show(truncate = false)
 
+    // 5b. DoReMi MW step (q190) over the rebalanced pool: the
+    //     reweighted domain mixture the NEXT curation round samples
+    //     by — rarity-proxy excess loss, one multiplicative-weights
+    //     step, exact integer ppm end to end
+    println(s"DEMO stage=doremi_weights")
+    Profile.domainReweight(mixed, col("source"), col("text"))
+      .select(col("source"), col("n_docs"), col("loss_ppm"),
+        col("excess_ppm"), col("w0_ppm"), col("w1_ppm"))
+      .orderBy(col("source")).show(truncate = false)
+
     // 6. pack into 512-token training bins (whitespace token count)
     val packed = Packing.packSequences(
       mixed.withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long")),
