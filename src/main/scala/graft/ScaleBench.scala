@@ -54,6 +54,11 @@ object ScaleBench {
     lazy val codebook = Similarity
       .kmeansCentroids(embs, 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lazy val scoredDensity = graft.operators.TextAnalysis
+      .hashedQualityScores(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(logit_milli + 1000L * n_tokens) div n_tokens").as("density_q_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val measurements: Seq[(String, () => DataFrame)] = Seq(
       "q104_bloom_dedup_gate" ->
@@ -283,6 +288,17 @@ object ScaleBench {
         (() => SparkEntry.queries("q190_domain_reweight")(spark, dir)),
       "q191_audio_vad" ->
         (() => SparkEntry.queries("q191_audio_vad")(spark, dir)),
+      "q192_budget_selection" ->
+        (() => SparkEntry.queries("q192_budget_selection")(spark, dir)),
+      // Production form: the ranker over the PRE-MATERIALIZED scored
+      // relation (the score-once artifact lifecycle) — the two-phase
+      // prefix sum's branches re-evaluate their input, so production
+      // feeds it the compact (doc_id, n_tokens, density) table
+      "q192_prescored" ->
+        (() => graft.operators.Ranking.globalRunningSum(
+          scoredDensity, -col("density_q_milli"), Seq(col("doc_id")), col("n_tokens"),
+          keyBounds = Some((-2000L, 0L)))
+          .withColumn("admitted", col("running_total") <= 10000L)),
       // Production form: registers + estimate only — the exact-truth
       // audit side (corpus-wide distinct-hash agg) is what the
       // sketch REPLACES at scale, so measure the sketch alone too.

@@ -53,6 +53,99 @@ object Ranking {
       .select(cols.map(col) :+ col("rank"): _*)
   }
 
+  /** Exact global running (prefix) sum of `weight` in ascending
+    * (leadKey, tieBreak…) order — the distributed cumulative sum a
+    * budget cutoff needs, WITHOUT the single-reducer global window (a
+    * partition-less `Window.orderBy` moves the corpus to one task;
+    * this is the [[globalRank]] two-phase shape instead: per-shard
+    * windowed cumsum + a ≤`shards`-row offset relation broadcast
+    * back). The combined (leadKey, tieBreak…) order must be total,
+    * like [[globalRank]]'s. Weights must be non-negative longs —
+    * raise_error otherwise, since a negative weight makes the running
+    * total non-monotone and any downstream budget cutoff
+    * ill-defined. Output: input columns + `running_total`
+    * (inclusive).
+    *
+    * Cost note: each branch of the two-phase shape re-evaluates the
+    * input's projection (column pruning makes the subtrees
+    * non-identical, so ReuseExchange never fires — the q190 lesson),
+    * so an expensive scorer upstream runs once per branch. Two
+    * levers: (1) pass `keyBounds = Some((lo, hi))` when the lead-key
+    * domain is known a priori (ppm/milli-bounded scores — the common
+    * case) and the min/max discovery branch disappears entirely
+    * (4 evaluations → 2; out-of-bounds keys raise, never mis-shard);
+    * (2) pre-materialize the scored relation (the sign-once artifact
+    * lifecycle) and feed the compact table here. */
+  def globalRunningSum(
+      df: DataFrame,
+      leadKey: Column,
+      tieBreak: Seq[Column],
+      weight: Column,
+      shards: Int = 256,
+      keyBounds: Option[(Long, Long)] = None): DataFrame = {
+    require(shards >= 1, s"shards must be positive (got $shards)")
+    keyBounds.foreach { case (lo, hi) =>
+      require(lo <= hi, s"keyBounds lo must be <= hi (got $lo > $hi)") }
+    val cols = df.columns.toIndexedSeq
+    require(
+      !cols.exists(Set("running_total", "__ord", "__lead", "__shard", "__w", "__cum")),
+      "columns running_total/__ord/__lead/__shard/__w/__cum are reserved by globalRunningSum")
+    val bad = leadKey.isNull || isnan(leadKey.cast("double"))
+    val keyed = df
+      .withColumn(
+        "__ord",
+        when(bad, raise_error(lit("globalRunningSum: null or NaN lead key"))).otherwise(leadKey))
+      .withColumn(
+        "__lead",
+        when(col("__ord").cast("long").isNull,
+          raise_error(lit("globalRunningSum: lead key does not cast to long")))
+          .otherwise(col("__ord").cast("long")))
+      .withColumn(
+        "__w",
+        when(weight.cast("long").isNull || weight.cast("long") < 0L,
+          raise_error(lit("globalRunningSum: weight must be a non-negative long")))
+          .otherwise(weight.cast("long")))
+    val sharded = keyBounds match {
+      case Some((lo, hi)) =>
+        // a priori domain: no discovery branch, no extra input
+        // evaluation; a key outside the promised bounds would land in
+        // the wrong shard and silently corrupt the prefix sum — fail
+        // loud instead
+        keyed
+          .withColumn(
+            "__shard",
+            when(col("__lead") < lo || col("__lead") > hi,
+              raise_error(lit(s"globalRunningSum: lead key outside keyBounds [$lo, $hi]")))
+              .otherwise(expr(s"(__lead - ${lo}L) DIV ((${hi}L - ${lo}L + $shards) DIV $shards)")))
+      case None =>
+        val bounds =
+          keyed.agg(min(col("__lead")).as("__min_k"), max(col("__lead")).as("__max_k"))
+        keyed
+          .crossJoin(broadcast(bounds))
+          .withColumn(
+            "__shard",
+            expr(s"(__lead - __min_k) DIV ((__max_k - __min_k + $shards) DIV $shards)"))
+          .drop("__min_k", "__max_k")
+          .filter(col("__shard").isNotNull)
+    }
+    val wLocal = Window
+      .partitionBy(col("__shard"))
+      .orderBy(col("__ord").asc +: tieBreak.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn("__cum", sum(col("__w")).over(wLocal))
+    // per-shard totals from the WINDOWED relation (max of the local
+    // cumsum) so ReuseExchange serves both sides from one shuffle
+    val wOff = Window.orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__shard"))
+      .agg(max(col("__cum")).cast("long").as("__tot"))
+      .withColumn("__offset", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+    local
+      .join(broadcast(offsets.select(col("__shard"), col("__offset"))), Seq("__shard"))
+      .withColumn("running_total", col("__offset") + col("__cum"))
+      .select(cols.map(col) :+ col("running_total"): _*)
+  }
+
   /** The two-phase machinery shared by [[globalRank]] and
     * [[globalNtile]]: the per-shard-ranked relation, the per-shard
     * (offset, count) relation (≤ `shards` rows), and the caller's

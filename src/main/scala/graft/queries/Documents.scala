@@ -1430,7 +1430,29 @@ object Documents {
     "q191_audio_vad" -> ((s, dir) =>
       Multimodal.vadSegments(
         Multimodal.decodeFeatures(
-          Multimodal.asMediaTable(Tables.documents(s, dir), col("doc_id"), col("text")))))
+          Multimodal.asMediaTable(Tables.documents(s, dir), col("doc_id"), col("text"))))),
+
+    // Token-budget greedy selection (DCLM-style "take the best docs
+    // until the token budget is spent"): quality-DENSITY order
+    // (per-token logit, +1000-shifted so the division's numerator is
+    // non-negative and floor == truncate on both engines), exact
+    // distributed prefix sum of token costs via
+    // Ranking.globalRunningSum — the two-phase sharded shape, never
+    // a single-reducer global window — admit while cum <= budget.
+    "q192_budget_selection" -> ((s, dir) => {
+      val scored = TextAnalysis
+        .hashedQualityScores(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(logit_milli + 1000L * n_tokens) div n_tokens").as("density_q_milli"))
+      // keyBounds: density_q_milli ∈ [0, 2000] by construction (each
+      // token weight ∈ [-1000, 1000]), so the negated lead key is in
+      // [-2000, 0] — no min/max discovery branch, the scorer runs
+      // twice instead of four times
+      Ranking.globalRunningSum(
+        scored, -col("density_q_milli"), Seq(col("doc_id")), col("n_tokens"),
+        keyBounds = Some((-2000L, 0L)))
+        .withColumn("admitted", col("running_total") <= 10000L)
+    })
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

@@ -501,6 +501,37 @@ private[queries] object DocumentsOracles2 {
                 CAST(SUM(len) * 1000000 // n_frames AS BIGINT) AS voiced_ppm
          FROM sg GROUP BY doc_id, n_frames""",
 
+    // Mirror of q192: the q185 hashed scorer, density shifted +1000
+    // (non-negative numerator, so // == Spark's div), running token
+    // sum over the total (density DESC, doc_id) order — DuckDB may
+    // use the single-reducer window; the engine must not.
+    "q192_budget_selection" ->
+      s"""WITH $wordsCte,
+         occ AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('qw_' ||
+                      (('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)), 1, 15))::BIGINT
+                    % 2001 - 1000 AS w_milli
+           FROM (SELECT doc_id, unnest(ws) AS t FROM words)
+         ),
+         per AS (
+           SELECT doc_id, COUNT(1) AS n_tokens,
+                  CAST(SUM(w_milli) AS BIGINT) AS logit_milli
+           FROM occ GROUP BY doc_id
+         ),
+         d AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  CAST((logit_milli + 1000 * n_tokens) // n_tokens AS BIGINT)
+                    AS density_q_milli
+           FROM per
+         )
+         SELECT doc_id, n_tokens, density_q_milli,
+                CAST(SUM(n_tokens) OVER w AS BIGINT) AS running_total,
+                SUM(n_tokens) OVER w <= 10000 AS admitted
+         FROM d
+         WINDOW w AS (ORDER BY density_q_milli DESC, doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
     "q85_prep_pipeline" ->
       s"""WITH RECURSIVE $verdictCtes,
           keep AS (

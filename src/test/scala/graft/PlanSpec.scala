@@ -871,6 +871,21 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s.take(2000))
   }
 
+  test("q192 budget selection: the corpus-sized cumsum window is SHARD-partitioned (no single-reducer global window)") {
+    val df = SparkEntry.queries("q192_budget_selection")(spark, sf())
+    val s  = planString(df)
+    // the two-phase prefix sum: per-shard windowed cumsum + tiny
+    // offset relation. An unpartitioned Window may appear ONLY on the
+    // <= shards-row offsets side; the cumsum window must carry the
+    // __shard partition spec.
+    assert(s.contains("__shard"),
+      "expected the sharded cumsum window:\n" + s.take(3000))
+    val winLines = s.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("__shard")),
+      "cumsum window must be partitioned by __shard:\n" + winLines.mkString("\n"))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
   test("q191 audio VAD: ONE scan; n_frames rides the explode (no join back to the media table)") {
     val df = SparkEntry.queries("q191_audio_vad")(spark, sf())
     val s  = planString(df)

@@ -71,4 +71,53 @@ class RankingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserved"))
   }
+
+  test("globalRunningSum matches the unpartitioned window cumsum (ties, negatives) and is shard-invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i =>
+      (i, (rnd.nextInt(41) - 20).toLong, rnd.nextInt(30).toLong + 1L))
+    val df = rows.toDF("id", "score", "w").repartition(13)
+    val expected = rows
+      .sortBy { case (id, sc, _) => (sc, id) }
+      .scanLeft(0L -> 0L) { case ((_, acc), (id, _, w)) => id -> (acc + w) }
+      .drop(1).toMap
+    Seq(1, 7, 256).foreach { shards =>
+      val got = Ranking.globalRunningSum(df, col("score"), Seq(col("id")), col("w"), shards)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("running_total")).toMap
+      assert(got === expected, s"shards=$shards")
+    }
+    // a-priori keyBounds path: same totals, no discovery branch
+    val bounded = Ranking.globalRunningSum(
+      df, col("score"), Seq(col("id")), col("w"), keyBounds = Some((-20L, 20L)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("running_total")).toMap
+    assert(bounded === expected)
+  }
+
+  test("globalRunningSum keyBounds: an out-of-bounds lead key fails loud, never mis-shards") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 5L, 1L), (2L, 99L, 1L)).toDF("id", "score", "w")
+    val e = intercept[Exception] {
+      Ranking.globalRunningSum(
+        df, col("score"), Seq(col("id")), col("w"), keyBounds = Some((0L, 10L))).collect()
+    }
+    assert(e.getMessage.contains("outside keyBounds") ||
+      e.getCause != null && e.getCause.getMessage.contains("outside keyBounds"))
+  }
+
+  test("globalRunningSum rejects negative and null weights loudly") {
+    val s = spark; import s.implicits._
+    val neg = Seq((1L, 1L, 5L), (2L, 2L, -1L)).toDF("id", "score", "w")
+    val eNeg = intercept[Exception] {
+      Ranking.globalRunningSum(neg, col("score"), Seq(col("id")), col("w")).collect()
+    }
+    assert(eNeg.getMessage.contains("non-negative") ||
+      eNeg.getCause != null && eNeg.getCause.getMessage.contains("non-negative"))
+    val withNull = Seq((1L, 1L, Some(5L)), (2L, 2L, None)).toDF("id", "score", "w")
+    val eNull = intercept[Exception] {
+      Ranking.globalRunningSum(withNull, col("score"), Seq(col("id")), col("w")).collect()
+    }
+    assert(eNull.getMessage.contains("non-negative") ||
+      eNull.getCause != null && eNull.getCause.getMessage.contains("non-negative"))
+  }
 }
