@@ -290,6 +290,8 @@ object ScaleBench {
         (() => SparkEntry.queries("q191_audio_vad")(spark, dir)),
       "q192_budget_selection" ->
         (() => SparkEntry.queries("q192_budget_selection")(spark, dir)),
+      "q193_dd_quantiles" ->
+        (() => SparkEntry.queries("q193_dd_quantiles")(spark, dir)),
       // Production form: the ranker over the PRE-MATERIALIZED scored
       // relation (the score-once artifact lifecycle) — the two-phase
       // prefix sum's branches re-evaluate their input, so production

@@ -741,4 +741,114 @@ object Profile {
           s"CAST(${alphaPpm}L AS DECIMAL(38,0)) * ${m * m}L * ${1L << (61 - p)}L" +
             " div (CAST(__s AS DECIMAL(38,0)) * 1000000L)").as("hll_estimate"))
   }
+
+  /** ONE definition of the log-bucket KEY for the quantile sketch
+    * (DDSketch, Masson et al. VLDB '19, in pure-integer base-2 form) —
+    * shared by the batch audit ([[ddQuantileAudit]]) and the streaming
+    * monitor ([[graft.streaming.DocStream.lengthSketchMonitor]]), the
+    * cmsBuckets discipline. For a positive long x with msb position
+    * e = length(bin(x)) − 1 (the engine-portable MSB trick — see
+    * [[hllBucketRho]]) and sub-bucket bits k:
+    *   shift = max(e − k, 0);  m = (x >> shift) − 2^min(e,k);
+    *   key = e·2^k + m.
+    * key is MONOTONE in x (lexicographic (e, m) = truncated binary
+    * order), every x in [1, 2^63) lands in exactly one of ≤ 63·2^k
+    * buckets, and the bucket [rep, hi] ([[ddBucketRep]]/[[ddBucketHi]])
+    * has relative width ≤ 2^−k — the sketch's error guarantee. Values
+    * < 2^(k+1) bucket EXACTLY (singletons). x must be ≥ 1: callers
+    * gate/shift their domain (token counts are ≥ 1 already). */
+  // shift by a COLUMN amount — the functions.shiftleft/right DSL only
+  // takes literal Int bits
+  private def shl(x: Column, bits: Column): Column =
+    call_function("shiftleft", x, bits.cast("int"))
+  private def shr(x: Column, bits: Column): Column =
+    call_function("shiftright", x, bits.cast("int"))
+
+  private[graft] def ddBucketKey(x: Column, k: Int): Column = {
+    val e = (length(bin(x)) - 1).cast("long")
+    e * lit((1 << k).toLong) +
+      shr(x, greatest(e - k, lit(0L))) - shl(lit(1L), least(e, lit(k.toLong)))
+  }
+
+  /** Lower bound (the sketch's representative) of a [[ddBucketKey]]
+    * bucket — recomputed FROM the key, so sketch state is just
+    * (key, count): addition-mergeable across shards/windows/snapshots. */
+  private[graft] def ddBucketRep(key: Column, k: Int): Column = {
+    val e = shr(key, lit(k.toLong))
+    val m = key.bitwiseAND(lit(((1 << k) - 1).toLong))
+    shl(shl(lit(1L), least(e, lit(k.toLong))) + m, greatest(e - k, lit(0L)))
+  }
+
+  /** Inclusive upper bound of a [[ddBucketKey]] bucket. */
+  private[graft] def ddBucketHi(key: Column, k: Int): Column = {
+    val e = shr(key, lit(k.toLong))
+    ddBucketRep(key, k) + shl(lit(1L), greatest(e - k, lit(0L))) - lit(1L)
+  }
+
+  /** Mergeable-quantile-sketch audit (the sketch-family sibling of
+    * [[hllDistinctAudit]] and `cmsHeavyHitters`): per group, the
+    * DDSketch log-bucket histogram's p50/p90/p99 of `value` vs the
+    * EXACT percentile_disc-convention quantile ([[lengthQuantiles]]'
+    * ⌈p·n⌉ rank), plus the in-bounds verdict the sketch GUARANTEES:
+    * sketch_rep ≤ exact ≤ sketch_hi, relative width ≤ 2^−k. Both
+    * sides all-integer, so estimate AND verdict hash-match an
+    * engine-independent oracle bit-exactly — no assumed-TRUE rows.
+    *
+    * Scale shape: ONE corpus pass collapses map-side to the
+    * (group, value) histogram; the sketch keys, both cumulative
+    * relations and the quantile picks are windows/aggs over that
+    * bounded relation. Production keeps only the ≤ 63·2^k-row
+    * (group, key, cnt) sketch — what replaces an exact quantile at
+    * 100 TB, shard-mergeable by addition (the streaming monitor
+    * emits the same keys). */
+  def ddQuantileAudit(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1, 8] (got $k)")
+    val h = df
+      .select(group.as("g"),
+        when(value.cast("long").isNull || value.cast("long") < 1L,
+          raise_error(lit("ddQuantileAudit: value must be a positive long")))
+          .otherwise(value.cast("long")).as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("key").asc)
+    val wTot = Window.partitionBy(col("g"))
+    // sketch side: fold the value histogram into log buckets (key is
+    // monotone in v, so bucket order == value order)
+    val sk = h
+      .select(col("g"), ddBucketKey(col("v"), k).as("key"), col("cnt"))
+      .groupBy(col("g"), col("key")).agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tot", sum(col("cnt")).over(wTot))
+    val wCumV = Window.partitionBy(col("g")).orderBy(col("v").asc)
+    val ex = h
+      .withColumn("cum", sum(col("cnt")).over(wCumV))
+      .withColumn("tot", sum(col("cnt")).over(wTot))
+    def target(pct: Int): Column = expr(s"(tot * $pct + 99) div 100")
+    def pickSk(pct: Int, f: Column => Column, name: String): Column =
+      min(when(col("cum") >= target(pct), f(col("key")))).as(name)
+    def pickEx(pct: Int, name: String): Column =
+      min(when(col("cum") >= target(pct), col("v"))).as(name)
+    val sketchQ = sk.groupBy(col("g")).agg(
+      max(col("tot")).as("n"),
+      pickSk(50, ddBucketRep(_, k), "p50_rep"), pickSk(50, ddBucketHi(_, k), "p50_hi"),
+      pickSk(90, ddBucketRep(_, k), "p90_rep"), pickSk(90, ddBucketHi(_, k), "p90_hi"),
+      pickSk(99, ddBucketRep(_, k), "p99_rep"), pickSk(99, ddBucketHi(_, k), "p99_hi"))
+    val exactQ = ex.groupBy(col("g")).agg(
+      pickEx(50, "p50_exact"), pickEx(90, "p90_exact"), pickEx(99, "p99_exact"))
+    sketchQ.join(exactQ, "g")
+      .select(
+        col("g"), col("n"),
+        col("p50_rep"), col("p50_exact"),
+        (col("p50_rep") <= col("p50_exact") && col("p50_exact") <= col("p50_hi"))
+          .as("p50_ok"),
+        col("p90_rep"), col("p90_exact"),
+        (col("p90_rep") <= col("p90_exact") && col("p90_exact") <= col("p90_hi"))
+          .as("p90_ok"),
+        col("p99_rep"), col("p99_exact"),
+        (col("p99_rep") <= col("p99_exact") && col("p99_exact") <= col("p99_hi"))
+          .as("p99_ok"))
+  }
 }

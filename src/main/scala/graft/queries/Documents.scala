@@ -1452,7 +1452,21 @@ object Documents {
         scored, -col("density_q_milli"), Seq(col("doc_id")), col("n_tokens"),
         keyBounds = Some((-2000L, 0L)))
         .withColumn("admitted", col("running_total") <= 10000L)
-    })
+    }),
+
+    // DDSketch-style mergeable quantile audit (the sketch-family
+    // sibling of q186/q189): per-source p50/p90/p99 of doc length
+    // from the <= 63·2^k-bucket integer log histogram, vs the exact
+    // ⌈p·n⌉ quantile, plus the guaranteed in-bounds verdict
+    // (rep <= exact <= hi, relative width <= 2^-4) — all integer,
+    // both engines bit-exact, no assumed-TRUE rows.
+    "q193_dd_quantiles" -> ((s, dir) =>
+      Profile.ddQuantileAudit(
+        Tables.documents(s, dir)
+          .select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("v")),
+        col("source"), col("v"))
+        .withColumnRenamed("g", "source"))
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

@@ -532,6 +532,74 @@ private[queries] object DocumentsOracles2 {
          WINDOW w AS (ORDER BY density_q_milli DESC, doc_id ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
+    // Mirror of Profile.ddQuantileAudit (k = 4): integer base-2
+    // DDSketch buckets — e = length(bin(v)) - 1 (minimal-width binary
+    // in both engines), key = e·16 + (v >> max(e-4,0)) - 2^min(e,4),
+    // rep/hi recomputed from the key; ⌈p·n⌉ picks on both the sketch
+    // and exact cumulative relations.
+    "q193_dd_quantiles" ->
+      """WITH h AS (
+           SELECT source AS g,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v,
+                  COUNT(1) AS cnt
+           FROM documents GROUP BY 1, 2
+         ),
+         kx AS (SELECT g, v, cnt, length(bin(v)) - 1 AS e FROM h),
+         sb AS (
+           SELECT g,
+                  CAST(e * 16 + (v >> greatest(e - 4, 0))
+                       - (1::BIGINT << least(e, 4)) AS BIGINT) AS key,
+                  SUM(cnt) AS cnt
+           FROM kx GROUP BY 1, 2
+         ),
+         skc AS (
+           SELECT g, key, cnt,
+                  SUM(cnt) OVER (PARTITION BY g ORDER BY key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  SUM(cnt) OVER (PARTITION BY g) AS tot
+           FROM sb
+         ),
+         skv AS (
+           SELECT g, cum, tot,
+                  CAST(((1::BIGINT << least(e, 4)) + m) << greatest(e - 4, 0) AS BIGINT) AS rep,
+                  CAST((((1::BIGINT << least(e, 4)) + m) << greatest(e - 4, 0))
+                       + (1::BIGINT << greatest(e - 4, 0)) - 1 AS BIGINT) AS hi
+           FROM (SELECT *, CAST(key >> 4 AS BIGINT) AS e, CAST(key & 15 AS BIGINT) AS m
+                 FROM skc)
+         ),
+         exc AS (
+           SELECT g, v,
+                  SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  SUM(cnt) OVER (PARTITION BY g) AS tot
+           FROM h
+         ),
+         sq AS (
+           SELECT g, CAST(MAX(tot) AS BIGINT) AS n,
+                  MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN rep END) AS p50_rep,
+                  MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN hi END) AS p50_hi,
+                  MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN rep END) AS p90_rep,
+                  MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN hi END) AS p90_hi,
+                  MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN rep END) AS p99_rep,
+                  MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN hi END) AS p99_hi
+           FROM skv GROUP BY g
+         ),
+         eq AS (
+           SELECT g,
+                  MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END) AS p50_exact,
+                  MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END) AS p90_exact,
+                  MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END) AS p99_exact
+           FROM exc GROUP BY g
+         )
+         SELECT sq.g AS source, n,
+                p50_rep, p50_exact,
+                p50_rep <= p50_exact AND p50_exact <= p50_hi AS p50_ok,
+                p90_rep, p90_exact,
+                p90_rep <= p90_exact AND p90_exact <= p90_hi AS p90_ok,
+                p99_rep, p99_exact,
+                p99_rep <= p99_exact AND p99_exact <= p99_hi AS p99_ok
+         FROM sq JOIN eq USING (g)""",
+
     "q85_prep_pipeline" ->
       s"""WITH RECURSIVE $verdictCtes,
           keep AS (

@@ -309,4 +309,32 @@ object DocStream {
       .groupBy(window(col("ingest_ts"), windowDur), col("source"), col("b"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Streaming doc-length quantile monitor: the q193 DDSketch
+    * log-bucket histogram as a watermarked windowed streaming agg —
+    * "what are p50/p90/p99 doc lengths arriving right now?" with
+    * state ≤ windows · 63·2^k rows REGARDLESS of traffic (an exact
+    * per-length histogram would grow with the length domain). The
+    * SAME [[graft.operators.Profile.ddBucketKey]] definition as the
+    * batch audit (the cmsBuckets discipline), and counts are
+    * addition-mergeable, so a closed window's buckets feed the batch
+    * quantile extraction directly and late data within the watermark
+    * composes exactly. Single windowed agg → append mode. */
+  def lengthSketchMonitor(
+      docs: DataFrame,
+      k: Int = 4,
+      windowDur: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1, 8] (got $k)") // batch-twin contract
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(
+        col("ingest_ts"),
+        greatest(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(1L)).as("v"))
+      .select(
+        col("ingest_ts"),
+        graft.operators.Profile.ddBucketKey(col("v"), k).as("key"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -125,6 +125,58 @@ class CurationSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("w1_ppm") === r.getAs[Long]("w0_ppm")))
   }
 
+  test("ddBucket law: every positive value lands in its [rep, hi] bucket with relative width <= 2^-k") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val xs = (Seq(1L, 2L, 15L, 16L, 31L, 32L, 33L, 1000L, Long.MaxValue / 2) ++
+      (1 to 300).map(_ => 1L + rnd.nextLong(1L << 40))).distinct
+    val out = xs.toDF("x")
+      .select(col("x"), graft.operators.Profile.ddBucketKey(col("x"), 4).as("key"))
+      .select(col("x"), col("key"),
+        graft.operators.Profile.ddBucketRep(col("key"), 4).as("rep"),
+        graft.operators.Profile.ddBucketHi(col("key"), 4).as("hi"))
+      .collect()
+    out.foreach { r =>
+      val (x, rep, hi) = (r.getAs[Long]("x"), r.getAs[Long]("rep"), r.getAs[Long]("hi"))
+      assert(rep <= x && x <= hi, s"x=$x not in [$rep, $hi]")
+      if (x >= 16L) assert((hi - rep + 1L) * 16L <= rep, s"width too wide at x=$x [$rep, $hi]")
+      else assert(rep === x && hi === x, s"sub-2^k values must bucket exactly: x=$x")
+    }
+    // key is monotone in x: sorting by key == sorting by value
+    val sorted = out.sortBy(_.getAs[Long]("x")).map(_.getAs[Long]("key"))
+    assert(sorted === sorted.sorted, "bucket key must be monotone in the value")
+  }
+
+  test("ddQuantileAudit: sketch brackets the exact quantile; exact side matches a host-side sort") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map(i => (if (i % 2 == 0) "a" else "b", 1L + rnd.nextLong(5000L)))
+    val out = Profile.ddQuantileAudit(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    Seq("a", "b").foreach { g =>
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      val r  = out(g)
+      assert(r.getAs[Long]("n") === vs.size.toLong)
+      Seq(50 -> "p50", 90 -> "p90", 99 -> "p99").foreach { case (pct, p) =>
+        val exact = vs((vs.size * pct + 99) / 100 - 1)
+        assert(r.getAs[Long](s"${p}_exact") === exact, s"$g $p exact")
+        assert(r.getAs[Boolean](s"${p}_ok"), s"$g $p in-bounds verdict")
+        val rep = r.getAs[Long](s"${p}_rep")
+        assert(rep <= exact && (exact - rep) * 16L <= exact, s"$g $p error bound")
+      }
+    }
+  }
+
+  test("ddQuantileAudit rejects non-positive values loudly") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 5L), ("a", 0L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Profile.ddQuantileAudit(df, col("g"), col("v")).collect()
+    }
+    assert(e.getMessage.contains("positive") ||
+      e.getCause != null && e.getCause.getMessage.contains("positive"))
+  }
+
   test("vocabCoverage: exact coverage at each K on known frequencies") {
     val s = spark; import s.implicits._
     // a×3, b×2, c×1 → total 6 occurrences, vocab 3

@@ -372,4 +372,34 @@ class DocStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.values.sum === 9L) // every token occurrence counted once
   }
+
+  test("lengthSketchMonitor: streamed buckets equal the batch ddBucketKey histogram") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("docstream-ddq").toString
+    val texts = Seq(
+      "one two three four",                       // 4 tokens
+      "a b c d e f g h i j k l m n o p q r s t", // 20 tokens
+      "single")                                   // 1 token
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s0", s"2025-10-08 10:0$i:00")
+    }.toDF("doc_id", "text", "lang", "source", "ts")
+      .withColumn("ingest_ts", to_timestamp(col("ts"))).drop("ts")
+      .coalesce(1).write.json(s"$dir/land/f1")
+    val q = DocStream.lengthSketchMonitor(
+      DocStream.readDocStream(spark, s"$dir/land/*"), windowDur = "15 minutes")
+      .writeStream.format("memory").queryName("ddq_out")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ddq_out").collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("cnt")).toMap
+    val batch = Seq(4L, 20L, 1L).toDF("v")
+      .select(graft.operators.Profile.ddBucketKey(col("v"), 4).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("cnt")).toMap
+    assert(streamed === batch)
+    assert(streamed.values.sum === 3L)
+  }
 }
