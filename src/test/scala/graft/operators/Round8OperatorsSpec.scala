@@ -289,6 +289,25 @@ class Round8OperatorsSpec extends SparkSpec {
     assert(estUnion === estMerged)
   }
 
+  test("ddBucket merge law: bucket counts of a union equal the summed bucket counts of the parts; quantiles from merged buckets match the direct audit") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val a = (1 to 300).map(i => ("g", 1L + rnd.nextLong(4000L)))
+    val b = (1 to 200).map(i => ("g", 1L + rnd.nextLong(4000L)))
+    def buckets(rows: Seq[(String, Long)]) = rows.toDF("g", "v")
+      .select(Profile.ddBucketKey(col("v"), 4).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("cnt")).toMap
+    val ba = buckets(a); val bb = buckets(b); val bu = buckets(a ++ b)
+    val merged = (ba.keySet ++ bb.keySet).map(k =>
+      k -> (ba.getOrElse(k, 0L) + bb.getOrElse(k, 0L))).toMap
+    assert(bu === merged) // the shards-then-add production path is lossless
+    // and the quantile picks from the union audit stay in-bounds
+    val audit = Profile.ddQuantileAudit((a ++ b).toDF("g", "v"), col("g"), col("v"))
+      .collect().head
+    Seq("p50", "p90", "p99").foreach(p => assert(audit.getAs[Boolean](s"${p}_ok"), p))
+  }
+
   test("calibrationByBucket: exact ppm per bucket; rows absent from the flag set count as unflagged") {
     val s = spark; import s.implicits._
     val rows = Seq(
