@@ -292,6 +292,11 @@ object ScaleBench {
         (() => SparkEntry.queries("q192_budget_selection")(spark, dir)),
       "q193_dd_quantiles" ->
         (() => SparkEntry.queries("q193_dd_quantiles")(spark, dir)),
+      // map-only projection: a bare count() would prune the rewrite
+      // away entirely — force it through a length sum
+      "q194_fim_split" ->
+        (() => SparkEntry.queries("q194_fim_split")(spark, dir)
+          .agg(sum(length(col("fim_text"))).as("total_chars"))),
       // Production form: the ranker over the PRE-MATERIALIZED scored
       // relation (the score-once artifact lifecycle) — the two-phase
       // prefix sum's branches re-evaluate their input, so production

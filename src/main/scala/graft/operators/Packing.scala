@@ -136,4 +136,54 @@ object Packing {
         "savings_ppm",
         expr(s"((padded_bins - packed_bins) * 1000000L) div greatest(padded_bins, 1L)"))
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * a deterministic hash-gated `rateBps` share of documents is
+    * rewritten in PSM order —
+    * `<PRE> prefix <SUF> suffix <MID> middle` — with the two split
+    * points drawn uniformly per document from the portable hash
+    * (character positions p_lo ≤ p_hi in [0, n_chars]); the rest pass
+    * through unchanged with fim = false. The classic augmentation
+    * that teaches infilling "for free" alongside left-to-right LM
+    * training.
+    *
+    * Everything is a pure per-row projection — no shuffle, no UDF:
+    * two md5s and three substrings per row, at scan speed at any
+    * corpus size. Determinism: the same (seed, doc_id) always yields
+    * the same split, so re-runs, retries and the DuckDB oracle agree
+    * bit-for-bit (`substring`/`length` count characters identically
+    * on both engines). Output: doc_id, n_chars, fim, p_lo, p_hi,
+    * fim_text. */
+  def fimSplit(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      rateBps: Long = 5000L,
+      seed: String = "fim"): DataFrame = {
+    require(rateBps >= 0L && rateBps <= 10000L, s"rateBps in [0, 10000]: $rateBps")
+    def h(tag: String): Column =
+      graft.functions.Portable.hash60(concat(lit(s"${seed}${tag}_"), id.cast("string")))
+    df
+      .select(id.as("doc_id"), text.as("__t"))
+      .withColumn("n_chars", length(col("__t")).cast("long"))
+      .withColumn("fim", pmod(h(""), lit(10000L)) < rateBps)
+      .withColumn("__c1", pmod(h("1"), col("n_chars") + 1L))
+      .withColumn("__c2", pmod(h("2"), col("n_chars") + 1L))
+      .withColumn("p_lo", when(col("fim"), least(col("__c1"), col("__c2"))))
+      .withColumn("p_hi", when(col("fim"), greatest(col("__c1"), col("__c2"))))
+      .withColumn(
+        "fim_text",
+        when(
+          col("fim"),
+          concat(
+            lit("<PRE>"),
+            expr("substring(__t, 1, CAST(p_lo AS INT))"),
+            lit("<SUF>"),
+            expr("substring(__t, CAST(p_hi AS INT) + 1)"),
+            lit("<MID>"),
+            expr("substring(__t, CAST(p_lo AS INT) + 1, CAST(p_hi - p_lo AS INT))")))
+          .otherwise(col("__t")))
+      .select(col("doc_id"), col("n_chars"), col("fim"), col("p_lo"), col("p_hi"), col("fim_text"))
+  }
 }

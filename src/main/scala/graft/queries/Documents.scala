@@ -1466,7 +1466,13 @@ object Documents {
           .select(col("source"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("v")),
         col("source"), col("v"))
-        .withColumnRenamed("g", "source"))
+        .withColumnRenamed("g", "source")),
+
+    // Fill-in-the-middle augmentation (PSM order): hash-gated 50% of
+    // docs, per-doc deterministic split points, pure per-row
+    // projection — no shuffle, scan speed at any corpus size.
+    "q194_fim_split" -> ((s, dir) =>
+      Packing.fimSplit(Tables.documents(s, dir), col("doc_id"), col("text")))
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

@@ -600,6 +600,33 @@ private[queries] object DocumentsOracles2 {
                 p99_rep <= p99_exact AND p99_exact <= p99_hi AS p99_ok
          FROM sq JOIN eq USING (g)""",
 
+    // Mirror of Packing.fimSplit: hash-gated 50% FIM rate, per-doc
+    // uniform character split points from the portable hash, PSM
+    // rewrite via substr (both engines count characters).
+    "q194_fim_split" ->
+      """WITH b AS (
+           SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n_chars,
+                  ('0x' || substr(md5('fim_' || doc_id), 1, 15))::BIGINT % 10000 < 5000 AS fim,
+                  ('0x' || substr(md5('fim1_' || doc_id), 1, 15))::BIGINT
+                    % (length(text) + 1) AS c1,
+                  ('0x' || substr(md5('fim2_' || doc_id), 1, 15))::BIGINT
+                    % (length(text) + 1) AS c2
+           FROM documents
+         ),
+         p AS (
+           SELECT doc_id, t, n_chars, fim,
+                  CASE WHEN fim THEN least(c1, c2) END AS p_lo,
+                  CASE WHEN fim THEN greatest(c1, c2) END AS p_hi
+           FROM b
+         )
+         SELECT doc_id, n_chars, fim, p_lo, p_hi,
+                CASE WHEN fim THEN
+                  '<PRE>' || substr(t, 1, CAST(p_lo AS INT))
+                  || '<SUF>' || substr(t, CAST(p_hi AS INT) + 1)
+                  || '<MID>' || substr(t, CAST(p_lo AS INT) + 1, CAST(p_hi - p_lo AS INT))
+                ELSE t END AS fim_text
+         FROM p""",
+
     "q85_prep_pipeline" ->
       s"""WITH RECURSIVE $verdictCtes,
           keep AS (

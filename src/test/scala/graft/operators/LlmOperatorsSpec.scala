@@ -918,6 +918,54 @@ class TopNgramsAndPiiSpec extends SparkSpec {
 }
 
 class PackingSpec extends SparkSpec {
+
+  test("fimSplit: PSM parts reassemble to the original text; split points in range; non-FIM rows pass through") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val docs = (1L to 200L).map(i =>
+      (i, rnd.alphanumeric.take(rnd.nextInt(80)).mkString)) // includes empty texts
+    val byId = docs.toMap
+    val out = Packing.fimSplit(docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect()
+    assert(out.length === 200)
+    var nFim = 0
+    out.foreach { r =>
+      val id   = r.getAs[Long]("doc_id")
+      val orig = byId(id)
+      assert(r.getAs[Long]("n_chars") === orig.length.toLong)
+      if (r.getAs[Boolean]("fim")) {
+        nFim += 1
+        val (lo, hi) = (r.getAs[Long]("p_lo"), r.getAs[Long]("p_hi"))
+        assert(0L <= lo && lo <= hi && hi <= orig.length.toLong, s"doc $id points")
+        val t = r.getAs[String]("fim_text")
+        // <PRE>prefix<SUF>suffix<MID>middle → reassemble exactly
+        val pre = t.indexOf("<PRE>"); val suf = t.indexOf("<SUF>"); val mid = t.indexOf("<MID>")
+        assert(pre === 0 && suf > 0 && mid > suf, s"doc $id markers: $t")
+        val prefix = t.substring(5, suf)
+        val suffix = t.substring(suf + 5, mid)
+        val middle = t.substring(mid + 5)
+        assert(prefix + middle + suffix === orig, s"doc $id reassembly")
+        assert(prefix.length.toLong === lo && middle.length.toLong === hi - lo)
+      } else {
+        assert(r.getAs[String]("fim_text") === orig, s"doc $id must pass through")
+        assert(r.isNullAt(r.fieldIndex("p_lo")) && r.isNullAt(r.fieldIndex("p_hi")))
+      }
+    }
+    assert(nFim > 50 && nFim < 150, s"~50% gate, got $nFim/200") // hash-gated rate
+  }
+
+  test("fimSplit: rate 0 transforms nothing; rate 10000 transforms everything") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val none = Packing.fimSplit(d, col("doc_id"), col("text"), rateBps = 0L).collect()
+    assert(none.forall(!_.getAs[Boolean]("fim")))
+    val all = Packing.fimSplit(d, col("doc_id"), col("text"), rateBps = 10000L).collect()
+    assert(all.forall(_.getAs[Boolean]("fim")))
+    // empty text still produces the marker skeleton deterministically
+    val empty = all.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(empty.getAs[String]("fim_text") === "<PRE><SUF><MID>")
+  }
+
   test("packSequences: exact global offsets, bin ids, and boundary spans") {
     val s = spark; import s.implicits._
     val weights = (0L until 100L).map(i => (i, i % 7 + 1))
