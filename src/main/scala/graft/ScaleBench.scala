@@ -59,6 +59,10 @@ object ScaleBench {
       .select(col("doc_id"), col("n_tokens"),
         expr("(logit_milli + 1000L * n_tokens) div n_tokens").as("density_q_milli"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lazy val scoredDsir = graft.operators.TextAnalysis
+      .dsirWeights(docs, col("doc_id"), col("text"), isTarget = col("source") === "src1")
+      .select(col("doc_id"), col("dsir_ppm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val measurements: Seq[(String, () => DataFrame)] = Seq(
       "q104_bloom_dedup_gate" ->
@@ -292,6 +296,25 @@ object ScaleBench {
         (() => SparkEntry.queries("q192_budget_selection")(spark, dir)),
       "q193_dd_quantiles" ->
         (() => SparkEntry.queries("q193_dd_quantiles")(spark, dir)),
+      "q195_rank_disagreement" ->
+        (() => SparkEntry.queries("q195_rank_disagreement")(spark, dir)),
+      // Production form: both scorers are score-once materialized
+      // artifacts (the q192_prescored lifecycle) — measures the
+      // two-phase ranks + join + top-k alone
+      "q195_prescored" ->
+        (() => {
+          val rq = graft.operators.Ranking
+            .globalRank(scoredDensity.select(col("doc_id"), col("density_q_milli")),
+              -col("density_q_milli"), Seq(col("doc_id")))
+            .select(col("doc_id"), col("rank").as("r_quality"))
+          val rd = graft.operators.Ranking
+            .globalRank(scoredDsir, -col("dsir_ppm"), Seq(col("doc_id")))
+            .select(col("doc_id"), col("rank").as("r_dsir"))
+          rq.join(rd, "doc_id")
+            .withColumn("rank_gap", abs(col("r_quality") - col("r_dsir")))
+            .orderBy(desc("rank_gap"), asc("doc_id"))
+            .limit(50)
+        }),
       // map-only projection: a bare count() would prune the rewrite
       // away entirely — force it through a length sum
       "q194_fim_split" ->

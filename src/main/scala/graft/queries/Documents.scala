@@ -1472,7 +1472,34 @@ object Documents {
     // docs, per-doc deterministic split points, pure per-row
     // projection — no shuffle, scan speed at any corpus size.
     "q194_fim_split" -> ((s, dir) =>
-      Packing.fimSplit(Tables.documents(s, dir), col("doc_id"), col("text")))
+      Packing.fimSplit(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // Rank-disagreement mining: the 50 docs where the QUALITY model
+    // (q185 hashed density) and the RELEVANCE model (q97 DSIR
+    // target-similarity) disagree hardest — high-quality-but-
+    // off-target and on-target-but-junk, the disputed examples an
+    // active-learning/curation review queue surfaces first. Exact
+    // integer ranks via the sharded globalRank (each scorer ranked
+    // over its own full domain), |Δrank| top-k.
+    "q195_rank_disagreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qual = TextAnalysis
+        .hashedQualityScores(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          expr("(logit_milli + 1000L * n_tokens) div n_tokens").as("__dq"))
+      val dsir = TextAnalysis
+        .dsirWeights(docs, col("doc_id"), col("text"),
+          isTarget = col("source") === "src1")
+        .select(col("doc_id"), col("dsir_ppm"))
+      val rq = Ranking.globalRank(qual, -col("__dq"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("rank").as("r_quality"))
+      val rd = Ranking.globalRank(dsir, -col("dsir_ppm"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("rank").as("r_dsir"))
+      rq.join(rd, "doc_id")
+        .withColumn("rank_gap", abs(col("r_quality") - col("r_dsir")))
+        .orderBy(desc("rank_gap"), asc("doc_id"))
+        .limit(50)
+    })
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

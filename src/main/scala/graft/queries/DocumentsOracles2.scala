@@ -627,6 +627,75 @@ private[queries] object DocumentsOracles2 {
                 ELSE t END AS fim_text
          FROM p""",
 
+    // Mirror of q195: quality rank (q185 hashed density, +1000
+    // shift) vs DSIR rank (q97 CTEs verbatim), each over its own full
+    // domain, |Δrank| top-50 with doc_id tiebreak.
+    "q195_rank_disagreement" ->
+      s"""WITH $wordsCte,
+         qocc AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('qw_' ||
+                      (('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)), 1, 15))::BIGINT
+                    % 2001 - 1000 AS w_milli
+           FROM (SELECT doc_id, unnest(ws) AS t FROM words)
+         ),
+         qper AS (
+           SELECT doc_id, COUNT(1) AS n_tokens,
+                  CAST(SUM(w_milli) AS BIGINT) AS logit_milli
+           FROM qocc GROUP BY doc_id
+         ),
+         rq AS (
+           SELECT doc_id,
+                  row_number() OVER (
+                    ORDER BY (logit_milli + 1000 * n_tokens) // n_tokens DESC,
+                             doc_id ASC) AS r_quality
+           FROM qper
+         ),
+         dw AS (
+           SELECT doc_id, source = 'src1' AS is_target,
+                  string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents
+         ),
+         df_ AS (
+           SELECT doc_id, is_target,
+                  unnest(list_transform(generate_series(2, len(ws)),
+                                        i -> ws[i-1] || '_' || ws[i])) AS f
+           FROM dw WHERE len(ws) >= 2
+         ),
+         docc AS (
+           SELECT doc_id, is_target,
+                  ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b
+           FROM df_
+         ),
+         dct AS (SELECT b, COUNT(1) AS c FROM docc WHERE is_target GROUP BY 1),
+         dcr AS (SELECT b, COUNT(1) AS c FROM docc GROUP BY 1),
+         dtt AS (SELECT COALESCE(SUM(c), 0) AS v FROM dct),
+         dtr AS (SELECT COALESCE(SUM(c), 0) AS v FROM dcr),
+         ddict AS (
+           SELECT dcr.b,
+                  ((COALESCE(dct.c, 0) + 1) * 1000000) // (dtt.v + 256) AS pt_ppm,
+                  ((dcr.c + 1) * 1000000) // (dtr.v + 256) AS pr_ppm
+           FROM dcr LEFT JOIN dct USING (b), dtt, dtr
+         ),
+         dscore AS (
+           SELECT o.doc_id,
+                  CAST((SUM(d.pt_ppm) * 1000000)
+                       // GREATEST(SUM(d.pr_ppm), 1) AS BIGINT) AS dsir_ppm
+           FROM docc o JOIN ddict d USING (b)
+           GROUP BY o.doc_id
+         ),
+         rd AS (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY dsir_ppm DESC, doc_id ASC) AS r_dsir
+           FROM dscore
+         )
+         SELECT rq.doc_id,
+                CAST(r_quality AS BIGINT) AS r_quality,
+                CAST(r_dsir AS BIGINT) AS r_dsir,
+                CAST(abs(r_quality - r_dsir) AS BIGINT) AS rank_gap
+         FROM rq JOIN rd USING (doc_id)
+         ORDER BY rank_gap DESC, rq.doc_id ASC LIMIT 50""",
+
     "q85_prep_pipeline" ->
       s"""WITH RECURSIVE $verdictCtes,
           keep AS (

@@ -167,6 +167,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("rank disagreement: ranks are 1-based permutations of each scorer's domain; gap = |difference|") {
+    val s = spark; import s.implicits._
+    // quality loves long clean text; DSIR loves src1-like bigrams —
+    // construct docs that pull the two orders apart
+    val docs = (1L to 40L).map { i =>
+      val src  = if (i % 4 == 0) "src1" else s"src${i % 3}"
+      val text = if (i % 2 == 0) s"alpha beta gamma delta epsilon token$i"
+                 else s"zz$i yy$i"
+      (i, text, src)
+    }.toDF("doc_id", "text", "source")
+    val qual = TextAnalysis.hashedQualityScores(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), expr("(logit_milli + 1000L * n_tokens) div n_tokens").as("__dq"))
+    val dsir = TextAnalysis.dsirWeights(docs, col("doc_id"), col("text"),
+      isTarget = col("source") === "src1")
+      .select(col("doc_id"), col("dsir_ppm"))
+    val rq = Ranking.globalRank(qual, -col("__dq"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("rank").as("r_quality"))
+    val rd = Ranking.globalRank(dsir, -col("dsir_ppm"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("rank").as("r_dsir"))
+    val rqRows = rq.collect().map(_.getAs[Long]("r_quality")).sorted
+    val rdRows = rd.collect().map(_.getAs[Long]("r_dsir")).sorted
+    assert(rqRows === (1L to rqRows.length).toArray, "quality ranks must be a dense permutation")
+    assert(rdRows === (1L to rdRows.length).toArray, "dsir ranks must be a dense permutation")
+    val joined = rq.join(rd, "doc_id")
+      .withColumn("rank_gap", abs(col("r_quality") - col("r_dsir")))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getAs[Long]("rank_gap") ===
+        math.abs(r.getAs[Long]("r_quality") - r.getAs[Long]("r_dsir")))
+    }
+    assert(joined.exists(_.getAs[Long]("rank_gap") > 0L), "constructed orders must disagree")
+  }
+
   test("ddQuantileAudit rejects non-positive values loudly") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 5L), ("a", 0L)).toDF("g", "v")
