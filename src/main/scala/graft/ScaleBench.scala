@@ -57,7 +57,8 @@ object ScaleBench {
     lazy val scoredDensity = graft.operators.TextAnalysis
       .hashedQualityScores(docs, col("doc_id"), col("text"))
       .select(col("doc_id"), col("n_tokens"),
-        expr("(logit_milli + 1000L * n_tokens) div n_tokens").as("density_q_milli"))
+        graft.operators.TextAnalysis.qualityDensityMilli(col("logit_milli"), col("n_tokens"))
+          .as("density_q_milli"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lazy val scoredDsir = graft.operators.TextAnalysis
       .dsirWeights(docs, col("doc_id"), col("text"), isTarget = col("source") === "src1")
@@ -292,8 +293,12 @@ object ScaleBench {
         (() => SparkEntry.queries("q190_domain_reweight")(spark, dir)),
       "q191_audio_vad" ->
         (() => SparkEntry.queries("q191_audio_vad")(spark, dir)),
+      // forced through a sum so count()'s column pruning can't drop
+      // the probe-side cumsum window (the q194 lesson)
       "q192_budget_selection" ->
-        (() => SparkEntry.queries("q192_budget_selection")(spark, dir)),
+        (() => SparkEntry.queries("q192_budget_selection")(spark, dir)
+          .agg(sum(col("running_total")).as("chk"),
+            sum(when(col("admitted"), 1L)).as("n_admitted"))),
       "q193_dd_quantiles" ->
         (() => SparkEntry.queries("q193_dd_quantiles")(spark, dir)),
       "q195_rank_disagreement" ->
@@ -328,7 +333,8 @@ object ScaleBench {
         (() => graft.operators.Ranking.globalRunningSum(
           scoredDensity, -col("density_q_milli"), Seq(col("doc_id")), col("n_tokens"),
           keyBounds = Some((-2000L, 0L)))
-          .withColumn("admitted", col("running_total") <= 10000L)),
+          .agg(sum(col("running_total")).as("chk"),
+            sum(when(col("running_total") <= 10000L, 1L)).as("n_admitted"))),
       // Production form: registers + estimate only — the exact-truth
       // audit side (corpus-wide distinct-hash agg) is what the
       // sketch REPLACES at scale, so measure the sketch alone too.

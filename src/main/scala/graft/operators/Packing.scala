@@ -149,8 +149,10 @@ object Packing {
     * training.
     *
     * Everything is a pure per-row projection — no shuffle, no UDF:
-    * two md5s and three substrings per row, at scan speed at any
-    * corpus size. Determinism: the same (seed, doc_id) always yields
+    * one gate md5 per row plus two split-point md5s and three
+    * substrings on FIM rows only (the untransformed share skips
+    * them), at scan speed at any corpus size. Determinism: the same
+    * (seed, doc_id) always yields
     * the same split, so re-runs, retries and the DuckDB oracle agree
     * bit-for-bit (`substring`/`length` count characters identically
     * on both engines). Output: doc_id, n_chars, fim, p_lo, p_hi,
@@ -168,8 +170,8 @@ object Packing {
       .select(id.as("doc_id"), text.as("__t"))
       .withColumn("n_chars", length(col("__t")).cast("long"))
       .withColumn("fim", pmod(h(""), lit(10000L)) < rateBps)
-      .withColumn("__c1", pmod(h("1"), col("n_chars") + 1L))
-      .withColumn("__c2", pmod(h("2"), col("n_chars") + 1L))
+      .withColumn("__c1", when(col("fim"), pmod(h("1"), col("n_chars") + 1L)))
+      .withColumn("__c2", when(col("fim"), pmod(h("2"), col("n_chars") + 1L)))
       .withColumn("p_lo", when(col("fim"), least(col("__c1"), col("__c2"))))
       .withColumn("p_hi", when(col("fim"), greatest(col("__c1"), col("__c2"))))
       .withColumn(

@@ -514,6 +514,15 @@ object Profile {
         explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
   }
 
+  /** ONE definition of the hashed-unigram cell for the domain-mixture
+    * family — shared by the batch MW step ([[domainReweight]]) and the
+    * streaming mixture monitor
+    * ([[graft.streaming.DocStream.domainCellMonitor]]) so a window's
+    * streamed partials feed the batch step directly (the cmsBuckets
+    * discipline). */
+  private[graft] def domainCell(t: Column, cells: Int): Column =
+    pmod(Portable.hash60(t), lit(cells.toLong))
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
     * ONE multiplicative-weights step over per-domain EXCESS LOSS,
@@ -554,15 +563,6 @@ object Profile {
     * Output per domain: n_docs, n_occ, loss_ppm, excess_ppm, w0_ppm
     * (natural doc-share) and w1_ppm (the reweighted mixture, ppm,
     * renormalized after the MW step). */
-  /** ONE definition of the hashed-unigram cell for the domain-mixture
-    * family — shared by the batch MW step ([[domainReweight]]) and the
-    * streaming mixture monitor
-    * ([[graft.streaming.DocStream.domainCellMonitor]]) so a window's
-    * streamed partials feed the batch step directly (the cmsBuckets
-    * discipline). */
-  private[graft] def domainCell(t: Column, cells: Int): Column =
-    pmod(Portable.hash60(t), lit(cells.toLong))
-
   def domainReweight(
       df: DataFrame,
       source: Column,

@@ -40,17 +40,81 @@ object Ranking {
     * key differences stay shard-local and the in-shard sort settles
     * them exactly. NaN keys are rejected (NaN truncates to 0 but sorts
     * above +Inf in Spark — a monotonicity break); null keys too.
+    * `keyBounds` = a-priori [lo, hi] of the TRUNCATED key (see
+    * [[shardByKey]]): skips the min/max discovery branch, saving one
+    * full evaluation of the input when its projection is expensive.
     * Output: input columns + `rank`. */
   def globalRank(
       df: DataFrame,
       leadKey: Column,
       tieBreak: Seq[Column],
-      shards: Int = 256): DataFrame = {
-    val (local, offsets, cols) = rankParts(df, leadKey, tieBreak, shards)
+      shards: Int = 256,
+      keyBounds: Option[(Long, Long)] = None): DataFrame = {
+    val (local, offsets, cols) = rankParts(df, leadKey, tieBreak, shards, keyBounds)
     local
       .join(broadcast(offsets.select(col("__shard"), col("__offset"))), Seq("__shard"))
       .withColumn("rank", col("__offset") + col("__rn"))
       .select(cols.map(col) :+ col("rank"): _*)
+  }
+
+  /** Guarded, order-aligned range sharding shared by the two-phase
+    * ops ([[rankParts]] and [[globalRunningSum]]): input + `__ord`
+    * (original-type key, null/NaN rejected loud), `__lead` (long
+    * truncation, non-castable rejected loud), `__shard` (contiguous
+    * key range, weakly monotone in the key). With `keyBounds` the
+    * min/max discovery aggregation disappears — one fewer evaluation
+    * of the input subtree (column pruning defeats ReuseExchange
+    * across the branches, so each one re-runs the caller's scorer) —
+    * and a key outside the promised bounds raises rather than
+    * mis-sharding. Bounds arithmetic is checked driver-side: a span
+    * where hi − lo + shards overflows is rejected up front instead of
+    * wrapping into a negative shard width. */
+  private def shardByKey(
+      df: DataFrame,
+      leadKey: Column,
+      shards: Int,
+      keyBounds: Option[(Long, Long)],
+      op: String): DataFrame = {
+    require(shards >= 1, s"shards must be positive (got $shards)")
+    val bad = leadKey.isNull || isnan(leadKey.cast("double"))
+    val keyed = df
+      .withColumn(
+        "__ord",
+        when(bad, raise_error(lit(s"$op: null or NaN lead key"))).otherwise(leadKey))
+      .withColumn(
+        "__lead",
+        // a non-numeric lead key casts to null long — fail loud, not
+        // a silent row drop at the shard filter below
+        when(col("__ord").cast("long").isNull,
+          raise_error(lit(s"$op: lead key does not cast to long")))
+          .otherwise(col("__ord").cast("long")))
+    keyBounds match {
+      case Some((lo, hi)) =>
+        require(lo <= hi, s"$op: keyBounds lo must be <= hi (got $lo > $hi)")
+        val width =
+          try Math.addExact(Math.subtractExact(hi, lo), shards.toLong) / shards
+          catch {
+            case _: ArithmeticException => throw new IllegalArgumentException(
+              s"$op: keyBounds span too wide — hi - lo + shards overflows a long ([$lo, $hi])")
+          }
+        keyed
+          .withColumn(
+            "__shard",
+            when(col("__lead") < lo || col("__lead") > hi,
+              raise_error(lit(s"$op: lead key outside keyBounds [$lo, $hi]")))
+              .otherwise(expr(s"(__lead - ${lo}L) DIV ${width}L")))
+          .filter(col("__shard").isNotNull) // no-op; canonical consumers (see Packing)
+      case None =>
+        val bounds =
+          keyed.agg(min(col("__lead")).as("__min_k"), max(col("__lead")).as("__max_k"))
+        keyed
+          .crossJoin(broadcast(bounds))
+          .withColumn(
+            "__shard",
+            expr(s"(__lead - __min_k) DIV ((__max_k - __min_k + $shards) DIV $shards)"))
+          .drop("__min_k", "__max_k")
+          .filter(col("__shard").isNotNull) // no-op; keeps both exchange consumers canonical (see Packing)
+    }
   }
 
   /** Exact global running (prefix) sum of `weight` in ascending
@@ -83,51 +147,17 @@ object Ranking {
       weight: Column,
       shards: Int = 256,
       keyBounds: Option[(Long, Long)] = None): DataFrame = {
-    require(shards >= 1, s"shards must be positive (got $shards)")
-    keyBounds.foreach { case (lo, hi) =>
-      require(lo <= hi, s"keyBounds lo must be <= hi (got $lo > $hi)") }
     val cols = df.columns.toIndexedSeq
     require(
       !cols.exists(Set("running_total", "__ord", "__lead", "__shard", "__w", "__cum")),
       "columns running_total/__ord/__lead/__shard/__w/__cum are reserved by globalRunningSum")
-    val bad = leadKey.isNull || isnan(leadKey.cast("double"))
-    val keyed = df
-      .withColumn(
-        "__ord",
-        when(bad, raise_error(lit("globalRunningSum: null or NaN lead key"))).otherwise(leadKey))
-      .withColumn(
-        "__lead",
-        when(col("__ord").cast("long").isNull,
-          raise_error(lit("globalRunningSum: lead key does not cast to long")))
-          .otherwise(col("__ord").cast("long")))
-      .withColumn(
+    val sharded = shardByKey(
+      df.withColumn(
         "__w",
         when(weight.cast("long").isNull || weight.cast("long") < 0L,
           raise_error(lit("globalRunningSum: weight must be a non-negative long")))
-          .otherwise(weight.cast("long")))
-    val sharded = keyBounds match {
-      case Some((lo, hi)) =>
-        // a priori domain: no discovery branch, no extra input
-        // evaluation; a key outside the promised bounds would land in
-        // the wrong shard and silently corrupt the prefix sum — fail
-        // loud instead
-        keyed
-          .withColumn(
-            "__shard",
-            when(col("__lead") < lo || col("__lead") > hi,
-              raise_error(lit(s"globalRunningSum: lead key outside keyBounds [$lo, $hi]")))
-              .otherwise(expr(s"(__lead - ${lo}L) DIV ((${hi}L - ${lo}L + $shards) DIV $shards)")))
-      case None =>
-        val bounds =
-          keyed.agg(min(col("__lead")).as("__min_k"), max(col("__lead")).as("__max_k"))
-        keyed
-          .crossJoin(broadcast(bounds))
-          .withColumn(
-            "__shard",
-            expr(s"(__lead - __min_k) DIV ((__max_k - __min_k + $shards) DIV $shards)"))
-          .drop("__min_k", "__max_k")
-          .filter(col("__shard").isNotNull)
-    }
+          .otherwise(weight.cast("long"))),
+      leadKey, shards, keyBounds, "globalRunningSum")
     val wLocal = Window
       .partitionBy(col("__shard"))
       .orderBy(col("__ord").asc +: tieBreak.map(_.asc): _*)
@@ -154,31 +184,12 @@ object Ranking {
       df: DataFrame,
       leadKey: Column,
       tieBreak: Seq[Column],
-      shards: Int): (DataFrame, DataFrame, IndexedSeq[String]) = {
-    require(shards >= 1, s"shards must be positive (got $shards)")
+      shards: Int,
+      keyBounds: Option[(Long, Long)] = None): (DataFrame, DataFrame, IndexedSeq[String]) = {
     val cols = df.columns.toIndexedSeq
     require(!cols.exists(Set("rank", "__ord", "__lead", "__shard", "__rn")),
       "columns rank/__ord/__lead/__shard/__rn are reserved by globalRank")
-    val bad = leadKey.isNull || isnan(leadKey.cast("double"))
-    val keyed = df
-      .withColumn(
-        "__ord",
-        when(bad, raise_error(lit("globalRank: null or NaN lead key"))).otherwise(leadKey))
-      .withColumn(
-        "__lead",
-        // a non-numeric lead key casts to null long — fail loud, not
-        // a silent row drop at the shard filter below
-        when(col("__ord").cast("long").isNull,
-          raise_error(lit("globalRank: lead key does not cast to long")))
-          .otherwise(col("__ord").cast("long")))
-    val bounds = keyed.agg(min(col("__lead")).as("__min_k"), max(col("__lead")).as("__max_k"))
-    val sharded = keyed
-      .crossJoin(broadcast(bounds))
-      .withColumn(
-        "__shard",
-        expr(s"(__lead - __min_k) DIV ((__max_k - __min_k + $shards) DIV $shards)"))
-      .drop("__min_k", "__max_k")
-      .filter(col("__shard").isNotNull) // no-op; keeps both exchange consumers canonical (see Packing)
+    val sharded = shardByKey(df, leadKey, shards, keyBounds, "globalRank")
     val wLocal = Window
       .partitionBy(col("__shard"))
       .orderBy(col("__ord").asc +: tieBreak.map(_.asc): _*)

@@ -1073,6 +1073,17 @@ object TextAnalysis {
         (col("logit_milli") >= 0L).as("pass"))
   }
 
+  /** ONE definition of the per-token quality DENSITY over
+    * [[hashedQualityScores]] output (the frameHash/domainCell/
+    * cmsBuckets discipline): (logit_milli + 1000·n_tokens) div
+    * n_tokens — shifted +1000 so the numerator is non-negative
+    * (integer div == floor == DuckDB `//`) and the domain is a-priori
+    * [0, 2000] (per-token weights are in [-1000, 1000] and
+    * n_tokens ≥ 1), which is exactly the `keyBounds` contract the
+    * q192 budget cutoff and q195 quality rank rely on. */
+  def qualityDensityMilli(logitMilli: Column, nTokens: Column): Column =
+    call_function("div", logitMilli + lit(1000L) * nTokens, nTokens)
+
   /** C4/Gopher-style heuristic filter bundle — the rule-based gate
     * every web-scale curation pipeline runs BEFORE the model-based
     * ones (C4: Raffel et al. 2020 §2.2; Gopher: Rae et al. 2021 §A1.1

@@ -1443,7 +1443,8 @@ object Documents {
       val scored = TextAnalysis
         .hashedQualityScores(Tables.documents(s, dir), col("doc_id"), col("text"))
         .select(col("doc_id"), col("n_tokens"),
-          expr("(logit_milli + 1000L * n_tokens) div n_tokens").as("density_q_milli"))
+          TextAnalysis.qualityDensityMilli(col("logit_milli"), col("n_tokens"))
+            .as("density_q_milli"))
       // keyBounds: density_q_milli ∈ [0, 2000] by construction (each
       // token weight ∈ [-1000, 1000]), so the negated lead key is in
       // [-2000, 0] — no min/max discovery branch, the scorer runs
@@ -1486,7 +1487,7 @@ object Documents {
       val qual = TextAnalysis
         .hashedQualityScores(docs, col("doc_id"), col("text"))
         .select(col("doc_id"),
-          expr("(logit_milli + 1000L * n_tokens) div n_tokens").as("__dq"))
+          TextAnalysis.qualityDensityMilli(col("logit_milli"), col("n_tokens")).as("__dq"))
       val dsir = TextAnalysis
         .dsirWeights(docs, col("doc_id"), col("text"),
           isTarget = col("source") === "src1")

@@ -328,9 +328,15 @@ object DocStream {
     require(k >= 1 && k <= 8, s"k must be in [1, 8] (got $k)") // batch-twin contract
     docs
       .withWatermark("ingest_ts", watermark)
+      // null-text docs are EXCLUDED, not clamped: the batch audit
+      // raise_errors on unscoreable values, and a silent clamp to
+      // length 1 would make the stream's lowest bucket disagree with
+      // a batch re-run over the same corpus. Non-null text always
+      // tokenizes to >= 1 (split of a trimmed empty string is [""]).
+      .filter(col("text").isNotNull)
       .select(
         col("ingest_ts"),
-        greatest(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(1L)).as("v"))
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("v"))
       .select(
         col("ingest_ts"),
         graft.operators.Profile.ddBucketKey(col("v"), k).as("key"))

@@ -178,7 +178,8 @@ class CurationSpec extends SparkSpec {
       (i, text, src)
     }.toDF("doc_id", "text", "source")
     val qual = TextAnalysis.hashedQualityScores(docs, col("doc_id"), col("text"))
-      .select(col("doc_id"), expr("(logit_milli + 1000L * n_tokens) div n_tokens").as("__dq"))
+      .select(col("doc_id"),
+        TextAnalysis.qualityDensityMilli(col("logit_milli"), col("n_tokens")).as("__dq"))
     val dsir = TextAnalysis.dsirWeights(docs, col("doc_id"), col("text"),
       isTarget = col("source") === "src1")
       .select(col("doc_id"), col("dsir_ppm"))
