@@ -32,9 +32,11 @@ import org.apache.spark.sql.SparkSession
   * of two passes) and only entries still ≥1.5× prior survive — the
   * round-3/-4 phantom regressions (suite GC/scheduler cross-talk on a
   * shared host) die here instead of burning a judge round. The same
-  * isolated protocol times the 10 slowest queries and appends one
-  * line per full run to `BENCH_TREND.json` (round, sf, per-query
-  * seconds) — the round-over-round drift record.
+  * isolated protocol times the 10 slowest queries and upserts ONE
+  * normalized record per round into `BENCH_TREND.json` (round, sf,
+  * warm_total, per-query isolated floors min-merged across the
+  * round's runs, plan fingerprints) — the round-over-round drift
+  * record, diffable by construction.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -138,18 +140,28 @@ object Bench {
       // queries the round artifact is missing.
       parse(new java.io.File("BENCH_SELF.json")) ++ newestRound
     }
-    // Prior-round plan fingerprints (quoted 16-hex values — nothing
-    // else in the file matches that shape). Only BENCH_SELF carries
-    // them: the driver's tail truncates before the plans map.
+    // Prior-round plan fingerprints. Only BENCH_SELF carries them
+    // (the driver's tail truncates before the plans map), and the
+    // scrape is ANCHORED to the "plans":{...} object — a 16-hex value
+    // under a q-key anywhere ELSE in the file (a future field, a
+    // checksum) must not be misread as a fingerprint and flip
+    // plan_changed. The object's values are flat "name":"hex" pairs,
+    // so the first '}' after the anchor closes it.
     val priorFps: Map[String, String] = {
       val f = new java.io.File("BENCH_SELF.json")
       if (!f.isFile) Map.empty
       else {
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        """"(q\d[^"\\]*)\\?":\\?"([0-9a-f]{16})\\?"""".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2))
-          .toMap
+        val txt    = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val anchor = txt.indexOf("\"plans\":{")
+        if (anchor < 0) Map.empty
+        else {
+          val end  = txt.indexOf('}', anchor)
+          val body = txt.substring(anchor, if (end < 0) txt.length else end + 1)
+          """"(q\d[^"\\]*)":"([0-9a-f]{16})"""".r
+            .findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2))
+            .toMap
+        }
       }
     }
     // null = no prior fingerprint to compare (first fingerprinted run)
@@ -245,9 +257,7 @@ object Bench {
           .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
           .map(_.getName.replaceAll("\\D", "").toInt)
           .foldLeft(0)(math.max) + 1
-        val isoJson = slowest.map(n => s""""$n":${iso(n)}""").mkString("{", ",", "}")
-        (conf,
-          Some(s"""{"round":$round,"source":"isolated","sf":"$sfDir","slowest_isolated":$isoJson}"""))
+        (conf, Some((round, slowest.map(n => n -> iso(n)).toMap)))
       }
 
     val fpsJson = results
@@ -295,15 +305,43 @@ object Bench {
     // become the next round's regression baseline).
     if (only.isEmpty)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line)
-    // Trend file: ONE JSON line per full run, appended — isolated
-    // timings of this run's 10 slowest queries under the same protocol
-    // every round, so a real slowdown shows as a trend-line step.
-    trendLine.foreach { t =>
+    // Trend file: ONE record PER ROUND, normalized — {round, sf,
+    // warm_total, floors (per-query isolated floors, min-merged
+    // across the round's full runs), plans (this run's fingerprints)}
+    // — so cross-round regression attribution is `diff` on two
+    // records, not archaeology over per-run appends with drifting
+    // schemas. A re-run within the same round MERGES (floor = min,
+    // plans/totals = latest) instead of appending a duplicate.
+    trendLine.foreach { case (round, floors) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val path   = java.nio.file.Paths.get("BENCH_TREND.json")
+      val existing: Seq[com.fasterxml.jackson.databind.node.ObjectNode] =
+        if (java.nio.file.Files.isRegularFile(path))
+          new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+            .linesIterator.filter(_.trim.nonEmpty)
+            .flatMap(l => scala.util.Try(
+              mapper.readTree(l).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]).toOption)
+            .toSeq
+        else Seq.empty
+      val rec = existing.find(n => n.path("round").asInt(-1) == round)
+        .getOrElse(mapper.createObjectNode())
+      rec.put("round", round)
+      rec.put("sf", sfDir)
+      rec.put("warm_total", math.rint(total * 1000) / 1000)
+      rec.put("n_queries", results.size)
+      val fl = rec.withObject("/floors")
+      floors.foreach { case (q, t) =>
+        val prev = if (fl.has(q)) fl.get(q).asDouble(Double.MaxValue) else Double.MaxValue
+        if (t >= 0) fl.put(q, math.min(t, prev))
+      }
+      val pl = mapper.createObjectNode()
+      results.foreach { case (k, _, _) => pl.put(k, planFps.getOrElse(k, "err")) }
+      rec.set[com.fasterxml.jackson.databind.JsonNode]("plans", pl)
+      val merged = existing.filterNot(n => n.path("round").asInt(-1) == round) :+ rec
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_TREND.json"),
-        t + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+        path,
+        merged.sortBy(_.path("round").asInt(0))
+          .map(mapper.writeValueAsString).mkString("", "\n", "\n"))
     }
     spark.stop()
     if (nFailed > 0) sys.exit(1)

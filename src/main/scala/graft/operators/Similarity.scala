@@ -268,16 +268,26 @@ object Similarity {
     require(k >= 1, s"k must be positive (got $k)")
     require(iters >= 0, s"iters must be non-negative (got $iters)")
     val base = quantized(embs)
-    var cents = seedCentroids(embs, k)
+    val seeds = seedCentroids(embs, k)
     // seed contract: ids [0, k) must exist, or the codebook trains
     // EMPTY and every downstream consumer (IVF serving, semdedup,
-    // the vector ingest gate) silently drops every vector — fail the
-    // training call instead. take(1) is the build-time probe rule
-    // (one partition, pushdown on vec_id < k), never a full scan.
-    require(
-      cents.take(1).nonEmpty,
-      s"no seed centroids: no vec_id in [0, $k) exists in the training " +
-        "relation — an empty codebook would silently drop every vector downstream")
+    // the vector ingest gate) silently drops every vector. The check
+    // is LAZY — a poison relation that is empty when seeds exist and
+    // raises at FIRST EXECUTION when they don't — so construction
+    // stays side-effect-free: plan-only consumers (explain /
+    // fingerprint passes) never trigger a Spark job, and a cold bench
+    // timing isn't pre-warmed by a build-time probe. raise_error is
+    // non-foldable, so the optimizer cannot evaluate it at plan time.
+    val seedGuard = seeds
+      .agg(count(lit(1)).as("__n")).filter(col("__n") === 0L)
+      .select(
+        assert_true(lit(false), lit(
+          s"no seed centroids: no vec_id in [0, $k) exists in the training " +
+            "relation — an empty codebook would silently drop every vector downstream"))
+          .cast("bigint").as("cell"),
+        lit(null).cast("array<bigint>").as("cv"),
+        lit(null).cast("bigint").as("cn2"))
+    var cents = seeds.unionByName(seedGuard)
     for (_ <- 0 until iters) {
       val assign = nearestCell(base, cents).select(col("vec_id"), col("cell"))
       cents = integerMeanCentroids(base.join(assign, "vec_id"), "cell")

@@ -1248,9 +1248,12 @@ object TextAnalysis {
     val pathq = rest.substr(length(hostRaw) + lit(1), lit(1 << 20))
     val path  = regexp_extract(pathq, "^([^?]*)", 1)
     val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    // (=|$): a VALUELESS tracking param ('?gclid', '?utm_source')
+    // must strip too, or it survives and splits the dedup key from
+    // its '?gclid=g' spelling
     val kept = filter(
       split(query, "&"),
-      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)="))
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"))
     val sortedQ = array_join(array_sort(kept), "&")
     concat(
       scheme, lit("://"), host,

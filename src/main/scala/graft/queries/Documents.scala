@@ -1506,8 +1506,11 @@ object Documents {
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text
     * is the truncated older revision (last 7 chars not yet appended);
     * plus two SHADOW populations — the same page crawled earlier under
-    * a different id (offsets ±1M/2M, collision-free with ScaleData's
-    * 10M copy blocks): doc_id%14==0 pages pre-crawled with their
+    * a different id (NEGATIVE ids −(2d+1)/−(2d+2): disjoint from each
+    * other by parity and from every real non-negative id at ANY corpus
+    * cardinality — a fixed positive offset collides once a ScaleData
+    * copy block holds more ids than the offset): doc_id%14==0 pages
+    * pre-crawled with their
     * current text (so those `added` docs hit the q182 exact index) and
     * doc_id%15==0 revisions already seen (so some `changed` docs hit
     * it too). Closed-form so the DuckDB oracle derives the identical
@@ -1523,10 +1526,10 @@ object Documents {
           .as("text"))
       .unionByName(
         d.filter(col("doc_id") % 14 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select((-(col("doc_id") * 2 + 1)).as("doc_id"), col("text")))
       .unionByName(
         d.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 15 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+          .select((-(col("doc_id") * 2 + 2)).as("doc_id"), col("text")))
   }
 
   /** NEW snapshot version: current texts, doc_id%11==3 dropped. */
@@ -1545,8 +1548,10 @@ object Documents {
         concat(lit("https://"), host, path, lit("?a=1&b=2")))
       .when(col("doc_id") % 5 === 1,
         concat(lit("HTTPS://"), upper(host), lit(":443"), path, lit("?b=2&a=1#frag")))
+      // 'gclid' VALUELESS: pins the (=|$) tracking-param rule — a
+      // bare '?gclid' must canonicalize identically to '?gclid=g'
       .when(col("doc_id") % 5 === 2,
-        concat(lit("https://"), host, path, lit("?utm_source=x&gclid=g&b=2&a=1")))
+        concat(lit("https://"), host, path, lit("?utm_source=x&gclid&b=2&a=1")))
       .when(col("doc_id") % 5 === 3,
         concat(lit("http://"), host, lit(":80")))
       .otherwise(concat(lit("http://"), host, lit("/")))

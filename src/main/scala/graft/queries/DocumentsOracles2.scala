@@ -53,7 +53,7 @@ private[queries] object DocumentsOracles2 {
            CASE doc_id % 5
              WHEN 0 THEN 'https://www.site' || (doc_id % 37) || '.com/doc/' || (doc_id % 211) || '?a=1&b=2'
              WHEN 1 THEN 'HTTPS://' || upper('www.site' || (doc_id % 37) || '.com') || ':443/doc/' || (doc_id % 211) || '?b=2&a=1#frag'
-             WHEN 2 THEN 'https://www.site' || (doc_id % 37) || '.com/doc/' || (doc_id % 211) || '?utm_source=x&gclid=g&b=2&a=1'
+             WHEN 2 THEN 'https://www.site' || (doc_id % 37) || '.com/doc/' || (doc_id % 211) || '?utm_source=x&gclid&b=2&a=1'
              WHEN 3 THEN 'http://www.site' || (doc_id % 37) || '.com:80'
              ELSE 'http://www.site' || (doc_id % 37) || '.com/'
            END AS url
@@ -87,7 +87,7 @@ private[queries] object DocumentsOracles2 {
                 list_aggregate(
                   list_sort(list_filter(
                     string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
-                    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))),
+                    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))),
                   'string_agg', '&') AS sortedq
          FROM p4
        ),
@@ -112,9 +112,9 @@ private[queries] object DocumentsOracles2 {
                      ELSE text END AS p
          FROM documents WHERE doc_id % 7 <> 0
          UNION ALL
-         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 14 = 0
+         SELECT -(2 * doc_id + 1), text FROM documents WHERE doc_id % 14 = 0
          UNION ALL
-         SELECT doc_id + 2000000, text FROM documents
+         SELECT -(2 * doc_id + 2), text FROM documents
          WHERE doc_id % 7 <> 0 AND doc_id % 15 = 0
        ),
        snap_n AS (

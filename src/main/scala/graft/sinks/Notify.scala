@@ -55,8 +55,18 @@ object Notify {
     * reference's swallow-and-log rule — the ETL outcome never depends
     * on the notification channel.
     *
+    * Redirects are FOLLOWED (`Redirect.NORMAL` — everything but an
+    * https→http downgrade): an endpoint moved behind a 301/308 is a
+    * routing fact, not a configuration error. A 3xx that still
+    * surfaces after following (redirect loop, downgrade refusal) is
+    * treated as TRANSIENT, so it retries rather than masquerading as
+    * a permanent rejection.
+    *
     * `sleep` is injectable (specs record backoffs instead of
-    * waiting); `headers` carries auth (e.g. a bearer token). */
+    * waiting); `headers` carries auth (e.g. a bearer token) and may
+    * override the default `Content-Type: application/json` — a
+    * caller-supplied Content-Type replaces the default instead of
+    * being sent alongside it. */
   def webhookNotifier(
       url: String,
       headers: Map[String, String] = Map.empty,
@@ -66,6 +76,7 @@ object Notify {
     require(attempts >= 1, s"attempts must be >= 1 (got $attempts)")
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     (subject, message) => {
@@ -81,14 +92,15 @@ object Notify {
           val b = java.net.http.HttpRequest.newBuilder()
             .uri(java.net.URI.create(url))
             .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
-            .header("Content-Type", "application/json")
             .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          if (!headers.keysIterator.exists(_.equalsIgnoreCase("Content-Type")))
+            b.header("Content-Type", "application/json")
           headers.foreach { case (k, v) => b.header(k, v) }
           val resp =
             client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
           val sc = resp.statusCode()
           if (sc >= 200 && sc < 300) None
-          else if (sc >= 500) Some(s"HTTP $sc")
+          else if (sc >= 500 || (sc >= 300 && sc < 400)) Some(s"HTTP $sc")
           else throw new WebhookRejected(s"webhook rejected: HTTP $sc")
         } catch {
           case e: WebhookRejected => throw e

@@ -567,7 +567,8 @@ class PropertySpec extends SparkSpec {
     } yield name + ".com" + port
     val pathGen  = Gen.oneOf("", "/", "/p", "/a/b.html")
     val queryGen = Gen.oneOf(
-      "", "?b=2&a=1", "?utm_source=x", "?a=1&utm_campaign=c&b=2", "?gclid=g")
+      "", "?b=2&a=1", "?utm_source=x", "?a=1&utm_campaign=c&b=2", "?gclid=g",
+      "?gclid", "?utm_source&a=1")
     val fragGen  = Gen.oneOf("", "#f", "#a/b?c=1")
     // prefix includes the scheme-less and protocol-relative crawl-log
     // forms — idempotence must hold for every input shape

@@ -18,6 +18,12 @@ class Round8OperatorsSpec extends SparkSpec {
       ("http://x.com:8080/p", "http://x.com:8080/p"),
       // all-tracking query collapses to no query
       ("https://x.com/p?gclid=g&fbclid=f", "https://x.com/p"),
+      // VALUELESS tracking params strip too: '?gclid' and '?gclid=g'
+      // are the same page (the (=|$) rule)
+      ("https://x.com/p?gclid", "https://x.com/p"),
+      ("https://x.com/p?utm_source&b=2&a=1", "https://x.com/p?a=1&b=2"),
+      // ...but a non-tracking valueless param survives
+      ("https://x.com/p?flag", "https://x.com/p?flag"),
       // no default-port rule for other schemes
       ("ftp://X.com:443/f", "ftp://x.com:443/f"),
       // whitespace trim + lone fragment
@@ -88,10 +94,21 @@ class Round8OperatorsSpec extends SparkSpec {
   test("kmeansCentroids fails loudly when the seed ids [0, k) are absent (empty codebook footgun)") {
     val noSeeds = Seq((900L, Array(1f, 0f)), (901L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
-      Similarity.kmeansCentroids(noSeeds, 2)
-    }
-    assert(e.getMessage.contains("no seed centroids"))
+    // construction + explain are side-effect-free (no probe job): a
+    // plan-only consumer can fingerprint the codebook without
+    // executing cluster work...
+    val cb = Similarity.kmeansCentroids(noSeeds, 2)
+    cb.queryExecution.optimizedPlan // forces analysis+optimization only
+    // ...and the FIRST ACTION raises the contract violation
+    val e = intercept[Exception] { cb.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no seed centroids")), msgs(e).mkString(" | "))
+    // a seeded relation still trains clean through the same guard
+    val seeded = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (900L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.kmeansCentroids(seeded, 2).count() === 2)
   }
 
   test("urlFrontier: variants collapse to canonical groups with keep-min fetch") {

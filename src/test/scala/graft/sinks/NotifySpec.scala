@@ -136,6 +136,37 @@ class NotifySpec extends SparkSpec {
       assert(bodies.size === 1 && slept.isEmpty)
       bodies.clear()
 
+      // an endpoint moved behind a 308 is FOLLOWED (Redirect.NORMAL),
+      // not misreported as a permanent configuration error
+      server.createContext("/moved", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getResponseHeaders.add("Location", url)
+        ex.sendResponseHeaders(308, -1)
+        ex.close()
+      })
+      val nMoved = Notify.webhookNotifier(
+        s"http://127.0.0.1:${server.getAddress.getPort}/moved",
+        attempts = 3, sleep = slept += _)
+      nMoved("moved", "payload")
+      assert(bodies.size === 1 && slept.isEmpty) // delivered at the target, no retry burned
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bodies.poll()).get("subject").asText === "moved")
+      bodies.clear()
+
+      // caller-supplied Content-Type REPLACES the default instead of
+      // being sent alongside it (no duplicate header values)
+      val seenCt = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      server.createContext("/ct", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getRequestBody.readAllBytes()
+        seenCt.add(String.join("|", ex.getRequestHeaders.get("Content-Type")))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+      val nCt = Notify.webhookNotifier(
+        s"http://127.0.0.1:${server.getAddress.getPort}/ct",
+        headers = Map("content-type" -> "application/json; charset=utf-8"))
+      nCt("s", "m")
+      assert(seenCt.poll() === "application/json; charset=utf-8")
+
       // the swallow rule: a failing channel never fails the job —
       // notifyCompletion logs and continues (reference
       // glue_job.py:315-317)
