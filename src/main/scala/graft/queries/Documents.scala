@@ -176,6 +176,29 @@ object Documents {
     codebookCache(s, dir)(
       Similarity.kmeansCentroids(Tables.embeddings(s, dir), 8))
 
+  // Score-once artifacts — the PRODUCTION lifecycle for the rank
+  // family: q192/q195 are the analysis forms whose two-phase
+  // rank/prefix-sum branches re-evaluate their scorer once per branch
+  // (the documented two-evaluation law); a pipeline scores the corpus
+  // ONCE into a compact materialized (doc_id, scores) artifact and
+  // ranks that. q197/q198 are the oracle-checked score-once twins.
+  private val qualityDensityCache = new DirCached
+  private def sharedQualityDensity(s: SparkSession, dir: String): DataFrame =
+    qualityDensityCache(s, dir)(
+      TextAnalysis
+        .hashedQualityScores(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_tokens"),
+          TextAnalysis.qualityDensityMilli(col("logit_milli"), col("n_tokens"))
+            .as("density_q_milli")))
+
+  private val dsirScoreCache = new DirCached
+  private def sharedDsirScores(s: SparkSession, dir: String): DataFrame =
+    dsirScoreCache(s, dir)(
+      TextAnalysis
+        .dsirWeights(Tables.documents(s, dir), col("doc_id"), col("text"),
+          isTarget = col("source") === "src1")
+        .select(col("doc_id"), col("dsir_ppm")))
+
   // SQ8 per-dimension scales: |dims| rows, trained once on the corpus
   // (the scalar-quantization twin of the PQ codebooks below) — q135
   // encodes with them, q136 audits the ranking they serve.
@@ -1495,6 +1518,57 @@ object Documents {
       val rq = Ranking.globalRank(qual, -col("__dq"), Seq(col("doc_id")))
         .select(col("doc_id"), col("rank").as("r_quality"))
       val rd = Ranking.globalRank(dsir, -col("dsir_ppm"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("rank").as("r_dsir"))
+      rq.join(rd, "doc_id")
+        .withColumn("rank_gap", abs(col("r_quality") - col("r_dsir")))
+        .orderBy(desc("rank_gap"), asc("doc_id"))
+        .limit(50)
+    }),
+
+    // q187 under the PRODUCTION hot-cell cap — the linear 100 TB form
+    // (candidate mass Σ|A∩cell|·cap instead of the uncapped
+    // Σ|A∩cell|·|B∩cell|, which is quadratic by construction on
+    // dup-dense data and was measurement-killed at ×100). Cap 4 BITES
+    // at test scale (odd-side cells ≈ 31 ≫ 4: 126 uncapped mutual
+    // pairs → 28 capped at sf0.01 — most best-Bs fall outside the
+    // 4-id cap), so BOTH engines must agree on exactly which mutual
+    // pairs the capped neighborhood produces — the q129 discipline.
+    // q187 stays as the uncapped analysis form.
+    "q196_mutual_pairs_capped" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.marginMutualPairs(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        sharedCodebook(s, dir),
+        maxCellCompare = Some(4L))
+    }),
+
+    // q192's PRODUCTION shape: the token-budget selection ranker over
+    // the score-once (doc_id, n_tokens, density) artifact. The
+    // two-phase prefix sum's branches re-evaluate their INPUT — over
+    // the materialized artifact that is two cache reads, not two
+    // corpus-wide scorer passes (q192 stays as the score-inline
+    // analysis form; same result, different execution shape, both
+    // oracle-checked against the same SQL).
+    "q197_budget_prescored" -> ((s, dir) =>
+      Ranking.globalRunningSum(
+        sharedQualityDensity(s, dir), -col("density_q_milli"),
+        Seq(col("doc_id")), col("n_tokens"),
+        keyBounds = Some((-2000L, 0L)))
+        .withColumn("admitted", col("running_total") <= 10000L)),
+
+    // q195's PRODUCTION shape: both rank inputs are score-once
+    // materialized artifacts (quality density + DSIR), so the sharded
+    // global ranks run over compact relations and each scorer subtree
+    // is evaluated once — the 6.6× gap measured between the analysis
+    // and prescored forms at ×100 is exactly this re-evaluation.
+    "q198_rank_prescored" -> ((s, dir) => {
+      val rq = Ranking.globalRank(
+          sharedQualityDensity(s, dir).select(col("doc_id"), col("density_q_milli")),
+          -col("density_q_milli"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("rank").as("r_quality"))
+      val rd = Ranking.globalRank(
+          sharedDsirScores(s, dir), -col("dsir_ppm"), Seq(col("doc_id")))
         .select(col("doc_id"), col("rank").as("r_dsir"))
       rq.join(rd, "doc_id")
         .withColumn("rank_gap", abs(col("r_quality") - col("r_dsir")))

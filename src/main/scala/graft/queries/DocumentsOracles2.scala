@@ -121,7 +121,15 @@ private[queries] object DocumentsOracles2 {
          SELECT doc_id, text AS p FROM documents WHERE doc_id % 11 <> 3
        )"""
 
-  val oracles: Map[String, String] = Map(
+  // q197/q198 are the score-once PRODUCTION shapes of q192/q195: the
+  // result relation is identical by construction (only the engine's
+  // execution shape differs — materialized score artifact vs inline
+  // scorer re-evaluation), so they verify against the SAME SQL.
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "q197_budget_prescored" -> oraclesBase("q192_budget_selection"),
+    "q198_rank_prescored"   -> oraclesBase("q195_rank_disagreement"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     // The bloom gate is exact by construction (no false negatives),
     // so the oracle is the plain fingerprint membership join.
     "q104_bloom_dedup_gate" ->
@@ -322,6 +330,62 @@ private[queries] object DocumentsOracles2 {
                    CAST(floor(${cosSql("a.v", "b.v", "a.n2", "b.n2")} * 1000000.0) AS BIGINT) AS cos_ppm
             FROM m a JOIN m b ON a.cell = b.cell
             WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+          ),
+          cp AS (SELECT * FROM cand WHERE cos_ppm > 0),
+          ra AS (
+            SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id ASC) AS rn
+            FROM cp
+          ),
+          rb AS (
+            SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id ASC) AS rn
+            FROM cp
+          ),
+          asx AS (
+            SELECT a_id, SUM(cos_ppm) AS sa, COUNT(1) AS na,
+                   MAX(CASE WHEN rn = 1 THEN b_id END) AS best_b,
+                   MAX(CASE WHEN rn = 1 THEN cos_ppm END) AS best_cos
+            FROM ra WHERE rn <= 4 GROUP BY a_id
+          ),
+          bsx AS (
+            SELECT b_id, SUM(cos_ppm) AS sb, COUNT(1) AS nb,
+                   MAX(CASE WHEN rn = 1 THEN a_id END) AS best_a
+            FROM rb WHERE rn <= 4 GROUP BY b_id
+          )
+          SELECT a.a_id, b.b_id,
+                 CAST(a.best_cos AS BIGINT) AS cos_ppm,
+                 CAST((a.best_cos * 1000000) // (((a.sa // a.na) + (b.sb // b.nb)) // 2) AS BIGINT) AS margin_ppm
+          FROM asx a JOIN bsx b ON a.best_b = b.b_id AND b.best_a = a.a_id""",
+
+    // q187 under the production hot-cell cap, mirrored EXACTLY: the
+    // B (odd) side keeps only each cell's 4 lowest ids before the
+    // cell join (the q129 head-cap rank: row_number per cell, id
+    // asc); everything downstream — per-side top-4 neighborhoods,
+    // mutual top-1, integer ratio margin — runs on the CAPPED
+    // candidate relation.
+    "q196_mutual_pairs_capped" ->
+      s"""WITH $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          ),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1
+          ),
+          m AS (SELECT en.vec_id, en.v, en.n2, asg.cell FROM en JOIN asg USING (vec_id)),
+          mb AS (
+            SELECT vec_id, v, n2, cell FROM (
+              SELECT m.*, row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS crn
+              FROM m WHERE vec_id % 2 = 1) WHERE crn <= 4
+          ),
+          cand AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   CAST(floor(${cosSql("a.v", "b.v", "a.n2", "b.n2")} * 1000000.0) AS BIGINT) AS cos_ppm
+            FROM m a JOIN mb b ON a.cell = b.cell
+            WHERE a.vec_id % 2 = 0
           ),
           cp AS (SELECT * FROM cand WHERE cos_ppm > 0),
           ra AS (

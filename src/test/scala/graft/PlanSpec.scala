@@ -896,4 +896,63 @@ class PlanSpec extends SparkSpec {
     assert(!s.toLowerCase.contains("sortmergejoin") && !s.contains("BroadcastHashJoin"),
       "VAD must not join back to the media table:\n" + s.take(3000))
   }
+
+  test("q196 capped mutual pairs: B side head-capped BELOW the cell join (candidate mass linear in |A|)") {
+    val df = SparkEntry.queries("q196_mutual_pairs_capped")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    // the cap's observe node (CollectMetrics mutual_pair_cell_cap)
+    // must ride the B-side subtree — its ABSENCE means the cap was
+    // dropped and the join is back to the quadratic Σ|A∩cell|·|B∩cell|
+    val capIdx = s.indexOf("mutual_pair_cell_cap")
+    assert(capIdx >= 0, "hot-cell cap metric missing from the plan:\n" + s.take(3000))
+    // ...and must sit BELOW the A×B cell join: in top-down plan text
+    // the join line precedes its subtrees, so the first cell-keyed
+    // join must appear before the cap node
+    val joinIdx = s.linesIterator
+      .scanLeft(0)((acc, l) => acc + l.length + 1).zip(s.linesIterator.toSeq)
+      .collectFirst { case (off, l)
+        if (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")) && l.contains("cell") => off }
+    assert(joinIdx.exists(_ < capIdx),
+      "cap must be a descendant of the cell join's build side:\n" + s.take(3000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
+  test("q197/q198 prescored ranks: scorer runs ONCE (all leaves are the cached artifact) and every corpus window is shard-partitioned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec        => allNodes(q.plan)
+        case _                        => Seq.empty
+      })
+    for (q <- Seq("q197_budget_prescored", "q198_rank_prescored")) {
+      val df = SparkEntry.queries(q)(spark, sf())
+      df.collect()
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      // the TWO-EVALUATION LAW made production: the ranker's branches
+      // may reference their input many times, but every reference is
+      // a cache read of the score-once artifact — a FileSourceScan in
+      // the CONSUMING plan means a scorer re-evaluation leaked back in
+      val fileScans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(fileScans.isEmpty,
+        s"$q re-evaluates its scorer (corpus scan in the rank plan):\n" +
+          fileScans.map(_.toString.take(300)).mkString("\n"))
+      assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"$q: expected the materialized score artifact as the rank input")
+      // every corpus-sized window rides a __shard partition spec; an
+      // UNPARTITIONED window may only be the ≤|shards|-row offset side
+      val unsharded = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.toString.contains("__shard") => w
+      }
+      assert(unsharded.isEmpty,
+        s"$q has a single-reducer corpus window:\n" +
+          unsharded.map(_.toString.take(300)).mkString("\n"))
+    }
+  }
 }
