@@ -17,10 +17,16 @@ import org.apache.spark.sql.{Column, DataFrame}
   * and PNG being lossless, a correct encode→decode round trip matches
   * bit-for-bit.
   *
-  * Audio/video ([[decodeFeatures]]) remain a clearly-marked
-  * DETERMINISTIC STUB — this container ships no media codecs beyond
-  * ImageIO — with the same batch-in/rows-out shape a real decoder
-  * drops into.
+  * The AUDIO path is REAL too: payloads are complete RIFF/WAVE files,
+  * decoded with `javax.sound.sampled` (the JDK's WAV codec) —
+  * [[decodeAudioFrames]] reads actual PCM16 samples out of the
+  * container and computes per-frame energies from them, with the same
+  * closed-form-manifest trick ([[syntheticAudio]]) making the round
+  * trip oracle-checkable.
+  *
+  * VIDEO ([[decodeFeatures]]) remains a clearly-marked DETERMINISTIC
+  * STUB — this container ships no video codecs — with the same
+  * batch-in/rows-out shape a real decoder drops into.
   *
   * Scale notes: payloads never leave their partition (no shuffle in
   * decode); batching bounds peak memory to batchSize·payload; the
@@ -340,6 +346,131 @@ object Multimodal {
     conv(substring(md5(concat(docId.cast("string"), lit("_"), frameIdx.cast("string"))), 1, 15), 16, 10)
       .cast("long")
 
+  // ---------------------------------------------------------------
+  // Real audio path (javax.sound.sampled — the JDK's WAV codec)
+  // ---------------------------------------------------------------
+
+  /** Decoded per-frame audio row: exact integer mean-square energy of
+    * one `AudioFrameLen`-sample frame, from REAL decoded PCM. */
+  case class AudioFrame(doc_id: Long, n_frames: Long, frame_idx: Long, rms_sq: Long)
+
+  /** Samples per analysis frame (20 ms at the 8 kHz manifest rate). */
+  val AudioFrameLen = 160
+
+  /** Deterministic audio FIXTURE MANIFEST (the PNG trick, cited at
+    * [[manifestDims]], applied to WAV): clip `id` is PCM16 mono 8 kHz,
+    *   frames  = 3 + id mod 11                    (3..13)
+    *   amp(f)  = (id·37 + f·101) mod 1000         per-frame amplitude
+    *   sample(f, j) = ±amp(f), sign alternating per sample
+    * so each frame's mean-square energy is EXACTLY amp², an integer
+    * DuckDB recomputes from the formula — which is what lets a real
+    * codec round trip (encode → RIFF/WAVE container → decode → frame
+    * energies) be oracle-checked bit-for-bit. */
+  def audioManifestFrames(id: Long): Int = (3 + id % 11).toInt
+  def audioManifestAmp(id: Long, f: Long): Int = ((id * 37 + f * 101) % 1000).toInt
+
+  private def encodeWav(id: Long): Array[Byte] = {
+    val nF = audioManifestFrames(id)
+    val n  = nF * AudioFrameLen
+    val pcm = new Array[Byte](n * 2)
+    var f = 0
+    while (f < nF) {
+      val a = audioManifestAmp(id, f.toLong)
+      var j = 0
+      while (j < AudioFrameLen) {
+        val s = if (j % 2 == 0) a else -a
+        val k = (f * AudioFrameLen + j) * 2
+        pcm(k) = (s & 0xff).toByte
+        pcm(k + 1) = ((s >> 8) & 0xff).toByte
+        j += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL WAV-payload media table generated from the audio manifest —
+    * the audio sibling of [[syntheticImages]]: every payload is a
+    * complete RIFF/WAVE file (44-byte header + PCM16 data) built by
+    * the JDK's audio writer. Distributed, no shuffle; at scale this
+    * stage is `binaryFile` reads of a real clip corpus and the decode
+    * below is unchanged. */
+  def syntheticAudio(docs: DataFrame, id: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(id.as("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(i => (i, encodeWav(i))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL batched audio decode: `javax.sound.sampled.AudioSystem`
+    * parses the RIFF/WAVE container (format chunk → sample layout,
+    * data chunk → PCM bytes) and the per-frame mean-square energy is
+    * computed from the DECODED int16 samples — nothing is derived
+    * from the payload's hash. One row per `AudioFrameLen`-sample
+    * frame (a trailing partial frame is dropped, the standard
+    * frame-analysis convention); `n_frames` rides every row so
+    * downstream segmentation never joins back to the media table.
+    * Batched `mapPartitions` like [[decodeImages]]; a corrupt payload
+    * throws with the doc id rather than silently skewing the corpus. */
+  def decodeAudioFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(decodeWavBatch))
+      .toDF()
+  }
+
+  private def decodeWavBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioFrame] =
+    batch.flatMap { case (id, bytes) =>
+      val pcm =
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          require(
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+            s"unsupported wav layout: $fmt")
+          in.readAllBytes()
+        } catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(s"audio decode failed for doc $id", e)
+        }
+      val nFrames = (pcm.length / 2) / AudioFrameLen
+      (0 until nFrames).map { f =>
+        var acc = 0L
+        var j = 0
+        while (j < AudioFrameLen) {
+          val k = (f * AudioFrameLen + j) * 2
+          acc += {
+            val s = (((pcm(k) & 0xff) | (pcm(k + 1) << 8)).toShort).toLong
+            s * s
+          }
+          j += 1
+        }
+        AudioFrame(id, nFrames.toLong, f.toLong, acc / AudioFrameLen)
+      }
+    }
+
+  /** Voice-activity segmentation over REAL per-frame energies
+    * ([[decodeAudioFrames]] output): a frame is voiced iff its
+    * mean-square energy ≥ `threshold` (default 250 000 = amplitude
+    * 500 on the PCM16 scale), maximal voiced runs become segments via
+    * the shared gaps-and-islands core. Same output contract as
+    * [[vadSegments]]; all-silent clips drop out. */
+  def vadSegmentsFromEnergies(frames: DataFrame, threshold: Long = 250000L): DataFrame =
+    islandSegments(frames.filter(col("rms_sq") >= threshold))
+
   /** Voice-activity segmentation over the decoded audio/video table —
     * the silence-trimming pass a speech-training pipeline runs before
     * transcription/alignment (energy-threshold VAD, the classic
@@ -364,13 +495,24 @@ object Multimodal {
     * corpus size. */
   def vadSegments(decoded: DataFrame, threshold: Long = 600L): DataFrame = {
     require(threshold >= 0L && threshold <= 1000L, s"threshold in [0,1000]: $threshold")
+    islandSegments(
+      decoded
+        .select(
+          col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+        .filter(pmod(frameHash(col("doc_id"), col("frame_idx")), lit(1000L)) >= threshold))
+  }
+
+  /** Shared gaps-and-islands core over VOICED (doc_id, n_frames,
+    * frame_idx) rows — exact because frame indices are dense: maximal
+    * runs via frame_idx − row_number, then two map-side-combined
+    * hash-aggs. One doc_id shuffle for the per-item window
+    * (partition-parallel in media items, frames never cross items);
+    * linear in total frame count at any corpus size. */
+  private def islandSegments(voiced: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    decoded
-      .select(
-        col("doc_id"), col("n_frames"),
-        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
-      .filter(pmod(frameHash(col("doc_id"), col("frame_idx")), lit(1000L)) >= threshold)
+    voiced
       .withColumn("__seg", col("frame_idx") - row_number().over(w))
       .groupBy(col("doc_id"), col("n_frames"), col("__seg"))
       .agg(count(lit(1)).as("__len"))

@@ -1447,13 +1447,16 @@ object Documents {
       Profile.domainReweight(
         Tables.documents(s, dir), col("source"), col("text"))),
 
-    // Energy-threshold VAD over the stub audio decode: maximal voiced
-    // runs via the gaps-and-islands key; n_frames rides through the
-    // explode so the media table is read ONCE (no join back).
+    // Energy-threshold VAD over REAL decoded audio: closed-form
+    // RIFF/WAVE payloads (PCM16 mono, the q40 manifest trick) are
+    // decoded by the JDK's audio codec, per-frame mean-square
+    // energies come from the DECODED samples, and maximal voiced runs
+    // form via the gaps-and-islands key; n_frames rides every decoder
+    // row so the media table is read ONCE (no join back).
     "q191_audio_vad" -> ((s, dir) =>
-      Multimodal.vadSegments(
-        Multimodal.decodeFeatures(
-          Multimodal.asMediaTable(Tables.documents(s, dir), col("doc_id"), col("text"))))),
+      Multimodal.vadSegmentsFromEnergies(
+        Multimodal.decodeAudioFrames(
+          Multimodal.syntheticAudio(Tables.documents(s, dir), col("doc_id"))))),
 
     // Token-budget greedy selection (DCLM-style "take the best docs
     // until the token budget is spent"): quality-DENSITY order

@@ -532,27 +532,28 @@ private[queries] object DocumentsOracles2 {
                 CAST(w1u * 1000000 // GREATEST(wt.v, 1) AS BIGINT) AS w1_ppm
          FROM w1, wt""",
 
-    // Mirror of Multimodal.vadSegments over the stub decode:
-    // n_frames = 1 + payload_bytes/256 (q41's convention), energy =
-    // frame-hash % 1000, voiced iff energy >= 600, segments via the
+    // Mirror of the REAL audio chain: the engine encodes the
+    // closed-form WAV manifest (frames = 3 + id%11, per-frame square
+    // wave of amplitude (id·37 + f·101)%1000), decodes actual PCM16
+    // bytes back, and measures mean-square frame energy — which the
+    // manifest makes EXACTLY amp², so the oracle recomputes it from
+    // the formula while the engine derives it from decoded samples.
+    // Voiced iff energy >= 250000 (amplitude 500); segments via the
     // gaps-and-islands key (dense frame indices).
     "q191_audio_vad" ->
-      """WITH m AS (
+      """WITH f AS (
            SELECT doc_id,
-                  1 + CAST(octet_length(encode(text)) AS BIGINT) // 256 AS n_frames
+                  CAST(3 + doc_id % 11 AS BIGINT) AS n_frames,
+                  unnest(generate_series(0, CAST(3 + doc_id % 11 AS BIGINT) - 1)) AS frame_idx
            FROM documents
-         ),
-         f AS (
-           SELECT doc_id, n_frames,
-                  unnest(generate_series(0, n_frames - 1)) AS frame_idx
-           FROM m
          ),
          a AS (
            SELECT doc_id, n_frames, frame_idx,
                   frame_idx - row_number() OVER (PARTITION BY doc_id
                                                  ORDER BY frame_idx) AS seg
            FROM f
-           WHERE ('0x' || substr(md5(doc_id || '_' || frame_idx), 1, 15))::BIGINT % 1000 >= 600
+           WHERE ((doc_id * 37 + frame_idx * 101) % 1000)
+                 * ((doc_id * 37 + frame_idx * 101) % 1000) >= 250000
          ),
          sg AS (
            SELECT doc_id, n_frames, seg, COUNT(1) AS len

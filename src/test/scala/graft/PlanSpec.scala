@@ -886,15 +886,22 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s.take(2000))
   }
 
-  test("q191 audio VAD: ONE scan; n_frames rides the explode (no join back to the media table)") {
+  test("q191 audio VAD: ONE scan; n_frames rides the decoder rows (no join back to the media table)") {
     val df = SparkEntry.queries("q191_audio_vad")(spark, sf())
     val s  = planString(df)
     val scans = s.linesIterator.count(_.contains("Scan parquet"))
     assert(scans === 1, s"expected 1 parquet scan, got $scans:\n" + s.take(3000))
-    // the per-item window is the only wide stage besides the final aggs
+    // encode + decode are per-partition kernels (the documented codec
+    // boundary) — payloads never shuffle; the per-item window is the
+    // only wide stage besides the final aggs
     assert(s.contains("Window"), "expected the gaps-and-islands window:\n" + s.take(3000))
     assert(!s.toLowerCase.contains("sortmergejoin") && !s.contains("BroadcastHashJoin"),
       "VAD must not join back to the media table:\n" + s.take(3000))
+    // the scan reads ONLY doc_id: the WAV payload is generated from
+    // the manifest, and text/lang/source must not ride along
+    val scanLine = s.linesIterator.find(_.contains("Scan parquet")).getOrElse("")
+    assert(scanLine.contains("doc_id") && !scanLine.contains("text"),
+      s"audio chain reads more than doc_id: $scanLine")
   }
 
   test("q196 capped mutual pairs: B side head-capped BELOW the cell join (candidate mass linear in |A|)") {

@@ -1064,6 +1064,76 @@ class PackingSpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+  test("real WAV round trip: decoded per-frame energies equal the manifest amp^2 exactly") {
+    val s = spark; import s.implicits._
+    val ids = Seq(0L, 1L, 7L, 42L, 9999L)
+    val d = ids.toDF("doc_id")
+    val rows = Multimodal
+      .decodeAudioFrames(Multimodal.syntheticAudio(d, col("doc_id")))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("rms_sq"))))
+      .toMap
+    // every manifest frame came back — through a REAL RIFF/WAVE
+    // container parse, not a formula shortcut — with the exact energy
+    val expected = ids.flatMap(id => (0 until Multimodal.audioManifestFrames(id)).map(f => (id, f.toLong)))
+    assert(rows.keySet === expected.toSet)
+    expected.foreach { case (id, f) =>
+      val (nf, e) = rows((id, f))
+      assert(nf === Multimodal.audioManifestFrames(id).toLong)
+      val a = Multimodal.audioManifestAmp(id, f).toLong
+      assert(e === a * a, s"doc $id frame $f")
+    }
+  }
+
+  test("decodeAudioFrames is a real decoder: a corrupt container fails loudly with the doc id") {
+    val s = spark; import s.implicits._
+    val good = Multimodal.syntheticAudio(Seq(3L).toDF("doc_id"), col("doc_id"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    // WAV sanity: RIFF....WAVE magic present in the real container
+    assert(new String(good.take(4), "US-ASCII") === "RIFF")
+    assert(new String(good.slice(8, 12), "US-ASCII") === "WAVE")
+    val corrupt = good.clone(); corrupt(0) = 'X'.toByte // break the RIFF magic
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioFrames(
+        Seq((77L, corrupt)).toDF("doc_id", "payload")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("doc 77")), msgs(e).mkString(" | "))
+  }
+
+  test("vadSegmentsFromEnergies: islands match a host-side recompute; threshold edges") {
+    val s = spark; import s.implicits._
+    val ids = (0L to 40L)
+    val frames = Multimodal.decodeAudioFrames(
+      Multimodal.syntheticAudio(ids.toDF("doc_id"), col("doc_id")))
+    val out = Multimodal.vadSegmentsFromEnergies(frames).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_active"), r.getAs[Long]("longest_seg"))))
+      .toMap
+    // host-side recompute straight from the manifest
+    ids.foreach { id =>
+      val nf = Multimodal.audioManifestFrames(id)
+      val voiced = (0 until nf).map(f => Multimodal.audioManifestAmp(id, f.toLong) >= 500)
+      val runs = voiced.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true)  => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      if (runs.isEmpty) assert(!out.contains(id), s"all-silent clip $id must drop")
+      else assert(out(id) === ((runs.size.toLong, runs.sum.toLong, runs.max.toLong)), s"doc $id")
+    }
+    // threshold 0: every frame voiced, one full-span segment per clip
+    val all = Multimodal.vadSegmentsFromEnergies(frames, threshold = 0L).collect()
+    assert(all.length === ids.size &&
+      all.forall(r => r.getAs[Long]("n_segments") === 1L &&
+        r.getAs[Long]("voiced_ppm") === 1000000L))
+    // threshold above max possible energy (999^2): nothing admitted
+    assert(Multimodal.vadSegmentsFromEnergies(frames, threshold = 999L * 999L + 1L)
+      .collect().isEmpty)
+  }
+
   test("decodeFeatures: md5-derived stub features, full row count, deterministic") {
     val s = spark; import s.implicits._
     val d = Seq((0L, "abc"), (1L, "defg"), (2L, "hi")).toDF("doc_id", "text")
