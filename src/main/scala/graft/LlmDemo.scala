@@ -82,6 +82,19 @@ object LlmDemo {
         col("excess_ppm"), col("w0_ppm"), col("w1_ppm"))
       .orderBy(col("source")).show(truncate = false)
 
+    // 5c. the FULL DoReMi loop (q199): two reweight→re-score rounds
+    //     over the once-collapsed (source, cell) partials, then the
+    //     round-2 mixture REALIZED as an epoch-expanded training list
+    //     (reweight → resample, Xie et al.'s loop) — per-round cost is
+    //     the bounded partial relation, the realization map-only
+    println(s"DEMO stage=doremi_loop rounds=2")
+    val doremi = Profile.doremiRounds(mixed, col("source"), col("text"), rounds = 2)
+    doremi.orderBy(col("source"), col("round")).show(truncate = false)
+    val realized = Profile.doremiRealize(
+      mixed, col("source"), col("doc_id"),
+      doremi.filter(col("round") === 2L).select(col("source"), col("w_ppm")))
+    println(s"DEMO stage=doremi_realized epoch_rows=${realized.count()}")
+
     // 6. pack into 512-token training bins (whitespace token count)
     val packed = Packing.packSequences(
       mixed.withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long")),

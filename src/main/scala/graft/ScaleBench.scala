@@ -295,6 +295,12 @@ object ScaleBench {
         (() => SparkEntry.queries("q193_dd_quantiles")(spark, dir)),
       "q195_rank_disagreement" ->
         (() => SparkEntry.queries("q195_rank_disagreement")(spark, dir)),
+      // Multi-round DoReMi: the corpus collapse runs once inside the
+      // call; rounds iterate the cached cells·|sources| relation, so
+      // the ×10→×100 ratio must track the single corpus pass (q190's),
+      // not rounds× it
+      "q199_doremi_rounds" ->
+        (() => SparkEntry.queries("q199_doremi_rounds")(spark, dir)),
       // Production form, now the oracle-checked q198 driver query:
       // both scorers are score-once materialized artifacts — measures
       // the two-phase ranks + join + top-k alone (warm passes; the

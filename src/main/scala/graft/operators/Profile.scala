@@ -497,9 +497,23 @@ object Profile {
       source: Column,
       id: Column,
       maxRepeatX1000: Long = 8000L,
-      seed: String = "epoch"): DataFrame = {
-    val plan = mixturePlan(df, source, maxRepeatX1000)
-      .select(col("source").as("__src"), col("repeat_x1000"))
+      seed: String = "epoch"): DataFrame =
+    expandByPlan(
+      df, source, id,
+      mixturePlan(df, source, maxRepeatX1000)
+        .select(col("source").as("__src"), col("repeat_x1000")),
+      seed)
+
+  /** Shared hash-gated epoch expansion over a broadcast
+    * (__src, repeat_x1000) plan — [[realizeMixture]]'s core, also fed
+    * by [[doremiRealize]]. Map-only explode, amplification bounded by
+    * the plan's cap, deterministic extra-copy gate on the hashed id. */
+  private def expandByPlan(
+      df: DataFrame,
+      source: Column,
+      id: Column,
+      plan: DataFrame,
+      seed: String): DataFrame = {
     // hash the RENAMED id attribute — the caller's `id` expression is
     // unresolvable after the select below
     val hv = pmod(
@@ -509,9 +523,42 @@ object Profile {
       .withColumn(
         "n_copies",
         expr("repeat_x1000 div 1000L") + when(hv < col("repeat_x1000") % 1000, 1L).otherwise(0L))
+      // n_copies = 0 (a DOWNSAMPLED doc under a sub-1.0 repeat) must
+      // drop, not explode: sequence(1, 0) auto-steps backwards and
+      // would emit the doc twice
+      .filter(col("n_copies") >= 1L)
       .select(
         col("doc_id"), col("source"),
         explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+  }
+
+  /** Realize a [[doremiRounds]] round's mixture over the corpus — the
+    * loop's RESAMPLE stage (reweight → resample → rescore): per-source
+    * repeat factor r_d = w_d / p_d (×1000; p_d = natural doc share),
+    * so the expanded list's expected doc-share is the round's w_ppm,
+    * applied through the SAME hash-gated epoch expansion as
+    * [[realizeMixture]] — the plan is |sources| rows broadcast back,
+    * the expansion map-only, amplification capped at
+    * `maxRepeatX1000`. `weights` is one round's (source, w_ppm) slice
+    * of [[doremiRounds]] output. */
+  def doremiRealize(
+      df: DataFrame,
+      source: Column,
+      id: Column,
+      weights: DataFrame,
+      maxRepeatX1000: Long = 8000L,
+      seed: String = "doremi"): DataFrame = {
+    require(maxRepeatX1000 >= 1000L, s"cap must allow at least 1 epoch: $maxRepeatX1000")
+    val plan = df
+      .groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+      .withColumn("__ntot", sum(col("__n")).over(Window.partitionBy()))
+      .join(weights.select(col("source").as("__src"), col("w_ppm")), "__src")
+      .select(
+        col("__src"),
+        least(
+          expr("w_ppm * 1000L div greatest(__n * 1000000L div __ntot, 1L)"),
+          lit(maxRepeatX1000)).as("repeat_x1000"))
+    expandByPlan(df, source, id, plan, seed)
   }
 
   /** ONE definition of the hashed-unigram cell for the domain-mixture
@@ -605,6 +652,107 @@ object Profile {
       .withColumn("__w1tot", sum(col("__w1u")).over(wAll))
       .withColumn("w1_ppm", expr("__w1u * 1000000L div greatest(__w1tot, 1L)"))
       .drop("__w1u", "__w1tot")
+  }
+
+  /** MULTI-ROUND DoReMi (Xie et al. 2023): the full iterated
+    * reweight → re-score loop above [[domainReweight]]'s single MW
+    * step. The reference loop resamples the corpus under the new
+    * mixture and re-scores it each round; the key identity this
+    * operator exploits is that re-scoring a REWEIGHTED mixture needs
+    * only the per-(domain, cell) token partials — the mixture's
+    * unigram distribution is P_mix(cell) = Σ_d w_d·P_d(cell), a
+    * weighted sum over the SAME bounded partial relation every round
+    * — so the corpus is touched ONCE and each round costs
+    * ≤ cells·|sources| rows, never a corpus re-scan (the
+    * [[graft.operators.TextAnalysis.bpeTrain]] discipline: one
+    * corpus-sized collapse, vocabulary-sized iteration). A pipeline
+    * that wants the physical round-r training list feeds the round's
+    * `w_ppm` into [[realizeMixture]]'s plan — the weights ARE the
+    * per-source repeat factors, so the composition stays map-only.
+    *
+    * Per round r (all exact integer ppm, no exp() — the
+    * [[domainReweight]] portability rule):
+    *   term(d,b)   = w_d · (cnt(d,b)·10⁶ div n_occ_d)
+    *   mb(b)       = (Σ_d term) div 10⁶          — mixture cell mass
+    *   rarity(b)   = 10⁶ − (mb+1)·10⁶ div (Σmb + cells)   (Laplace)
+    *   loss_d      = Σ_b rarity(b)·cnt(d,b) div n_occ_d
+    *   lossbar     = Σ_d w_d·loss_d div Σ_d w_d  — MIXTURE mean loss
+    *   excess_d    = max(0, loss_d − lossbar)
+    *   w′_d        ∝ w_d·(10⁶ + η·excess_d div 10⁶), renormalized
+    * Round 1 starts from the natural token share
+    * w0_d = n_occ_d·10⁶ div n_occ.
+    *
+    * Output: (source, round, loss_ppm, excess_ppm, w_ppm) for
+    * round = 1..rounds, w_ppm = the weight AFTER that round's step.
+    * Each round's |sources|-row state is persisted (bounded rows;
+    * for rounds ≫ 64 materialize-and-free per round like bpeTrain —
+    * here lineage depth stays O(rounds) over cells·|sources| data,
+    * and construction stays side-effect-free for plan-only
+    * consumers). */
+  def doremiRounds(
+      df: DataFrame,
+      source: Column,
+      text: Column,
+      rounds: Int,
+      etaPpm: Long = 250000L,
+      cells: Int = 256): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds in [1, 64]: $rounds")
+    require(etaPpm >= 0L && etaPpm <= 1000000L, s"etaPpm in [0, 1e6]: $etaPpm")
+    require(cells >= 2, s"cells must be >= 2: $cells")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wAll  = Window.partitionBy() // bounded: ≤ cells·|sources| rows
+    // the ONLY corpus-sized pass
+    val partials = df
+      .select(source.as("source"), explode(TextAnalysis.tokens(text)).as("t"))
+      .select(col("source"), domainCell(col("t"), cells).as("b"))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(level)
+    val occ = partials
+      .groupBy(col("source")).agg(sum(col("cnt")).as("n_occ"))
+      .withColumn("__nall", sum(col("n_occ")).over(wAll))
+      .select(col("source"), col("n_occ"),
+        expr("n_occ * 1000000L div __nall").as("w_ppm"))
+      .persist(level)
+    var w   = occ.select(col("source"), col("w_ppm"))
+    var out = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val withW = partials
+        .join(occ.select(col("source"), col("n_occ")), "source")
+        .join(w, "source")
+        .withColumn("__term", expr("w_ppm * ((cnt * 1000000L) div n_occ)"))
+      val cellRarity = withW
+        .groupBy(col("b"))
+        .agg(sum(col("__term")).as("__m"))
+        .withColumn("__mb", expr("__m div 1000000L"))
+        .withColumn("__mt", sum(col("__mb")).over(wAll))
+        .select(col("b"),
+          (lit(1000000L) - expr(s"(__mb + 1L) * 1000000L div (__mt + ${cells}L)"))
+            .as("__rar"))
+      val stepped = withW
+        .join(broadcast(cellRarity), "b") // ≤ cells rows broadcast
+        .groupBy(col("source"))
+        .agg(
+          sum(col("__rar") * col("cnt")).as("__rsum"),
+          max(col("n_occ")).as("__n"),
+          max(col("w_ppm")).as("__w"))
+        .withColumn("loss_ppm", expr("__rsum div __n"))
+        .withColumn("__wl", sum(expr("__w * loss_ppm")).over(wAll))
+        .withColumn("__ws", sum(col("__w")).over(wAll))
+        .withColumn("excess_ppm",
+          greatest(lit(0L), col("loss_ppm") - expr("__wl div greatest(__ws, 1L)")))
+        .withColumn("__wu",
+          expr(s"__w * (1000000L + ${etaPpm}L * excess_ppm div 1000000L) div 1000000L"))
+        .withColumn("__wut", sum(col("__wu")).over(wAll))
+        .select(col("source"), col("loss_ppm"), col("excess_ppm"),
+          expr("__wu * 1000000L div greatest(__wut, 1L)").as("w_ppm"))
+        .persist(level) // |sources| rows: round r+1 and the output read it, not its lineage
+      out = out :+ stepped
+        .select(col("source"), lit(r.toLong).as("round"),
+          col("loss_ppm"), col("excess_ppm"), col("w_ppm"))
+      w = stepped.select(col("source"), col("w_ppm"))
+    }
+    out.reduce(_.unionByName(_))
   }
 
   /** Per-row curation LINEAGE: evaluate ALL named gates independently

@@ -1577,7 +1577,17 @@ object Documents {
         .withColumn("rank_gap", abs(col("r_quality") - col("r_dsir")))
         .orderBy(desc("rank_gap"), asc("doc_id"))
         .limit(50)
-    })
+    }),
+
+    // Multi-round DoReMi (the full reweight → re-score loop over
+    // q190's single MW step): the corpus collapses ONCE to
+    // (source, cell) token partials and every round re-scores the
+    // REWEIGHTED mixture from that bounded relation — per-round cost
+    // ≤ cells·|sources| rows, never a corpus re-scan. Round-2 weights
+    // oracle-checked end-to-end (two explicit round CTEs in the SQL).
+    "q199_doremi_rounds" -> ((s, dir) =>
+      Profile.doremiRounds(
+        Tables.documents(s, dir), col("source"), col("text"), rounds = 2))
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

@@ -121,6 +121,49 @@ private[queries] object DocumentsOracles2 {
          SELECT doc_id, text AS p FROM documents WHERE doc_id % 11 <> 3
        )"""
 
+  /** One DoReMi round as a SQL CTE block: given weights relation
+    * `wIN`(source, w_ppm), emits `wOUT`(source, loss_ppm, excess_ppm,
+    * w_ppm) — the mixture cell masses, Laplace rarities, per-domain
+    * losses, mixture-mean reference, linear MW step and
+    * renormalization, every step floor-division integer (mirror of
+    * [[graft.operators.Profile.doremiRounds]]' round body). Requires
+    * `sb`(source, b, cnt) and `occ`(source, n_occ) in scope. */
+  private def doremiRoundCtes(wIn: String, wOut: String, tag: String): String =
+    s"""t$tag AS (
+         SELECT sb.source, sb.b, sb.cnt, o.n_occ, w.w_ppm,
+                w.w_ppm * ((sb.cnt * 1000000) // o.n_occ) AS term
+         FROM sb JOIN occ o USING (source) JOIN $wIn w USING (source)
+       ),
+       m$tag AS (SELECT b, SUM(term) // 1000000 AS mb FROM t$tag GROUP BY 1),
+       r$tag AS (
+         SELECT b,
+                1000000 - (mb + 1) * 1000000 // ((SELECT SUM(mb) FROM m$tag) + 256) AS rar
+         FROM m$tag
+       ),
+       l$tag AS (
+         SELECT t$tag.source,
+                SUM(r$tag.rar * t$tag.cnt) // MAX(t$tag.n_occ) AS loss_ppm,
+                MAX(t$tag.w_ppm) AS w_prev
+         FROM t$tag JOIN r$tag USING (b) GROUP BY 1
+       ),
+       s$tag AS (
+         SELECT source, loss_ppm, w_prev,
+                GREATEST(0, loss_ppm -
+                  (SELECT SUM(w_prev * loss_ppm) FROM l$tag)
+                    // GREATEST((SELECT SUM(w_prev) FROM l$tag), 1)) AS excess_ppm
+         FROM l$tag
+       ),
+       u$tag AS (
+         SELECT source, loss_ppm, excess_ppm,
+                w_prev * (1000000 + 250000 * excess_ppm // 1000000) // 1000000 AS wu
+         FROM s$tag
+       ),
+       $wOut AS (
+         SELECT source, loss_ppm, excess_ppm,
+                wu * 1000000 // GREATEST((SELECT SUM(wu) FROM u$tag), 1) AS w_ppm
+         FROM u$tag
+       )"""
+
   // q197/q198 are the score-once PRODUCTION shapes of q192/q195: the
   // result relation is identical by construction (only the engine's
   // execution shape differs — materialized score artifact vs inline
@@ -531,6 +574,41 @@ private[queries] object DocumentsOracles2 {
                 CAST(w0_ppm AS BIGINT) AS w0_ppm,
                 CAST(w1u * 1000000 // GREATEST(wt.v, 1) AS BIGINT) AS w1_ppm
          FROM w1, wt""",
+
+    // Mirror of doremiRounds(rounds = 2): one corpus collapse to
+    // (source, cell) partials, then TWO explicit MW rounds over that
+    // bounded relation — round 1 from the natural token share,
+    // round 2 from round 1's renormalized weights.
+    "q199_doremi_rounds" ->
+      s"""WITH tok AS (
+           SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+           FROM documents
+         ),
+         sb AS (
+           SELECT source,
+                  ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b,
+                  COUNT(1) AS cnt
+           FROM tok GROUP BY 1, 2
+         ),
+         occ AS (SELECT source, SUM(cnt) AS n_occ FROM sb GROUP BY 1),
+         w0 AS (
+           SELECT source,
+                  n_occ * 1000000 // (SELECT SUM(n_occ) FROM occ) AS w_ppm
+           FROM occ
+         ),
+         ${doremiRoundCtes("w0", "w1", "x")},
+         ${doremiRoundCtes("w1", "w2", "y")}
+         SELECT source, CAST(1 AS BIGINT) AS round,
+                CAST(loss_ppm AS BIGINT) AS loss_ppm,
+                CAST(excess_ppm AS BIGINT) AS excess_ppm,
+                CAST(w_ppm AS BIGINT) AS w_ppm
+         FROM w1
+         UNION ALL
+         SELECT source, CAST(2 AS BIGINT) AS round,
+                CAST(loss_ppm AS BIGINT) AS loss_ppm,
+                CAST(excess_ppm AS BIGINT) AS excess_ppm,
+                CAST(w_ppm AS BIGINT) AS w_ppm
+         FROM w2""",
 
     // Mirror of the REAL audio chain: the engine encodes the
     // closed-form WAV manifest (frames = 3 + id%11, per-frame square

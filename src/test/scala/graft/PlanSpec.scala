@@ -962,4 +962,31 @@ class PlanSpec extends SparkSpec {
           unsharded.map(_.toString.take(300)).mkString("\n"))
     }
   }
+
+  test("q199 multi-round DoReMi: per-round cost rides the CACHED partials — no corpus re-scan per round") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec        => allNodes(q.plan)
+        case _                        => Seq.empty
+      })
+    val df = SparkEntry.queries("q199_doremi_rounds")(spark, sf())
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    // the corpus collapses ONCE into the persisted (source, cell)
+    // partial relation; both MW rounds consume the cache — a
+    // FileSourceScan in the consuming plan means a round went back to
+    // the corpus (the thing that makes an iterated loop a re-scan ×
+    // rounds accident at 100 TB)
+    val fileScans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(fileScans.isEmpty,
+      "a DoReMi round re-scans the corpus:\n" +
+        fileScans.map(_.toString.take(300)).mkString("\n"))
+    assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "expected the cached (source, cell) partials as every round's input")
+    assert(!planString(df).contains("CartesianProduct"), planString(df).take(2000))
+  }
 }

@@ -116,6 +116,60 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("doremiRounds: round 1 shifts toward the rare domain, round 2 compounds; weights stay normalized per round") {
+    val s = spark; import s.implicits._
+    val com = (1 to 10).map(_ => ("com", "x x x x"))
+    val rar = (1 to 10).map(i => ("rar", s"u${i}a u${i}b u${i}c u${i}d"))
+    val df = (com ++ rar).toDF("src", "text")
+    val out = Profile.doremiRounds(df, col("src"), col("text"), rounds = 2)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("round")) -> r)
+      .toMap
+    assert(out.size === 4) // 2 sources × 2 rounds
+    // DoReMi direction every round: the rare-token domain has excess
+    // loss and gains weight share
+    Seq(1L, 2L).foreach { r =>
+      assert(out(("rar", r)).getAs[Long]("excess_ppm") > 0L, s"round $r")
+      assert(out(("com", r)).getAs[Long]("excess_ppm") === 0L, s"round $r")
+      val wSum = Seq("com", "rar").map(d => out((d, r)).getAs[Long]("w_ppm")).sum
+      assert(wSum <= 1000000L && wSum > 1000000L - 3L, s"round $r sum=$wSum")
+    }
+    // compounding: round 2 starts from round 1's shifted mixture, and
+    // the still-underfit rare domain keeps gaining
+    assert(out(("rar", 1L)).getAs[Long]("w_ppm") > 500000L)
+    assert(out(("rar", 2L)).getAs[Long]("w_ppm") > out(("rar", 1L)).getAs[Long]("w_ppm"))
+    // round 1 from the natural token share reproduces the single-step
+    // operator's direction deterministically across reruns
+    val again = Profile.doremiRounds(df, col("src"), col("text"), rounds = 2).collect()
+    assert(again.map(r => (r.getString(0), r.getLong(1), r.getLong(4))).sorted ===
+      out.values.map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq.sorted)
+  }
+
+  test("doremiRealize: expanded doc-share realizes the round's weights through the hash-gated explode") {
+    val s = spark; import s.implicits._
+    // 100 "a" docs vs 300 "b" docs; target weights 50/50 → repeat
+    // a ×2.0 (capped path exact), b ×0.666...
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 300).map(i => ("b", 1000L + i))).toDF("src", "doc_id")
+    val w = Seq(("a", 500000L), ("b", 500000L)).toDF("source", "w_ppm")
+    val out = Profile.doremiRealize(df, col("src"), col("doc_id"), w)
+    val counts = out.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    // a: share 250000 ppm → repeat 500000*1000 div 250000 = 2000 → 200 copies
+    assert(counts("a") === 200L)
+    // b: share 750000 ppm → repeat x1000 = 666 → 300·0 + hash-gated
+    // 666/1000 extra ≈ 200; exact expected value ±√n noise from the
+    // deterministic hash gate
+    assert(counts("b") > 150L && counts("b") < 250L, counts("b").toString)
+    // every expanded row keeps (doc_id, source, epoch >= 1)
+    assert(out.filter(col("epoch") < 1L).count() === 0L)
+    // cap binds: a huge weight can't amplify past maxRepeatX1000
+    val wSkew = Seq(("a", 999000L), ("b", 1000L)).toDF("source", "w_ppm")
+    val capped = Profile.doremiRealize(df, col("src"), col("doc_id"), wSkew,
+      maxRepeatX1000 = 3000L)
+    assert(capped.filter(col("source") === "a").count() === 300L) // 100 × 3.0 exactly
+  }
+
   test("domainReweight: η = 0 is a no-op on the natural weights") {
     val s = spark; import s.implicits._
     val df = ((1 to 10).map(i => ("a", s"t$i words here")) ++
