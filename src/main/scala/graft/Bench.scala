@@ -153,15 +153,28 @@ object Bench {
       else {
         val txt    = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         val anchor = txt.indexOf("\"plans\":{")
-        if (anchor < 0) Map.empty
-        else {
-          val end  = txt.indexOf('}', anchor)
-          val body = txt.substring(anchor, if (end < 0) txt.length else end + 1)
-          """"(q\d[^"\\]*)":"([0-9a-f]{16})"""".r
-            .findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2))
-            .toMap
-        }
+        val scraped =
+          if (anchor >= 0) {
+            val end  = txt.indexOf('}', anchor)
+            val body = txt.substring(anchor, if (end < 0) txt.length else end + 1)
+            """"(q\d[^"\\]*)":"([0-9a-f]{16})"""".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2))
+              .toMap
+          } else
+            // anchor absent (older or reformatted BENCH_SELF, or the
+            // line re-escaped inside an outer wrapper): fall back to
+            // the escaped-quote-tolerant whole-file scan rather than
+            // silently nulling plan_changed for the round
+            """"(q\d[^"\\]*)\\?":\\?"([0-9a-f]{16})\\?"""".r
+              .findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2))
+              .toMap
+        if (scraped.isEmpty)
+          System.err.println(
+            "[bench] BENCH_SELF.json exists but no plan fingerprints were " +
+              "scraped — plan_changed will be null for every query this run")
+        scraped
       }
     }
     // null = no prior fingerprint to compare (first fingerprinted run)
@@ -225,6 +238,23 @@ object Bench {
       val a = once(fn); val b = once(fn)
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
+    // LOAD GATE (round-9 finding): the isolation pass that "confirmed"
+    // q156's 5.1× floor regression ran at host load 10.84 — exactly the
+    // shared-host cross-talk isolation exists to remove, so a hot pass
+    // must not be allowed to confirm. Each confirmation/trend
+    // measurement first re-queues behind bounded waits until the 1-min
+    // load drops below the bar (2× this JVM's core share of a 16-way
+    // host); one that still runs hot is STAMPED `load_contaminated`
+    // so the judge's >2× rule discounts it instead of trusting it.
+    val loadBar = 2.0 * Runtime.getRuntime.availableProcessors() / 16.0
+    var gateWaits = 0 // bounded ACROSS the run — a busy host delays ≤ 3 min total
+    def awaitQuietHost(): Double = {
+      var l = loadAvg()
+      while (l > loadBar && gateWaits < 6) {
+        Thread.sleep(30000L); gateWaits += 1; l = loadAvg()
+      }
+      l
+    }
     // SPARK_GRAFT_BENCH_REPS=N (subset runs only): print every pass
     // time for the named queries — the steady-state-floor probe used
     // to attribute a confirmed regression as JIT-warmup/host-noise vs
@@ -237,7 +267,8 @@ object Bench {
           val fn = SparkEntry.queries(name)
           val ts = (1 to reps).map { _ => System.gc(); once(fn) }
           println(s"""{"reps_query":"$name","passes":[${ts.mkString(",")}],""" +
-            s""""floor":${ts.filter(_ >= 0).minOption.getOrElse(-1.0)}}""")
+            s""""floor":${ts.filter(_ >= 0).minOption.getOrElse(-1.0)},""" +
+            s""""load_now":${loadAvg()},"load_bar":$loadBar}""")
         }
       }
     val (confirmed, trendLine) =
@@ -245,11 +276,17 @@ object Bench {
       else {
         val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(10).map(_._1)
         val toMeasure = (flagged.map(_._1) ++ slowest).distinct
-        val iso = toMeasure.map(n => n -> isolated(n)).toMap
+        // (floor, max load seen around the measurement) per query
+        val iso: Map[String, (Double, Double)] = toMeasure.map { n =>
+          val before = awaitQuietHost()
+          val t      = isolated(n)
+          n -> (t, math.max(before, loadAvg()))
+        }.toMap
         val conf = flagged.flatMap { case (name, p, _) =>
-          val i = iso(name)
+          val (i, l) = iso(name)
           if (i < 0 || (i > 1.5 * p * drift && i - p * drift > 0.15))
-            Some(s""""$name":{"prior":$p,"isolated":$i,"load_now":${loadAvg()},""" +
+            Some(s""""$name":{"prior":$p,"isolated":$i,"load_now":$l,""" +
+              s""""load_contaminated":${l > loadBar},""" +
               s""""plan_changed":${planChanged(name)}}""")
           else None
         }.mkString("{", ",", "}")
@@ -257,7 +294,7 @@ object Bench {
           .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
           .map(_.getName.replaceAll("\\D", "").toInt)
           .foldLeft(0)(math.max) + 1
-        (conf, Some((round, slowest.map(n => n -> iso(n)).toMap)))
+        (conf, Some((round, slowest.map(n => n -> iso(n)).toMap, loadBar)))
       }
 
     val fpsJson = results
@@ -312,7 +349,7 @@ object Bench {
     // records, not archaeology over per-run appends with drifting
     // schemas. A re-run within the same round MERGES (floor = min,
     // plans/totals = latest) instead of appending a duplicate.
-    trendLine.foreach { case (round, floors) =>
+    trendLine.foreach { case (round, floors, bar) =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val path   = java.nio.file.Paths.get("BENCH_TREND.json")
       val existing: Seq[com.fasterxml.jackson.databind.node.ObjectNode] =
@@ -330,10 +367,17 @@ object Bench {
       rec.put("warm_total", math.rint(total * 1000) / 1000)
       rec.put("n_queries", results.size)
       val fl = rec.withObject("/floors")
-      floors.foreach { case (q, t) =>
+      // a floor measured under a hot host is the q143 silent-doubling
+      // vector — it would become next round's "regressed" baseline.
+      // Skip it (the round keeps any clean floor it already has) and
+      // make the skip visible in the record.
+      var skippedHot = 0
+      floors.foreach { case (q, (t, l)) =>
         val prev = if (fl.has(q)) fl.get(q).asDouble(Double.MaxValue) else Double.MaxValue
-        if (t >= 0) fl.put(q, math.min(t, prev))
+        if (t >= 0 && l <= bar) fl.put(q, math.min(t, prev))
+        else if (t >= 0) skippedHot += 1
       }
+      rec.put("floors_skipped_load", skippedHot)
       val pl = mapper.createObjectNode()
       results.foreach { case (k, _, _) => pl.put(k, planFps.getOrElse(k, "err")) }
       rec.set[com.fasterxml.jackson.databind.JsonNode]("plans", pl)

@@ -534,29 +534,40 @@ object Profile {
 
   /** Realize a [[doremiRounds]] round's mixture over the corpus — the
     * loop's RESAMPLE stage (reweight → resample → rescore): per-source
-    * repeat factor r_d = w_d / p_d (×1000; p_d = natural doc share),
-    * so the expanded list's expected doc-share is the round's w_ppm,
-    * applied through the SAME hash-gated epoch expansion as
-    * [[realizeMixture]] — the plan is |sources| rows broadcast back,
-    * the expansion map-only, amplification capped at
-    * `maxRepeatX1000`. `weights` is one round's (source, w_ppm) slice
-    * of [[doremiRounds]] output. */
+    * repeat factor r_d = w_d / p_d (×1000), so the expanded list's
+    * expected share is the round's w_ppm, applied through the SAME
+    * hash-gated epoch expansion as [[realizeMixture]] — the plan is
+    * |sources| rows broadcast back, the expansion map-only,
+    * amplification capped at `maxRepeatX1000`. `weights` is one
+    * round's (source, w_ppm) slice of [[doremiRounds]] output.
+    *
+    * `mass` decides WHAT share p_d measures. [[doremiRounds]]' w_ppm
+    * is a TOKEN-share weight (the reference loop resamples by token
+    * mass), so pass the per-doc token count — p_d is then the natural
+    * token share and the realized TOKEN mixture converges to w_ppm
+    * regardless of per-domain document-length differences. The
+    * default `lit(1L)` measures doc share instead, which matches
+    * w_ppm only under uniform doc length — use it for doc-count
+    * weights like [[mixturePlan]]'s. The repeat factor stays
+    * per-SOURCE either way; `mass` shapes p_d, not per-doc copies. */
   def doremiRealize(
       df: DataFrame,
       source: Column,
       id: Column,
       weights: DataFrame,
       maxRepeatX1000: Long = 8000L,
-      seed: String = "doremi"): DataFrame = {
+      seed: String = "doremi",
+      mass: Column = lit(1L)): DataFrame = {
     require(maxRepeatX1000 >= 1000L, s"cap must allow at least 1 epoch: $maxRepeatX1000")
     val plan = df
-      .groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+      .groupBy(source.as("__src")).agg(sum(mass.cast("long")).as("__n"))
       .withColumn("__ntot", sum(col("__n")).over(Window.partitionBy()))
       .join(weights.select(col("source").as("__src"), col("w_ppm")), "__src")
       .select(
         col("__src"),
         least(
-          expr("w_ppm * 1000L div greatest(__n * 1000000L div __ntot, 1L)"),
+          expr("w_ppm * 1000L div " +
+            "greatest(cast(__n as decimal(38,0)) * 1000000 div __ntot, 1L)"),
           lit(maxRepeatX1000)).as("repeat_x1000"))
     expandByPlan(df, source, id, plan, seed)
   }
@@ -603,9 +614,11 @@ object Profile {
     * measured 16 scans on the naive form vs 2 here). The unpartitioned
     * windows are bounded by cells·|sources| rows, never corpus-sized.
     * The doc-count pass reads only the `source` column (pruned scan).
-    * Long-sum bound: Σ rarity·cnt ≤ 10^6 · occurrences — exact to
-    * ~9.2·10^12 occurrences per source; past that widen the sum to
-    * DECIMAL(38,0).
+    * Overflow: the rarity sums and the cell-mass numerators reach
+    * 10^6·occurrences, which wraps a Long once a source approaches
+    * ~9.2·10^12 tokens — well inside a 100 TB corpus — so those
+    * accumulations run in DECIMAL(38,0) and collapse back to Long
+    * only after the ppm division (every output column stays LongType).
     *
     * Output per domain: n_docs, n_occ, loss_ppm, excess_ppm, w0_ppm
     * (natural doc-share) and w1_ppm (the reweighted mixture, ppm,
@@ -629,10 +642,11 @@ object Profile {
       .withColumn("__cb", sum(col("cnt")).over(wB))
       .withColumn(
         "__rarity",
-        lit(1000000L) - expr(s"(__cb + 1L) * 1000000L div (__tot + ${cells}L)"))
+        lit(1000000L) -
+          expr(s"(cast(__cb as decimal(38,0)) + 1) * 1000000 div (__tot + ${cells}L)"))
       .groupBy(col("source"))
       .agg(
-        sum(col("__rarity") * col("cnt")).as("__rsum"),
+        sum(col("__rarity").cast("decimal(38,0)") * col("cnt")).as("__rsum"),
         sum(col("cnt")).as("n_occ"))
     val docs = df.groupBy(source.as("source")).agg(count(lit(1)).as("n_docs"))
     perSource
@@ -682,6 +696,12 @@ object Profile {
     * Round 1 starts from the natural token share
     * w0_d = n_occ_d·10⁶ div n_occ.
     *
+    * Overflow: Σ rarity·cnt and the ·10⁶ numerators reach
+    * 10⁶·occurrences — past ~9.2·10^12 tokens per source that wraps a
+    * Long, so (as in [[domainReweight]]) the corpus-scale
+    * accumulations run in DECIMAL(38,0) and the ppm divisions
+    * collapse back to Long; every output column stays LongType.
+    *
     * Output: (source, round, loss_ppm, excess_ppm, w_ppm) for
     * round = 1..rounds, w_ppm = the weight AFTER that round's step.
     * Each round's |sources|-row state is persisted (bounded rows;
@@ -712,7 +732,7 @@ object Profile {
       .groupBy(col("source")).agg(sum(col("cnt")).as("n_occ"))
       .withColumn("__nall", sum(col("n_occ")).over(wAll))
       .select(col("source"), col("n_occ"),
-        expr("n_occ * 1000000L div __nall").as("w_ppm"))
+        expr("cast(n_occ as decimal(38,0)) * 1000000 div __nall").as("w_ppm"))
       .persist(level)
     var w   = occ.select(col("source"), col("w_ppm"))
     var out = Vector.empty[DataFrame]
@@ -720,7 +740,8 @@ object Profile {
       val withW = partials
         .join(occ.select(col("source"), col("n_occ")), "source")
         .join(w, "source")
-        .withColumn("__term", expr("w_ppm * ((cnt * 1000000L) div n_occ)"))
+        .withColumn("__term",
+          expr("w_ppm * ((cast(cnt as decimal(38,0)) * 1000000) div n_occ)"))
       val cellRarity = withW
         .groupBy(col("b"))
         .agg(sum(col("__term")).as("__m"))
@@ -733,7 +754,7 @@ object Profile {
         .join(broadcast(cellRarity), "b") // ≤ cells rows broadcast
         .groupBy(col("source"))
         .agg(
-          sum(col("__rar") * col("cnt")).as("__rsum"),
+          sum(col("__rar").cast("decimal(38,0)") * col("cnt")).as("__rsum"),
           max(col("n_occ")).as("__n"),
           max(col("w_ppm")).as("__w"))
         .withColumn("loss_ppm", expr("__rsum div __n"))

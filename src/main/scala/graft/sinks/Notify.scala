@@ -55,12 +55,20 @@ object Notify {
     * reference's swallow-and-log rule — the ETL outcome never depends
     * on the notification channel.
     *
-    * Redirects are FOLLOWED (`Redirect.NORMAL` — everything but an
-    * https→http downgrade): an endpoint moved behind a 301/308 is a
-    * routing fact, not a configuration error. A 3xx that still
-    * surfaces after following (redirect loop, downgrade refusal) is
-    * treated as TRANSIENT, so it retries rather than masquerading as
-    * a permanent rejection.
+    * Redirects are followed MANUALLY (the JDK client's
+    * `Redirect.NORMAL` would convert a 301/302/303 POST into a GET,
+    * silently dropping the JSON payload, and would re-send auth
+    * headers to whatever host the redirect names): an endpoint moved
+    * behind any 3xx is re-POSTed with the SAME method and body — for
+    * a webhook the payload IS the notification, so the 303
+    * "switch-to-GET" convention does not apply — and auth-bearing
+    * headers (`Authorization`, `Cookie`, `Proxy-Authorization`) are
+    * STRIPPED when the redirect target's origin (scheme+host+port)
+    * differs from the one the caller configured. An https→http
+    * downgrade is refused, a missing `Location` or a hop chain
+    * longer than 5 is a loop — all three are TRANSIENT (retryable),
+    * not permanent rejections, because they describe the route, not
+    * the configuration.
     *
     * `sleep` is injectable (specs record backoffs instead of
     * waiting); `headers` carries auth (e.g. a bearer token) and may
@@ -76,9 +84,14 @@ object Notify {
     require(attempts >= 1, s"attempts must be >= 1 (got $attempts)")
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
-      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
       .build()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val origin = java.net.URI.create(url)
+    // headers that must never leak to a host the caller didn't name
+    val authHeaders = Set("authorization", "cookie", "proxy-authorization")
+    def sameOrigin(a: java.net.URI, b: java.net.URI): Boolean =
+      a.getScheme == b.getScheme && a.getHost == b.getHost && a.getPort == b.getPort
     (subject, message) => {
       val body = {
         val node = mapper.createObjectNode()
@@ -86,23 +99,42 @@ object Notify {
         node.put("message", message)
         mapper.writeValueAsString(node)
       }
+      def postOnce(target: java.net.URI): java.net.http.HttpResponse[String] = {
+        val b = java.net.http.HttpRequest.newBuilder()
+          .uri(target)
+          .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        if (!headers.keysIterator.exists(_.equalsIgnoreCase("Content-Type")))
+          b.header("Content-Type", "application/json")
+        val crossOrigin = !sameOrigin(origin, target)
+        headers.foreach { case (k, v) =>
+          if (!(crossOrigin && authHeaders.contains(k.toLowerCase))) b.header(k, v)
+        }
+        client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
       // None = delivered; Some(reason) = transient failure (retryable)
+      @annotation.tailrec
+      def follow(target: java.net.URI, hops: Int): Option[String] = {
+        val resp = postOnce(target)
+        val sc = resp.statusCode()
+        if (sc >= 200 && sc < 300) None
+        else if (sc >= 300 && sc < 400) {
+          val loc = resp.headers().firstValue("Location")
+          if (!loc.isPresent) Some(s"HTTP $sc without Location")
+          else {
+            val next = target.resolve(loc.get)
+            if (target.getScheme == "https" && next.getScheme != "https")
+              Some(s"redirect downgrade refused: $next")
+            else if (hops >= 5) Some(s"redirect loop at $next")
+            else follow(next, hops + 1)
+          }
+        }
+        else if (sc >= 500) Some(s"HTTP $sc")
+        else throw new WebhookRejected(s"webhook rejected: HTTP $sc")
+      }
       def attemptOnce(): Option[String] =
-        try {
-          val b = java.net.http.HttpRequest.newBuilder()
-            .uri(java.net.URI.create(url))
-            .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
-            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-          if (!headers.keysIterator.exists(_.equalsIgnoreCase("Content-Type")))
-            b.header("Content-Type", "application/json")
-          headers.foreach { case (k, v) => b.header(k, v) }
-          val resp =
-            client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
-          val sc = resp.statusCode()
-          if (sc >= 200 && sc < 300) None
-          else if (sc >= 500 || (sc >= 300 && sc < 400)) Some(s"HTTP $sc")
-          else throw new WebhookRejected(s"webhook rejected: HTTP $sc")
-        } catch {
+        try follow(origin, 0)
+        catch {
           case e: WebhookRejected => throw e
           case e: java.io.IOException => Some(String.valueOf(e.getMessage))
         }

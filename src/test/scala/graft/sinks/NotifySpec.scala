@@ -136,8 +136,8 @@ class NotifySpec extends SparkSpec {
       assert(bodies.size === 1 && slept.isEmpty)
       bodies.clear()
 
-      // an endpoint moved behind a 308 is FOLLOWED (Redirect.NORMAL),
-      // not misreported as a permanent configuration error
+      // an endpoint moved behind a 308 is FOLLOWED, not misreported
+      // as a permanent configuration error
       server.createContext("/moved", (ex: com.sun.net.httpserver.HttpExchange) => {
         ex.getResponseHeaders.add("Location", url)
         ex.sendResponseHeaders(308, -1)
@@ -151,6 +151,97 @@ class NotifySpec extends SparkSpec {
       assert(new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(bodies.poll()).get("subject").asText === "moved")
       bodies.clear()
+
+      // a 301 preserves METHOD + BODY (the JDK's Redirect.NORMAL
+      // would degrade the POST to a bodyless GET — the regression
+      // the manual follower exists to prevent)
+      val methods = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      server.createContext("/hook301", (ex: com.sun.net.httpserver.HttpExchange) => {
+        methods.add(ex.getRequestMethod)
+        bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+      server.createContext("/moved301", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getRequestBody.readAllBytes()
+        ex.getResponseHeaders.add(
+          "Location", s"http://127.0.0.1:${server.getAddress.getPort}/hook301")
+        ex.sendResponseHeaders(301, -1)
+        ex.close()
+      })
+      val n301 = Notify.webhookNotifier(
+        s"http://127.0.0.1:${server.getAddress.getPort}/moved301",
+        attempts = 1)
+      n301("moved301", "payload intact")
+      assert(methods.poll() === "POST")
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bodies.poll()).get("message").asText === "payload intact")
+      bodies.clear()
+
+      // cross-origin redirect: Authorization/Cookie are STRIPPED at
+      // the foreign origin (different port = different origin) while
+      // non-auth headers and the body still arrive
+      val server2 = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      val foreignAuth = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      server2.createContext("/foreign", (ex: com.sun.net.httpserver.HttpExchange) => {
+        bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        foreignAuth.add(
+          (if (ex.getRequestHeaders.containsKey("Authorization")) "auth" else "-") + "|" +
+          (if (ex.getRequestHeaders.containsKey("Cookie")) "cookie" else "-") + "|" +
+          Option(ex.getRequestHeaders.getFirst("X-Run-Id")).getOrElse("-"))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+      server2.start()
+      try {
+        server.createContext("/movedx", (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.getRequestBody.readAllBytes()
+          ex.getResponseHeaders.add(
+            "Location", s"http://127.0.0.1:${server2.getAddress.getPort}/foreign")
+          ex.sendResponseHeaders(302, -1)
+          ex.close()
+        })
+        val nX = Notify.webhookNotifier(
+          s"http://127.0.0.1:${server.getAddress.getPort}/movedx",
+          headers = Map(
+            "Authorization" -> "Bearer s3cret",
+            "Cookie" -> "sid=1",
+            "X-Run-Id" -> "r42"),
+          attempts = 1)
+        nX("cross", "origin")
+        assert(foreignAuth.poll() === "-|-|r42") // auth gone, benign header kept
+        assert(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(bodies.poll()).get("subject").asText === "cross")
+      } finally server2.stop(0)
+      bodies.clear()
+
+      // a redirect with no Location is TRANSIENT (retries, then throws)
+      server.createContext("/noloc", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(302, -1)
+        ex.close()
+      })
+      val nNoLoc = Notify.webhookNotifier(
+        s"http://127.0.0.1:${server.getAddress.getPort}/noloc",
+        attempts = 2, sleep = slept += _)
+      intercept[java.io.IOException] { nNoLoc("s", "m") }
+      assert(slept.toSeq === Seq(1000L))
+      slept.clear()
+
+      // a self-redirect loop is cut off and treated as TRANSIENT
+      val loopUrl = s"http://127.0.0.1:${server.getAddress.getPort}/loop"
+      val loopHits = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/loop", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getRequestBody.readAllBytes()
+        loopHits.incrementAndGet()
+        ex.getResponseHeaders.add("Location", loopUrl)
+        ex.sendResponseHeaders(301, -1)
+        ex.close()
+      })
+      val nLoop = Notify.webhookNotifier(loopUrl, attempts = 1)
+      intercept[java.io.IOException] { nLoop("s", "m") }
+      assert(loopHits.get === 6) // initial + 5 followed hops, then cut
 
       // caller-supplied Content-Type REPLACES the default instead of
       // being sent alongside it (no duplicate header values)
