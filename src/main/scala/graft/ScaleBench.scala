@@ -301,6 +301,13 @@ object ScaleBench {
       // not rounds× it
       "q199_doremi_rounds" ->
         (() => SparkEntry.queries("q199_doremi_rounds")(spark, dir)),
+      // Realization composed AFTER the loop: the weights run (q199)
+      // plus the map-only hash-gated epoch expansion onto the shard —
+      // forced through a sum over the exploded epoch column so
+      // count() can't prune the expansion away (the q194 lesson)
+      "q200_doremi_realize" ->
+        (() => SparkEntry.queries("q200_doremi_realize")(spark, dir)
+          .agg(sum(col("epoch")).as("chk"), count(lit(1)).as("n_rows"))),
       // Production form, now the oracle-checked q198 driver query:
       // both scorers are score-once materialized artifacts — measures
       // the two-phase ranks + join + top-k alone (warm passes; the

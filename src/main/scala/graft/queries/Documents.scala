@@ -1587,7 +1587,34 @@ object Documents {
     // oracle-checked end-to-end (two explicit round CTEs in the SQL).
     "q199_doremi_rounds" -> ((s, dir) =>
       Profile.doremiRounds(
-        Tables.documents(s, dir), col("source"), col("text"), rounds = 2))
+        Tables.documents(s, dir), col("source"), col("text"), rounds = 2)),
+
+    // q199's round-2 weights REALIZED as the epoch-expanded training
+    // list — the artifact a trainer actually consumes (q115's oracle
+    // pattern over the round-2 CTE). The production shape: weights
+    // are computed on the FULL corpus, then realized onto the SHARD
+    // being materialized (a hash-half here), whose natural token
+    // share differs from the corpus weights — so the repeat factors
+    // actually bite at sf0.01 (0.67×–2.56× measured: floor copies,
+    // gated fractional extras AND n_copies=0 drops all exercised;
+    // realizing onto the full uniform corpus gives 1.000 everywhere).
+    // Mass = per-doc token count, so the TOKEN mixture converges to
+    // w_ppm (doremiRounds' weights are token-share); expansion is the
+    // shared map-only hash-gated explode, plan = |sources| rows
+    // broadcast back.
+    "q200_doremi_realize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w2 = Profile.doremiRounds(docs, col("source"), col("text"), rounds = 2)
+        .filter(col("round") === 2L)
+        .select(col("source"), col("w_ppm"))
+      val shard = docs.filter(
+        pmod(graft.functions.Portable.hash60(
+            concat(lit("shard_"), col("doc_id").cast("string"))),
+          lit(2L)) === 0L)
+      Profile.doremiRealize(
+        shard, col("source"), col("doc_id"), w2,
+        mass = size(TextAnalysis.tokens(col("text"))))
+    })
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

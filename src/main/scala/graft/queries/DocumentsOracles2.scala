@@ -610,6 +610,64 @@ private[queries] object DocumentsOracles2 {
                 CAST(w_ppm AS BIGINT) AS w_ppm
          FROM w2""",
 
+    // Mirror of q200: q199's round-2 CTE chain over the FULL corpus,
+    // realized onto the hash-half shard — the repeat plan is
+    // r_d = w_ppm·1000 // p_d with p_d the SHARD's token share
+    // (capped at 8000), then q115's hash-gated epoch expansion with
+    // seed 'doremi'. n_copies = 0 docs drop (no floor at 1 epoch —
+    // a down-weighted source really does shed documents).
+    "q200_doremi_realize" ->
+      s"""WITH tok AS (
+           SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+           FROM documents
+         ),
+         sb AS (
+           SELECT source,
+                  ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b,
+                  COUNT(1) AS cnt
+           FROM tok GROUP BY 1, 2
+         ),
+         occ AS (SELECT source, SUM(cnt) AS n_occ FROM sb GROUP BY 1),
+         w0 AS (
+           SELECT source,
+                  n_occ * 1000000 // (SELECT SUM(n_occ) FROM occ) AS w_ppm
+           FROM occ
+         ),
+         ${doremiRoundCtes("w0", "w1", "x")},
+         ${doremiRoundCtes("w1", "w2", "y")},
+         shard AS (
+           SELECT * FROM documents
+           WHERE ('0x' || substr(md5('shard_' || doc_id), 1, 15))::BIGINT % 2 = 0
+         ),
+         socc AS (
+           SELECT source, COUNT(1) AS n_occ
+           FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+                 FROM shard)
+           GROUP BY 1
+         ),
+         plan AS (
+           SELECT w2.source,
+                  least(8000,
+                    (w2.w_ppm * 1000)
+                      // GREATEST((o.n_occ * 1000000)
+                                    // (SELECT SUM(n_occ) FROM socc), 1)) AS repeat_x1000
+           FROM w2 JOIN socc o USING (source)
+         ),
+         d AS (
+           SELECT doc_id, shard.source, repeat_x1000,
+                  ('0x' || substr(md5('doremi_' || doc_id), 1, 15))::BIGINT % 1000 AS hv
+           FROM shard JOIN plan ON plan.source = shard.source
+         ),
+         n AS (
+           SELECT doc_id, source,
+                  CAST(repeat_x1000 // 1000
+                    + CASE WHEN hv < repeat_x1000 % 1000 THEN 1 ELSE 0 END AS BIGINT)
+                    AS n_copies
+           FROM d
+         )
+         SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+         FROM n WHERE n_copies >= 1""",
+
     // Mirror of the REAL audio chain: the engine encodes the
     // closed-form WAV manifest (frames = 3 + id%11, per-frame square
     // wave of amplitude (id·37 + f·101)%1000), decodes actual PCM16

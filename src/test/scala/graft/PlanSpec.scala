@@ -989,4 +989,33 @@ class PlanSpec extends SparkSpec {
       "expected the cached (source, cell) partials as every round's input")
     assert(!planString(df).contains("CartesianProduct"), planString(df).take(2000))
   }
+
+  test("q200 doremi realize: weights ride the cached loop, the shard scans at most twice, plan broadcast back, expansion map-side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec        => allNodes(q.plan)
+        case _                        => Seq.empty
+      })
+    val df = SparkEntry.queries("q200_doremi_realize")(spark, sf())
+    df.collect()
+    val s = planString(df)
+    // the |sources|-row repeat plan comes back as a broadcast, and
+    // the epoch expansion is a Generate over it — a SortMergeJoin or
+    // shuffle of the shard here would move the corpus to realize a
+    // 20-row plan
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+    assert(s.contains("Generate"), s.take(3000))
+    // file scans in the realize plan: the shard's mass pass (token
+    // counts for p_d) + the expansion pass — the w2 weights must come
+    // from q199's cached loop, not re-scans (>2 corpus scans means
+    // the MW rounds went back to the files)
+    val fileScans = allNodes(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(fileScans.size <= 2,
+      s"realization re-scans the corpus ${fileScans.size}x:\n" +
+        fileScans.map(_.toString.take(200)).mkString("\n"))
+  }
 }
