@@ -98,9 +98,21 @@ object ServeScale {
             s""""serve_cold_s":${math.rint(cold * 1000) / 1000},""" +
             s""""serve_warm_s":${math.rint(warm * 1000) / 1000}}""")
       }
+      // the analytics invoke surface (lambda_analytics.py:174-430):
+      // A2 daily_summary / A4 top_movers for ONE date — the reference
+      // reads exactly that date's objects; the scan here must stay
+      // ∝ symbols × one day's candles however many days the table holds
+      def serveDailySummary(): DataFrame =
+        Api.dailySummaryFromTable(Storage.readParquet(spark, s"$dir/table"), fromDate)
+      def serveTopMovers(): DataFrame =
+        Api.topMoversFromTable(
+          Storage.readParquet(spark, s"$dir/table"), fromDate, n = 5, gainers = true)
+
       measure("/ohlcv", () => serve())
       measure("/latest", () => serveLatest())
       measure("/historical", () => serveHistorical())
+      measure("/analytics/daily_summary", () => serveDailySummary())
+      measure("/analytics/top_movers", () => serveTopMovers())
 
       // the maintenance story closing the file-count gap: micro-batch
       // writers leave several files per day-partition (8 per partition

@@ -223,6 +223,51 @@ object Api {
     latestSummary(fromNormalized(pruned))
   }
 
+  /** A2 daily_summary off the PARTITIONED table — the reference's
+    * analytics invoke surface (analytics/lambda_analytics.py:174-272)
+    * reads EXACTLY the requested date's objects (one S3 prefix list +
+    * per-symbol CSV gets); the Spark-at-scale equivalent is the date
+    * hitting the year/month/day PARTITION columns (directory pruning,
+    * ±1 day superset for tz skew — the [[getOhlcvFromTable]] rule)
+    * plus exact `timestamp_unix` bounds pushed to the parquet reader,
+    * so scan rows stay ∝ symbols × one day's candles no matter how
+    * many days the table holds (ServeScale-measured; PlanSpec-pinned).
+    * Dedup keep-latest-fetch before the rollup (the /ohlcv D2
+    * contract), then the A2 rollup sorted desc by pct change. */
+  def dailySummaryFromTable(normalized: DataFrame, date: String): DataFrame = {
+    val ld       = java.time.LocalDate.parse(date)
+    val dayStart = ld.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val hasDayCols = Seq("year", "month", "day").forall(normalized.columns.contains)
+    def dateInt(d: java.time.LocalDate): Int =
+      d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth
+    val dayKey = col("year") * 10000 + col("month") * 100 + col("day")
+    val pruned = Seq(
+      Some(col("timestamp_unix") >= dayStart && col("timestamp_unix") < dayStart + 86400L),
+      if (hasDayCols)
+        Some(dayKey >= dateInt(ld.minusDays(1)) && dayKey <= dateInt(ld.plusDays(1)))
+      else None
+    ).flatten.reduce(_ && _)
+    val deduped = Dedup.keepLatest(
+      fromNormalized(normalized.filter(pruned)),
+      keys = Seq(col("symbol"), col("ts")),
+      version = Seq(col("fetch_timestamp")))
+    Analytics.dailyStats(deduped, col("fetch_timestamp"))
+      .orderBy(desc("price_change_pct"), col("symbol"))
+  }
+
+  /** A4 top_movers off the PARTITIONED table
+    * (analytics/lambda_analytics.py:360-430 — the reference composes
+    * it over daily_summary's result for the same single date): the
+    * [[dailySummaryFromTable]] pruned rollup, top-N by pct change as
+    * a TakeOrderedAndProject (never a materialized global sort — the
+    * rollup is |symbols| rows, the heap is N). */
+  def topMoversFromTable(
+      normalized: DataFrame,
+      date: String,
+      n: Int,
+      gainers: Boolean): DataFrame =
+    Analytics.topMoversFromDaily(dailySummaryFromTable(normalized, date), n, gainers)
+
   /** Default /latest symbol list for a table-backed server: distinct
     * symbols scanned from the table's NEWEST landed day only — the
     * date comes from the partition layout ([[Storage.newestDatePerSymbol]],

@@ -119,6 +119,53 @@ class PlanSpec extends SparkSpec {
     assert(scanRows === 10L, s"/latest scanned $scanRows rows — history not pruned")
   }
 
+  test("analytics daily_summary/top_movers FromTable: scan prunes to the requested day, top-N is TakeOrdered") {
+    import graft.ohlcv.{Api, MockData, Normalize, RawIngest, Storage}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plananalytics").toString
+    // three days × two symbols, 5 candles each; the query targets the
+    // MIDDLE day only — scan rows must be symbols × that day's candles
+    val t0 = 1759895100L // 2025-10-08 ~04:25 UTC
+    val syms = Seq("NSE:RELIANCE-EQ", "NSE:TCS-EQ")
+    val mock = (0 to 2).map(d =>
+      MockData.candles(spark, syms, 5, t0 + d * 86400L)).reduce(_.unionByName(_))
+    MockData.envelope(mock, "2025-10-11T04:00:00Z").write.json(s"$tmp/raw/f1")
+    Storage.writeParquet(
+      Normalize.normalize(RawIngest.blocks(RawIngest.readRaw(spark, s"$tmp/raw/*")), "p"),
+      s"$tmp/table", "overwrite")
+    val table = spark.read.parquet(s"$tmp/table")
+    val df = Api.dailySummaryFromTable(table, "2025-10-09")
+    val rows = df.collect()
+    assert(rows.length === 2) // one rollup row per symbol, requested day only
+    assert(rows.forall(_.getAs[Long]("num_records") === 5L))
+    val s = planString(df)
+    val scan = s.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    val partFilters = scan.substring(scan.indexOf("PartitionFilters:")).takeWhile(_ != ']')
+    assert(partFilters.contains("year"),
+      s"daily_summary not pruning day partitions:\n$scan")
+    assert(scan.contains("GreaterThanOrEqual(tim"),
+      s"exact day bounds not pushed as timestamp_unix:\n$scan")
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec        => allNodes(q.plan)
+        case _                        => Seq.empty
+      })
+    // the ±1-day partition superset may LIST neighbor dirs, but the
+    // pushed timestamp_unix bounds cut the scan's output to exactly
+    // the requested day: symbols × 5 candles
+    val scanRows = allNodes(df.queryExecution.executedPlan)
+      .collect { case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    assert(scanRows === 10L,
+      s"daily_summary scanned $scanRows rows — history not pruned to the day")
+    // top_movers rides the same pruned rollup and takes its N with a
+    // heap, never a materialized global sort of the rollup
+    val tm = Api.topMoversFromTable(table, "2025-10-09", n = 1, gainers = true)
+    assert(tm.collect().length === 1)
+    assert(planString(tm).contains("TakeOrderedAndProject"), planString(tm).take(2000))
+  }
+
   test("q02 filter+projection reach the parquet scan (PushedFilters, pruned ReadSchema)") {
     val df = SparkEntry.queries("q02_filter_project")(spark, sf())
     val s  = planString(df)
