@@ -108,6 +108,62 @@ class S3ContractSpec extends SparkSpec {
       s"untouched partition rewritten:\n${dataWrites.mkString("\n")}")
   }
 
+  test("S3: compaction — rewrite only fragmented partitions, bounded copies, no append, untouched partitions keep their objects") {
+    val root = s3dir("compact")
+    // day=p1 fragmented (4 micro-batch files), day=p2 already compact
+    (1 to 4).foreach { i =>
+      Seq(("p1", i.toLong, s"frag$i")).toDF("day", "id", "payload")
+        .coalesce(1).write.mode("append").partitionBy("day").parquet(s"$root/t")
+    }
+    Seq(("p2", 100L, "solid")).toDF("day", "id", "payload")
+      .coalesce(1).write.mode("append").partitionBy("day").parquet(s"$root/t")
+
+    val fs = new org.apache.hadoop.fs.Path(s"$root/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(day: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/t/day=$day"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSet
+    assert(files("p1").size === 4 && files("p2").size === 1)
+    val p2Before     = files("p2")
+    val before       = spark.read.parquet(s"$root/t")
+      .select("day", "id", "payload").collect().map(_.toSeq).toSet
+
+    S3OpLog.clear()
+    // rename = copy+delete and append throws on this FS — a compaction
+    // that silently relied on either would fail or bloat here
+    val rewritten = Maintenance.compactPartitions(
+      spark, s"$root/t", "day", maxFiles = 2, targetBytes = 128L << 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rewritten.toSeq === Seq(("p1", 4L, 1L)))
+
+    // logical invariance: same rows, fewer objects
+    val after = spark.read.parquet(s"$root/t")
+      .select("day", "id", "payload").collect().map(_.toSeq).toSet
+    assert(after === before)
+    assert(files("p1").size === 1, s"p1 not compacted: ${files("p1")}")
+    // untouched-partition invariance: p2 keeps its EXACT object set
+    assert(files("p2") === p2Before, "already-compact partition was rewritten")
+
+    // commit traffic under the S3 cost model: every data object
+    // created/copied by the rewrite lands under day=p1 (or staging) —
+    // never day=p2 — and the number of FINAL parquet objects copied
+    // into day=p1 is exactly files_target (bounded write amplification)
+    val dataWrites = (S3OpLog.ops.filter(_.name == "create").map(_.src) ++
+      S3OpLog.ops.filter(_.name == "copyObject").map(_.dst))
+      .filter(p => p.contains("/t/") && p.contains("day=") && p.endsWith(".parquet"))
+    assert(dataWrites.nonEmpty)
+    assert(dataWrites.forall(p => !p.contains("day=p2")),
+      s"compaction touched the compact partition:\n${dataWrites.mkString("\n")}")
+    val finalCopies = S3OpLog.ops
+      .filter(_.name == "copyObject").map(_.dst)
+      .filter(p => p.contains("day=p1") && !p.contains("_temporary") &&
+        !p.contains(".spark-staging") && p.endsWith(".parquet"))
+    assert(finalCopies.size === 1,
+      s"expected exactly files_target=1 final object copied into day=p1:\n" +
+        finalCopies.mkString("\n"))
+  }
+
   test("S3: media ingest gate — growing index + replay-safe overwrite under copy+delete rename") {
     def png(seed: Int, perturb: Boolean = false): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
