@@ -352,6 +352,18 @@ object ScaleBench {
             embs.filter(col("vec_id") % 2 === 1),
             codebook,
             maxCellCompare = Some(256L))
+        }),
+      // the driver query's CAP 4 setting (the value at which the cap
+      // provably bites at sf0.01) measured beside the production 256:
+      // candidate mass is Σ|A∩cell|·cap, so the cap IS the cost dial
+      "q196_mutual_pairs_cap4" ->
+        (() => {
+          codebook.count()
+          Similarity.marginMutualPairs(
+            embs.filter(col("vec_id") % 2 === 0),
+            embs.filter(col("vec_id") % 2 === 1),
+            codebook,
+            maxCellCompare = Some(4L))
         })
     ).filter { case (n, _) => only.isEmpty || only.contains(n) }
 

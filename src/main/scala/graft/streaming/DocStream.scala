@@ -134,9 +134,10 @@ object DocStream {
     val withFp =
       if (batch.columns.contains("fp")) batch
       else batch.withColumn("fp", TextAnalysis.fingerprint(col("text")))
-    val priorFps = IndexRead.parquetIfExists(spark, historyDir)(
+    // committed-only view (own partition excluded for replay): a
+    // partition mid-write or orphaned by a kill has no _commits marker
+    val priorFps = IndexRead.committedParquet(spark, historyDir, batchId)(
         Seq.empty[String].toDF("fp").withColumn("batch_id", lit(-1L))) // first batch: no index yet
-      .filter(col("batch_id") =!= batchId) // replay: own partition invisible
       .select(col("fp"))
     val novelIds = graft.operators.TextDedup
       .bloomDedupGate(withFp, col("doc_id"), col("fp"), priorFps, fpp)
@@ -150,6 +151,7 @@ object DocStream {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(historyDir)
+    IndexRead.commit(spark, historyDir, batchId)
   }
 
   /** Wire [[bloomGatedBatchSink]] onto a document stream: the full

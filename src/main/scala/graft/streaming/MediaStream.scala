@@ -89,9 +89,11 @@ object MediaStream {
       // transient read failure (throttle, corrupt footer) must fail
       // the batch loudly, or near-dups of admitted images are gated
       // against an empty index and admitted forever, silently
-      val priorIndex = IndexRead.parquetIfExists(spark, historyDir)(
+      // committed-only view: a partition mid-write or orphaned by a
+      // kill has no _commits marker and is invisible here (own
+      // partition excluded for replay either way)
+      val priorIndex = IndexRead.committedParquet(spark, historyDir, batchId)(
           Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
-        .filter(col("batch_id") =!= batchId) // replay: own partition invisible
         .select(col("doc_id"), col("sh"))
       val dupIds = TextDedup
         .simhashProbeIndex(keepers, priorIndex, maxHamming, bands)
@@ -104,6 +106,8 @@ object MediaStream {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(historyDir)
+      // the partition is complete — one marker PUT makes it visible
+      IndexRead.commit(spark, historyDir, batchId)
     } finally { hashed.unpersist(); () }
   }
 

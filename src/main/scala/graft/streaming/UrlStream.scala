@@ -58,10 +58,11 @@ object UrlStream {
     val batchReps = canon.join(reps, Seq("url_id"), "left_semi")
     // ACROSS runs: bloom-gated membership vs the scheduled index,
     // own partition invisible on replay
-    val priorCanon = IndexRead.parquetIfExists(spark, historyDir)(
+    // committed-only view (own partition excluded for replay): a
+    // partition mid-write or orphaned by a kill has no _commits marker
+    val priorCanon = IndexRead.committedParquet(spark, historyDir, batchId)(
         Seq.empty[(Long, String, String)].toDF("url_id", "url", "canonical_url")
           .withColumn("batch_id", lit(-1L)))
-      .filter(col("batch_id") =!= batchId)
       .select(col("canonical_url").as("fp"))
     val novelIds = TextDedup
       .bloomDedupGate(batchReps, col("url_id"), col("canonical_url"), priorCanon, fpp)
@@ -76,6 +77,7 @@ object UrlStream {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(historyDir)
+    IndexRead.commit(spark, historyDir, batchId)
   }
 
   /** Wire [[frontierGatedBatchSink]] onto a URL stream. */

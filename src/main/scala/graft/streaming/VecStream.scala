@@ -64,10 +64,11 @@ object VecStream {
       maxCellCompare: Option[Long] = None): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     import spark.implicits._
-    val priorIndex = IndexRead.parquetIfExists(spark, historyDir)(
+    // committed-only view (own partition excluded for replay): a
+    // partition mid-write or orphaned by a kill has no _commits marker
+    val priorIndex = IndexRead.committedParquet(spark, historyDir, batchId)(
         Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
           .withColumn("batch_id", lit(-1L)))
-      .filter(col("batch_id") =!= batchId) // replay: own partition invisible
       .select(col("vec_id"), col("embedding"))
     // EXACT layer first (the MediaStream lesson, measured there as a
     // 36× step): byte-identical quantized embeddings collapse to
@@ -106,6 +107,7 @@ object VecStream {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(historyDir)
+    IndexRead.commit(spark, historyDir, batchId)
   }
 
   /** Streaming CELL-DISTRIBUTION drift monitor — the vector twin of

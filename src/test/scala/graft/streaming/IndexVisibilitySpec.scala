@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+import graft.testfs.S3LikeFileSystem
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Exactly-once-VISIBLE index appends for the streaming gates, under
+  * object-store semantics: a `batch_id=N` partition is invisible to
+  * every reader — external scans and the next batch's gate alike —
+  * until its `_commits/batch-N` marker lands, so a reader racing a
+  * mid-batch write (or scanning after a mid-batch KILL) never observes
+  * a partial partition. The checkpoint's replay of the dead batch
+  * rewrites the partition in place and commits it, at which point it
+  * becomes visible exactly once. */
+class IndexVisibilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  spark.sparkContext.hadoopConfiguration
+    .set("fs.s3x.impl", classOf[S3LikeFileSystem].getName)
+
+  private def s3dir(tag: String): String =
+    "s3x://" + Files.createTempDirectory(s"graft-s3x-$tag").toString
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("mid-batch kill: the orphaned partition is invisible to readers AND the next gate until its batch replays") {
+    val hist = s3dir("idxvis") + "/index"
+    val sink = DocStream.bloomGatedBatchSink(hist)
+
+    // batch 0 lands and COMMITS
+    sink(docs(1L -> "alpha", 2L -> "beta"), 0L)
+    def visibleIds(exclude: Long = -999L): Set[Long] =
+      IndexRead.committedParquet(spark, hist, exclude)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(visibleIds() === Set(1L, 2L))
+
+    // CHAOS: batch 1 dies MID-WRITE — its data objects land (here,
+    // written directly, bypassing the sink) but the commit marker
+    // never does. On S3 the partial objects are immediately listable.
+    docs(3L -> "gamma")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("batch_id", lit(1L))
+      .write.partitionBy("batch_id").mode("append").parquet(hist)
+
+    // a RAW directory scan sees the partial rows — which is exactly
+    // why readers must resolve the manifest instead
+    assert(spark.read.parquet(hist).count() === 3)
+    // the committed view does NOT
+    assert(visibleIds() === Set(1L, 2L))
+
+    // the REPLAY (stream restart re-delivers batch 1): dynamic
+    // overwrite rewrites the orphaned partition in place, then the
+    // marker lands — visible exactly once
+    sink(docs(3L -> "gamma"), 1L)
+    assert(visibleIds() === Set(1L, 2L, 3L))
+    assert(spark.read.parquet(hist).count() === 3) // no double rows
+
+    // and the NOW-committed content gates batch 2: a duplicate of
+    // gamma is rejected, a novel doc admitted
+    sink(docs(30L -> "gamma", 31L -> "delta"), 2L)
+    assert(visibleIds() === Set(1L, 2L, 3L, 31L))
+
+    // the manifest itself: one marker object per committed batch
+    val fs = new org.apache.hadoop.fs.Path(hist)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs
+      .listStatus(new org.apache.hadoop.fs.Path(hist, "_commits"))
+      .map(_.getPath.getName).toSet
+    assert(markers === Set("batch-0", "batch-1", "batch-2"))
+  }
+
+  test("gate semantics under the manifest: had the partial been visible, the dup would have been wrongly rejected") {
+    // the inverse experiment — proves the committed view is what
+    // changes the admit decision, not an accident of the data
+    val hist = s3dir("idxvis2") + "/index"
+    val sink = DocStream.bloomGatedBatchSink(hist)
+    sink(docs(1L -> "alpha"), 0L)
+    // orphaned partial for batch 1 carrying "omega"
+    docs(9L -> "omega")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("batch_id", lit(1L))
+      .write.partitionBy("batch_id").mode("append").parquet(hist)
+    // batch 2 brings its own "omega": the orphan is invisible, so the
+    // gate ADMITS it — the stream's contract is that batch 1 either
+    // replays (overwriting the orphan) or never existed; gating
+    // against unreplayed ghosts would drop content that no committed
+    // index contains
+    sink(docs(20L -> "omega"), 2L)
+    val committed = IndexRead.committedParquet(spark, hist, -999L)(
+        Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(committed === Set(1L, 20L))
+  }
+
+  test("vector gate commits its partitions too (marker per batch, replay idempotent)") {
+    import graft.operators.Similarity
+    def vec(x: Float, y: Float) = Array(x, y) ++ Array.fill(6)(0f)
+    val train = Seq(
+      (0L, vec(1f, 0f)), (1L, vec(0f, 1f)),
+      (2L, vec(0.95f, 0.05f)), (3L, vec(0.05f, 0.95f))).toDF("vec_id", "embedding")
+    val codebook = Similarity.kmeansCentroids(train, 2)
+    val hist = s3dir("idxvis3") + "/index"
+    val sink = VecStream.semDedupGatedBatchSink(hist, codebook, tau = 0.95)
+    sink(Seq(10L -> vec(1f, 0f)).toDF("vec_id", "embedding"), 0L)
+    sink(Seq(20L -> vec(0f, 1f)).toDF("vec_id", "embedding"), 1L)
+    sink(Seq(20L -> vec(0f, 1f)).toDF("vec_id", "embedding"), 1L) // replay
+    val fs = new org.apache.hadoop.fs.Path(hist)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs
+      .listStatus(new org.apache.hadoop.fs.Path(hist, "_commits"))
+      .map(_.getPath.getName).toSet
+    assert(markers === Set("batch-0", "batch-1"))
+    assert(spark.read.parquet(hist).count() === 2)
+  }
+}
