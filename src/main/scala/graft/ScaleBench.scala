@@ -353,6 +353,13 @@ object ScaleBench {
             codebook,
             maxCellCompare = Some(256L))
         }),
+      // real WAV container decode + thermometer barcode per clip —
+      // linear in clips like q191's decode (same codec pass)
+      "q201_audio_fingerprint" ->
+        (() => SparkEntry.queries("q201_audio_fingerprint")(spark, dir)),
+      // exact-layer reps + 8-band pigeonhole pair join at hamming ≤ 1
+      "q202_audio_neardup" ->
+        (() => SparkEntry.queries("q202_audio_neardup")(spark, dir)),
       // the driver query's CAP 4 setting (the value at which the cap
       // provably bites at sf0.01) measured beside the production 256:
       // candidate mass is Σ|A∩cell|·cap, so the cap IS the cost dial

@@ -462,6 +462,53 @@ object Multimodal {
       }
     }
 
+  /** 64-bit audio fingerprint over the DECODED energy envelope — the
+    * audio sibling of [[aHash64]], emitting the same (doc_id, sh)
+    * contract so it feeds the SHARED hamming machinery unchanged
+    * ([[graft.operators.TextDedup.simhashPairsFromHashes]] /
+    * `simhashProbeIndex` / `hammingDedupVerdicts` — q164's generalized
+    * bands).
+    *
+    * Shape: a time × level THERMOMETER barcode. The clip's per-frame
+    * mean-square energies ([[decodeAudioFrames]] output, REAL decoded
+    * PCM) are resampled to 8 time cells (cell c reads frame
+    * (c·n) div 8 — the nearest-frame rule [[aHash64]] uses for its
+    * 8×8 grid), and each cell carries an 8-bit thermometer of its
+    * energy RELATIVE to the clip maximum: bit (c·8 + l) is set iff
+    * 9·e_c ≥ (l+1)·max_e — no division, so Spark and a SQL oracle
+    * agree bit for bit. Hamming distance between two barcodes is then
+    * the L1 distance of the quantized envelopes, which is what makes
+    * a re-encoded / slightly-regained copy land within a small radius
+    * while unrelated clips scatter. A straight 1-bit-per-cell aHash is
+    * useless here: 3–13-frame clips give it ≤ 13 bits of entropy and
+    * everything collides (measured 12.8% of random pairs within
+    * hamming 7); the thermometer spends the 64 bits on energy LEVELS
+    * instead. All-silent clips (max_e = 0) collapse to the all-ones
+    * barcode — exact dups by construction, which is what the exact
+    * layer should do with them.
+    *
+    * Scale shape: one groupBy(doc) for the per-clip max (map-side
+    * combined), an 8-cell explode joined back on (doc_id, frame_idx)
+    * — both sides hash-partition on doc_id — then one bit_or agg
+    * (overflow-free bit assembly). Linear in total frame count. */
+  def audioHash64(frames: DataFrame): DataFrame = {
+    val perDoc = frames
+      .groupBy(col("doc_id"), col("n_frames"))
+      .agg(max(col("rms_sq")).as("__max"))
+    perDoc
+      .select(col("doc_id"), col("n_frames"), col("__max"),
+        explode(sequence(lit(0L), lit(7L))).as("c"))
+      .withColumn("frame_idx", expr("(c * n_frames) div 8"))
+      .join(frames.select(col("doc_id"), col("frame_idx"), col("rms_sq")),
+        Seq("doc_id", "frame_idx"))
+      .select(col("doc_id"), col("c"), col("rms_sq"), col("__max"),
+        explode(sequence(lit(0L), lit(7L))).as("l"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "bit_or(CASE WHEN rms_sq * 9 >= (l + 1) * __max " +
+          "THEN shiftleft(1L, cast(c * 8 + l AS int)) ELSE 0L END)").as("sh"))
+  }
+
   /** Voice-activity segmentation over REAL per-frame energies
     * ([[decodeAudioFrames]] output): a frame is voiced iff its
     * mean-square energy ≥ `threshold` (default 250 000 = amplitude

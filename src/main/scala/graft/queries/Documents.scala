@@ -160,6 +160,16 @@ object Documents {
       Multimodal.aHash64(
         Multimodal.syntheticImages(Tables.documents(s, dir), col("doc_id"))))
 
+  // Audio barcodes are the same decode-once artifact for the audio
+  // modality: q201 exports them, q202 pairs them — each clip's WAV is
+  // container-decoded once per corpus, not once per consumer.
+  private val audioHashCache = new DirCached
+  private def sharedAudioHashes(s: SparkSession, dir: String): DataFrame =
+    audioHashCache(s, dir)(
+      Multimodal.audioHash64(
+        Multimodal.decodeAudioFrames(
+          Multimodal.syntheticAudio(Tables.documents(s, dir), col("doc_id")))))
+
   // The image dedup DECISION list is itself a shared artifact: q169
   // exports it, q170 rolls it up — the verdict chain (exact collapse +
   // banded pair join + cluster contraction) runs once per corpus, not
@@ -1614,6 +1624,22 @@ object Documents {
       Profile.doremiRealize(
         shard, col("source"), col("doc_id"), w2,
         mass = size(TextAnalysis.tokens(col("text"))))
+    }),
+
+    // REAL-codec audio fingerprints: complete RIFF/WAVE payloads,
+    // JDK decode to PCM16, thermometer barcode over the measured
+    // frame energies — the oracle recomputes the identical integer
+    // barcode from the closed-form manifest (the q191 trick).
+    "q201_audio_fingerprint" -> ((s, dir) => sharedAudioHashes(s, dir)),
+
+    // Near-dup audio pairs through the SHARED hamming machinery
+    // (q164's bands, q171's exact-layer-first discipline): identical
+    // barcodes collapse to keep-min reps in one hash-agg, then the
+    // 8-band pigeonhole join mines pairs at hamming ≤ 1 (exact to 7).
+    "q202_audio_neardup" -> ((s, dir) => {
+      val reps = sharedAudioHashes(s, dir)
+        .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+      TextDedup.simhashPairsFromHashes(reps, maxHamming = 1, bands = 8)
     })
   )
 

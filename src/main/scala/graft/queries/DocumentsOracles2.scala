@@ -41,6 +41,36 @@ private[queries] object DocumentsOracles2 {
          FROM acm JOIN amean ON acm.doc_id = amean.doc_id
          GROUP BY 1)"""
 
+  /** Mirror of [[graft.operators.Multimodal.audioHash64]] over the
+    * closed-form WAV manifest (frames = 3 + id%11, amp(f) =
+    * (id·37 + f·101)%1000, frame energy EXACTLY amp² — the q191
+    * round-trip contract): 8 time cells read frame (c·n)//8, bit
+    * (c·8+l) set iff 9·e ≥ (l+1)·max_e. Bit 63 is the Long sign bit —
+    * added as the literal (1::BIGINT << 63 overflows DuckDB's shift).
+    * Ends with `ash(doc_id, sh)`. */
+  private val audioHashCte =
+    """aud AS (
+         SELECT doc_id, CAST(3 + doc_id % 11 AS BIGINT) AS n FROM documents),
+       af AS (
+         SELECT doc_id, n, f,
+                ((doc_id*37 + f*101) % 1000) * ((doc_id*37 + f*101) % 1000) AS e
+         FROM aud, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS f)),
+       amx AS (SELECT doc_id, MAX(e) AS mx FROM af GROUP BY 1),
+       ash AS (
+         SELECT ac.doc_id,
+                CAST(SUM(CASE WHEN e * 9 >= (l + 1) * mx THEN
+                       CASE WHEN c*8 + l = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << CAST(c*8 + l AS INT)) END
+                     ELSE 0 END) AS BIGINT) AS sh
+         FROM (
+           SELECT a.doc_id, c, (c * a.n) // 8 AS f
+           FROM aud a, LATERAL (SELECT unnest(generate_series(0, 7)) AS c)
+         ) ac
+         JOIN af ON af.doc_id = ac.doc_id AND af.f = ac.f
+         JOIN amx ON amx.doc_id = ac.doc_id,
+         LATERAL (SELECT unnest(generate_series(0, 7)) AS l)
+         GROUP BY 1)"""
+
   /** q173's closed-form URL manifest + the canonicalizer mirrored
     * operator by operator (fragment strip, lowercase scheme/host,
     * default-port strip, tracking-param drop, param sort, empty path
@@ -667,6 +697,27 @@ private[queries] object DocumentsOracles2 {
          )
          SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
          FROM n WHERE n_copies >= 1""",
+
+    // Mirror of the REAL audio fingerprint chain: the engine encodes
+    // WAV containers, decodes actual PCM16, and barcodes the measured
+    // frame energies; the oracle recomputes the identical integer
+    // barcode from the manifest formula (the q191 round-trip trick).
+    "q201_audio_fingerprint" ->
+      s"""WITH $audioHashCte
+          SELECT doc_id, sh FROM ash""",
+
+    // Near-dup audio pairs over the barcode reps (the q171
+    // exact-layer-first discipline): identical barcodes collapse to
+    // keep-min reps, exact all-pairs at hamming ≤ 1 — the engine's
+    // 8-band pigeonhole is exact to hamming 7, so ground truth and
+    // the banded join agree by construction.
+    "q202_audio_neardup" ->
+      s"""WITH $audioHashCte,
+          reps AS (SELECT sh, MIN(doc_id) AS doc_id FROM ash GROUP BY 1)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+          FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 1""",
 
     // Mirror of the REAL audio chain: the engine encodes the
     // closed-form WAV manifest (frames = 3 + id%11, per-frame square

@@ -60,13 +60,40 @@ object MediaStream {
       historyDir: String,
       maxHamming: Int,
       bands: Int = 8): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val spark = batch.sparkSession
-    import spark.implicits._
     // decode once per image: the hash relation feeds THREE consumers
     // (the pair self-join, the index probe, the final write), and
     // Spark has no common-subtree reuse outside ReusedExchange — only
     // the persist makes the decode-once contract true
-    val hashed = Multimodal.aHash64(batch)
+    hammingGateAndLand(Multimodal.aHash64(batch), historyDir, maxHamming, bands, batchId)
+  }
+
+  /** The audio twin of [[aHashGatedBatchSink]]: WAV clips land
+    * continuously, each micro-batch is container-decoded ONCE
+    * ([[Multimodal.decodeAudioFrames]] — real PCM), barcoded
+    * ([[Multimodal.audioHash64]]) and gated through the IDENTICAL
+    * two-layer hamming machinery against its own growing index.
+    * Stream and batch share one definition of "near-duplicate clip"
+    * (q201/q202's). */
+  def audioGatedBatchSink(
+      historyDir: String,
+      maxHamming: Int,
+      bands: Int = 8): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    hammingGateAndLand(
+      Multimodal.audioHash64(Multimodal.decodeAudioFrames(batch)),
+      historyDir, maxHamming, bands, batchId)
+  }
+
+  /** Shared gate body over a (doc_id, sh) fingerprint relation — the
+    * image and audio sinks differ ONLY in how `sh` is computed. */
+  private def hammingGateAndLand(
+      fingerprints: DataFrame,
+      historyDir: String,
+      maxHamming: Int,
+      bands: Int,
+      batchId: Long): Unit = {
+    val spark = fingerprints.sparkSession
+    import spark.implicits._
+    val hashed = fingerprints
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // EXACT layer first (the text-dedup discipline): identical
@@ -87,8 +114,8 @@ object MediaStream {
         .select(col("doc_id"), col("sh"))
       // ONLY first-batch absence of the index dir is recoverable — a
       // transient read failure (throttle, corrupt footer) must fail
-      // the batch loudly, or near-dups of admitted images are gated
-      // against an empty index and admitted forever, silently
+      // the batch loudly, or near-dups of admitted media are gated
+      // against an empty index and admitted forever, silently.
       // committed-only view: a partition mid-write or orphaned by a
       // kill has no _commits marker and is invisible here (own
       // partition excluded for replay either way)
@@ -110,6 +137,18 @@ object MediaStream {
       IndexRead.commit(spark, historyDir, batchId)
     } finally { hashed.unpersist(); () }
   }
+
+  /** Wire [[audioGatedBatchSink]] onto a media stream. */
+  def startAudioIngest(
+      media: DataFrame,
+      historyDir: String,
+      checkpointDir: String,
+      maxHamming: Int,
+      bands: Int = 8): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(audioGatedBatchSink(historyDir, maxHamming, bands))
+      .start()
 
   /** Wire [[aHashGatedBatchSink]] onto a media stream. */
   def startAHashIngest(

@@ -61,6 +61,44 @@ class MediaStreamSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet === Set(31L))
   }
 
+  test("audioGatedBatchSink: real WAV decode, exact dups collapse, hamming-1 clip gated across batches, replay-safe") {
+    import graft.operators.Multimodal
+    // clip payloads from the closed-form manifest; landed id may
+    // differ from the manifest id (an exact-dup scenario). Barcode
+    // distances precomputed from the manifest: clips 3↔59 are hamming
+    // 1; clips 7 and 8 are ≥13 from everything here.
+    def audio(rows: Seq[(Long, Long)]) = {
+      val payloads = Multimodal
+        .syntheticAudio(rows.map(_._2).distinct.toDF("id"), col("id"))
+        .withColumnRenamed("doc_id", "mid")
+      rows.toDF("doc_id", "mid").join(payloads, "mid").select("doc_id", "payload")
+    }
+    val dir  = Files.createTempDirectory("audiostream").toString
+    val hist = s"$dir/index"
+    val sink = MediaStream.audioGatedBatchSink(hist, maxHamming = 1)
+
+    // batch 0: clip 3, a byte-identical copy of it under id 100
+    // (exact layer: keep-min wins), and the far clip 7
+    sink(audio(Seq(3L -> 3L, 100L -> 3L, 7L -> 7L)), 0L)
+    assert(indexIds(hist) === Set(3L, 7L))
+
+    // batch 1: clip 59 (hamming 1 from admitted 3 → dropped by the
+    // index probe) + far clip 8 (admitted)
+    sink(audio(Seq(59L -> 59L, 8L -> 8L)), 1L)
+    assert(indexIds(hist) === Set(3L, 7L, 8L))
+
+    // replay of batch 1: same admit set, no double rows
+    sink(audio(Seq(59L -> 59L, 8L -> 8L)), 1L)
+    assert(indexIds(hist) === Set(3L, 7L, 8L))
+    assert(spark.read.parquet(hist).count() === 3)
+
+    // the commit markers landed (the exactly-once-visible contract)
+    val fs = new org.apache.hadoop.fs.Path(hist)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(hist, "_commits"))
+      .map(_.getPath.getName).toSet === Set("batch-0", "batch-1"))
+  }
+
   test("CHAOS: batch dies AFTER its index append; restart redelivers it — no duplicate admits, no self-suppression") {
     val dir = Files.createTempDirectory("mediastream-chaos").toString
     def land(rows: Seq[(Long, Array[Byte])], sub: String, bumpMs: Long): Unit = {
