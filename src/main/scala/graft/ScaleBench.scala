@@ -357,6 +357,13 @@ object ScaleBench {
       // linear in clips like q191's decode (same codec pass)
       "q201_audio_fingerprint" ->
         (() => SparkEntry.queries("q201_audio_fingerprint")(spark, dir)),
+      // real AVI container walk + per-frame PNG decode + luma rollup —
+      // the video codec pass, linear in total frames
+      "q203_video_luma" ->
+        (() => SparkEntry.queries("q203_video_luma")(spark, dir)
+          .agg(sum(col("mean_luma")).as("chk"), count(lit(1)).as("n"))),
+      "q204_video_scenes" ->
+        (() => SparkEntry.queries("q204_video_scenes")(spark, dir)),
       // exact-layer reps + 8-band pigeonhole pair join at hamming ≤ 1
       "q202_audio_neardup" ->
         (() => SparkEntry.queries("q202_audio_neardup")(spark, dir)),

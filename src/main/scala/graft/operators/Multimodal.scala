@@ -462,6 +462,188 @@ object Multimodal {
       }
     }
 
+  // ---------------------------------------------------------------
+  // Real video path (RIFF/AVI container, PNG-coded frames — the
+  // "MPNG" FourCC: motion-PNG inside AVI, a real lossless codec the
+  // JDK can decode frame-by-frame via ImageIO. Lossless matters: a
+  // JPEG-coded frame would decode to codec-dependent pixels, killing
+  // the closed-form oracle; PNG frames round-trip bit-exactly, the
+  // same reason q40's image path uses PNG.)
+  // ---------------------------------------------------------------
+
+  /** Decoded per-frame video row: exact integer mean luma of one
+    * decoded frame, from REAL container + image decode. */
+  case class VideoFrame(doc_id: Long, n_frames: Long, frame_idx: Long, mean_luma: Long)
+
+  /** Video fixture manifest (the PNG/WAV trick for moving pictures):
+    * clip `id` has 2 + id mod 7 frames of 8×6 8-bit gray, pixel
+    * (x, y) of frame f = (id·31 + f·17 + x·7 + y·13) mod 256 — so a
+    * frame's mean luma is EXACTLY Σpixels div 48, an integer DuckDB
+    * recomputes from the formula while the engine derives it from
+    * container-parsed, PNG-decoded samples. */
+  val VideoW = 8
+  val VideoH = 6
+  def videoManifestFrames(id: Long): Int = (2 + id % 7).toInt
+  def videoManifestPixel(id: Long, f: Long, x: Int, y: Int): Int =
+    ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def fourcc(s: String): Array[Byte] = {
+    require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+    s.getBytes("US-ASCII")
+  }
+  /** One RIFF chunk: fourcc + LE size + body (+ the RIFF odd-size pad). */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad: Array[Byte] = if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+    fourcc(id) ++ le32(body.length) ++ body ++ pad
+  }
+  private def riffList(kind: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourcc(kind) ++ body)
+
+  private def pngVideoFrame(id: Long, f: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      VideoW, VideoH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < VideoH) {
+      var x = 0
+      while (x < VideoW) {
+        img.getRaster.setSample(x, y, 0, videoManifestPixel(id, f.toLong, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Encode clip `id` as a complete, structurally valid AVI: RIFF
+    * 'AVI ' with an 'hdrl' list (avih main header + one 'vids'/'MPNG'
+    * stream: strh + BITMAPINFOHEADER strf) and a 'movi' list of one
+    * '00dc' chunk per PNG-coded frame. Every size field is real —
+    * the decoder walks the chunks, it never assumes offsets. */
+  private def encodeAvi(id: Long): Array[Byte] = {
+    val n      = videoManifestFrames(id)
+    val frames = (0 until n).map(pngVideoFrame(id, _))
+    // AVIMAINHEADER (56 bytes = 14 LE dwords)
+    val avih = riffChunk("avih",
+      le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usec/frame, maxBps, padding, flags
+        le32(n) ++ le32(0) ++ le32(1) ++ le32(0) ++    // totalFrames, initial, streams, bufSize
+        le32(VideoW) ++ le32(VideoH) ++                // width, height
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))      // reserved[4]
+    // AVISTREAMHEADER (56 bytes)
+    val strh = riffChunk("strh",
+      fourcc("vids") ++ fourcc("MPNG") ++ le32(0) ++ le32(0) ++ // type, handler, flags, prio+lang
+        le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++            // initialFrames, scale, rate, start
+        le32(n) ++ le32(0) ++ le32(0) ++ le32(0) ++             // length, bufSize, quality, sampleSize
+        le32(0) ++ le32(0))                                     // rcFrame (4×16-bit)
+    // BITMAPINFOHEADER (40 bytes), biCompression = 'MPNG'
+    val strf = riffChunk("strf",
+      le32(40) ++ le32(VideoW) ++ le32(VideoH) ++
+        le32(1 | (8 << 16)) ++ fourcc("MPNG") ++ le32(0) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi", frames.flatMap(riffChunk("00dc", _)).toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** REAL AVI-payload media table from the video manifest — the video
+    * sibling of [[syntheticImages]]/[[syntheticAudio]]: every payload
+    * is a complete RIFF/AVI file with PNG-coded frames. Distributed,
+    * no shuffle; at scale this stage is `binaryFile` reads of a real
+    * clip corpus and the decode below is unchanged. */
+  def syntheticVideo(docs: DataFrame, id: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(id.as("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(i => (i, encodeAvi(i))))
+      .toDF("doc_id", "payload")
+  }
+
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def rdFourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** REAL batched video decode: a genuine RIFF chunk walk — validate
+    * `RIFF…AVI `, read the main header's frame count out of the
+    * 'hdrl' list, collect every '00dc' payload from the 'movi' list
+    * (skipping unknown chunks by their declared size + odd-byte pad,
+    * never assuming offsets), decode each frame's PNG via ImageIO,
+    * and emit its exact integer mean luma. The declared frame count
+    * must match the frames found — a truncated container fails
+    * loudly with the doc id, like the audio path. Batched
+    * `mapPartitions`; one row per frame; `n_frames` rides every row
+    * so downstream ops never join back to the media table. */
+  def decodeVideoFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(BatchSize).flatMap(_.flatMap((decodeAviClip _).tupled))
+      }
+      .toDF()
+  }
+
+  private def decodeAviClip(id: Long, bytes: Array[Byte]): Seq[VideoFrame] =
+    try {
+      require(bytes.length >= 12 && rdFourcc(bytes, 0) == "RIFF" &&
+        rdFourcc(bytes, 8) == "AVI ", "not a RIFF/AVI container")
+      val end = math.min(bytes.length.toLong, 8L + rdLe32(bytes, 4)).toInt
+      var declaredFrames = -1
+      val frames = Seq.newBuilder[Array[Byte]]
+      // walk chunks at [off, limit); recurse into hdrl/movi lists
+      def walk(off0: Int, limit: Int): Unit = {
+        var off = off0
+        while (off + 8 <= limit) {
+          val cid  = rdFourcc(bytes, off)
+          val size = rdLe32(bytes, off + 4)
+          require(size >= 0 && off + 8 + size <= limit, s"chunk '$cid' overruns container")
+          if (cid == "LIST") {
+            val kind = rdFourcc(bytes, off + 8)
+            if (kind == "hdrl" || kind == "movi" || kind == "strl")
+              walk(off + 12, off + 8 + size)
+          } else if (cid == "avih") {
+            declaredFrames = rdLe32(bytes, off + 8 + 16) // dwTotalFrames
+          } else if (cid == "00dc") {
+            frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+          } // anything else (strh/strf/idx1/JUNK…): skipped by size
+          off += 8 + size + (size % 2) // RIFF pads odd chunks
+        }
+      }
+      walk(12, end)
+      val got = frames.result()
+      require(declaredFrames >= 0, "missing avih main header")
+      require(got.size == declaredFrames,
+        s"container declares $declaredFrames frames, found ${got.size}")
+      got.zipWithIndex.map { case (png, f) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        require(img != null, s"undecodable frame $f")
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        VideoFrame(id, got.size.toLong, f.toLong,
+          sum / (img.getWidth.toLong * img.getHeight))
+      }
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(s"video decode failed for doc $id", e)
+    }
+
   /** 64-bit audio fingerprint over the DECODED energy envelope — the
     * audio sibling of [[aHash64]], emitting the same (doc_id, sh)
     * contract so it feeds the SHARED hamming machinery unchanged
@@ -517,6 +699,14 @@ object Multimodal {
     * [[vadSegments]]; all-silent clips drop out. */
   def vadSegmentsFromEnergies(frames: DataFrame, threshold: Long = 250000L): DataFrame =
     islandSegments(frames.filter(col("rms_sq") >= threshold))
+
+  /** Bright-scene segmentation over REAL decoded frame lumas
+    * ([[decodeVideoFrames]] output) — the video twin of
+    * [[vadSegmentsFromEnergies]] through the SAME gaps-and-islands
+    * core: a frame is "bright" iff mean_luma ≥ `threshold`, maximal
+    * bright runs become segments; all-dark clips drop out. */
+  def sceneSegmentsFromLumas(frames: DataFrame, threshold: Long = 128L): DataFrame =
+    islandSegments(frames.filter(col("mean_luma") >= threshold))
 
   /** Voice-activity segmentation over the decoded audio/video table —
     * the silence-trimming pass a speech-training pipeline runs before

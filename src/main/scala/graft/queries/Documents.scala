@@ -170,6 +170,16 @@ object Documents {
         Multimodal.decodeAudioFrames(
           Multimodal.syntheticAudio(Tables.documents(s, dir), col("doc_id")))))
 
+  // Decoded video frames are the decode-once artifact for the video
+  // modality: q203 exports the lumas, q204 segments them — each
+  // clip's AVI container is walked and its PNG frames decoded once
+  // per corpus.
+  private val videoFramesCache = new DirCached
+  private def sharedVideoFrames(s: SparkSession, dir: String): DataFrame =
+    videoFramesCache(s, dir)(
+      Multimodal.decodeVideoFrames(
+        Multimodal.syntheticVideo(Tables.documents(s, dir), col("doc_id"))))
+
   // The image dedup DECISION list is itself a shared artifact: q169
   // exports it, q170 rolls it up — the verdict chain (exact collapse +
   // banded pair join + cluster contraction) runs once per corpus, not
@@ -1640,7 +1650,20 @@ object Documents {
       val reps = sharedAudioHashes(s, dir)
         .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
       TextDedup.simhashPairsFromHashes(reps, maxHamming = 1, bands = 8)
-    })
+    }),
+
+    // REAL video decode: complete RIFF/AVI containers (PNG-coded
+    // frames — lossless, so decoded pixels ARE the manifest), parsed
+    // by a genuine chunk walk and frame-decoded via ImageIO; per-frame
+    // mean luma from the decoded samples, which the manifest makes
+    // exactly Σpixels div 48 — the oracle recomputes the formula.
+    "q203_video_luma" -> ((s, dir) => sharedVideoFrames(s, dir)),
+
+    // Bright-scene segmentation over the decoded lumas — the video
+    // twin of q191's VAD through the shared gaps-and-islands core.
+    "q204_video_scenes" -> ((s, dir) =>
+      Multimodal.sceneSegmentsFromLumas(sharedVideoFrames(s, dir))
+        .withColumnRenamed("voiced_ppm", "bright_ppm"))
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

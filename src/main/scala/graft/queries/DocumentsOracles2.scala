@@ -71,6 +71,27 @@ private[queries] object DocumentsOracles2 {
          LATERAL (SELECT unnest(generate_series(0, 7)) AS l)
          GROUP BY 1)"""
 
+  /** Mirror of [[graft.operators.Multimodal.decodeVideoFrames]] over
+    * the closed-form AVI manifest (frames = 2 + id%7, 8×6 gray,
+    * pixel = (id·31 + f·17 + x·7 + y·13) % 256): per-frame mean luma
+    * = Σpixels // 48 exactly. Ends with
+    * `vml(doc_id, n_frames, frame_idx, mean_luma)`. */
+  private val videoLumaCte =
+    """vid AS (
+         SELECT doc_id, CAST(2 + doc_id % 7 AS BIGINT) AS n FROM documents),
+       vfr AS (
+         SELECT doc_id, n, f
+         FROM vid, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS f)),
+       vpx AS (
+         SELECT doc_id, n, f, (doc_id*31 + f*17 + x*7 + y*13) % 256 AS p
+         FROM vfr,
+         LATERAL (SELECT unnest(generate_series(0, 7)) AS x),
+         LATERAL (SELECT unnest(generate_series(0, 5)) AS y)),
+       vml AS (
+         SELECT doc_id, n AS n_frames, f AS frame_idx,
+                CAST(SUM(p) // 48 AS BIGINT) AS mean_luma
+         FROM vpx GROUP BY 1, 2, 3)"""
+
   /** q173's closed-form URL manifest + the canonicalizer mirrored
     * operator by operator (fragment strip, lowercase scheme/host,
     * default-port strip, tracking-param drop, param sort, empty path
@@ -718,6 +739,36 @@ private[queries] object DocumentsOracles2 {
                  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
           FROM reps a JOIN reps b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= 1""",
+
+    // Mirror of the REAL video chain: the engine builds RIFF/AVI
+    // containers with PNG-coded frames, walks the chunks, decodes each
+    // frame and measures mean luma from the samples — which the
+    // lossless manifest makes exactly Σ((id·31+f·17+x·7+y·13)%256)//48,
+    // recomputed here from the formula.
+    "q203_video_luma" ->
+      s"""WITH $videoLumaCte
+          SELECT doc_id, n_frames, frame_idx, mean_luma FROM vml""",
+
+    // Bright-scene segmentation (luma ≥ 128) via the gaps-and-islands
+    // key over dense frame indices — the q191 VAD shape on video.
+    "q204_video_scenes" ->
+      s"""WITH $videoLumaCte,
+          a AS (
+            SELECT doc_id, n_frames, frame_idx,
+                   frame_idx - row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY frame_idx) AS seg
+            FROM vml WHERE mean_luma >= 128
+          ),
+          sg AS (
+            SELECT doc_id, n_frames, seg, COUNT(1) AS len
+            FROM a GROUP BY 1, 2, 3
+          )
+          SELECT doc_id, n_frames,
+                 COUNT(1) AS n_segments,
+                 CAST(SUM(len) AS BIGINT) AS n_active,
+                 CAST(MAX(len) AS BIGINT) AS longest_seg,
+                 CAST(SUM(len) * 1000000 // n_frames AS BIGINT) AS bright_ppm
+          FROM sg GROUP BY doc_id, n_frames""",
 
     // Mirror of the REAL audio chain: the engine encodes the
     // closed-form WAV manifest (frames = 3 + id%11, per-frame square

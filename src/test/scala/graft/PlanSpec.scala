@@ -951,6 +951,22 @@ class PlanSpec extends SparkSpec {
       s"audio chain reads more than doc_id: $scanLine")
   }
 
+  test("q204 video scenes: ONE scan reading only doc_id; no join back to the media table") {
+    val df = SparkEntry.queries("q204_video_scenes")(spark, sf())
+    val s  = planString(df)
+    // the shared DirCached artifact may serve the frames from its
+    // materialized parquet — either way exactly ONE scan feeds the
+    // chain and the container decode is a per-partition kernel
+    val scans = s.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected 1 parquet scan, got $scans:\n" + s.take(3000))
+    assert(s.contains("Window"), "expected the gaps-and-islands window:\n" + s.take(3000))
+    assert(!s.toLowerCase.contains("sortmergejoin") && !s.contains("BroadcastHashJoin"),
+      "scene segmentation must not join back to the media table:\n" + s.take(3000))
+    val scanLine = s.linesIterator.find(_.contains("Scan parquet")).getOrElse("")
+    assert(!scanLine.contains("text"),
+      s"video chain reads more than it needs: $scanLine")
+  }
+
   test("q196 capped mutual pairs: B side head-capped BELOW the cell join (candidate mass linear in |A|)") {
     val df = SparkEntry.queries("q196_mutual_pairs_capped")(spark, sf())
     df.collect()

@@ -1103,6 +1103,53 @@ class MultimodalSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("doc 77")), msgs(e).mkString(" | "))
   }
 
+  test("real AVI round trip: container chunk walk + PNG frame decode equal the manifest exactly") {
+    val s = spark; import s.implicits._
+    val ids = Seq(0L, 1L, 6L, 42L, 9999L)
+    val rows = Multimodal
+      .decodeVideoFrames(Multimodal.syntheticVideo(ids.toDF("doc_id"), col("doc_id")))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("mean_luma"))))
+      .toMap
+    val expected = ids.flatMap(id =>
+      (0 until Multimodal.videoManifestFrames(id)).map(f => (id, f.toLong)))
+    assert(rows.keySet === expected.toSet)
+    expected.foreach { case (id, f) =>
+      val (nf, luma) = rows((id, f))
+      assert(nf === Multimodal.videoManifestFrames(id).toLong)
+      val sum = (for (y <- 0 until Multimodal.VideoH; x <- 0 until Multimodal.VideoW)
+        yield Multimodal.videoManifestPixel(id, f, x, y).toLong).sum
+      assert(luma === sum / (Multimodal.VideoW * Multimodal.VideoH), s"doc $id frame $f")
+    }
+  }
+
+  test("decodeVideoFrames is a real container parser: corrupt magic and truncated movi fail loudly with the doc id") {
+    val s = spark; import s.implicits._
+    val good = Multimodal.syntheticVideo(Seq(5L).toDF("doc_id"), col("doc_id"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    // AVI sanity: RIFF....AVI magic present in the real container
+    assert(new String(good.take(4), "US-ASCII") === "RIFF")
+    assert(new String(good.slice(8, 12), "US-ASCII") === "AVI ")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    // broken magic
+    val corrupt = good.clone(); corrupt(0) = 'X'.toByte
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFrames(
+        Seq((77L, corrupt)).toDF("doc_id", "payload")).collect()
+    }
+    assert(msgs(e1).exists(_.contains("doc 77")), msgs(e1).mkString(" | "))
+    // truncated container: chop the last frame chunk — the declared
+    // avih frame count no longer matches the frames found
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - 40)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFrames(
+        Seq((78L, truncated)).toDF("doc_id", "payload")).collect()
+    }
+    assert(msgs(e2).exists(_.contains("doc 78")), msgs(e2).mkString(" | "))
+  }
+
   test("vadSegmentsFromEnergies: islands match a host-side recompute; threshold edges") {
     val s = spark; import s.implicits._
     val ids = (0L to 40L)
