@@ -255,6 +255,50 @@ object Api {
       .orderBy(desc("price_change_pct"), col("symbol"))
   }
 
+  /** A2 daily_summary off the canonical candle FRAME (the non-table
+    * source the REST layer also serves): dedup keep-latest-fetch (the
+    * /ohlcv D2 contract — the reference's CSVs are post-ETL, already
+    * deduped), then the A2 rollup for one date, desc by pct change. */
+  def dailySummaryFrame(candles: DataFrame, date: String): DataFrame =
+    Analytics.dailySummary(
+      Dedup.keepLatest(candles,
+        keys = Seq(col("symbol"), col("ts")), version = Seq(col("fetch_timestamp"))),
+      date, col("fetch_timestamp"))
+
+  /** A3 date_range off the canonical frame (dedup first, then per-day
+    * rollups for one symbol over an inclusive range, date-ascending). */
+  def dateRangeFrame(candles: DataFrame, symbol: String, from: String, to: String): DataFrame =
+    Analytics.dateRange(
+      Dedup.keepLatest(candles,
+        keys = Seq(col("symbol"), col("ts")), version = Seq(col("fetch_timestamp"))),
+      symbol, from, to, col("fetch_timestamp"))
+
+  /** A3 date_range off the PARTITIONED table: the symbol hits the
+    * `symbol_clean` partition column and the range hits year/month/day
+    * (±1-day superset) + exact `timestamp_unix` bounds — the
+    * [[getOhlcvFromTable]] pruning rule applied to the analytics
+    * rollup, so scan rows stay ∝ one symbol × the range's days. */
+  def dateRangeFromTable(
+      normalized: DataFrame, symbol: String, from: String, to: String): DataFrame = {
+    def dayStartUtc(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val clean = symbol.toUpperCase.replaceAll("NSE:|-EQ", "")
+    val hasDayCols = Seq("year", "month", "day").forall(normalized.columns.contains)
+    def dateInt(d: java.time.LocalDate): Int =
+      d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth
+    val dayKey = col("year") * 10000 + col("month") * 100 + col("day")
+    val pruned = Seq(
+      Some(col("symbol_clean") === clean && col("symbol") === symbol),
+      Some(col("timestamp_unix") >= dayStartUtc(from) &&
+        col("timestamp_unix") < dayStartUtc(to) + 86400L),
+      if (hasDayCols)
+        Some(dayKey >= dateInt(java.time.LocalDate.parse(from).minusDays(1)) &&
+          dayKey <= dateInt(java.time.LocalDate.parse(to).plusDays(1)))
+      else None
+    ).flatten.reduce(_ && _)
+    dateRangeFrame(fromNormalized(normalized.filter(pruned)), symbol, from, to)
+  }
+
   /** A4 top_movers off the PARTITIONED table
     * (analytics/lambda_analytics.py:360-430 — the reference composes
     * it over daily_summary's result for the same single date): the

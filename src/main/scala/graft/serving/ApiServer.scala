@@ -88,6 +88,10 @@ object ApiServer {
     def latestSummary(symbols: Seq[String]): DataFrame
     /** Default /latest symbol list (no ?symbols= given). */
     def defaultSymbols(cap: Int): Seq[String]
+    /** /analytics daily_summary rollup for one date (A2). */
+    def dailySummary(date: String): DataFrame
+    /** /analytics date_range per-day rollups for one symbol (A3). */
+    def dateRange(symbol: String, from: String, to: String): DataFrame
   }
   private final class FrameSource(provider: () => DataFrame) extends Source {
     def frame(): DataFrame = provider()
@@ -98,6 +102,10 @@ object ApiServer {
       Api.latestSummary(frame().filter(col("symbol").isin(symbols: _*)))
     def defaultSymbols(cap: Int): Seq[String] =
       Api.symbols(frame()).limit(cap).collect().map(_.getString(0)).toSeq
+    def dailySummary(date: String): DataFrame =
+      Api.dailySummaryFrame(frame(), date)
+    def dateRange(symbol: String, from: String, to: String): DataFrame =
+      Api.dateRangeFrame(frame(), symbol, from, to)
   }
   /** Serves the PARTITIONED normalized parquet table directly:
     * [[Api.getOhlcvFromTable]] turns the symbol into a partition-prune
@@ -124,6 +132,12 @@ object ApiServer {
     def defaultSymbols(cap: Int): Seq[String] =
       Api.symbolsFromTable(table, spark.sparkContext.hadoopConfiguration, path)
         .limit(cap).collect().map(_.getString(0)).toSeq
+    // the analytics rollups prune to the requested day/range at the
+    // partition level (ServeScale-measured: scan rows ∝ symbols × day)
+    def dailySummary(date: String): DataFrame =
+      Api.dailySummaryFromTable(table, date)
+    def dateRange(symbol: String, from: String, to: String): DataFrame =
+      Api.dateRangeFromTable(table, symbol, from, to)
   }
 
   /** Start serving `candles` (canonical frame: symbol, ts, open, high,
@@ -177,6 +191,7 @@ object ApiServer {
     else if (path.startsWith("/latest")) handleLatest(ex, source, qp, cfg)
     else if (path.startsWith("/historical")) handleHistorical(ex, source, qp, cfg)
     else if (path.startsWith("/alfaquantz/price/get")) handleAlfaPrice(ex, source, path, qp, cfg)
+    else if (path.startsWith("/analytics")) handleAnalytics(ex, source, qp)
     else if (path == "/files" || path == "/files/") handleFiles(ex, qp, cfg)
     else if (path.startsWith("/file/")) handleFileDetail(ex, path.stripPrefix("/file/"), cfg)
     else { // :51-58
@@ -349,6 +364,122 @@ object ApiServer {
       out.put("total_records", total)
       out.put("timestamp", cfg.clock().toString)
       respond(ex, 200, out)
+    }
+  }
+
+  /** GET /analytics?query_type=… — the reference's analytics Lambda
+    * invoke surface (analytics/lambda_analytics.py:28-57 routes
+    * `query_type` to four handlers) as a REST endpoint: same
+    * query_type names, same response envelopes, same error shapes
+    * (400 missing params / unknown type, 404 no data, the 31-day
+    * range cap on date_range). Every rollup runs the partition-pruned
+    * A1/A2/A3/A4 pipelines — against a table source the scan reads
+    * the requested day(s) only, never the table
+    * (ServeScale-measured, PlanSpec-pinned). `symbol` accepts both
+    * the reference's clean form (RELIANCE) and the exchange form. */
+  private def handleAnalytics(
+      ex: com.sun.net.httpserver.HttpExchange,
+      source: Source, qp: Map[String, String]): Unit = {
+    def fail(code: Int, msg: String): Unit = {
+      val err = mapper.createObjectNode(); err.put("error", msg); respond(ex, code, err)
+    }
+    // one projection shared by all four query types — the dailyStats
+    // column set with JSON-ready types
+    def rollupRows(df: DataFrame): Array[Row] = df.select(
+      col("symbol"), col("trade_date").cast("string"),
+      col("open").cast("double"), col("close").cast("double"),
+      col("high").cast("double"), col("low").cast("double"),
+      col("volume").cast("long"), col("avg_price").cast("double"),
+      col("num_records").cast("long"),
+      col("price_change").cast("double"), col("price_change_pct").cast("double"))
+      .collect()
+    qp.getOrElse("query_type", "symbol_stats") match {
+      case "symbol_stats" => // :99-171
+        (qp.get("symbol"), qp.get("date")) match {
+          case (Some(rawSym), Some(date)) =>
+            val rows = rollupRows(source.dateRange(normalizeSymbol(rawSym), date, date))
+            if (rows.isEmpty) fail(404, s"No data found for $rawSym on $date")
+            else {
+              val r   = rows.head
+              val out = mapper.createObjectNode()
+              out.put("symbol", rawSym)
+              out.put("date", date)
+              val st = out.putObject("stats")
+              st.put("open", r.getDouble(2)); st.put("close", r.getDouble(3))
+              st.put("high", r.getDouble(4)); st.put("low", r.getDouble(5))
+              st.put("volume", r.getLong(6)); st.put("avg_price", r.getDouble(7))
+              st.put("price_change", r.getDouble(9))
+              st.put("price_change_pct", r.getDouble(10))
+              st.put("num_records", r.getLong(8))
+              respond(ex, 200, out)
+            }
+          case _ => fail(400, "Missing symbol or date")
+        }
+      case "daily_summary" => // :174-272
+        qp.get("date") match {
+          case Some(date) =>
+            val rows = rollupRows(source.dailySummary(date)) // already desc by pct
+            val out  = mapper.createObjectNode()
+            out.put("date", date)
+            val sa = out.putArray("summary")
+            rows.foreach { r =>
+              val o = sa.addObject()
+              o.put("symbol", r.getString(0))
+              o.put("open", r.getDouble(2)); o.put("close", r.getDouble(3))
+              o.put("high", r.getDouble(4)); o.put("low", r.getDouble(5))
+              o.put("volume", r.getLong(6))
+              o.put("price_change_pct", r.getDouble(10))
+            }
+            out.put("total_symbols", rows.length)
+            respond(ex, 200, out)
+          case None => fail(400, "Missing date")
+        }
+      case "date_range" => // :274-358
+        (qp.get("symbol"), qp.get("start_date"), qp.get("end_date")) match {
+          case (Some(rawSym), Some(from), Some(to)) =>
+            val span = java.time.temporal.ChronoUnit.DAYS.between(
+              java.time.LocalDate.parse(from), java.time.LocalDate.parse(to))
+            if (span > 31) fail(400, "Date range cannot exceed 31 days")
+            else {
+              val rows = rollupRows(source.dateRange(normalizeSymbol(rawSym), from, to))
+              val out  = mapper.createObjectNode()
+              out.put("symbol", rawSym)
+              out.put("start_date", from); out.put("end_date", to)
+              val da = out.putArray("data")
+              rows.foreach { r => // date-ascending from the A3 pipeline
+                val o = da.addObject()
+                o.put("date", r.getString(1))
+                o.put("open", r.getDouble(2)); o.put("close", r.getDouble(3))
+                o.put("high", r.getDouble(4)); o.put("low", r.getDouble(5))
+                o.put("volume", r.getLong(6))
+                o.put("price_change_pct", r.getDouble(10))
+              }
+              out.put("num_days", rows.length)
+              respond(ex, 200, out)
+            }
+          case _ => fail(400, "Missing symbol, start_date, or end_date")
+        }
+      case "top_movers" => // :360-430 — composed over daily_summary
+        qp.get("date") match {
+          case Some(date) =>
+            val limit = qp.get("limit").flatMap(_.toIntOption).getOrElse(10)
+            val rows  = rollupRows(source.dailySummary(date)) // desc by pct
+            def side(arr: ArrayNode, picked: Seq[Row]): Unit =
+              picked.foreach { r =>
+                val o = arr.addObject()
+                o.put("symbol", r.getString(0))
+                o.put("price_change_pct", r.getDouble(10))
+                o.put("close", r.getDouble(3))
+                o.put("volume", r.getLong(6))
+              }
+            val out = mapper.createObjectNode()
+            out.put("date", date)
+            side(out.putArray("gainers"), rows.take(limit).toSeq)
+            side(out.putArray("losers"), rows.reverse.take(limit).toSeq)
+            respond(ex, 200, out)
+          case None => fail(400, "Missing date")
+        }
+      case other => fail(400, s"Unknown query_type: $other") // :54-58
     }
   }
 

@@ -161,7 +161,13 @@ class ApiServerSpec extends SparkSpec {
           "/ohlcv/tcs?interval=15m",
           "/latest?symbols=tcs,reliance",
           "/historical?symbol=reliance&from=2025-10-08&to=2025-10-08",
-          "/alfaquantz/price/get/tcs,15m,3m")) {
+          "/alfaquantz/price/get/tcs,15m,3m",
+          // analytics: the table source runs the day-pruned rollups —
+          // values must agree with the frame server exactly
+          "/analytics?query_type=symbol_stats&symbol=TCS&date=2025-10-08",
+          "/analytics?query_type=daily_summary&date=2025-10-08",
+          "/analytics?query_type=date_range&symbol=TCS&start_date=2025-10-07&end_date=2025-10-09",
+          "/analytics?query_type=top_movers&date=2025-10-08&limit=1")) {
         val (ct, bt) = get(tableSrv, q)
         val (cf, bf) = get(frameSrv, q)
         assert(ct === cf, q)
@@ -197,6 +203,67 @@ class ApiServerSpec extends SparkSpec {
       assert(j.get("count").asInt === 2)
       assert(j.get("data").has("NSE:RELIANCE-EQ") && j.get("data").has("NSE:TCS-EQ"))
     } finally srv.stop()
+  }
+
+  test("/analytics: the Lambda invoke surface — four query types, reference envelopes and error shapes") {
+    withServer { s =>
+      // symbol_stats (the default query_type): stats block + echo keys
+      val (c1, b1) = get(s, "/analytics?query_type=symbol_stats&symbol=RELIANCE&date=2025-10-08")
+      assert(c1 === 200)
+      val j1 = mapper.readTree(b1)
+      assert(j1.get("symbol").asText === "RELIANCE" && j1.get("date").asText === "2025-10-08")
+      val st = j1.get("stats")
+      assert(st.get("num_records").asLong === 10L)
+      assert(math.abs(st.get("price_change").asDouble -
+        (st.get("close").asDouble - st.get("open").asDouble)) < 1e-9)
+      assert(st.has("avg_price") && st.has("volume") && st.has("price_change_pct"))
+      // no data that day → the reference's 404 message
+      val (c1b, b1b) = get(s, "/analytics?query_type=symbol_stats&symbol=RELIANCE&date=2025-10-09")
+      assert(c1b === 404 && mapper.readTree(b1b).get("error").asText
+        .contains("No data found for RELIANCE on 2025-10-09"))
+      // missing params → 400
+      assert(get(s, "/analytics?query_type=symbol_stats&symbol=RELIANCE")._1 === 400)
+
+      // daily_summary: one row per symbol, desc by pct change
+      val (c2, b2) = get(s, "/analytics?query_type=daily_summary&date=2025-10-08")
+      assert(c2 === 200)
+      val j2 = mapper.readTree(b2)
+      assert(j2.get("total_symbols").asInt === 2)
+      val sm = j2.get("summary")
+      assert(sm.size === 2)
+      assert(sm.get(0).get("price_change_pct").asDouble >=
+        sm.get(1).get("price_change_pct").asDouble)
+      assert(get(s, "/analytics?query_type=daily_summary")._1 === 400)
+
+      // date_range: per-day rows ascending, the 31-day cap enforced
+      val (c3, b3) = get(s,
+        "/analytics?query_type=date_range&symbol=TCS&start_date=2025-10-07&end_date=2025-10-09")
+      assert(c3 === 200)
+      val j3 = mapper.readTree(b3)
+      assert(j3.get("num_days").asInt === 1) // only the 8th has data
+      assert(j3.get("data").get(0).get("date").asText === "2025-10-08")
+      val (c3b, b3b) = get(s,
+        "/analytics?query_type=date_range&symbol=TCS&start_date=2025-01-01&end_date=2025-03-01")
+      assert(c3b === 400 &&
+        mapper.readTree(b3b).get("error").asText === "Date range cannot exceed 31 days")
+
+      // top_movers composes over daily_summary: gainers[0] is the
+      // summary's first row, losers[0] its last
+      val (c4, b4) = get(s, "/analytics?query_type=top_movers&date=2025-10-08&limit=1")
+      assert(c4 === 200)
+      val j4 = mapper.readTree(b4)
+      assert(j4.get("gainers").size === 1 && j4.get("losers").size === 1)
+      assert(j4.get("gainers").get(0).get("symbol").asText ===
+        sm.get(0).get("symbol").asText)
+      assert(j4.get("losers").get(0).get("symbol").asText ===
+        sm.get(1).get("symbol").asText)
+      assert(j4.get("gainers").get(0).has("close") && j4.get("gainers").get(0).has("volume"))
+
+      // unknown query_type → the reference's 400 message
+      val (c5, b5) = get(s, "/analytics?query_type=nope")
+      assert(c5 === 400 &&
+        mapper.readTree(b5).get("error").asText === "Unknown query_type: nope")
+    }
   }
 
   test("concurrent requests: parallel Spark queries on the handler pool all answer correctly") {
