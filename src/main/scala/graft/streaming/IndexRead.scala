@@ -51,16 +51,82 @@ private[streaming] object IndexRead {
     finally out.close()
   }
 
-  /** The committed batch ids — one metadata listing of `_commits/`.
+  /** The committed batch ids — one metadata listing of `_commits/`
+    * (per-batch markers ∪ the checkpoint's folded ranges).
     * None = no manifest at all (legacy index or first batch). */
   def committedIds(spark: SparkSession, dir: String): Option[Set[Long]] = {
     val d = commitsPath(dir)
     if (!fs(spark, d).exists(d)) None
-    else Some(
-      fs(spark, d).listStatus(d).toSeq
+    else {
+      val entries = fs(spark, d).listStatus(d).toSeq
+      val markers = entries
         .flatMap(s => s.getPath.getName.stripPrefix("batch-").toLongOption)
-        .toSet)
+        .toSet
+      val fromCheckpoint = entries.find(_.getPath.getName == CheckpointName) match {
+        case None => Set.empty[Long]
+        case Some(cp) =>
+          val in = fs(spark, cp.getPath).open(cp.getPath)
+          val txt =
+            try new String(in.readAllBytes(), "UTF-8").trim
+            finally in.close()
+          parseRanges(txt)
+      }
+      Some(markers ++ fromCheckpoint)
+    }
   }
+
+  private val CheckpointName = "checkpoint"
+
+  /** "0-1523,1525" ⇄ Set — batch ids are contiguous in normal
+    * operation (foreachBatch is sequential), so the checkpoint is
+    * usually ONE range; gaps from never-committed batches stay gaps. */
+  private def parseRanges(txt: String): Set[Long] =
+    if (txt.isEmpty) Set.empty
+    else txt.split(",").iterator.flatMap { part =>
+      part.split("-", 2) match {
+        case Array(a, b) => (a.trim.toLong to b.trim.toLong).iterator
+        case Array(a)    => Iterator(a.trim.toLong)
+      }
+    }.toSet
+
+  private[streaming] def formatRanges(ids: Seq[Long]): String =
+    compressRanges(ids)
+      .map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }
+      .mkString(",")
+
+  /** Sorted ids → maximal contiguous (lo, hi) runs. */
+  private[streaming] def compressRanges(sorted: Seq[Long]): Seq[(Long, Long)] =
+    sorted.foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc :+ ((a, b)), id) if id == b + 1 => acc :+ (a, id)
+      case (acc, id)                            => acc :+ (id, id)
+    }
+
+  /** Fold every committed id into ONE `_commits/checkpoint` object and
+    * delete the per-batch markers it covers — the manifest's own
+    * compaction. Years of 5-minute batches are ~10⁵ markers; without
+    * this, every gate read pays a 10⁵-object listing for what is one
+    * contiguous range. Write order makes the maintenance race-free
+    * against readers: the checkpoint lands (covering the ids) BEFORE
+    * any marker is deleted, and a reader unions checkpoint ∪ markers,
+    * so every interleaving sees a superset of the committed set —
+    * never an uncommitted id, never a lost one. Single-writer, like
+    * [[graft.operators.Maintenance.compactPartitions]]. Returns the
+    * number of marker objects deleted. */
+  def compactCommits(spark: SparkSession, dir: String): Int =
+    committedIds(spark, dir).filter(_.nonEmpty) match {
+      case None => 0
+      case Some(ids) =>
+        val d  = commitsPath(dir)
+        val cp = new org.apache.hadoop.fs.Path(d, CheckpointName)
+        val out = fs(spark, cp).create(cp, true)
+        try out.write(formatRanges(ids.toSeq.sorted).getBytes("UTF-8"))
+        finally out.close()
+        val markers = fs(spark, d).listStatus(d).toSeq
+          .filter(s => s.getPath.getName.stripPrefix("batch-").toLongOption
+            .exists(ids.contains))
+        markers.foreach(m => fs(spark, d).delete(m.getPath, false))
+        markers.size
+    }
 
   /** Committed-only view of the index, with `excludeBatchId`'s own
     * partition removed (the replay rule): what every gate — and any
@@ -72,10 +138,20 @@ private[streaming] object IndexRead {
     if (!exists) empty
     else committedIds(spark, dir) match {
       case Some(ids) =>
-        val visible = (ids - excludeBatchId).toSeq
+        val visible = (ids - excludeBatchId).toSeq.sorted
         if (visible.isEmpty) empty
-        else spark.read.parquet(dir) // isin on the PARTITION column → pruned
-          .filter(col("batch_id").isin(visible: _*))
+        else {
+          // contiguous ids collapse to BETWEEN ranges — the predicate
+          // stays a handful of terms after years of batches, where an
+          // isin would carry one literal per batch; still lands on the
+          // PARTITION column, so directories prune either way
+          val pred = compressRanges(visible)
+            .map { case (a, b) =>
+              if (a == b) col("batch_id") === a else col("batch_id").between(a, b)
+            }
+            .reduce(_ || _)
+          spark.read.parquet(dir).filter(pred)
+        }
       case None =>
         System.err.println(
           s"[index] $dir has data but no $CommitsDir manifest — legacy index, " +

@@ -95,6 +95,59 @@ class IndexVisibilitySpec extends SparkSpec {
     assert(committed === Set(1L, 20L))
   }
 
+  test("compactCommits folds markers into one checkpoint: visibility unchanged, orphans stay invisible, new batches keep committing") {
+    val hist = s3dir("idxcp") + "/index"
+    val sink = DocStream.bloomGatedBatchSink(hist)
+    sink(docs(1L -> "alpha"), 0L)
+    sink(docs(2L -> "beta"), 1L)
+    sink(docs(3L -> "gamma"), 2L)
+    // an orphaned partial (batch 3 died mid-write, no marker)
+    docs(9L -> "omega")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("batch_id", lit(3L))
+      .write.partitionBy("batch_id").mode("append").parquet(hist)
+
+    val fs = new org.apache.hadoop.fs.Path(hist)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitEntries(): Set[String] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(hist, "_commits"))
+      .map(_.getPath.getName).toSet
+    def visibleIds(): Set[Long] =
+      IndexRead.committedParquet(spark, hist, -999L)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(commitEntries() === Set("batch-0", "batch-1", "batch-2"))
+    assert(visibleIds() === Set(1L, 2L, 3L))
+
+    // fold: three markers → ONE checkpoint object holding "0-2";
+    // the orphan is NOT folded in (it was never committed)
+    assert(IndexRead.compactCommits(spark, hist) === 3)
+    assert(commitEntries() === Set("checkpoint"))
+    assert(visibleIds() === Set(1L, 2L, 3L)) // unchanged, orphan still invisible
+
+    // the stream keeps going: batch 3 replays through the sink
+    // (overwriting the orphan + marker), then batch 4 lands — readers
+    // union checkpoint ∪ new markers
+    sink(docs(9L -> "omega"), 3L)
+    sink(docs(4L -> "delta", 40L -> "omega"), 4L) // 40 is a dup of committed 9
+    assert(commitEntries() === Set("checkpoint", "batch-3", "batch-4"))
+    assert(visibleIds() === Set(1L, 2L, 3L, 9L, 4L))
+
+    // a second fold absorbs the new markers into the single range
+    assert(IndexRead.compactCommits(spark, hist) === 2)
+    assert(commitEntries() === Set("checkpoint"))
+    assert(visibleIds() === Set(1L, 2L, 3L, 9L, 4L))
+    // idempotent when there is nothing to fold
+    assert(IndexRead.compactCommits(spark, hist) === 0)
+  }
+
+  test("range compression: contiguous ids become one BETWEEN, gaps split") {
+    assert(IndexRead.formatRanges(Seq(0L, 1L, 2L, 3L)) === "0-3")
+    assert(IndexRead.formatRanges(Seq(0L, 1L, 3L, 4L, 7L)) === "0-1,3-4,7")
+    assert(IndexRead.formatRanges(Seq(5L)) === "5")
+    assert(IndexRead.formatRanges(Seq.empty) === "")
+  }
+
   test("vector gate commits its partitions too (marker per batch, replay idempotent)") {
     import graft.operators.Similarity
     def vec(x: Float, y: Float) = Array(x, y) ++ Array.fill(6)(0f)
