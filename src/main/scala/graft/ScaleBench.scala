@@ -364,6 +364,8 @@ object ScaleBench {
           .agg(sum(col("mean_luma")).as("chk"), count(lit(1)).as("n"))),
       "q204_video_scenes" ->
         (() => SparkEntry.queries("q204_video_scenes")(spark, dir)),
+      "q206_video_neardup" ->
+        (() => SparkEntry.queries("q206_video_neardup")(spark, dir)),
       // exact-layer reps + 8-band pigeonhole pair join at hamming ≤ 1
       "q202_audio_neardup" ->
         (() => SparkEntry.queries("q202_audio_neardup")(spark, dir)),

@@ -673,21 +673,38 @@ object Multimodal {
     * combined), an 8-cell explode joined back on (doc_id, frame_idx)
     * — both sides hash-partition on doc_id — then one bit_or agg
     * (overflow-free bit assembly). Linear in total frame count. */
-  def audioHash64(frames: DataFrame): DataFrame = {
-    val perDoc = frames
+  def audioHash64(frames: DataFrame): DataFrame =
+    envelopeHash64(frames, col("rms_sq"))
+
+  /** The video sibling: the same thermometer barcode over
+    * [[decodeVideoFrames]]' per-frame mean lumas — ONE fingerprint
+    * definition for every per-frame scalar envelope, so audio clips,
+    * video clips and (with a caller-supplied feature) any future
+    * modality all feed the same banded hamming machinery. */
+  def videoHash64(frames: DataFrame): DataFrame =
+    envelopeHash64(frames, col("mean_luma"))
+
+  /** Shared core: 8 resampled time cells × 8 relative levels over any
+    * per-frame scalar `value` ((doc_id, n_frames, frame_idx, value)
+    * rows → (doc_id, sh)). Integer-exact (9·v ≥ (l+1)·max — no
+    * division); all-constant-zero envelopes collapse to the all-ones
+    * barcode (exact dups by construction). */
+  private def envelopeHash64(frames: DataFrame, value: Column): DataFrame = {
+    val vals = frames.select(
+      col("doc_id"), col("n_frames"), col("frame_idx"), value.as("__v"))
+    vals
       .groupBy(col("doc_id"), col("n_frames"))
-      .agg(max(col("rms_sq")).as("__max"))
-    perDoc
+      .agg(max(col("__v")).as("__max"))
       .select(col("doc_id"), col("n_frames"), col("__max"),
         explode(sequence(lit(0L), lit(7L))).as("c"))
       .withColumn("frame_idx", expr("(c * n_frames) div 8"))
-      .join(frames.select(col("doc_id"), col("frame_idx"), col("rms_sq")),
+      .join(vals.select(col("doc_id"), col("frame_idx"), col("__v")),
         Seq("doc_id", "frame_idx"))
-      .select(col("doc_id"), col("c"), col("rms_sq"), col("__max"),
+      .select(col("doc_id"), col("c"), col("__v"), col("__max"),
         explode(sequence(lit(0L), lit(7L))).as("l"))
       .groupBy(col("doc_id"))
       .agg(expr(
-        "bit_or(CASE WHEN rms_sq * 9 >= (l + 1) * __max " +
+        "bit_or(CASE WHEN __v * 9 >= (l + 1) * __max " +
           "THEN shiftleft(1L, cast(c * 8 + l AS int)) ELSE 0L END)").as("sh"))
   }
 

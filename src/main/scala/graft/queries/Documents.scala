@@ -1663,7 +1663,18 @@ object Documents {
     // twin of q191's VAD through the shared gaps-and-islands core.
     "q204_video_scenes" -> ((s, dir) =>
       Multimodal.sceneSegmentsFromLumas(sharedVideoFrames(s, dir))
-        .withColumnRenamed("voiced_ppm", "bright_ppm"))
+        .withColumnRenamed("voiced_ppm", "bright_ppm")),
+
+    // Video barcodes through the SAME thermometer/hamming machinery
+    // as audio (ONE envelopeHash64 core): q205 exports them, q206
+    // mines near-dup pairs over exact-layer reps at hamming ≤ 1.
+    "q205_video_fingerprint" -> ((s, dir) =>
+      Multimodal.videoHash64(sharedVideoFrames(s, dir))),
+    "q206_video_neardup" -> ((s, dir) => {
+      val reps = Multimodal.videoHash64(sharedVideoFrames(s, dir))
+        .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+      TextDedup.simhashPairsFromHashes(reps, maxHamming = 1, bands = 8)
+    })
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

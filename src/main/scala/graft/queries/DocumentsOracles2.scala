@@ -92,6 +92,28 @@ private[queries] object DocumentsOracles2 {
                 CAST(SUM(p) // 48 AS BIGINT) AS mean_luma
          FROM vpx GROUP BY 1, 2, 3)"""
 
+  /** The video barcode over `vml` — the SAME thermometer form as
+    * [[audioHashCte]] (mirror of
+    * [[graft.operators.Multimodal.videoHash64]]). Appends to
+    * [[videoLumaCte]]; ends with `vsh(doc_id, sh)`. */
+  private val videoHashCte =
+    s"""$videoLumaCte,
+       vmx AS (SELECT doc_id, MAX(mean_luma) AS mx FROM vml GROUP BY 1),
+       vsh AS (
+         SELECT vc.doc_id,
+                CAST(SUM(CASE WHEN mean_luma * 9 >= (l + 1) * mx THEN
+                       CASE WHEN c*8 + l = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << CAST(c*8 + l AS INT)) END
+                     ELSE 0 END) AS BIGINT) AS sh
+         FROM (
+           SELECT doc_id, n, c, (c * n) // 8 AS f
+           FROM vid, LATERAL (SELECT unnest(generate_series(0, 7)) AS c)
+         ) vc
+         JOIN vml ON vml.doc_id = vc.doc_id AND vml.frame_idx = vc.f
+         JOIN vmx ON vmx.doc_id = vc.doc_id,
+         LATERAL (SELECT unnest(generate_series(0, 7)) AS l)
+         GROUP BY 1)"""
+
   /** q173's closed-form URL manifest + the canonicalizer mirrored
     * operator by operator (fragment strip, lowercase scheme/host,
     * default-port strip, tracking-param drop, param sort, empty path
@@ -769,6 +791,22 @@ private[queries] object DocumentsOracles2 {
                  CAST(MAX(len) AS BIGINT) AS longest_seg,
                  CAST(SUM(len) * 1000000 // n_frames AS BIGINT) AS bright_ppm
           FROM sg GROUP BY doc_id, n_frames""",
+
+    // Mirror of the video barcode: identical thermometer form as the
+    // audio one (q201), over the decoded luma envelope.
+    "q205_video_fingerprint" ->
+      s"""WITH $videoHashCte
+          SELECT doc_id, sh FROM vsh""",
+
+    // Near-dup video pairs over barcode reps at hamming ≤ 1 — the
+    // q202 discipline on the video modality.
+    "q206_video_neardup" ->
+      s"""WITH $videoHashCte,
+          reps AS (SELECT sh, MIN(doc_id) AS doc_id FROM vsh GROUP BY 1)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+          FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 1""",
 
     // Mirror of the REAL audio chain: the engine encodes the
     // closed-form WAV manifest (frames = 3 + id%11, per-frame square
