@@ -83,8 +83,23 @@ object MediaStream {
       historyDir, maxHamming, bands, batchId)
   }
 
+  /** The video twin: AVI clips container-walked + frame-decoded ONCE
+    * ([[Multimodal.decodeVideoFrames]]), barcoded over the luma
+    * envelope ([[Multimodal.videoHash64]] — the same thermometer core
+    * as audio), gated through the identical machinery. Every media
+    * modality now has an ingest gate sharing one definition of
+    * "near-duplicate" with its batch pair queries (q205/q206's). */
+  def videoGatedBatchSink(
+      historyDir: String,
+      maxHamming: Int,
+      bands: Int = 8): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    hammingGateAndLand(
+      Multimodal.videoHash64(Multimodal.decodeVideoFrames(batch)),
+      historyDir, maxHamming, bands, batchId)
+  }
+
   /** Shared gate body over a (doc_id, sh) fingerprint relation — the
-    * image and audio sinks differ ONLY in how `sh` is computed. */
+    * image, audio and video sinks differ ONLY in how `sh` is computed. */
   private def hammingGateAndLand(
       fingerprints: DataFrame,
       historyDir: String,

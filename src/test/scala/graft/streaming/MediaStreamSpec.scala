@@ -99,6 +99,33 @@ class MediaStreamSpec extends SparkSpec {
       .map(_.getPath.getName).toSet === Set("batch-0", "batch-1"))
   }
 
+  test("videoGatedBatchSink: real AVI decode, exact dups collapse, hamming-1 clip gated, replay-safe") {
+    import graft.operators.Multimodal
+    // AVI payloads from the closed-form manifest; landed id may differ
+    // from the manifest id. Barcode distances precomputed: clips 0↔52
+    // are hamming 1; clips 4 and 5 are ≥8 from both and 16 apart.
+    def video(rows: Seq[(Long, Long)]) = {
+      val payloads = Multimodal
+        .syntheticVideo(rows.map(_._2).distinct.toDF("id"), col("id"))
+        .withColumnRenamed("doc_id", "mid")
+      rows.toDF("doc_id", "mid").join(payloads, "mid").select("doc_id", "payload")
+    }
+    val dir  = Files.createTempDirectory("videostream").toString
+    val hist = s"$dir/index"
+    val sink = MediaStream.videoGatedBatchSink(hist, maxHamming = 1)
+
+    // batch 0: clip 0, a byte-identical copy under id 100, far clip 4
+    sink(video(Seq(0L -> 0L, 100L -> 0L, 4L -> 4L)), 0L)
+    assert(indexIds(hist) === Set(0L, 4L))
+    // batch 1: clip 52 (hamming 1 from admitted 0 → dropped) + far clip 5
+    sink(video(Seq(52L -> 52L, 5L -> 5L)), 1L)
+    assert(indexIds(hist) === Set(0L, 4L, 5L))
+    // replay: same admit set, no double rows
+    sink(video(Seq(52L -> 52L, 5L -> 5L)), 1L)
+    assert(indexIds(hist) === Set(0L, 4L, 5L))
+    assert(spark.read.parquet(hist).count() === 3)
+  }
+
   test("CHAOS: batch dies AFTER its index append; restart redelivers it — no duplicate admits, no self-suppression") {
     val dir = Files.createTempDirectory("mediastream-chaos").toString
     def land(rows: Seq[(Long, Array[Byte])], sub: String, bumpMs: Long): Unit = {
