@@ -125,6 +125,9 @@ object ServeScale {
         .count()
       println(s"""{"scale":"$label","compacted_partitions":$compacted}""")
       measure("/latest_compacted", () => serveLatest())
+      // the same pass fixes the analytics fan-out: scan_files drops to
+      // symbols × the ±1-day superset (one object per partition)
+      measure("/analytics/daily_summary_compacted", () => serveDailySummary())
     }
     spark.stop()
   }

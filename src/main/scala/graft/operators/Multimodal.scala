@@ -24,9 +24,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * closed-form-manifest trick ([[syntheticAudio]]) making the round
   * trip oracle-checkable.
   *
-  * VIDEO ([[decodeFeatures]]) remains a clearly-marked DETERMINISTIC
-  * STUB — this container ships no video codecs — with the same
-  * batch-in/rows-out shape a real decoder drops into.
+  * VIDEO is REAL too since round 10 ([[syntheticVideo]] /
+  * [[decodeVideoFrames]]): RIFF/AVI containers with PNG-coded frames
+  * ("MPNG" — the JDK decodes each frame losslessly), parsed by a
+  * genuine chunk walker. [[decodeFeatures]] remains as the GENERIC
+  * deterministic stub decoder (mixed-format metadata extraction with
+  * the batch-in/rows-out shape any codec drops into) — it is no
+  * longer the video story, just the catch-all.
   *
   * Scale notes: payloads never leave their partition (no shuffle in
   * decode); batching bounds peak memory to batchSize·payload; the
