@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared read/commit protocol for the growing-index tables the gated
@@ -19,9 +19,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partition — mid-write or orphaned by a kill — is invisible
   * everywhere until the stream's checkpoint replays the batch, whose
   * dynamic overwrite rewrites it in place and re-commits. The
-  * `isin(committed)` filter lands on the `batch_id` PARTITION column,
-  * so visibility costs one `_commits/` listing (metadata-only), never
-  * a data scan.
+  * visibility filter lands on the `batch_id` PARTITION column, so it
+  * costs one `_commits/` listing (metadata-only), never a data scan.
+  *
+  * TWO compactions keep years of 5-minute batches (~10⁵/year) cheap:
+  *  - [[compactCommits]] folds the marker OBJECTS into one
+  *    `_commits/checkpoint` of contiguous ranges (bounds the manifest
+  *    listing);
+  *  - [[compactIndex]] folds the DATA partitions themselves into a
+  *    generational BASE partition (`batch_id = -G`) — 10⁵ tiny
+  *    directories become one, with crash-consistent visibility: the
+  *    new base is written to a FRESH generation (never a
+  *    self-overwrite), becomes visible only when the checkpoint's
+  *    `gen` pointer flips, and the superseded partitions are deleted
+  *    last (pure GC — readers already ignore them). A crash between
+  *    any two steps leaves every reader on exactly one consistent
+  *    generation.
   *
   * ONLY the first-batch case — the index directory not existing yet —
   * is recoverable as an empty index. Every other failure (object-store
@@ -33,7 +46,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * committed, with a stderr note — failing those reads would turn an
   * upgrade into a silent empty-index gate, the exact bug above. */
 private[streaming] object IndexRead {
-  private val CommitsDir = "_commits"
+  private val CommitsDir     = "_commits"
+  private val CheckpointName = "checkpoint"
+
+  /** Manifest state: committed batch ids (markers ∪ checkpoint
+    * ranges), the fold watermark (ids ≤ it live in the base
+    * partition; Long.MinValue = nothing folded) and the base
+    * GENERATION (base partition = `batch_id = -gen`; 0 = no base). */
+  private[streaming] final case class Manifest(
+      ids: Set[Long], foldedUpTo: Long, gen: Long)
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,10 +72,8 @@ private[streaming] object IndexRead {
     finally out.close()
   }
 
-  /** The committed batch ids — one metadata listing of `_commits/`
-    * (per-batch markers ∪ the checkpoint's folded ranges).
-    * None = no manifest at all (legacy index or first batch). */
-  def committedIds(spark: SparkSession, dir: String): Option[Set[Long]] = {
+  /** None = no manifest at all (legacy index or first batch). */
+  private[streaming] def readManifest(spark: SparkSession, dir: String): Option[Manifest] = {
     val d = commitsPath(dir)
     if (!fs(spark, d).exists(d)) None
     else {
@@ -62,20 +81,43 @@ private[streaming] object IndexRead {
       val markers = entries
         .flatMap(s => s.getPath.getName.stripPrefix("batch-").toLongOption)
         .toSet
-      val fromCheckpoint = entries.find(_.getPath.getName == CheckpointName) match {
-        case None => Set.empty[Long]
+      entries.find(_.getPath.getName == CheckpointName) match {
+        case None => Some(Manifest(markers, Long.MinValue, 0L))
         case Some(cp) =>
           val in = fs(spark, cp.getPath).open(cp.getPath)
           val txt =
             try new String(in.readAllBytes(), "UTF-8").trim
             finally in.close()
-          parseRanges(txt)
+          // current format: "ranges=…\nfolded=…\ngen=…"; a plain
+          // ranges line (the pre-fold checkpoint format) still parses
+          val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+          val kv = lines.flatMap { l =>
+            l.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+          }.toMap
+          val ranges =
+            if (kv.contains("ranges")) parseRanges(kv("ranges"))
+            else if (lines.nonEmpty && !lines.head.contains("=")) parseRanges(lines.head)
+            else Set.empty[Long]
+          Some(Manifest(
+            markers ++ ranges,
+            kv.get("folded").map(_.toLong).getOrElse(Long.MinValue),
+            kv.get("gen").map(_.toLong).getOrElse(0L)))
       }
-      Some(markers ++ fromCheckpoint)
     }
   }
 
-  private val CheckpointName = "checkpoint"
+  /** The committed batch ids — the manifest's id set. */
+  def committedIds(spark: SparkSession, dir: String): Option[Set[Long]] =
+    readManifest(spark, dir).map(_.ids)
+
+  private def writeCheckpoint(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val cp  = new org.apache.hadoop.fs.Path(commitsPath(dir), CheckpointName)
+    val txt = s"ranges=${formatRanges(m.ids.toSeq.sorted)}\n" +
+      (if (m.gen > 0) s"folded=${m.foldedUpTo}\ngen=${m.gen}\n" else "")
+    val out = fs(spark, cp).create(cp, true)
+    try out.write(txt.getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** "0-1523,1525" ⇄ Set — batch ids are contiguous in normal
     * operation (foreachBatch is sequential), so the checkpoint is
@@ -84,6 +126,8 @@ private[streaming] object IndexRead {
     if (txt.isEmpty) Set.empty
     else txt.split(",").iterator.flatMap { part =>
       part.split("-", 2) match {
+        // a leading '-' would be a negative id, which commit() never
+        // writes — ranges are non-negative by construction
         case Array(a, b) => (a.trim.toLong to b.trim.toLong).iterator
         case Array(a)    => Iterator(a.trim.toLong)
       }
@@ -101,31 +145,107 @@ private[streaming] object IndexRead {
       case (acc, id)                            => acc :+ (id, id)
     }
 
-  /** Fold every committed id into ONE `_commits/checkpoint` object and
-    * delete the per-batch markers it covers — the manifest's own
-    * compaction. Years of 5-minute batches are ~10⁵ markers; without
-    * this, every gate read pays a 10⁵-object listing for what is one
-    * contiguous range. Write order makes the maintenance race-free
-    * against readers: the checkpoint lands (covering the ids) BEFORE
-    * any marker is deleted, and a reader unions checkpoint ∪ markers,
-    * so every interleaving sees a superset of the committed set —
-    * never an uncommitted id, never a lost one. Single-writer, like
-    * [[graft.operators.Maintenance.compactPartitions]]. Returns the
-    * number of marker objects deleted. */
+  /** Fold every committed id into the `_commits/checkpoint` object and
+    * delete the per-batch markers it covers — the MANIFEST's
+    * compaction (the data partitions are [[compactIndex]]'s job).
+    * Write order makes it race-free against readers: the checkpoint
+    * lands (covering the ids) BEFORE any marker is deleted, and a
+    * reader unions checkpoint ∪ markers, so every interleaving sees a
+    * superset of the committed set — never an uncommitted id, never a
+    * lost one. Single-writer. Returns the markers deleted. */
   def compactCommits(spark: SparkSession, dir: String): Int =
-    committedIds(spark, dir).filter(_.nonEmpty) match {
+    readManifest(spark, dir).filter(_.ids.nonEmpty) match {
       case None => 0
-      case Some(ids) =>
-        val d  = commitsPath(dir)
-        val cp = new org.apache.hadoop.fs.Path(d, CheckpointName)
-        val out = fs(spark, cp).create(cp, true)
-        try out.write(formatRanges(ids.toSeq.sorted).getBytes("UTF-8"))
-        finally out.close()
+      case Some(m) =>
+        writeCheckpoint(spark, dir, m)
+        val d = commitsPath(dir)
         val markers = fs(spark, d).listStatus(d).toSeq
           .filter(s => s.getPath.getName.stripPrefix("batch-").toLongOption
-            .exists(ids.contains))
-        markers.foreach(m => fs(spark, d).delete(m.getPath, false))
+            .exists(m.ids.contains))
+        markers.foreach(mk => fs(spark, d).delete(mk.getPath, false))
         markers.size
+    }
+
+  /** Fold the committed DATA partitions with id ≤ `upToBatch` into a
+    * fresh base GENERATION — 10⁵ micro-batch directories become one
+    * `batch_id=-G` partition. Crash-consistent on an object store
+    * with no atomic rename:
+    *
+    *   1. the new base (old base ∪ folded partitions) is written to
+    *      `batch_id = -(gen+1)` — a FRESH partition, so the read side
+    *      (old base) is never the write target (no self-overwrite),
+    *      and it is INVISIBLE until step 2 (readers resolve the base
+    *      through the checkpoint's `gen` pointer);
+    *   2. the checkpoint flips atomically (one object PUT) to
+    *      `folded=upToBatch, gen=gen+1` — every reader moves to the
+    *      new generation in one step;
+    *   3. the superseded partitions (folded ids + the old base) are
+    *      deleted — pure GC, readers already ignore them; the sweep
+    *      also collects leftovers from any previously crashed fold.
+    *
+    * A crash after 1 leaves an invisible orphan the next fold
+    * overwrites (gen+1 is recomputed identically); a crash after 2
+    * leaves garbage that the next fold's sweep removes. Rows carry no
+    * batch lineage into the base (gates consume (id, fingerprint)
+    * membership only — transient duplication or lost lineage cannot
+    * change a verdict).
+    *
+    * `upToBatch` MUST trail the stream's newest committed batch by at
+    * least the replay horizon (a foreachBatch stream can only replay
+    * its LAST batch) — folding a batch that later replays would make
+    * the replay gate against its own folded rows and self-suppress.
+    * [[committedParquet]] fails loudly if asked to exclude a folded
+    * id. Cost: O(index size) rewrite per fold — run it at the
+    * partition-compaction cadence, not per batch. Returns the number
+    * of data partitions folded. */
+  def compactIndex(spark: SparkSession, dir: String, upToBatch: Long): Int =
+    readManifest(spark, dir) match {
+      case None => 0
+      case Some(m) =>
+        val maxCommitted = if (m.ids.isEmpty) Long.MinValue else m.ids.max
+        require(upToBatch < maxCommitted,
+          s"upToBatch=$upToBatch must trail the newest committed batch " +
+            s"($maxCommitted) by the replay horizon")
+        val toFold = m.ids.filter(id => id > m.foldedUpTo && id <= upToBatch).toSeq.sorted
+        if (toFold.isEmpty) 0
+        else {
+          val newGen = m.gen + 1
+          // 1. fresh-generation base: old base ∪ folded partitions
+          val srcPred = compressRanges(toFold)
+            .map { case (a, b) =>
+              if (a == b) col("batch_id") === a else col("batch_id").between(a, b)
+            }
+            .reduce(_ || _)
+          val src =
+            if (m.gen > 0) srcPred || (col("batch_id") === -m.gen) else srcPred
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          spark.read.parquet(dir)
+            .filter(src)
+            .withColumn("batch_id", lit(-newGen))
+            .write
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(dir)
+          // 2. one PUT flips every reader to the new generation
+          writeCheckpoint(spark, dir, m.copy(foldedUpTo = upToBatch, gen = newGen))
+          // 3. GC: anything superseded — folded ids, prior bases,
+          // leftovers of previously crashed folds — plus their markers
+          val root = new org.apache.hadoop.fs.Path(dir)
+          fs(spark, root).listStatus(root).toSeq
+            .filter(_.getPath.getName.startsWith("batch_id="))
+            .filter { st =>
+              st.getPath.getName.stripPrefix("batch_id=").toLongOption.exists(id =>
+                (id >= 0 && id <= upToBatch) || (id < 0 && id != -newGen))
+            }
+            .foreach(st => fs(spark, root).delete(st.getPath, true))
+          val d = commitsPath(dir)
+          fs(spark, d).listStatus(d).toSeq
+            .filter(_.getPath.getName.stripPrefix("batch-").toLongOption
+              .exists(_ <= upToBatch))
+            .foreach(mk => fs(spark, d).delete(mk.getPath, false))
+          toFold.size
+        }
     }
 
   /** Committed-only view of the index, with `excludeBatchId`'s own
@@ -136,22 +256,24 @@ private[streaming] object IndexRead {
     val p      = new org.apache.hadoop.fs.Path(dir)
     val exists = fs(spark, p).exists(p)
     if (!exists) empty
-    else committedIds(spark, dir) match {
-      case Some(ids) =>
-        val visible = (ids - excludeBatchId).toSeq.sorted
-        if (visible.isEmpty) empty
-        else {
-          // contiguous ids collapse to BETWEEN ranges — the predicate
-          // stays a handful of terms after years of batches, where an
-          // isin would carry one literal per batch; still lands on the
-          // PARTITION column, so directories prune either way
-          val pred = compressRanges(visible)
-            .map { case (a, b) =>
+    else readManifest(spark, dir) match {
+      case Some(m) =>
+        // excluding a FOLDED batch is the self-suppression hazard the
+        // compactIndex contract exists to prevent — fail, don't guess
+        require(!(m.ids.contains(excludeBatchId) && excludeBatchId <= m.foldedUpTo),
+          s"batch $excludeBatchId is folded into the base generation — " +
+            "a replay this old cannot be excluded (raise the fold's replay horizon)")
+        val unfolded = (m.ids - excludeBatchId).filter(_ > m.foldedUpTo).toSeq.sorted
+        // contiguous ids collapse to BETWEEN ranges — the predicate
+        // stays a handful of terms after years of batches; it lands on
+        // the PARTITION column, so directories prune either way
+        val preds =
+          (if (m.gen > 0) Seq(col("batch_id") === -m.gen) else Seq.empty) ++
+            compressRanges(unfolded).map { case (a, b) =>
               if (a == b) col("batch_id") === a else col("batch_id").between(a, b)
             }
-            .reduce(_ || _)
-          spark.read.parquet(dir).filter(pred)
-        }
+        if (preds.isEmpty) empty
+        else spark.read.parquet(dir).filter(preds.reduce(_ || _))
       case None =>
         System.err.println(
           s"[index] $dir has data but no $CommitsDir manifest — legacy index, " +

@@ -141,6 +141,61 @@ class IndexVisibilitySpec extends SparkSpec {
     assert(IndexRead.compactCommits(spark, hist) === 0)
   }
 
+  test("compactIndex: micro-batch partitions fold into a generational base — same visible rows, gates keep working, GC sweeps") {
+    val hist = s3dir("idxfold") + "/index"
+    val sink = DocStream.bloomGatedBatchSink(hist)
+    sink(docs(1L -> "alpha"), 0L)
+    sink(docs(2L -> "beta"), 1L)
+    sink(docs(3L -> "gamma"), 2L)
+    sink(docs(4L -> "delta"), 3L)
+
+    val fs = new org.apache.hadoop.fs.Path(hist)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs(): Set[String] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(hist))
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName).toSet
+    def visibleIds(exclude: Long = -999L): Set[Long] =
+      IndexRead.committedParquet(spark, hist, exclude)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dataDirs().size === 4)
+    assert(visibleIds() === Set(1L, 2L, 3L, 4L))
+
+    // fold batches 0-2 into base generation 1; batch 3 stays live
+    // (the replay horizon)
+    assert(IndexRead.compactIndex(spark, hist, upToBatch = 2L) === 3)
+    assert(dataDirs() === Set("batch_id=-1", "batch_id=3"))
+    assert(visibleIds() === Set(1L, 2L, 3L, 4L)) // identical view
+
+    // the gate still rejects a dup of a FOLDED doc and admits novelty
+    sink(docs(40L -> "beta", 5L -> "epsilon"), 4L)
+    assert(visibleIds() === Set(1L, 2L, 3L, 4L, 5L))
+
+    // second fold: a fresh generation (-2) absorbs the old base and
+    // the newly folded partitions; generation 1 is GC'd
+    sink(docs(6L -> "zeta"), 5L)
+    assert(IndexRead.compactIndex(spark, hist, upToBatch = 4L) === 2)
+    assert(dataDirs() === Set("batch_id=-2", "batch_id=5"))
+    assert(visibleIds() === Set(1L, 2L, 3L, 4L, 5L, 6L))
+
+    // the contract rails: folding up to the newest committed batch is
+    // refused (it could replay), and excluding a folded id fails
+    // loudly instead of self-suppressing silently
+    intercept[IllegalArgumentException] {
+      IndexRead.compactIndex(spark, hist, upToBatch = 5L)
+    }
+    intercept[IllegalArgumentException] { visibleIds(exclude = 1L) }
+    // while excluding a LIVE batch still works
+    assert(visibleIds(exclude = 5L) === Set(1L, 2L, 3L, 4L, 5L))
+
+    // replay of the newest (unfolded) batch after a fold: in-place
+    // overwrite, same admit set, no double rows
+    sink(docs(6L -> "zeta"), 5L)
+    assert(visibleIds() === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(spark.read.parquet(hist).count() === 6)
+  }
+
   test("range compression: contiguous ids become one BETWEEN, gaps split") {
     assert(IndexRead.formatRanges(Seq(0L, 1L, 2L, 3L)) === "0-3")
     assert(IndexRead.formatRanges(Seq(0L, 1L, 3L, 4L, 7L)) === "0-1,3-4,7")
