@@ -161,15 +161,22 @@ object Bench {
               .findAllMatchIn(body)
               .map(m => m.group(1) -> m.group(2))
               .toMap
-          } else
+          } else {
             // anchor absent (older or reformatted BENCH_SELF, or the
             // line re-escaped inside an outer wrapper): fall back to
             // the escaped-quote-tolerant whole-file scan rather than
-            // silently nulling plan_changed for the round
+            // silently nulling plan_changed for the round — but SAY
+            // SO: this scan could misread a future q-keyed 16-hex
+            // field (a checksum) as a fingerprint, so a human must be
+            // able to see which scrape produced the plan_changed bits
+            System.err.println(
+              "[bench] BENCH_SELF.json has no \"plans\":{ anchor — " +
+                "fingerprints scraped UNANCHORED from the whole file")
             """"(q\d[^"\\]*)\\?":\\?"([0-9a-f]{16})\\?"""".r
               .findAllMatchIn(txt)
               .map(m => m.group(1) -> m.group(2))
               .toMap
+          }
         if (scraped.isEmpty)
           System.err.println(
             "[bench] BENCH_SELF.json exists but no plan fingerprints were " +
@@ -276,11 +283,15 @@ object Bench {
       else {
         val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(10).map(_._1)
         val toMeasure = (flagged.map(_._1) ++ slowest).distinct
-        // (floor, max load seen around the measurement) per query
+        // (floor, load at measurement START) per query — the ENTRY
+        // load is the contamination signal; sampling after the pass
+        // would read back our own 32-thread burst (1-min loadavg rises
+        // ~2.4 within a 10 s pegged run) and stamp clean measurements
+        // contaminated, cascading to every later query in the list
         val iso: Map[String, (Double, Double)] = toMeasure.map { n =>
           val before = awaitQuietHost()
           val t      = isolated(n)
-          n -> (t, math.max(before, loadAvg()))
+          n -> (t, before)
         }.toMap
         val conf = flagged.flatMap { case (name, p, _) =>
           val (i, l) = iso(name)

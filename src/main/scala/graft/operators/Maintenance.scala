@@ -278,6 +278,23 @@ object Maintenance {
     todo.toIndexedSeq.toDF("partition", "files_before", "files_target")
   }
 
+  // ---- Streaming-gate index maintenance -----------------------------
+
+  /** Fold a gate index's per-batch commit MARKERS into its checkpoint
+    * object ([[graft.streaming.IndexRead.compactCommits]]) — run at
+    * the same cadence as [[compactPartitions]]; returns markers
+    * deleted. */
+  def compactIndexCommits(spark: SparkSession, indexDir: String): Int =
+    graft.streaming.IndexRead.compactCommits(spark, indexDir)
+
+  /** Fold a gate index's per-batch DATA partitions (ids ≤ `upToBatch`,
+    * which must trail the stream's newest committed batch) into the
+    * generational base partition
+    * ([[graft.streaming.IndexRead.compactIndex]]); returns partitions
+    * folded. */
+  def compactIndexPartitions(spark: SparkSession, indexDir: String, upToBatch: Long): Int =
+    graft.streaming.IndexRead.compactIndex(spark, indexDir, upToBatch)
+
   // ---- Incremental materialized-aggregate maintenance --------------
 
   /** Partial-aggregate STATE of a per-key rollup: (key, n_rows,

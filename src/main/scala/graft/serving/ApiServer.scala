@@ -393,6 +393,13 @@ object ApiServer {
       col("num_records").cast("long"),
       col("price_change").cast("double"), col("price_change_pct").cast("double"))
       .collect()
+    // null OHLCV fields degrade to JSON nulls, never a 500 — the same
+    // numOpt contract the candle handlers follow (a null `open` makes
+    // the whole derived column set null through dailyStats)
+    def putD(o: ObjectNode, f: String, r: Row, i: Int): Unit =
+      if (r.isNullAt(i)) { o.putNull(f); () } else { o.put(f, r.getDouble(i)); () }
+    def putL(o: ObjectNode, f: String, r: Row, i: Int): Unit =
+      if (r.isNullAt(i)) { o.putNull(f); () } else { o.put(f, r.getLong(i)); () }
     qp.getOrElse("query_type", "symbol_stats") match {
       case "symbol_stats" => // :99-171
         (qp.get("symbol"), qp.get("date")) match {
@@ -405,12 +412,12 @@ object ApiServer {
               out.put("symbol", rawSym)
               out.put("date", date)
               val st = out.putObject("stats")
-              st.put("open", r.getDouble(2)); st.put("close", r.getDouble(3))
-              st.put("high", r.getDouble(4)); st.put("low", r.getDouble(5))
-              st.put("volume", r.getLong(6)); st.put("avg_price", r.getDouble(7))
-              st.put("price_change", r.getDouble(9))
-              st.put("price_change_pct", r.getDouble(10))
-              st.put("num_records", r.getLong(8))
+              putD(st, "open", r, 2); putD(st, "close", r, 3)
+              putD(st, "high", r, 4); putD(st, "low", r, 5)
+              putL(st, "volume", r, 6); putD(st, "avg_price", r, 7)
+              putD(st, "price_change", r, 9)
+              putD(st, "price_change_pct", r, 10)
+              putL(st, "num_records", r, 8)
               respond(ex, 200, out)
             }
           case _ => fail(400, "Missing symbol or date")
@@ -425,10 +432,10 @@ object ApiServer {
             rows.foreach { r =>
               val o = sa.addObject()
               o.put("symbol", r.getString(0))
-              o.put("open", r.getDouble(2)); o.put("close", r.getDouble(3))
-              o.put("high", r.getDouble(4)); o.put("low", r.getDouble(5))
-              o.put("volume", r.getLong(6))
-              o.put("price_change_pct", r.getDouble(10))
+              putD(o, "open", r, 2); putD(o, "close", r, 3)
+              putD(o, "high", r, 4); putD(o, "low", r, 5)
+              putL(o, "volume", r, 6)
+              putD(o, "price_change_pct", r, 10)
             }
             out.put("total_symbols", rows.length)
             respond(ex, 200, out)
@@ -449,10 +456,10 @@ object ApiServer {
               rows.foreach { r => // date-ascending from the A3 pipeline
                 val o = da.addObject()
                 o.put("date", r.getString(1))
-                o.put("open", r.getDouble(2)); o.put("close", r.getDouble(3))
-                o.put("high", r.getDouble(4)); o.put("low", r.getDouble(5))
-                o.put("volume", r.getLong(6))
-                o.put("price_change_pct", r.getDouble(10))
+                putD(o, "open", r, 2); putD(o, "close", r, 3)
+                putD(o, "high", r, 4); putD(o, "low", r, 5)
+                putL(o, "volume", r, 6)
+                putD(o, "price_change_pct", r, 10)
               }
               out.put("num_days", rows.length)
               respond(ex, 200, out)
@@ -468,14 +475,22 @@ object ApiServer {
               picked.foreach { r =>
                 val o = arr.addObject()
                 o.put("symbol", r.getString(0))
-                o.put("price_change_pct", r.getDouble(10))
-                o.put("close", r.getDouble(3))
-                o.put("volume", r.getLong(6))
+                putD(o, "price_change_pct", r, 10)
+                putD(o, "close", r, 3)
+                putL(o, "volume", r, 6)
               }
+            // losers re-sort with the A4 tie-break (asc pct, asc
+            // symbol, nulls first like Spark asc) — a bare reverse of
+            // the desc list would order pct TIES by descending symbol
+            // and disagree with Api.topMoversFromTable on the same day
+            val losers = rows.sortBy(r => (
+              if (r.isNullAt(10)) 0 else 1,
+              if (r.isNullAt(10)) 0.0 else r.getDouble(10),
+              r.getString(0)))
             val out = mapper.createObjectNode()
             out.put("date", date)
             side(out.putArray("gainers"), rows.take(limit).toSeq)
-            side(out.putArray("losers"), rows.reverse.take(limit).toSeq)
+            side(out.putArray("losers"), losers.take(limit).toSeq)
             respond(ex, 200, out)
           case None => fail(400, "Missing date")
         }

@@ -89,9 +89,22 @@ object Notify {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val origin = java.net.URI.create(url)
     // headers that must never leak to a host the caller didn't name
-    val authHeaders = Set("authorization", "cookie", "proxy-authorization")
+    val authHeaders = Seq("Authorization", "Cookie", "Proxy-Authorization")
+    // normalized origin compare: scheme/host case-folded (RFC 3986 —
+    // Locale.ROOT so a tr-locale JVM can't mangle the fold) and the
+    // DEFAULT port made explicit, so https://h ≡ https://h:443 — a
+    // same-origin hop must not get its bearer token stripped
+    def originKey(u: java.net.URI): (String, String, Int) = {
+      val scheme = String.valueOf(u.getScheme).toLowerCase(java.util.Locale.ROOT)
+      val port =
+        if (u.getPort != -1) u.getPort
+        else if (scheme == "https") 443
+        else if (scheme == "http") 80
+        else -1
+      (scheme, String.valueOf(u.getHost).toLowerCase(java.util.Locale.ROOT), port)
+    }
     def sameOrigin(a: java.net.URI, b: java.net.URI): Boolean =
-      a.getScheme == b.getScheme && a.getHost == b.getHost && a.getPort == b.getPort
+      originKey(a) == originKey(b)
     (subject, message) => {
       val body = {
         val node = mapper.createObjectNode()
@@ -108,7 +121,10 @@ object Notify {
           b.header("Content-Type", "application/json")
         val crossOrigin = !sameOrigin(origin, target)
         headers.foreach { case (k, v) =>
-          if (!(crossOrigin && authHeaders.contains(k.toLowerCase))) b.header(k, v)
+          // equalsIgnoreCase, not toLowerCase membership: locale-proof
+          // (a tr-default JVM lowercases 'I' to dotless 'ı', which
+          // would let AUTHORIZATION slip through the strip)
+          if (!(crossOrigin && authHeaders.exists(_.equalsIgnoreCase(k)))) b.header(k, v)
         }
         client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
       }

@@ -45,7 +45,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * legacy (pre-manifest) index: every partition is treated as
   * committed, with a stderr note — failing those reads would turn an
   * upgrade into a silent empty-index gate, the exact bug above. */
-private[streaming] object IndexRead {
+private[graft] object IndexRead {
   private val CommitsDir     = "_commits"
   private val CheckpointName = "checkpoint"
 
@@ -64,9 +64,33 @@ private[streaming] object IndexRead {
 
   /** Mark `batchId`'s partition COMMITTED (call strictly after the
     * partition write returns). One object PUT — idempotent under
-    * replay (the marker is rewritten with the same content). */
+    * replay (the marker is rewritten with the same content).
+    *
+    * FIRST commit on a pre-manifest (legacy) index ADOPTS the existing
+    * partitions: without this, the moment one marker exists the
+    * manifest branch takes over and every unmarked legacy partition —
+    * the whole pre-upgrade history — silently vanishes from the gate,
+    * which is exactly the re-admit-forever failure this object exists
+    * to prevent. Legacy partitions were all visible under the old
+    * semantics, so adoption preserves behavior bit-for-bit (including
+    * any pre-manifest orphan, which had no protection then either). */
   def commit(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val p   = new org.apache.hadoop.fs.Path(commitsPath(dir), s"batch-$batchId")
+    val cdir = commitsPath(dir)
+    if (!fs(spark, cdir).exists(cdir)) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val legacy =
+        if (!fs(spark, root).exists(root)) Seq.empty
+        else fs(spark, root).listStatus(root).toSeq
+          .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
+          .filter(id => id >= 0 && id != batchId)
+      if (legacy.nonEmpty) {
+        System.err.println(
+          s"[index] adopting ${legacy.size} legacy pre-manifest partition(s) at $dir")
+        writeCheckpoint(spark, dir,
+          Manifest(legacy.toSet, Long.MinValue, 0L))
+      }
+    }
+    val p   = new org.apache.hadoop.fs.Path(cdir, s"batch-$batchId")
     val out = fs(spark, p).create(p, true)
     try out.write(batchId.toString.getBytes("UTF-8"))
     finally out.close()
@@ -201,8 +225,9 @@ private[streaming] object IndexRead {
   def compactIndex(spark: SparkSession, dir: String, upToBatch: Long): Int =
     readManifest(spark, dir) match {
       case None => 0
+      case Some(m) if m.ids.isEmpty => 0 // manifest dir exists, nothing committed
       case Some(m) =>
-        val maxCommitted = if (m.ids.isEmpty) Long.MinValue else m.ids.max
+        val maxCommitted = m.ids.max
         require(upToBatch < maxCommitted,
           s"upToBatch=$upToBatch must trail the newest committed batch " +
             s"($maxCommitted) by the replay horizon")
@@ -218,7 +243,9 @@ private[streaming] object IndexRead {
             .reduce(_ || _)
           val src =
             if (m.gen > 0) srcPred || (col("batch_id") === -m.gen) else srcPred
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          // per-write dynamic option below — the global session conf
+          // is NOT touched (a leaked 'dynamic' would silently change
+          // unrelated static-overwrite writes for the rest of the job)
           spark.read.parquet(dir)
             .filter(src)
             .withColumn("batch_id", lit(-newGen))

@@ -363,7 +363,10 @@ class ApiServerSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val frame = Seq(
       ("NSE:NULLY-EQ", 1759895100L, Some(1.0), Some(2.0), Some(0.5), None: Option[Double], Some(10.0), "f1"),
-      ("NSE:NULLY-EQ", 1759895400L, Some(1.1), Some(2.1), Some(0.6), Some(1.9), Some(11.0), "f1"))
+      ("NSE:NULLY-EQ", 1759895400L, Some(1.1), Some(2.1), Some(0.6), Some(1.9), Some(11.0), "f1"),
+      // a symbol whose EVERY close is null — its daily rollup's close
+      // and derived columns are null end to end
+      ("NSE:NULLZ-EQ", 1759895100L, Some(1.0), Some(2.0), Some(0.5), None: Option[Double], Some(10.0), "f1"))
       .toDF("symbol", "tsu", "open", "high", "low", "close", "volume", "fetch_timestamp")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
         org.apache.spark.sql.functions.col("tsu"))).drop("tsu")
@@ -381,6 +384,27 @@ class ApiServerSpec extends SparkSpec {
       val (c2, b2) = get(server, "/latest?symbols=nully")
       assert(c2 === 200)
       assert(mapper.readTree(b2).get("data").get("NSE:NULLY-EQ").get("last_candle").get(0).asLong === 1759895400L)
+      // /analytics over the same frame: NULLZ's every close is null,
+      // so its rollup's close and derived columns are JSON nulls —
+      // never a 500; NULLY's latest close (1.9) survives max_by
+      val (c3, b3) = get(server,
+        "/analytics?query_type=daily_summary&date=2025-10-08")
+      assert(c3 === 200)
+      val summary = mapper.readTree(b3).get("summary")
+      val bySym = (0 until summary.size)
+        .map(i => summary.get(i).get("symbol").asText -> summary.get(i)).toMap
+      assert(bySym("NSE:NULLY-EQ").get("close").asDouble === 1.9)
+      assert(bySym("NSE:NULLZ-EQ").get("close").isNull)
+      assert(bySym("NSE:NULLZ-EQ").get("price_change_pct").isNull)
+      val (c4, b4) = get(server,
+        "/analytics?query_type=top_movers&date=2025-10-08&limit=2")
+      assert(c4 === 200)
+      val g = mapper.readTree(b4).get("gainers")
+      assert(g.size === 2) // the null-pct row rides along as JSON null
+      val (c5, b5) = get(server,
+        "/analytics?query_type=symbol_stats&symbol=NSE:NULLZ-EQ&date=2025-10-08")
+      assert(c5 === 200)
+      assert(mapper.readTree(b5).get("stats").get("close").isNull)
     } finally server.stop()
   }
 

@@ -196,6 +196,29 @@ class IndexVisibilitySpec extends SparkSpec {
     assert(spark.read.parquet(hist).count() === 6)
   }
 
+  test("legacy pre-manifest index: the first commit ADOPTS existing partitions — history never silently vanishes") {
+    val hist = s3dir("idxlegacy") + "/index"
+    // a pre-upgrade index: two batch partitions, NO _commits at all
+    for ((id, b) <- Seq((1L, 0L), (2L, 1L)))
+      docs(id -> s"legacy$id")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("batch_id", lit(b))
+        .write.partitionBy("batch_id").mode("append").parquet(hist)
+
+    // first post-upgrade batch: its commit adopts batches 0 and 1
+    val sink = DocStream.bloomGatedBatchSink(hist)
+    sink(docs(3L -> "gamma"), 2L)
+    def visibleIds(): Set[Long] =
+      IndexRead.committedParquet(spark, hist, -999L)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(visibleIds() === Set(1L, 2L, 3L)) // legacy history still visible
+
+    // and the gate still rejects a dup of a LEGACY doc
+    sink(docs(10L -> "legacy1", 11L -> "delta"), 3L)
+    assert(visibleIds() === Set(1L, 2L, 3L, 11L))
+  }
+
   test("range compression: contiguous ids become one BETWEEN, gaps split") {
     assert(IndexRead.formatRanges(Seq(0L, 1L, 2L, 3L)) === "0-3")
     assert(IndexRead.formatRanges(Seq(0L, 1L, 3L, 4L, 7L)) === "0-1,3-4,7")
