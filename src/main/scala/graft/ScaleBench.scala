@@ -366,6 +366,13 @@ object ScaleBench {
         (() => SparkEntry.queries("q204_video_scenes")(spark, dir)),
       "q206_video_neardup" ->
         (() => SparkEntry.queries("q206_video_neardup")(spark, dir)),
+      // verdict chains over the modality barcodes (exact collapse →
+      // banded pair join → cluster contraction): pair mass bounded by
+      // distinct barcodes, the q169 discipline
+      "q207_audio_verdicts" ->
+        (() => SparkEntry.queries("q207_audio_verdicts")(spark, dir)),
+      "q208_video_verdicts" ->
+        (() => SparkEntry.queries("q208_video_verdicts")(spark, dir)),
       // exact-layer reps + 8-band pigeonhole pair join at hamming ≤ 1
       "q202_audio_neardup" ->
         (() => SparkEntry.queries("q202_audio_neardup")(spark, dir)),

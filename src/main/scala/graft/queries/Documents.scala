@@ -1681,7 +1681,19 @@ object Documents {
       val reps = Multimodal.videoHash64(sharedVideoFrames(s, dir))
         .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
       TextDedup.simhashPairsFromHashes(reps, maxHamming = 1, bands = 8)
-    })
+    }),
+
+    // The DECISION lists for the new modalities — q169's verdict chain
+    // (exact collapse → banded pair join → cluster contraction →
+    // keep/drop_exact/drop_near per clip) over the audio and video
+    // barcodes, closing the modality symmetry: every media type now
+    // has fingerprints, pairs, an ingest gate AND a dedup verdict list.
+    "q207_audio_verdicts" -> ((s, dir) =>
+      TextDedup.hammingDedupVerdicts(
+        sharedAudioHashes(s, dir), maxHamming = 1, bands = 8)),
+    "q208_video_verdicts" -> ((s, dir) =>
+      TextDedup.hammingDedupVerdicts(
+        Multimodal.videoHash64(sharedVideoFrames(s, dir)), maxHamming = 1, bands = 8))
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

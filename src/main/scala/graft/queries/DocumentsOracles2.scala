@@ -808,6 +808,70 @@ private[queries] object DocumentsOracles2 {
           FROM reps a JOIN reps b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= 1""",
 
+    // q169's verdict-chain oracle (exact connectivity at hamming ≤ 1,
+    // survivor = component min, keep/drop_exact/drop_near) over the
+    // audio barcodes.
+    "q207_audio_verdicts" ->
+      s"""WITH RECURSIVE $audioHashCte,
+          qpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ash a JOIN ash b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 1
+          ),
+          qedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM qpairs
+            UNION
+            SELECT doc_b, doc_a FROM qpairs
+          ),
+          qreach AS (
+            SELECT DISTINCT src AS doc_id, src AS r FROM qedges
+            UNION
+            SELECT e.src, r.r FROM qedges e JOIN qreach r ON r.doc_id = e.dst
+          ),
+          qclus AS (SELECT doc_id, MIN(r) AS cluster_min FROM qreach GROUP BY doc_id),
+          qek AS (SELECT sh, MIN(doc_id) AS exact_keeper FROM ash GROUP BY 1),
+          qj AS (
+            SELECT s.doc_id, qek.exact_keeper, qclus.cluster_min
+            FROM ash s JOIN qek USING (sh) LEFT JOIN qclus USING (doc_id)
+          )
+          SELECT doc_id,
+                 COALESCE(cluster_min, exact_keeper) AS survivor_doc_id,
+                 CASE WHEN doc_id = COALESCE(cluster_min, exact_keeper) THEN 'keep'
+                      WHEN doc_id <> exact_keeper THEN 'drop_exact'
+                      ELSE 'drop_near' END AS verdict
+          FROM qj""",
+
+    // Same chain over the video barcodes.
+    "q208_video_verdicts" ->
+      s"""WITH RECURSIVE $videoHashCte,
+          qpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM vsh a JOIN vsh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 1
+          ),
+          qedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM qpairs
+            UNION
+            SELECT doc_b, doc_a FROM qpairs
+          ),
+          qreach AS (
+            SELECT DISTINCT src AS doc_id, src AS r FROM qedges
+            UNION
+            SELECT e.src, r.r FROM qedges e JOIN qreach r ON r.doc_id = e.dst
+          ),
+          qclus AS (SELECT doc_id, MIN(r) AS cluster_min FROM qreach GROUP BY doc_id),
+          qek AS (SELECT sh, MIN(doc_id) AS exact_keeper FROM vsh GROUP BY 1),
+          qj AS (
+            SELECT s.doc_id, qek.exact_keeper, qclus.cluster_min
+            FROM vsh s JOIN qek USING (sh) LEFT JOIN qclus USING (doc_id)
+          )
+          SELECT doc_id,
+                 COALESCE(cluster_min, exact_keeper) AS survivor_doc_id,
+                 CASE WHEN doc_id = COALESCE(cluster_min, exact_keeper) THEN 'keep'
+                      WHEN doc_id <> exact_keeper THEN 'drop_exact'
+                      ELSE 'drop_near' END AS verdict
+          FROM qj""",
+
     // Mirror of the REAL audio chain: the engine encodes the
     // closed-form WAV manifest (frames = 3 + id%11, per-frame square
     // wave of amplitude (id·37 + f·101)%1000), decodes actual PCM16
