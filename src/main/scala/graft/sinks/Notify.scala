@@ -65,10 +65,14 @@ object Notify {
     * headers (`Authorization`, `Cookie`, `Proxy-Authorization`) are
     * STRIPPED when the redirect target's origin (scheme+host+port)
     * differs from the one the caller configured. An https→http
-    * downgrade is refused, a missing `Location` or a hop chain
-    * longer than 5 is a loop — all three are TRANSIENT (retryable),
-    * not permanent rejections, because they describe the route, not
-    * the configuration.
+    * downgrade is refused and a hop chain longer than 5 is a loop —
+    * both TRANSIENT (retryable), because they describe the route,
+    * not the configuration. A 3xx WITHOUT a `Location` is the
+    * opposite: there is no route to follow and retrying re-POSTs the
+    * identical request to the identical endpoint, so it can never
+    * become deliverable (304 Not Modified legitimately carries no
+    * Location at all) — that is a PERMANENT [[WebhookRejected]], not
+    * a backoff-burner.
     *
     * `sleep` is injectable (specs record backoffs instead of
     * waiting); `headers` carries auth (e.g. a bearer token) and may
@@ -136,7 +140,11 @@ object Notify {
         if (sc >= 200 && sc < 300) None
         else if (sc >= 300 && sc < 400) {
           val loc = resp.headers().firstValue("Location")
-          if (!loc.isPresent) Some(s"HTTP $sc without Location")
+          // no Location = nothing to follow; a retry re-sends the
+          // SAME request to the SAME endpoint and gets the SAME
+          // answer (e.g. 304 Not Modified never has one) — permanent
+          if (!loc.isPresent)
+            throw new WebhookRejected(s"webhook rejected: HTTP $sc without Location")
           else {
             val next = target.resolve(loc.get)
             if (target.getScheme == "https" && next.getScheme != "https")

@@ -48,6 +48,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object IndexRead {
   private val CommitsDir     = "_commits"
   private val CheckpointName = "checkpoint"
+  private val LeaseName      = "fold-lease"
+
+  /** A fold found another writer's live lease — the caller aborts and
+    * retries at the next cadence tick instead of racing the
+    * generational overwrite + GC (two concurrent folds with different
+    * `upToBatch` would both write `batch_id=-(gen+1)` and whichever
+    * checkpoint PUT lands last could GC partitions the other fold's
+    * base never absorbed — silent index row loss). */
+  final class ConcurrentFoldException(msg: String) extends RuntimeException(msg)
+
+  /** Single-writer guard shared by [[compactCommits]]/[[compactIndex]]:
+    * an exclusive lease object under `_commits`, acquired with
+    * `create(overwrite=false)` — atomic on HDFS/local (two racers
+    * cannot both win the create; the loser gets
+    * FileAlreadyExistsException → [[ConcurrentFoldException]]). A lease
+    * older than `ttlMs` is a crashed fold's leftover (the fold body is
+    * minutes, not hours) and is broken with a loud note — folds are
+    * idempotent up to their checkpoint flip, so a re-run after a crash
+    * is always safe. */
+  private def withFoldLease[A](
+      spark: SparkSession, dir: String, ttlMs: Long = 30L * 60 * 1000)(body: => A): A = {
+    val lease = new org.apache.hadoop.fs.Path(commitsPath(dir), LeaseName)
+    val f     = fs(spark, lease)
+    if (f.exists(lease)) {
+      val age = System.currentTimeMillis() - f.getFileStatus(lease).getModificationTime
+      if (age <= ttlMs)
+        throw new ConcurrentFoldException(
+          s"another fold holds $lease (age ${age} ms ≤ ttl ${ttlMs} ms) — aborting instead of racing")
+      System.err.println(s"[index] breaking STALE fold lease at $lease (age ${age} ms > ttl)")
+      f.delete(lease, false)
+    }
+    val out =
+      try f.create(lease, false)
+      catch {
+        case e: java.io.IOException => // FileAlreadyExists and kin: lost the create race
+          throw new ConcurrentFoldException(
+            s"lost the fold-lease create race at $lease: ${e.getMessage}")
+      }
+    try out.write(java.lang.Long.toString(System.currentTimeMillis()).getBytes("UTF-8"))
+    finally out.close()
+    try body
+    finally f.delete(lease, false)
+  }
 
   /** Manifest state: committed batch ids (markers ∪ checkpoint
     * ranges), the fold watermark (ids ≤ it live in the base
@@ -176,11 +219,16 @@ private[graft] object IndexRead {
     * lands (covering the ids) BEFORE any marker is deleted, and a
     * reader unions checkpoint ∪ markers, so every interleaving sees a
     * superset of the committed set — never an uncommitted id, never a
-    * lost one. Single-writer. Returns the markers deleted. */
+    * lost one. Single-writer, ENFORCED by the fold lease (a concurrent
+    * fold aborts with [[ConcurrentFoldException]] instead of racing).
+    * Returns the markers deleted. */
   def compactCommits(spark: SparkSession, dir: String): Int =
     readManifest(spark, dir).filter(_.ids.nonEmpty) match {
       case None => 0
-      case Some(m) =>
+      case Some(_) => withFoldLease(spark, dir) {
+        // re-read INSIDE the lease — a fold that finished between our
+        // first read and the acquire may have moved the manifest
+        val m = readManifest(spark, dir).get
         writeCheckpoint(spark, dir, m)
         val d = commitsPath(dir)
         val markers = fs(spark, d).listStatus(d).toSeq
@@ -188,6 +236,7 @@ private[graft] object IndexRead {
             .exists(m.ids.contains))
         markers.foreach(mk => fs(spark, d).delete(mk.getPath, false))
         markers.size
+      }
     }
 
   /** Fold the committed DATA partitions with id ≤ `upToBatch` into a
@@ -220,13 +269,19 @@ private[graft] object IndexRead {
     * the replay gate against its own folded rows and self-suppress.
     * [[committedParquet]] fails loudly if asked to exclude a folded
     * id. Cost: O(index size) rewrite per fold — run it at the
-    * partition-compaction cadence, not per batch. Returns the number
-    * of data partitions folded. */
+    * partition-compaction cadence, not per batch. Single-writer,
+    * ENFORCED: the fold lease makes a concurrent fold abort
+    * ([[ConcurrentFoldException]]) instead of racing, and a CAS on
+    * the checkpoint gen guards the GC even if a lease was wrongly
+    * broken. Returns the number of data partitions folded. */
   def compactIndex(spark: SparkSession, dir: String, upToBatch: Long): Int =
     readManifest(spark, dir) match {
       case None => 0
-      case Some(m) if m.ids.isEmpty => 0 // manifest dir exists, nothing committed
-      case Some(m) =>
+      case Some(m0) if m0.ids.isEmpty => 0 // manifest dir exists, nothing committed
+      case Some(_) => withFoldLease(spark, dir) {
+        // re-read inside the lease: the manifest we saw before the
+        // acquire may predate a fold that just released
+        val m = readManifest(spark, dir).get
         val maxCommitted = m.ids.max
         require(upToBatch < maxCommitted,
           s"upToBatch=$upToBatch must trail the newest committed batch " +
@@ -256,6 +311,18 @@ private[graft] object IndexRead {
             .parquet(dir)
           // 2. one PUT flips every reader to the new generation
           writeCheckpoint(spark, dir, m.copy(foldedUpTo = upToBatch, gen = newGen))
+          // CAS guard before the destructive step (belt-and-braces on
+          // top of the lease — e.g. a lease wrongly broken as stale):
+          // if the checkpoint we just wrote is not the one on disk,
+          // another fold is interleaved — its base may not absorb what
+          // our GC would delete, so ABORT the GC; the orphan partitions
+          // stay invisible (readers resolve through the checkpoint) and
+          // the next fold's sweep collects them
+          val onDisk = readManifest(spark, dir).get
+          if (onDisk.gen != newGen || onDisk.foldedUpTo != upToBatch)
+            throw new ConcurrentFoldException(
+              s"checkpoint moved under the fold (gen=${onDisk.gen} folded=${onDisk.foldedUpTo}, " +
+                s"expected gen=$newGen folded=$upToBatch) — GC aborted, no data deleted")
           // 3. GC: anything superseded — folded ids, prior bases,
           // leftovers of previously crashed folds — plus their markers
           val root = new org.apache.hadoop.fs.Path(dir)
@@ -273,6 +340,7 @@ private[graft] object IndexRead {
             .foreach(mk => fs(spark, d).delete(mk.getPath, false))
           toFold.size
         }
+      }
     }
 
   /** Committed-only view of the index, with `excludeBatchId`'s own

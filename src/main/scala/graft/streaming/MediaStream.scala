@@ -78,9 +78,16 @@ object MediaStream {
       historyDir: String,
       maxHamming: Int,
       bands: Int = 8): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    hammingGateAndLand(
-      Multimodal.audioHash64(Multimodal.decodeAudioFrames(batch)),
-      historyDir, maxHamming, bands, batchId)
+    // the decoded-frames relation feeds envelopeHash64 TWICE (the
+    // per-clip max aggregation AND the resampled join-back) — without
+    // this persist every WAV payload is container-decoded twice per
+    // batch; the persist in hammingGateAndLand lands only on the final
+    // (doc_id, sh) fingerprints, AFTER both decodes would have run
+    val frames = Multimodal.decodeAudioFrames(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try hammingGateAndLand(
+      Multimodal.audioHash64(frames), historyDir, maxHamming, bands, batchId)
+    finally { frames.unpersist(); () }
   }
 
   /** The video twin: AVI clips container-walked + frame-decoded ONCE
@@ -93,9 +100,14 @@ object MediaStream {
       historyDir: String,
       maxHamming: Int,
       bands: Int = 8): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    hammingGateAndLand(
-      Multimodal.videoHash64(Multimodal.decodeVideoFrames(batch)),
-      historyDir, maxHamming, bands, batchId)
+    // same decode-once persist as the audio sink — envelopeHash64
+    // reads its input twice, and an AVI chunk-walk + per-frame PNG
+    // decode is the most expensive step in the whole gate
+    val frames = Multimodal.decodeVideoFrames(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try hammingGateAndLand(
+      Multimodal.videoHash64(frames), historyDir, maxHamming, bands, batchId)
+    finally { frames.unpersist(); () }
   }
 
   /** Shared gate body over a (doc_id, sh) fingerprint relation — the

@@ -234,6 +234,13 @@ class ApiServerSpec extends SparkSpec {
       assert(sm.get(0).get("price_change_pct").asDouble >=
         sm.get(1).get("price_change_pct").asDouble)
       assert(get(s, "/analytics?query_type=daily_summary")._1 === 400)
+      // a POPULATED table on a day with no rows still answers 200 with
+      // an empty summary (the reference's symbol prefixes exist; their
+      // per-day reads just come back empty — lambda_analytics.py:235-249)
+      val (c2e, b2e) = get(s, "/analytics?query_type=daily_summary&date=2025-10-09")
+      assert(c2e === 200)
+      val j2e = mapper.readTree(b2e)
+      assert(j2e.get("total_symbols").asInt === 0 && j2e.get("summary").size === 0)
 
       // date_range: per-day rows ascending, the 31-day cap enforced
       val (c3, b3) = get(s,
@@ -264,6 +271,20 @@ class ApiServerSpec extends SparkSpec {
       assert(c5 === 400 &&
         mapper.readTree(b5).get("error").asText === "Unknown query_type: nope")
     }
+  }
+
+  test("daily_summary over a completely EMPTY source: the reference's 404 envelope, not a 200 with an empty array") {
+    // lambda_analytics.py:213-224 — no symbol= prefixes listed at all
+    // → 404 "No data found for <date>"
+    val empty  = candles.limit(0)
+    val server = ApiServer.start(
+      () => empty,
+      ApiServer.Config(clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z")))
+    try {
+      val (c, b) = get(server, "/analytics?query_type=daily_summary&date=2025-10-08")
+      assert(c === 404)
+      assert(mapper.readTree(b).get("error").asText === "No data found for 2025-10-08")
+    } finally server.stop()
   }
 
   test("concurrent requests: parallel Spark queries on the handler pool all answer correctly") {

@@ -213,20 +213,85 @@ class NotifySpec extends SparkSpec {
         assert(foreignAuth.poll() === "-|-|r42") // auth gone, benign header kept
         assert(new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(bodies.poll()).get("subject").asText === "cross")
+        bodies.clear()
+
+        // 303 See Other WITH auth, cross-origin: the RFC's
+        // "switch-to-GET" convention is deliberately NOT applied (the
+        // payload IS the notification) — the foreign target must see a
+        // POST with the intact body and NO auth-bearing headers
+        val foreign303 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        server2.createContext("/foreign303", (ex: com.sun.net.httpserver.HttpExchange) => {
+          bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+          foreign303.add(ex.getRequestMethod + "|" +
+            (if (ex.getRequestHeaders.containsKey("Authorization")) "auth" else "-") + "|" +
+            (if (ex.getRequestHeaders.containsKey("Cookie")) "cookie" else "-"))
+          ex.sendResponseHeaders(200, -1)
+          ex.close()
+        })
+        server.createContext("/moved303", (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.getRequestBody.readAllBytes()
+          ex.getResponseHeaders.add(
+            "Location", s"http://127.0.0.1:${server2.getAddress.getPort}/foreign303")
+          ex.sendResponseHeaders(303, -1)
+          ex.close()
+        })
+        val n303x = Notify.webhookNotifier(
+          s"http://127.0.0.1:${server.getAddress.getPort}/moved303",
+          headers = Map("Authorization" -> "Bearer s3cret", "Cookie" -> "sid=1"),
+          attempts = 1)
+        n303x("see-other", "still a post")
+        assert(foreign303.poll() === "POST|-|-") // method preserved, auth stripped
+        assert(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(bodies.poll()).get("message").asText === "still a post")
       } finally server2.stop(0)
       bodies.clear()
 
-      // a redirect with no Location is TRANSIENT (retries, then throws)
+      // 303 WITH auth, SAME-origin: the strip is scoped to foreign
+      // origins only — a same-origin hop (path move behind one host)
+      // must keep the bearer token, or every redirect behind an
+      // authenticated webhook breaks
+      val same303 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      server.createContext("/hook303same", (ex: com.sun.net.httpserver.HttpExchange) => {
+        bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        same303.add(ex.getRequestMethod + "|" +
+          Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("-"))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+      server.createContext("/moved303same", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getRequestBody.readAllBytes()
+        ex.getResponseHeaders.add(
+          "Location", s"http://127.0.0.1:${server.getAddress.getPort}/hook303same")
+        ex.sendResponseHeaders(303, -1)
+        ex.close()
+      })
+      val n303same = Notify.webhookNotifier(
+        s"http://127.0.0.1:${server.getAddress.getPort}/moved303same",
+        headers = Map("Authorization" -> "Bearer s3cret"),
+        attempts = 1)
+      n303same("same-origin", "auth kept")
+      assert(same303.poll() === "POST|Bearer s3cret")
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bodies.poll()).get("message").asText === "auth kept")
+      bodies.clear()
+
+      // a 3xx with no Location is PERMANENT (a retry re-POSTs the
+      // identical request to the identical endpoint — e.g. a 304
+      // legitimately never carries one): WebhookRejected, zero
+      // backoffs burned even with retry budget available
+      val nolocHits = new java.util.concurrent.atomic.AtomicInteger(0)
       server.createContext("/noloc", (ex: com.sun.net.httpserver.HttpExchange) => {
         ex.getRequestBody.readAllBytes()
-        ex.sendResponseHeaders(302, -1)
+        nolocHits.incrementAndGet()
+        ex.sendResponseHeaders(304, -1)
         ex.close()
       })
       val nNoLoc = Notify.webhookNotifier(
         s"http://127.0.0.1:${server.getAddress.getPort}/noloc",
-        attempts = 2, sleep = slept += _)
-      intercept[java.io.IOException] { nNoLoc("s", "m") }
-      assert(slept.toSeq === Seq(1000L))
+        attempts = 3, sleep = slept += _)
+      val noLocEx = intercept[Notify.WebhookRejected] { nNoLoc("s", "m") }
+      assert(noLocEx.getMessage.contains("304"))
+      assert(nolocHits.get === 1 && slept.isEmpty) // one POST, no retries
       slept.clear()
 
       // a self-redirect loop is cut off and treated as TRANSIENT

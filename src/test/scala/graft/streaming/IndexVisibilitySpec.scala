@@ -196,6 +196,53 @@ class IndexVisibilitySpec extends SparkSpec {
     assert(spark.read.parquet(hist).count() === 6)
   }
 
+  test("fold lease: a concurrent fold ABORTS (ConcurrentFoldException) instead of racing; a stale lease from a crashed fold is broken") {
+    val hist = s3dir("idxlease") + "/index"
+    val sink = DocStream.bloomGatedBatchSink(hist)
+    sink(docs(1L -> "alpha"), 0L)
+    sink(docs(2L -> "beta"), 1L)
+    sink(docs(3L -> "gamma"), 2L)
+
+    val root = new org.apache.hadoop.fs.Path(hist)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visibleIds(): Set[Long] =
+      IndexRead.committedParquet(spark, hist, -999L)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def dataDirs(): Set[String] = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName).toSet
+
+    // another writer holds the lease: BOTH folds must abort — and
+    // leave the index byte-identical (no checkpoint move, no GC)
+    val lease = new org.apache.hadoop.fs.Path(hist, "_commits/fold-lease")
+    val out   = fs.create(lease, false)
+    out.write("held".getBytes("UTF-8")); out.close()
+    intercept[IndexRead.ConcurrentFoldException] {
+      IndexRead.compactIndex(spark, hist, upToBatch = 1L)
+    }
+    intercept[IndexRead.ConcurrentFoldException] {
+      IndexRead.compactCommits(spark, hist)
+    }
+    assert(fs.exists(lease)) // the loser never deletes the holder's lease
+    assert(dataDirs() === Set("batch_id=0", "batch_id=1", "batch_id=2"))
+    assert(visibleIds() === Set(1L, 2L, 3L))
+
+    // a lease older than the TTL is a crashed fold's leftover: broken
+    // with a note, and the fold proceeds (folds are idempotent up to
+    // their checkpoint flip, so the re-run is safe)
+    fs.setTimes(lease, System.currentTimeMillis() - 31L * 60 * 1000, -1)
+    assert(IndexRead.compactIndex(spark, hist, upToBatch = 1L) === 2)
+    assert(!fs.exists(lease)) // released on the way out
+    assert(dataDirs() === Set("batch_id=-1", "batch_id=2"))
+    assert(visibleIds() === Set(1L, 2L, 3L))
+
+    // the gate still works after a lease-broken fold: dup of a folded
+    // doc rejected, novelty admitted
+    sink(docs(40L -> "alpha", 5L -> "epsilon"), 3L)
+    assert(visibleIds() === Set(1L, 2L, 3L, 5L))
+  }
+
   test("legacy pre-manifest index: the first commit ADOPTS existing partitions — history never silently vanishes") {
     val hist = s3dir("idxlegacy") + "/index"
     // a pre-upgrade index: two batch partitions, NO _commits at all
