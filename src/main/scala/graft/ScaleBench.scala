@@ -376,6 +376,13 @@ object ScaleBench {
       // exact-layer reps + 8-band pigeonhole pair join at hamming ≤ 1
       "q202_audio_neardup" ->
         (() => SparkEntry.queries("q202_audio_neardup")(spark, dir)),
+      // cross-modal keyframe-vs-image probe: container walk extracts
+      // stills (no transcode — MPNG frames ARE PNGs), the same aHash +
+      // banded machinery as the image corpus; cost = keyframe hash
+      // pass (linear in sampled frames) + band-bucket collisions,
+      // never keyframes × images
+      "q209_crossmodal_neardup" ->
+        (() => SparkEntry.queries("q209_crossmodal_neardup")(spark, dir)),
       // the driver query's CAP 4 setting (the value at which the cap
       // provably bites at sf0.01) measured beside the production 256:
       // candidate mass is Σ|A∩cell|·cap, so the cap IS the cost dial

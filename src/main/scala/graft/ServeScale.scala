@@ -132,7 +132,7 @@ object ServeScale {
     spark.stop()
   }
 
-  private def countParquetFiles(root: java.io.File): Int = {
+  private[graft] def countParquetFiles(root: java.io.File): Int = {
     val kids = Option(root.listFiles()).getOrElse(Array.empty)
     kids.count(f => f.isFile && f.getName.endsWith(".parquet")) +
       kids.filter(_.isDirectory).map(countParquetFiles).sum
@@ -140,7 +140,7 @@ object ServeScale {
 
   /** (numFiles, numOutputRows) summed over the executed plan's parquet
     * scans — what the query actually opened and read, post-pruning. */
-  private def scanMetrics(plan: SparkPlan): (Long, Long) = {
+  private[graft] def scanMetrics(plan: SparkPlan): (Long, Long) = {
     def all(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(all)) ++ (p match {
         case a: AdaptiveSparkPlanExec => all(a.executedPlan)

@@ -1,0 +1,145 @@
+package graft
+
+import graft.ohlcv.{Api, MockData, Normalize, RawIngest, Storage}
+import graft.operators.TextAnalysis
+import graft.streaming.{DocStream, IndexRead, OhlcvStream}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A simulated YEAR of 5-minute micro-batches, downsampled — the
+  * measurement behind the scheduled-maintenance claim: with the
+  * compaction cadence riding the batch loop (no manual pass, ever),
+  * serving (`/latest`, `/analytics`) and the streaming gate probe stay
+  * FLAT in table age; with the cadence off, the same loop degrades
+  * linearly in files/partitions listed.
+  *
+  * The reference schedules all of this externally
+  * (`infra/main-mvp.tf:464-515` — EventBridge crons firing the fetch /
+  * ETL / monitor Lambdas); here the triggers are in-band
+  * ([[OhlcvStream.upsertBatch]]'s compactEvery tick and
+  * [[IndexRead.maintainAfterCommit]]'s Cadence), so the proof is one
+  * loop per arm driving the EXACT production batch bodies.
+  *
+  * Downsampling: a real year is ~10⁵ five-minute batches over 365 day
+  * partitions. The sim keeps the STRUCTURE that drives cost — number
+  * of day partitions touched-and-rolled, rewrite fan-out per touched
+  * partition, commit-marker/partition-dir counts in the gate index —
+  * and compresses time: each sim batch carries one day's close
+  * (rolling the day forward every batch), `nDays` batches ≈ a year of
+  * daily partitions; the gate arm runs `gateBatches` micro-batches
+  * against one growing index. Cadences scale the same way (compact
+  * "daily" = every `compactEvery` sim batches).
+  *
+  * Usage: `runMain graft.YearSim [workdir] [nDays] [gateBatches]` —
+  * prints one JSON line per (arm × endpoint):
+  * {"sim":"year","arm":"auto|manual","endpoint":...,
+  *  "table_files":N,"scan_files":N,"warm_s":...} and for the gate
+  * {"sim":"year","arm":...,"endpoint":"gate_probe","batches":N,
+  *  "early_s":...,"late_s":...,"commit_entries":N,"data_dirs":N}.
+  */
+object YearSim {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-yearsim").toString)
+    val nDays       = args.lift(1).map(_.toInt).getOrElse(240)
+    val gateBatches = args.lift(2).map(_.toInt).getOrElse(360)
+    val spark       = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val syms = Seq("NSE:SYM001-EQ", "NSE:SYM002-EQ", "NSE:SYM003-EQ")
+    val t0   = 1735689600L // 2025-01-01 00:00 UTC
+
+    // ---- OHLCV serving table: auto-compaction ON vs OFF -------------
+    // APPEND-style ingest (the parquetSink semantics, the reference's
+    // 5-min fetch job): each day receives 4 sub-batches, each leaving
+    // one new file per (day, symbol) partition — the small-file
+    // producer. The auto arm's compaction tick (every 28 sub-batches ≈
+    // weekly at this downsampling; production = daily 288) rewrites
+    // fragmented partitions to one file; the manual arm never compacts.
+    val subPerDay = 4
+    for ((arm, compactEvery) <- Seq(("manual", 0L), ("auto", 28L))) {
+      val dir = s"$work/ohlcv_$arm/table"
+      for (d <- 0 until nDays; sub <- 0 until subPerDay) {
+        val slice = MockData.candles(
+          spark, syms, 3, t0 + d * 86400L + sub * 900L)
+        val norm = Normalize.normalize(
+          RawIngest.blocks(
+            MockData.envelope(slice, s"sim-$d-$sub")
+              .withColumn("source_file", lit(s"mem-$d-$sub"))),
+          s"sim-$d-$sub")
+        OhlcvStream.appendBatch(
+          norm.drop("event_time"),
+          batchId = (d * subPerDay + sub).toLong, outPath = dir,
+          partCols = Seq("year", "month", "day", "symbol_clean"),
+          compactEvery = compactEvery, compactMaxFiles = 1,
+          compactTargetBytes = 128L << 20)
+      }
+      val lastDate = java.time.LocalDate
+        .ofEpochDay(t0 / 86400 + (nDays - 1)).toString
+      val tableFiles = ServeScale.countParquetFiles(new java.io.File(dir))
+      def measure(endpoint: String, mk: () => DataFrame): Unit = {
+        val warmup = mk().collect() // cold pass primes the file index
+        val t      = System.nanoTime()
+        val df     = mk(); val out = df.collect().length
+        val warm   = (System.nanoTime() - t) / 1e9
+        val (scanFiles, scanRows) =
+          ServeScale.scanMetrics(df.queryExecution.executedPlan)
+        println(
+          s"""{"sim":"year","arm":"$arm","endpoint":"$endpoint","days":$nDays,""" +
+            s""""table_files":$tableFiles,"scan_files":$scanFiles,""" +
+            s""""scan_rows":$scanRows,"out_rows":$out,""" +
+            s""""warm_s":${math.rint(warm * 1000) / 1000}}""")
+        require(warmup.length == out, "warm/cold row drift")
+      }
+      measure("/latest", () =>
+        Api.latestSummaryFromTable(
+          Storage.readParquet(spark, dir),
+          spark.sparkContext.hadoopConfiguration, dir, syms))
+      measure("/analytics/daily_summary", () =>
+        Api.dailySummaryFromTable(Storage.readParquet(spark, dir), lastDate))
+    }
+
+    // ---- Streaming gate index: maintenance cadence ON vs OFF --------
+    // per-batch sink latency early vs late is the flatness signal: the
+    // manual arm's probe joins against one directory PER BATCH EVER
+    // COMMITTED (and lists every marker), the auto arm against the
+    // folded base + a bounded tail
+    for ((arm, cad) <- Seq(
+        ("manual", IndexRead.Cadence.Off),
+        ("auto", IndexRead.Cadence(commitsEvery = 12L, foldEvery = 24L, replayHorizon = 2L)))) {
+      val hist = s"$work/gate_$arm/index"
+      val sink = DocStream.bloomGatedBatchSink(hist, cadence = cad)
+      def batchSeconds(b: Long): Double = {
+        val rows = (0 until 5)
+          .map(i => (b * 5 + i, s"doc-$arm-${b * 5 + i}"))
+          .toDF("doc_id", "text")
+        val t = System.nanoTime()
+        sink(rows, b)
+        (System.nanoTime() - t) / 1e9
+      }
+      val times = (0L until gateBatches.toLong).map(batchSeconds)
+      val early = times.slice(5, 15).sum / 10
+      val late  = times.takeRight(10).sum / 10
+      val fs = new org.apache.hadoop.fs.Path(hist)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val commitEntries =
+        fs.listStatus(new org.apache.hadoop.fs.Path(hist, "_commits")).length
+      val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(hist))
+        .count(_.getPath.getName.startsWith("batch_id="))
+      // the external gate-probe read (what a batch consumer pays)
+      val tp = System.nanoTime()
+      val visible = IndexRead.committedParquet(spark, hist, -999L)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .count()
+      val probe = (System.nanoTime() - tp) / 1e9
+      println(
+        s"""{"sim":"year","arm":"$arm","endpoint":"gate_probe","batches":$gateBatches,""" +
+          s""""early_s":${math.rint(early * 1000) / 1000},""" +
+          s""""late_s":${math.rint(late * 1000) / 1000},""" +
+          s""""probe_s":${math.rint(probe * 1000) / 1000},"visible_rows":$visible,""" +
+          s""""commit_entries":$commitEntries,"data_dirs":$dataDirs}""")
+    }
+    spark.stop()
+  }
+}

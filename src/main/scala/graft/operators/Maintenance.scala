@@ -92,9 +92,11 @@ object Maintenance {
       keyCols.map(col),
       Seq(col(version), col("__src")))
       .drop("__src")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-write dynamic option, NOT a session conf set (a leaked
+    // session-level 'dynamic' would change unrelated static writes)
     merged.write
       .mode("overwrite") // dynamic: replaces ONLY partitions present in `merged`
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(path)
     touched
@@ -257,7 +259,6 @@ object Maintenance {
           r.getAs[Long]("n_files"),
           math.max(1L, (bytes + targetBytes - 1) / targetBytes))
       }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     todo.foreach { case (partPath, _, nOut) =>
       val table = spark.read.parquet(path)
       // `day=2024-01-01/sym=A` → per-segment equality predicates, each
@@ -270,10 +271,15 @@ object Maintenance {
           col(c) === lit(decoded).cast(table.schema(c).dataType)
         }
         .reduce(_ && _)
+      // per-write dynamic option, NOT a session conf set — a leaked
+      // session-level 'dynamic' would silently change unrelated
+      // static-overwrite writes for the rest of the job
       table
         .filter(pred)
         .repartition(nOut.toInt)
-        .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*).parquet(path)
     }
     todo.toIndexedSeq.toDF("partition", "files_before", "files_target")
   }

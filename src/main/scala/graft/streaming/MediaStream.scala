@@ -59,12 +59,13 @@ object MediaStream {
   def aHashGatedBatchSink(
       historyDir: String,
       maxHamming: Int,
-      bands: Int = 8): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      bands: Int = 8,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): (DataFrame, Long) => Unit = { (batch, batchId) =>
     // decode once per image: the hash relation feeds THREE consumers
     // (the pair self-join, the index probe, the final write), and
     // Spark has no common-subtree reuse outside ReusedExchange — only
     // the persist makes the decode-once contract true
-    hammingGateAndLand(Multimodal.aHash64(batch), historyDir, maxHamming, bands, batchId)
+    hammingGateAndLand(Multimodal.aHash64(batch), historyDir, maxHamming, bands, batchId, cadence)
   }
 
   /** The audio twin of [[aHashGatedBatchSink]]: WAV clips land
@@ -77,7 +78,8 @@ object MediaStream {
   def audioGatedBatchSink(
       historyDir: String,
       maxHamming: Int,
-      bands: Int = 8): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      bands: Int = 8,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): (DataFrame, Long) => Unit = { (batch, batchId) =>
     // the decoded-frames relation feeds envelopeHash64 TWICE (the
     // per-clip max aggregation AND the resampled join-back) — without
     // this persist every WAV payload is container-decoded twice per
@@ -86,7 +88,7 @@ object MediaStream {
     val frames = Multimodal.decodeAudioFrames(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try hammingGateAndLand(
-      Multimodal.audioHash64(frames), historyDir, maxHamming, bands, batchId)
+      Multimodal.audioHash64(frames), historyDir, maxHamming, bands, batchId, cadence)
     finally { frames.unpersist(); () }
   }
 
@@ -99,14 +101,15 @@ object MediaStream {
   def videoGatedBatchSink(
       historyDir: String,
       maxHamming: Int,
-      bands: Int = 8): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      bands: Int = 8,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): (DataFrame, Long) => Unit = { (batch, batchId) =>
     // same decode-once persist as the audio sink — envelopeHash64
     // reads its input twice, and an AVI chunk-walk + per-frame PNG
     // decode is the most expensive step in the whole gate
     val frames = Multimodal.decodeVideoFrames(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try hammingGateAndLand(
-      Multimodal.videoHash64(frames), historyDir, maxHamming, bands, batchId)
+      Multimodal.videoHash64(frames), historyDir, maxHamming, bands, batchId, cadence)
     finally { frames.unpersist(); () }
   }
 
@@ -117,7 +120,8 @@ object MediaStream {
       historyDir: String,
       maxHamming: Int,
       bands: Int,
-      batchId: Long): Unit = {
+      batchId: Long,
+      cadence: IndexRead.Cadence): Unit = {
     val spark = fingerprints.sparkSession
     import spark.implicits._
     val hashed = fingerprints
@@ -162,6 +166,7 @@ object MediaStream {
         .parquet(historyDir)
       // the partition is complete — one marker PUT makes it visible
       IndexRead.commit(spark, historyDir, batchId)
+      IndexRead.maintainAfterCommit(spark, historyDir, batchId, cadence)
     } finally { hashed.unpersist(); () }
   }
 
@@ -171,10 +176,11 @@ object MediaStream {
       historyDir: String,
       checkpointDir: String,
       maxHamming: Int,
-      bands: Int = 8): StreamingQuery =
+      bands: Int = 8,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(audioGatedBatchSink(historyDir, maxHamming, bands))
+      .foreachBatch(audioGatedBatchSink(historyDir, maxHamming, bands, cadence))
       .start()
 
   /** Wire [[aHashGatedBatchSink]] onto a media stream. */
@@ -183,9 +189,10 @@ object MediaStream {
       historyDir: String,
       checkpointDir: String,
       maxHamming: Int,
-      bands: Int = 8): StreamingQuery =
+      bands: Int = 8,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(aHashGatedBatchSink(historyDir, maxHamming, bands))
+      .foreachBatch(aHashGatedBatchSink(historyDir, maxHamming, bands, cadence))
       .start()
 }

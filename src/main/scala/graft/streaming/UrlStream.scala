@@ -45,7 +45,8 @@ object UrlStream {
     * (url_id, url, canonical_url) rows under `batch_id=N`. */
   def frontierGatedBatchSink(
       historyDir: String,
-      fpp: Double = 0.01): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      fpp: Double = 0.01,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     import spark.implicits._
     // WITHIN the batch: one candidate per canonical form, keep-min id
@@ -78,6 +79,7 @@ object UrlStream {
       .mode("overwrite")
       .parquet(historyDir)
     IndexRead.commit(spark, historyDir, batchId)
+    IndexRead.maintainAfterCommit(spark, historyDir, batchId, cadence)
   }
 
   /** Wire [[frontierGatedBatchSink]] onto a URL stream. */
@@ -85,9 +87,10 @@ object UrlStream {
       urls: DataFrame,
       historyDir: String,
       checkpointDir: String,
-      fpp: Double = 0.01): StreamingQuery =
+      fpp: Double = 0.01,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): StreamingQuery =
     urls.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(frontierGatedBatchSink(historyDir, fpp))
+      .foreachBatch(frontierGatedBatchSink(historyDir, fpp, cadence))
       .start()
 }

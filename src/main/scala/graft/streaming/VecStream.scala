@@ -61,7 +61,8 @@ object VecStream {
       historyDir: String,
       codebook: DataFrame,
       tau: Double,
-      maxCellCompare: Option[Long] = None): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      maxCellCompare: Option[Long] = None,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     import spark.implicits._
     // committed-only view (own partition excluded for replay): a
@@ -108,6 +109,7 @@ object VecStream {
       .mode("overwrite")
       .parquet(historyDir)
     IndexRead.commit(spark, historyDir, batchId)
+    IndexRead.maintainAfterCommit(spark, historyDir, batchId, cadence)
   }
 
   /** Streaming CELL-DISTRIBUTION drift monitor — the vector twin of

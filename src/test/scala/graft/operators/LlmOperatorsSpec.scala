@@ -1124,6 +1124,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoKeyframes: extracted stills decode to the exact manifest pixels, sampled every K, no transcode") {
+    val s = spark; import s.implicits._
+    val ids = Seq(0L, 6L, 42L) // n_frames = 2, 8, 2
+    val kf = Multimodal.videoKeyframes(
+        Multimodal.syntheticVideo(ids.toDF("doc_id"), col("doc_id")), everyK = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        r.getAs[Array[Byte]]("payload"))
+      .toMap
+    // frames sampled: every 4th of 0 until n_frames
+    val expected = ids.flatMap(id =>
+      (0 until Multimodal.videoManifestFrames(id) by 4).map(f => (id, f.toLong)))
+    assert(kf.keySet === expected.toSet) // clip 6 yields frames 0 AND 4
+    expected.foreach { case (id, f) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(kf((id, f))))
+      assert(img.getWidth === Multimodal.VideoW && img.getHeight === Multimodal.VideoH)
+      for (y <- 0 until Multimodal.VideoH; x <- 0 until Multimodal.VideoW)
+        assert(img.getRaster.getSample(x, y, 0) ===
+          Multimodal.videoManifestPixel(id, f, x, y), s"doc $id frame $f ($x,$y)")
+    }
+  }
+
+  test("cross-modal near-dup: a keyframe planted in the image corpus is found at hamming 0 through the shared machinery; unrelated stills are not") {
+    val s = spark; import s.implicits._
+    // images = clip 6's frame-4 still (the planted cross-modal dup)
+    // plus a genuinely different manifest image
+    val kf6 = Multimodal.videoKeyframes(
+        Multimodal.syntheticVideo(Seq(6L).toDF("doc_id"), col("doc_id")), everyK = 4)
+      .filter(col("frame_idx") === 4L)
+      .select(lit(1000L).as("doc_id"), col("payload"))
+    val other = Multimodal.syntheticImages(Seq(7L).toDF("doc_id"), col("doc_id"))
+      .select(lit(2000L).as("doc_id"), col("payload"))
+    val imageHashes = Multimodal.aHash64(kf6.unionByName(other))
+    // probe ALL of clip 6's keyframes (frames 0 and 4) against it
+    val kfAll = Multimodal.videoKeyframes(
+      Multimodal.syntheticVideo(Seq(6L).toDF("doc_id"), col("doc_id")), everyK = 4)
+    val probe = TextDedup.simhashProbeIndex(
+        Multimodal.aHash64(
+          kfAll.select((col("doc_id") * 16 + col("frame_idx")).as("doc_id"), col("payload"))),
+        imageHashes, maxHamming = 0, bands = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("index_id")))
+    // frame 4 (id 6*16+4=100) hits the planted image at hamming 0;
+    // nothing hits the unrelated image
+    assert(probe.contains((100L, 1000L)))
+    assert(!probe.exists(_._2 == 2000L))
+  }
+
   test("decodeVideoFrames is a real container parser: corrupt magic and truncated movi fail loudly with the doc id") {
     val s = spark; import s.implicits._
     val good = Multimodal.syntheticVideo(Seq(5L).toDF("doc_id"), col("doc_id"))

@@ -51,4 +51,39 @@ class CurationDemoSpec extends SparkSpec {
     assert(ids(r2.mediaAdmitted) === media)
     assert(ids(r2.vecAdmitted) === vec)
   }
+
+  test("cross-modal keyframe veto: a clip whose sampled STILL near-dups an admitted image is vetoed; unrelated clips pass (q209's machinery)") {
+    val s = spark; import s.implicits._
+    import graft.operators.{Multimodal, TextDedup}
+    val work     = Files.createTempDirectory("graft-kfveto").toString
+    val imgIndex = s"$work/index/images"
+    // admitted image corpus through the REAL gate: clip 6's frame-4
+    // still (re-ingested as a plain image, id 1000) + manifest image 7
+    // (id 2000) — the pre-simulated distances make exactly one veto
+    // fire (kf(6,4) hits the planted still at hamming 0; clip 7's only
+    // keyframe is ≥ 21 bits from everything admitted)
+    val planted = Multimodal.videoKeyframes(
+        Multimodal.syntheticVideo(Seq(6L).toDF("doc_id"), col("doc_id")), everyK = 4)
+      .filter(col("frame_idx") === 4L)
+      .select(lit(1000L).as("doc_id"), col("payload"))
+    val other = Multimodal.syntheticImages(Seq(7L).toDF("doc_id"), col("doc_id"))
+      .select(lit(2000L).as("doc_id"), col("payload"))
+    MediaStream.aHashGatedBatchSink(imgIndex, maxHamming = 3)(
+      planted.unionByName(other), 0L)
+
+    // arriving VIDEO batch: clips 6 and 7 — extract keyframes (no
+    // transcode), hash with the image corpus's own aHash, probe the
+    // COMMITTED index view; a clip is vetoed iff ANY still hits
+    val kf = Multimodal.videoKeyframes(
+      Multimodal.syntheticVideo(Seq(6L, 7L).toDF("doc_id"), col("doc_id")), everyK = 4)
+    val kfHashes = Multimodal.aHash64(
+      kf.select((col("doc_id") * 16 + col("frame_idx")).as("doc_id"), col("payload")))
+    val index = IndexRead.committedParquet(spark, imgIndex, -999L)(
+        Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
+      .select(col("doc_id"), col("sh"))
+    val vetoed = TextDedup.simhashProbeIndex(kfHashes, index, maxHamming = 3, bands = 8)
+      .select(expr("doc_id DIV 16").as("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(vetoed === Set(6L), "exactly the still-duplicated clip is vetoed")
+  }
 }

@@ -196,6 +196,88 @@ class IndexVisibilitySpec extends SparkSpec {
     assert(spark.read.parquet(hist).count() === 6)
   }
 
+  test("auto-maintenance cadence: a long batch run keeps _commits and partition dirs BOUNDED with no manual pass; due-tick contention and mid-fold kills never fail a batch") {
+    val hist = s3dir("idxauto") + "/index"
+    // spec-speed cadence (production would fold daily): markers fold
+    // every 3 batches, data partitions every 6, newest 2 stay live
+    val cad  = IndexRead.Cadence(commitsEvery = 3L, foldEvery = 6L, replayHorizon = 2L)
+    val sink = DocStream.bloomGatedBatchSink(hist, cadence = cad)
+
+    val root = new org.apache.hadoop.fs.Path(hist)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitEntries(): Set[String] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(hist, "_commits"))
+      .map(_.getPath.getName).toSet
+    def dataDirs(): Set[String] = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName).toSet
+    def visibleIds(): Set[Long] =
+      IndexRead.committedParquet(spark, hist, -999L)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // a simulated long ingest: 14 batches, one novel doc per batch,
+    // plus a dup of the FIRST (long-folded) doc late in the run
+    for (b <- 0L to 13L) {
+      val rows =
+        if (b == 12L) docs(120L -> "doc-0", 12L -> s"doc-$b") // 120 dups folded doc 0
+        else docs(b -> s"doc-$b")
+      sink(rows, b)
+    }
+    // every novel doc visible, the dup of the folded doc rejected
+    assert(visibleIds() === (0L to 13L).toSet)
+    // bounded metadata: ≤ foldEvery live markers + checkpoint + lease
+    // residue-free (the last fold tick was at batch 12)
+    val entries = commitEntries()
+    assert(entries.contains("checkpoint"))
+    assert(!entries.contains("fold-lease"))
+    assert(entries.size <= 4, s"unbounded _commits listing: $entries")
+    // bounded data dirs: one base generation + the unfolded tail
+    val dirs = dataDirs()
+    assert(dirs.count(_.startsWith("batch_id=-")) === 1, s"multiple bases: $dirs")
+    assert(dirs.size <= 5, s"unbounded partition dirs: $dirs")
+
+    // CONTENTION on a due tick: another writer holds the lease at the
+    // next fold boundary — the batch must still commit (tick skipped)
+    val lease = new org.apache.hadoop.fs.Path(hist, "_commits/fold-lease")
+    val out   = fs.create(lease, false); out.write("held".getBytes("UTF-8")); out.close()
+    for (b <- 14L to 18L) sink(docs(b -> s"doc-$b"), b) // 15 and 18 are due ticks
+    assert(visibleIds() === (0L to 18L).toSet) // every batch landed
+    fs.delete(lease, false)
+
+    // KILL MID-AUTO-FOLD, crash state A (base written, checkpoint NOT
+    // flipped): an orphan next-generation partition appears — it must
+    // be invisible, and the next due tick must fold THROUGH it
+    val manifest = IndexRead.committedIds(spark, hist).get
+    val gens = dataDirs().filter(_.startsWith("batch_id=-"))
+      .map(_.stripPrefix("batch_id=-").toLong)
+    val nextGen = gens.max + 1
+    docs(999L -> "garbage-from-dead-fold")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("batch_id", lit(-nextGen))
+      .write.partitionBy("batch_id").mode("append").parquet(hist)
+    assert(visibleIds() === (0L to 18L).toSet) // orphan invisible
+    // drive to the next fold tick (batch 24): the fold overwrites the
+    // orphan generation and the sweep GCs what it superseded
+    for (b <- 19L to 24L) sink(docs(b -> s"doc-$b"), b)
+    assert(visibleIds() === (0L to 24L).toSet)
+    assert(!visibleIds().contains(999L))
+    assert(dataDirs().count(_.startsWith("batch_id=-")) === 1)
+    assert(IndexRead.committedIds(spark, hist).get.size >= manifest.size)
+
+    // KILL MID-AUTO-FOLD, crash state B (checkpoint flipped, GC never
+    // ran): superseded partitions linger — invisible (their ids are ≤
+    // foldedUpTo), swept by the next fold
+    docs(888L -> "stale-partition-left-by-dead-gc")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("batch_id", lit(1L)) // id 1 is long folded
+      .write.partitionBy("batch_id").mode("append").parquet(hist)
+    assert(visibleIds() === (0L to 24L).toSet) // leftover invisible
+    for (b <- 25L to 30L) sink(docs(b -> s"doc-$b"), b)
+    assert(visibleIds() === (0L to 30L).toSet)
+    assert(!dataDirs().contains("batch_id=1")) // swept
+  }
+
   test("fold lease: a concurrent fold ABORTS (ConcurrentFoldException) instead of racing; a stale lease from a crashed fold is broken") {
     val hist = s3dir("idxlease") + "/index"
     val sink = DocStream.bloomGatedBatchSink(hist)
