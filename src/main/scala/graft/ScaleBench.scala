@@ -383,6 +383,12 @@ object ScaleBench {
       // never keyframes × images
       "q209_crossmodal_neardup" ->
         (() => SparkEntry.queries("q209_crossmodal_neardup")(spark, dir)),
+      // LAION-shape paired curation: mutual pairs × caption gate ×
+      // image keep set — the gate sets are persisted artifacts, so
+      // the per-run cost is the pair mining (cell-bucketed) plus two
+      // id semi-joins; decode never happens in this plan
+      "q210_paired_dataset_card" ->
+        (() => SparkEntry.queries("q210_paired_dataset_card")(spark, dir)),
       // the driver query's CAP 4 setting (the value at which the cap
       // provably bites at sf0.01) measured beside the production 256:
       // candidate mass is Σ|A∩cell|·cap, so the cap IS the cost dial

@@ -194,6 +194,28 @@ object Documents {
     imageVerdictsCache(s, dir)(
       TextDedup.hammingDedupVerdicts(sharedAHashes(s, dir), maxHamming = 3, bands = 8))
 
+  // The caption-quality gate SET (q137's keep verdicts, ids only) and
+  // the image-dedup KEEP set (q169's verdicts filtered) as shared
+  // artifacts: the paired-dataset pipeline (q210) composes them with
+  // the mutual-pair miner, and each gate must be a materialized
+  // id-relation scan there — never a re-run of the gate's own scan
+  // (text) or decode (images) inside the composed plan.
+  private val captionKeepCache = new DirCached
+  private def sharedCaptionKeepSet(s: SparkSession, dir: String): DataFrame =
+    captionKeepCache(s, dir)(
+      TextAnalysis.heuristicGate(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        minWords = 30, minStopHits = 1)
+        .filter(col("keep"))
+        .select("doc_id"))
+
+  private val imageKeepCache = new DirCached
+  private def sharedImageKeepSet(s: SparkSession, dir: String): DataFrame =
+    imageKeepCache(s, dir)(
+      sharedImageVerdicts(s, dir)
+        .filter(col("verdict") === "keep")
+        .select("doc_id"))
+
   // The trained codebook is the canonical materialized intermediate:
   // q61 assigns with it, q63 probes with it ("train once").
   private val codebookCache = new DirCached
@@ -1716,6 +1738,42 @@ object Documents {
           pmod(col("doc_id"), lit(16L)).as("frame_idx"),
           col("index_id").as("image_id"),
           col("hamming"))
+    }),
+
+    // Image–text PAIRED-dataset curation (the LAION shape), the
+    // multimodal sibling of q85's end-to-end text pipeline in ONE
+    // plan: mutual-margin pair mining over the two modality embedding
+    // sides (q187's operator — even ids are captions, odd ids images),
+    // each candidate pair annotated by the caption QUALITY gate
+    // (q137's keep set) and the image DEDUP survivor set (q169's keep
+    // verdicts), rolled into the paired-dataset card. Both gate sets
+    // are SHARED ARTIFACTS (DirCached id relations) — the composed
+    // plan re-scans neither the text corpus nor any image payload
+    // (PlanSpec-pinned: no decode mapPartitions in this plan).
+    "q210_paired_dataset_card" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val pairs = Similarity.marginMutualPairs(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        sharedCodebook(s, dir))
+      val capOk = sharedCaptionKeepSet(s, dir)
+        .select(col("doc_id").as("a_id"), lit(true).as("__cap"))
+      val imgOk = sharedImageKeepSet(s, dir)
+        .select(col("doc_id").as("b_id"), lit(true).as("__img"))
+      pairs
+        .join(capOk, Seq("a_id"), "left")
+        .join(imgOk, Seq("b_id"), "left")
+        .withColumn("__ok", coalesce(col("__cap"), lit(false)) &&
+          coalesce(col("__img"), lit(false)))
+        .agg(
+          count(lit(1)).as("n_candidate_pairs"),
+          sum(when(coalesce(col("__cap"), lit(false)), 1L).otherwise(0L))
+            .as("n_caption_gated"),
+          sum(when(col("__ok"), 1L).otherwise(0L)).as("n_pairs"),
+          countDistinct(when(col("__ok"), col("a_id"))).as("n_captions"),
+          countDistinct(when(col("__ok"), col("b_id"))).as("n_images"),
+          sum(when(col("__ok"), col("margin_ppm"))).as("sum_margin_ppm"),
+          min(when(col("__ok"), col("cos_ppm"))).as("min_cos_ppm"))
     })
   )
 

@@ -260,6 +260,38 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("n_chars"), readSchema)
   }
 
+  test("q210 paired-dataset pipeline: gate sets are SHARED ARTIFACTS — the composed plan reads persisted id relations, scans only embeddings, and contains no codec pass") {
+    val df = SparkEntry.queries("q210_paired_dataset_card")(spark, sf("sf0.01"))
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case _                        => Seq.empty
+      })
+    // the walk does NOT descend into InMemoryRelation's cached build
+    // plans — exactly the point: what executes PER RUN of q210 is the
+    // node set below; the gate builds (text scan, image decode) ran
+    // once into their persisted artifacts
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val imts = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    assert(imts >= 3, s"expected codebook + caption set + image keep set as " +
+      s"InMemoryTableScans, found $imts")
+    // no codec / object pass in the composed plan: decode happened
+    // ONCE inside the artifact build, never per downstream stage
+    val objectish = nodes.filter(n =>
+      n.getClass.getSimpleName.contains("MapPartitions") ||
+        n.getClass.getSimpleName.contains("SerializeFromObject"))
+    assert(objectish.isEmpty, s"codec pass leaked into the composed plan: " +
+      objectish.map(_.getClass.getSimpleName).mkString(", "))
+    // every file scan is the embeddings table — the documents corpus
+    // and the media payloads are NEVER re-scanned by this plan
+    val scans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.nonEmpty && scans.forall(_.contains("embeddings")),
+      s"non-embeddings scan in the composed plan: $scans")
+  }
+
   test("q56 stratified sample: pure filter before the aggregate, pruned scan") {
     val df = SparkEntry.queries("q56_stratified_sample")(spark, sf())
     val s  = planString(df)
