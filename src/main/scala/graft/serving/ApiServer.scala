@@ -194,6 +194,7 @@ object ApiServer {
     else if (path.startsWith("/analytics")) handleAnalytics(ex, source, qp)
     else if (path == "/files" || path == "/files/") handleFiles(ex, qp, cfg)
     else if (path.startsWith("/file/")) handleFileDetail(ex, path.stripPrefix("/file/"), cfg)
+    else if (path == "/dashboard" || path == "/dashboard/") handleDashboard(ex, source, cfg)
     else { // :51-58
       val err = mapper.createObjectNode()
       err.put("error", "Endpoint not found")
@@ -597,6 +598,108 @@ object ApiServer {
       body.put("limit", limit)
       if (requested > limit) body.put("clamped", true)
       respond(ex, 200, body)
+  }
+
+  /** GET /dashboard — the reference's HTML dashboard
+    * (`scripts/dashboard.py:111-170` rendering
+    * `templates/dashboard.html`): stat cards, the 5 newest raw data
+    * files, and a per-symbol table of the latest candle with
+    * change/change% classes. Rendered from the SAME aggregates the
+    * JSON endpoints serve (`/latest`'s latestSummary relation and
+    * `/files`' newest-inventory walk), so the page can never disagree
+    * with the API — ApiServerSpec pins the numbers match. The change
+    * columns are the reference's candle-local definition
+    * (dashboard.py:133-141): close − open of the LATEST candle,
+    * rounded to 2, pct 0 when open ≤ 0. */
+  private def handleDashboard(
+      ex: com.sun.net.httpserver.HttpExchange,
+      source: Source,
+      cfg: Config): Unit = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // locale-safe number text: Double.toString, trailing ".0" trimmed
+    // to match the reference's round(x, 2) rendering
+    def r2(x: Double): String = {
+      val v = math.rint(x * 100) / 100
+      val s = v.toString
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
+    def grouped(v: Long): String = // "{:,}".format — locale-independent
+      v.toString.reverse.grouped(3).mkString(",").reverse
+    val symbols = source.defaultSymbols(cfg.latestSymbolCap)
+    val rows = source.latestSummary(symbols)
+      .select(col("symbol"), col("last.open"), col("last.high"),
+        col("last.low"), col("last.close"), col("last.v"))
+      .collect()
+      .sortBy(_.getString(0))
+    val tableRows = rows.map { r =>
+      def cell(i: Int): String = numOpt(r, i).map(r2).getOrElse("N/A")
+      val change = (numOpt(r, 1), numOpt(r, 4)) match {
+        case (Some(o), Some(c)) => Some(math.rint((c - o) * 100) / 100)
+        case _                  => None
+      }
+      val pct = (numOpt(r, 1), change) match {
+        case (Some(o), Some(ch)) if o > 0 => Some(math.rint(ch / o * 100 * 100) / 100)
+        case (Some(_), Some(_))           => Some(0.0)
+        case _                            => None
+      }
+      def cls(v: Option[Double]): String =
+        v.fold("")(x => if (x > 0) "positive" else if (x < 0) "negative" else "")
+      val vol = numOpt(r, 5).map(v => grouped(v.toLong)).getOrElse("N/A")
+      s"""<tr><td><strong>${esc(r.getString(0))}</strong></td>""" +
+        s"""<td>${cell(1)}</td><td>${cell(2)}</td><td>${cell(3)}</td><td>${cell(4)}</td>""" +
+        s"""<td>$vol</td>""" +
+        s"""<td class="${cls(change)}">${change.map(r2).getOrElse("N/A")}</td>""" +
+        s"""<td class="${cls(pct)}">${pct.map(r2).getOrElse("N/A")}%</td></tr>"""
+    }
+    val recentFiles = cfg.filesDir.toSeq.flatMap { dir =>
+      graft.ohlcv.Storage.newestInventory(
+        hadoopConf(cfg), dir, 5, _.endsWith(".json")).map { case (p, size, m) =>
+        val conf = hadoopConf(cfg)
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs   = root.getFileSystem(conf)
+        val rootUri =
+          (if (fs.exists(root)) fs.resolvePath(root) else fs.makeQualified(root)).toUri
+        val key = rootUri.relativize(new org.apache.hadoop.fs.Path(p).toUri).getPath
+        s"""<div><strong>${esc(key)}</strong> - $size bytes - ${java.time.Instant.ofEpochMilli(m)}</div>"""
+      }
+    }
+    val body =
+      if (rows.isEmpty)
+        """<div class="no-data"><h2>&#128237; No Data Available</h2>""" +
+          """<p>The ingest job hasn't run yet or there's no data landed.</p></div>"""
+      else
+        s"""<div class="data-table"><table><thead><tr>
+           |<th>Symbol</th><th>Open (&#8377;)</th><th>High (&#8377;)</th><th>Low (&#8377;)</th>
+           |<th>Close (&#8377;)</th><th>Volume</th><th>Change</th><th>Change %</th>
+           |</tr></thead><tbody>
+           |${tableRows.mkString("\n")}
+           |</tbody></table></div>""".stripMargin
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><title>Stock Price Feed Dashboard</title>
+         |<style>
+         |body{font-family:sans-serif;margin:2em;background:#f5f6fa}
+         |.stats-grid{display:flex;gap:1em}.stat-card{background:#fff;padding:1em;border-radius:8px}
+         |.stat-value{font-size:1.6em;font-weight:bold}.stat-label{color:#666}
+         |table{border-collapse:collapse;width:100%;background:#fff}
+         |th,td{padding:.5em .8em;border-bottom:1px solid #eee;text-align:right}
+         |th:first-child,td:first-child{text-align:left}
+         |.positive{color:#0a7d33}.negative{color:#c0392b}
+         |.file-info{background:#fff;padding:1em;border-radius:8px;margin:1em 0}
+         |</style></head><body>
+         |<div class="header"><h1>&#128202; Stock Price Feed Dashboard</h1></div>
+         |<div class="stats-grid">
+         |<div class="stat-card"><div class="stat-value" id="total-symbols">${rows.length}</div><div class="stat-label">Total Symbols</div></div>
+         |<div class="stat-card"><div class="stat-value" id="successful">${rows.length}</div><div class="stat-label">Successful</div></div>
+         |<div class="stat-card"><div class="stat-value" id="last-update">${cfg.clock()}</div><div class="stat-label">Last Update</div></div>
+         |</div>
+         |${if (recentFiles.nonEmpty)
+            s"""<div class="file-info"><h3>&#128193; Recent Data Files</h3>${recentFiles.mkString("\n")}</div>"""
+          else ""}
+         |$body
+         |</body></html>""".stripMargin
+    respondRaw(ex, 200, html, "text/html")
   }
 
   /** GET /file/{key} — per-file detail (`scripts/dashboard.py:201-260`):

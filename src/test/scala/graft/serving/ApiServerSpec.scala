@@ -483,6 +483,58 @@ class ApiServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("GET /dashboard: the HTML page carries the SAME numbers as the JSON endpoints (/latest table, /files inventory)") {
+    val landDir = java.nio.file.Files.createTempDirectory("graft-dash").toString
+    MockData.envelope(MockData.candles(spark, Seq("NSE:TCS-EQ"), 3, 1759895100L),
+      "2025-10-08T04:00:00Z").coalesce(1).write.json(s"$landDir/f1")
+    val server = ApiServer.start(
+      () => candles,
+      ApiServer.Config(
+        clock = () => java.time.Instant.parse("2025-10-08T06:00:00Z"),
+        filesDir = Some(landDir)))
+    try {
+      val (code, html) = get(server, "/dashboard")
+      assert(code === 200)
+      assert(html.contains("Stock Price Feed Dashboard"))
+
+      // the symbol table rows mirror /latest's last_candle exactly
+      val (_, latestBody) = get(server, "/latest")
+      val latest = mapper.readTree(latestBody)
+      val data = latest.get("data")
+      assert(html.contains(
+        s"""<div class="stat-value" id="total-symbols">${data.size()}</div>"""))
+      val it = data.fields()
+      while (it.hasNext) {
+        val e  = it.next()
+        val lc = e.getValue.get("last_candle")
+        def r2(x: Double): String = {
+          val v = math.rint(x * 100) / 100
+          val s = v.toString
+          if (s.endsWith(".0")) s.dropRight(2) else s
+        }
+        val o = lc.get(1).asDouble; val c = lc.get(4).asDouble
+        val row = html.linesIterator
+          .find(_.contains(s"<strong>${e.getKey}</strong>")).getOrElse("")
+        assert(row.nonEmpty, s"symbol ${e.getKey} missing from the dashboard table")
+        // open, close, and the candle-local change all present verbatim
+        assert(row.contains(s"<td>${r2(o)}</td>"), row)
+        assert(row.contains(s"<td>${r2(c)}</td>"), row)
+        assert(row.contains(s">${r2(math.rint((c - o) * 100) / 100)}</td>"), row)
+      }
+
+      // the recent-files block lists the same keys /files returns
+      val (_, filesBody) = get(server, "/files?limit=5")
+      val files = mapper.readTree(filesBody).get("files")
+      (0 until files.size()).foreach { i =>
+        val key = files.get(i).get("key").asText
+        assert(html.contains(s"<strong>$key</strong>"), s"file $key missing from dashboard")
+      }
+
+      // the clock stamp the JSON endpoints carry is on the page too
+      assert(html.contains("2025-10-08T06:00:00Z"))
+    } finally server.stop()
+  }
+
   test("/file/{key} refuses files over the configured byte cap with 413") {
     val landDir = java.nio.file.Files.createTempDirectory("graft-files-cap").toString
     MockData.envelope(MockData.candles(spark, Seq("NSE:TCS-EQ"), 3, 1759895100L),
