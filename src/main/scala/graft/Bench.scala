@@ -42,6 +42,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val only  = args.toSet
+    // SPARK_GRAFT_BENCH_SCALE_RUN=1: a pure MEASUREMENT run against a
+    // different-scale corpus — prior-round comparison is meaningless
+    // across scales (every query would "regress" vs the sf0.1 prior
+    // and burn an isolated confirmation each), and the run must leave
+    // NO trace in BENCH_SELF.json / BENCH_TREND.json, or ×10 numbers
+    // become next round's regression baseline.
+    val scaleRun = sys.env.get("SPARK_GRAFT_BENCH_SCALE_RUN").exists(_.nonEmpty)
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(
       unknown.isEmpty,
@@ -120,7 +127,7 @@ object Bench {
     // nothing else in the file is. The driver wraps our JSON line in
     // an outer object as an ESCAPED string field ("tail": "...\"q01\":0.4...")
     // — the optional \\ before the closing quote handles both forms.
-    val prior: Map[String, Double] = {
+    val prior: Map[String, Double] = if (scaleRun) Map.empty else {
       def parse(f: java.io.File): Map[String, Double] =
         if (!f.isFile) Map.empty
         else {
@@ -289,7 +296,7 @@ object Bench {
         }
       }
     val (confirmed, trendLine) =
-      if (only.nonEmpty) ("{}", None)
+      if (only.nonEmpty || scaleRun) ("{}", None)
       else {
         val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(10).map(_._1)
         val toMeasure = (flagged.map(_._1) ++ slowest).distinct
@@ -362,7 +369,7 @@ object Bench {
     // truncated mid-JSON and lost most per-query times. Persist the full
     // line ourselves (full runs only, so an ad-hoc subset run can't
     // become the next round's regression baseline).
-    if (only.isEmpty)
+    if (only.isEmpty && !scaleRun)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line)
     // Trend file: ONE record PER ROUND, normalized — {round, sf,
     // warm_total, floors (per-query isolated floors, min-merged
