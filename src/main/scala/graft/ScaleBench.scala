@@ -383,12 +383,46 @@ object ScaleBench {
       // never keyframes × images
       "q209_crossmodal_neardup" ->
         (() => SparkEntry.queries("q209_crossmodal_neardup")(spark, dir)),
+      // PRODUCTION form of q209 on a dup-dense corpus: the ×K fixture
+      // gives every copy an IDENTICAL hash, so the full id-pair export
+      // is quadratic in K by OUTPUT CARDINALITY (the q164-vs-q171
+      // dichotomy); the scale path collapses BOTH sides to exact-layer
+      // reps (one row per distinct hash) before the probe — the
+      // distinct-hash pair relation, linear mass, same information
+      "q209_crossmodal_reps" ->
+        (() => {
+          val kf = graft.operators.Multimodal.videoKeyframes(
+            graft.operators.Multimodal.syntheticVideo(docs, col("doc_id")), everyK = 4)
+          val kfReps = graft.operators.Multimodal.aHash64(
+              kf.select((col("doc_id") * 16 + col("frame_idx")).as("doc_id"), col("payload")))
+            .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"), col("sh"))
+          val imgReps = graft.operators.Multimodal.aHash64(
+              graft.operators.Multimodal.syntheticImages(docs, col("doc_id")))
+            .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"), col("sh"))
+          TextDedup.simhashProbeIndex(kfReps, imgReps, maxHamming = 1, bands = 8)
+        }),
       // LAION-shape paired curation: mutual pairs × caption gate ×
       // image keep set — the gate sets are persisted artifacts, so
       // the per-run cost is the pair mining (cell-bucketed) plus two
       // id semi-joins; decode never happens in this plan
       "q210_paired_dataset_card" ->
         (() => SparkEntry.queries("q210_paired_dataset_card")(spark, dir)),
+      // q210's pair-mining stage under the PRODUCTION hot-cell cap
+      // (the q196 dial): the ×K dup density packs cells quadratically
+      // by construction; capped candidate mass is Σ|A∩cell|·cap.
+      // Gates omitted here — they are artifact semi-joins whose cost
+      // the uncapped entry already carries; this isolates the dial.
+      "q210_pairs_capped" ->
+        (() => {
+          codebook.count()
+          Similarity.marginMutualPairs(
+            embs.filter(col("vec_id") % 2 === 0),
+            embs.filter(col("vec_id") % 2 === 1),
+            codebook,
+            maxCellCompare = Some(256L))
+        }),
       // the driver query's CAP 4 setting (the value at which the cap
       // provably bites at sf0.01) measured beside the production 256:
       // candidate mass is Σ|A∩cell|·cap, so the cap IS the cost dial
