@@ -48,7 +48,11 @@ object Bench {
     // and burn an isolated confirmation each), and the run must leave
     // NO trace in BENCH_SELF.json / BENCH_TREND.json, or ×10 numbers
     // become next round's regression baseline.
-    val scaleRun = sys.env.get("SPARK_GRAFT_BENCH_SCALE_RUN").exists(_.nonEmpty)
+    // parsed, not tested-for-presence: "0"/"false" must mean OFF, or a
+    // driver exporting =0 silently skips the round's baseline restamp
+    val scaleRun = sys.env.get("SPARK_GRAFT_BENCH_SCALE_RUN")
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .exists(v => v == "1" || v == "true")
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(
       unknown.isEmpty,

@@ -394,7 +394,9 @@ object ScaleBench {
           val kf = graft.operators.Multimodal.videoKeyframes(
             graft.operators.Multimodal.syntheticVideo(docs, col("doc_id")), everyK = 4)
           val kfReps = graft.operators.Multimodal.aHash64(
-              kf.select((col("doc_id") * 16 + col("frame_idx")).as("doc_id"), col("payload")))
+              kf.select(
+                graft.operators.Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
+                col("payload")))
             .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
             .select(col("doc_id"), col("sh"))
           val imgReps = graft.operators.Multimodal.aHash64(

@@ -118,9 +118,12 @@ object YearSim {
         sink(rows, b)
         (System.nanoTime() - t) / 1e9
       }
+      require(gateBatches >= 25,
+        s"gateBatches must be >= 25 for meaningful early/late windows (got $gateBatches)")
       val times = (0L until gateBatches.toLong).map(batchSeconds)
-      val early = times.slice(5, 15).sum / 10
-      val late  = times.takeRight(10).sum / 10
+      def avg(xs: Seq[Double]): Double = xs.sum / xs.size // windows non-empty by the require
+      val early = avg(times.slice(5, 15))
+      val late  = avg(times.takeRight(10))
       val fs = new org.apache.hadoop.fs.Path(hist)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val commitEntries =

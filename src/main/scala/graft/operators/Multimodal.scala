@@ -674,6 +674,31 @@ object Multimodal {
     * `mapPartitions`, no shuffle; at scale the still payloads are a
     * tiny fraction of the clip bytes, so the keyframe relation is the
     * cheap side of every downstream join. */
+  /** Stride of the PACKED keyframe id (`video_id·stride + frame_idx`)
+    * that lets keyframe fingerprints ride the generic (doc_id, sh)
+    * hamming machinery — [[keyframeId]] to pack,
+    * [[keyframeVideoId]]/[[keyframeFrameIdx]] to decompose. The
+    * synthetic manifest caps clips at 8 frames, but the operators are
+    * general: packing a frame_idx ≥ stride would silently attribute a
+    * near-dup to the WRONG video, so [[keyframeId]] fails loudly
+    * instead. */
+  val KeyframeIdStride = 16L
+
+  /** Pack (video id, frame idx) into one id — fails loudly (not
+    * silently corrupting) past the stride. */
+  def keyframeId(videoId: Column, frameIdx: Column): Column =
+    when(frameIdx < 0 || frameIdx >= KeyframeIdStride,
+      raise_error(concat(
+        lit(s"frame_idx outside the keyframe-id stride ($KeyframeIdStride): "),
+        frameIdx.cast("string"),
+        lit(" — sample with a larger everyK or widen KeyframeIdStride"))))
+      .otherwise(videoId * KeyframeIdStride + frameIdx)
+
+  def keyframeVideoId(kfId: Column): Column =
+    ((kfId - pmod(kfId, lit(KeyframeIdStride))) / KeyframeIdStride).cast("long")
+
+  def keyframeFrameIdx(kfId: Column): Column = pmod(kfId, lit(KeyframeIdStride))
+
   def videoKeyframes(media: DataFrame, everyK: Int = 4): DataFrame = {
     require(everyK >= 1, s"everyK must be >= 1 (got $everyK)")
     val spark = media.sparkSession

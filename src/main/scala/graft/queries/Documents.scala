@@ -1731,11 +1731,13 @@ object Documents {
       val kf = Multimodal.videoKeyframes(
         Multimodal.syntheticVideo(Tables.documents(s, dir), col("doc_id")), everyK = 4)
       val kfHashes = Multimodal.aHash64(
-        kf.select((col("doc_id") * 16 + col("frame_idx")).as("doc_id"), col("payload")))
+        kf.select(
+          Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
+          col("payload")))
       TextDedup.simhashProbeIndex(kfHashes, sharedAHashes(s, dir), maxHamming = 1, bands = 8)
         .select(
-          expr("doc_id DIV 16").as("video_id"),
-          pmod(col("doc_id"), lit(16L)).as("frame_idx"),
+          Multimodal.keyframeVideoId(col("doc_id")).as("video_id"),
+          Multimodal.keyframeFrameIdx(col("doc_id")).as("frame_idx"),
           col("index_id").as("image_id"),
           col("hamming"))
     }),

@@ -576,11 +576,7 @@ object ApiServer {
         .filter(_ > 0).getOrElse(cfg.filesListCap)
       val limit = requested.min(cfg.filesListMax)
       val conf = hadoopConf(cfg)
-      val rootUri = {
-        val p  = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(conf)
-        (if (fs.exists(p)) fs.resolvePath(p) else fs.makeQualified(p)).toUri
-      }
+      val rootUri = filesRootUri(conf, dir)
       // bounded-memory walk: O(limit) heap, never the full listing
       val inv = graft.ohlcv.Storage.newestInventory(
         conf, dir, limit, _.endsWith(".json")) // dashboard lists raw JSON only
@@ -588,7 +584,7 @@ object ApiServer {
       val arr  = body.putArray("files")
       inv.foreach { case (p, size, m) =>
         val o = arr.addObject()
-        o.put("key", rootUri.relativize(new org.apache.hadoop.fs.Path(p).toUri).getPath)
+        o.put("key", fileKey(rootUri, p))
         o.put("size", size)
         o.put("modified", java.time.Instant.ofEpochMilli(m).toString)
       }
@@ -599,6 +595,20 @@ object ApiServer {
       if (requested > limit) body.put("clamped", true)
       respond(ex, 200, body)
   }
+
+  /** Resolved root URI of the landed-files dir — ONE derivation shared
+    * by /files and /dashboard so their key rules can never diverge. */
+  private def filesRootUri(
+      conf: org.apache.hadoop.conf.Configuration, dir: String): java.net.URI = {
+    val p  = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    (if (fs.exists(p)) fs.resolvePath(p) else fs.makeQualified(p)).toUri
+  }
+
+  /** The /files-relative key of one landed file (also the /file/{key}
+    * input). */
+  private def fileKey(rootUri: java.net.URI, path: String): String =
+    rootUri.relativize(new org.apache.hadoop.fs.Path(path).toUri).getPath
 
   /** GET /dashboard — the reference's HTML dashboard
     * (`scripts/dashboard.py:111-170` rendering
@@ -617,13 +627,13 @@ object ApiServer {
       cfg: Config): Unit = {
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    // locale-safe number text: Double.toString, trailing ".0" trimmed
-    // to match the reference's round(x, 2) rendering
-    def r2(x: Double): String = {
-      val v = math.rint(x * 100) / 100
-      val s = v.toString
-      if (s.endsWith(".0")) s.dropRight(2) else s
-    }
+    // locale-safe PLAIN decimal text (never scientific — Double.toString
+    // switches to E-notation at 1e7, which would break the
+    // page-equals-API pin on large prices), matching the reference's
+    // round(x, 2) rendering
+    def r2(x: Double): String =
+      java.math.BigDecimal.valueOf(math.rint(x * 100) / 100)
+        .stripTrailingZeros.toPlainString
     def grouped(v: Long): String = // "{:,}".format — locale-independent
       v.toString.reverse.grouped(3).mkString(",").reverse
     val symbols = source.defaultSymbols(cfg.latestSymbolCap)
@@ -653,16 +663,16 @@ object ApiServer {
         s"""<td class="${cls(pct)}">${pct.map(r2).getOrElse("N/A")}%</td></tr>"""
     }
     val recentFiles = cfg.filesDir.toSeq.flatMap { dir =>
-      graft.ohlcv.Storage.newestInventory(
-        hadoopConf(cfg), dir, 5, _.endsWith(".json")).map { case (p, size, m) =>
-        val conf = hadoopConf(cfg)
-        val root = new org.apache.hadoop.fs.Path(dir)
-        val fs   = root.getFileSystem(conf)
-        val rootUri =
-          (if (fs.exists(root)) fs.resolvePath(root) else fs.makeQualified(root)).toUri
-        val key = rootUri.relativize(new org.apache.hadoop.fs.Path(p).toUri).getPath
-        s"""<div><strong>${esc(key)}</strong> - $size bytes - ${java.time.Instant.ofEpochMilli(m)}</div>"""
-      }
+      // one conf/rootUri derivation for the whole listing — the same
+      // key rule /files uses, hoisted out of the per-file map (on an
+      // object store each resolvePath is a metadata RPC)
+      val conf    = hadoopConf(cfg)
+      val rootUri = filesRootUri(conf, dir)
+      graft.ohlcv.Storage.newestInventory(conf, dir, 5, _.endsWith(".json"))
+        .map { case (p, size, m) =>
+          val key = fileKey(rootUri, p)
+          s"""<div><strong>${esc(key)}</strong> - $size bytes - ${java.time.Instant.ofEpochMilli(m)}</div>"""
+        }
     }
     val body =
       if (rows.isEmpty)

@@ -23,18 +23,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * costs one `_commits/` listing (metadata-only), never a data scan.
   *
   * TWO compactions keep years of 5-minute batches (~10⁵/year) cheap:
-  *  - [[compactCommits]] folds the marker OBJECTS into one
-  *    `_commits/checkpoint` of contiguous ranges (bounds the manifest
-  *    listing);
+  *  - [[compactCommits]] folds the marker OBJECTS into a checkpoint of
+  *    contiguous ranges (bounds the manifest listing);
   *  - [[compactIndex]] folds the DATA partitions themselves into a
-  *    generational BASE partition (`batch_id = -G`) — 10⁵ tiny
-  *    directories become one, with crash-consistent visibility: the
-  *    new base is written to a FRESH generation (never a
-  *    self-overwrite), becomes visible only when the checkpoint's
-  *    `gen` pointer flips, and the superseded partitions are deleted
-  *    last (pure GC — readers already ignore them). A crash between
-  *    any two steps leaves every reader on exactly one consistent
-  *    generation.
+  *    generational BASE partition (`batch_id = -G`).
+  *
+  * CONCURRENCY: both folds commit through a VERSIONED checkpoint —
+  * `_commits/checkpoint-<seq>`, claimed with `create(overwrite=false)`
+  * (atomic on HDFS/local and on any store with conditional PUT; the
+  * `S3LikeFileSystem` test double honors the same contract). The
+  * create of seq+1 IS the linearization point: of any number of
+  * concurrent folds that read seq, exactly ONE wins the create; every
+  * loser aborts with [[ConcurrentFoldException]] BEFORE its flip is
+  * visible and BEFORE any GC — its half-built base partition is an
+  * invisible orphan the next successful fold sweeps. Base partitions
+  * are keyed by a per-ATTEMPT unique generation id (never gen+1), so
+  * even a zombie fold that resumes after an arbitrarily long pause
+  * writes only its own orphan partition and then fails the checkpoint
+  * create — it can never clobber the live base or GC live data. The
+  * `fold-lease` object on top is purely an OPTIMIZATION (it stops two
+  * schedulers from duplicating an O(index) rewrite); correctness never
+  * depends on it.
+  *
+  * Crash consistency per fold: the new base is written to a FRESH
+  * unique partition (invisible until the checkpoint create), the flip
+  * is one atomic create, and GC runs strictly last (readers already
+  * ignore what it deletes). A crash between any two steps leaves every
+  * reader on exactly one consistent generation; leftovers are
+  * collected by the next successful fold's sweep.
   *
   * ONLY the first-batch case — the index directory not existing yet —
   * is recoverable as an empty index. Every other failure (object-store
@@ -47,30 +63,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * upgrade into a silent empty-index gate, the exact bug above. */
 private[graft] object IndexRead {
   private val CommitsDir     = "_commits"
-  private val CheckpointName = "checkpoint"
+  private val CheckpointName = "checkpoint" // legacy in-place form = seq 0
   private val LeaseName      = "fold-lease"
 
-  /** A fold found another writer's live lease — the caller aborts and
-    * retries at the next cadence tick instead of racing the
-    * generational overwrite + GC (two concurrent folds with different
-    * `upToBatch` would both write `batch_id=-(gen+1)` and whichever
-    * checkpoint PUT lands last could GC partitions the other fold's
-    * base never absorbed — silent index row loss). */
+  /** A fold lost the checkpoint CAS (or found another writer's live
+    * lease) — the caller aborts and retries at the next cadence tick.
+    * Nothing visible has changed and nothing was deleted. */
   final class ConcurrentFoldException(msg: String) extends RuntimeException(msg)
 
-  /** Single-writer guard shared by [[compactCommits]]/[[compactIndex]]:
-    * an exclusive lease object under `_commits`, acquired with
-    * `create(overwrite=false)` — atomic on HDFS/local (two racers
-    * cannot both win the create; the loser gets
-    * FileAlreadyExistsException → [[ConcurrentFoldException]]). A lease
-    * older than `ttlMs` is a crashed fold's leftover (the fold body is
-    * minutes, not hours) and is broken with a loud note — folds are
-    * idempotent up to their checkpoint flip, so a re-run after a crash
-    * is always safe. */
+  /** Advisory duplicate-work guard shared by [[compactCommits]] /
+    * [[compactIndex]]: an exclusive lease object under `_commits`
+    * holding a writer-unique token. NOT correctness-bearing — the
+    * versioned-checkpoint CAS is what makes concurrent folds safe —
+    * so the residual races of lease-breaking (a live fold paused past
+    * the TTL, the break-then-create window) cost at most a wasted
+    * rewrite, never data.
+    *
+    *  - a FRESH foreign lease aborts the fold (skip the tick);
+    *  - a lease older than `ttlMs` is a crashed fold's leftover and is
+    *    broken with a loud note;
+    *  - after creating our lease we READ IT BACK and require our own
+    *    token — the break window admits a second create on stores
+    *    where delete+create interleave, and whichever token persisted
+    *    names the single advisory owner;
+    *  - release deletes the lease ONLY if it still carries our token
+    *    (never a successor's live lease). */
   private def withFoldLease[A](
       spark: SparkSession, dir: String, ttlMs: Long = 30L * 60 * 1000)(body: => A): A = {
     val lease = new org.apache.hadoop.fs.Path(commitsPath(dir), LeaseName)
     val f     = fs(spark, lease)
+    val token = java.util.UUID.randomUUID().toString
+    def leaseToken(): Option[String] =
+      try {
+        val in = f.open(lease)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+      } catch { case _: java.io.IOException => None }
     if (f.exists(lease)) {
       val age = System.currentTimeMillis() - f.getFileStatus(lease).getModificationTime
       if (age <= ttlMs)
@@ -86,24 +113,43 @@ private[graft] object IndexRead {
           throw new ConcurrentFoldException(
             s"lost the fold-lease create race at $lease: ${e.getMessage}")
       }
-    try out.write(java.lang.Long.toString(System.currentTimeMillis()).getBytes("UTF-8"))
+    try out.write(token.getBytes("UTF-8"))
     finally out.close()
+    if (!leaseToken().contains(token))
+      throw new ConcurrentFoldException(
+        s"fold lease at $lease carries another writer's token after our create — " +
+          "lost the stale-break race, aborting")
     try body
-    finally f.delete(lease, false)
+    finally {
+      // owner-verified release: never delete a successor's live lease
+      if (leaseToken().contains(token)) { f.delete(lease, false); () }
+    }
   }
 
   /** Manifest state: committed batch ids (markers ∪ checkpoint
     * ranges), the fold watermark (ids ≤ it live in the base
-    * partition; Long.MinValue = nothing folded) and the base
-    * GENERATION (base partition = `batch_id = -gen`; 0 = no base). */
+    * partition; Long.MinValue = nothing folded), the base GENERATION
+    * (base partition = `batch_id = -gen`; 0 = no base — gen values are
+    * per-attempt unique ids, NOT sequential), and the checkpoint
+    * SEQUENCE this state was read from (-1 = no checkpoint file; the
+    * CAS target is seq + 1). */
   private[streaming] final case class Manifest(
-      ids: Set[Long], foldedUpTo: Long, gen: Long)
+      ids: Set[Long], foldedUpTo: Long, gen: Long, seq: Long)
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def commitsPath(dir: String) =
     new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), CommitsDir)
+
+  /** Per-attempt unique generation id: wall millis in the high bits,
+    * 20 random bits below — two attempts (even cross-process, same
+    * millisecond) collide with probability 2^-20, and a collision is
+    * caught by the checkpoint CAS anyway (both would target the same
+    * seq). Always > 0. */
+  private def newAttemptGen(): Long =
+    (System.currentTimeMillis() << 20) |
+      java.util.concurrent.ThreadLocalRandom.current().nextInt(1 << 20).toLong
 
   /** Mark `batchId`'s partition COMMITTED (call strictly after the
     * partition write returns). One object PUT — idempotent under
@@ -129,8 +175,14 @@ private[graft] object IndexRead {
       if (legacy.nonEmpty) {
         System.err.println(
           s"[index] adopting ${legacy.size} legacy pre-manifest partition(s) at $dir")
-        writeCheckpoint(spark, dir,
-          Manifest(legacy.toSet, Long.MinValue, 0L))
+        try casCheckpoint(spark, dir,
+          Manifest(legacy.toSet, Long.MinValue, 0L, -1L))
+        catch {
+          // two first-commits racing the adoption: the loser's ids are
+          // a subset of the winner's listing — nothing lost, proceed
+          case e: ConcurrentFoldException =>
+            System.err.println(s"[index] adoption raced another writer (kept theirs): ${e.getMessage}")
+        }
       }
     }
     val p   = new org.apache.hadoop.fs.Path(cdir, s"batch-$batchId")
@@ -139,7 +191,9 @@ private[graft] object IndexRead {
     finally out.close()
   }
 
-  /** None = no manifest at all (legacy index or first batch). */
+  /** None = no manifest at all (legacy index or first batch). The
+    * effective checkpoint is the HIGHEST sequence present (`checkpoint`
+    * = the legacy in-place file, read as seq 0). */
   private[streaming] def readManifest(spark: SparkSession, dir: String): Option[Manifest] = {
     val d = commitsPath(dir)
     if (!fs(spark, d).exists(d)) None
@@ -148,10 +202,17 @@ private[graft] object IndexRead {
       val markers = entries
         .flatMap(s => s.getPath.getName.stripPrefix("batch-").toLongOption)
         .toSet
-      entries.find(_.getPath.getName == CheckpointName) match {
-        case None => Some(Manifest(markers, Long.MinValue, 0L))
-        case Some(cp) =>
-          val in = fs(spark, cp.getPath).open(cp.getPath)
+      val cps = entries.flatMap { s =>
+        val n = s.getPath.getName
+        if (n == CheckpointName) Some(0L -> s.getPath)
+        else n.stripPrefix(CheckpointName + "-").toLongOption
+          .filter(_ => n.startsWith(CheckpointName + "-")).map(_ -> s.getPath)
+      }
+      // the suffixed form wins a seq tie (it is the CAS-written one)
+      cps.sortBy { case (seq, p) => (seq, p.getName.length) }.lastOption match {
+        case None => Some(Manifest(markers, Long.MinValue, 0L, -1L))
+        case Some((seq, cp)) =>
+          val in = fs(spark, cp).open(cp)
           val txt =
             try new String(in.readAllBytes(), "UTF-8").trim
             finally in.close()
@@ -168,7 +229,8 @@ private[graft] object IndexRead {
           Some(Manifest(
             markers ++ ranges,
             kv.get("folded").map(_.toLong).getOrElse(Long.MinValue),
-            kv.get("gen").map(_.toLong).getOrElse(0L)))
+            kv.get("gen").map(_.toLong).getOrElse(0L),
+            seq))
       }
     }
   }
@@ -177,13 +239,46 @@ private[graft] object IndexRead {
   def committedIds(spark: SparkSession, dir: String): Option[Set[Long]] =
     readManifest(spark, dir).map(_.ids)
 
-  private def writeCheckpoint(spark: SparkSession, dir: String, m: Manifest): Unit = {
-    val cp  = new org.apache.hadoop.fs.Path(commitsPath(dir), CheckpointName)
+  /** The CAS commit point shared by both folds and the legacy
+    * adoption: write `checkpoint-<m.seq + 1>` with
+    * `create(overwrite=false)`. Exactly one writer that read sequence
+    * `m.seq` can win; a loser throws [[ConcurrentFoldException]] with
+    * NOTHING visible changed. Returns the sequence written. */
+  private def casCheckpoint(spark: SparkSession, dir: String, m: Manifest): Long = {
+    val next = m.seq + 1
+    val cp = new org.apache.hadoop.fs.Path(commitsPath(dir), s"$CheckpointName-$next")
     val txt = s"ranges=${formatRanges(m.ids.toSeq.sorted)}\n" +
       (if (m.gen > 0) s"folded=${m.foldedUpTo}\ngen=${m.gen}\n" else "")
-    val out = fs(spark, cp).create(cp, true)
+    val out =
+      try fs(spark, cp).create(cp, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new ConcurrentFoldException(
+            s"lost the checkpoint CAS at $cp (another fold committed first): ${e.getMessage}")
+      }
     try out.write(txt.getBytes("UTF-8"))
     finally out.close()
+    next
+  }
+
+  /** Delete checkpoint files strictly older than `keepFrom` — the
+    * winner's tail GC. The immediately superseded file is kept one
+    * fold longer (`keepFrom - 1`): a reader that LISTED just before
+    * the flip can still open it and union the markers from its own
+    * listing (compactCommits absorbs markers into the checkpoint in
+    * the same step it deletes them, so that stale read stays a
+    * superset-correct view). */
+  private def gcCheckpoints(spark: SparkSession, dir: String, keepFrom: Long): Unit = {
+    val d = commitsPath(dir)
+    fs(spark, d).listStatus(d).toSeq.foreach { s =>
+      val n = s.getPath.getName
+      val seq =
+        if (n == CheckpointName) Some(0L)
+        else if (n.startsWith(CheckpointName + "-"))
+          n.stripPrefix(CheckpointName + "-").toLongOption
+        else None
+      seq.filter(_ < keepFrom - 1).foreach(_ => fs(spark, d).delete(s.getPath, false))
+    }
   }
 
   /** "0-1523,1525" ⇄ Set — batch ids are contiguous in normal
@@ -212,15 +307,15 @@ private[graft] object IndexRead {
       case (acc, id)                            => acc :+ (id, id)
     }
 
-  /** Fold every committed id into the `_commits/checkpoint` object and
-    * delete the per-batch markers it covers — the MANIFEST's
-    * compaction (the data partitions are [[compactIndex]]'s job).
-    * Write order makes it race-free against readers: the checkpoint
-    * lands (covering the ids) BEFORE any marker is deleted, and a
-    * reader unions checkpoint ∪ markers, so every interleaving sees a
-    * superset of the committed set — never an uncommitted id, never a
-    * lost one. Single-writer, ENFORCED by the fold lease (a concurrent
-    * fold aborts with [[ConcurrentFoldException]] instead of racing).
+  /** Fold every committed id into the checkpoint and delete the
+    * per-batch markers it covers — the MANIFEST's compaction (the data
+    * partitions are [[compactIndex]]'s job). Write order makes it
+    * race-free against readers: the checkpoint lands (covering the
+    * ids) BEFORE any marker is deleted, and a reader unions checkpoint
+    * ∪ markers, so every interleaving sees a superset of the committed
+    * set — never an uncommitted id, never a lost one. Concurrent folds
+    * are serialized by the checkpoint CAS (the loser aborts having
+    * changed nothing); the lease on top avoids duplicate work.
     * Returns the markers deleted. */
   def compactCommits(spark: SparkSession, dir: String): Int =
     readManifest(spark, dir).filter(_.ids.nonEmpty) match {
@@ -229,39 +324,44 @@ private[graft] object IndexRead {
         // re-read INSIDE the lease — a fold that finished between our
         // first read and the acquire may have moved the manifest
         val m = readManifest(spark, dir).get
-        writeCheckpoint(spark, dir, m)
         val d = commitsPath(dir)
         val markers = fs(spark, d).listStatus(d).toSeq
           .filter(s => s.getPath.getName.stripPrefix("batch-").toLongOption
             .exists(m.ids.contains))
-        markers.foreach(mk => fs(spark, d).delete(mk.getPath, false))
-        markers.size
+        if (markers.isEmpty) 0 // nothing to fold: no CAS, no new seq
+        else {
+          val written = casCheckpoint(spark, dir, m)
+          markers.foreach(mk => fs(spark, d).delete(mk.getPath, false))
+          gcCheckpoints(spark, dir, keepFrom = written)
+          markers.size
+        }
       }
     }
 
   /** Fold the committed DATA partitions with id ≤ `upToBatch` into a
     * fresh base GENERATION — 10⁵ micro-batch directories become one
-    * `batch_id=-G` partition. Crash-consistent on an object store
-    * with no atomic rename:
+    * `batch_id=-G` partition. Crash-consistent AND concurrency-safe on
+    * an object store with atomic create-no-overwrite:
     *
     *   1. the new base (old base ∪ folded partitions) is written to
-    *      `batch_id = -(gen+1)` — a FRESH partition, so the read side
-    *      (old base) is never the write target (no self-overwrite),
-    *      and it is INVISIBLE until step 2 (readers resolve the base
-    *      through the checkpoint's `gen` pointer);
-    *   2. the checkpoint flips atomically (one object PUT) to
-    *      `folded=upToBatch, gen=gen+1` — every reader moves to the
-    *      new generation in one step;
-    *   3. the superseded partitions (folded ids + the old base) are
-    *      deleted — pure GC, readers already ignore them; the sweep
-    *      also collects leftovers from any previously crashed fold.
+    *      `batch_id = -g` where g is a per-ATTEMPT unique id — a fresh
+    *      partition no other attempt ever targets, INVISIBLE until
+    *      step 2 (readers resolve the base through the checkpoint's
+    *      `gen` pointer);
+    *   2. the checkpoint CAS ([[casCheckpoint]]) flips every reader to
+    *      `folded=upToBatch, gen=g` in one atomic create — a
+    *      concurrent or zombie fold that read the same prior sequence
+    *      LOSES the create and aborts with its orphan base invisible
+    *      and its GC never run;
+    *   3. GC (winner only): folded raw partitions, every OTHER
+    *      negative partition (prior bases + loser/crash orphans),
+    *      covered markers, superseded checkpoint files.
     *
-    * A crash after 1 leaves an invisible orphan the next fold
-    * overwrites (gen+1 is recomputed identically); a crash after 2
-    * leaves garbage that the next fold's sweep removes. Rows carry no
-    * batch lineage into the base (gates consume (id, fingerprint)
-    * membership only — transient duplication or lost lineage cannot
-    * change a verdict).
+    * A crash after 1 leaves an invisible orphan the next successful
+    * fold sweeps; a crash after 2 leaves garbage the next fold's sweep
+    * removes. Rows carry no batch lineage into the base (gates consume
+    * (id, fingerprint) membership only — transient duplication or lost
+    * lineage cannot change a verdict).
     *
     * `upToBatch` MUST trail the stream's newest committed batch by at
     * least the replay horizon (a foreachBatch stream can only replay
@@ -269,11 +369,8 @@ private[graft] object IndexRead {
     * the replay gate against its own folded rows and self-suppress.
     * [[committedParquet]] fails loudly if asked to exclude a folded
     * id. Cost: O(index size) rewrite per fold — run it at the
-    * partition-compaction cadence, not per batch. Single-writer,
-    * ENFORCED: the fold lease makes a concurrent fold abort
-    * ([[ConcurrentFoldException]]) instead of racing, and a CAS on
-    * the checkpoint gen guards the GC even if a lease was wrongly
-    * broken. Returns the number of data partitions folded. */
+    * partition-compaction cadence, not per batch. Returns the number
+    * of data partitions folded. */
   def compactIndex(spark: SparkSession, dir: String, upToBatch: Long): Int =
     readManifest(spark, dir) match {
       case None => 0
@@ -289,8 +386,8 @@ private[graft] object IndexRead {
         val toFold = m.ids.filter(id => id > m.foldedUpTo && id <= upToBatch).toSeq.sorted
         if (toFold.isEmpty) 0
         else {
-          val newGen = m.gen + 1
-          // 1. fresh-generation base: old base ∪ folded partitions
+          val newGen = newAttemptGen()
+          // 1. fresh-attempt base: old base ∪ folded partitions
           val srcPred = compressRanges(toFold)
             .map { case (a, b) =>
               if (a == b) col("batch_id") === a else col("batch_id").between(a, b)
@@ -309,22 +406,15 @@ private[graft] object IndexRead {
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(dir)
-          // 2. one PUT flips every reader to the new generation
-          writeCheckpoint(spark, dir, m.copy(foldedUpTo = upToBatch, gen = newGen))
-          // CAS guard before the destructive step (belt-and-braces on
-          // top of the lease — e.g. a lease wrongly broken as stale):
-          // if the checkpoint we just wrote is not the one on disk,
-          // another fold is interleaved — its base may not absorb what
-          // our GC would delete, so ABORT the GC; the orphan partitions
-          // stay invisible (readers resolve through the checkpoint) and
-          // the next fold's sweep collects them
-          val onDisk = readManifest(spark, dir).get
-          if (onDisk.gen != newGen || onDisk.foldedUpTo != upToBatch)
-            throw new ConcurrentFoldException(
-              s"checkpoint moved under the fold (gen=${onDisk.gen} folded=${onDisk.foldedUpTo}, " +
-                s"expected gen=$newGen folded=$upToBatch) — GC aborted, no data deleted")
-          // 3. GC: anything superseded — folded ids, prior bases,
-          // leftovers of previously crashed folds — plus their markers
+          // 2. the CAS flip — losing it means another fold committed
+          // since our manifest read: abort with our base an invisible
+          // orphan; NOTHING is deleted on this path
+          val written = casCheckpoint(spark, dir,
+            m.copy(foldedUpTo = upToBatch, gen = newGen))
+          // 3. GC (we won the CAS — every other in-flight fold that
+          // read seq ≤ ours can no longer flip): folded ids, all other
+          // negative partitions (prior bases, crashed/lost-CAS
+          // orphans), their markers, superseded checkpoints
           val root = new org.apache.hadoop.fs.Path(dir)
           fs(spark, root).listStatus(root).toSeq
             .filter(_.getPath.getName.startsWith("batch_id="))
@@ -338,10 +428,45 @@ private[graft] object IndexRead {
             .filter(_.getPath.getName.stripPrefix("batch-").toLongOption
               .exists(_ <= upToBatch))
             .foreach(mk => fs(spark, d).delete(mk.getPath, false))
+          gcCheckpoints(spark, dir, keepFrom = written)
           toFold.size
         }
       }
     }
+
+  /** Committed-only view of the index, with `excludeBatchId`'s own
+    * partition removed (the replay rule): what every gate — and any
+    * external reader — must resolve instead of a raw directory scan. */
+  def committedParquet(spark: SparkSession, dir: String, excludeBatchId: Long)(
+      empty: => DataFrame): DataFrame = {
+    val p      = new org.apache.hadoop.fs.Path(dir)
+    val exists = fs(spark, p).exists(p)
+    if (!exists) empty
+    else readManifest(spark, dir) match {
+      case Some(m) =>
+        // excluding a FOLDED batch is the self-suppression hazard the
+        // compactIndex contract exists to prevent — fail, don't guess
+        require(!(m.ids.contains(excludeBatchId) && excludeBatchId <= m.foldedUpTo),
+          s"batch $excludeBatchId is folded into the base generation — " +
+            "a replay this old cannot be excluded (raise the fold's replay horizon)")
+        val unfolded = (m.ids - excludeBatchId).filter(_ > m.foldedUpTo).toSeq.sorted
+        // contiguous ids collapse to BETWEEN ranges — the predicate
+        // stays a handful of terms after years of batches; it lands on
+        // the PARTITION column, so directories prune either way
+        val preds =
+          (if (m.gen > 0) Seq(col("batch_id") === -m.gen) else Seq.empty) ++
+            compressRanges(unfolded).map { case (a, b) =>
+              if (a == b) col("batch_id") === a else col("batch_id").between(a, b)
+            }
+        if (preds.isEmpty) empty
+        else spark.read.parquet(dir).filter(preds.reduce(_ || _))
+      case None =>
+        System.err.println(
+          s"[index] $dir has data but no $CommitsDir manifest — legacy index, " +
+            "treating every partition as committed")
+        spark.read.parquet(dir).filter(col("batch_id") =!= excludeBatchId)
+    }
+  }
 
   /** Scheduled in-band maintenance cadence for a gate index — the
     * knobs [[maintainAfterCommit]] fires on. The reference's ops story
@@ -379,15 +504,15 @@ private[graft] object IndexRead {
   /** The maintenance tick every gated sink fires right after its
     * [[commit]]: folds markers/partitions when the cadence says so,
     * and NEVER fails the batch over housekeeping —
-    *  - [[ConcurrentFoldException]] (another writer holds the fold
-    *    lease) is EXPECTED under multi-stream contention: skip the
-    *    tick, the next one retries;
+    *  - [[ConcurrentFoldException]] (another writer holds the lease or
+    *    won the checkpoint CAS) is EXPECTED under multi-stream
+    *    contention: skip the tick, the next one retries;
     *  - any other failure is logged loudly and also skipped: the fold
-    *    is crash-consistent by construction (fresh generation →
-    *    checkpoint flip → GC last), so a half-died fold cannot corrupt
-    *    the index, and the batch's own data is already committed. A
-    *    persistent failure re-logs on every due tick — visible, not
-    *    silent. */
+    *    is crash-consistent by construction (fresh attempt-unique base
+    *    → atomic checkpoint create → GC last), so a half-died fold
+    *    cannot corrupt the index, and the batch's own data is already
+    *    committed. A persistent failure re-logs on every due tick —
+    *    visible, not silent. */
   def maintainAfterCommit(
       spark: SparkSession, dir: String, batchId: Long, cadence: Cadence): Unit = {
     def due(every: Long): Boolean = every > 0 && batchId > 0 && batchId % every == 0
@@ -406,40 +531,6 @@ private[graft] object IndexRead {
         System.err.println(
           s"[index] maintenance FAILED at batch $batchId ($dir) — batch unaffected, " +
             s"next tick retries: $e")
-    }
-  }
-
-  /** Committed-only view of the index, with `excludeBatchId`'s own
-    * partition removed (the replay rule): what every gate — and any
-    * external reader — must resolve instead of a raw directory scan. */
-  def committedParquet(spark: SparkSession, dir: String, excludeBatchId: Long)(
-      empty: => DataFrame): DataFrame = {
-    val p      = new org.apache.hadoop.fs.Path(dir)
-    val exists = fs(spark, p).exists(p)
-    if (!exists) empty
-    else readManifest(spark, dir) match {
-      case Some(m) =>
-        // excluding a FOLDED batch is the self-suppression hazard the
-        // compactIndex contract exists to prevent — fail, don't guess
-        require(!(m.ids.contains(excludeBatchId) && excludeBatchId <= m.foldedUpTo),
-          s"batch $excludeBatchId is folded into the base generation — " +
-            "a replay this old cannot be excluded (raise the fold's replay horizon)")
-        val unfolded = (m.ids - excludeBatchId).filter(_ > m.foldedUpTo).toSeq.sorted
-        // contiguous ids collapse to BETWEEN ranges — the predicate
-        // stays a handful of terms after years of batches; it lands on
-        // the PARTITION column, so directories prune either way
-        val preds =
-          (if (m.gen > 0) Seq(col("batch_id") === -m.gen) else Seq.empty) ++
-            compressRanges(unfolded).map { case (a, b) =>
-              if (a == b) col("batch_id") === a else col("batch_id").between(a, b)
-            }
-        if (preds.isEmpty) empty
-        else spark.read.parquet(dir).filter(preds.reduce(_ || _))
-      case None =>
-        System.err.println(
-          s"[index] $dir has data but no $CommitsDir manifest — legacy index, " +
-            "treating every partition as committed")
-        spark.read.parquet(dir).filter(col("batch_id") =!= excludeBatchId)
     }
   }
 

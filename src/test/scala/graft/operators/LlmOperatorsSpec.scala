@@ -1163,7 +1163,8 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.syntheticVideo(Seq(6L).toDF("doc_id"), col("doc_id")), everyK = 4)
     val probe = TextDedup.simhashProbeIndex(
         Multimodal.aHash64(
-          kfAll.select((col("doc_id") * 16 + col("frame_idx")).as("doc_id"), col("payload"))),
+          kfAll.select(
+            Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"), col("payload"))),
         imageHashes, maxHamming = 0, bands = 8)
       .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("index_id")))

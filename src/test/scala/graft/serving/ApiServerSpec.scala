@@ -507,11 +507,9 @@ class ApiServerSpec extends SparkSpec {
       while (it.hasNext) {
         val e  = it.next()
         val lc = e.getValue.get("last_candle")
-        def r2(x: Double): String = {
-          val v = math.rint(x * 100) / 100
-          val s = v.toString
-          if (s.endsWith(".0")) s.dropRight(2) else s
-        }
+        def r2(x: Double): String = // the server's plain-decimal rule
+          java.math.BigDecimal.valueOf(math.rint(x * 100) / 100)
+            .stripTrailingZeros.toPlainString
         val o = lc.get(1).asDouble; val c = lc.get(4).asDouble
         val row = html.linesIterator
           .find(_.contains(s"<strong>${e.getKey}</strong>")).getOrElse("")

@@ -77,12 +77,12 @@ class CurationDemoSpec extends SparkSpec {
     val kf = Multimodal.videoKeyframes(
       Multimodal.syntheticVideo(Seq(6L, 7L).toDF("doc_id"), col("doc_id")), everyK = 4)
     val kfHashes = Multimodal.aHash64(
-      kf.select((col("doc_id") * 16 + col("frame_idx")).as("doc_id"), col("payload")))
+      kf.select(Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"), col("payload")))
     val index = IndexRead.committedParquet(spark, imgIndex, -999L)(
         Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
       .select(col("doc_id"), col("sh"))
     val vetoed = TextDedup.simhashProbeIndex(kfHashes, index, maxHamming = 3, bands = 8)
-      .select(expr("doc_id DIV 16").as("doc_id")).distinct()
+      .select(Multimodal.keyframeVideoId(col("doc_id")).as("doc_id")).distinct()
       .collect().map(_.getLong(0)).toSet
     assert(vetoed === Set(6L), "exactly the still-duplicated clip is vetoed")
   }

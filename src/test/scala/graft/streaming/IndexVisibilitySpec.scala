@@ -119,10 +119,12 @@ class IndexVisibilitySpec extends SparkSpec {
     assert(commitEntries() === Set("batch-0", "batch-1", "batch-2"))
     assert(visibleIds() === Set(1L, 2L, 3L))
 
-    // fold: three markers → ONE checkpoint object holding "0-2";
-    // the orphan is NOT folded in (it was never committed)
+    // fold: three markers → ONE checkpoint object holding "0-2"
+    // (versioned: checkpoint-<seq>, the CAS commit point); the orphan
+    // is NOT folded in (it was never committed)
     assert(IndexRead.compactCommits(spark, hist) === 3)
-    assert(commitEntries() === Set("checkpoint"))
+    assert(commitEntries().forall(_.startsWith("checkpoint")), commitEntries())
+    assert(commitEntries().exists(_.startsWith("checkpoint-")))
     assert(visibleIds() === Set(1L, 2L, 3L)) // unchanged, orphan still invisible
 
     // the stream keeps going: batch 3 replays through the sink
@@ -130,12 +132,14 @@ class IndexVisibilitySpec extends SparkSpec {
     // union checkpoint ∪ new markers
     sink(docs(9L -> "omega"), 3L)
     sink(docs(4L -> "delta", 40L -> "omega"), 4L) // 40 is a dup of committed 9
-    assert(commitEntries() === Set("checkpoint", "batch-3", "batch-4"))
+    assert(commitEntries().filter(_.startsWith("batch-")) === Set("batch-3", "batch-4"))
     assert(visibleIds() === Set(1L, 2L, 3L, 9L, 4L))
 
     // a second fold absorbs the new markers into the single range
+    // (retention keeps the immediately superseded checkpoint file)
     assert(IndexRead.compactCommits(spark, hist) === 2)
-    assert(commitEntries() === Set("checkpoint"))
+    assert(commitEntries().forall(_.startsWith("checkpoint")), commitEntries())
+    assert(commitEntries().size <= 2)
     assert(visibleIds() === Set(1L, 2L, 3L, 9L, 4L))
     // idempotent when there is nothing to fold
     assert(IndexRead.compactCommits(spark, hist) === 0)
@@ -162,21 +166,25 @@ class IndexVisibilitySpec extends SparkSpec {
     assert(dataDirs().size === 4)
     assert(visibleIds() === Set(1L, 2L, 3L, 4L))
 
-    // fold batches 0-2 into base generation 1; batch 3 stays live
-    // (the replay horizon)
+    // fold batches 0-2 into a base generation (an attempt-unique
+    // negative id); batch 3 stays live (the replay horizon)
     assert(IndexRead.compactIndex(spark, hist, upToBatch = 2L) === 3)
-    assert(dataDirs() === Set("batch_id=-1", "batch_id=3"))
+    assert(dataDirs().count(_.startsWith("batch_id=-")) === 1, dataDirs())
+    assert(dataDirs().filterNot(_.startsWith("batch_id=-")) === Set("batch_id=3"))
     assert(visibleIds() === Set(1L, 2L, 3L, 4L)) // identical view
 
     // the gate still rejects a dup of a FOLDED doc and admits novelty
     sink(docs(40L -> "beta", 5L -> "epsilon"), 4L)
     assert(visibleIds() === Set(1L, 2L, 3L, 4L, 5L))
 
-    // second fold: a fresh generation (-2) absorbs the old base and
-    // the newly folded partitions; generation 1 is GC'd
+    // second fold: a FRESH attempt generation absorbs the old base
+    // and the newly folded partitions; the old base is GC'd
+    val firstBase = dataDirs().find(_.startsWith("batch_id=-")).get
     sink(docs(6L -> "zeta"), 5L)
     assert(IndexRead.compactIndex(spark, hist, upToBatch = 4L) === 2)
-    assert(dataDirs() === Set("batch_id=-2", "batch_id=5"))
+    assert(dataDirs().count(_.startsWith("batch_id=-")) === 1, dataDirs())
+    assert(!dataDirs().contains(firstBase)) // old generation swept
+    assert(dataDirs().filterNot(_.startsWith("batch_id=-")) === Set("batch_id=5"))
     assert(visibleIds() === Set(1L, 2L, 3L, 4L, 5L, 6L))
 
     // the contract rails: folding up to the newest committed batch is
@@ -229,9 +237,9 @@ class IndexVisibilitySpec extends SparkSpec {
     // bounded metadata: ≤ foldEvery live markers + checkpoint + lease
     // residue-free (the last fold tick was at batch 12)
     val entries = commitEntries()
-    assert(entries.contains("checkpoint"))
+    assert(entries.exists(_.startsWith("checkpoint")), entries)
     assert(!entries.contains("fold-lease"))
-    assert(entries.size <= 4, s"unbounded _commits listing: $entries")
+    assert(entries.size <= 5, s"unbounded _commits listing: $entries")
     // bounded data dirs: one base generation + the unfolded tail
     val dirs = dataDirs()
     assert(dirs.count(_.startsWith("batch_id=-")) === 1, s"multiple bases: $dirs")
@@ -257,8 +265,8 @@ class IndexVisibilitySpec extends SparkSpec {
       .withColumn("batch_id", lit(-nextGen))
       .write.partitionBy("batch_id").mode("append").parquet(hist)
     assert(visibleIds() === (0L to 18L).toSet) // orphan invisible
-    // drive to the next fold tick (batch 24): the fold overwrites the
-    // orphan generation and the sweep GCs what it superseded
+    // drive to the next fold tick (batch 24): the winner's sweep GCs
+    // every negative partition that is not ITS base — the orphan too
     for (b <- 19L to 24L) sink(docs(b -> s"doc-$b"), b)
     assert(visibleIds() === (0L to 24L).toSet)
     assert(!visibleIds().contains(999L))
@@ -316,7 +324,8 @@ class IndexVisibilitySpec extends SparkSpec {
     fs.setTimes(lease, System.currentTimeMillis() - 31L * 60 * 1000, -1)
     assert(IndexRead.compactIndex(spark, hist, upToBatch = 1L) === 2)
     assert(!fs.exists(lease)) // released on the way out
-    assert(dataDirs() === Set("batch_id=-1", "batch_id=2"))
+    assert(dataDirs().count(_.startsWith("batch_id=-")) === 1, dataDirs())
+    assert(dataDirs().filterNot(_.startsWith("batch_id=-")) === Set("batch_id=2"))
     assert(visibleIds() === Set(1L, 2L, 3L))
 
     // the gate still works after a lease-broken fold: dup of a folded
