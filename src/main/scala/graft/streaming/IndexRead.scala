@@ -244,7 +244,7 @@ private[graft] object IndexRead {
     * `create(overwrite=false)`. Exactly one writer that read sequence
     * `m.seq` can win; a loser throws [[ConcurrentFoldException]] with
     * NOTHING visible changed. Returns the sequence written. */
-  private def casCheckpoint(spark: SparkSession, dir: String, m: Manifest): Long = {
+  private[streaming] def casCheckpoint(spark: SparkSession, dir: String, m: Manifest): Long = {
     val next = m.seq + 1
     val cp = new org.apache.hadoop.fs.Path(commitsPath(dir), s"$CheckpointName-$next")
     val txt = s"ranges=${formatRanges(m.ids.toSeq.sorted)}\n" +

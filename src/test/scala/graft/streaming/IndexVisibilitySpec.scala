@@ -334,6 +334,36 @@ class IndexVisibilitySpec extends SparkSpec {
     assert(visibleIds() === Set(1L, 2L, 3L, 5L))
   }
 
+  test("checkpoint CAS is the linearization point: of two folds that read the same sequence, exactly one commits; the loser changes nothing visible") {
+    val hist = s3dir("idxcas") + "/index"
+    val sink = DocStream.bloomGatedBatchSink(hist)
+    sink(docs(1L -> "alpha"), 0L)
+    sink(docs(2L -> "beta"), 1L)
+    sink(docs(3L -> "gamma"), 2L)
+
+    def visibleIds(): Set[Long] =
+      IndexRead.committedParquet(spark, hist, -999L)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // two writers read the SAME manifest sequence — both target seq+1
+    val m = IndexRead.readManifest(spark, hist).get
+    assert(IndexRead.casCheckpoint(spark, hist, m) === m.seq + 1) // winner
+    val lost = intercept[IndexRead.ConcurrentFoldException] {
+      IndexRead.casCheckpoint(spark, hist, m.copy(ids = Set(999L))) // loser's view
+    }
+    assert(lost.getMessage.contains("CAS"))
+    // the loser's divergent state never became visible
+    assert(IndexRead.readManifest(spark, hist).get.ids === m.ids)
+    assert(visibleIds() === Set(1L, 2L, 3L))
+
+    // a writer that read the WINNER's sequence commits normally
+    val m2 = IndexRead.readManifest(spark, hist).get
+    assert(m2.seq === m.seq + 1)
+    assert(IndexRead.casCheckpoint(spark, hist, m2) === m2.seq + 1)
+    assert(visibleIds() === Set(1L, 2L, 3L))
+  }
+
   test("legacy pre-manifest index: the first commit ADOPTS existing partitions — history never silently vanishes") {
     val hist = s3dir("idxlegacy") + "/index"
     // a pre-upgrade index: two batch partitions, NO _commits at all
