@@ -411,6 +411,30 @@ object ScaleBench {
       // id semi-joins; decode never happens in this plan
       "q210_paired_dataset_card" ->
         (() => SparkEntry.queries("q210_paired_dataset_card")(spark, dir)),
+      // shared-still boilerplate detector: one keyframe hash pass +
+      // one hash-agg — the group relation is bounded by DISTINCT
+      // hashes, so dup density makes it smaller, not bigger
+      "q211_shared_stills" ->
+        (() => SparkEntry.queries("q211_shared_stills")(spark, dir)),
+      // alignment histogram: the q210 machinery rolled to ≤ 10 rows —
+      // same cell-bucketed pair mining, constant-size output
+      "q212_pair_alignment" ->
+        (() => SparkEntry.queries("q212_pair_alignment")(spark, dir)),
+      // q212's histogram over the PRODUCTION-capped pair relation —
+      // the gates are linear artifact semi-joins measured with their
+      // own families; this isolates the alignment histogram's real
+      // scale cost (the capped pair mining + a ≤10-row agg)
+      "q212_alignment_capped" ->
+        (() => {
+          codebook.count()
+          Similarity.marginMutualPairs(
+            embs.filter(col("vec_id") % 2 === 0),
+            embs.filter(col("vec_id") % 2 === 1),
+            codebook,
+            maxCellCompare = Some(256L))
+            .groupBy(expr("cos_ppm div 100000").as("cos_bucket"))
+            .agg(count(lit(1)).as("n_pairs"), sum(col("margin_ppm")).as("sum_margin_ppm"))
+        }),
       // q210's pair-mining stage under the PRODUCTION hot-cell cap
       // (the q196 dial): the ×K dup density packs cells quadratically
       // by construction; capped candidate mass is Σ|A∩cell|·cap.

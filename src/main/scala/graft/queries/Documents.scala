@@ -1776,6 +1776,61 @@ object Documents {
           countDistinct(when(col("__ok"), col("b_id"))).as("n_images"),
           sum(when(col("__ok"), col("margin_ppm"))).as("sum_margin_ppm"),
           min(when(col("__ok"), col("cos_ppm"))).as("min_cos_ppm"))
+    }),
+
+    // SHARED-STILL detection — the video BOILERPLATE detector (the
+    // q162 sibling for moving pictures): keyframes whose exact
+    // perceptual hash recurs across ≥ 2 DIFFERENT clips are shared
+    // intros/outros/cards; each group reports its still count, clip
+    // span and keep-min representative. Exact-layer grouping only —
+    // on a dup-dense corpus the group relation is the production
+    // artifact (48 groups on the 500-doc fixture, pre-simulated),
+    // while a full pair export would be quadratic in group size.
+    "q211_shared_stills" -> ((s, dir) => {
+      val kf = Multimodal.videoKeyframes(
+        Multimodal.syntheticVideo(Tables.documents(s, dir), col("doc_id")), everyK = 4)
+      Multimodal.aHash64(
+          kf.select(
+            Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
+            col("payload")))
+        .groupBy(col("sh"))
+        .agg(
+          count(lit(1)).as("n_stills"),
+          countDistinct(Multimodal.keyframeVideoId(col("doc_id"))).as("n_clips"),
+          min(col("doc_id")).as("__keeper"))
+        .filter(col("n_clips") >= 2)
+        .select(col("sh"), col("n_stills"), col("n_clips"),
+          Multimodal.keyframeVideoId(col("__keeper")).as("keeper_video"),
+          Multimodal.keyframeFrameIdx(col("__keeper")).as("keeper_frame"))
+    }),
+
+    // Paired-dataset ALIGNMENT histogram — the calibration diagnostic
+    // for q210's curation: every mutual pair bucketed by its cosine
+    // (deciles of cos_ppm), with how many survive the two gates —
+    // kept pairs should concentrate in the high-alignment buckets,
+    // and a flat ratio says the gates are ignoring alignment. One
+    // ≤10-row relation over the SAME shared artifacts as q210 (no
+    // re-scan, no decode).
+    "q212_pair_alignment" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val pairs = Similarity.marginMutualPairs(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        sharedCodebook(s, dir))
+      val capOk = sharedCaptionKeepSet(s, dir)
+        .select(col("doc_id").as("a_id"), lit(true).as("__cap"))
+      val imgOk = sharedImageKeepSet(s, dir)
+        .select(col("doc_id").as("b_id"), lit(true).as("__img"))
+      pairs
+        .join(capOk, Seq("a_id"), "left")
+        .join(imgOk, Seq("b_id"), "left")
+        .withColumn("__ok", coalesce(col("__cap"), lit(false)) &&
+          coalesce(col("__img"), lit(false)))
+        .groupBy(expr("cos_ppm div 100000").as("cos_bucket"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("__ok"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("margin_ppm")).as("sum_margin_ppm"))
     })
   )
 

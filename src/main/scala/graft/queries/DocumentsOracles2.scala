@@ -1028,6 +1028,118 @@ private[queries] object DocumentsOracles2 {
                  CAST(MIN(CASE WHEN cap_ok AND img_ok THEN cos_ppm END) AS BIGINT) AS min_cos_ppm
           FROM ann""",
 
+    // Shared-still groups: keyframe hashes grouped, clip span ≥ 2,
+    // keep-min representative decomposed from the packed id.
+    "q211_shared_stills" ->
+      s"""WITH $keyframeHashCte
+          SELECT sh,
+                 CAST(COUNT(1) AS BIGINT) AS n_stills,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_clips,
+                 CAST(MIN(doc_id*16 + f) // 16 AS BIGINT) AS keeper_video,
+                 CAST(MIN(doc_id*16 + f) % 16 AS BIGINT) AS keeper_frame
+          FROM kfh
+          GROUP BY sh
+          HAVING COUNT(DISTINCT doc_id) >= 2""",
+
+    // Paired-dataset alignment histogram: q210's mutual pairs bucketed
+    // by cosine decile with the gated-survivor count per bucket.
+    "q212_pair_alignment" ->
+      s"""WITH RECURSIVE $quantCte,
+          $kmeansCte,
+          cc2 AS (
+            SELECT en.vec_id, c.cell,
+                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+            FROM en, cn c
+          ),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+              FROM cc2) WHERE rn = 1
+          ),
+          m AS (SELECT en.vec_id, en.v, en.n2, asg.cell FROM en JOIN asg USING (vec_id)),
+          cand AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   CAST(floor(${cosSql("a.v", "b.v", "a.n2", "b.n2")} * 1000000.0) AS BIGINT) AS cos_ppm
+            FROM m a JOIN m b ON a.cell = b.cell
+            WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+          ),
+          cp AS (SELECT * FROM cand WHERE cos_ppm > 0),
+          ra AS (
+            SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id ASC) AS rn
+            FROM cp
+          ),
+          rb AS (
+            SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id ASC) AS rn
+            FROM cp
+          ),
+          asx AS (
+            SELECT a_id, SUM(cos_ppm) AS sa, COUNT(1) AS na,
+                   MAX(CASE WHEN rn = 1 THEN b_id END) AS best_b,
+                   MAX(CASE WHEN rn = 1 THEN cos_ppm END) AS best_cos
+            FROM ra WHERE rn <= 4 GROUP BY a_id
+          ),
+          bsx AS (
+            SELECT b_id, SUM(cos_ppm) AS sb, COUNT(1) AS nb,
+                   MAX(CASE WHEN rn = 1 THEN a_id END) AS best_a
+            FROM rb WHERE rn <= 4 GROUP BY b_id
+          ),
+          mp AS (
+            SELECT a.a_id, b.b_id,
+                   CAST(a.best_cos AS BIGINT) AS cos_ppm,
+                   CAST((a.best_cos * 1000000) // (((a.sa // a.na) + (b.sb // b.nb)) // 2) AS BIGINT) AS margin_ppm
+            FROM asx a JOIN bsx b ON a.best_b = b.b_id AND b.best_a = a.a_id
+          ),
+          $wordsCte,
+          gm AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS nt,
+                   CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum') AS BIGINT) AS sumlen,
+                   CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','in','to','is','that','it','for'], w))) AS BIGINT) AS stops,
+                   CAST((len(text) - len(replace(text, '#', ''))) +
+                        (len(text) - len(replace(text, '…', ''))) AS BIGINT) AS symbols,
+                   text
+            FROM words),
+          capkeep AS (
+            SELECT doc_id FROM gm
+            WHERE nt >= 30 AND NOT (sumlen < nt * 3 OR sumlen > nt * 10)
+              AND NOT symbols * 10 > nt
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{')
+              AND stops >= 1),
+          $aHashCte,
+          apairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+          ),
+          aedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM apairs
+            UNION
+            SELECT doc_b, doc_a FROM apairs
+          ),
+          areach AS (
+            SELECT DISTINCT src AS doc_id, src AS r FROM aedges
+            UNION
+            SELECT e.src, r.r FROM aedges e JOIN areach r ON r.doc_id = e.dst
+          ),
+          aclus AS (SELECT doc_id, MIN(r) AS cluster_min FROM areach GROUP BY doc_id),
+          aek AS (SELECT sh, MIN(doc_id) AS exact_keeper FROM shs GROUP BY 1),
+          imgkeep AS (
+            SELECT s.doc_id
+            FROM shs s JOIN aek USING (sh) LEFT JOIN aclus USING (doc_id)
+            WHERE s.doc_id = COALESCE(aclus.cluster_min, aek.exact_keeper)),
+          ann AS (
+            SELECT mp.*,
+                   ((a_id IN (SELECT doc_id FROM capkeep))
+                     AND (b_id IN (SELECT doc_id FROM imgkeep))) AS ok
+            FROM mp)
+          SELECT cos_ppm // 100000 AS cos_bucket,
+                 CAST(COUNT(1) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(margin_ppm) AS BIGINT) AS sum_margin_ppm
+          FROM ann
+          GROUP BY 1""",
+
     // Mirror of the REAL audio chain: the engine encodes the
     // closed-form WAV manifest (frames = 3 + id%11, per-frame square
     // wave of amplitude (id·37 + f·101)%1000), decodes actual PCM16
