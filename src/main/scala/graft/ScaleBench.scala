@@ -389,22 +389,8 @@ object ScaleBench {
       // dichotomy); the scale path collapses BOTH sides to exact-layer
       // reps (one row per distinct hash) before the probe — the
       // distinct-hash pair relation, linear mass, same information
-      "q209_crossmodal_reps" ->
-        (() => {
-          val kf = graft.operators.Multimodal.videoKeyframes(
-            graft.operators.Multimodal.syntheticVideo(docs, col("doc_id")), everyK = 4)
-          val kfReps = graft.operators.Multimodal.aHash64(
-              kf.select(
-                graft.operators.Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
-                col("payload")))
-            .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
-            .select(col("doc_id"), col("sh"))
-          val imgReps = graft.operators.Multimodal.aHash64(
-              graft.operators.Multimodal.syntheticImages(docs, col("doc_id")))
-            .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
-            .select(col("doc_id"), col("sh"))
-          TextDedup.simhashProbeIndex(kfReps, imgReps, maxHamming = 1, bands = 8)
-        }),
+      "q213_crossmodal_reps" ->
+        (() => SparkEntry.queries("q213_crossmodal_reps")(spark, dir)),
       // LAION-shape paired curation: mutual pairs × caption gate ×
       // image keep set — the gate sets are persisted artifacts, so
       // the per-run cost is the pair mining (cell-bucketed) plus two

@@ -1831,6 +1831,33 @@ object Documents {
           count(lit(1)).as("n_pairs"),
           sum(when(col("__ok"), 1L).otherwise(0L)).as("n_kept"),
           sum(col("margin_ppm")).as("sum_margin_ppm"))
+    }),
+
+    // q209's PRODUCTION form as a first-class query: both sides
+    // collapse to exact-layer REPS (one row per distinct hash) before
+    // the banded probe — on a dup-dense corpus the full id-pair export
+    // is quadratic in copy count by OUTPUT cardinality (measured 45.4
+    // vs 1.77 s at ×10), while the rep relation carries the same
+    // information at linear mass (10 rep pairs on the 500-doc fixture,
+    // pre-simulated).
+    "q213_crossmodal_reps" -> ((s, dir) => {
+      val kf = Multimodal.videoKeyframes(
+        Multimodal.syntheticVideo(Tables.documents(s, dir), col("doc_id")), everyK = 4)
+      val kfReps = Multimodal.aHash64(
+          kf.select(
+            Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
+            col("payload")))
+        .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("sh"))
+      val imgReps = sharedAHashes(s, dir)
+        .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("sh"))
+      TextDedup.simhashProbeIndex(kfReps, imgReps, maxHamming = 1, bands = 8)
+        .select(
+          Multimodal.keyframeVideoId(col("doc_id")).as("video_id"),
+          Multimodal.keyframeFrameIdx(col("doc_id")).as("frame_idx"),
+          col("index_id").as("image_id"),
+          col("hamming"))
     })
   )
 

@@ -1140,6 +1140,18 @@ private[queries] object DocumentsOracles2 {
           FROM ann
           GROUP BY 1""",
 
+    // q209's production reps form: keep-min rep per distinct hash on
+    // BOTH sides, then the same hamming ≤ 1 join.
+    "q213_crossmodal_reps" ->
+      s"""WITH $aHashCte, $keyframeHashCte,
+          kreps AS (SELECT sh, MIN(doc_id*16 + f) AS pid FROM kfh GROUP BY 1),
+          ireps AS (SELECT sh, MIN(doc_id) AS doc_id FROM shs GROUP BY 1)
+          SELECT CAST(k.pid // 16 AS BIGINT) AS video_id,
+                 CAST(k.pid % 16 AS BIGINT) AS frame_idx,
+                 i.doc_id AS image_id,
+                 CAST(bit_count(xor(k.sh, i.sh)) AS INT) AS hamming
+          FROM kreps k JOIN ireps i ON bit_count(xor(k.sh, i.sh)) <= 1""",
+
     // Mirror of the REAL audio chain: the engine encodes the
     // closed-form WAV manifest (frames = 3 + id%11, per-frame square
     // wave of amplitude (id·37 + f·101)%1000), decodes actual PCM16

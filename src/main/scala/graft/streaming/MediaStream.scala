@@ -113,6 +113,98 @@ object MediaStream {
     finally { frames.unpersist(); () }
   }
 
+  /** CROSS-MODAL video ingest gate — q209/q213's streaming twin: each
+    * micro-batch of AVI clips is keyframe-sampled (pure container
+    * walk, no transcode), the stills are aHashed in the IMAGE corpus's
+    * own 64-bit space, and a clip is VETOED when any still near-dups
+    *  (a) the admitted IMAGE index at `imageIndexDir` (a FOREIGN
+    *      modality's committed index, read-only here), or
+    *  (b) a keyframe of an already-admitted CLIP in this sink's own
+    *      growing index at `historyDir`, or
+    *  (c) a keyframe of a LOWER-id clip in the same batch (the
+    *      keep-lowest within-batch rule every gate uses).
+    * Survivors land their keyframe fingerprints (packed kf id, sh)
+    * under `batch_id=N` — replay-safe like every gate: the own index
+    * is read excluding the batch's partition and the write
+    * dynamic-overwrites it. The image index may have GROWN between a
+    * crash and its replay; the veto set only grows with it, so a
+    * replay admits a subset and the overwrite keeps the partition
+    * consistent — strictly-stricter, never a duplicate admission. */
+  def keyframeVetoGatedBatchSink(
+      historyDir: String,
+      imageIndexDir: String,
+      maxHamming: Int,
+      everyK: Int = 4,
+      bands: Int = 8,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val kf = Multimodal.videoKeyframes(batch, everyK)
+    // one container walk + one hash pass per batch, reused by all
+    // three veto layers AND the final landing write
+    val kfHashes = Multimodal.aHash64(
+        kf.select(
+          Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
+          col("payload")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vid = Multimodal.keyframeVideoId(col("doc_id"))
+      // (c) within-batch: packed ids order by (video, frame), so for a
+      // cross-clip still pair doc_a < doc_b implies video_a < video_b
+      // — the HIGHER clip drops
+      val withinVeto = TextDedup
+        .simhashPairsFromHashes(kfHashes, maxHamming, bands)
+        .filter(
+          Multimodal.keyframeVideoId(col("doc_a")) =!=
+            Multimodal.keyframeVideoId(col("doc_b")))
+        .select(Multimodal.keyframeVideoId(col("doc_b")).as("video_id"))
+      // (a) the foreign image index — committed view, nothing excluded
+      // (image batch ids live in a different table's sequence)
+      val imageIndex = IndexRead.committedParquet(spark, imageIndexDir, -999L)(
+          Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
+        .select(col("doc_id"), col("sh"))
+      val imageVeto = TextDedup
+        .simhashProbeIndex(kfHashes, imageIndex, maxHamming, bands)
+        .select(Multimodal.keyframeVideoId(col("doc_id")).as("video_id"))
+      // (b) own growing index of admitted clips' keyframes
+      val ownIndex = IndexRead.committedParquet(spark, historyDir, batchId)(
+          Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
+        .select(col("doc_id"), col("sh"))
+      val ownVeto = TextDedup
+        .simhashProbeIndex(kfHashes, ownIndex, maxHamming, bands)
+        .select(Multimodal.keyframeVideoId(col("doc_id")).as("video_id"))
+      val vetoed = withinVeto.unionByName(imageVeto).unionByName(ownVeto).distinct()
+      kfHashes
+        .withColumn("video_id", vid)
+        .join(vetoed, Seq("video_id"), "left_anti")
+        .select(col("doc_id"), col("sh"))
+        .withColumn("batch_id", lit(batchId))
+        .write
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(historyDir)
+      IndexRead.commit(spark, historyDir, batchId)
+      IndexRead.maintainAfterCommit(spark, historyDir, batchId, cadence)
+    } finally { kfHashes.unpersist(); () }
+  }
+
+  /** Wire [[keyframeVetoGatedBatchSink]] onto a video stream. */
+  def startKeyframeVetoIngest(
+      media: DataFrame,
+      historyDir: String,
+      imageIndexDir: String,
+      checkpointDir: String,
+      maxHamming: Int,
+      everyK: Int = 4,
+      bands: Int = 8,
+      cadence: IndexRead.Cadence = IndexRead.Cadence()): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(keyframeVetoGatedBatchSink(
+        historyDir, imageIndexDir, maxHamming, everyK, bands, cadence))
+      .start()
+
   /** Shared gate body over a (doc_id, sh) fingerprint relation — the
     * image, audio and video sinks differ ONLY in how `sh` is computed. */
   private def hammingGateAndLand(

@@ -126,6 +126,62 @@ class MediaStreamSpec extends SparkSpec {
     assert(spark.read.parquet(hist).count() === 3)
   }
 
+  test("keyframeVetoGatedBatchSink: clips are vetoed by the FOREIGN image index, the own growing clip index, and the within-batch keep-lowest rule; replay-safe") {
+    import graft.operators.Multimodal
+    // pre-simulated hamming distances at maxHamming=3 (everyK=4):
+    //  - clip 6's frame-4 still planted in the image index → clip 6
+    //    image-vetoed; clip 7 is ≥ 21 bits from everything planted;
+    //  - clip 40's keyframes are 2 bits from admitted clip 7's →
+    //    own-index veto; clip 8 is ≥ 8 bits from every admitted thing;
+    //  - clip 9 is ≥ 8 from the whole admitted set, so a batch with
+    //    TWO landed copies of it exercises only the within-batch rule.
+    def video(rows: Seq[(Long, Long)]) = {
+      val payloads = Multimodal
+        .syntheticVideo(rows.map(_._2).distinct.toDF("id"), col("id"))
+        .withColumnRenamed("doc_id", "mid")
+      rows.toDF("doc_id", "mid").join(payloads, "mid").select("doc_id", "payload")
+    }
+    val dir    = Files.createTempDirectory("kfveto").toString
+    val imgIdx = s"$dir/imgindex"
+    val hist   = s"$dir/clipindex"
+    // the admitted-image corpus through the REAL image gate
+    val planted = Multimodal.videoKeyframes(
+        Multimodal.syntheticVideo(Seq(6L).toDF("doc_id"), col("doc_id")), everyK = 4)
+      .filter(col("frame_idx") === 4L)
+      .select(lit(1000L).as("doc_id"), col("payload"))
+    val otherImg = Multimodal.syntheticImages(Seq(7L).toDF("doc_id"), col("doc_id"))
+      .select(lit(2000L).as("doc_id"), col("payload"))
+    MediaStream.aHashGatedBatchSink(imgIdx, maxHamming = 3)(
+      planted.unionByName(otherImg), 0L)
+
+    val sink = MediaStream.keyframeVetoGatedBatchSink(hist, imgIdx, maxHamming = 3)
+    def admittedVideos(): Set[Long] =
+      IndexRead.committedParquet(spark, hist, -999L)(
+          Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
+        .select(Multimodal.keyframeVideoId(col("doc_id")).as("v"))
+        .distinct().collect().map(_.getLong(0)).toSet
+
+    // batch 0: clip 6 vetoed by the IMAGE index, clip 7 admitted
+    sink(video(Seq(6L -> 6L, 7L -> 7L)), 0L)
+    assert(admittedVideos() === Set(7L))
+
+    // batch 1: clip 40 vetoed by the OWN index (2 bits from clip 7's
+    // keyframes), clip 8 admitted
+    sink(video(Seq(40L -> 40L, 8L -> 8L)), 1L)
+    assert(admittedVideos() === Set(7L, 8L))
+
+    // batch 2: two landed copies of clip 9 — within-batch keep-lowest
+    // admits 300, drops 301
+    sink(video(Seq(300L -> 9L, 301L -> 9L)), 2L)
+    assert(admittedVideos() === Set(7L, 8L, 300L))
+
+    // replay of batch 2: identical admit set, no duplicate rows
+    val before = spark.read.parquet(hist).count()
+    sink(video(Seq(300L -> 9L, 301L -> 9L)), 2L)
+    assert(admittedVideos() === Set(7L, 8L, 300L))
+    assert(spark.read.parquet(hist).count() === before)
+  }
+
   test("CHAOS: batch dies AFTER its index append; restart redelivers it — no duplicate admits, no self-suppression") {
     val dir = Files.createTempDirectory("mediastream-chaos").toString
     def land(rows: Seq[(Long, Array[Byte])], sub: String, bumpMs: Long): Unit = {
