@@ -216,6 +216,27 @@ object Documents {
         .filter(col("verdict") === "keep")
         .select("doc_id"))
 
+  // The mutual pairs over the modality split, annotated by BOTH gate
+  // sets — q210 (card) and q212 (alignment histogram) consume the SAME
+  // construction, so a fix to the pairing or gate semantics can never
+  // diverge them. __cap/__img are the raw gate flags; __ok = both.
+  private def sharedGatedPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val pairs = Similarity.marginMutualPairs(
+      e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 1),
+      sharedCodebook(s, dir))
+    val capOk = sharedCaptionKeepSet(s, dir)
+      .select(col("doc_id").as("a_id"), lit(true).as("__cap"))
+    val imgOk = sharedImageKeepSet(s, dir)
+      .select(col("doc_id").as("b_id"), lit(true).as("__img"))
+    pairs
+      .join(capOk, Seq("a_id"), "left")
+      .join(imgOk, Seq("b_id"), "left")
+      .withColumn("__ok", coalesce(col("__cap"), lit(false)) &&
+        coalesce(col("__img"), lit(false)))
+  }
+
   // The trained codebook is the canonical materialized intermediate:
   // q61 assigns with it, q63 probes with it ("train once").
   private val codebookCache = new DirCached
@@ -1752,21 +1773,8 @@ object Documents {
     // are SHARED ARTIFACTS (DirCached id relations) — the composed
     // plan re-scans neither the text corpus nor any image payload
     // (PlanSpec-pinned: no decode mapPartitions in this plan).
-    "q210_paired_dataset_card" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val pairs = Similarity.marginMutualPairs(
-        e.filter(col("vec_id") % 2 === 0),
-        e.filter(col("vec_id") % 2 === 1),
-        sharedCodebook(s, dir))
-      val capOk = sharedCaptionKeepSet(s, dir)
-        .select(col("doc_id").as("a_id"), lit(true).as("__cap"))
-      val imgOk = sharedImageKeepSet(s, dir)
-        .select(col("doc_id").as("b_id"), lit(true).as("__img"))
-      pairs
-        .join(capOk, Seq("a_id"), "left")
-        .join(imgOk, Seq("b_id"), "left")
-        .withColumn("__ok", coalesce(col("__cap"), lit(false)) &&
-          coalesce(col("__img"), lit(false)))
+    "q210_paired_dataset_card" -> ((s, dir) =>
+      sharedGatedPairs(s, dir)
         .agg(
           count(lit(1)).as("n_candidate_pairs"),
           sum(when(coalesce(col("__cap"), lit(false)), 1L).otherwise(0L))
@@ -1775,8 +1783,7 @@ object Documents {
           countDistinct(when(col("__ok"), col("a_id"))).as("n_captions"),
           countDistinct(when(col("__ok"), col("b_id"))).as("n_images"),
           sum(when(col("__ok"), col("margin_ppm"))).as("sum_margin_ppm"),
-          min(when(col("__ok"), col("cos_ppm"))).as("min_cos_ppm"))
-    }),
+          min(when(col("__ok"), col("cos_ppm"))).as("min_cos_ppm"))),
 
     // SHARED-STILL detection — the video BOILERPLATE detector (the
     // q162 sibling for moving pictures): keyframes whose exact
@@ -1811,27 +1818,13 @@ object Documents {
     // and a flat ratio says the gates are ignoring alignment. One
     // ≤10-row relation over the SAME shared artifacts as q210 (no
     // re-scan, no decode).
-    "q212_pair_alignment" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val pairs = Similarity.marginMutualPairs(
-        e.filter(col("vec_id") % 2 === 0),
-        e.filter(col("vec_id") % 2 === 1),
-        sharedCodebook(s, dir))
-      val capOk = sharedCaptionKeepSet(s, dir)
-        .select(col("doc_id").as("a_id"), lit(true).as("__cap"))
-      val imgOk = sharedImageKeepSet(s, dir)
-        .select(col("doc_id").as("b_id"), lit(true).as("__img"))
-      pairs
-        .join(capOk, Seq("a_id"), "left")
-        .join(imgOk, Seq("b_id"), "left")
-        .withColumn("__ok", coalesce(col("__cap"), lit(false)) &&
-          coalesce(col("__img"), lit(false)))
+    "q212_pair_alignment" -> ((s, dir) =>
+      sharedGatedPairs(s, dir)
         .groupBy(expr("cos_ppm div 100000").as("cos_bucket"))
         .agg(
           count(lit(1)).as("n_pairs"),
           sum(when(col("__ok"), 1L).otherwise(0L)).as("n_kept"),
-          sum(col("margin_ppm")).as("sum_margin_ppm"))
-    }),
+          sum(col("margin_ppm")).as("sum_margin_ppm"))),
 
     // q209's PRODUCTION form as a first-class query: both sides
     // collapse to exact-layer REPS (one row per distinct hash) before

@@ -108,6 +108,109 @@ private[queries] object DocumentsOracles2 {
          FROM kcm JOIN kmean ON kcm.doc_id = kmean.doc_id AND kcm.f = kmean.f
          GROUP BY 1, 2)"""
 
+  /** q187's mutual-pair chain over the even/odd modality split —
+    * assignment, cell-mate candidates, per-side top-4 neighborhoods,
+    * mutual top-1, integer margin. Requires [[quantCte]]/[[kmeansCte]]
+    * (`en`, `cn`) in scope; ends with
+    * `mp(a_id, b_id, cos_ppm, margin_ppm)`. ONE definition consumed by
+    * the q210 card and the q212 histogram, so the pairing semantics
+    * can never diverge between them. */
+  private def mutualPairCtes =
+    s"""cc2 AS (
+          SELECT en.vec_id, c.cell,
+                 ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
+          FROM en, cn c
+        ),
+        asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
+            FROM cc2) WHERE rn = 1
+        ),
+        m AS (SELECT en.vec_id, en.v, en.n2, asg.cell FROM en JOIN asg USING (vec_id)),
+        cand AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 CAST(floor(${cosSql("a.v", "b.v", "a.n2", "b.n2")} * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM m a JOIN m b ON a.cell = b.cell
+          WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        ),
+        cp AS (SELECT * FROM cand WHERE cos_ppm > 0),
+        ra AS (
+          SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id ASC) AS rn
+          FROM cp
+        ),
+        rb AS (
+          SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id ASC) AS rn
+          FROM cp
+        ),
+        asx AS (
+          SELECT a_id, SUM(cos_ppm) AS sa, COUNT(1) AS na,
+                 MAX(CASE WHEN rn = 1 THEN b_id END) AS best_b,
+                 MAX(CASE WHEN rn = 1 THEN cos_ppm END) AS best_cos
+          FROM ra WHERE rn <= 4 GROUP BY a_id
+        ),
+        bsx AS (
+          SELECT b_id, SUM(cos_ppm) AS sb, COUNT(1) AS nb,
+                 MAX(CASE WHEN rn = 1 THEN a_id END) AS best_a
+          FROM rb WHERE rn <= 4 GROUP BY b_id
+        ),
+        mp AS (
+          SELECT a.a_id, b.b_id,
+                 CAST(a.best_cos AS BIGINT) AS cos_ppm,
+                 CAST((a.best_cos * 1000000) // (((a.sa // a.na) + (b.sb // b.nb)) // 2) AS BIGINT) AS margin_ppm
+          FROM asx a JOIN bsx b ON a.best_b = b.b_id AND b.best_a = a.a_id
+        )"""
+
+  /** The two gate keep-sets (q137's caption gate, q169's image dedup
+    * survivors) plus the annotated mutual pairs — shared by q210/q212.
+    * Includes [[wordsCte]] and [[aHashCte]]; ends with
+    * `ann(a_id, b_id, cos_ppm, margin_ppm, cap_ok, img_ok)`. Needs
+    * WITH RECURSIVE (the image cluster reachability). */
+  private def pairGateCtes =
+    s"""$wordsCte,
+        gm AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS nt,
+                 CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum') AS BIGINT) AS sumlen,
+                 CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','in','to','is','that','it','for'], w))) AS BIGINT) AS stops,
+                 CAST((len(text) - len(replace(text, '#', ''))) +
+                      (len(text) - len(replace(text, '…', ''))) AS BIGINT) AS symbols,
+                 text
+          FROM words),
+        capkeep AS (
+          SELECT doc_id FROM gm
+          WHERE nt >= 30 AND NOT (sumlen < nt * 3 OR sumlen > nt * 10)
+            AND NOT symbols * 10 > nt
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')
+            AND stops >= 1),
+        $aHashCte,
+        apairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ),
+        aedges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM apairs
+          UNION
+          SELECT doc_b, doc_a FROM apairs
+        ),
+        areach AS (
+          SELECT DISTINCT src AS doc_id, src AS r FROM aedges
+          UNION
+          SELECT e.src, r.r FROM aedges e JOIN areach r ON r.doc_id = e.dst
+        ),
+        aclus AS (SELECT doc_id, MIN(r) AS cluster_min FROM areach GROUP BY doc_id),
+        aek AS (SELECT sh, MIN(doc_id) AS exact_keeper FROM shs GROUP BY 1),
+        imgkeep AS (
+          SELECT s.doc_id
+          FROM shs s JOIN aek USING (sh) LEFT JOIN aclus USING (doc_id)
+          WHERE s.doc_id = COALESCE(aclus.cluster_min, aek.exact_keeper)),
+        ann AS (
+          SELECT mp.*,
+                 (a_id IN (SELECT doc_id FROM capkeep)) AS cap_ok,
+                 (b_id IN (SELECT doc_id FROM imgkeep)) AS img_ok
+          FROM mp)"""
+
   /** Mirror of [[graft.operators.Multimodal.decodeVideoFrames]] over
     * the closed-form AVI manifest (frames = 2 + id%7, 8×6 gray,
     * pixel = (id·31 + f·17 + x·7 + y·13) % 256): per-frame mean luma
@@ -932,93 +1035,8 @@ private[queries] object DocumentsOracles2 {
     "q210_paired_dataset_card" ->
       s"""WITH RECURSIVE $quantCte,
           $kmeansCte,
-          cc2 AS (
-            SELECT en.vec_id, c.cell,
-                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
-            FROM en, cn c
-          ),
-          asg AS (
-            SELECT vec_id, cell FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
-              FROM cc2) WHERE rn = 1
-          ),
-          m AS (SELECT en.vec_id, en.v, en.n2, asg.cell FROM en JOIN asg USING (vec_id)),
-          cand AS (
-            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   CAST(floor(${cosSql("a.v", "b.v", "a.n2", "b.n2")} * 1000000.0) AS BIGINT) AS cos_ppm
-            FROM m a JOIN m b ON a.cell = b.cell
-            WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
-          ),
-          cp AS (SELECT * FROM cand WHERE cos_ppm > 0),
-          ra AS (
-            SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id ASC) AS rn
-            FROM cp
-          ),
-          rb AS (
-            SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id ASC) AS rn
-            FROM cp
-          ),
-          asx AS (
-            SELECT a_id, SUM(cos_ppm) AS sa, COUNT(1) AS na,
-                   MAX(CASE WHEN rn = 1 THEN b_id END) AS best_b,
-                   MAX(CASE WHEN rn = 1 THEN cos_ppm END) AS best_cos
-            FROM ra WHERE rn <= 4 GROUP BY a_id
-          ),
-          bsx AS (
-            SELECT b_id, SUM(cos_ppm) AS sb, COUNT(1) AS nb,
-                   MAX(CASE WHEN rn = 1 THEN a_id END) AS best_a
-            FROM rb WHERE rn <= 4 GROUP BY b_id
-          ),
-          mp AS (
-            SELECT a.a_id, b.b_id,
-                   CAST(a.best_cos AS BIGINT) AS cos_ppm,
-                   CAST((a.best_cos * 1000000) // (((a.sa // a.na) + (b.sb // b.nb)) // 2) AS BIGINT) AS margin_ppm
-            FROM asx a JOIN bsx b ON a.best_b = b.b_id AND b.best_a = a.a_id
-          ),
-          $wordsCte,
-          gm AS (
-            SELECT doc_id,
-                   CAST(len(ws) AS BIGINT) AS nt,
-                   CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum') AS BIGINT) AS sumlen,
-                   CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','in','to','is','that','it','for'], w))) AS BIGINT) AS stops,
-                   CAST((len(text) - len(replace(text, '#', ''))) +
-                        (len(text) - len(replace(text, '…', ''))) AS BIGINT) AS symbols,
-                   text
-            FROM words),
-          capkeep AS (
-            SELECT doc_id FROM gm
-            WHERE nt >= 30 AND NOT (sumlen < nt * 3 OR sumlen > nt * 10)
-              AND NOT symbols * 10 > nt
-              AND NOT contains(lower(text), 'lorem ipsum')
-              AND NOT contains(text, '{')
-              AND stops >= 1),
-          $aHashCte,
-          apairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM shs a JOIN shs b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sh, b.sh)) <= 3
-          ),
-          aedges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM apairs
-            UNION
-            SELECT doc_b, doc_a FROM apairs
-          ),
-          areach AS (
-            SELECT DISTINCT src AS doc_id, src AS r FROM aedges
-            UNION
-            SELECT e.src, r.r FROM aedges e JOIN areach r ON r.doc_id = e.dst
-          ),
-          aclus AS (SELECT doc_id, MIN(r) AS cluster_min FROM areach GROUP BY doc_id),
-          aek AS (SELECT sh, MIN(doc_id) AS exact_keeper FROM shs GROUP BY 1),
-          imgkeep AS (
-            SELECT s.doc_id
-            FROM shs s JOIN aek USING (sh) LEFT JOIN aclus USING (doc_id)
-            WHERE s.doc_id = COALESCE(aclus.cluster_min, aek.exact_keeper)),
-          ann AS (
-            SELECT mp.*,
-                   (a_id IN (SELECT doc_id FROM capkeep)) AS cap_ok,
-                   (b_id IN (SELECT doc_id FROM imgkeep)) AS img_ok
-            FROM mp)
+          $mutualPairCtes,
+          $pairGateCtes
           SELECT CAST(COUNT(1) AS BIGINT) AS n_candidate_pairs,
                  CAST(SUM(CASE WHEN cap_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_caption_gated,
                  CAST(SUM(CASE WHEN cap_ok AND img_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
@@ -1046,96 +1064,11 @@ private[queries] object DocumentsOracles2 {
     "q212_pair_alignment" ->
       s"""WITH RECURSIVE $quantCte,
           $kmeansCte,
-          cc2 AS (
-            SELECT en.vec_id, c.cell,
-                   ${cosSql("en.v", "c.cv", "en.n2", "c.cn2")} AS ccos
-            FROM en, cn c
-          ),
-          asg AS (
-            SELECT vec_id, cell FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS rn
-              FROM cc2) WHERE rn = 1
-          ),
-          m AS (SELECT en.vec_id, en.v, en.n2, asg.cell FROM en JOIN asg USING (vec_id)),
-          cand AS (
-            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   CAST(floor(${cosSql("a.v", "b.v", "a.n2", "b.n2")} * 1000000.0) AS BIGINT) AS cos_ppm
-            FROM m a JOIN m b ON a.cell = b.cell
-            WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
-          ),
-          cp AS (SELECT * FROM cand WHERE cos_ppm > 0),
-          ra AS (
-            SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id ASC) AS rn
-            FROM cp
-          ),
-          rb AS (
-            SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id ASC) AS rn
-            FROM cp
-          ),
-          asx AS (
-            SELECT a_id, SUM(cos_ppm) AS sa, COUNT(1) AS na,
-                   MAX(CASE WHEN rn = 1 THEN b_id END) AS best_b,
-                   MAX(CASE WHEN rn = 1 THEN cos_ppm END) AS best_cos
-            FROM ra WHERE rn <= 4 GROUP BY a_id
-          ),
-          bsx AS (
-            SELECT b_id, SUM(cos_ppm) AS sb, COUNT(1) AS nb,
-                   MAX(CASE WHEN rn = 1 THEN a_id END) AS best_a
-            FROM rb WHERE rn <= 4 GROUP BY b_id
-          ),
-          mp AS (
-            SELECT a.a_id, b.b_id,
-                   CAST(a.best_cos AS BIGINT) AS cos_ppm,
-                   CAST((a.best_cos * 1000000) // (((a.sa // a.na) + (b.sb // b.nb)) // 2) AS BIGINT) AS margin_ppm
-            FROM asx a JOIN bsx b ON a.best_b = b.b_id AND b.best_a = a.a_id
-          ),
-          $wordsCte,
-          gm AS (
-            SELECT doc_id,
-                   CAST(len(ws) AS BIGINT) AS nt,
-                   CAST(list_aggregate(list_transform(ws, w -> len(w)), 'sum') AS BIGINT) AS sumlen,
-                   CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','in','to','is','that','it','for'], w))) AS BIGINT) AS stops,
-                   CAST((len(text) - len(replace(text, '#', ''))) +
-                        (len(text) - len(replace(text, '…', ''))) AS BIGINT) AS symbols,
-                   text
-            FROM words),
-          capkeep AS (
-            SELECT doc_id FROM gm
-            WHERE nt >= 30 AND NOT (sumlen < nt * 3 OR sumlen > nt * 10)
-              AND NOT symbols * 10 > nt
-              AND NOT contains(lower(text), 'lorem ipsum')
-              AND NOT contains(text, '{')
-              AND stops >= 1),
-          $aHashCte,
-          apairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM shs a JOIN shs b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sh, b.sh)) <= 3
-          ),
-          aedges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM apairs
-            UNION
-            SELECT doc_b, doc_a FROM apairs
-          ),
-          areach AS (
-            SELECT DISTINCT src AS doc_id, src AS r FROM aedges
-            UNION
-            SELECT e.src, r.r FROM aedges e JOIN areach r ON r.doc_id = e.dst
-          ),
-          aclus AS (SELECT doc_id, MIN(r) AS cluster_min FROM areach GROUP BY doc_id),
-          aek AS (SELECT sh, MIN(doc_id) AS exact_keeper FROM shs GROUP BY 1),
-          imgkeep AS (
-            SELECT s.doc_id
-            FROM shs s JOIN aek USING (sh) LEFT JOIN aclus USING (doc_id)
-            WHERE s.doc_id = COALESCE(aclus.cluster_min, aek.exact_keeper)),
-          ann AS (
-            SELECT mp.*,
-                   ((a_id IN (SELECT doc_id FROM capkeep))
-                     AND (b_id IN (SELECT doc_id FROM imgkeep))) AS ok
-            FROM mp)
+          $mutualPairCtes,
+          $pairGateCtes
           SELECT cos_ppm // 100000 AS cos_bucket,
                  CAST(COUNT(1) AS BIGINT) AS n_pairs,
-                 CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN cap_ok AND img_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                  CAST(SUM(margin_ppm) AS BIGINT) AS sum_margin_ppm
           FROM ann
           GROUP BY 1""",

@@ -441,7 +441,16 @@ private[graft] object IndexRead {
       empty: => DataFrame): DataFrame = {
     val p      = new org.apache.hadoop.fs.Path(dir)
     val exists = fs(spark, p).exists(p)
-    if (!exists) empty
+    // a COMMITTED batch that admitted zero rows writes no partition
+    // dir at all — a legitimate state (e.g. a first batch entirely
+    // vetoed by a foreign-modality index). With markers present but
+    // ZERO data partitions, spark.read.parquet cannot infer a schema
+    // and would throw, wedging every subsequent batch; the committed
+    // content is genuinely empty, so SAY so. (With ≥1 data partition,
+    // predicates on missing partitions simply match nothing.)
+    def hasDataDirs: Boolean =
+      fs(spark, p).listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+    if (!exists || !hasDataDirs) empty
     else readManifest(spark, dir) match {
       case Some(m) =>
         // excluding a FOLDED batch is the self-suppression hazard the

@@ -139,6 +139,20 @@ object MediaStream {
       cadence: IndexRead.Cadence = IndexRead.Cadence()): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     import spark.implicits._
+    // the FOREIGN index's absence must fail the batch LOUDLY: unlike
+    // the own index (absent only before batch 0, then created by this
+    // very sink), a missing/misconfigured image-index path is never
+    // self-healing — gating against the empty fallback would admit
+    // near-dups of every admitted image forever, silently (the exact
+    // hazard the hammingGateAndLand contract documents). The batch
+    // fails and replays until the path is fixed.
+    require(
+      new org.apache.hadoop.fs.Path(imageIndexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(imageIndexDir)),
+      s"image index not found at $imageIndexDir — a missing foreign index " +
+        "would silently disable the cross-modal veto; fix the path (or land " +
+        "the image index first)")
     val kf = Multimodal.videoKeyframes(batch, everyK)
     // one container walk + one hash pass per batch, reused by all
     // three veto layers AND the final landing write
@@ -148,44 +162,66 @@ object MediaStream {
           col("payload")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val vid = Multimodal.keyframeVideoId(col("doc_id"))
-      // (c) within-batch: packed ids order by (video, frame), so for a
-      // cross-clip still pair doc_a < doc_b implies video_a < video_b
-      // — the HIGHER clip drops
+      // EXACT layer first (the hammingGateAndLand discipline — a
+      // dup-dense batch must never pay |group|² band candidates): one
+      // rep per distinct hash; every batch clip holding a hash whose
+      // rep belongs to a LOWER clip is exact-vetoed, and the banded
+      // pair join + both index probes run on REPS only. Provably the
+      // same veto set: reps carry every distinct hash, and group
+      // members inherit their rep's collisions (identical hash).
+      val reps = kfHashes.groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exactVeto = kfHashes.as("m")
+        .join(reps.select(col("sh"), col("doc_id").as("__rep")), "sh")
+        .filter(Multimodal.keyframeVideoId(col("m.doc_id")) =!=
+          Multimodal.keyframeVideoId(col("__rep")))
+        .select(Multimodal.keyframeVideoId(col("m.doc_id")).as("video_id"))
+      // (c) within-batch cross-clip near-dups over reps: packed ids
+      // order by (video, frame), so doc_a < doc_b implies
+      // video_a <= video_b — the HIGHER clip drops
       val withinVeto = TextDedup
-        .simhashPairsFromHashes(kfHashes, maxHamming, bands)
+        .simhashPairsFromHashes(reps, maxHamming, bands)
         .filter(
           Multimodal.keyframeVideoId(col("doc_a")) =!=
             Multimodal.keyframeVideoId(col("doc_b")))
         .select(Multimodal.keyframeVideoId(col("doc_b")).as("video_id"))
+      // a probe hit on a rep vetoes EVERY batch clip holding that
+      // hash (group members share it), not just the rep's own clip
+      def expandToVideos(hitReps: DataFrame): DataFrame =
+        hitReps.join(reps, "doc_id").select(col("sh"))
+          .join(kfHashes, "sh")
+          .select(Multimodal.keyframeVideoId(col("doc_id")).as("video_id"))
       // (a) the foreign image index — committed view, nothing excluded
       // (image batch ids live in a different table's sequence)
       val imageIndex = IndexRead.committedParquet(spark, imageIndexDir, -999L)(
           Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
         .select(col("doc_id"), col("sh"))
-      val imageVeto = TextDedup
-        .simhashProbeIndex(kfHashes, imageIndex, maxHamming, bands)
-        .select(Multimodal.keyframeVideoId(col("doc_id")).as("video_id"))
+      val imageVeto = expandToVideos(TextDedup
+        .simhashProbeIndex(reps, imageIndex, maxHamming, bands)
+        .select(col("doc_id")))
       // (b) own growing index of admitted clips' keyframes
       val ownIndex = IndexRead.committedParquet(spark, historyDir, batchId)(
           Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
         .select(col("doc_id"), col("sh"))
-      val ownVeto = TextDedup
-        .simhashProbeIndex(kfHashes, ownIndex, maxHamming, bands)
-        .select(Multimodal.keyframeVideoId(col("doc_id")).as("video_id"))
-      val vetoed = withinVeto.unionByName(imageVeto).unionByName(ownVeto).distinct()
-      kfHashes
-        .withColumn("video_id", vid)
-        .join(vetoed, Seq("video_id"), "left_anti")
-        .select(col("doc_id"), col("sh"))
-        .withColumn("batch_id", lit(batchId))
-        .write
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(historyDir)
-      IndexRead.commit(spark, historyDir, batchId)
-      IndexRead.maintainAfterCommit(spark, historyDir, batchId, cadence)
+      val ownVeto = expandToVideos(TextDedup
+        .simhashProbeIndex(reps, ownIndex, maxHamming, bands)
+        .select(col("doc_id")))
+      val vetoed = exactVeto.unionByName(withinVeto)
+        .unionByName(imageVeto).unionByName(ownVeto).distinct()
+      try {
+        kfHashes
+          .withColumn("video_id", Multimodal.keyframeVideoId(col("doc_id")))
+          .join(vetoed, Seq("video_id"), "left_anti")
+          .select(col("doc_id"), col("sh"))
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(historyDir)
+        IndexRead.commit(spark, historyDir, batchId)
+        IndexRead.maintainAfterCommit(spark, historyDir, batchId, cadence)
+      } finally { reps.unpersist(); () }
     } finally { kfHashes.unpersist(); () }
   }
 

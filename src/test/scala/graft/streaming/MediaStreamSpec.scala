@@ -180,6 +180,28 @@ class MediaStreamSpec extends SparkSpec {
     sink(video(Seq(300L -> 9L, 301L -> 9L)), 2L)
     assert(admittedVideos() === Set(7L, 8L, 300L))
     assert(spark.read.parquet(hist).count() === before)
+
+    // a missing FOREIGN image index fails the batch LOUDLY (a typo'd
+    // path must never silently disable the cross-modal veto)
+    val broken = MediaStream.keyframeVetoGatedBatchSink(
+      s"$dir/clipindex2", s"$dir/no-such-index", maxHamming = 3)
+    val e = intercept[IllegalArgumentException] { broken(video(Seq(8L -> 8L)), 0L) }
+    assert(e.getMessage.contains("image index not found"))
+
+    // EMPTY FIRST BATCH: every clip of a fresh stream's batch 0 is
+    // image-vetoed → zero rows land but the batch still commits, and
+    // the NEXT batch must read an empty committed view (not wedge on
+    // schema inference over a data-less directory)
+    val hist2 = s"$dir/clipindex3"
+    val sink2 = MediaStream.keyframeVetoGatedBatchSink(hist2, imgIdx, maxHamming = 3)
+    sink2(video(Seq(6L -> 6L)), 0L) // clip 6 is the planted near-dup
+    assert(IndexRead.committedIds(spark, hist2).get === Set(0L))
+    sink2(video(Seq(8L -> 8L)), 1L) // the stream keeps going
+    val admitted2 = IndexRead.committedParquet(spark, hist2, -999L)(
+        Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
+      .select(graft.operators.Multimodal.keyframeVideoId(col("doc_id")).as("v"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(admitted2 === Set(8L))
   }
 
   test("CHAOS: batch dies AFTER its index append; restart redelivers it — no duplicate admits, no self-suppression") {
