@@ -39,6 +39,38 @@ import org.apache.spark.sql.SparkSession
   * record, diffable by construction.
   */
 object Bench {
+
+  /** What a flagged regression's isolated confirmation pass resolves
+    * to. [[NeedsRefloor]] is the round-9→11 lesson promoted from
+    * manual practice into the tool: every FALSE "confirmed" so far
+    * (q112, q143, q84, q186 — four rounds of judge traffic) was
+    * measured in the 2–4 load band — UNDER the contamination bar, so
+    * the stamp was trusted, but hot enough on this 32-core share to
+    * produce 1.5–2.3× floors. A confirmation whose isolated pass
+    * STARTED in (loadBar/2, loadBar] therefore may not stamp
+    * `confirmed` directly: it must run the 8-pass low-load re-floor,
+    * and if the host never goes quiet it is stamped
+    * `deferred_pending_refloor` — visible but unconfirmed. */
+  private[graft] sealed trait Adjudication
+  private[graft] object Adjudication {
+    case object NotConfirmed          extends Adjudication
+    case object Confirmed             extends Adjudication // quiet-host confirmation
+    case object ConfirmedContaminated extends Adjudication // load > bar: judge discounts
+    case object NeedsRefloor          extends Adjudication // 2–4 band: refloor before stamping
+  }
+
+  private[graft] def stillRegressed(
+      prior: Double, measured: Double, drift: Double): Boolean =
+    measured < 0 || (measured > 1.5 * prior * drift && measured - prior * drift > 0.15)
+
+  private[graft] def adjudicate(
+      prior: Double, isolated: Double, load: Double,
+      loadBar: Double, drift: Double): Adjudication =
+    if (!stillRegressed(prior, isolated, drift)) Adjudication.NotConfirmed
+    else if (load > loadBar) Adjudication.ConfirmedContaminated
+    else if (load > loadBar / 2) Adjudication.NeedsRefloor
+    else Adjudication.Confirmed
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val only  = args.toSet
@@ -299,8 +331,8 @@ object Bench {
             s""""load_now":${loadAvg()},"load_bar":$loadBar}""")
         }
       }
-    val (confirmed, trendLine) =
-      if (only.nonEmpty || scaleRun) ("{}", None)
+    val (confirmed, deferredJson, exoneratedJson, trendLine) =
+      if (only.nonEmpty || scaleRun) ("{}", "{}", "{}", None)
       else {
         val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(10).map(_._1)
         val toMeasure = (flagged.map(_._1) ++ slowest).distinct
@@ -314,19 +346,68 @@ object Bench {
           val t      = isolated(n)
           n -> (t, before)
         }.toMap
-        val conf = flagged.flatMap { case (name, p, _) =>
+        // the 8-pass low-load re-floor (the q112/q84/q186 protocol),
+        // run BY the tool when a confirmation lands in the 2–4 hot
+        // band: wait for a genuinely QUIET host (≤ loadBar/2, its own
+        // bounded budget), then 8 GC-separated passes; floor = min.
+        // (-2, load) = the host never went quiet → the caller defers.
+        var refloorWaits = 0
+        def refloor8(name: String): (Double, Double) = {
+          var l = loadAvg()
+          while (l > loadBar / 2 && refloorWaits < 6) {
+            Thread.sleep(30000L); refloorWaits += 1; l = loadAvg()
+          }
+          if (l > loadBar / 2) (-2.0, l)
+          else {
+            val fn = SparkEntry.queries(name)
+            val ts = (1 to 8).map { _ => System.gc(); once(fn) }.filter(_ >= 0)
+            (ts.minOption.getOrElse(-1.0), l)
+          }
+        }
+        val confB = Seq.newBuilder[String]
+        val defB  = Seq.newBuilder[String]
+        val exoB  = Seq.newBuilder[String]
+        val refloorFloors = scala.collection.mutable.Map.empty[String, (Double, Double)]
+        flagged.foreach { case (name, p, _) =>
           val (i, l) = iso(name)
-          if (i < 0 || (i > 1.5 * p * drift && i - p * drift > 0.15))
-            Some(s""""$name":{"prior":$p,"isolated":$i,"load_now":$l,""" +
-              s""""load_contaminated":${l > loadBar},""" +
-              s""""plan_changed":${planChanged(name)}}""")
-          else None
-        }.mkString("{", ",", "}")
+          adjudicate(p, i, l, loadBar, drift) match {
+            case Adjudication.NotConfirmed => ()
+            case Adjudication.Confirmed | Adjudication.ConfirmedContaminated =>
+              confB += s""""$name":{"prior":$p,"isolated":$i,"load_now":$l,""" +
+                s""""load_contaminated":${l > loadBar},""" +
+                s""""plan_changed":${planChanged(name)}}"""
+            case Adjudication.NeedsRefloor =>
+              val (fl, fload) = refloor8(name)
+              if (fl == -2.0)
+                defB += s""""$name":{"prior":$p,"isolated":$i,"load_now":$l,""" +
+                  s""""status":"deferred_pending_refloor",""" +
+                  s""""plan_changed":${planChanged(name)}}"""
+              else {
+                refloorFloors(name) = (fl, fload)
+                if (stillRegressed(p, fl, drift))
+                  confB += s""""$name":{"prior":$p,"isolated":$i,"load_now":$l,""" +
+                    s""""refloor":$fl,"refloor_load":$fload,""" +
+                    s""""load_contaminated":false,""" +
+                    s""""plan_changed":${planChanged(name)}}"""
+                else
+                  exoB += s""""$name":{"prior":$p,"isolated":$i,"load_now":$l,""" +
+                    s""""refloor":$fl,"refloor_load":$fload,""" +
+                    s""""plan_changed":${planChanged(name)}}"""
+              }
+          }
+        }
         val round = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
           .map(_.getName.replaceAll("\\D", "").toInt)
           .foldLeft(0)(math.max) + 1
-        (conf, Some((round, slowest.map(n => n -> iso(n)).toMap, loadBar)))
+        // refloor floors are clean by construction (≤ loadBar/2) and
+        // override the hot-band isolated floor for the same query —
+        // the TREND writer min-merges with any prior clean floor
+        val floors = slowest.map(n => n -> iso(n)).toMap ++ refloorFloors
+        (confB.result().mkString("{", ",", "}"),
+          defB.result().mkString("{", ",", "}"),
+          exoB.result().mkString("{", ",", "}"),
+          Some((round, floors, loadBar)))
       }
 
     val fpsJson = results
@@ -341,6 +422,8 @@ object Bench {
         s""""host_drift_raw":${math.rint(driftRaw * 1000) / 1000},""" +
         s""""host_drift_saturated":$driftSaturated,""" +
         s""""regressions":$regs,"confirmed_regressions":$confirmed,""" +
+        s""""deferred_pending_refloor":$deferredJson,""" +
+        s""""refloor_exonerated":$exoneratedJson,""" +
         s""""plans_scrape":"$plansScrape","plans":$fpsJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only the LAST ~2000 chars of stdout,
@@ -353,6 +436,10 @@ object Bench {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val slowQs = results.filter(_._3 >= 0).sortBy(-_._3).take(15)
       .map { case (k, _, w) => s""""$k":${r3(w)}""" }.mkString("{", ",", "}")
+    def entryCount(obj: String): Int = {
+      val e = obj.stripPrefix("{").stripSuffix("}")
+      if (e.isEmpty) 0 else e.split("(?<=\\}),").length
+    }
     val (confirmedCapped, nConfirmed) = {
       val entries = confirmed.stripPrefix("{").stripSuffix("}")
       val parts   = if (entries.isEmpty) Seq.empty else entries.split("(?<=\\}),").toSeq
@@ -366,6 +453,8 @@ object Bench {
         // n_confirmed is the TOTAL confirmed count; the object below is
         // capped at 5 entries, so truncation is visible when they differ
         s""""n_regressions":${flagged.size},"n_confirmed":$nConfirmed,""" +
+        s""""n_deferred_refloor":${entryCount(deferredJson)},""" +
+        s""""n_refloor_exonerated":${entryCount(exoneratedJson)},""" +
         s""""confirmed_regressions":$confirmedCapped,""" +
         s""""plans_scrape":"$plansScrape",""" +
         s""""full":"BENCH_SELF.json","sf":"$sfDir"}""")

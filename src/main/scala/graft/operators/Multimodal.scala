@@ -694,8 +694,22 @@ object Multimodal {
         lit(" — sample with a larger everyK or widen KeyframeIdStride"))))
       .otherwise(videoId * KeyframeIdStride + frameIdx)
 
+  /** Shift width of the power-of-two stride — the decompose runs in
+    * pure INTEGER arithmetic (`shiftright` + `pmod`). Spark's `/` is
+    * double division, which silently loses precision above 2^53
+    * (~5.6e14 video ids) — the inconsistent-failure-mode twin of
+    * [[keyframeId]]'s loud overflow check. Arithmetic shift pairs with
+    * pmod's non-negative remainder exactly: kfId =
+    * (kfId >> shift)·stride + pmod(kfId, stride) for ALL longs. */
+  private val KeyframeIdShift: Int = {
+    val s = java.lang.Long.numberOfTrailingZeros(KeyframeIdStride)
+    require(KeyframeIdStride == (1L << s),
+      s"KeyframeIdStride must be a power of two for the shift decompose (got $KeyframeIdStride)")
+    s
+  }
+
   def keyframeVideoId(kfId: Column): Column =
-    ((kfId - pmod(kfId, lit(KeyframeIdStride))) / KeyframeIdStride).cast("long")
+    shiftright(kfId.cast("long"), KeyframeIdShift)
 
   def keyframeFrameIdx(kfId: Column): Column = pmod(kfId, lit(KeyframeIdStride))
 

@@ -644,12 +644,18 @@ object ApiServer {
       .sortBy(_.getString(0))
     val tableRows = rows.map { r =>
       def cell(i: Int): String = numOpt(r, i).map(r2).getOrElse("N/A")
-      val change = (numOpt(r, 1), numOpt(r, 4)) match {
-        case (Some(o), Some(c)) => Some(math.rint((c - o) * 100) / 100)
+      // the reference (scripts/dashboard.py:131-141) rounds open/close
+      // to 2 decimals FIRST and differences the ROUNDED values — with
+      // >2-decimal prices the other order can differ by 0.01, breaking
+      // the page-equals-reference contract
+      def round2(x: Double): Double = math.rint(x * 100) / 100
+      val openR = numOpt(r, 1).map(round2)
+      val change = (openR, numOpt(r, 4).map(round2)) match {
+        case (Some(o), Some(c)) => Some(round2(c - o))
         case _                  => None
       }
-      val pct = (numOpt(r, 1), change) match {
-        case (Some(o), Some(ch)) if o > 0 => Some(math.rint(ch / o * 100 * 100) / 100)
+      val pct = (openR, change) match {
+        case (Some(o), Some(ch)) if o > 0 => Some(round2(ch / o * 100))
         case (Some(_), Some(_))           => Some(0.0)
         case _                            => None
       }

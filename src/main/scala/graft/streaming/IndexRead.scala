@@ -99,12 +99,21 @@ private[graft] object IndexRead {
         try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
       } catch { case _: java.io.IOException => None }
     if (f.exists(lease)) {
-      val age = System.currentTimeMillis() - f.getFileStatus(lease).getModificationTime
-      if (age <= ttlMs)
-        throw new ConcurrentFoldException(
-          s"another fold holds $lease (age ${age} ms ≤ ttl ${ttlMs} ms) — aborting instead of racing")
-      System.err.println(s"[index] breaking STALE fold lease at $lease (age ${age} ms > ttl)")
-      f.delete(lease, false)
+      // the owner may RELEASE between exists() and getFileStatus() —
+      // a vanished lease means the coast is clear, so fall through to
+      // the create attempt instead of surfacing FileNotFoundException
+      // (maintainAfterCommit would log it as a spurious "maintenance
+      // FAILED"; direct callers would crash)
+      val age =
+        try Some(System.currentTimeMillis() - f.getFileStatus(lease).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      age.foreach { a =>
+        if (a <= ttlMs)
+          throw new ConcurrentFoldException(
+            s"another fold holds $lease (age ${a} ms ≤ ttl ${ttlMs} ms) — aborting instead of racing")
+        System.err.println(s"[index] breaking STALE fold lease at $lease (age ${a} ms > ttl)")
+        f.delete(lease, false)
+      }
     }
     val out =
       try f.create(lease, false)
@@ -412,27 +421,107 @@ private[graft] object IndexRead {
           val written = casCheckpoint(spark, dir,
             m.copy(foldedUpTo = upToBatch, gen = newGen))
           // 3. GC (we won the CAS — every other in-flight fold that
-          // read seq ≤ ours can no longer flip): folded ids, all other
-          // negative partitions (prior bases, crashed/lost-CAS
-          // orphans), their markers, superseded checkpoints
-          val root = new org.apache.hadoop.fs.Path(dir)
-          fs(spark, root).listStatus(root).toSeq
-            .filter(_.getPath.getName.startsWith("batch_id="))
-            .filter { st =>
-              st.getPath.getName.stripPrefix("batch_id=").toLongOption.exists(id =>
-                (id >= 0 && id <= upToBatch) || (id < 0 && id != -newGen))
-            }
-            .foreach(st => fs(spark, root).delete(st.getPath, true))
-          val d = commitsPath(dir)
-          fs(spark, d).listStatus(d).toSeq
-            .filter(_.getPath.getName.stripPrefix("batch-").toLongOption
-              .exists(_ <= upToBatch))
-            .foreach(mk => fs(spark, d).delete(mk.getPath, false))
-          gcCheckpoints(spark, dir, keepFrom = written)
+          // read seq ≤ ours can no longer flip), GUARDED against the
+          // zombie window (see foldGc)
+          foldGc(spark, dir, written, newGen, absorbedGen = m.gen, upToBatch)
           toFold.size
         }
       }
     }
+
+  /** Guard-3 age gate for [[foldGc]]'s orphan sweep — how old (by the
+    * wall-clock embedded in its attempt-gen id) a foreign base
+    * partition must be before a winner's sweep may delete it. A
+    * concurrent fold writes its base BEFORE its checkpoint create, so
+    * a too-eager sweep could delete a base that is about to become
+    * live. 30 min (the fold-lease TTL); tests override with
+    * -Dgraft.foldGcMinAgeMs. */
+  private[streaming] def foldGcMinAgeMs: Long =
+    sys.props.get("graft.foldGcMinAgeMs").flatMap(_.toLongOption)
+      .getOrElse(30L * 60 * 1000)
+
+  /** The wall-clock millis an attempt-gen id was minted at (the high
+    * bits of [[newAttemptGen]]'s layout). Legacy small-integer gens
+    * decode to ~epoch-0 — i.e. "very old", which is the right answer
+    * for the age gate. */
+  private def genMillis(gen: Long): Long = gen >>> 20
+
+  /** Step-3 GC for [[compactIndex]] — guarded against the ZOMBIE
+    * window: a fold that wins its checkpoint CAS and then stalls
+    * before this sweep can resume AFTER a later fold has committed,
+    * and an unguarded "every other negative partition" sweep would
+    * then delete the later fold's LIVE base — the checkpoint would
+    * point at a deleted partition and every folded row would silently
+    * vanish from [[committedParquet]] (silent duplicate admissions,
+    * the exact failure this module exists to prevent). Three guards on
+    * the negative-partition sweep:
+    *
+    *  1. the sweep runs only while OUR checkpoint is still the live
+    *     one (manifest re-read; a moved seq means a later fold owns
+    *     cleanup and our leftovers are its orphans);
+    *  2. every candidate re-checks liveness immediately before ITS
+    *     delete and never deletes the live checkpoint's gen — a fold
+    *     that commits mid-sweep stops the sweep at that candidate;
+    *  3. a foreign base younger than [[foldGcMinAgeMs]] is never
+    *     swept — it may be a concurrent attempt's base written ahead
+    *     of a CAS that hasn't happened yet (attempt-gen ids embed
+    *     their mint time, so age reads straight from the name).
+    *
+    * `absorbedGen` (the base generation this fold unioned into its
+    * own) is exempt from guards 2–3: any fold that still needed it
+    * read a sequence ≤ ours and can no longer win a CAS, and a live
+    * later checkpoint can never point at it (attempt gens are unique,
+    * later folds absorb OUR gen or newer). Folded RAW partitions
+    * (ids ≤ upToBatch), their markers and superseded checkpoint files
+    * are safe under ANY later checkpoint (ids are monotone — every
+    * later base absorbed them), so those sweeps stay unconditional.
+    * Anything a guard skips is an invisible orphan the next
+    * successful fold collects. */
+  private[streaming] def foldGc(
+      spark: SparkSession,
+      dir: String,
+      written: Long,
+      newGen: Long,
+      absorbedGen: Long,
+      upToBatch: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    def negDirs(): Seq[(org.apache.hadoop.fs.FileStatus, Long)] =
+      fs(spark, root).listStatus(root).toSeq
+        .flatMap(st => st.getPath.getName.stripPrefix("batch_id=").toLongOption
+          .filter(_ < 0).map(id => (st, -id)))
+    // folded raw partitions: safe under any later checkpoint
+    fs(spark, root).listStatus(root).toSeq
+      .filter(_.getPath.getName.stripPrefix("batch_id=").toLongOption
+        .exists(id => id >= 0 && id <= upToBatch))
+      .foreach(st => fs(spark, root).delete(st.getPath, true))
+    // the base we absorbed: no reader or future winner can need it
+    negDirs().filter(_._2 == absorbedGen).filter(_ => absorbedGen != newGen)
+      .foreach(st => fs(spark, root).delete(st._1.getPath, true))
+    def live(): Option[Manifest] = readManifest(spark, dir)
+    if (!live().exists(l => l.seq == written && l.gen == newGen))
+      System.err.println(
+        s"[index] fold GC of stale bases SKIPPED at $dir — the checkpoint moved past " +
+          s"seq $written (a later fold owns the sweep; our leftovers are its orphans)")
+    else {
+      val now = System.currentTimeMillis()
+      negDirs()
+        .filter { case (_, gen) => gen != newGen && gen != absorbedGen }
+        .foreach { case (st, gen) =>
+          val oldEnough = now - genMillis(gen) > foldGcMinAgeMs
+          // per-delete liveness re-check (guard 2): readManifest here
+          // is one small-file read — negative partitions are rare
+          if (oldEnough && live().exists(l => l.seq == written && l.gen != gen)) {
+            fs(spark, root).delete(st.getPath, true); ()
+          }
+        }
+    }
+    val d = commitsPath(dir)
+    fs(spark, d).listStatus(d).toSeq
+      .filter(_.getPath.getName.stripPrefix("batch-").toLongOption
+        .exists(_ <= upToBatch))
+      .foreach(mk => fs(spark, d).delete(mk.getPath, false))
+    gcCheckpoints(spark, dir, keepFrom = written)
+  }
 
   /** Committed-only view of the index, with `excludeBatchId`'s own
     * partition removed (the replay rule): what every gate — and any
@@ -458,6 +547,17 @@ private[graft] object IndexRead {
         require(!(m.ids.contains(excludeBatchId) && excludeBatchId <= m.foldedUpTo),
           s"batch $excludeBatchId is folded into the base generation — " +
             "a replay this old cannot be excluded (raise the fold's replay horizon)")
+        // the base partition the checkpoint points at must EXIST: a
+        // missing base (GC bug, manual deletion, a pathological zombie
+        // race outside foldGc's guards) would silently match nothing
+        // and the gate would re-admit every folded fingerprint forever
+        // — the one failure mode that must be LOUD, not empty
+        if (m.gen > 0) {
+          val base = new org.apache.hadoop.fs.Path(p, s"batch_id=${-m.gen}")
+          require(fs(spark, base).exists(base),
+            s"index base partition batch_id=${-m.gen} is missing at $dir but the " +
+              "checkpoint points at it — refusing to gate against a silently partial index")
+        }
         val unfolded = (m.ids - excludeBatchId).filter(_ > m.foldedUpTo).toSeq.sorted
         // contiguous ids collapse to BETWEEN ranges — the predicate
         // stays a handful of terms after years of batches; it lands on

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's confirmation-adjudication protocol — specifically
+  * that a flagged regression whose isolated pass ran in the 2–4 load
+  * band (UNDER the contamination bar but hot enough to produce the
+  * q112/q143/q84/q186 false confirmations) is routed to the 8-pass
+  * re-floor instead of being stamped `confirmed` directly, and is
+  * stamped `deferred_pending_refloor` when the host never goes quiet. */
+class BenchProtocolSpec extends AnyFunSuite {
+  import Bench.{adjudicate, stillRegressed, Adjudication => A}
+
+  private val bar = 4.0 // loadBar on the 32-core/16-way share
+
+  test("under-threshold isolated time is never confirmed, at any load") {
+    for (load <- Seq(0.5, 3.0, 9.0))
+      assert(adjudicate(prior = 1.0, isolated = 1.2, load = load,
+        loadBar = bar, drift = 1.0) === A.NotConfirmed)
+  }
+
+  test("a quiet-host confirmation (load ≤ bar/2) stamps confirmed directly") {
+    assert(adjudicate(prior = 0.5, isolated = 1.2, load = 1.5,
+      loadBar = bar, drift = 1.0) === A.Confirmed)
+  }
+
+  test("the 2–4 hot band (bar/2 < load ≤ bar) must NOT stamp confirmed — it requires the 8-pass re-floor") {
+    for (load <- Seq(2.01, 3.0, 4.0))
+      assert(adjudicate(prior = 0.5, isolated = 1.2, load = load,
+        loadBar = bar, drift = 1.0) === A.NeedsRefloor, s"load=$load")
+  }
+
+  test("above the bar stays the existing load_contaminated stamp (the judge's discount rule)") {
+    assert(adjudicate(prior = 0.5, isolated = 1.2, load = 4.98,
+      loadBar = bar, drift = 1.0) === A.ConfirmedContaminated)
+  }
+
+  test("a crashed isolated pass (-1) is still surfaced, not silently dropped") {
+    assert(adjudicate(prior = 0.5, isolated = -1.0, load = 1.0,
+      loadBar = bar, drift = 1.0) === A.Confirmed)
+  }
+
+  test("band edges scale with the host's loadBar, and drift scales the threshold") {
+    // 8-core share: bar = 1.0, band = (0.5, 1.0]
+    assert(adjudicate(prior = 0.5, isolated = 1.2, load = 0.7,
+      loadBar = 1.0, drift = 1.0) === A.NeedsRefloor)
+    // drift 1.6 lifts the ratio threshold: 1.2 / 0.5 = 2.4 ≥ 1.5·1.6
+    // stays flagged, but 1.15 / 0.5 = 2.3 < 2.4 does not
+    assert(stillRegressed(prior = 0.5, measured = 1.25, drift = 1.6))
+    assert(!stillRegressed(prior = 0.5, measured = 1.15, drift = 1.6))
+  }
+
+  test("the re-floor adjudicates on the FLOOR: below threshold exonerates, above confirms") {
+    // the exact q200 shape: prior 0.492, hot-band confirmation 0.769,
+    // clean floor back at prior → exonerated
+    assert(!stillRegressed(prior = 0.492, measured = 0.51, drift = 1.0))
+    assert(stillRegressed(prior = 0.492, measured = 1.1, drift = 1.0))
+    // the 0.15 s absolute floor still damps sub-100 ms noise
+    assert(!stillRegressed(prior = 0.05, measured = 0.12, drift = 1.0))
+  }
+}

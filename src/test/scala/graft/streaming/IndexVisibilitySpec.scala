@@ -255,7 +255,12 @@ class IndexVisibilitySpec extends SparkSpec {
 
     // KILL MID-AUTO-FOLD, crash state A (base written, checkpoint NOT
     // flipped): an orphan next-generation partition appears — it must
-    // be invisible, and the next due tick must fold THROUGH it
+    // be invisible, and the next due tick must fold THROUGH it.
+    // (The orphan minted below carries a fresh attempt-gen timestamp,
+    // so foldGc's age gate — which protects a CONCURRENT attempt's
+    // base mid-commit — must be zeroed for the sweep to run in-test;
+    // the gate itself has its own test.)
+    sys.props("graft.foldGcMinAgeMs") = "0"
     val manifest = IndexRead.committedIds(spark, hist).get
     val gens = dataDirs().filter(_.startsWith("batch_id=-"))
       .map(_.stripPrefix("batch_id=-").toLong)
@@ -284,6 +289,7 @@ class IndexVisibilitySpec extends SparkSpec {
     for (b <- 25L to 30L) sink(docs(b -> s"doc-$b"), b)
     assert(visibleIds() === (0L to 30L).toSet)
     assert(!dataDirs().contains("batch_id=1")) // swept
+    sys.props.remove("graft.foldGcMinAgeMs")
   }
 
   test("fold lease: a concurrent fold ABORTS (ConcurrentFoldException) instead of racing; a stale lease from a crashed fold is broken") {
@@ -332,6 +338,91 @@ class IndexVisibilitySpec extends SparkSpec {
     // doc rejected, novelty admitted
     sink(docs(40L -> "alpha", 5L -> "epsilon"), 3L)
     assert(visibleIds() === Set(1L, 2L, 3L, 5L))
+  }
+
+  test("ZOMBIE fold resuming its GC after a later fold committed cannot delete the LIVE base — the checkpoint never points at a deleted partition") {
+    val hist = s3dir("idxzombie") + "/index"
+    val sink = DocStream.bloomGatedBatchSink(hist)
+    for (b <- 0L to 4L) sink(docs(b -> s"doc-$b"), b)
+    val root = new org.apache.hadoop.fs.Path(hist)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs(): Set[String] = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName).toSet
+    def visibleIds(): Set[Long] =
+      IndexRead.committedParquet(spark, hist, -999L)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // fold W wins its CAS (seq sW, gen gW)… then "stalls" before its
+    // GC would matter; fold Z later commits seq sW+1 with gen gZ
+    assert(IndexRead.compactIndex(spark, hist, upToBatch = 2L) === 3)
+    val mW = IndexRead.readManifest(spark, hist).get
+    sink(docs(5L -> "doc-5"), 5L)
+    assert(IndexRead.compactIndex(spark, hist, upToBatch = 4L) === 2)
+    val mZ = IndexRead.readManifest(spark, hist).get
+    assert(mZ.seq === mW.seq + 1)
+    assert(mZ.gen !== mW.gen)
+    assert(dataDirs().contains(s"batch_id=${-mZ.gen}"))
+
+    // W resumes at step 3 with its STALE (written, newGen): the
+    // unguarded sweep would delete every negative partition except
+    // -gW — including the LIVE base -gZ. Guard 1 (checkpoint moved)
+    // must skip the stale-base sweep entirely.
+    IndexRead.foldGc(spark, hist,
+      written = mW.seq, newGen = mW.gen, absorbedGen = 0L, upToBatch = 2L)
+    assert(dataDirs().contains(s"batch_id=${-mZ.gen}"),
+      s"zombie GC deleted the live base: ${dataDirs()}")
+    assert(visibleIds() === (0L to 5L).toSet) // nothing vanished
+    // and Z's checkpoint survives W's checkpoint GC
+    assert(IndexRead.readManifest(spark, hist).get.seq === mZ.seq)
+  }
+
+  test("orphan age gate: a foreign base YOUNGER than the gate survives the sweep (a concurrent attempt mid-commit); an epoch-old one is swept") {
+    val hist = s3dir("idxage") + "/index"
+    val sink = DocStream.bloomGatedBatchSink(hist)
+    for (b <- 0L to 3L) sink(docs(b -> s"doc-$b"), b)
+    assert(IndexRead.compactIndex(spark, hist, upToBatch = 2L) === 3)
+    val m    = IndexRead.readManifest(spark, hist).get
+    val root = new org.apache.hadoop.fs.Path(hist)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs(): Set[String] = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName).toSet
+    def fakeBase(gen: Long): Unit =
+      docs(777L -> "foreign-attempt")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("batch_id", lit(-gen))
+        .write.partitionBy("batch_id").mode("append").parquet(hist)
+    // a YOUNG foreign attempt-gen (fresh mint time) and an OLD one
+    // (small id ⇒ ~epoch-0 mint time, i.e. a long-dead fold's orphan)
+    val youngGen = (System.currentTimeMillis() << 20) | 123L
+    val oldGen   = 7L
+    fakeBase(youngGen); fakeBase(oldGen)
+    IndexRead.foldGc(spark, hist,
+      written = m.seq, newGen = m.gen, absorbedGen = 0L, upToBatch = 2L)
+    val dirs = dataDirs()
+    assert(dirs.contains(s"batch_id=${-youngGen}"),
+      s"age gate failed — a mid-commit concurrent base was swept: $dirs")
+    assert(!dirs.contains(s"batch_id=${-oldGen}"), s"stale orphan not swept: $dirs")
+    assert(dirs.contains(s"batch_id=${-m.gen}")) // live base untouched
+  }
+
+  test("committedParquet FAILS LOUDLY when the checkpoint's base partition is missing — never a silent partial-index gate") {
+    val hist = s3dir("idxbase") + "/index"
+    val sink = DocStream.bloomGatedBatchSink(hist)
+    for (b <- 0L to 3L) sink(docs(b -> s"doc-$b"), b)
+    assert(IndexRead.compactIndex(spark, hist, upToBatch = 2L) === 3)
+    val m    = IndexRead.readManifest(spark, hist).get
+    val root = new org.apache.hadoop.fs.Path(hist)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=${-m.gen}"), true)
+    val e = intercept[IllegalArgumentException] {
+      IndexRead.committedParquet(spark, hist, -999L)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .count()
+    }
+    assert(e.getMessage.contains("base partition"), e.getMessage)
   }
 
   test("checkpoint CAS is the linearization point: of two folds that read the same sequence, exactly one commits; the loser changes nothing visible") {
