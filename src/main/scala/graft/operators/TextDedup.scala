@@ -1104,6 +1104,31 @@ object TextDedup {
       .dropDuplicates("doc_id", "index_id")
   }
 
+  /** Ids of `corpus` rows whose 64-bit fingerprint sits within
+    * `maxHamming` bits of ANY `bench` fingerprint — the cross-modal
+    * decontamination probe (q214's image side: does this training
+    * image near-dup an eval-benchmark image?). REPS-FIRST on both
+    * sides (the q213 discipline): the banded join runs on ONE row per
+    * DISTINCT hash, and a rep hit expands back to every corpus row
+    * holding that hash — provably the same leak set, since membership
+    * depends only on the hash, at linear candidate mass on dup-dense
+    * corpora instead of |group|² per hot band bucket. Both inputs are
+    * (doc_id, sh); output is the distinct leaked corpus doc_ids. */
+  def hammingLeakSet(
+      corpus: DataFrame,
+      bench: DataFrame,
+      maxHamming: Int,
+      bands: Int = 8): DataFrame = {
+    val corpusReps = corpus.groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+    val benchReps  = bench.groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+    val leakHashes = simhashProbeIndex(corpusReps, benchReps, maxHamming, bands)
+      .select(col("doc_id"))
+      .join(corpusReps, Seq("doc_id"))
+      .select(col("sh"))
+      .distinct()
+    corpus.join(leakHashes, Seq("sh")).select(col("doc_id")).distinct()
+  }
+
   /** Bloom-gated incremental exact dedup: which NEW-batch docs
     * already exist (by content fingerprint) in a much larger HISTORY
     * corpus — the daily-ingest membership check, without joining the

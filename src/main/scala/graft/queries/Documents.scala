@@ -1851,6 +1851,70 @@ object Documents {
           Multimodal.keyframeFrameIdx(col("doc_id")).as("frame_idx"),
           col("index_id").as("image_id"),
           col("hamming"))
+    }),
+
+    // CROSS-MODAL decontamination of the PAIRED dataset — the
+    // multimodal leak gate the text-only q58/q111/q176 family cannot
+    // see: an eval-benchmark IMAGE (or its caption) must not survive
+    // into q210's curated pairs. src0 documents stand in for the
+    // benchmark (q58's convention): their images are the eval-image
+    // manifest, their texts the eval-caption set. Every q210 SURVIVOR
+    // pair (__ok over the literally-same [[sharedGatedPairs]]) gets
+    // two verdicts:
+    //  - img_leak: the pair's image is within hamming ≤ 1 of ANY eval
+    //    image — probed REPS-FIRST through the shared banded machinery
+    //    (one row per distinct hash on BOTH sides, the q213
+    //    discipline; a rep hit expands to every survivor image holding
+    //    the hash), over the persisted image-fingerprint artifact — no
+    //    image is re-decoded here (PlanSpec-pinned);
+    //  - cap_leak: the pair's caption IS an eval doc, or shares a
+    //    word-5-gram with any eval text (q58's machinery, run over the
+    //    SURVIVOR captions only — the gram join is broadcast-bench
+    //    over the gated subset, never the corpus).
+    // Output: one row per surviving pair with both flags — the
+    // relation a production pipeline anti-joins to land the
+    // decontaminated set. Linear in survivors: banded reps probe +
+    // broadcast gram join, no quadratic form. Pre-simulated on the
+    // 500-doc sf0.01 fixture: 11 surviving pairs (q210's n_pairs), 1
+    // caption-side leak, 0 image-side (the fixture's survivors happen
+    // to clear the image manifest; the image branch's firing behavior
+    // is pinned at the operator level — hammingLeakSet rep-expansion
+    // in Round12OperatorsSpec).
+    "q214_crossmodal_decontamination" -> ((s, dir) => {
+      val d        = Tables.documents(s, dir)
+      val evalDocs = d.filter(col("source") === "src0")
+      val survivors = sharedGatedPairs(s, dir)
+        .filter(col("__ok"))
+        .select(col("a_id"), col("b_id"))
+      // image side: reps-first banded probe of survivor-image hashes
+      // against the eval-image manifest at hamming ≤ 1
+      val hashes = sharedAHashes(s, dir).select(col("doc_id"), col("sh"))
+      val survImgHashes = hashes
+        .join(survivors.select(col("b_id").as("doc_id")).distinct(), Seq("doc_id"))
+      val evalImgHashes = hashes
+        .join(evalDocs.select(col("doc_id")), Seq("doc_id"))
+      val leakImgs = TextDedup
+        .hammingLeakSet(survImgHashes, evalImgHashes, maxHamming = 1, bands = 8)
+        .select(col("doc_id").as("b_id"))
+        .withColumn("__img_leak", lit(true))
+      // caption side: exact eval membership ∪ shared word-5-gram
+      val survCaps = survivors.select(col("a_id").as("doc_id")).distinct()
+      val capDocs  = d.join(survCaps, Seq("doc_id"))
+      val leakCaps = TextDedup
+        .contaminationFlags(
+          capDocs, col("doc_id"), col("text"), evalDocs, col("text"), 5)
+        .select(col("doc_id"))
+        .unionByName(capDocs.filter(col("source") === "src0").select("doc_id"))
+        .distinct()
+        .select(col("doc_id").as("a_id"))
+        .withColumn("__cap_leak", lit(true))
+      survivors
+        .join(leakCaps, Seq("a_id"), "left")
+        .join(leakImgs, Seq("b_id"), "left")
+        .select(
+          col("a_id"), col("b_id"),
+          coalesce(col("__cap_leak"), lit(false)).as("cap_leak"),
+          coalesce(col("__img_leak"), lit(false)).as("img_leak"))
     })
   )
 

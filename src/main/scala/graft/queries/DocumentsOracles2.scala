@@ -1085,6 +1085,52 @@ private[queries] object DocumentsOracles2 {
                  CAST(bit_count(xor(k.sh, i.sh)) AS INT) AS hamming
           FROM kreps k JOIN ireps i ON bit_count(xor(k.sh, i.sh)) <= 1""",
 
+    // Cross-modal decontamination of the paired dataset: q210's
+    // survivors re-derived from first principles, image side probed at
+    // the DISTINCT-HASH level against the src0 image manifest at
+    // hamming ≤ 1, caption side = eval membership ∪ shared word-5-gram
+    // (q58's construction restricted to survivor captions).
+    "q214_crossmodal_decontamination" ->
+      s"""WITH RECURSIVE $quantCte,
+          $kmeansCte,
+          $mutualPairCtes,
+          $pairGateCtes,
+          surv AS (SELECT a_id, b_id FROM ann WHERE cap_ok AND img_ok),
+          sih AS (
+            SELECT s.doc_id, s.sh FROM shs s
+            WHERE s.doc_id IN (SELECT b_id FROM surv)),
+          esh AS (
+            SELECT DISTINCT sh FROM shs
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')),
+          leakhash AS (
+            SELECT DISTINCT a.sh
+            FROM (SELECT DISTINCT sh FROM sih) a JOIN esh b
+              ON bit_count(xor(a.sh, b.sh)) <= 1),
+          imgleak AS (SELECT DISTINCT doc_id FROM sih JOIN leakhash USING (sh)),
+          cw AS (
+            SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents
+            WHERE doc_id IN (SELECT a_id FROM surv) OR source = 'src0'),
+          cgr AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(ws) >= 5
+                        THEN list_distinct(list_transform(generate_series(1, len(ws)-4),
+                               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))
+                        ELSE []::VARCHAR[] END AS gs
+            FROM cw),
+          cex AS (SELECT doc_id, source, unnest(gs) AS s FROM cgr),
+          cbg AS (SELECT DISTINCT s FROM cex WHERE source = 'src0'),
+          capleak AS (
+            SELECT DISTINCT e.doc_id FROM cex e JOIN cbg USING (s)
+            WHERE e.doc_id IN (SELECT a_id FROM surv)
+            UNION
+            SELECT doc_id FROM documents
+            WHERE source = 'src0' AND doc_id IN (SELECT a_id FROM surv))
+          SELECT s.a_id, s.b_id,
+                 (s.a_id IN (SELECT doc_id FROM capleak)) AS cap_leak,
+                 (s.b_id IN (SELECT doc_id FROM imgleak)) AS img_leak
+          FROM surv s""",
+
     // Mirror of the REAL audio chain: the engine encodes the
     // closed-form WAV manifest (frames = 3 + id%11, per-frame square
     // wave of amplitude (id·37 + f·101)%1000), decodes actual PCM16

@@ -292,6 +292,38 @@ class PlanSpec extends SparkSpec {
       s"non-embeddings scan in the composed plan: $scans")
   }
 
+  test("q214 cross-modal decontamination: probes read the SHARED persisted artifacts — no codec pass, scans only embeddings + documents (the gram side's text)") {
+    val df = SparkEntry.queries("q214_crossmodal_decontamination")(spark, sf("sf0.01"))
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case _                        => Seq.empty
+      })
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    // image fingerprints + both gate sets + codebook come from the
+    // persisted artifacts, never a rebuild
+    val imts = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    assert(imts >= 4, s"expected codebook + caption set + image keep set + " +
+      s"image hashes as InMemoryTableScans, found $imts")
+    // the probe NEVER re-decodes an image: no codec/object pass
+    val objectish = nodes.filter(n =>
+      n.getClass.getSimpleName.contains("MapPartitions") ||
+        n.getClass.getSimpleName.contains("SerializeFromObject"))
+    assert(objectish.isEmpty, s"codec pass leaked into the composed plan: " +
+      objectish.map(_.getClass.getSimpleName).mkString(", "))
+    // file scans: embeddings (pair mining) and documents (the caption
+    // gram gate needs text; the eval manifest needs source) — never a
+    // media payload
+    val scans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(p => p.contains("embeddings") || p.contains("documents")),
+      s"unexpected scan in the composed plan: $scans")
+  }
+
   test("q56 stratified sample: pure filter before the aggregate, pruned scan") {
     val df = SparkEntry.queries("q56_stratified_sample")(spark, sf())
     val s  = planString(df)
