@@ -640,6 +640,43 @@ object Similarity {
     * `mutual_pair_cell_cap`), the documented 100 TB form. A pipeline
     * mining several margins should materialize the candidate relation
     * once (the once-per-snapshot discipline). */
+  /** The capped cross-population CANDIDATE pair relation — the
+    * pair-mining STAGE of [[marginMutualPairs]] (the q196/q210
+    * hot-cell dial) as a first-class relation: same-cell (a, b) pairs
+    * with `cos_ppm > 0`, the B side head-capped per cell (lowest `cap`
+    * vec_ids — headCapped's DETERMINISTIC rule, which is what makes
+    * the relation per-pair decomposable: membership of (a, b) depends
+    * only on a, b and which B ids populate b's cell, never on other
+    * pairs). The incremental miner
+    * ([[graft.streaming.PairStream]]) lands exactly this relation
+    * batch-by-batch and provably converges on it; downstream mutual
+    * top-1 / margin folds are O(|pairs|) over it. */
+  def cappedCandidatePairs(
+      embsA: DataFrame,
+      embsB: DataFrame,
+      codebook: DataFrame,
+      maxCellCompare: Option[Long] = None): DataFrame = {
+    val a = assignedCorpus(embsA, codebook)
+      .select(col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"), col("cell"))
+    val b = headCapped(assignedCorpus(embsB, codebook), maxCellCompare, "mutual_pair_cell_cap")
+      .select(col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"), col("cell"))
+    a.join(b, "cell")
+      .select(
+        col("a_id"), col("b_id"),
+        floor(cosine(Portable.dotQ(col("av"), col("bv")), col("an2"), col("bn2"))
+          * lit(1000000.0)).cast("long").as("cos_ppm"))
+      .filter(col("cos_ppm") > 0L)
+  }
+
+  /** The B-side cell-cap SURVIVOR ids of `embs` under `codebook` —
+    * headCapped's deterministic lowest-`cap`-ids-per-cell rule as a
+    * first-class id relation. The incremental miner uses it to rank a
+    * new batch within the FULL landed population (a batch-local rank
+    * would admit ids the population cap excludes). */
+  def cellCapSurvivors(embs: DataFrame, codebook: DataFrame, cap: Long): DataFrame =
+    headCapped(assignedCorpus(embs, codebook), Some(cap), "cell_cap_survivors")
+      .select(col("vec_id"))
+
   def marginMutualPairs(
       embsA: DataFrame,
       embsB: DataFrame,
@@ -647,16 +684,7 @@ object Similarity {
       k: Int = 4,
       maxCellCompare: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be positive (got $k)")
-    val a = assignedCorpus(embsA, codebook)
-      .select(col("vec_id").as("a_id"), col("v").as("av"), col("n2").as("an2"), col("cell"))
-    val b = headCapped(assignedCorpus(embsB, codebook), maxCellCompare, "mutual_pair_cell_cap")
-      .select(col("vec_id").as("b_id"), col("v").as("bv"), col("n2").as("bn2"), col("cell"))
-    val cand = a.join(b, "cell")
-      .select(
-        col("a_id"), col("b_id"),
-        floor(cosine(Portable.dotQ(col("av"), col("bv")), col("an2"), col("bn2"))
-          * lit(1000000.0)).cast("long").as("cos_ppm"))
-      .filter(col("cos_ppm") > 0L)
+    val cand = cappedCandidatePairs(embsA, embsB, codebook, maxCellCompare)
     val wa = Window.partitionBy(col("a_id")).orderBy(desc("cos_ppm"), asc("b_id"))
     val wb = Window.partitionBy(col("b_id")).orderBy(desc("cos_ppm"), asc("a_id"))
     val aStats = cand
