@@ -247,4 +247,84 @@ class MediaStreamSpec extends SparkSpec {
     assert(indexIds(hist) === Set(50L, 51L, 53L))
     assert(spark.read.parquet(hist).count() === 3)
   }
+
+  test("CHAOS cross-sink: the veto gate reads the FOREIGN image index through every fold crash state — orphan base invisible, stale-raw leftovers invisible, folded stills still veto, a zombie fold's GC cannot unveto") {
+    import graft.operators.Multimodal
+    val dir    = Files.createTempDirectory("kfveto-fold").toString
+    val imgIdx = s"$dir/imgindex"
+    def video(rows: Seq[(Long, Long)]) = {
+      val payloads = Multimodal
+        .syntheticVideo(rows.map(_._2).distinct.toDF("id"), col("id"))
+        .withColumnRenamed("doc_id", "mid")
+      rows.toDF("doc_id", "mid").join(payloads, "mid").select("doc_id", "payload")
+    }
+    // the POISON: clip 8's own keyframe fingerprints — if any invisible
+    // copy of these ever reaches the gate, clip 8 gets vetoed; if the
+    // committed planted still (clip 6's frame 4) is ever LOST, clip 6
+    // gets admitted. Each state probes with a FRESH own index, so the
+    // foreign image index is the only veto in play.
+    val poison = Multimodal.aHash64(
+        Multimodal.videoKeyframes(
+            Multimodal.syntheticVideo(Seq(8L).toDF("doc_id"), col("doc_id")), everyK = 4)
+          .select(
+            Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
+            col("payload")))
+      .select(lit(9999L).as("doc_id"), col("sh"))
+    def gateSaysCleanView(tag: String): Unit = {
+      val sink = MediaStream.keyframeVetoGatedBatchSink(s"$dir/clip-$tag", imgIdx, maxHamming = 3)
+      sink(video(Seq(6L -> 6L, 8L -> 8L)), 0L)
+      val admitted = IndexRead.committedParquet(spark, s"$dir/clip-$tag", -999L)(
+          Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
+        .select(Multimodal.keyframeVideoId(col("doc_id")).as("v"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      assert(admitted === Set(8L),
+        s"state $tag: expected clip 6 vetoed (committed still) and clip 8 admitted " +
+          s"(poison invisible), got $admitted")
+    }
+
+    // committed image corpus: the planted clip-6 still + one real
+    // image, then two dedup-emptied batches (committed, zero rows) so
+    // folds have a marker tail to move through
+    val planted = Multimodal.videoKeyframes(
+        Multimodal.syntheticVideo(Seq(6L).toDF("doc_id"), col("doc_id")), everyK = 4)
+      .filter(col("frame_idx") === 4L)
+      .select(lit(1000L).as("doc_id"), col("payload"))
+    val otherImg = Multimodal.syntheticImages(Seq(7L).toDF("doc_id"), col("doc_id"))
+      .select(lit(2000L).as("doc_id"), col("payload"))
+    val imgSink = MediaStream.aHashGatedBatchSink(imgIdx, maxHamming = 3)
+    imgSink(planted.unionByName(otherImg), 0L)
+    imgSink(otherImg, 1L) // exact dup → committed EMPTY partition
+    imgSink(otherImg, 2L)
+    gateSaysCleanView("base") // sanity before any chaos
+
+    // state A — mid-fold KILL (base written, checkpoint never flipped):
+    // a dead fold's orphan base carries the poison; it has no live gen
+    val orphanGen = (System.currentTimeMillis() << 20) | 7L
+    poison.withColumn("batch_id", lit(-orphanGen))
+      .write.partitionBy("batch_id").mode("append").parquet(imgIdx)
+    gateSaysCleanView("orphan")
+
+    // state B — a REAL fold moves the planted still into a base
+    // generation (the gate must follow the gen pointer), then a
+    // post-flip-kill leftover: the poison re-appears as a STALE raw
+    // partition at an id ≤ foldedUpTo
+    assert(IndexRead.compactIndex(spark, imgIdx, upToBatch = 1L) >= 1)
+    gateSaysCleanView("folded")
+    poison.withColumn("batch_id", lit(1L))
+      .write.partitionBy("batch_id").mode("append").parquet(imgIdx)
+    gateSaysCleanView("staleraw")
+
+    // state C — ZOMBIE RESUME: a second fold commits gen g2; the FIRST
+    // fold's GC then resumes with its stale (seq, gen) — it must not
+    // delete the live base out from under the gate
+    val m1 = IndexRead.readManifest(spark, imgIdx).get
+    imgSink(otherImg, 3L) // keep a live tail so upToBatch=2 is legal
+    assert(IndexRead.compactIndex(spark, imgIdx, upToBatch = 2L) >= 1)
+    val m2 = IndexRead.readManifest(spark, imgIdx).get
+    assert(m2.gen !== m1.gen)
+    IndexRead.foldGc(spark, imgIdx,
+      written = m1.seq, newGen = m1.gen, absorbedGen = 0L, upToBatch = 1L)
+    assert(IndexRead.readManifest(spark, imgIdx).get.gen === m2.gen)
+    gateSaysCleanView("zombie")
+  }
 }
