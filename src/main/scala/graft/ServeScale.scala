@@ -128,6 +128,43 @@ object ServeScale {
       // the same pass fixes the analytics fan-out: scan_files drops to
       // symbols × the ±1-day superset (one object per partition)
       measure("/analytics/daily_summary_compacted", () => serveDailySummary())
+
+      // the COMPOSED /dashboard endpoint over real HTTP — it fans into
+      // the /files listing (newest-5 heap over the raw landing dir, so
+      // memory stays O(5) however many objects land), /latest (capped
+      // at latestSymbolCap symbols — the reference's api_handler cap)
+      // and the per-row change calc; the page must scale with the
+      // ANSWER (≤ cap rows + 5 files), not the table
+      val rawFiles = Option(new java.io.File(s"$dir/raw").listFiles())
+        .getOrElse(Array.empty).flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .count(f => f.isFile && f.getName.endsWith(".json"))
+      val server = graft.serving.ApiServer.startFromTable(
+        spark, s"$dir/table",
+        graft.serving.ApiServer.Config(filesDir = Some(s"$dir/raw")))
+      try {
+        def get(path: String): String = {
+          val conn = new java.net.URL(s"http://127.0.0.1:${server.port}$path")
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          try {
+            require(conn.getResponseCode == 200, s"$path -> ${conn.getResponseCode}")
+            new String(conn.getInputStream.readAllBytes(), "UTF-8")
+          } finally conn.disconnect()
+        }
+        def timedGet(): (Double, Int) = {
+          val t = System.nanoTime(); val body = get("/dashboard")
+          ((System.nanoTime() - t) / 1e9, body.length)
+        }
+        val (dashCold, bytes) = timedGet()
+        val (dashWarm, _)     = timedGet()
+        // the symbol cap bounds the page: table rows ≤ latestSymbolCap
+        val tableRows = "<tr><td><strong>".r.findAllIn(get("/dashboard")).size
+        require(tableRows <= 10, s"dashboard rows $tableRows exceed the symbol cap")
+        println(
+          s"""{"scale":"$label","endpoint":"/dashboard","symbols":$nSym,"days":$nDays,""" +
+            s""""raw_files":$rawFiles,"page_rows":$tableRows,"page_bytes":$bytes,""" +
+            s""""serve_cold_s":${math.rint(dashCold * 1000) / 1000},""" +
+            s""""serve_warm_s":${math.rint(dashWarm * 1000) / 1000}}""")
+      } finally server.stop()
     }
     spark.stop()
   }

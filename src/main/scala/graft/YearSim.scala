@@ -30,12 +30,14 @@ import org.apache.spark.sql.functions._
   * against one growing index. Cadences scale the same way (compact
   * "daily" = every `compactEvery` sim batches).
   *
-  * Usage: `runMain graft.YearSim [workdir] [nDays] [gateBatches]` —
-  * prints one JSON line per (arm × endpoint):
+  * Usage: `runMain graft.YearSim [workdir] [nDays] [gateBatches]
+  * [vetoBatches]` — prints one JSON line per (arm × endpoint):
   * {"sim":"year","arm":"auto|manual","endpoint":...,
-  *  "table_files":N,"scan_files":N,"warm_s":...} and for the gate
-  * {"sim":"year","arm":...,"endpoint":"gate_probe","batches":N,
-  *  "early_s":...,"late_s":...,"commit_entries":N,"data_dirs":N}.
+  *  "table_files":N,"scan_files":N,"warm_s":...} and for the gates
+  * {"sim":"year","arm":...,"endpoint":"gate_probe|media_veto_gate",
+  *  "batches":N,"early_s":...,"late_s":...,"commit_entries":N,
+  *  "data_dirs":N}. An arm count of 0 skips that arm (re-measure one
+  * arm without paying the others).
   */
 object YearSim {
   def main(args: Array[String]): Unit = {
@@ -43,6 +45,7 @@ object YearSim {
       java.nio.file.Files.createTempDirectory("graft-yearsim").toString)
     val nDays       = args.lift(1).map(_.toInt).getOrElse(240)
     val gateBatches = args.lift(2).map(_.toInt).getOrElse(360)
+    val vetoBatches = args.lift(3).map(_.toInt).getOrElse(100)
     val spark       = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -58,7 +61,7 @@ object YearSim {
     // weekly at this downsampling; production = daily 288) rewrites
     // fragmented partitions to one file; the manual arm never compacts.
     val subPerDay = 4
-    for ((arm, compactEvery) <- Seq(("manual", 0L), ("auto", 28L))) {
+    for ((arm, compactEvery) <- Seq(("manual", 0L), ("auto", 28L)) if nDays > 0) {
       val dir = s"$work/ohlcv_$arm/table"
       for (d <- 0 until nDays; sub <- 0 until subPerDay) {
         val slice = MockData.candles(
@@ -107,7 +110,8 @@ object YearSim {
     // folded base + a bounded tail
     for ((arm, cad) <- Seq(
         ("manual", IndexRead.Cadence.Off),
-        ("auto", IndexRead.Cadence(commitsEvery = 12L, foldEvery = 24L, replayHorizon = 2L)))) {
+        ("auto", IndexRead.Cadence(commitsEvery = 12L, foldEvery = 24L, replayHorizon = 2L)))
+        if gateBatches > 0) {
       val hist = s"$work/gate_$arm/index"
       val sink = DocStream.bloomGatedBatchSink(hist, cadence = cad)
       def batchSeconds(b: Long): Double = {
@@ -142,6 +146,85 @@ object YearSim {
           s""""late_s":${math.rint(late * 1000) / 1000},""" +
           s""""probe_s":${math.rint(probe * 1000) / 1000},"visible_rows":$visible,""" +
           s""""commit_entries":$commitEntries,"data_dirs":$dataDirs}""")
+    }
+
+    // ---- Media VETO gate: the heaviest sink (AVI container walk +
+    // PNG frame decode + hash + THREE veto layers including the
+    // FOREIGN image-index probe) — the auto cadence must keep
+    // per-batch latency flat while the OWN clip index grows. The
+    // foreign index is STATIC and shared by both arms, and its probe
+    // cost is broken out standalone so own-index growth is the only
+    // thing the early/late delta can be attributed to.
+    if (vetoBatches > 0) {
+      import graft.operators.{Multimodal, TextDedup}
+      import graft.streaming.MediaStream
+      require(vetoBatches >= 25,
+        s"vetoBatches must be >= 25 for meaningful early/late windows (got $vetoBatches)")
+      val imgIdx = s"$work/veto_imgindex"
+      MediaStream.aHashGatedBatchSink(imgIdx, maxHamming = 3)(
+        Multimodal.syntheticImages((5000L until 5030L).toDF("doc_id"), col("doc_id")),
+        0L)
+      // DIVERSE clips (hash-unique keyframes): the manifest formula's
+      // aHash space saturates at ~48 values, which would freeze the
+      // own index after a dozen batches — the arm must measure an
+      // index that GROWS for the whole horizon
+      def clips(b: Long): DataFrame =
+        Multimodal.syntheticVideoDiverse(
+          (0 until 4).map(i => 100000L + b * 4 + i).toDF("doc_id"), col("doc_id"))
+      for ((arm, cad) <- Seq(
+          ("manual", IndexRead.Cadence.Off),
+          ("auto", IndexRead.Cadence(commitsEvery = 12L, foldEvery = 24L, replayHorizon = 2L)))) {
+        val hist = s"$work/veto_$arm/index"
+        val sink = MediaStream.keyframeVetoGatedBatchSink(
+          hist, imgIdx, maxHamming = 3, everyK = 4, bands = 8, cadence = cad)
+        val times = (0L until vetoBatches.toLong).map { b =>
+          val rows = clips(b)
+          val t    = System.nanoTime()
+          sink(rows, b)
+          (System.nanoTime() - t) / 1e9
+        }
+        def avg(xs: Seq[Double]): Double = xs.sum / xs.size
+        val early = avg(times.slice(5, 15))
+        val late  = avg(times.takeRight(10))
+        val fs = new org.apache.hadoop.fs.Path(hist)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val commitEntries =
+          fs.listStatus(new org.apache.hadoop.fs.Path(hist, "_commits")).length
+        val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(hist))
+          .count(_.getPath.getName.startsWith("batch_id="))
+        // breakout: one fresh batch's keyframe reps probed against (a)
+        // the static foreign image index and (b) this arm's grown OWN
+        // index — the two index-side costs of a steady-state batch
+        val kfReps = Multimodal.aHash64(
+            Multimodal.videoKeyframes(clips(vetoBatches.toLong + 1), everyK = 4)
+              .select(
+                Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
+                col("payload")))
+          .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+          .persist()
+        kfReps.count() // materialize so the probes time only the joins
+        def probeSeconds(index: DataFrame): Double = {
+          val t = System.nanoTime()
+          TextDedup.simhashProbeIndex(kfReps, index, maxHamming = 3, bands = 8).count()
+          (System.nanoTime() - t) / 1e9
+        }
+        val foreignProbe = probeSeconds(
+          IndexRead.committedParquet(spark, imgIdx, -999L)(
+              Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
+            .select(col("doc_id"), col("sh")))
+        val ownProbe = probeSeconds(
+          IndexRead.committedParquet(spark, hist, -999L)(
+              Seq.empty[(Long, Long)].toDF("doc_id", "sh").withColumn("batch_id", lit(-1L)))
+            .select(col("doc_id"), col("sh")))
+        kfReps.unpersist()
+        println(
+          s"""{"sim":"year","arm":"$arm","endpoint":"media_veto_gate","batches":$vetoBatches,""" +
+            s""""early_s":${math.rint(early * 1000) / 1000},""" +
+            s""""late_s":${math.rint(late * 1000) / 1000},""" +
+            s""""foreign_probe_s":${math.rint(foreignProbe * 1000) / 1000},""" +
+            s""""own_probe_s":${math.rint(ownProbe * 1000) / 1000},""" +
+            s""""commit_entries":$commitEntries,"data_dirs":$dataDirs}""")
+      }
     }
     spark.stop()
   }

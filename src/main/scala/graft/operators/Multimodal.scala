@@ -506,14 +506,16 @@ object Multimodal {
   private def riffList(kind: String, body: Array[Byte]): Array[Byte] =
     riffChunk("LIST", fourcc(kind) ++ body)
 
-  private def pngVideoFrame(id: Long, f: Int): Array[Byte] = {
+  private def pngVideoFrame(
+      id: Long, f: Int,
+      pixel: (Long, Long, Int, Int) => Int = videoManifestPixel): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       VideoW, VideoH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     var y = 0
     while (y < VideoH) {
       var x = 0
       while (x < VideoW) {
-        img.getRaster.setSample(x, y, 0, videoManifestPixel(id, f.toLong, x, y))
+        img.getRaster.setSample(x, y, 0, pixel(id, f.toLong, x, y))
         x += 1
       }
       y += 1
@@ -528,9 +530,11 @@ object Multimodal {
     * stream: strh + BITMAPINFOHEADER strf) and a 'movi' list of one
     * '00dc' chunk per PNG-coded frame. Every size field is real —
     * the decoder walks the chunks, it never assumes offsets. */
-  private def encodeAvi(id: Long): Array[Byte] = {
+  private def encodeAvi(
+      id: Long,
+      pixel: (Long, Long, Int, Int) => Int = videoManifestPixel): Array[Byte] = {
     val n      = videoManifestFrames(id)
-    val frames = (0 until n).map(pngVideoFrame(id, _))
+    val frames = (0 until n).map(pngVideoFrame(id, _, pixel))
     // AVIMAINHEADER (56 bytes = 14 LE dwords)
     val avih = riffChunk("avih",
       le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usec/frame, maxBps, padding, flags
@@ -566,6 +570,31 @@ object Multimodal {
       .select(id.as("doc_id"))
       .as[Long]
       .mapPartitions(_.map(i => (i, encodeAvi(i))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** A hash-DIVERSE synthetic clip corpus for harnesses (YearSim's
+    * veto-gate arm): the same container/codec path as
+    * [[syntheticVideo]] — real RIFF/AVI, PNG-coded MPNG frames — but a
+    * high-entropy mixed pixel formula. The manifest formula is LINEAR
+    * in (x, y), so its keyframe aHash space saturates at ~48 distinct
+    * values across ANY number of clips — perfect for dup-dense gate
+    * fixtures, useless for simulating an index that must GROW for
+    * years. NOT oracle-mirrored; the oracle-checked queries read
+    * [[syntheticVideo]] only. */
+  def syntheticVideoDiverse(docs: DataFrame, id: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mixed: (Long, Long, Int, Int) => Int = (i, f, x, y) => {
+      var h = i * 0x9E3779B97F4A7C15L + f * 0xC2B2AE3D27D4EB4FL +
+        x.toLong * 0x165667B19E3779F9L + y.toLong * 0x27D4EB2F165667C5L
+      h ^= h >>> 29; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 32
+      (h & 0xff).toInt
+    }
+    docs
+      .select(id.as("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(i => (i, encodeAvi(i, mixed))))
       .toDF("doc_id", "payload")
   }
 

@@ -1874,12 +1874,12 @@ object Documents {
     // Output: one row per surviving pair with both flags — the
     // relation a production pipeline anti-joins to land the
     // decontaminated set. Linear in survivors: banded reps probe +
-    // broadcast gram join, no quadratic form. Pre-simulated on the
-    // 500-doc sf0.01 fixture: 11 surviving pairs (q210's n_pairs), 1
-    // caption-side leak, 0 image-side (the fixture's survivors happen
-    // to clear the image manifest; the image branch's firing behavior
-    // is pinned at the operator level — hammingLeakSet rep-expansion
-    // in Round12OperatorsSpec).
+    // broadcast gram join, no quadratic form. Pre-simulated fixture
+    // counts: sf0.01 (500 docs) — 11 surviving pairs (q210's n_pairs),
+    // 1 caption-side leak, 0 image-side; sf0.1 (5k docs) — 3 surviving
+    // pairs, 0 caption-side, 1 image-side. Both branches fire on real
+    // fixtures; the rep-expansion semantics are additionally pinned at
+    // the operator level (hammingLeakSet, Round12OperatorsSpec).
     "q214_crossmodal_decontamination" -> ((s, dir) => {
       val d        = Tables.documents(s, dir)
       val evalDocs = d.filter(col("source") === "src0")
