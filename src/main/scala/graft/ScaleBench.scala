@@ -54,6 +54,10 @@ object ScaleBench {
     lazy val codebook = Similarity
       .kmeansCentroids(embs, 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the hash-once image-fingerprint artifact (the q163 lifecycle)
+    lazy val aHashes = graft.operators.Multimodal
+      .aHash64(graft.operators.Multimodal.syntheticImages(docs, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (score-once artifacts for the prescored rank forms now live in
     // the q197/q198 driver queries' DirCached helpers)
 
@@ -446,6 +450,69 @@ object ScaleBench {
             embs.filter(col("vec_id") % 2 === 1),
             codebook,
             maxCellCompare = Some(4L))
+        }),
+      // q214's PRODUCTION form: the decontamination leak layers over
+      // the CAPPED pair relation (the q196/q210 dial) instead of the
+      // uncapped miner the oracle query re-derives. The image side is
+      // the reps-first banded probe over the hash-once fingerprint
+      // artifact; the caption side is the broadcast-bench gram join
+      // over pair captions only. Gate semi-joins omitted (artifact
+      // id-joins measured with their own families).
+      "q214_decontamination_capped" ->
+        (() => {
+          codebook.count(); aHashes.count()
+          val pairs = Similarity.marginMutualPairs(
+            embs.filter(col("vec_id") % 2 === 0),
+            embs.filter(col("vec_id") % 2 === 1),
+            codebook,
+            maxCellCompare = Some(256L))
+          val evalDocs = docs.filter(col("source") === "src0")
+          val survImgHashes = aHashes
+            .join(pairs.select(col("b_id").as("doc_id")).distinct(), Seq("doc_id"))
+          val evalImgHashes = aHashes.join(evalDocs.select("doc_id"), Seq("doc_id"))
+          val leakImgs = TextDedup
+            .hammingLeakSet(survImgHashes, evalImgHashes, maxHamming = 1, bands = 8)
+            .select(col("doc_id").as("b_id"))
+            .withColumn("__img_leak", lit(true))
+          val capDocs = docs.join(
+            pairs.select(col("a_id").as("doc_id")).distinct(), Seq("doc_id"))
+          val leakCaps = TextDedup
+            .contaminationFlags(
+              capDocs, col("doc_id"), col("text"), evalDocs, col("text"), 5)
+            .select(col("doc_id"))
+            .unionByName(capDocs.filter(col("source") === "src0").select("doc_id"))
+            .distinct()
+            .select(col("doc_id").as("a_id"))
+            .withColumn("__cap_leak", lit(true))
+          pairs
+            .join(leakCaps, Seq("a_id"), "left")
+            .join(leakImgs, Seq("b_id"), "left")
+            .select(
+              col("a_id"), col("b_id"),
+              coalesce(col("__cap_leak"), lit(false)).as("cap_leak"),
+              coalesce(col("__img_leak"), lit(false)).as("img_leak"))
+        }),
+      // the INCREMENTAL paired-curation miner (PairStream, q210's
+      // streaming twin): each side's 5 batches land + probe the
+      // committed other-modality index for capped candidate pairs;
+      // timed = the whole interleaved 10-batch ingest, returned =
+      // the deduped mined relation
+      "pair_gate_10batches" ->
+        (() => {
+          codebook.count()
+          val w = java.nio.file.Files
+            .createTempDirectory("graft-pair-gate").toString
+          val caps  = embs.filter(col("vec_id") % 2 === 0)
+          val imgs  = embs.filter(col("vec_id") % 2 === 1)
+          val cSink = graft.streaming.PairStream.captionPairBatchSink(
+            s"$w/cidx", s"$w/iidx", s"$w/cpairs", codebook, Some(256L))
+          val iSink = graft.streaming.PairStream.imagePairBatchSink(
+            s"$w/iidx", s"$w/cidx", s"$w/ipairs", codebook, Some(256L))
+          (0L until 5L).foreach { b =>
+            cSink(caps.filter(pmod(col("vec_id"), lit(5L)) === b), b)
+            iSink(imgs.filter(pmod(col("vec_id"), lit(5L)) === b), b)
+          }
+          graft.streaming.PairStream.minedPairs(spark, s"$w/cpairs", s"$w/ipairs")
         })
     ).filter { case (n, _) => only.isEmpty || only.contains(n) }
 
