@@ -71,6 +71,23 @@ object Bench {
     else if (load > loadBar / 2) Adjudication.NeedsRefloor
     else Adjudication.Confirmed
 
+  /** Floors eligible for the round's TREND restamp. A query stamped
+    * `deferred_pending_refloor` is EXCLUDED entirely: its only
+    * available measurement is the hot-band isolated pass, and letting
+    * that land in (or min-merge into) the TREND record would silently
+    * adjudicate the deferral — the floor stays whatever the last
+    * CLEAN round stamped until the deferral is picked up (next
+    * round's run re-flags it against the unchanged prior, or the
+    * operator re-floors by hand; SCALING.md bench-protocol runbook).
+    * Clean re-floor floors override the hot-band isolated floor for
+    * the same query. */
+  private[graft] def trendFloors(
+      slowest: Seq[String],
+      iso: Map[String, (Double, Double)],
+      refloorFloors: Map[String, (Double, Double)],
+      deferred: Set[String]): Map[String, (Double, Double)] =
+    (slowest.filterNot(deferred).map(n => n -> iso(n)).toMap ++ refloorFloors) -- deferred
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val only  = args.toSet
@@ -348,11 +365,14 @@ object Bench {
         }.toMap
         // the 8-pass low-load re-floor (the q112/q84/q186 protocol),
         // run BY the tool when a confirmation lands in the 2–4 hot
-        // band: wait for a genuinely QUIET host (≤ loadBar/2, its own
-        // bounded budget), then 8 GC-separated passes; floor = min.
-        // (-2, load) = the host never went quiet → the caller defers.
-        var refloorWaits = 0
+        // band: wait for a genuinely QUIET host (≤ loadBar/2) with a
+        // PER-QUERY bounded budget (≤ 3 min each — one query burning
+        // its waits must not zero every later flag's budget and make
+        // deferral order-dependent), then 8 GC-separated passes;
+        // floor = min. (-2, load) = the host never went quiet for
+        // THIS query → the caller defers it.
         def refloor8(name: String): (Double, Double) = {
+          var refloorWaits = 0
           var l = loadAvg()
           while (l > loadBar / 2 && refloorWaits < 6) {
             Thread.sleep(30000L); refloorWaits += 1; l = loadAvg()
@@ -367,6 +387,7 @@ object Bench {
         val confB = Seq.newBuilder[String]
         val defB  = Seq.newBuilder[String]
         val exoB  = Seq.newBuilder[String]
+        val deferredNames = scala.collection.mutable.Set.empty[String]
         val refloorFloors = scala.collection.mutable.Map.empty[String, (Double, Double)]
         flagged.foreach { case (name, p, _) =>
           val (i, l) = iso(name)
@@ -378,10 +399,12 @@ object Bench {
                 s""""plan_changed":${planChanged(name)}}"""
             case Adjudication.NeedsRefloor =>
               val (fl, fload) = refloor8(name)
-              if (fl == -2.0)
+              if (fl == -2.0) {
+                deferredNames += name
                 defB += s""""$name":{"prior":$p,"isolated":$i,"load_now":$l,""" +
                   s""""status":"deferred_pending_refloor",""" +
                   s""""plan_changed":${planChanged(name)}}"""
+              }
               else {
                 refloorFloors(name) = (fl, fload)
                 if (stillRegressed(p, fl, drift))
@@ -401,9 +424,12 @@ object Bench {
           .map(_.getName.replaceAll("\\D", "").toInt)
           .foldLeft(0)(math.max) + 1
         // refloor floors are clean by construction (≤ loadBar/2) and
-        // override the hot-band isolated floor for the same query —
-        // the TREND writer min-merges with any prior clean floor
-        val floors = slowest.map(n => n -> iso(n)).toMap ++ refloorFloors
+        // override the hot-band isolated floor for the same query;
+        // deferred queries contribute NO floor this round (see
+        // trendFloors) — the TREND writer min-merges with any prior
+        // clean floor
+        val floors =
+          trendFloors(slowest, iso, refloorFloors.toMap, deferredNames.toSet)
         (confB.result().mkString("{", ",", "}"),
           defB.result().mkString("{", ",", "}"),
           exoB.result().mkString("{", ",", "}"),

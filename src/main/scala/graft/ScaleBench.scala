@@ -144,15 +144,19 @@ object ScaleBench {
         (() => SparkEntry.queries("q154_cell_skew")(spark, dir)),
       "q155_sampled_ann_audit" ->
         (() => SparkEntry.queries("q155_sampled_ann_audit")(spark, dir)),
+      // round-13: the gate now sits BELOW both pair-forming joins
+      // (prefixJaccardPairsSampled / lshRescoredPairsSampled) — same
+      // relation as the old recallAuditSampled-over-full-truth form
+      // (trend rows stay comparable), exact-truth cost ∝ sample.
       "q156_sampled" ->
         (() => {
           val sh = TextDedup.shingleRows(
             docs.filter(pmod(col("doc_id"), lit(10L)) === 0),
             col("doc_id"), col("text"), 3)
-          TextDedup.recallAuditSampled(
-            TextDedup.prefixJaccardPairs(sh, 0.8),
-            TextDedup.lshRescoredPairs(sh, estThreshold = 0.5, threshold = 0.8),
-            rateBps = 5000)
+          TextDedup.recallAudit(
+            TextDedup.prefixJaccardPairsSampled(sh, 0.8, rateBps = 5000),
+            TextDedup.lshRescoredPairsSampled(
+              sh, estThreshold = 0.5, threshold = 0.8, rateBps = 5000))
         }),
       // Round-7 additions: image hashing/dedup and the label audit run
       // the REGISTERED query shape — image count and cell-blocked

@@ -138,9 +138,8 @@ object ServeScale {
       val rawFiles = Option(new java.io.File(s"$dir/raw").listFiles())
         .getOrElse(Array.empty).flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
         .count(f => f.isFile && f.getName.endsWith(".json"))
-      val server = graft.serving.ApiServer.startFromTable(
-        spark, s"$dir/table",
-        graft.serving.ApiServer.Config(filesDir = Some(s"$dir/raw")))
+      val cfg = graft.serving.ApiServer.Config(filesDir = Some(s"$dir/raw"))
+      val server = graft.serving.ApiServer.startFromTable(spark, s"$dir/table", cfg)
       try {
         def get(path: String): String = {
           val conn = new java.net.URL(s"http://127.0.0.1:${server.port}$path")
@@ -158,7 +157,8 @@ object ServeScale {
         val (dashWarm, _)     = timedGet()
         // the symbol cap bounds the page: table rows ≤ latestSymbolCap
         val tableRows = "<tr><td><strong>".r.findAllIn(get("/dashboard")).size
-        require(tableRows <= 10, s"dashboard rows $tableRows exceed the symbol cap")
+        require(tableRows <= cfg.latestSymbolCap,
+          s"dashboard rows $tableRows exceed the symbol cap ${cfg.latestSymbolCap}")
         println(
           s"""{"scale":"$label","endpoint":"/dashboard","symbols":$nSym,"days":$nDays,""" +
             s""""raw_files":$rawFiles,"page_rows":$tableRows,"page_bytes":$bytes,""" +

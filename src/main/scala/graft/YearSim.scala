@@ -46,6 +46,14 @@ object YearSim {
     val nDays       = args.lift(1).map(_.toInt).getOrElse(240)
     val gateBatches = args.lift(2).map(_.toInt).getOrElse(360)
     val vetoBatches = args.lift(3).map(_.toInt).getOrElse(100)
+    // validate EVERY arm count up front — a bad later-arm count must
+    // fail before any earlier arm burns minutes of work (0 skips an
+    // arm; 1..24 can't produce the early/late windows and is rejected
+    // here, not mid-run)
+    for ((nm, v) <- Seq(("gateBatches", gateBatches), ("vetoBatches", vetoBatches)))
+      require(v == 0 || v >= 25,
+        s"$nm must be 0 (skip the arm) or >= 25 for meaningful early/late windows (got $v)")
+    require(nDays >= 0, s"nDays must be >= 0 (got $nDays)")
     val spark       = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -507,7 +507,41 @@ object TextDedup {
     * per-doc window (rank within doc by global order), the slim
     * (doc_id, s, n) prefix self-join, then the candidate-only rescore.
     */
-  def prefixJaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+  def prefixJaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame =
+    prefixJaccardPairsImpl(shRaw, threshold, anchorGate = None)
+
+  /** [[prefixJaccardPairs]] restricted to hash-sampled ANCHORS — the
+    * exact-truth side of the 100 TB audit ([[recallAuditSampled]]'s
+    * contract) with the cost actually proportional to the sample: the
+    * [[graft.functions.Portable.sampleGate]] is applied to the ANCHOR
+    * (doc_a) side of the pair-forming self-join, BELOW the join — not
+    * as a post-filter on the full pair relation. The relation is
+    * identical to `prefixJaccardPairs(sh, t).filter(gate(doc_a))`
+    * (doc_a is always the join's `a.doc_id`, and the rescore group key
+    * leads with doc_a), but the quadratic candidate join runs
+    * gated-prefix × full-prefix instead of full × full, and the
+    * rescore moves only the sampled anchors' candidate pairs. The
+    * global df ordering and per-doc prefix bounds are still computed
+    * over the FULL universe — required for exactness of the sampled
+    * anchors' pairs. The round-12 ×100 run measured the difference:
+    * the post-filter form (gated above a materialized full-truth
+    * relation) DNF'd on shuffle-spill disk (∝ K² bytes); this form's
+    * spill is ∝ sample. */
+  def prefixJaccardPairsSampled(
+      shRaw: DataFrame,
+      threshold: Double,
+      rateBps: Int,
+      seed: String = "audit"): DataFrame = {
+    require(rateBps > 0 && rateBps <= 10000, s"rateBps must be in (0, 10000]: $rateBps")
+    prefixJaccardPairsImpl(
+      shRaw, threshold,
+      anchorGate = Some(id => Portable.sampleGate(id, rateBps, seed)))
+  }
+
+  private def prefixJaccardPairsImpl(
+      shRaw: DataFrame,
+      threshold: Double,
+      anchorGate: Option[Column => Column]): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1] (got $threshold)")
     val sh    = shRaw.select(col("doc_id"), col("s")).distinct()
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
@@ -520,7 +554,10 @@ object TextDedup {
     val prefix = ranked
       .filter(col("__r") <= col("n") - alpha + 1)
       .select(col("doc_id"), col("s"), col("n"))
-    val cands = prefix.as("a")
+    // anchor gate BELOW the pair join: doc_a ≡ a.doc_id, so gating the
+    // a-side prefix is exactly a doc_a post-filter — minus the K² join
+    val prefixA = anchorGate.fold(prefix)(g => prefix.filter(g(col("doc_id"))))
+    val cands = prefixA.as("a")
       .join(
         prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -719,7 +756,14 @@ object TextDedup {
   def lshPairs(
       sigs: DataFrame,
       estThreshold: Double,
-      maxBandDf: Option[Long] = None): DataFrame = {
+      maxBandDf: Option[Long] = None): DataFrame =
+    lshPairsImpl(sigs, estThreshold, maxBandDf, anchorGate = None)
+
+  private def lshPairsImpl(
+      sigs: DataFrame,
+      estThreshold: Double,
+      maxBandDf: Option[Long],
+      anchorGate: Option[Column => Column]): DataFrame = {
     val bands0 = bandRows(sigs)
     val bands = maxBandDf match {
       case None => bands0
@@ -735,7 +779,14 @@ object TextDedup {
           .filter(col("__df") <= cap)
           .select("doc_id", "band", "band_key")
     }
-    val cands = bands.as("a")
+    // anchor gate BELOW the band join (sampled-audit mode): doc_a is
+    // always a.doc_id, so gating the a-side band rows pre-join is
+    // exactly a doc_a post-filter on the candidate relation — but the
+    // band self-join and the rescore only ever see sampled anchors.
+    // The df cap above is computed over the FULL band relation first,
+    // so capped-bucket semantics are gate-invariant.
+    val bandsA = anchorGate.fold(bands)(g => bands.filter(g(col("doc_id"))))
+    val cands = bandsA.as("a")
       .join(
         bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -854,6 +905,32 @@ object TextDedup {
     // passes it here instead of paying the signing shuffle again.
     val sigs = precomputedSigs.getOrElse(minhashSignaturesFromRows(shRows))
     val cands = lshPairs(sigs, estThreshold, maxBandDf)
+      .select(col("doc_a"), col("doc_b"))
+    rescoreCandidates(cands, sh, threshold)
+  }
+
+  /** [[lshRescoredPairs]] restricted to hash-sampled ANCHORS — the
+    * candidate side of the sampled recall audit
+    * ([[recallAuditSampled]]'s contract) with the gate applied BELOW
+    * the band self-join (the a-side of the band relation), so band
+    * candidates and the exact rescore both move only the sampled
+    * anchors' pairs. Identical relation to
+    * `lshRescoredPairs(...).filter(gate(doc_a))` — doc_a is always the
+    * band join's `a.doc_id` and leads the rescore group key. */
+  def lshRescoredPairsSampled(
+      shRows: DataFrame,
+      estThreshold: Double,
+      threshold: Double,
+      rateBps: Int,
+      seed: String = "audit",
+      maxBandDf: Option[Long] = None,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    require(rateBps > 0 && rateBps <= 10000, s"rateBps must be in (0, 10000]: $rateBps")
+    val sh   = shRows.select(col("doc_id"), col("s")).distinct()
+    val sigs = precomputedSigs.getOrElse(minhashSignaturesFromRows(shRows))
+    val cands = lshPairsImpl(
+      sigs, estThreshold, maxBandDf,
+      anchorGate = Some(id => Portable.sampleGate(id, rateBps, seed)))
       .select(col("doc_a"), col("doc_b"))
     rescoreCandidates(cands, sh, threshold)
   }
@@ -1253,15 +1330,21 @@ object TextDedup {
     * PAIR relations — orders of magnitude smaller than the corpus)
     * folded into a single count aggregate; nothing corpus-sized moves.
     * Deterministic, so the audit itself is oracle-checkable. */
-  /** [[recallAudit]] in SAMPLED mode — the 100 TB audit shape: a
+  /** [[recallAudit]] in SAMPLED mode over ARBITRARY pair relations: a
     * deterministic hash gate ([[Portable.sampleGate]]) restricts both
-    * pair relations to ANCHORS (doc_a) in the `rateBps`/10000 sample
-    * before the compare. With lazily-declared inputs the doc_a gate
-    * pushes through the pair aggregations (doc_a leads every group
-    * key), so the exact-truth side (e.g. [[prefixJaccardPairs]]) only
-    * materializes the sampled anchors' pairs — full-universe truth is
-    * unaffordable at corpus scale, a hash-sampled unbiased estimate is
-    * not. Deterministic gate ⇒ still oracle-checkable. */
+    * inputs to ANCHORS (doc_a) in the `rateBps`/10000 sample before
+    * the compare. CAVEAT (the round-12 ×100 lesson): this gate sits
+    * ABOVE the inputs — it is only affordable if the pair relations
+    * are themselves cheap, already materialized for another consumer,
+    * or declared LAZILY so Catalyst can push the doc_a filter through
+    * their pair-forming joins. A persisted/cached full-truth input is
+    * a materialization boundary no filter crosses: the K²-spill truth
+    * is paid first, then sampled — which DNF'd on disk at ×100. For
+    * the LSH-vs-exact audit, use [[prefixJaccardPairsSampled]] +
+    * [[lshRescoredPairsSampled]], which apply the SAME gate below
+    * their pair-forming joins, and compare with [[recallAudit]] —
+    * identical relation, cost ∝ sample by construction.
+    * Deterministic gate ⇒ still oracle-checkable. */
   def recallAuditSampled(
       truth: DataFrame,
       candidate: DataFrame,

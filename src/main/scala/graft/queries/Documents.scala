@@ -216,6 +216,22 @@ object Documents {
         .filter(col("verdict") === "keep")
         .select("doc_id"))
 
+  // The EVAL-IMAGE manifest (src0 docs' image fingerprints) is a tiny
+  // STATIC artifact at corpus scale — the benchmark set changes when
+  // the benchmark does, not per snapshot — so q214's image-leak probe
+  // must read it as a persisted id relation (the sharedKeepSet
+  // discipline), never re-derive the src0 membership join per run.
+  private val evalImgCache = new DirCached
+  private def sharedEvalImgHashes(s: SparkSession, dir: String): DataFrame =
+    evalImgCache(s, dir)(
+      sharedAHashes(s, dir)
+        .select(col("doc_id"), col("sh"))
+        .join(
+          Tables.documents(s, dir)
+            .filter(col("source") === "src0")
+            .select("doc_id"),
+          Seq("doc_id")))
+
   // The mutual pairs over the modality split, annotated by BOTH gate
   // sets — q210 (card) and q212 (alignment histogram) consume the SAME
   // construction, so a fix to the pairing or gate semantics can never
@@ -1321,16 +1337,25 @@ object Documents {
           Tables.embeddings(s, dir), QueryRel(s, dir), nCells = 16, nProbe = 2, k = 5),
         rateBps = 5000)),
 
-    // SAMPLED LSH recall audit — q112 with the anchor-gated sample:
-    // both the exact PPJoin truth and the LSH candidate relation are
-    // restricted to the hash-sampled anchors before the compare.
+    // SAMPLED LSH recall audit — q112 with the anchor-gated sample.
+    // The gate is applied BELOW both pair-forming joins (the PPJoin
+    // prefix self-join's anchor side and the LSH band join's anchor
+    // side), NOT as a post-filter on the cached full-truth relation:
+    // doc_a ≡ the a-side id in both joins, so the relation is
+    // identical (hash-green vs the same oracle), but the exact-truth
+    // cost is ∝ sample — the round-12 ×100 run measured the cached
+    // post-filter form DNF on K²-spill disk. This is the ONLY audit
+    // shape a 100 TB corpus runs; sharedPrefixPairs stays the
+    // once-per-snapshot artifact for the full-export consumers
+    // (q99/q112).
     "q156_sampled_lsh_audit" -> ((s, dir) =>
-      TextDedup.recallAuditSampled(
-        sharedPrefixPairs(s, dir),
-        TextDedup.lshRescoredPairs(
+      TextDedup.recallAudit(
+        TextDedup.prefixJaccardPairsSampled(
+          sharedShingles(s, dir), 0.8, rateBps = 5000, seed = "audit"),
+        TextDedup.lshRescoredPairsSampled(
           sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8,
-          precomputedSigs = Some(sharedSigs(s, dir))),
-        rateBps = 5000)),
+          rateBps = 5000, seed = "audit",
+          precomputedSigs = Some(sharedSigs(s, dir))))),
 
     // Split-leakage audit: near-dup pairs straddling a split boundary
     // under the per-doc hash split vs the survivor-keyed split — the
@@ -1887,12 +1912,13 @@ object Documents {
         .filter(col("__ok"))
         .select(col("a_id"), col("b_id"))
       // image side: reps-first banded probe of survivor-image hashes
-      // against the eval-image manifest at hamming ≤ 1
+      // against the PERSISTED eval-image manifest at hamming ≤ 1 —
+      // the manifest is a once-per-benchmark artifact
+      // ([[sharedEvalImgHashes]]), never re-derived per run
       val hashes = sharedAHashes(s, dir).select(col("doc_id"), col("sh"))
       val survImgHashes = hashes
         .join(survivors.select(col("b_id").as("doc_id")).distinct(), Seq("doc_id"))
-      val evalImgHashes = hashes
-        .join(evalDocs.select(col("doc_id")), Seq("doc_id"))
+      val evalImgHashes = sharedEvalImgHashes(s, dir)
       val leakImgs = TextDedup
         .hammingLeakSet(survImgHashes, evalImgHashes, maxHamming = 1, bands = 8)
         .select(col("doc_id").as("b_id"))

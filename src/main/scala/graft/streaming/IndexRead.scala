@@ -476,7 +476,18 @@ private[graft] object IndexRead {
     * are safe under ANY later checkpoint (ids are monotone — every
     * later base absorbed them), so those sweeps stay unconditional.
     * Anything a guard skips is an invisible orphan the next
-    * successful fold collects. */
+    * successful fold collects.
+    *
+    * KNOWN RESIDUAL WINDOW: guards 2–3 are check-then-act over a
+    * manifest that a concurrent attempt can still move. If this
+    * winner stalls past [[foldGcMinAgeMs]] between its CAS and the
+    * sweep, a foreign base can be simultaneously old enough (guard 3)
+    * and about to become live (its owner CASes the next seq after the
+    * guard-2 read). The sweep re-reads the manifest AFTER each delete
+    * and throws at the cause site if that happened; a commit landing
+    * after even that re-read is caught by committedParquet's
+    * existence require at the next read. Both paths are LOUD
+    * (hard-down, named repair), never silent row loss. */
   private[streaming] def foldGc(
       spark: SparkSession,
       dir: String,
@@ -511,7 +522,28 @@ private[graft] object IndexRead {
           // per-delete liveness re-check (guard 2): readManifest here
           // is one small-file read — negative partitions are rare
           if (oldEnough && live().exists(l => l.seq == written && l.gen != gen)) {
-            fs(spark, root).delete(st.getPath, true); ()
+            fs(spark, root).delete(st.getPath, true)
+            // RESIDUAL ZOMBIE WINDOW (documented, shrunk, not closed):
+            // guard 3 only protects a foreign base younger than the
+            // age gate. If WE stalled past the gate between our CAS
+            // and this sweep, a concurrent attempt that read our
+            // checkpoint, wrote its base, and stalled equally long can
+            // win the NEXT seq after our liveness read above — its
+            // now-live base deleted here. The post-delete re-read
+            // below catches a commit that landed during the delete and
+            // fails AT THE CAUSE (index is hard-down either way — the
+            // committedParquet existence require would otherwise trip
+            // at the next reader, far from the sweep that did it). A
+            // commit landing after this re-read remains possible and
+            // is caught loudly by that reader-side require; repair =
+            // replay the swept batches (their markers are retained
+            // until THIS fold's upToBatch).
+            if (live().exists(_.gen == gen))
+              throw new IllegalStateException(
+                s"[index] fold GC at $dir swept base gen=$gen that a concurrent fold " +
+                  s"just committed as live (zombie CAS during the sweep). The index is " +
+                  s"hard-down: restore the partition from a snapshot or replay batches " +
+                  s"> foldedUpTo. Sweep owner: seq=$written gen=$newGen.")
           }
         }
     }

@@ -50,6 +50,29 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!stillRegressed(prior = 0.5, measured = 1.15, drift = 1.6))
   }
 
+  test("a deferred_pending_refloor entry blocks the TREND floor restamp until adjudicated") {
+    import Bench.trendFloors
+    // q_def was flagged, landed in the hot band, AND the host never
+    // went quiet within its wait budget → deferred. It is also one of
+    // the slowest-10, so without the block its hot-band isolated pass
+    // (2.4 s at load 3.1 — under the 4.0 bar, so the TREND writer's
+    // load gate would NOT drop it) would be stamped into the round's
+    // floors and silently adjudicate the deferral.
+    val slowest = Seq("q_def", "q_slow")
+    val iso     = Map("q_def" -> (2.4, 3.1), "q_slow" -> (1.0, 0.4))
+    // q_ref went through the 8-pass re-floor: its clean floor overrides
+    // any hot-band isolated measurement it may also carry
+    val refl = Map("q_ref" -> (0.62, 1.1))
+    val floors = trendFloors(slowest, iso, refl, deferred = Set("q_def"))
+    assert(!floors.contains("q_def"), "deferred query must contribute NO floor")
+    assert(floors("q_slow") === ((1.0, 0.4)))
+    assert(floors("q_ref") === ((0.62, 1.1)))
+    // next-round pickup: nothing about the deferral mutates the prior,
+    // so the unchanged prior re-flags the query on the next full run —
+    // stillRegressed against the untouched baseline keeps firing
+    assert(Bench.stillRegressed(prior = 1.0, measured = 2.4, drift = 1.0))
+  }
+
   test("the re-floor adjudicates on the FLOOR: below threshold exonerates, above confirms") {
     // the exact q200 shape: prior 0.492, hot-band confirmation 0.769,
     // clean floor back at prior → exonerated

@@ -300,12 +300,13 @@ class PlanSpec extends SparkSpec {
         case _                        => Seq.empty
       })
     val nodes = allNodes(df.queryExecution.executedPlan)
-    // image fingerprints + both gate sets + codebook come from the
-    // persisted artifacts, never a rebuild
+    // image fingerprints + both gate sets + codebook + the eval-image
+    // manifest come from the persisted artifacts, never a rebuild —
+    // the image-leak probe reads ONLY persisted id relations
     val imts = nodes.count(
       _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
-    assert(imts >= 4, s"expected codebook + caption set + image keep set + " +
-      s"image hashes as InMemoryTableScans, found $imts")
+    assert(imts >= 5, s"expected codebook + caption set + image keep set + " +
+      s"image hashes + eval-image manifest as InMemoryTableScans, found $imts")
     // the probe NEVER re-decodes an image: no codec/object pass
     val objectish = nodes.filter(n =>
       n.getClass.getSimpleName.contains("MapPartitions") ||
@@ -322,6 +323,36 @@ class PlanSpec extends SparkSpec {
     assert(scans.nonEmpty &&
       scans.forall(p => p.contains("embeddings") || p.contains("documents")),
       s"unexpected scan in the composed plan: $scans")
+  }
+
+  test("q156 sampled audit: the anchor sample gate sits BELOW both pair-forming joins (anchor side only)") {
+    // The round-12 ×100 lesson: the sampled audit is only affordable
+    // if the doc_a gate reaches BELOW the quadratic pair-forming
+    // self-joins (PPJoin prefix join + LSH band join). This pins the
+    // optimized logical shape: exactly those two joins (condition
+    // `a.doc_id < b.doc_id`), each with the deterministic sample gate
+    // (pmod(hash, 10000)) filtering its LEFT (anchor) subtree and NOT
+    // its right — the partner side must stay the full universe or the
+    // relation silently becomes sample × sample.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    val df = SparkEntry.queries("q156_sampled_lsh_audit")(spark, sf("sf0.01"))
+    val p  = df.queryExecution.optimizedPlan
+    def hasGate(pl: LogicalPlan): Boolean =
+      pl.collect {
+        case f: Filter if f.condition.sql.contains("pmod") &&
+          f.condition.sql.contains("10000") => f
+      }.nonEmpty
+    val pairJoins = p.collect {
+      case j: Join if j.condition.exists(_.sql.contains("a.doc_id < b.doc_id")) => j
+    }
+    assert(pairJoins.size === 2,
+      s"expected the PPJoin prefix join + the LSH band join, found ${pairJoins.size}")
+    pairJoins.foreach { j =>
+      assert(hasGate(j.left),
+        s"anchor gate missing BELOW the pair join: ${j.condition.map(_.sql)}")
+      assert(!hasGate(j.right),
+        s"gate leaked into the partner (full-universe) side: ${j.condition.map(_.sql)}")
+    }
   }
 
   test("q56 stratified sample: pure filter before the aggregate, pruned scan") {

@@ -260,7 +260,11 @@ class IndexVisibilitySpec extends SparkSpec {
     // so foldGc's age gate — which protects a CONCURRENT attempt's
     // base mid-commit — must be zeroed for the sweep to run in-test;
     // the gate itself has its own test.)
+    // try/finally: a failed assert below must not leak the zeroed age
+    // gate into later tests in this JVM (it would silently disable
+    // guard 3 everywhere)
     sys.props("graft.foldGcMinAgeMs") = "0"
+    try {
     val manifest = IndexRead.committedIds(spark, hist).get
     val gens = dataDirs().filter(_.startsWith("batch_id=-"))
       .map(_.stripPrefix("batch_id=-").toLong)
@@ -289,7 +293,7 @@ class IndexVisibilitySpec extends SparkSpec {
     for (b <- 25L to 30L) sink(docs(b -> s"doc-$b"), b)
     assert(visibleIds() === (0L to 30L).toSet)
     assert(!dataDirs().contains("batch_id=1")) // swept
-    sys.props.remove("graft.foldGcMinAgeMs")
+    } finally sys.props.remove("graft.foldGcMinAgeMs")
   }
 
   test("fold lease: a concurrent fold ABORTS (ConcurrentFoldException) instead of racing; a stale lease from a crashed fold is broken") {
