@@ -1,0 +1,138 @@
+package graft
+
+/** The FULL-SUITE scale run as one repeatable command — round 12's ten
+  * hand-driven chunks (env flags, substitution list, heap settings)
+  * promoted into a main so a re-run cannot silently drop a
+  * substitution or change protocol.
+  *
+  *   SPARK_GRAFT_ARTIFACT_LEVEL=DISK_ONLY \
+  *   SPARK_DRIVER_MEM=24g \
+  *   sbt "runMain graft.ScaleSuite [dir] [chunkSize]"
+  *
+  * `dir` defaults to /tmp/sfsuite100 (the hybrid ×100 corpus: sf0.1
+  * relational tables + 500 k docs / 200 k vectors). Protocol per query
+  * = the Bench one: GC, one cold pass, min of two warm passes; a
+  * throwing query records −1 and the suite keeps going. Queries run in
+  * name order in chunks (default 20) inside ONE JVM; between chunks
+  * every [[graft.queries.DirCached]] shared artifact is RELEASED
+  * ([[graft.queries.DirCached.releaseAll]]) — heap sizes to one
+  * chunk's working set, not the union of every chunk's
+  * corpus-proportional artifacts (the round-12 48 GB finding; with
+  * DISK_ONLY artifacts + per-chunk release the suite holds in 24 GB).
+  *
+  * The EXCLUSION LIST is part of the protocol, not an operator
+  * choice: each entry names a registered query whose ×K cost is
+  * quadratic in copy count BY CONSTRUCTION (pair/candidate OUTPUT or
+  * exact-truth input ∝ K²) and the measured production dial that
+  * replaces it. Exclusions are echoed in the output JSON so a silent
+  * swap is impossible.
+  *
+  * Output: one `{"metric":"scale_suite",...}` JSON line (stdout, last)
+  * with per-query warm seconds, failures, exclusions, and totals —
+  * the SCALING.md ×100 table's source of truth.
+  */
+object ScaleSuite {
+
+  /** name → (reason, measured dial) — the round-12 substitution list. */
+  private[graft] val Exclusions: Seq[(String, String)] = Seq(
+    "q99_prefix_jaccard" ->
+      "exact full-universe pair truth: shuffle spill prop. to K^2 bytes (hit the disk wall at x100, r12); dial = q156 sampled audit, in-run",
+    "q112_lsh_recall_audit" ->
+      "consumes q99's full truth relation; dial = q156 sampled audit, in-run",
+    "q35_simhash_pairs" ->
+      "full simhash pair EXPORT, output prop. to K^2; dial = q64 verdicts, in-run",
+    "q144_triplet_mining" ->
+      "positive-pair mass prop. to K^2 on the copy corpus; dial = ScaleBench q144_sqrtn (26.8 s at x100)",
+    "q164_image_neardup" ->
+      "within-group image pair export, output prop. to K^2; dial = q171 distinct (reps), in-run",
+    "q166_image_probe" ->
+      "probe EXPORT over the uncollapsed corpus; dial = the reps discipline (q171/q213), in-run",
+    "q187_mutual_pairs" ->
+      "uncapped mutual-pair export; dial = q196 capped, in-run",
+    "q209_crossmodal_neardup" ->
+      "full cross-modal id-pair export, output prop. to K^2; dial = q213 reps probe, in-run",
+    "q210_paired_dataset_card" ->
+      "consumes the uncapped mutual-pair relation (killed >30 min at x100, r12); dial = ScaleBench q210_pairs_capped (11.6 s)",
+    "q212_pair_alignment" ->
+      "same uncapped pair input as q210; dial = ScaleBench q212_alignment_capped (10.3 s)",
+    "q214_crossmodal_decontamination" ->
+      "same uncapped pair input as q210; dial = ScaleBench q214_decontamination_capped (11.4 s)")
+
+  def main(args: Array[String]): Unit = {
+    val dir       = args.lift(0).getOrElse("/tmp/sfsuite100")
+    val chunkSize = args.lift(1).map(_.toInt).getOrElse(20)
+    require(chunkSize > 0, s"chunkSize must be positive (got $chunkSize)")
+    require(
+      new java.io.File(s"$dir/documents.parquet").exists(),
+      s"$dir does not look like a corpus dir (no documents.parquet) — " +
+        "generate it with graft.ScaleData first")
+    val excluded = Exclusions.map(_._1).toSet
+    val unknown  = excluded.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"exclusion list names unknown queries: $unknown")
+    // optional trailing args = subset run (ad-hoc chunk re-measures);
+    // the exclusion list still applies — a subset cannot smuggle an
+    // excluded query back in without editing the protocol
+    val only = args.drop(2).toSet
+    val unknownOnly = only.diff(SparkEntry.queries.keySet)
+    require(unknownOnly.isEmpty, s"unknown query name(s): $unknownOnly")
+    require(only.intersect(excluded).isEmpty,
+      s"subset names excluded queries: ${only.intersect(excluded)} — run their dials instead")
+    val names = SparkEntry.queries.keySet.diff(excluded)
+      .filter(n => only.isEmpty || only.contains(n)).toSeq.sorted
+
+    val spark = GraftSession.local()
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, dir).count() }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[scale-suite] $name failed: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    names.grouped(chunkSize).zipWithIndex.foreach { case (chunk, ci) =>
+      val t0 = System.nanoTime()
+      chunk.foreach { name =>
+        System.gc()
+        val cold = once(name)
+        val warm = if (cold >= 0) math.min(once(name), once(name)) else -1.0
+        results += ((name, cold, warm))
+      }
+      // release EVERY query pack's shared artifacts: the next chunk
+      // rebuilds what it needs (the fresh-JVM-per-chunk isolation of
+      // the hand-driven protocol, without the JVM)
+      val released = graft.queries.DirCached.releaseAll(spark)
+      System.gc()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"""{"scale_suite_chunk":$ci,"queries":${chunk.size},""" +
+        s""""chunk_s":${math.rint(secs * 10) / 10},"artifacts_released":$released,""" +
+        s""""load_now":${loadAvg()},"heap_max_g":${Runtime.getRuntime.maxMemory() >> 30}}""")
+    }
+
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    val qs = results.map { case (k, _, w) => s""""$k":${r3(w)}""" }.mkString("{", ",", "}")
+    val exJson = Exclusions
+      .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }.mkString("{", ",", "}")
+    val failed = results.filter(_._3 < 0).map(_._1)
+    println(
+      s"""{"metric":"scale_suite","sf":"$dir","unit":"sec",""" +
+        s""""value":${r3(results.map(_._3).filter(_ >= 0).sum)},""" +
+        s""""total_cold":${r3(results.map(_._2).filter(_ >= 0).sum)},""" +
+        s""""n_attempted":${results.size},"n_complete":${results.count(_._3 >= 0)},""" +
+        s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""chunk_size":$chunkSize,""" +
+        s""""artifact_level":"${sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_LEVEL", "MEMORY_AND_DISK")}",""" +
+        s""""heap_max_g":${Runtime.getRuntime.maxMemory() >> 30},""" +
+        s""""queries":$qs,"excluded":$exJson}""")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

@@ -10,8 +10,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * WeakHashMap alone never frees them, because the cached DataFrame
   * VALUES strongly reference their own SparkSession key (a value → key
   * strong reference defeats key weakness per the WeakHashMap
-  * contract). */
-private[queries] final class DirCached {
+  * contract).
+  *
+  * LIFECYCLE (the round-12 ×100 heap finding): resident artifacts are
+  * ∝ corpus, so a suite run over a big corpus must be able to (a) park
+  * them on disk instead of heap — `SPARK_GRAFT_ARTIFACT_LEVEL=DISK_ONLY`
+  * flips every artifact's storage level for the JVM, matching what a
+  * real pipeline does with stage outputs (they live in the object
+  * store, not executor memory) — and (b) RELEASE them between suite
+  * chunks via [[DirCached.releaseAll]], once a chunk's last consumer
+  * ran. Heap then sizes to the working set of one chunk, not the
+  * union of every chunk's artifacts. */
+private[graft] final class DirCached {
+  DirCached.register(this)
+
   private val cache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
 
@@ -24,7 +36,47 @@ private[queries] final class DirCached {
         perDir = scala.collection.mutable.Map.empty[String, DataFrame]
         cache.put(s, perDir)
       }
-      perDir.getOrElseUpdate(
-        dir, build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      perDir.getOrElseUpdate(dir, build.persist(DirCached.level))
     }
+
+  /** Unpersist + drop this cache's entries for `s`. Returns how many
+    * artifacts were released. Blocking=false: the executor frees the
+    * blocks asynchronously; the next consumer (if any — callers release
+    * AFTER the last one) would simply rebuild. */
+  private[graft] def release(s: SparkSession): Int =
+    cache.synchronized {
+      val perDir = cache.remove(s)
+      if (perDir == null) 0
+      else {
+        perDir.values.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
+        perDir.size
+      }
+    }
+}
+
+private[graft] object DirCached {
+  // every DirCached is a static singleton in a query pack (finite,
+  // JVM-lifetime), so a plain strong registry cannot leak
+  private val instances = scala.collection.mutable.ListBuffer.empty[DirCached]
+
+  private def register(c: DirCached): Unit =
+    instances.synchronized { instances += c; () }
+
+  /** Artifact storage level for this JVM. Default MEMORY_AND_DISK (the
+    * interactive/bench sweet spot at sf0.1); scale-suite runs set
+    * SPARK_GRAFT_ARTIFACT_LEVEL=DISK_ONLY so the heap holds the
+    * working set, not the corpus-proportional artifact union. */
+  private[queries] lazy val level: org.apache.spark.storage.StorageLevel =
+    sys.env.get("SPARK_GRAFT_ARTIFACT_LEVEL").map(_.trim.toUpperCase(java.util.Locale.ROOT)) match {
+      case Some("DISK_ONLY") => org.apache.spark.storage.StorageLevel.DISK_ONLY
+      case Some("MEMORY_AND_DISK") | None => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_ARTIFACT_LEVEL must be DISK_ONLY or MEMORY_AND_DISK (got '$other')")
+    }
+
+  /** Release every registered cache's artifacts for `s` (all query
+    * packs). Call between suite chunks, after a chunk's last consumer. */
+  def releaseAll(s: SparkSession): Int =
+    instances.synchronized { instances.iterator.map(_.release(s)).sum }
 }

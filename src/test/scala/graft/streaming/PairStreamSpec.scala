@@ -112,4 +112,79 @@ class PairStreamSpec extends SparkSpec {
     val expected = pairSet(Similarity.cappedCandidatePairs(caps, imgs, codebook, None))
     assert(pairSet(PairStream.minedPairs(spark, s"$w/cpairs", s"$w/ipairs")) === expected)
   }
+
+  test("CHAOS cross-sink: the pairing gate probes the FOREIGN image index through every fold crash state — orphan base invisible, folded vectors still pair, stale-raw leftovers invisible, a zombie fold's GC cannot unpair") {
+    val dir  = sf("sf0.001")
+    val w    = work("chaos")
+    val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val caps = embs.filter(col("vec_id") % 2 === 0)
+    val imgs = embs.filter(col("vec_id") % 2 === 1)
+    val codebook = Similarity.kmeansCentroids(Tables.embeddings(spark, dir), 8)
+    val cap = 2L
+    val iSink = PairStream.imagePairBatchSink(
+      s"$w/iidx", s"$w/cidx-none", s"$w/ipairs", codebook, Some(cap), IndexRead.Cadence.Off)
+
+    // the POISON: an alien image vec_id carrying a LANDED image's
+    // embedding — if any invisible copy ever reaches the caption-side
+    // probe it mints extra pairs (b_id = 100001) AND, with the low-id
+    // preference of the cell cap, can steal a legitimate image's cap
+    // slot — either way the probed relation diverges from truth.
+    def poison = imgs.filter(col("vec_id") === 1L)
+      .select(lit(100001L).as("vec_id"), col("embedding"))
+
+    // legitimate landings tracked host-side so TRUTH is computed from
+    // the raw slices, independent of the committed-read path under test
+    val landedHi = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def land(b: Long, hi: Long): Unit = {
+      val lo = landedHi.lastOption.getOrElse(0L)
+      iSink(imgs.filter(col("vec_id") >= lo && col("vec_id") < hi), b)
+      landedHi += hi
+    }
+    def probeSeesTruth(tag: String): Unit = {
+      val cSink = PairStream.captionPairBatchSink(
+        s"$w/probe-$tag/cidx", s"$w/iidx", s"$w/probe-$tag/cpairs",
+        codebook, Some(cap), IndexRead.Cadence.Off)
+      cSink(caps, 0L)
+      val truth = pairSet(Similarity.cappedCandidatePairs(
+        caps, imgs.filter(col("vec_id") < landedHi.last), codebook, Some(cap)))
+      val mined = pairSet(
+        PairStream.minedPairs(spark, s"$w/probe-$tag/cpairs", s"$w/probe-$tag/cpairs"))
+      assert(mined === truth, s"state $tag: probed relation diverged from committed truth")
+      assert(!mined.exists(_._2 == 100001L), s"state $tag: poison pair leaked")
+      assert(truth.nonEmpty, s"state $tag: vacuous fixture")
+    }
+
+    land(0L, 120L); land(1L, 240L); land(2L, 360L)
+    probeSeesTruth("base")
+
+    // state A — mid-fold KILL in the image sink (base written,
+    // checkpoint never flipped): the orphan base carries the poison
+    val orphanGen = (System.currentTimeMillis() << 20) | 7L
+    poison.withColumn("batch_id", lit(-orphanGen))
+      .write.partitionBy("batch_id").mode("append").parquet(s"$w/iidx")
+    probeSeesTruth("orphan")
+
+    // state B — a REAL fold moves the landed images into a base
+    // generation mid-stream of the pairing (the probe must follow the
+    // gen pointer), then a post-flip-kill leftover: poison re-appears
+    // as a STALE raw partition at an id <= foldedUpTo
+    assert(IndexRead.compactIndex(spark, s"$w/iidx", upToBatch = 1L) >= 1)
+    probeSeesTruth("folded")
+    poison.withColumn("batch_id", lit(1L))
+      .write.partitionBy("batch_id").mode("append").parquet(s"$w/iidx")
+    probeSeesTruth("staleraw")
+
+    // state C — ZOMBIE RESUME: a second fold commits a newer gen; the
+    // first fold's GC resumes with its stale (seq, gen) — it must not
+    // delete the live base out from under the pairing gate
+    val m1 = IndexRead.readManifest(spark, s"$w/iidx").get
+    land(3L, 500L) // live tail so upToBatch = 2 is legal
+    assert(IndexRead.compactIndex(spark, s"$w/iidx", upToBatch = 2L) >= 1)
+    val m2 = IndexRead.readManifest(spark, s"$w/iidx").get
+    assert(m2.gen !== m1.gen)
+    IndexRead.foldGc(spark, s"$w/iidx",
+      written = m1.seq, newGen = m1.gen, absorbedGen = 0L, upToBatch = 1L)
+    assert(IndexRead.readManifest(spark, s"$w/iidx").get.gen === m2.gen)
+    probeSeesTruth("zombie")
+  }
 }
