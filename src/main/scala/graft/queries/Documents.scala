@@ -1357,6 +1357,16 @@ object Documents {
           rateBps = 5000, seed = "audit",
           precomputedSigs = Some(sharedSigs(s, dir))))),
 
+    // The SAMPLED exact-truth pair EXPORT — the once-per-snapshot
+    // artifact a 100 TB pipeline actually materializes for its audits
+    // (full-universe q99 is the analysis/export form; its spill is
+    // ∝ K² on a dup-dense corpus). Same pushed-down PPJoin path the
+    // q156 audit consumes — here the relation's CONTENT is row-level
+    // hash-checked, not just the audit's tp/fn/fp counts.
+    "q215_sampled_truth_pairs" -> ((s, dir) =>
+      TextDedup.prefixJaccardPairsSampled(
+        sharedShingles(s, dir), 0.8, rateBps = 5000, seed = "audit")),
+
     // Split-leakage audit: near-dup pairs straddling a split boundary
     // under the per-doc hash split vs the survivor-keyed split — the
     // survivor row is structurally ZERO and the oracle re-derives it.

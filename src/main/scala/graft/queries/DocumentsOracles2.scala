@@ -3533,6 +3533,23 @@ private[queries] object DocumentsOracles2 {
           FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.cid = t.cid
           GROUP BY 1""",
 
+    // q99's exact pair relation restricted to the deterministic 50%
+    // doc_a anchor sample — the q156 truth side as a row-level export.
+    "q215_sampled_truth_pairs" ->
+      s"""WITH $shinglesCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          )
+          SELECT da AS doc_a, db AS doc_b,
+                 CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            AND ('0x' || substr(md5('audit_' || da), 1, 15))::BIGINT % 10000 < 5000""",
+
     // q112's audit with both sides anchor-gated to the deterministic
     // 50% doc_a sample before the compare.
     "q156_sampled_lsh_audit" ->
