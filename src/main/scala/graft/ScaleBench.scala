@@ -158,6 +158,22 @@ object ScaleBench {
             TextDedup.lshRescoredPairsSampled(
               sh, estThreshold = 0.5, threshold = 0.8, rateBps = 5000))
         }),
+      // round-13 RATE LAW: the pushed-down audit on the FULL ×K corpus
+      // at rateBps=100 (1%) — sampled-audit cost ∝ rate. The registered
+      // 50% fixture rate exists for oracle non-vacuity at sf0.01; at
+      // corpus scale the rate IS the dial (rate 5000 on the full ×100
+      // corpus still DNF'd on spill disk: per-group pair mass
+      // ∝ rate·K², SCALING.md r13).
+      "q156_rate100" ->
+        (() => TextDedup.recallAudit(
+          TextDedup.prefixJaccardPairsSampled(shingles, 0.8, rateBps = 100),
+          TextDedup.lshRescoredPairsSampled(
+            shingles, estThreshold = 0.5, threshold = 0.8, rateBps = 100,
+            precomputedSigs = Some(sigs)))),
+      // the REP-COLLAPSED audit (q216): exact-layer collapse first, so
+      // the audit is flat in copy count — the registered query shape.
+      "q216_audit_reps" ->
+        (() => SparkEntry.queries("q216_sampled_audit_reps")(spark, dir)),
       // Round-7 additions: image hashing/dedup and the label audit run
       // the REGISTERED query shape — image count and cell-blocked
       // candidate mass are the scale axes; the ×K corpus multiplies

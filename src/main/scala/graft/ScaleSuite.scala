@@ -36,9 +36,13 @@ object ScaleSuite {
   /** name → (reason, measured dial) — the round-12 substitution list. */
   private[graft] val Exclusions: Seq[(String, String)] = Seq(
     "q99_prefix_jaccard" ->
-      "exact full-universe pair truth: shuffle spill prop. to K^2 bytes (hit the disk wall at x100, r12); dial = q156 sampled audit, in-run",
+      "exact full-universe pair truth: shuffle spill prop. to K^2 bytes (hit the disk wall at x100, r12); dial = q216 rep-collapsed audit, in-run",
     "q112_lsh_recall_audit" ->
-      "consumes q99's full truth relation; dial = q156 sampled audit, in-run",
+      "consumes q99's full truth relation; dial = q216 rep-collapsed audit, in-run",
+    "q156_sampled_lsh_audit" ->
+      "anchor sampling divides cost by the rate but each K-copy group still contributes ~rate*K^2 sampled true pairs — at the registered 50% fixture rate the x100 spill still exceeds this box's disk (measured r13, gate pushdown verified in-plan); dials = q216 rep-collapsed audit (in-run, flat in K), ScaleBench q156_rate100 (cost prop. to rate) and q156_sampled slice row",
+    "q215_sampled_truth_pairs" ->
+      "q156's truth side as an export — same rate*K^2 sampled pair mass at the 50% fixture rate; same dials as q156",
     "q35_simhash_pairs" ->
       "full simhash pair EXPORT, output prop. to K^2; dial = q64 verdicts, in-run",
     "q144_triplet_mining" ->

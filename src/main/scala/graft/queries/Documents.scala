@@ -1367,6 +1367,33 @@ object Documents {
       TextDedup.prefixJaccardPairsSampled(
         sharedShingles(s, dir), 0.8, rateBps = 5000, seed = "audit")),
 
+    // The REP-COLLAPSED sampled audit — the form that holds on a
+    // dup-DENSE corpus. Anchor sampling divides audit cost by the rate
+    // but cannot linearize per-group quadratic pair mass: each K-copy
+    // duplicate group contributes ~rate·K² sampled true pairs, so at
+    // any fixed rate the ×K fixture's sampled truth still grows ∝ K²
+    // (measured to the disk wall at ×100, SCALING.md round 13) — while
+    // identical copies test NOTHING about LSH recall (the exact layer
+    // already owns them, q105's keeper contract). So the production
+    // audit collapses exact-duplicate texts to their keeper reps FIRST
+    // (min doc_id per fingerprint), then runs the SAME pushed-down
+    // sampled truth-vs-LSH compare over rep shingles: cost
+    // ∝ rate · rep-pair mass, independent of copy count — on the ×K
+    // corpus reps ≈ the base corpus, so the audit is flat in K.
+    "q216_sampled_audit_reps" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val reps = d.join(
+        TextDedup.exactDupGroups(
+            d, col("doc_id"), TextAnalysis.fingerprint(col("text")))
+          .select(col("keeper_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val sh = TextDedup.shingleRows(reps, col("doc_id"), col("text"), 3)
+      TextDedup.recallAudit(
+        TextDedup.prefixJaccardPairsSampled(sh, 0.8, rateBps = 5000, seed = "audit"),
+        TextDedup.lshRescoredPairsSampled(
+          sh, estThreshold = 0.5, threshold = 0.8, rateBps = 5000, seed = "audit"))
+    }),
+
     // Split-leakage audit: near-dup pairs straddling a split boundary
     // under the per-doc hash split vs the survivor-keyed split — the
     // survivor row is structurally ZERO and the oracle re-derives it.

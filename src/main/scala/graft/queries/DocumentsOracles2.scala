@@ -3550,6 +3550,92 @@ private[queries] object DocumentsOracles2 {
           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
             AND ('0x' || substr(md5('audit_' || da), 1, 15))::BIGINT % 10000 < 5000""",
 
+    // q156's audit over exact-dedup KEEPER REPS only (min doc_id per
+    // normalized-text fingerprint): the rep-collapsed shingle base,
+    // then the identical sampled truth-vs-LSH compare.
+    "q216_sampled_audit_reps" ->
+      """WITH reps AS (
+           SELECT MIN(doc_id) AS doc_id
+           FROM documents
+           GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+         ),
+         words AS (
+           SELECT d.doc_id, string_split_regex(trim(d.text), '\s+') AS ws
+           FROM documents d JOIN reps USING (doc_id)
+         ),
+         sh0 AS (
+           SELECT doc_id,
+                  CASE WHEN len(ws) >= 3
+                       THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                       ELSE []::VARCHAR[] END AS sh
+           FROM words
+         ),
+         sh AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+         hs AS (
+           SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h FROM sh
+         ),
+         sig AS (
+           SELECT doc_id, k,
+                  MIN(( (((k+1)*2654435761) % 2147483647) * h
+                        + (((k+7)*976369) % 2147483647) ) % 2147483647) AS minhash
+           FROM hs, (SELECT unnest(generate_series(0, 15)) AS k)
+           GROUP BY doc_id, k
+         ),
+         sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+         tinter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ),
+         truth AS (
+           SELECT da, db FROM tinter
+           JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+             AND ('0x' || substr(md5('audit_' || da), 1, 15))::BIGINT % 10000 < 5000
+         ),
+         bands AS (
+           SELECT doc_id, k // 2 AS band,
+                  SUM(CASE WHEN k % 2 = 0 THEN minhash * 2147483647 ELSE minhash END) AS band_key
+           FROM sig GROUP BY doc_id, k // 2
+         ),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         ),
+         est AS (
+           SELECT c.da, c.db
+           FROM cand c
+           JOIN sig sa ON sa.doc_id = c.da
+           JOIN sig sb ON sb.doc_id = c.db AND sb.k = sa.k
+           GROUP BY 1, 2
+           HAVING COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END) / 16.0 >= 0.5
+         ),
+         linter AS (
+           SELECT e.da, e.db, COUNT(1) AS i
+           FROM est e
+           JOIN sh a ON a.doc_id = e.da
+           JOIN sh b ON b.doc_id = e.db AND b.s = a.s
+           GROUP BY 1, 2
+         ),
+         lsh AS (
+           SELECT l.da, l.db FROM linter l
+           JOIN sizes sa ON sa.doc_id = l.da JOIN sizes sb ON sb.doc_id = l.db
+           WHERE CAST(l.i AS DOUBLE) / (sa.n + sb.n - l.i) >= 0.8
+             AND ('0x' || substr(md5('audit_' || l.da), 1, 15))::BIGINT % 10000 < 5000
+         ),
+         j AS (
+           SELECT CAST(COUNT(CASE WHEN t.da IS NOT NULL AND l.da IS NOT NULL THEN 1 END) AS BIGINT) AS tp,
+                  CAST(COUNT(CASE WHEN t.da IS NOT NULL AND l.da IS NULL THEN 1 END) AS BIGINT) AS fn,
+                  CAST(COUNT(CASE WHEN t.da IS NULL AND l.da IS NOT NULL THEN 1 END) AS BIGINT) AS fp
+           FROM truth t FULL OUTER JOIN lsh l ON t.da = l.da AND t.db = l.db
+         )
+         SELECT tp + fn AS n_truth, tp + fp AS n_candidate, tp, fn, fp,
+                (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm,
+                (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm
+         FROM j""",
+
     // q112's audit with both sides anchor-gated to the deterministic
     // 50% doc_a sample before the compare.
     "q156_sampled_lsh_audit" ->
