@@ -170,10 +170,28 @@ object ScaleBench {
           TextDedup.lshRescoredPairsSampled(
             shingles, estThreshold = 0.5, threshold = 0.8, rateBps = 100,
             precomputedSigs = Some(sigs)))),
-      // the REP-COLLAPSED audit (q216): exact-layer collapse first, so
-      // the audit is flat in copy count — the registered query shape.
-      "q216_audit_reps" ->
-        (() => SparkEntry.queries("q216_sampled_audit_reps")(spark, dir)),
+      // the REP-COLLAPSED audit (q216) at the 1% rate: exact collapse
+      // absorbs the fixture's EXACT copy half (even copies); the odd
+      // one-word VARIANTS are genuine near-dups an audit must count,
+      // and for those the rate is the dial. At the registered 50%
+      // fixture rate even the rep relation spills past this box's disk
+      // at ×100 (measured r13: 69 GB watermark at kill) — the
+      // production audit samples a fraction, not half.
+      "q216_rate100" ->
+        (() => {
+          val d = docs
+          val reps = d.join(
+            TextDedup.exactDupGroups(
+                d, col("doc_id"),
+                graft.operators.TextAnalysis.fingerprint(col("text")))
+              .select(col("keeper_doc_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          val sh = TextDedup.shingleRows(reps, col("doc_id"), col("text"), 3)
+          TextDedup.recallAudit(
+            TextDedup.prefixJaccardPairsSampled(sh, 0.8, rateBps = 100),
+            TextDedup.lshRescoredPairsSampled(
+              sh, estThreshold = 0.5, threshold = 0.8, rateBps = 100))
+        }),
       // Round-7 additions: image hashing/dedup and the label audit run
       // the REGISTERED query shape — image count and cell-blocked
       // candidate mass are the scale axes; the ×K corpus multiplies

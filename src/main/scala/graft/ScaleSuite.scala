@@ -43,6 +43,8 @@ object ScaleSuite {
       "anchor sampling divides cost by the rate but each K-copy group still contributes ~rate*K^2 sampled true pairs — at the registered 50% fixture rate the x100 spill still exceeds this box's disk (measured r13, gate pushdown verified in-plan); dials = q216 rep-collapsed audit (in-run, flat in K), ScaleBench q156_rate100 (cost prop. to rate) and q156_sampled slice row",
     "q215_sampled_truth_pairs" ->
       "q156's truth side as an export — same rate*K^2 sampled pair mass at the 50% fixture rate; same dials as q156",
+    "q216_sampled_audit_reps" ->
+      "exact collapse absorbs the fixture's EXACT copy half, but the xK generator's odd copies are one-word VARIANTS — genuine near-dups an audit must count — so at the 50% fixture rate rep-pair mass is still ~rate*base*(K/2)^2 (measured r13: 69 GB spill watermark at x100 before kill); dial = the RATE (ScaleBench q216_rate100 / q156_rate100, cost prop. to rate). On corpora whose duplicate mass is exact copies, q216 is additionally flat in K",
     "q35_simhash_pairs" ->
       "full simhash pair EXPORT, output prop. to K^2; dial = q64 verdicts, in-run",
     "q144_triplet_mining" ->
