@@ -19,6 +19,11 @@ package graft
   * chunk's working set, not the union of every chunk's
   * corpus-proportional artifacts (the round-12 48 GB finding; with
   * DISK_ONLY artifacts + per-chunk release the suite holds in 24 GB).
+  * KNOWN CEILING (measured r13, ×100): q84's own shuffle working set
+  * OOMs a 24 GB JVM — run it as a one-query subset at
+  * SPARK_DRIVER_MEM=32g; an OOM stops the shared SparkContext, so the
+  * rest of its chunk records −1 and must be re-run (the suite cannot
+  * survive a JVM-level OOM by design — a fresh context would hide it).
   *
   * The EXCLUSION LIST is part of the protocol, not an operator
   * choice: each entry names a registered query whose ×K cost is

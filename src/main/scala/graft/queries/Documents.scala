@@ -33,6 +33,24 @@ object Documents {
     shingleCache(s, dir)(
       TextDedup.shingleRows(Tables.documents(s, dir), col("doc_id"), col("text"), 3))
 
+  // Shingles over exact-dedup KEEPER REPS (min doc_id per normalized
+  // fingerprint) — the once-per-snapshot shingle base of the
+  // rep-collapsed audit (q216). Linear in the corpus, so the cache
+  // boundary is safe: the audit's anchor gate applies at the pair
+  // joins ABOVE this relation, and pushdown INTO a linear shingle
+  // build buys nothing.
+  private val repShingleCache = new DirCached
+  private def sharedRepShingles(s: SparkSession, dir: String): DataFrame =
+    repShingleCache(s, dir) {
+      val d = Tables.documents(s, dir)
+      val reps = d.join(
+        TextDedup.exactDupGroups(
+            d, col("doc_id"), TextAnalysis.fingerprint(col("text")))
+          .select(col("keeper_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      TextDedup.shingleRows(reps, col("doc_id"), col("text"), 3)
+    }
+
   private val winnowCache = new DirCached
   private def sharedWinnowFps(s: SparkSession, dir: String): DataFrame =
     winnowCache(s, dir)(
@@ -1381,13 +1399,7 @@ object Documents {
     // ∝ rate · rep-pair mass, independent of copy count — on the ×K
     // corpus reps ≈ the base corpus, so the audit is flat in K.
     "q216_sampled_audit_reps" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val reps = d.join(
-        TextDedup.exactDupGroups(
-            d, col("doc_id"), TextAnalysis.fingerprint(col("text")))
-          .select(col("keeper_doc_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val sh = TextDedup.shingleRows(reps, col("doc_id"), col("text"), 3)
+      val sh = sharedRepShingles(s, dir)
       TextDedup.recallAudit(
         TextDedup.prefixJaccardPairsSampled(sh, 0.8, rateBps = 5000, seed = "audit"),
         TextDedup.lshRescoredPairsSampled(

@@ -53,6 +53,38 @@ class Round13OperatorsSpec extends SparkSpec {
     assert(now.toSeq === old.toSeq)
   }
 
+  test("q216 rep collapse: identical-fingerprint docs collapse to the min-id keeper, and the registered audit (shared rep-shingle artifact) equals the from-scratch construction") {
+    val dir = sf("sf0.01")
+    val d   = graft.Tables.documents(spark, dir)
+    val groups = TextDedup.exactDupGroups(
+      d, col("doc_id"), TextAnalysis.fingerprint(col("text")))
+    // keeper = min id of its group; one rep per distinct fingerprint.
+    // The sf0.01 corpus has no exact dups (collapse is a no-op there —
+    // q216 ≡ q156 over the full corpus, which the oracle covers), so
+    // the collapse itself is pinned on an ENGINEERED fixture: 1 and 2
+    // share a fingerprint (punctuation/case edits), 3 is distinct.
+    val s = spark; import s.implicits._
+    val eng = Seq(
+      (1L, "Alpha beta, gamma!"), (2L, "alpha BETA gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val engKeepers = TextDedup.exactDupGroups(
+        eng, col("doc_id"), TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => (r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("n_docs"))).toSet
+    assert(engKeepers === Set((1L, 2L), (3L, 1L)))
+    // on the driver fixture: one group per doc, every doc its own keeper
+    val keepers = groups.collect().map(_.getAs[Long]("keeper_doc_id")).toSet
+    assert(keepers === d.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the registered q216 (built over the shared rep-shingle artifact)
+    // equals the same audit built from scratch
+    val reps = d.join(groups.select(col("keeper_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val sh   = TextDedup.shingleRows(reps, col("doc_id"), col("text"), 3)
+    val scratch = TextDedup.recallAudit(
+      TextDedup.prefixJaccardPairsSampled(sh, 0.8, 5000, "audit"),
+      TextDedup.lshRescoredPairsSampled(sh, 0.5, 0.8, 5000, "audit")).collect().head
+    val got = SparkEntry.queries("q216_sampled_audit_reps")(spark, dir).collect().head
+    assert(got.toSeq === scratch.toSeq)
+  }
+
   test("rateBps bounds are validated on both sampled variants") {
     val sh = shingles(sf("sf0.001"))
     for (bad <- Seq(0, -1, 10001)) {
