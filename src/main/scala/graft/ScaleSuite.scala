@@ -19,11 +19,16 @@ package graft
   * chunk's working set, not the union of every chunk's
   * corpus-proportional artifacts (the round-12 48 GB finding; with
   * DISK_ONLY artifacts + per-chunk release the suite holds in 24 GB).
-  * KNOWN CEILING (measured r13, ×100): q84's own shuffle working set
-  * OOMs a 24 GB JVM — run it as a one-query subset at
-  * SPARK_DRIVER_MEM=32g; an OOM stops the shared SparkContext, so the
-  * rest of its chunk records −1 and must be re-run (the suite cannot
-  * survive a JVM-level OOM by design — a fresh context would hide it).
+  * KNOWN CEILING (measured r13, ×100): q84's shuffle working set OOMs
+  * a 24 GB JVM at the default 32 shuffle partitions. The right dial is
+  * parallelism, not heap: `SPARK_GRAFT_SHUFFLE_PARTITIONS=256` sizes
+  * partitions to task memory at ×100 (q84 completes at 24 GB, 414.8 s
+  * vs 396.4 s at 32 GB/32 partitions — AQE coalesces the small
+  * shuffles back down, so the rest of the suite is unaffected). If a
+  * JVM-level OOM does happen, it stops the shared SparkContext and the
+  * rest of the chunk records −1 — re-run those names as a subset (the
+  * suite cannot survive a dead context by design; a silent fresh
+  * context would hide the OOM).
   *
   * The EXCLUSION LIST is part of the protocol, not an operator
   * choice: each entry names a registered query whose ×K cost is
