@@ -59,6 +59,23 @@ object Bench {
     case object NeedsRefloor          extends Adjudication // 2–4 band: refloor before stamping
   }
 
+  /** The suite's plan fingerprint: SHA-256 (first 8 bytes) of the
+    * CANONICALIZED optimized logical plan, with every cached artifact
+    * (InMemoryRelation) normalized to a schema-only leaf — a cache
+    * node embeds its materialized physical plan + stats, which change
+    * with cache/materialization ORDER, not plan shape. Shared by the
+    * bench regression classifier and GraftSessionSpec's
+    * dial-invariance pin (one definition of "same plan"). */
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val normalized = df.queryExecution.optimizedPlan.transform {
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(imr.output)
+    }
+    val s  = normalized.canonicalized.toString
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
+
   private[graft] def stillRegressed(
       prior: Double, measured: Double, drift: Double): Boolean =
     measured < 0 || (measured > 1.5 * prior * drift && measured - prior * drift > 0.15)
@@ -140,15 +157,7 @@ object Bench {
     // so the fingerprint sees the CONSUMING plan's shape, which is
     // the thing a regression classifier needs.
     def planFp(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): String =
-      try {
-        val normalized = fn(spark, sfDir).queryExecution.optimizedPlan.transform {
-          case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-            org.apache.spark.sql.catalyst.plans.logical.LocalRelation(imr.output)
-        }
-        val s  = normalized.canonicalized.toString
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-      } catch { case _: Throwable => "err" }
+      try planFingerprint(fn(spark, sfDir)) catch { case _: Throwable => "err" }
     val planFps = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }

@@ -8,6 +8,12 @@ package graft.queries
 class DirCachedSpec extends graft.SparkSpec {
 
   test("releaseAll unpersists and clears every registered cache; the next access rebuilds") {
+    // Registry growth is tolerated BY DESIGN: every `new DirCached`
+    // registers in the process-wide instance list for the life of the
+    // JVM (production instances are a fixed set of `private val`s in
+    // the query packs — the list is bounded there). The two test
+    // instances below stay registered after this test, but released
+    // and empty, so each later releaseAll sweep pays O(1) per ghost.
     val c1 = new DirCached
     val c2 = new DirCached
     var builds1 = 0
