@@ -192,6 +192,24 @@ object ScaleBench {
             TextDedup.lshRescoredPairsSampled(
               sh, estThreshold = 0.5, threshold = 0.8, rateBps = 100))
         }),
+      // round-14 FIXED-BUDGET law (q217): gate BOTH sides with
+      // independent hashes and scale BOTH rates ∝ 1/K — per-group
+      // sampled pair mass rate_a·rate_b·K² is then CONSTANT in copy
+      // count (0.25× base-group mass at every K), where the one-sided
+      // q156 form at any fixed rate still grows ∝ K². K is inferred
+      // from the corpus (base = 5 000 docs), so the same row measures
+      // ×1/×10/×100 at rates 5000/500/50 bps — the flat-in-K evidence.
+      "q217_budget" ->
+        (() => {
+          val k    = math.max(1L, math.round(docs.count() / 5000.0))
+          val rate = math.max(1, (5000L / k).toInt)
+          TextDedup.recallAudit(
+            TextDedup.prefixJaccardPairsSampledBoth(shingles, 0.8, rate, rate),
+            TextDedup.lshRescoredPairsSampledBoth(
+              shingles, estThreshold = 0.5, threshold = 0.8,
+              rateABps = rate, rateBBps = rate,
+              precomputedSigs = Some(sigs)))
+        }),
       // Round-7 additions: image hashing/dedup and the label audit run
       // the REGISTERED query shape — image count and cell-blocked
       // candidate mass are the scale axes; the ×K corpus multiplies

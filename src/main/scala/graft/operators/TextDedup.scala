@@ -538,10 +538,50 @@ object TextDedup {
       anchorGate = Some(id => Portable.sampleGate(id, rateBps, seed)))
   }
 
+  /** [[prefixJaccardPairs]] restricted to a TWO-SIDED hash sample —
+    * the audit truth that stays FLAT on variant-heavy corpora. The
+    * one-sided gate ([[prefixJaccardPairsSampled]]) divides pair mass
+    * by its rate, but each sampled anchor still pairs with ALL K
+    * members of its duplicate group: per-group sampled pair mass is
+    * ~rate·K², so at any fixed rate a ×K corpus grows quadratically
+    * (the round-13 69 GB spill at the 50% fixture rate — exact
+    * collapse, q216's dial, only removes the EXACT-copy half). Gating
+    * BOTH sides with INDEPENDENT gates makes pair mass
+    * rate_a·rate_b·K²: scale both rates ∝ 1/K and the pair budget is
+    * FIXED at any K, while anchors per group (rate_a·K) stay
+    * populated. Identical relation to
+    * `prefixJaccardPairs(sh, t).filter(gateA(doc_a) && gateB(doc_b))`
+    * (each gate pushed below the pair-forming join on its own side —
+    * doc_a ≡ a.doc_id, doc_b ≡ b.doc_id), and both prefixes still use
+    * the FULL-universe df order and bounds, so sampled pairs carry
+    * their exact Jaccard. The same gated pair UNIVERSE must be applied
+    * to the candidate relation ([[lshRescoredPairsSampledBoth]], same
+    * rates/seeds) — then recall over the sample estimates recall over
+    * all pairs without bias (every pair is included with the same
+    * probability rate_a·rate_b, independent of whether LSH finds it).
+    * The trade is variance, not cost: fewer sampled pairs ⇒ wider
+    * error bars on recall_ppm — the production posture picks rates for
+    * a target pair budget, not a target doc count. */
+  def prefixJaccardPairsSampledBoth(
+      shRaw: DataFrame,
+      threshold: Double,
+      rateABps: Int,
+      rateBBps: Int,
+      seedA: String = "audit",
+      seedB: String = "partner"): DataFrame = {
+    require(rateABps > 0 && rateABps <= 10000, s"rateABps must be in (0, 10000]: $rateABps")
+    require(rateBBps > 0 && rateBBps <= 10000, s"rateBBps must be in (0, 10000]: $rateBBps")
+    prefixJaccardPairsImpl(
+      shRaw, threshold,
+      anchorGate  = Some(id => Portable.sampleGate(id, rateABps, seedA)),
+      partnerGate = Some(id => Portable.sampleGate(id, rateBBps, seedB)))
+  }
+
   private def prefixJaccardPairsImpl(
       shRaw: DataFrame,
       threshold: Double,
-      anchorGate: Option[Column => Column]): DataFrame = {
+      anchorGate: Option[Column => Column],
+      partnerGate: Option[Column => Column] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1] (got $threshold)")
     val sh    = shRaw.select(col("doc_id"), col("s")).distinct()
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
@@ -555,11 +595,15 @@ object TextDedup {
       .filter(col("__r") <= col("n") - alpha + 1)
       .select(col("doc_id"), col("s"), col("n"))
     // anchor gate BELOW the pair join: doc_a ≡ a.doc_id, so gating the
-    // a-side prefix is exactly a doc_a post-filter — minus the K² join
+    // a-side prefix is exactly a doc_a post-filter — minus the K² join.
+    // The partner gate (two-sided mode) is the same move on the b-side
+    // — and the joint candidate volume per hot shingle shrinks to
+    // rate_a·rate_b·df², the flat-at-any-K budget.
     val prefixA = anchorGate.fold(prefix)(g => prefix.filter(g(col("doc_id"))))
+    val prefixB = partnerGate.fold(prefix)(g => prefix.filter(g(col("doc_id"))))
     val cands = prefixA.as("a")
       .join(
-        prefix.as("b"),
+        prefixB.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           // J ≥ t needs |A∩B| ≥ t·max(n_a,n_b) and |A∩B| ≤ min(n_a,n_b)
           col("b.n") >= lit(threshold) * col("a.n") - lit(1e-9) &&
@@ -763,7 +807,8 @@ object TextDedup {
       sigs: DataFrame,
       estThreshold: Double,
       maxBandDf: Option[Long],
-      anchorGate: Option[Column => Column]): DataFrame = {
+      anchorGate: Option[Column => Column],
+      partnerGate: Option[Column => Column] = None): DataFrame = {
     val bands0 = bandRows(sigs)
     val bands = maxBandDf match {
       case None => bands0
@@ -784,11 +829,13 @@ object TextDedup {
     // exactly a doc_a post-filter on the candidate relation — but the
     // band self-join and the rescore only ever see sampled anchors.
     // The df cap above is computed over the FULL band relation first,
-    // so capped-bucket semantics are gate-invariant.
+    // so capped-bucket semantics are gate-invariant. The partner gate
+    // (two-sided mode) mirrors the move on the b-side band rows.
     val bandsA = anchorGate.fold(bands)(g => bands.filter(g(col("doc_id"))))
+    val bandsB = partnerGate.fold(bands)(g => bands.filter(g(col("doc_id"))))
     val cands = bandsA.as("a")
       .join(
-        bands.as("b"),
+        bandsB.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -931,6 +978,38 @@ object TextDedup {
     val cands = lshPairsImpl(
       sigs, estThreshold, maxBandDf,
       anchorGate = Some(id => Portable.sampleGate(id, rateBps, seed)))
+      .select(col("doc_a"), col("doc_b"))
+    rescoreCandidates(cands, sh, threshold)
+  }
+
+  /** [[lshRescoredPairs]] restricted to the TWO-SIDED hash sample —
+    * the candidate side of the fixed-budget audit
+    * ([[prefixJaccardPairsSampledBoth]] holds the why): the anchor
+    * gate filters the a-side band rows and the partner gate the
+    * b-side, both BELOW the band self-join, so candidates and the
+    * exact rescore move only the doubly-sampled pair universe.
+    * Identical relation to
+    * `lshRescoredPairs(...).filter(gateA(doc_a) && gateB(doc_b))`;
+    * the df cap stays computed over the FULL band relation, so
+    * capped-bucket semantics are gate-invariant. */
+  def lshRescoredPairsSampledBoth(
+      shRows: DataFrame,
+      estThreshold: Double,
+      threshold: Double,
+      rateABps: Int,
+      rateBBps: Int,
+      seedA: String = "audit",
+      seedB: String = "partner",
+      maxBandDf: Option[Long] = None,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    require(rateABps > 0 && rateABps <= 10000, s"rateABps must be in (0, 10000]: $rateABps")
+    require(rateBBps > 0 && rateBBps <= 10000, s"rateBBps must be in (0, 10000]: $rateBBps")
+    val sh   = shRows.select(col("doc_id"), col("s")).distinct()
+    val sigs = precomputedSigs.getOrElse(minhashSignaturesFromRows(shRows))
+    val cands = lshPairsImpl(
+      sigs, estThreshold, maxBandDf,
+      anchorGate  = Some(id => Portable.sampleGate(id, rateABps, seedA)),
+      partnerGate = Some(id => Portable.sampleGate(id, rateBBps, seedB)))
       .select(col("doc_a"), col("doc_b"))
     rescoreCandidates(cands, sh, threshold)
   }

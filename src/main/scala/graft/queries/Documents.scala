@@ -1406,6 +1406,28 @@ object Documents {
           sh, estThreshold = 0.5, threshold = 0.8, rateBps = 5000, seed = "audit"))
     }),
 
+    // The TWO-SIDED sampled audit — the estimator that stays flat on
+    // VARIANT-heavy corpora, where q216's exact collapse can't help
+    // (one-word variants are genuine near-dups an audit must count).
+    // Independent anchor/partner hash gates, each pushed below the
+    // pair-forming joins on its own side of BOTH the truth and LSH
+    // relations (PlanSpec-pinned): the same gated pair universe on
+    // each side keeps recall unbiased, and per-group sampled pair
+    // mass becomes rate_a·rate_b·K² — scale both rates ∝ 1/K and the
+    // pair budget is FIXED at any copy count (ScaleBench q217_budget
+    // rows measure it at ×10/×100). Registered at the 50%/50% fixture
+    // rates so the sf0.01 oracle row is non-vacuous.
+    "q217_two_sided_audit" -> ((s, dir) => {
+      val sh = sharedShingles(s, dir)
+      TextDedup.recallAudit(
+        TextDedup.prefixJaccardPairsSampledBoth(
+          sh, 0.8, rateABps = 5000, rateBBps = 5000),
+        TextDedup.lshRescoredPairsSampledBoth(
+          sh, estThreshold = 0.5, threshold = 0.8,
+          rateABps = 5000, rateBBps = 5000,
+          precomputedSigs = Some(sharedSigs(s, dir))))
+    }),
+
     // Split-leakage audit: near-dup pairs straddling a split boundary
     // under the per-doc hash split vs the survivor-keyed split — the
     // survivor row is structurally ZERO and the oracle re-derives it.

@@ -3692,6 +3692,67 @@ private[queries] object DocumentsOracles2 {
           SELECT tp + fn AS n_truth, tp + fp AS n_candidate, tp, fn, fp,
                  (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm,
                  (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm
+          FROM j""",
+
+    // q156's audit with the pair universe gated on BOTH sides:
+    // independent 50% hash gates on doc_a (seed 'audit') and doc_b
+    // (seed 'partner'), applied to truth and LSH alike.
+    "q217_two_sided_audit" ->
+      s"""WITH $sigCte,
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+          tinter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ),
+          truth AS (
+            SELECT da, db FROM tinter
+            JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+              AND ('0x' || substr(md5('audit_' || da), 1, 15))::BIGINT % 10000 < 5000
+              AND ('0x' || substr(md5('partner_' || db), 1, 15))::BIGINT % 10000 < 5000
+          ),
+          bands AS (
+            SELECT doc_id, k // 2 AS band,
+                   SUM(CASE WHEN k % 2 = 0 THEN minhash * 2147483647 ELSE minhash END) AS band_key
+            FROM sig GROUP BY doc_id, k // 2
+          ),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          ),
+          est AS (
+            SELECT c.da, c.db
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db AND sb.k = sa.k
+            GROUP BY 1, 2
+            HAVING COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END) / 16.0 >= 0.5
+          ),
+          linter AS (
+            SELECT e.da, e.db, COUNT(1) AS i
+            FROM est e
+            JOIN sh a ON a.doc_id = e.da
+            JOIN sh b ON b.doc_id = e.db AND b.s = a.s
+            GROUP BY 1, 2
+          ),
+          lsh AS (
+            SELECT l.da, l.db FROM linter l
+            JOIN sizes sa ON sa.doc_id = l.da JOIN sizes sb ON sb.doc_id = l.db
+            WHERE CAST(l.i AS DOUBLE) / (sa.n + sb.n - l.i) >= 0.8
+              AND ('0x' || substr(md5('audit_' || l.da), 1, 15))::BIGINT % 10000 < 5000
+              AND ('0x' || substr(md5('partner_' || l.db), 1, 15))::BIGINT % 10000 < 5000
+          ),
+          j AS (
+            SELECT CAST(COUNT(CASE WHEN t.da IS NOT NULL AND l.da IS NOT NULL THEN 1 END) AS BIGINT) AS tp,
+                   CAST(COUNT(CASE WHEN t.da IS NOT NULL AND l.da IS NULL THEN 1 END) AS BIGINT) AS fn,
+                   CAST(COUNT(CASE WHEN t.da IS NULL AND l.da IS NOT NULL THEN 1 END) AS BIGINT) AS fp
+            FROM truth t FULL OUTER JOIN lsh l ON t.da = l.da AND t.db = l.db
+          )
+          SELECT tp + fn AS n_truth, tp + fp AS n_candidate, tp, fn, fp,
+                 (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm,
+                 (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm
           FROM j"""
   )
 

@@ -355,6 +355,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q217 two-sided audit: the anchor gate sits below the LEFT and the partner gate below the RIGHT of both pair-forming joins — and neither leaks to the other side") {
+    // The fixed-budget estimator only works if BOTH independent gates
+    // reach below the quadratic pair-forming self-joins (PPJoin prefix
+    // join + LSH band join) on their OWN side: anchor (seed 'audit')
+    // gates the a-subtree, partner (seed 'partner') the b-subtree.
+    // An anchor gate leaking into the right subtree (or vice versa)
+    // would silently square the sampling rate on one side; a missing
+    // partner gate degrades to q156's rate·K² pair mass. (q156's own
+    // pin — partner side UNGATED — stays as-is; its semantics differ.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    val df = SparkEntry.queries("q217_two_sided_audit")(spark, sf("sf0.01"))
+    val p  = df.queryExecution.optimizedPlan
+    def hasGate(pl: LogicalPlan, seed: String): Boolean =
+      pl.collect {
+        case f: Filter if f.condition.sql.contains("pmod") &&
+          f.condition.sql.contains("10000") && f.condition.sql.contains(seed) => f
+      }.nonEmpty
+    val pairJoins = p.collect {
+      case j: Join if j.condition.exists(_.sql.contains("a.doc_id < b.doc_id")) => j
+    }
+    assert(pairJoins.size === 2,
+      s"expected the PPJoin prefix join + the LSH band join, found ${pairJoins.size}")
+    pairJoins.foreach { j =>
+      assert(hasGate(j.left, "audit"),
+        s"anchor gate missing BELOW the pair join's left: ${j.condition.map(_.sql)}")
+      assert(hasGate(j.right, "partner"),
+        s"partner gate missing BELOW the pair join's right: ${j.condition.map(_.sql)}")
+      assert(!hasGate(j.left, "partner"), "partner gate leaked into the anchor side")
+      assert(!hasGate(j.right, "audit"), "anchor gate leaked into the partner side")
+    }
+  }
+
   test("q56 stratified sample: pure filter before the aggregate, pruned scan") {
     val df = SparkEntry.queries("q56_stratified_sample")(spark, sf())
     val s  = planString(df)
