@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** The FULL-SUITE scale run as one repeatable command — round 12's ten
   * hand-driven chunks (env flags, substitution list, heap settings)
   * promoted into a main so a re-run cannot silently drop a
@@ -19,16 +21,30 @@ package graft
   * chunk's working set, not the union of every chunk's
   * corpus-proportional artifacts (the round-12 48 GB finding; with
   * DISK_ONLY artifacts + per-chunk release the suite holds in 24 GB).
-  * KNOWN CEILING (measured r13, ×100): q84's shuffle working set OOMs
-  * a 24 GB JVM at the default 32 shuffle partitions. The right dial is
-  * parallelism, not heap: `SPARK_GRAFT_SHUFFLE_PARTITIONS=256` sizes
-  * partitions to task memory at ×100 (q84 completes at 24 GB, 414.8 s
-  * vs 396.4 s at 32 GB/32 partitions — AQE coalesces the small
-  * shuffles back down, so the rest of the suite is unaffected). If a
-  * JVM-level OOM does happen, it stops the shared SparkContext and the
-  * rest of the chunk records −1 — re-run those names as a subset (the
-  * suite cannot survive a dead context by design; a silent fresh
-  * context would hide the OOM).
+  *
+  * SHUFFLE PARTITIONS ARE PART OF THE PROTOCOL (round-13 finding):
+  * q84's shuffle working set OOMs a 24 GB JVM at the default 32
+  * partitions — the right dial is parallelism, not heap, and
+  * 256 partitions size tasks to memory at ×100 (q84: 414.8 s at
+  * 24 GB/256 vs 396.4 s at 32 GB/32; AQE coalesces the small shuffles
+  * back down, so the rest of the suite is unaffected —
+  * GraftSessionSpec pins the plan invariance). The suite therefore
+  * DEFAULTS the dial to 256 when neither SPARK_GRAFT_SHUFFLE_PARTITIONS
+  * nor -Dgraft.shufflePartitions is set, and echoes the effective
+  * value in the output JSON — the documented command needs no extra
+  * env var and a re-run cannot silently drop the sizing.
+  *
+  * FAILURE PROTOCOL: an ordinary throwing query records −1 and the
+  * suite continues. A VirtualMachineError (OOM and kin) marks the
+  * WHOLE REMAINING RUN tainted: the current query records −1, every
+  * not-yet-run query records −1 unattempted, and the output carries a
+  * `fatal` field — after a fatal the JVM's heap (and possibly the
+  * SparkContext) is degraded, and timing the rest "as if clean" would
+  * stamp garbage floors. Whenever any query records −1, the output's
+  * `recovery` field carries the EXACT subset re-run command (env +
+  * runMain + the failed names) so the operator runbook is mechanical
+  * — the recorded artifact of a suite run plus its recovery runs is
+  * complete without improvisation.
   *
   * The EXCLUSION LIST is part of the protocol, not an operator
   * choice: each entry names a registered query whose ×K cost is
@@ -38,8 +54,8 @@ package graft
   * swap is impossible.
   *
   * Output: one `{"metric":"scale_suite",...}` JSON line (stdout, last)
-  * with per-query warm seconds, failures, exclusions, and totals —
-  * the SCALING.md ×100 table's source of truth.
+  * with per-query warm seconds, failures, exclusions, recovery and
+  * totals — the SCALING.md ×100 table's source of truth.
   */
 object ScaleSuite {
 
@@ -50,11 +66,13 @@ object ScaleSuite {
     "q112_lsh_recall_audit" ->
       "consumes q99's full truth relation; dial = q216 rep-collapsed audit, in-run",
     "q156_sampled_lsh_audit" ->
-      "anchor sampling divides cost by the rate but each K-copy group still contributes ~rate*K^2 sampled true pairs — at the registered 50% fixture rate the x100 spill still exceeds this box's disk (measured r13, gate pushdown verified in-plan); dials = q216 rep-collapsed audit (in-run, flat in K), ScaleBench q156_rate100 (cost prop. to rate) and q156_sampled slice row",
+      "anchor sampling divides cost by the rate but each K-copy group still contributes ~rate*K^2 sampled true pairs — at the registered 50% fixture rate the x100 spill still exceeds this box's disk (measured r13, gate pushdown verified in-plan); dials = q217 two-sided gate (in-run at budget rates, pair mass rate_a*rate_b*K^2), q216 rep-collapsed audit (in-run, flat in K where dup mass is exact), ScaleBench q156_rate100 (cost prop. to rate)",
     "q215_sampled_truth_pairs" ->
       "q156's truth side as an export — same rate*K^2 sampled pair mass at the 50% fixture rate; same dials as q156",
     "q216_sampled_audit_reps" ->
       "exact collapse absorbs the fixture's EXACT copy half, but the xK generator's odd copies are one-word VARIANTS — genuine near-dups an audit must count — so at the 50% fixture rate rep-pair mass is still ~rate*base*(K/2)^2 (measured r13: 69 GB spill watermark at x100 before kill); dial = the RATE (ScaleBench q216_rate100 / q156_rate100, cost prop. to rate). On corpora whose duplicate mass is exact copies, q216 is additionally flat in K",
+    "q217_two_sided_audit" ->
+      "registered at the 50% oracle fixture rates, where two-sided pair mass (0.25*K^2 per group) still spills past this box at x100; the production posture scales BOTH rates 1/K for a FIXED pair budget at any K — measured flat x10->x100 in ScaleBench q217_budget rows",
     "q35_simhash_pairs" ->
       "full simhash pair EXPORT, output prop. to K^2; dial = q64 verdicts, in-run",
     "q144_triplet_mining" ->
@@ -74,37 +92,47 @@ object ScaleSuite {
     "q214_crossmodal_decontamination" ->
       "same uncapped pair input as q210; dial = ScaleBench q214_decontamination_capped (11.4 s)")
 
-  def main(args: Array[String]): Unit = {
-    val dir       = args.lift(0).getOrElse("/tmp/sfsuite100")
-    val chunkSize = args.lift(1).map(_.toInt).getOrElse(20)
+  /** The suite body, seam-separated from `main` so ScaleSuiteSpec can
+    * drive it with an injected query map (a throwing query, a fatal
+    * query) and a captured log. Returns the final JSON line; chunk
+    * progress lines go through `log`. */
+  private[graft] def run(
+      spark: SparkSession,
+      dir: String,
+      chunkSize: Int,
+      only: Set[String],
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      log: String => Unit = println): String = {
     require(chunkSize > 0, s"chunkSize must be positive (got $chunkSize)")
-    require(
-      new java.io.File(s"$dir/documents.parquet").exists(),
-      s"$dir does not look like a corpus dir (no documents.parquet) — " +
-        "generate it with graft.ScaleData first")
     val excluded = Exclusions.map(_._1).toSet
-    val unknown  = excluded.diff(SparkEntry.queries.keySet)
+    val unknown  = excluded.diff(queries.keySet)
     require(unknown.isEmpty, s"exclusion list names unknown queries: $unknown")
-    // optional trailing args = subset run (ad-hoc chunk re-measures);
-    // the exclusion list still applies — a subset cannot smuggle an
-    // excluded query back in without editing the protocol
-    val only = args.drop(2).toSet
-    val unknownOnly = only.diff(SparkEntry.queries.keySet)
+    // a subset run cannot smuggle an excluded query back in without
+    // editing the protocol
+    val unknownOnly = only.diff(queries.keySet)
     require(unknownOnly.isEmpty, s"unknown query name(s): $unknownOnly")
     require(only.intersect(excluded).isEmpty,
       s"subset names excluded queries: ${only.intersect(excluded)} — run their dials instead")
-    val names = SparkEntry.queries.keySet.diff(excluded)
+    val names = queries.keySet.diff(excluded)
       .filter(n => only.isEmpty || only.contains(n)).toSeq.sorted
 
-    val spark = GraftSession.local()
     def loadAvg(): Double =
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // set on the first VirtualMachineError; from then on NOTHING else
+    // runs — a post-OOM JVM times garbage even when the context lives
+    var fatal: Option[String] = None
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, dir).count() }
+      try { queries(name)(spark, dir).count() }
       catch {
+        case e: VirtualMachineError =>
+          fatal = Some(s"${e.getClass.getSimpleName} at $name: " +
+            s"${Option(e.getMessage).getOrElse("").take(120)}")
+          System.err.println(s"[scale-suite] FATAL — ${fatal.get}; remaining queries " +
+            "recorded -1 unattempted (see the recovery field)")
+          return -1.0
         case e: Throwable =>
           System.err.println(s"[scale-suite] $name failed: ${e.getClass.getSimpleName}: " +
             s"${Option(e.getMessage).getOrElse("").take(200)}")
@@ -117,10 +145,13 @@ object ScaleSuite {
     names.grouped(chunkSize).zipWithIndex.foreach { case (chunk, ci) =>
       val t0 = System.nanoTime()
       chunk.foreach { name =>
-        System.gc()
-        val cold = once(name)
-        val warm = if (cold >= 0) math.min(once(name), once(name)) else -1.0
-        results += ((name, cold, warm))
+        if (fatal.isDefined) results += ((name, -1.0, -1.0))
+        else {
+          System.gc()
+          val cold = once(name)
+          val warm = if (cold >= 0) math.min(once(name), once(name)) else -1.0
+          results += ((name, cold, warm))
+        }
       }
       // release EVERY query pack's shared artifacts: the next chunk
       // rebuilds what it needs (the fresh-JVM-per-chunk isolation of
@@ -128,7 +159,7 @@ object ScaleSuite {
       val released = graft.queries.DirCached.releaseAll(spark)
       System.gc()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(s"""{"scale_suite_chunk":$ci,"queries":${chunk.size},""" +
+      log(s"""{"scale_suite_chunk":$ci,"queries":${chunk.size},""" +
         s""""chunk_s":${math.rint(secs * 10) / 10},"artifacts_released":$released,""" +
         s""""load_now":${loadAvg()},"heap_max_g":${Runtime.getRuntime.maxMemory() >> 30}}""")
     }
@@ -138,17 +169,53 @@ object ScaleSuite {
     val exJson = Exclusions
       .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }.mkString("{", ",", "}")
     val failed = results.filter(_._3 < 0).map(_._1)
-    println(
-      s"""{"metric":"scale_suite","sf":"$dir","unit":"sec",""" +
-        s""""value":${r3(results.map(_._3).filter(_ >= 0).sum)},""" +
-        s""""total_cold":${r3(results.map(_._2).filter(_ >= 0).sum)},""" +
-        s""""n_attempted":${results.size},"n_complete":${results.count(_._3 >= 0)},""" +
-        s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""chunk_size":$chunkSize,""" +
-        s""""artifact_level":"${sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_LEVEL", "MEMORY_AND_DISK")}",""" +
-        s""""heap_max_g":${Runtime.getRuntime.maxMemory() >> 30},""" +
-        s""""queries":$qs,"excluded":$exJson}""")
+    val shufflePartitions =
+      try spark.conf.get("spark.sql.shuffle.partitions") catch { case _: Throwable => "?" }
+    // the mechanical re-run: same env knobs this run used, names = the
+    // -1 rows — paste it, don't reconstruct it
+    val recovery =
+      if (failed.isEmpty) "null"
+      else {
+        val env = Seq(
+          sys.env.get("SPARK_GRAFT_ARTIFACT_LEVEL").map(v => s"SPARK_GRAFT_ARTIFACT_LEVEL=$v"),
+          sys.env.get("SPARK_DRIVER_MEM").map(v => s"SPARK_DRIVER_MEM=$v"),
+          Some(s"SPARK_GRAFT_SHUFFLE_PARTITIONS=$shufflePartitions")).flatten.mkString(" ")
+        val cmd = s"$env sbt 'runMain graft.ScaleSuite $dir $chunkSize ${failed.mkString(" ")}'"
+        s""""${cmd.replace("\"", "'")}""""
+      }
+    s"""{"metric":"scale_suite","sf":"$dir","unit":"sec",""" +
+      s""""value":${r3(results.map(_._3).filter(_ >= 0).sum)},""" +
+      s""""total_cold":${r3(results.map(_._2).filter(_ >= 0).sum)},""" +
+      s""""n_attempted":${results.size},"n_complete":${results.count(_._3 >= 0)},""" +
+      s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""fatal":${fatal.fold("null")(f => s""""${f.replace("\"", "'")}"""")},""" +
+      s""""recovery":$recovery,""" +
+      s""""chunk_size":$chunkSize,""" +
+      s""""artifact_level":"${sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_LEVEL", "MEMORY_AND_DISK")}",""" +
+      s""""shuffle_partitions":$shufflePartitions,""" +
+      s""""heap_max_g":${Runtime.getRuntime.maxMemory() >> 30},""" +
+      s""""queries":$qs,"excluded":$exJson}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir       = args.lift(0).getOrElse("/tmp/sfsuite100")
+    val chunkSize = args.lift(1).map(_.toInt).getOrElse(20)
+    require(
+      new java.io.File(s"$dir/documents.parquet").exists(),
+      s"$dir does not look like a corpus dir (no documents.parquet) — " +
+        "generate it with graft.ScaleData first")
+    // optional trailing args = subset run (ad-hoc chunk re-measures /
+    // the emitted recovery command)
+    val only = args.drop(2).toSet
+    // the protocol's partition sizing: 256 unless the operator dialed
+    // it explicitly (env or prop) — see the scaladoc heap law
+    if (sys.props.get("graft.shufflePartitions").isEmpty &&
+        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").isEmpty)
+      sys.props("graft.shufflePartitions") = "256"
+    val spark = GraftSession.local()
+    val line  = run(spark, dir, chunkSize, only, SparkEntry.queries)
+    println(line)
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (line.contains(""""failed":[]""")) () else sys.exit(1)
   }
 }
