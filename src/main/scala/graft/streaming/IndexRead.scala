@@ -440,6 +440,14 @@ private[graft] object IndexRead {
     sys.props.get("graft.foldGcMinAgeMs").flatMap(_.toLongOption)
       .getOrElse(30L * 60 * 1000)
 
+  /** TEST SEAM (no-op in production): invoked with the candidate's gen
+    * immediately AFTER the per-candidate liveness re-read passes and
+    * BEFORE its delete — the exact residual zombie window foldGc's
+    * post-delete re-read guards. IndexVisibilitySpec injects a
+    * concurrent fold's CAS here to fire the hard-down throw
+    * deterministically; nothing else may set it. */
+  private[streaming] var foldGcBeforeDelete: Long => Unit = _ => ()
+
   /** The wall-clock millis an attempt-gen id was minted at (the high
     * bits of [[newAttemptGen]]'s layout). Legacy small-integer gens
     * decode to ~epoch-0 — i.e. "very old", which is the right answer
@@ -522,6 +530,7 @@ private[graft] object IndexRead {
           // per-delete liveness re-check (guard 2): readManifest here
           // is one small-file read — negative partitions are rare
           if (oldEnough && live().exists(l => l.seq == written && l.gen != gen)) {
+            foldGcBeforeDelete(gen)
             fs(spark, root).delete(st.getPath, true)
             // RESIDUAL ZOMBIE WINDOW (documented, shrunk, not closed):
             // guard 3 only protects a foreign base younger than the
@@ -537,7 +546,9 @@ private[graft] object IndexRead {
             // commit landing after this re-read remains possible and
             // is caught loudly by that reader-side require; repair =
             // replay the swept batches (their markers are retained
-            // until THIS fold's upToBatch).
+            // until THIS fold's upToBatch). IndexVisibilitySpec
+            // constructs this interleaving via foldGcBeforeDelete and
+            // pins both the throw and the replay repair.
             if (live().exists(_.gen == gen))
               throw new IllegalStateException(
                 s"[index] fold GC at $dir swept base gen=$gen that a concurrent fold " +

@@ -412,6 +412,82 @@ class IndexVisibilitySpec extends SparkSpec {
     assert(dirs.contains(s"batch_id=${-m.gen}")) // live base untouched
   }
 
+  test("RESIDUAL ZOMBIE WINDOW: a concurrent fold's CAS landing between the sweep's liveness re-read and its delete fires the named hard-down throw — and replaying the retained batches onto the retained snapshot restores the index") {
+    // The foldGc docstring's residual window, constructed
+    // deterministically via the foldGcBeforeDelete seam: fold W commits
+    // (sW, gW) and stalls past the age gate before its sweep; a
+    // concurrent fold Z reads W's checkpoint, writes its base -gZ, and
+    // stalls equally long. W's sweep then sees -gZ as an old-enough
+    // foreign orphan, passes the per-candidate liveness re-read
+    // (manifest still at sW) — and Z's CAS lands EXACTLY here, making
+    // -gZ live one instant before W deletes it. The post-delete
+    // re-read must fail AT THE CAUSE with the named repair, never
+    // return and let every folded row silently vanish from the gate.
+    val hist = s3dir("idxzombiecas") + "/index"
+    val sink = DocStream.bloomGatedBatchSink(hist)
+    for (b <- 0L to 4L) sink(docs(b -> s"doc-$b"), b)
+    def visibleIds(): Set[Long] =
+      IndexRead.committedParquet(spark, hist, -999L)(
+          Seq.empty[Long].toDF("doc_id").withColumn("batch_id", lit(-1L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // fold W commits (sW, gW, foldedUpTo=2)… then stalls pre-sweep
+    assert(IndexRead.compactIndex(spark, hist, upToBatch = 2L) === 3)
+    val mW = IndexRead.readManifest(spark, hist).get
+    // fold Z, mid-commit: base written (old base ∪ batches 3,4 —
+    // compactIndex step 1), CAS not yet attempted
+    val gZ = (System.currentTimeMillis() << 20) | 321L
+    spark.read.parquet(hist)
+      .filter(col("batch_id").isin(3L, 4L) || col("batch_id") === -mW.gen)
+      .withColumn("batch_id", lit(-gZ))
+      .write.partitionBy("batch_id").mode("append").parquet(hist)
+
+    sys.props("graft.foldGcMinAgeMs") = "0"
+    var casFired = false
+    IndexRead.foldGcBeforeDelete = gen =>
+      if (gen == gZ) {
+        // Z wins the next seq INSIDE W's check-then-act window
+        IndexRead.casCheckpoint(spark, hist, mW.copy(foldedUpTo = 4L, gen = gZ))
+        casFired = true
+      }
+    try {
+      Thread.sleep(5) // gZ's mint time must clear the (zeroed) age gate
+      val e = intercept[IllegalStateException] {
+        IndexRead.foldGc(spark, hist,
+          written = mW.seq, newGen = mW.gen, absorbedGen = 0L, upToBatch = 2L)
+      }
+      assert(casFired, "seam never fired — the window was not constructed")
+      assert(e.getMessage.contains("zombie CAS"), e.getMessage)
+      assert(e.getMessage.contains("replay batches"), e.getMessage)
+    } finally {
+      IndexRead.foldGcBeforeDelete = _ => ()
+      sys.props.remove("graft.foldGcMinAgeMs")
+    }
+    // hard-down is REAL: the live checkpoint (Z's) points at the swept
+    // base, and the reader-side require refuses to gate on a partial
+    // index
+    val mZ = IndexRead.readManifest(spark, hist).get
+    assert(mZ.seq === mW.seq + 1 && mZ.gen === gZ)
+    val down = intercept[IllegalArgumentException](visibleIds())
+    assert(down.getMessage.contains("base partition"), down.getMessage)
+
+    // …and the promised REPAIR works with what the guards retained:
+    // W's throw aborted its sweep BEFORE marker/raw cleanup, and a
+    // sweep never deletes its own newGen base — so the -gW snapshot
+    // and the raw batch-3/4 partitions (> W's foldedUpTo=2) are all
+    // still on disk. Replaying them onto the snapshot rebuilds Z's
+    // base partition; the index comes back complete.
+    spark.read.parquet(hist)
+      .filter(col("batch_id").isin(3L, 4L) || col("batch_id") === -mW.gen)
+      .withColumn("batch_id", lit(-gZ))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(hist)
+    assert(visibleIds() === (0L to 4L).toSet, "repair did not restore the index")
+    // and the gate works again: dup of a folded doc rejected, novelty admitted
+    sink(docs(50L -> "doc-1", 5L -> "doc-5"), 5L)
+    assert(visibleIds() === (0L to 5L).toSet)
+  }
+
   test("committedParquet FAILS LOUDLY when the checkpoint's base partition is missing — never a silent partial-index gate") {
     val hist = s3dir("idxbase") + "/index"
     val sink = DocStream.bloomGatedBatchSink(hist)
