@@ -113,78 +113,111 @@ class PairStreamSpec extends SparkSpec {
     assert(pairSet(PairStream.minedPairs(spark, s"$w/cpairs", s"$w/ipairs")) === expected)
   }
 
-  test("CHAOS cross-sink: the pairing gate probes the FOREIGN image index through every fold crash state — orphan base invisible, folded vectors still pair, stale-raw leftovers invisible, a zombie fold's GC cannot unpair") {
+  /** CHAOS cross-sink, parameterized by WHICH modality's index is
+    * folded under the other side's probe. Both directions ride the
+    * same committed-read path (`committedVectors` → `committedParquet`)
+    * but from DIFFERENT sinks — the caption sink probes the image
+    * index uncapped-batch × committed, the image sink ranks its batch
+    * within committed ∪ batch — so the symmetry is a contract, not a
+    * given. The POISON: an alien vec_id carrying a LANDED vector's
+    * embedding, planted in every invisible state — if any copy reaches
+    * the probe it mints false pairs (and on the image side can steal a
+    * legitimate vector's cap slot); truth is recomputed host-side from
+    * the raw slices, independent of the path under test. */
+  private def crossSinkChaos(foldImages: Boolean): Unit = {
     val dir  = sf("sf0.001")
-    val w    = work("chaos")
+    val side = if (foldImages) "img" else "cap"
+    val w    = work(s"chaos-$side")
     val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val caps = embs.filter(col("vec_id") % 2 === 0)
     val imgs = embs.filter(col("vec_id") % 2 === 1)
     val codebook = Similarity.kmeansCentroids(Tables.embeddings(spark, dir), 8)
     val cap = 2L
-    val iSink = PairStream.imagePairBatchSink(
-      s"$w/iidx", s"$w/cidx-none", s"$w/ipairs", codebook, Some(cap), IndexRead.Cadence.Off)
+    // the LANDING sink builds the folded index (its own foreign index
+    // is absent: it lands vectors, mints no pairs)
+    val (landed, landIdx) = if (foldImages) (imgs, s"$w/iidx") else (caps, s"$w/cidx")
+    val landSink =
+      if (foldImages)
+        PairStream.imagePairBatchSink(
+          landIdx, s"$w/none", s"$w/lpairs", codebook, Some(cap), IndexRead.Cadence.Off)
+      else
+        PairStream.captionPairBatchSink(
+          landIdx, s"$w/none", s"$w/lpairs", codebook, Some(cap), IndexRead.Cadence.Off)
+    // alien id in the folded side's modality (ids are odd = image,
+    // even = caption; the alien keeps the parity)
+    val poisonId = if (foldImages) 100001L else 100002L
+    def poison = landed.filter(col("vec_id") === (if (foldImages) 1L else 0L))
+      .select(lit(poisonId).as("vec_id"), col("embedding"))
 
-    // the POISON: an alien image vec_id carrying a LANDED image's
-    // embedding — if any invisible copy ever reaches the caption-side
-    // probe it mints extra pairs (b_id = 100001) AND, with the low-id
-    // preference of the cell cap, can steal a legitimate image's cap
-    // slot — either way the probed relation diverges from truth.
-    def poison = imgs.filter(col("vec_id") === 1L)
-      .select(lit(100001L).as("vec_id"), col("embedding"))
-
-    // legitimate landings tracked host-side so TRUTH is computed from
-    // the raw slices, independent of the committed-read path under test
     val landedHi = scala.collection.mutable.ArrayBuffer.empty[Long]
     def land(b: Long, hi: Long): Unit = {
       val lo = landedHi.lastOption.getOrElse(0L)
-      iSink(imgs.filter(col("vec_id") >= lo && col("vec_id") < hi), b)
+      landSink(landed.filter(col("vec_id") >= lo && col("vec_id") < hi), b)
       landedHi += hi
     }
     def probeSeesTruth(tag: String): Unit = {
-      val cSink = PairStream.captionPairBatchSink(
-        s"$w/probe-$tag/cidx", s"$w/iidx", s"$w/probe-$tag/cpairs",
-        codebook, Some(cap), IndexRead.Cadence.Off)
-      cSink(caps, 0L)
-      val truth = pairSet(Similarity.cappedCandidatePairs(
-        caps, imgs.filter(col("vec_id") < landedHi.last), codebook, Some(cap)))
-      val mined = pairSet(
-        PairStream.minedPairs(spark, s"$w/probe-$tag/cpairs", s"$w/probe-$tag/cpairs"))
-      assert(mined === truth, s"state $tag: probed relation diverged from committed truth")
-      assert(!mined.exists(_._2 == 100001L), s"state $tag: poison pair leaked")
-      assert(truth.nonEmpty, s"state $tag: vacuous fixture")
+      val (probeSink, pairsDir) =
+        if (foldImages)
+          (PairStream.captionPairBatchSink(
+            s"$w/probe-$tag/cidx", landIdx, s"$w/probe-$tag/cpairs",
+            codebook, Some(cap), IndexRead.Cadence.Off), s"$w/probe-$tag/cpairs")
+        else
+          (PairStream.imagePairBatchSink(
+            s"$w/probe-$tag/iidx", landIdx, s"$w/probe-$tag/ipairs",
+            codebook, Some(cap), IndexRead.Cadence.Off), s"$w/probe-$tag/ipairs")
+      probeSink(if (foldImages) caps else imgs, 0L)
+      val landedNow = landed.filter(col("vec_id") < landedHi.last)
+      val truth = pairSet(
+        if (foldImages)
+          Similarity.cappedCandidatePairs(caps, landedNow, codebook, Some(cap))
+        else
+          Similarity.cappedCandidatePairs(landedNow, imgs, codebook, Some(cap)))
+      val mined = pairSet(PairStream.minedPairs(spark, pairsDir, pairsDir))
+      assert(mined === truth, s"state $tag/$side: probed relation diverged from committed truth")
+      val poisonSide: ((Long, Long, Long)) => Long = if (foldImages) _._2 else _._1
+      assert(!mined.exists(p => poisonSide(p) == poisonId), s"state $tag/$side: poison pair leaked")
+      assert(truth.nonEmpty, s"state $tag/$side: vacuous fixture")
     }
 
     land(0L, 120L); land(1L, 240L); land(2L, 360L)
     probeSeesTruth("base")
 
-    // state A — mid-fold KILL in the image sink (base written,
+    // state A — mid-fold KILL in the landing sink (base written,
     // checkpoint never flipped): the orphan base carries the poison
     val orphanGen = (System.currentTimeMillis() << 20) | 7L
     poison.withColumn("batch_id", lit(-orphanGen))
-      .write.partitionBy("batch_id").mode("append").parquet(s"$w/iidx")
+      .write.partitionBy("batch_id").mode("append").parquet(landIdx)
     probeSeesTruth("orphan")
 
-    // state B — a REAL fold moves the landed images into a base
+    // state B — a REAL fold moves the landed vectors into a base
     // generation mid-stream of the pairing (the probe must follow the
     // gen pointer), then a post-flip-kill leftover: poison re-appears
     // as a STALE raw partition at an id <= foldedUpTo
-    assert(IndexRead.compactIndex(spark, s"$w/iidx", upToBatch = 1L) >= 1)
+    assert(IndexRead.compactIndex(spark, landIdx, upToBatch = 1L) >= 1)
     probeSeesTruth("folded")
     poison.withColumn("batch_id", lit(1L))
-      .write.partitionBy("batch_id").mode("append").parquet(s"$w/iidx")
+      .write.partitionBy("batch_id").mode("append").parquet(landIdx)
     probeSeesTruth("staleraw")
 
     // state C — ZOMBIE RESUME: a second fold commits a newer gen; the
     // first fold's GC resumes with its stale (seq, gen) — it must not
     // delete the live base out from under the pairing gate
-    val m1 = IndexRead.readManifest(spark, s"$w/iidx").get
+    val m1 = IndexRead.readManifest(spark, landIdx).get
     land(3L, 500L) // live tail so upToBatch = 2 is legal
-    assert(IndexRead.compactIndex(spark, s"$w/iidx", upToBatch = 2L) >= 1)
-    val m2 = IndexRead.readManifest(spark, s"$w/iidx").get
+    assert(IndexRead.compactIndex(spark, landIdx, upToBatch = 2L) >= 1)
+    val m2 = IndexRead.readManifest(spark, landIdx).get
     assert(m2.gen !== m1.gen)
-    IndexRead.foldGc(spark, s"$w/iidx",
+    IndexRead.foldGc(spark, landIdx,
       written = m1.seq, newGen = m1.gen, absorbedGen = 0L, upToBatch = 1L)
-    assert(IndexRead.readManifest(spark, s"$w/iidx").get.gen === m2.gen)
+    assert(IndexRead.readManifest(spark, landIdx).get.gen === m2.gen)
     probeSeesTruth("zombie")
+  }
+
+  test("CHAOS cross-sink: the pairing gate probes the FOREIGN image index through every fold crash state — orphan base invisible, folded vectors still pair, stale-raw leftovers invisible, a zombie fold's GC cannot unpair") {
+    crossSinkChaos(foldImages = true)
+  }
+
+  test("CHAOS cross-sink, mirrored: the IMAGE sink probes a folding CAPTION index through the same crash states — the symmetry is pinned, not assumed") {
+    crossSinkChaos(foldImages = false)
   }
 }
