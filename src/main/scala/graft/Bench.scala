@@ -76,6 +76,21 @@ object Bench {
     md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Shared-vs-rebuilt warm split (VERDICT r13 #8): `tagged` names the
+    * queries that BY DESIGN rebuild per run instead of consuming a
+    * shared artifact ([[SparkEntry.rebuildCost]]). As more of those
+    * land, the warm TOTAL drifts up for protocol reasons — the split
+    * keeps round-over-round totals comparable: compare `warm_shared`
+    * to last round's `warm_shared`, and `warm_rebuilt` growth to the
+    * tagged-query count. Returns (n tagged present, warm_rebuilt,
+    * warm_shared); failed (−1) queries count in neither sum. */
+  private[graft] def rebuildSplit(
+      results: Seq[(String, Double, Double)],
+      tagged: Set[String]): (Int, Double, Double) = {
+    val (reb, sh) = results.filter(_._3 >= 0).partition(r => tagged.contains(r._1))
+    (results.count(r => tagged.contains(r._1)), reb.map(_._3).sum, sh.map(_._3).sum)
+  }
+
   private[graft] def stillRegressed(
       prior: Double, measured: Double, drift: Double): Boolean =
     measured < 0 || (measured > 1.5 * prior * drift && measured - prior * drift > 0.15)
@@ -448,9 +463,16 @@ object Bench {
     val fpsJson = results
       .map { case (k, _, _) => s""""$k":"${planFps.getOrElse(k, "err")}"""" }
       .mkString("{", ",", "}")
+    val (nRebuild, warmRebuilt, warmShared) =
+      rebuildSplit(results, SparkEntry.rebuildCost)
+    def r3c(x: Double): Double = math.rint(x * 1000) / 1000
+    val rebuildJson =
+      s""""rebuild_cost":{"n_queries":$nRebuild,""" +
+        s""""warm_rebuilt":${r3c(warmRebuilt)},"warm_shared":${r3c(warmShared)}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_cold":$totalCold,"n_queries":${results.size},"n_failed":$nFailed,""" +
+        rebuildJson + "," +
         // Double.toString, not %.3f: String.format is LOCALE-dependent
         // (a de/fr default locale emits "1,251" — invalid JSON)
         s""""host_drift":${math.rint(drift * 1000) / 1000},""" +
@@ -484,6 +506,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowQs,""" +
         s""""queries_are_slowest":15,"total_cold":${r3(totalCold)},""" +
         s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+        rebuildJson + "," +
         s""""host_drift":${r3(drift)},"host_drift_saturated":$driftSaturated,""" +
         // n_confirmed is the TOTAL confirmed count; the object below is
         // capped at 5 entries, so truncation is visible when they differ

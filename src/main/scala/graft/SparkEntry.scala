@@ -21,6 +21,13 @@ object SparkEntry {
       graft.queries.TimeSeries.defs ++
       graft.queries.Documents.defs
 
+  /** Queries that rebuild per run instead of consuming shared
+    * [[graft.queries.DirCached]] artifacts (the sampled-audit family)
+    * — Bench splits their warm total out as `rebuild_cost` so
+    * round-over-round suite totals stay comparable as more
+    * per-run-rebuild entries land. */
+  def rebuildCost: Set[String] = graft.queries.Documents.rebuildCost
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

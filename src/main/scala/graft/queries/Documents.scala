@@ -346,6 +346,19 @@ object Documents {
     pqCodesCache(s, dir)(
       Similarity.pqEncode(Tables.embeddings(s, dir), EmbDim, PqM, sharedPqCodebooks(s, dir)))
 
+  /** Queries that BY DESIGN rebuild their expensive relations per run
+    * instead of consuming a shared [[DirCached]] artifact — the
+    * sampled-audit family, whose whole point (round 13) is NOT riding
+    * a materialized full-truth artifact no 100 TB pipeline could
+    * afford. Bench reports their warm total separately
+    * (`rebuild_cost`) so suite growth from per-run-rebuild entries is
+    * visible as protocol cost, not mistaken for regression. */
+  private[graft] val rebuildCost: Set[String] = Set(
+    "q156_sampled_lsh_audit",  // anchor-gated truth built per run
+    "q215_sampled_truth_pairs", // the truth side as a per-run export
+    "q216_sampled_audit_reps", // rep signatures + rep truth per run
+    "q217_two_sided_audit")    // doubly-gated truth built per run
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via normalized-content fingerprint: hash-groupBy,
     // one shuffle on the 128-bit key, partial agg map-side.

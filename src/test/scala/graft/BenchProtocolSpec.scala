@@ -73,6 +73,27 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.stillRegressed(prior = 1.0, measured = 2.4, drift = 1.0))
   }
 
+  test("rebuild_cost split: tagged warm seconds separate from shared, failures count in neither, and the registered tag set names real queries") {
+    import Bench.rebuildSplit
+    val results = Seq(
+      ("q_shared_a", 0.5, 0.4),
+      ("q_rebuild_a", 3.0, 2.5),
+      ("q_rebuild_failed", -1.0, -1.0), // tagged but crashed: counted in n, not in sums
+      ("q_shared_b", 1.0, 0.6))
+    val (n, rebuilt, shared) =
+      rebuildSplit(results, Set("q_rebuild_a", "q_rebuild_failed"))
+    assert(n === 2)
+    assert(math.abs(rebuilt - 2.5) < 1e-9)
+    assert(math.abs(shared - 1.0) < 1e-9)
+    // warm_shared + warm_rebuilt = the suite total (failed excluded) —
+    // the invariant that makes the closing-line split trustworthy
+    assert(math.abs((rebuilt + shared) - results.map(_._3).filter(_ >= 0).sum) < 1e-9)
+    // the production tag set must name registered queries only
+    assert(SparkEntry.rebuildCost.subsetOf(SparkEntry.queries.keySet),
+      SparkEntry.rebuildCost.diff(SparkEntry.queries.keySet).toString)
+    assert(SparkEntry.rebuildCost.contains("q216_sampled_audit_reps"))
+  }
+
   test("the re-floor adjudicates on the FLOOR: below threshold exonerates, above confirms") {
     // the exact q200 shape: prior 0.492, hot-band confirmation 0.769,
     // clean floor back at prior → exonerated
