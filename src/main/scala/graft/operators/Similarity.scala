@@ -123,9 +123,16 @@ object Similarity {
     * cosine rescoring against `threshold`. Only same-band pairs are
     * ever materialized — the all-pairs cross product never exists.
     * The vector analogue of [[TextDedup.lshPairs]]. */
-  def neardupPairs(embs: DataFrame, dim: Int, threshold: Double): DataFrame = {
-    val base = embs
-      .select(col("vec_id"), Portable.quantize(col("embedding")).as("v"))
+  def neardupPairs(embs: DataFrame, dim: Int, threshold: Double): DataFrame =
+    neardupPairsQ(
+      embs.select(col("vec_id"), Portable.quantize(col("embedding")).as("v")),
+      dim, threshold)
+
+  /** [[neardupPairs]] core over an already-quantized (vec_id, v)
+    * relation — shared by the direct form and [[neardupPairsViaReps]]
+    * (which feeds it the rep rows only). */
+  private def neardupPairsQ(quant: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val base = quant
       .withColumn("bucket", bucketId(col("v"), dim))
       .withColumn("n2", normQ(col("v")))
     // band 0 = low 4 bucket bits, band 1 = high 4
@@ -153,6 +160,45 @@ object Similarity {
         cosine(Portable.dotQ(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** [[neardupPairs]] via exact-vector collapse — the IDENTICAL
+    * relation, computed reps-first (the vector twin of
+    * [[TextDedup.lshPairsViaReps]]): group by the QUANTIZED vector
+    * (everything downstream — bucket, bands, norms, cosine — is a
+    * function of it alone), band-join one representative per distinct
+    * vector, then expand rep pairs back to member pairs. Exactness:
+    * byte-equal quantized vectors share every band value, so (a) two
+    * members of one group always collide, scoring as the rep against
+    * itself — computed with the SAME cosine expression the direct
+    * form uses (n2/(√n2·√n2) is ulp-sensitive, so the value is
+    * evaluated, never assumed 1.0; a zero vector's null cosine drops
+    * its group's within pairs in both forms); (b) a cross-group pair
+    * collides iff its reps do, with the reps' cosine.
+    *
+    * Why: embedding stores at corpus scale are copy-heavy (re-ingests,
+    * mirrors keep the vector byte-identical), and the direct band
+    * self-join is quadratic in copies; here copies cost one slim
+    * group-by row each, the band join is quadratic only in DISTINCT
+    * vectors, and the expansion is output-bound (measured ×100,
+    * SCALING.md round-14). */
+  def neardupPairsViaReps(embs: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val quant   = embs.select(col("vec_id"), Portable.quantize(col("embedding")).as("v"))
+    val reps    = quant.groupBy(col("v")).agg(min(col("vec_id")).as("rep_id"))
+    val members = quant.join(reps, Seq("v")).select(col("vec_id"), col("rep_id"))
+    val repVecs = quant.join(
+      members.filter(col("vec_id") === col("rep_id")).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val repPairs = neardupPairsQ(repVecs, dim, threshold)
+    val self = repVecs
+      .withColumn("n2", normQ(col("v")))
+      .select(
+        col("vec_id").as("rep_id"),
+        cosine(Portable.dotQ(col("v"), col("v")), col("n2"), col("n2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    TextDedup.expandRepPairs(
+      repPairs, members.withColumnRenamed("vec_id", "doc_id"), self,
+      Seq("cosine"), "vec_a", "vec_b")
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into `nCells`
@@ -1493,9 +1539,19 @@ object Similarity {
     * (translations, mirrors, relabeled copies); diagonal mass =
     * within-source. Pairs are band-blocked, the label join is a slim
     * (vec_id, label) relation, and the rollup is |labels|² rows. */
-  def crossLabelNeardups(embs: DataFrame, dim: Int, threshold: Double): DataFrame = {
+  def crossLabelNeardups(embs: DataFrame, dim: Int, threshold: Double): DataFrame =
+    crossLabelRollup(embs, neardupPairs(embs, dim, threshold))
+
+  /** [[crossLabelNeardups]] over the reps-first pair form
+    * ([[neardupPairsViaReps]]) — identical rollup (the pair relation
+    * is identical), with the band join and rescore ∝ distinct
+    * vectors instead of copies². */
+  def crossLabelNeardupsViaReps(embs: DataFrame, dim: Int, threshold: Double): DataFrame =
+    crossLabelRollup(embs, neardupPairsViaReps(embs, dim, threshold))
+
+  private def crossLabelRollup(embs: DataFrame, pairs: DataFrame): DataFrame = {
     val lab = embs.select(col("vec_id"), col("label"))
-    neardupPairs(embs, dim, threshold)
+    pairs
       .join(lab.select(col("vec_id").as("vec_a"), col("label").as("__la")), Seq("vec_a"))
       .join(lab.select(col("vec_id").as("vec_b"), col("label").as("__lb")), Seq("vec_b"))
       .groupBy(

@@ -1014,6 +1014,154 @@ object TextDedup {
     rescoreCandidates(cands, sh, threshold)
   }
 
+  /** Word-SEQUENCE fingerprint: md5 of the whitespace word sequence
+    * re-joined by single spaces. Equal fp ⟺ equal `words(text)` array
+    * (words contain no whitespace, so the single-space join is
+    * injective over word sequences) ⟺ identical [[shingleRows]]
+    * output ⟺ identical distinct-shingle set AND minhash signature.
+    * This is the collapse key of the reps-first pair forms below —
+    * deliberately FINER than [[TextAnalysis.fingerprint]], whose
+    * case/punctuation normalization can merge documents whose shingle
+    * sets differ (the expansion's exactness needs shingle-set
+    * equality, not normalized-content equality). */
+  def wordSeqFp(text: Column): Column = md5(concat_ws(" ", words(text)))
+
+  /** doc → exact-group keeper map under [[wordSeqFp]], restricted to
+    * documents that carry a minhash signature (≥ n words — docs with
+    * no shingles never appear in any pair relation, so their groups
+    * must not expand). Returns (doc_id, rep_id); a doc IS its group's
+    * rep iff doc_id = rep_id. One linear fingerprint scan + one
+    * fp-keyed hash-agg + the keeper re-join — the same sign-once
+    * lifecycle artifact as the signatures it filters by. */
+  def wordSeqMembers(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      sigs: DataFrame): DataFrame = {
+    val m = docs.select(id.as("doc_id"), wordSeqFp(text).as("__wfp"))
+      .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val reps = m.groupBy(col("__wfp")).agg(min(col("doc_id")).as("rep_id"))
+    m.join(reps, Seq("__wfp")).select(col("doc_id"), col("rep_id"))
+  }
+
+  /** Expand a REP-level pair relation back to the full member-pair
+    * relation — the shared tail of the reps-first forms below (and of
+    * [[graft.operators.Similarity.neardupPairsViaReps]] via the
+    * name parameters). `repPairs` holds pairs among group keepers
+    * (aName < bName by construction); `members` is (doc_id, rep_id);
+    * `selfScores` is one row per rep — (rep_id, score...) — carrying
+    * the score columns a WITHIN-group pair gets (members of one group
+    * are byte-equal under the collapse key, so every within pair
+    * scores as the rep against itself; callers compute that value
+    * with the SAME expressions the direct form would, then filter by
+    * the same threshold, so groups whose self-score fails — e.g. a
+    * zero-vector cosine null — expand to nothing, exactly like the
+    * direct form).
+    *
+    * Scale shape: three slim equi-joins on rep/group keys, output
+    * cardinality = the direct relation's (inherent to pair EXPORT
+    * semantics) — but the band self-join and the per-candidate
+    * rescore upstream ran on REPS only, so compute is ∝ distinct
+    * content, not ∝ copies². */
+  private[operators] def expandRepPairs(
+      repPairs: DataFrame,
+      members: DataFrame,
+      selfScores: DataFrame,
+      scoreCols: Seq[String],
+      aName: String,
+      bName: String): DataFrame = {
+    val ma = members.select(col("rep_id").as("__ra"), col("doc_id").as("__da"))
+    val mb = members.select(col("rep_id").as("__rb"), col("doc_id").as("__db"))
+    // cross-group pairs: every member of rep_a's group × every member
+    // of rep_b's group collides/scores exactly as the reps do (equal
+    // signatures/vectors) — normalize to aName < bName (group id
+    // ranges interleave, so member order can flip the rep order)
+    val cross = repPairs
+      .join(ma, col(aName) === col("__ra"))
+      .join(mb, col(bName) === col("__rb"))
+      .select(
+        least(col("__da"), col("__db")).as(aName) +:
+          greatest(col("__da"), col("__db")).as(bName) +:
+          scoreCols.map(col): _*)
+    // within-group pairs: all member pairs of every group with ≥ 2
+    // members, scored as the rep against itself
+    val within = ma.join(mb, col("__ra") === col("__rb") && col("__da") < col("__db"))
+      .join(selfScores, col("__ra") === col("rep_id"))
+      .select(
+        col("__da").as(aName) +: col("__db").as(bName) +: scoreCols.map(col): _*)
+    cross.unionByName(within)
+  }
+
+  /** [[lshPairs]] via exact collapse — the IDENTICAL relation,
+    * computed reps-first: band the signatures of one representative
+    * per distinct word sequence ([[wordSeqMembers]]), self-join those
+    * bands, then expand rep pairs back to member pairs
+    * ([[expandRepPairs]]). Exactness: docs with equal [[wordSeqFp]]
+    * have byte-equal signatures, so (a) any two members of one group
+    * collide in every band with est_jaccard exactly 16/16 = 1.0 — the
+    * within-group expansion; (b) a cross-group member pair collides
+    * iff its reps collide, with the reps' est_jaccard — the
+    * cross-group expansion. Uncapped form only: a band-df cap counts
+    * DOCS per bucket, which the collapse changes by construction —
+    * capped consumers stay on [[lshPairs]].
+    *
+    * Why: on a copy-heavy corpus the direct band self-join is
+    * quadratic in copies (a K-copy group collides K²/2 times per
+    * band); here it is quadratic only in DISTINCT near-dup content —
+    * measured ×100 (SCALING.md round-14): the collapse moved the
+    * banded candidate mass to the reps' share and the expansion is
+    * three output-bound joins. */
+  def lshPairsViaReps(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      sigs: DataFrame,
+      estThreshold: Double,
+      precomputedMembers: Option[DataFrame] = None): DataFrame = {
+    val members = precomputedMembers.getOrElse(wordSeqMembers(docs, id, text, sigs))
+    val repIds  = members.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
+    val repSigs = sigs.join(repIds, Seq("doc_id"), "left_semi")
+    val repPairs = lshPairs(repSigs, estThreshold)
+    // identical signatures agree in all 16 slots: est = 1.0 exactly
+    // (the direct form computes 16/16 in double); keep the threshold
+    // filter for textual parity with the direct plan
+    val self = repIds.select(col("doc_id").as("rep_id"), lit(1.0).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+    expandRepPairs(repPairs, members, self, Seq("est_jaccard"), "doc_a", "doc_b")
+  }
+
+  /** [[lshRescoredPairs]] via exact collapse — the IDENTICAL relation
+    * with band join AND exact rescore running on one representative
+    * per distinct word sequence. Exactness extends
+    * [[lshPairsViaReps]]'s argument to the rescore: equal word
+    * sequences ⇒ equal distinct-shingle sets, so a cross-group pair's
+    * exact Jaccard equals its reps' (same sets), and a within-group
+    * pair's is |S|/|S| = 1.0 exactly in double. The rescore — the
+    * expensive per-candidate shingle-intersection aggregate — sees
+    * only rep candidates over rep shingles. Uncapped form only (see
+    * [[lshPairsViaReps]]). */
+  def lshRescoredPairsViaReps(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      shRows: DataFrame,
+      estThreshold: Double,
+      threshold: Double,
+      precomputedSigs: Option[DataFrame] = None,
+      precomputedMembers: Option[DataFrame] = None): DataFrame = {
+    val sigs    = precomputedSigs.getOrElse(minhashSignaturesFromRows(shRows))
+    val members = precomputedMembers.getOrElse(wordSeqMembers(docs, id, text, sigs))
+    val repIds  = members.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
+    val repSigs = sigs.join(repIds, Seq("doc_id"), "left_semi")
+    val repSh = shRows.select(col("doc_id"), col("s")).distinct()
+      .join(repIds, Seq("doc_id"), "left_semi")
+    val repCands = lshPairs(repSigs, estThreshold).select(col("doc_a"), col("doc_b"))
+    val repPairs = rescoreCandidates(repCands, repSh, threshold)
+    val self = repIds.select(col("doc_id").as("rep_id"), lit(1.0).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    expandRepPairs(repPairs, members, self, Seq("jaccard"), "doc_a", "doc_b")
+  }
+
   /** Lineage-truncation strategies for the iterative operators below.
     * [[Checkpoint.local]] (default) caches round results on executors —
     * fast, but the blocks die with an executor, acceptable in local

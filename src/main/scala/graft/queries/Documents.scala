@@ -169,6 +169,16 @@ object Documents {
     sigsCache(s, dir)(
       TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir)))
 
+  // The word-sequence exact-group map (doc → keeper rep) behind the
+  // reps-first pair forms (q33/q84): one linear fingerprint pass per
+  // corpus snapshot, consumed by every collapse-then-expand plan —
+  // the same sign-once lifecycle as the signatures it filters by.
+  private val wordSeqCache = new DirCached
+  private def sharedWordSeqMembers(s: SparkSession, dir: String): DataFrame =
+    wordSeqCache(s, dir)(
+      TextDedup.wordSeqMembers(
+        Tables.documents(s, dir), col("doc_id"), col("text"), sharedSigs(s, dir)))
+
   // Image fingerprints are hash-once artifacts: q163 materializes
   // them, q164 pairs them, q166 probes them — each image is DECODED
   // once per corpus, not once per consumer.
@@ -378,9 +388,16 @@ object Documents {
         .select(col("doc_id"), posexplode(col("sig")).as(Seq("k", "minhash")))),
 
     // MinHash-LSH candidate pairs (8 bands × 2 rows) with estimated
-    // Jaccard ≥ 0.5 — the scale path for q31.
+    // Jaccard ≥ 0.5 — the scale path for q31. Reps-first since round
+    // 14: the band self-join runs on one rep per distinct word
+    // sequence and expands back — the IDENTICAL relation (oracle
+    // unchanged; equivalence spec-pinned), with copy-heavy corpora
+    // costing ∝ distinct content instead of copies².
     "q33_minhash_lsh_pairs" -> ((s, dir) =>
-      TextDedup.lshPairs(sharedSigs(s, dir), 0.5)),
+      TextDedup.lshPairsViaReps(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        sharedSigs(s, dir), 0.5,
+        precomputedMembers = Some(sharedWordSeqMembers(s, dir)))),
 
     // Per-doc 32-bit SimHash fingerprints (persisted, shared with q35
     // — the same materialized-intermediate pattern as the shingles).
@@ -434,8 +451,12 @@ object Documents {
     // Embedding-cosine near-dup pairs: LSH-band blocking + exact
     // rescoring (threshold below the corpus max-cos so output is
     // non-trivial on unplanted data).
+    // Reps-first since round 14: the band self-join runs on one rep
+    // per DISTINCT quantized vector and expands back — identical
+    // relation (re-ingested/mirrored embeddings are byte-identical,
+    // the copy-heavy case at corpus scale), cost ∝ distinct vectors.
     "q43_embedding_neardup" -> ((s, dir) =>
-      Similarity.neardupPairs(Tables.embeddings(s, dir), dim = 64, threshold = 0.35)),
+      Similarity.neardupPairsViaReps(Tables.embeddings(s, dir), dim = 64, threshold = 0.35)),
 
     // Corpus vocabulary: top-50 tokens by document frequency.
     "q44_vocabulary" -> ((s, dir) =>
@@ -682,11 +703,16 @@ object Documents {
 
     // The production near-dup path made explicit: LSH candidates
     // (q33) rescored with EXACT Jaccard (q31's score) — candidates
-    // only, never the full shingle self-join.
+    // only, never the full shingle self-join. Reps-first since round
+    // 14 (same discipline as q33): band join AND exact rescore run on
+    // word-sequence reps, then expand — identical relation, rescore
+    // cost ∝ distinct content (×100: 338 s → see SCALING.md).
     "q84_lsh_rescored" -> ((s, dir) =>
-      TextDedup.lshRescoredPairs(
+      TextDedup.lshRescoredPairsViaReps(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
         sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8,
-        precomputedSigs = Some(sharedSigs(s, dir)))),
+        precomputedSigs = Some(sharedSigs(s, dir)),
+        precomputedMembers = Some(sharedWordSeqMembers(s, dir)))),
 
     // CAPSTONE: the whole training-data prep pipeline as ONE plan —
     // dedup verdicts (exact + near) → drop the benchmark source →
@@ -1047,8 +1073,10 @@ object Documents {
     // Cross-label near-dup matrix (vector twin of q126): where
     // semantic duplication concentrates — off-diagonal mass is
     // cross-source/cross-lingual duplication.
+    // Same reps-first pair form as q43 (identical pair relation →
+    // identical rollup; oracle unchanged).
     "q146_crosslabel_neardups" -> ((s, dir) =>
-      Similarity.crossLabelNeardups(
+      Similarity.crossLabelNeardupsViaReps(
         Tables.embeddings(s, dir), dim = 64, threshold = 0.35)),
 
     // Per-doc novelty / memorization-risk rate: share of a doc's
@@ -1440,6 +1468,16 @@ object Documents {
           rateABps = 5000, rateBBps = 5000,
           precomputedSigs = Some(sharedSigs(s, dir))))
     }),
+
+    // The word-sequence REP MAP itself, row-level oracle-checked: the
+    // collapse key behind the round-14 reps-first pair forms
+    // (q33/q84/q43 via [[TextDedup.wordSeqMembers]]) as a first-class
+    // relation — doc → its group's keeper rep, restricted to docs
+    // long enough to shingle. Making the map itself hash-checked
+    // means the expansion correctness of every reps-first consumer
+    // rests on an independently verified artifact, not just on the
+    // in-test equivalence fixtures.
+    "q218_wordseq_reps" -> ((s, dir) => sharedWordSeqMembers(s, dir)),
 
     // Split-leakage audit: near-dup pairs straddling a split boundary
     // under the per-doc hash split vs the survivor-keyed split — the

@@ -3697,6 +3697,18 @@ private[queries] object DocumentsOracles2 {
     // q156's audit with the pair universe gated on BOTH sides:
     // independent 50% hash gates on doc_a (seed 'audit') and doc_b
     // (seed 'partner'), applied to truth and LSH alike.
+    // doc → word-sequence group keeper, restricted to docs long enough
+    // to shingle (n=3): the collapse key of the reps-first pair forms.
+    "q218_wordseq_reps" ->
+      s"""WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+          ),
+          m AS (
+            SELECT doc_id, md5(array_to_string(ws, ' ')) AS wfp
+            FROM words WHERE len(ws) >= 3
+          )
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY wfp) AS rep_id FROM m""",
+
     "q217_two_sided_audit" ->
       s"""WITH $sigCte,
           sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),

@@ -387,6 +387,51 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q33/q84 reps-first: the band self-join sees only word-sequence REPS on both sides; the expansion join sits above") {
+    // The round-14 collapse-then-expand discipline: on a copy-heavy
+    // corpus the band self-join is quadratic in copies unless both of
+    // its inputs are restricted to one rep per distinct word sequence
+    // (doc_id = rep_id below the join). The expansion joins (members
+    // re-attached, within-group `__da < __db` self-join) must sit
+    // ABOVE the pair join — compute ∝ distinct content, output-bound
+    // expansion.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    def hasRepRestriction(pl: LogicalPlan): Boolean =
+      pl.collect {
+        case f: Filter if f.condition.sql.contains("rep_id") => f
+      }.nonEmpty
+    for (q <- Seq("q33_minhash_lsh_pairs", "q84_lsh_rescored")) {
+      val p = SparkEntry.queries(q)(spark, sf("sf0.01")).queryExecution.optimizedPlan
+      val bandJoins = p.collect {
+        case j: Join if j.condition.exists(_.sql.contains("a.doc_id < b.doc_id")) => j
+      }
+      assert(bandJoins.size === 1, s"$q: expected exactly one band self-join, got ${bandJoins.size}")
+      assert(hasRepRestriction(bandJoins.head.left), s"$q: rep restriction missing below the band join's left")
+      assert(hasRepRestriction(bandJoins.head.right), s"$q: rep restriction missing below the band join's right")
+      val withinJoins = p.collect {
+        case j: Join if j.condition.exists(_.sql.contains("__da < __db")) => j
+      }
+      assert(withinJoins.size === 1, s"$q: expected the within-group expansion self-join")
+    }
+  }
+
+  test("q43/q146 reps-first: the vector band self-join sees only distinct-vector REPS on both sides") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    def hasRepRestriction(pl: LogicalPlan): Boolean =
+      pl.collect {
+        case f: Filter if f.condition.sql.contains("rep_id") => f
+      }.nonEmpty
+    for (q <- Seq("q43_embedding_neardup", "q146_crosslabel_neardups")) {
+      val p = SparkEntry.queries(q)(spark, sf("sf0.01")).queryExecution.optimizedPlan
+      val bandJoins = p.collect {
+        case j: Join if j.condition.exists(_.sql.contains("a.vec_id < b.vec_id")) => j
+      }
+      assert(bandJoins.size === 1, s"$q: expected exactly one vector band self-join, got ${bandJoins.size}")
+      assert(hasRepRestriction(bandJoins.head.left), s"$q: rep restriction missing below the band join's left")
+      assert(hasRepRestriction(bandJoins.head.right), s"$q: rep restriction missing below the band join's right")
+    }
+  }
+
   test("q56 stratified sample: pure filter before the aggregate, pruned scan") {
     val df = SparkEntry.queries("q56_stratified_sample")(spark, sf())
     val s  = planString(df)

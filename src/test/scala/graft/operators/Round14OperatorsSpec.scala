@@ -71,6 +71,111 @@ class Round14OperatorsSpec extends SparkSpec {
     assert(sameSeed !== indep)
   }
 
+  // ---- Reps-first pair forms (q33/q84/q43/q146) --------------------
+  //
+  // The collapse-then-expand forms must produce the IDENTICAL relation
+  // to the direct band self-join — scores bit-equal included — on a
+  // corpus that actually exercises the collapse: the ScaleData ×K
+  // shape (even copies byte-identical, odd copies one-token variants),
+  // built here at K=6 over sf0.001.
+
+  private def copyDocs(dir: String, k: Int) = {
+    val d = graft.Tables.documents(spark, dir)
+    (0 until k).map { i =>
+      val text =
+        if (i % 2 == 1) concat(col("text"), lit(s" copyvariant$i")) else col("text")
+      d.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def copyEmbs(dir: String, k: Int) = {
+    val e = graft.Tables.embeddings(spark, dir)
+    (0 until k).map(i => e.select(
+      (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+      col("embedding"), col("label"))).reduce(_ unionByName _)
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("lshPairsViaReps ≡ lshPairs on the ×K copy corpus — rows AND est_jaccard values identical") {
+    val docs = copyDocs(sf("sf0.001"), 6).cache()
+    val sigs = TextDedup.minhashSignaturesFromRows(
+      TextDedup.shingleRows(docs, col("doc_id"), col("text"), 3)).cache()
+    val direct = rowSet(TextDedup.lshPairs(sigs, 0.5))
+    val reps   = rowSet(TextDedup.lshPairsViaReps(docs, col("doc_id"), col("text"), sigs, 0.5))
+    assert(reps === direct)
+    // the fixture exercises BOTH expansion arms: within-group pairs
+    // (est 1.0 exact copies) and cross-group pairs (variant ↔ base)
+    assert(direct.exists(_._3 == 1.0) && direct.exists(_._3 < 1.0))
+    docs.unpersist(); sigs.unpersist()
+  }
+
+  test("lshRescoredPairsViaReps ≡ lshRescoredPairs on the ×K copy corpus — rows AND exact-jaccard values identical") {
+    val docs = copyDocs(sf("sf0.001"), 6).cache()
+    val sh   = TextDedup.shingleRows(docs, col("doc_id"), col("text"), 3).cache()
+    val sigs = TextDedup.minhashSignaturesFromRows(sh).cache()
+    val direct = rowSet(TextDedup.lshRescoredPairs(sh, 0.5, 0.8, precomputedSigs = Some(sigs)))
+    val reps = rowSet(TextDedup.lshRescoredPairsViaReps(
+      docs, col("doc_id"), col("text"), sh, 0.5, 0.8, precomputedSigs = Some(sigs)))
+    assert(reps === direct)
+    assert(direct.exists(_._3 == 1.0) && direct.exists(_._3 < 1.0))
+    docs.unpersist(); sh.unpersist(); sigs.unpersist()
+  }
+
+  test("short documents (no signature) expand to nothing: a duplicated 2-word text yields no pairs in either form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "two words", "en", "srcX", 9L),
+      (2L, "two words", "en", "srcX", 9L),
+      (3L, "a genuinely long document with many words repeated here", "en", "srcX", 56L),
+      (4L, "a genuinely long document with many words repeated here", "en", "srcX", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sigs = TextDedup.minhashSignaturesFromRows(
+      TextDedup.shingleRows(docs, col("doc_id"), col("text"), 3))
+    val reps = rowSet(TextDedup.lshPairsViaReps(docs, col("doc_id"), col("text"), sigs, 0.5))
+    assert(reps === rowSet(TextDedup.lshPairs(sigs, 0.5)))
+    assert(reps === Set((3L, 4L, 1.0))) // the 2-word group contributed nothing
+  }
+
+  test("neardupPairsViaReps ≡ neardupPairs on the ×K embedding corpus — rows AND cosine values identical") {
+    val embs = copyEmbs(sf("sf0.001"), 6).cache()
+    val direct = rowSet(Similarity.neardupPairs(embs, dim = 64, threshold = 0.35))
+    val reps   = rowSet(Similarity.neardupPairsViaReps(embs, dim = 64, threshold = 0.35))
+    assert(reps === direct)
+    assert(direct.nonEmpty)
+    embs.unpersist()
+  }
+
+  test("crossLabelNeardupsViaReps ≡ crossLabelNeardups on the ×K embedding corpus") {
+    val embs = copyEmbs(sf("sf0.001"), 4).cache()
+    val direct = Similarity.crossLabelNeardups(embs, 64, 0.35)
+      .collect().map(_.toSeq).toSet
+    val reps = Similarity.crossLabelNeardupsViaReps(embs, 64, 0.35)
+      .collect().map(_.toSeq).toSet
+    assert(reps === direct && direct.nonEmpty)
+    embs.unpersist()
+  }
+
+  test("registered q33/q84/q43/q146 (reps-first) match their direct forms on sf0.01 — the oracle corpus itself") {
+    val dir = sf("sf0.01")
+    val sh  = shingles(dir).cache()
+    val sigs = TextDedup.minhashSignaturesFromRows(sh).cache()
+    assert(rowSet(SparkEntry.queries("q33_minhash_lsh_pairs")(spark, dir))
+      === rowSet(TextDedup.lshPairs(sigs, 0.5)))
+    assert(rowSet(SparkEntry.queries("q84_lsh_rescored")(spark, dir))
+      === rowSet(TextDedup.lshRescoredPairs(sh, 0.5, 0.8, precomputedSigs = Some(sigs))))
+    val embs = graft.Tables.embeddings(spark, dir)
+    assert(rowSet(SparkEntry.queries("q43_embedding_neardup")(spark, dir))
+      === rowSet(Similarity.neardupPairs(embs, 64, 0.35)))
+    assert(SparkEntry.queries("q146_crosslabel_neardups")(spark, dir).collect().map(_.toSeq).toSet
+      === Similarity.crossLabelNeardups(embs, 64, 0.35).collect().map(_.toSeq).toSet)
+    sh.unpersist(); sigs.unpersist()
+  }
+
   test("rateBps bounds are validated on both two-sided variants, each side") {
     val sh = shingles(sf("sf0.001"))
     for (bad <- Seq(0, -1, 10001)) {
