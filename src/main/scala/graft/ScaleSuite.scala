@@ -51,7 +51,12 @@ import org.apache.spark.sql.SparkSession
   * quadratic in copy count BY CONSTRUCTION (pair/candidate OUTPUT or
   * exact-truth input ∝ K²) and the measured production dial that
   * replaces it. Exclusions are echoed in the output JSON so a silent
-  * swap is impossible.
+  * swap is impossible. The `--include-excluded` flag lifts the list —
+  * ONLY meaningful against a DISTINCT-content corpus (ScaleData
+  * mode=distinct), where cross-copy vocabularies/sign patterns are
+  * disjoint so every exclusion's pair OUTPUT is linear in K by
+  * construction; the lift is echoed as `exclusions_lifted` so a
+  * copy-fixture artifact can never quietly claim the full list ran.
   *
   * Output: one `{"metric":"scale_suite",...}` JSON line (stdout, last)
   * with per-query warm seconds, failures, exclusions, recovery and
@@ -102,13 +107,19 @@ object ScaleSuite {
       chunkSize: Int,
       only: Set[String],
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-      log: String => Unit = println): String = {
+      log: String => Unit = println,
+      includeExcluded: Boolean = false): String = {
     require(chunkSize > 0, s"chunkSize must be positive (got $chunkSize)")
-    val excluded = Exclusions.map(_._1).toSet
-    val unknown  = excluded.diff(queries.keySet)
+    val protocolExcluded = Exclusions.map(_._1).toSet
+    val unknown          = protocolExcluded.diff(queries.keySet)
     require(unknown.isEmpty, s"exclusion list names unknown queries: $unknown")
-    // a subset run cannot smuggle an excluded query back in without
-    // editing the protocol
+    // `includeExcluded` lifts the exclusion list EXPLICITLY (echoed as
+    // `exclusions_lifted` in the artifact) — for the DISTINCT-content
+    // corpora (ScaleData mode=distinct) where every exclusion's
+    // quadratic pair OUTPUT is linear by construction. On the copy
+    // fixture the list stays mandatory: a subset run cannot smuggle an
+    // excluded query back in without editing the protocol.
+    val excluded    = if (includeExcluded) Set.empty[String] else protocolExcluded
     val unknownOnly = only.diff(queries.keySet)
     require(unknownOnly.isEmpty, s"unknown query name(s): $unknownOnly")
     require(only.intersect(excluded).isEmpty,
@@ -180,7 +191,9 @@ object ScaleSuite {
           sys.env.get("SPARK_GRAFT_ARTIFACT_LEVEL").map(v => s"SPARK_GRAFT_ARTIFACT_LEVEL=$v"),
           sys.env.get("SPARK_DRIVER_MEM").map(v => s"SPARK_DRIVER_MEM=$v"),
           Some(s"SPARK_GRAFT_SHUFFLE_PARTITIONS=$shufflePartitions")).flatten.mkString(" ")
-        val cmd = s"$env sbt 'runMain graft.ScaleSuite $dir $chunkSize ${failed.mkString(" ")}'"
+        val flag = if (includeExcluded) "--include-excluded " else ""
+        val cmd =
+          s"$env sbt 'runMain graft.ScaleSuite $dir $chunkSize $flag${failed.mkString(" ")}'"
         s""""${cmd.replace("\"", "'")}""""
       }
     s"""{"metric":"scale_suite","sf":"$dir","unit":"sec",""" +
@@ -194,6 +207,7 @@ object ScaleSuite {
       s""""artifact_level":"${sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_LEVEL", "MEMORY_AND_DISK")}",""" +
       s""""shuffle_partitions":$shufflePartitions,""" +
       s""""heap_max_g":${Runtime.getRuntime.maxMemory() >> 30},""" +
+      s""""exclusions_lifted":$includeExcluded,""" +
       s""""queries":$qs,"excluded":$exJson}"""
   }
 
@@ -205,15 +219,19 @@ object ScaleSuite {
       s"$dir does not look like a corpus dir (no documents.parquet) — " +
         "generate it with graft.ScaleData first")
     // optional trailing args = subset run (ad-hoc chunk re-measures /
-    // the emitted recovery command)
-    val only = args.drop(2).toSet
+    // the emitted recovery command); `--include-excluded` lifts the
+    // exclusion list for distinct-content corpora (see `run`)
+    val trailing        = args.drop(2)
+    val includeExcluded = trailing.contains("--include-excluded")
+    val only            = trailing.filterNot(_.startsWith("--")).toSet
     // the protocol's partition sizing: 256 unless the operator dialed
     // it explicitly (env or prop) — see the scaladoc heap law
     if (sys.props.get("graft.shufflePartitions").isEmpty &&
         sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").isEmpty)
       sys.props("graft.shufflePartitions") = "256"
     val spark = GraftSession.local()
-    val line  = run(spark, dir, chunkSize, only, SparkEntry.queries)
+    val line =
+      run(spark, dir, chunkSize, only, SparkEntry.queries, includeExcluded = includeExcluded)
     println(line)
     spark.stop()
     if (line.contains(""""failed":[]""")) () else sys.exit(1)

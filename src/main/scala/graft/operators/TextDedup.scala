@@ -647,7 +647,17 @@ object TextDedup {
   def winnowOverlapPairsFromFps(
       fpRows: DataFrame,
       maxFpDf: Long = 64L,
-      minOverlap: Double = 0.5): DataFrame = {
+      minOverlap: Double = 0.5): DataFrame =
+    winnowPairsFromKept(winnowKeptFps(fpRows, maxFpDf), minOverlap)
+
+  /** The df-capped fingerprint universe: distinct (doc_id, fp) whose
+    * fp's document frequency is ≤ the cap, with the dropped/kept
+    * distinct-fp counts published via the `winnow_fp_cap`
+    * observation. Shared by [[winnowOverlapPairsFromFps]] and the
+    * reps-first form (whose within-group scores need the SAME capped
+    * universe the pair path uses — one definition, one plan subtree,
+    * the fp exchange reused across both consumers). */
+  private[operators] def winnowKeptFps(fpRows: DataFrame, maxFpDf: Long): DataFrame = {
     val fp0 = fpRows.select(col("doc_id"), col("fp")).distinct()
     // POSTING-LIST pair generation. Order matters for memory safety:
     // the per-fp document frequency is computed by a windowed count on
@@ -673,7 +683,15 @@ object TextDedup {
         "winnow_fp_cap",
         count(when(col("__rn") === 1 && col("__df") > maxFpDf, 1)).as("dropped_fps"),
         count(when(col("__rn") === 1 && col("__df") <= maxFpDf, 1)).as("kept_fps"))
-    val kept = marked.filter(col("__df") <= maxFpDf).select(col("doc_id"), col("fp"))
+    marked.filter(col("__df") <= maxFpDf).select(col("doc_id"), col("fp"))
+  }
+
+  /** The posting-list pair generation + containment scoring over an
+    * already-capped (doc_id, fp) universe — see
+    * [[winnowOverlapPairsFromFps]] for the memory-safety argument. */
+  private[operators] def winnowPairsFromKept(
+      kept: DataFrame,
+      minOverlap: Double): DataFrame = {
     val lists = kept
       .groupBy("fp")
       .agg(array_sort(collect_list(col("doc_id"))).as("__ds"))
@@ -698,6 +716,79 @@ object TextDedup {
         col("doc_a"), col("doc_b"), col("n_shared"),
         (col("n_shared").cast("double") / least(col("sa.n"), col("sb.n"))).as("overlap"))
       .filter(col("overlap") >= minOverlap)
+  }
+
+  /** [[winnowOverlapPairs]]'s reps-first production form, with the
+    * fp df-cap measured over DISTINCT CONTENT: collapse exact
+    * duplicates under [[TextAnalysis.fingerprint]] (the q105
+    * normalized-content contract — winnowing normalizes text the SAME
+    * way, so equal fingerprints ⇒ byte-identical (gram_pos, fp)
+    * streams), run the whole posting-list machinery on one
+    * representative per group, and expand rep pairs back through
+    * [[expandRepPairs]] (cross-group pairs carry the rep pair's
+    * n_shared/overlap — members' kept-fp sets ARE their reps'; a
+    * within-group pair shares its rep's every kept fp: n_shared =
+    * |kept(rep)|, overlap = 1.0 exactly; groups whose rep loses ALL
+    * fps to the cap expand to nothing, mirroring the direct form).
+    *
+    * This is DELIBERATELY not [[winnowOverlapPairs]] under
+    * duplication: there df counts DOCUMENTS, so 1 000 copies of one
+    * page flood a fingerprint past the cap and erase the overlap
+    * signal for every OTHER document sharing it (copy-flooding).
+    * Counting df over reps makes the boilerplate verdict a property
+    * of distinct content — a fingerprint is corpus-wide boilerplate
+    * because many DIFFERENT documents carry it, not because one
+    * document was copied. On a corpus with no exact duplicates among
+    * fp-bearing docs the two forms are identical
+    * (Round14OperatorsSpec pins both laws).
+    *
+    * Scale shape: the df window, posting-list collect and map-side
+    * pair generation all run on the rep relation (∝ distinct
+    * content); the expansion is three output-bound equi-joins — the
+    * same discipline as [[lshRescoredPairsViaReps]]. */
+  def winnowOverlapPairsViaReps(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 8,
+      w: Int = 4,
+      maxRepFpDf: Long = 64L,
+      minOverlap: Double = 0.5): DataFrame =
+    winnowOverlapPairsViaRepsFromFps(
+      docs, id, text,
+      TextAnalysis.winnowingFingerprints(docs, id, text, k, w),
+      maxRepFpDf, minOverlap)
+
+  /** [[winnowOverlapPairsViaReps]] over a precomputed (doc_id, …, fp)
+    * fingerprint relation — pass the PERSISTED corpus fingerprints
+    * (q54's shared artifact) so the expensive winnowing pass is
+    * shared, exactly like [[winnowOverlapPairsFromFps]]. */
+  def winnowOverlapPairsViaRepsFromFps(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      fpRows: DataFrame,
+      maxRepFpDf: Long = 64L,
+      minOverlap: Double = 0.5): DataFrame = {
+    // exact-group membership, restricted to docs that emit >= 1
+    // fingerprint (others appear in no pair relation — their groups
+    // must not expand); rep = min doc_id, the q105 keeper contract
+    val m = docs.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("__nfp"))
+      .join(fpRows.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val reps    = m.groupBy(col("__nfp")).agg(min(col("doc_id")).as("rep_id"))
+    val members = m.join(reps, Seq("__nfp")).select(col("doc_id"), col("rep_id"))
+    val repIds  = members.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
+    val repFps  = fpRows.join(repIds, Seq("doc_id"), "left_semi")
+    // ONE capped universe feeds both the pair path and the
+    // within-group scores (same subtree ⇒ the fp exchange is reused)
+    val kept     = winnowKeptFps(repFps, maxRepFpDf)
+    val repPairs = winnowPairsFromKept(kept, minOverlap)
+    // a rep's kept-fp count under the SAME rep-level df-cap — the
+    // within-group pair's n_shared (identical sets share everything)
+    val self = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id").as("rep_id"), col("n_shared"), lit(1.0).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+    expandRepPairs(repPairs, members, self, Seq("n_shared", "overlap"), "doc_a", "doc_b")
   }
 
   /** Benchmark decontamination: flag every corpus document sharing at

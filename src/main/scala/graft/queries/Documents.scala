@@ -1479,6 +1479,20 @@ object Documents {
     // in-test equivalence fixtures.
     "q218_wordseq_reps" -> ((s, dir) => sharedWordSeqMembers(s, dir)),
 
+    // q57's reps-first production form with the fp df-cap measured
+    // over DISTINCT content: exact duplicates collapse (q105's
+    // normalized-fingerprint contract — the same normalization
+    // winnowing itself applies) BEFORE the df window and posting-list
+    // pair generation, so 1 000 copies of one page can neither flood
+    // a fingerprint past the cap (erasing the overlap signal for
+    // every OTHER doc sharing it) nor pay copies² join cost. On a
+    // corpus with no exact dups this is q57 exactly
+    // (Round14OperatorsSpec pins both laws).
+    "q219_winnow_overlap_reps" -> ((s, dir) =>
+      TextDedup.winnowOverlapPairsViaRepsFromFps(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        sharedWinnowFps(s, dir))),
+
     // Split-leakage audit: near-dup pairs straddling a split boundary
     // under the per-doc hash split vs the survivor-keyed split — the
     // survivor row is structurally ZERO and the oracle re-derives it.

@@ -626,6 +626,52 @@ private[queries] object DocumentsOracles {
           JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
           WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5""",
 
+    // q219: q57 with the df-cap measured over exact-content REPS
+    // (rep = min doc_id per normalized-text md5 among fp-bearing
+    // docs); cross-group pairs carry the rep pair's n_shared/overlap,
+    // within-group pairs share every kept fp (overlap 1.0 exactly).
+    "q219_winnow_overlap_reps" ->
+      s"""WITH $winnowCte,
+          dfp AS (
+            SELECT DISTINCT doc_id, hs[gram_pos] AS fp
+            FROM (SELECT doc_id, hs, unnest(ps) AS gram_pos FROM sel)
+          ),
+          nf AS (
+            SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS nfp
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM dfp)
+          ),
+          mem AS (
+            SELECT nf.doc_id, r.rep_id
+            FROM nf JOIN (SELECT nfp, MIN(doc_id) AS rep_id FROM nf GROUP BY 1) r USING (nfp)
+          ),
+          rfps AS (
+            SELECT doc_id, fp FROM dfp WHERE doc_id IN (SELECT rep_id FROM mem)
+          ),
+          keep AS (
+            SELECT fp FROM (SELECT fp, COUNT(1) AS df FROM rfps GROUP BY 1) WHERE df <= 64
+          ),
+          kfps AS (SELECT rfps.doc_id, rfps.fp FROM rfps JOIN keep USING (fp)),
+          sizes AS (SELECT doc_id, COUNT(1) AS n FROM kfps GROUP BY 1),
+          rsel AS (
+            SELECT ra, rb, n_shared,
+                   CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
+            FROM (
+              SELECT a.doc_id AS ra, b.doc_id AS rb, COUNT(1) AS n_shared
+              FROM kfps a JOIN kfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            JOIN sizes sa ON sa.doc_id = ra JOIN sizes sb ON sb.doc_id = rb
+            WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+          )
+          SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+                 greatest(ma.doc_id, mb.doc_id) AS doc_b,
+                 n_shared, overlap
+          FROM rsel JOIN mem ma ON ma.rep_id = ra JOIN mem mb ON mb.rep_id = rb
+          UNION ALL
+          SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b,
+                 s.n AS n_shared, CAST(1.0 AS DOUBLE) AS overlap
+          FROM mem ma JOIN mem mb ON ma.rep_id = mb.rep_id AND ma.doc_id < mb.doc_id
+          JOIN sizes s ON s.doc_id = ma.rep_id""",
+
     "q58_decontamination" ->
       """WITH words AS (
            SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws FROM documents

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 class PlanSpec extends SparkSpec {
 
+  // The shape pins below assert on FRESH plans — a shared DirCached
+  // artifact left persisted by an earlier suite substitutes
+  // InMemoryRelations into matching subtrees (swallowing the very
+  // joins/filters being pinned) and the assertions go blind. Until
+  // round 14 this suite ran clean only because DirCachedSpec happened
+  // to run (and release) immediately before it in the full-suite
+  // discovery order; an ad-hoc `testOnly` pairing could poison it.
+  // Release everything up front so the pins are order-independent.
+  graft.queries.DirCached.releaseAll(spark)
+
   private def planString(df: org.apache.spark.sql.DataFrame): String = {
     df.queryExecution.executedPlan.toString
   }
@@ -430,6 +440,33 @@ class PlanSpec extends SparkSpec {
       assert(hasRepRestriction(bandJoins.head.left), s"$q: rep restriction missing below the band join's left")
       assert(hasRepRestriction(bandJoins.head.right), s"$q: rep restriction missing below the band join's right")
     }
+  }
+
+  test("q219 reps-first winnow overlap: the df window and pair generation are rep-restricted; the expansion join sits above") {
+    // q219's pair path has no self-join (map-side posting-list pair
+    // generation), so the pin is on its two compute-heavy stages: every
+    // Window (the fp df count) must sit above a LEFT SEMI join whose
+    // build side carries the doc_id = rep_id keeper filter, and the
+    // within-group expansion self-join must exist exactly once above.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    def repSemiBelow(pl: LogicalPlan): Boolean =
+      pl.collect {
+        case j: Join if j.joinType == LeftSemi &&
+          j.right.collect {
+            case f: Filter if f.condition.sql.contains("rep_id") => f
+          }.nonEmpty => j
+      }.nonEmpty
+    val p = SparkEntry.queries("q219_winnow_overlap_reps")(spark, sf("sf0.01"))
+      .queryExecution.optimizedPlan
+    val windows = p.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the fp-df window in the plan")
+    windows.foreach(w =>
+      assert(repSemiBelow(w.child), "a df window is not rep-restricted below"))
+    val withinJoins = p.collect {
+      case j: Join if j.condition.exists(_.sql.contains("__da < __db")) => j
+    }
+    assert(withinJoins.size === 1, "expected the within-group expansion self-join")
   }
 
   test("q56 stratified sample: pure filter before the aggregate, pruned scan") {

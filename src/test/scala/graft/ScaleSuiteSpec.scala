@@ -75,6 +75,31 @@ class ScaleSuiteSpec extends SparkSpec {
     assert(rec.contains("q000_oom") && rec.contains("q999_later"), rec.take(300))
   }
 
+  test("--include-excluded lifts the list explicitly: an excluded query runs, the lift is echoed, recovery keeps the flag") {
+    val line = ScaleSuite.run(
+      spark, sf("sf0.001"), chunkSize = 10,
+      only = Set("q35_simhash_pairs"), queries = SparkEntry.queries, log = _ => (),
+      includeExcluded = true)
+    assert(line.contains(""""q35_simhash_pairs":"""), line.take(300))
+    assert(line.contains(""""n_complete":1"""), line.take(300))
+    assert(line.contains(""""exclusions_lifted":true"""), line.take(300))
+    // the copy-fixture protocol line must carry the negative marker
+    val strict = ScaleSuite.run(
+      spark, sf("sf0.001"), chunkSize = 10,
+      only = Set("q01_pricing_summary"), queries = SparkEntry.queries, log = _ => ())
+    assert(strict.contains(""""exclusions_lifted":false"""), strict.take(300))
+    // a lifted run that fails must emit a recovery command that is
+    // itself lifted — otherwise the re-run would refuse the names
+    val qs = SparkEntry.queries +
+      ("q000_boom" -> ((_: org.apache.spark.sql.SparkSession, _: String) =>
+        throw new RuntimeException("injected")))
+    val failedLine = ScaleSuite.run(
+      spark, sf("sf0.001"), chunkSize = 10,
+      only = Set("q000_boom"), queries = qs, log = _ => (), includeExcluded = true)
+    assert(field(failedLine, "recovery").contains("--include-excluded"),
+      field(failedLine, "recovery"))
+  }
+
   test("a subset cannot smuggle an excluded query back in, and unknown names fail loudly") {
     val e = intercept[IllegalArgumentException](ScaleSuite.run(
       spark, sf("sf0.001"), 10, Set("q99_prefix_jaccard"), SparkEntry.queries, _ => ()))

@@ -176,6 +176,74 @@ class Round14OperatorsSpec extends SparkSpec {
     sh.unpersist(); sigs.unpersist()
   }
 
+  // ---- q219: winnow overlap with the df-cap over DISTINCT content ----
+  //
+  // q219 is NOT q57 under duplication — that is its point (df counts
+  // reps, so copies can't flood a fingerprint past the cap). The two
+  // laws that make it trustworthy: (1) on a corpus with no exact
+  // normalized dups the forms coincide EXACTLY; (2) on a pure-copy
+  // corpus the rep universe — hence the kept-fp verdicts and the
+  // copy-0 slice of the relation — is invariant in K, and the full
+  // relation is exactly the group expansion.
+
+  private def dedupedDocs(dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Tables.documents(spark, dir)
+      .withColumn("__rn",
+        row_number().over(
+          Window.partitionBy(TextAnalysis.fingerprint(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def overlapRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("winnowOverlapPairsViaReps ≡ winnowOverlapPairs on a fingerprint-deduped corpus — rows AND n_shared/overlap values") {
+    val d0 = dedupedDocs(sf("sf0.001")).cache()
+    val direct = overlapRows(TextDedup.winnowOverlapPairs(d0, col("doc_id"), col("text")))
+    val reps = overlapRows(
+      TextDedup.winnowOverlapPairsViaReps(d0, col("doc_id"), col("text")))
+    assert(reps === direct)
+    assert(direct.nonEmpty, "fixture must have at least one overlap pair")
+    d0.unpersist()
+  }
+
+  test("q219 on a ×3 exact-copy corpus: copy-0 slice is the base relation, same-base cross-copy pairs are overlap-1.0, and the count is exactly the group expansion") {
+    val d0 = dedupedDocs(sf("sf0.001")).cache()
+    val x3 = (0 until 3).map(i => d0.select(
+      (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))).reduce(_ unionByName _)
+    val base = overlapRows(TextDedup.winnowOverlapPairs(d0, col("doc_id"), col("text")))
+    val full = overlapRows(
+      TextDedup.winnowOverlapPairsViaReps(x3, col("doc_id"), col("text")))
+    // cap immunity: the copy-0 slice IS the base relation (df over
+    // reps never sees the copies, so no fingerprint crosses the cap)
+    val slice = full.filter(p => p._1 < 10000000L && p._2 < 10000000L)
+    assert(slice === base)
+    // every same-base cross-copy pair shares its whole kept-fp set
+    val withins = full.filter(p => p._1 % 10000000L === p._2 % 10000000L)
+    assert(withins.nonEmpty && withins.forall(_._4 === 1.0))
+    // exact expansion arithmetic: each base pair appears 3×3 times
+    // (either end in any copy), each rep with >= 1 kept fp expands to
+    // C(3,2) within pairs
+    val fps = TextAnalysis.winnowingFingerprints(d0, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("fp")).distinct()
+    val keptReps = fps
+      .withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= 64L).select(col("doc_id")).distinct().count()
+    assert(full.size === 9 * base.size + 3 * keptReps.toInt)
+    d0.unpersist()
+  }
+
+  test("registered q219 consumes the shared fp artifact and matches the from-scratch form on sf0.01") {
+    val dir = sf("sf0.01")
+    val viaRegistry = overlapRows(SparkEntry.queries("q219_winnow_overlap_reps")(spark, dir))
+    val scratch = overlapRows(TextDedup.winnowOverlapPairsViaReps(
+      graft.Tables.documents(spark, dir), col("doc_id"), col("text")))
+    assert(viaRegistry === scratch && scratch.nonEmpty)
+  }
+
   test("rateBps bounds are validated on both two-sided variants, each side") {
     val sh = shingles(sf("sf0.001"))
     for (bad <- Seq(0, -1, 10001)) {
