@@ -95,7 +95,9 @@ object ScaleSuite {
     "q212_pair_alignment" ->
       "same uncapped pair input as q210; dial = ScaleBench q212_alignment_capped (10.3 s)",
     "q214_crossmodal_decontamination" ->
-      "same uncapped pair input as q210; dial = ScaleBench q214_decontamination_capped (11.4 s)")
+      "same uncapped pair input as q210; dial = ScaleBench q214_decontamination_capped (11.4 s)",
+    "q219_winnow_overlap_reps" ->
+      "df-over-reps deliberately KEEPS fingerprints that exact-copy flooding would push past the cap — but the xK generator's odd copies are VARIANTS (distinct normalized texts with near-identical fp sets), so the kept per-base posting lists grow with the variant count and rep-level candidate volume is prop. to (K/2)^2 by construction (the q216 lesson: exact collapse cannot absorb variant mass). Dial = q57 (df-over-docs drops copy-flooded fps, in-run); on the DISTINCT-content axis q219 runs linear (measured, --include-excluded runs)")
 
   /** The suite body, seam-separated from `main` so ScaleSuiteSpec can
     * drive it with an injected query map (a throwing query, a fatal

@@ -763,20 +763,33 @@ object TextDedup {
     * fingerprint relation — pass the PERSISTED corpus fingerprints
     * (q54's shared artifact) so the expensive winnowing pass is
     * shared, exactly like [[winnowOverlapPairsFromFps]]. */
+  /** doc → exact-group keeper map under [[TextAnalysis.fingerprint]],
+    * restricted to docs present in `fpRows` (docs that emit no winnow
+    * fingerprint appear in no pair relation, so their groups must not
+    * expand). Returns (doc_id, rep_id); rep = min doc_id, the q105
+    * keeper contract. The [[wordSeqMembers]] sibling for the
+    * normalized-content collapse key — same sign-once lifecycle
+    * artifact shape. */
+  def fingerprintMembers(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      fpRows: DataFrame): DataFrame = {
+    val m = docs.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("__nfp"))
+      .join(fpRows.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val reps = m.groupBy(col("__nfp")).agg(min(col("doc_id")).as("rep_id"))
+    m.join(reps, Seq("__nfp")).select(col("doc_id"), col("rep_id"))
+  }
+
   def winnowOverlapPairsViaRepsFromFps(
       docs: DataFrame,
       id: Column,
       text: Column,
       fpRows: DataFrame,
       maxRepFpDf: Long = 64L,
-      minOverlap: Double = 0.5): DataFrame = {
-    // exact-group membership, restricted to docs that emit >= 1
-    // fingerprint (others appear in no pair relation — their groups
-    // must not expand); rep = min doc_id, the q105 keeper contract
-    val m = docs.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("__nfp"))
-      .join(fpRows.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val reps    = m.groupBy(col("__nfp")).agg(min(col("doc_id")).as("rep_id"))
-    val members = m.join(reps, Seq("__nfp")).select(col("doc_id"), col("rep_id"))
+      minOverlap: Double = 0.5,
+      precomputedMembers: Option[DataFrame] = None): DataFrame = {
+    val members = precomputedMembers.getOrElse(fingerprintMembers(docs, id, text, fpRows))
     val repIds  = members.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
     val repFps  = fpRows.join(repIds, Seq("doc_id"), "left_semi")
     // ONE capped universe feeds both the pair path and the

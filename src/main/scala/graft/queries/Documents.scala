@@ -56,6 +56,16 @@ object Documents {
     winnowCache(s, dir)(
       TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), col("doc_id"), col("text")))
 
+  // q219's normalized-fingerprint rep map (doc → exact-content group
+  // keeper among fp-bearing docs) — the q218 word-seq sibling, a
+  // once-per-snapshot artifact so the per-run cost is the rep-level
+  // pair machinery, not a corpus md5 re-scan.
+  private val winnowMembersCache = new DirCached
+  private def sharedWinnowMembers(s: SparkSession, dir: String): DataFrame =
+    winnowMembersCache(s, dir)(
+      TextDedup.fingerprintMembers(
+        Tables.documents(s, dir), col("doc_id"), col("text"), sharedWinnowFps(s, dir)))
+
   // The exact-Jaccard pair relation and its connected-component labels
   // are the two most expensive dedup intermediates, each consumed by
   // several queries (pairs: q31/q53/q64; labels: q53/q64) — both are
@@ -1491,7 +1501,8 @@ object Documents {
     "q219_winnow_overlap_reps" -> ((s, dir) =>
       TextDedup.winnowOverlapPairsViaRepsFromFps(
         Tables.documents(s, dir), col("doc_id"), col("text"),
-        sharedWinnowFps(s, dir))),
+        sharedWinnowFps(s, dir),
+        precomputedMembers = Some(sharedWinnowMembers(s, dir)))),
 
     // Split-leakage audit: near-dup pairs straddling a split boundary
     // under the per-doc hash split vs the survivor-keyed split — the
