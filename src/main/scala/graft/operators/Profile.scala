@@ -407,8 +407,20 @@ object Profile {
       seed: String = "curr"): DataFrame = {
     require(phases >= 1, s"phases must be positive: $phases")
     val scored = df.select(id.as("doc_id"), score.as("__score"))
+    // Shard by the CLAMPED milli-score, order by the raw score: a
+    // quality score lives in [0, 1], so the default long truncation of
+    // the order key collapses every row into shard {-1, 0} — the
+    // "parallel" per-shard window became 1–2 corpus-sized partitions
+    // (r14 profile: one straggler task owned the corpus sort).
+    // trunc(-score·1000) is weakly monotone in -score (scaling and
+    // truncation are monotone), so ranks are bit-identical; clamping
+    // to [-1000, 0] makes the keyBounds promise unconditional, and
+    // the min/max discovery pass (one extra corpus scan of the
+    // scorer) disappears.
+    val shardKey = greatest(least((-col("__score") * 1000).cast("long"), lit(0L)), lit(-1000L))
     val tiled = Ranking
-      .globalNtile(scored, -col("__score"), Seq(col("doc_id")), phases, tileName = "phase")
+      .globalNtile(scored, -col("__score"), Seq(col("doc_id")), phases, tileName = "phase",
+        keyBounds = Some((-1000L, 0L)), shardKey = Some(shardKey))
       .select(col("doc_id"), col("phase"))
     val order = globalShuffle(df.select(id.as("doc_id")), col("doc_id"), shards, seed)
       .select(col("doc_id"), col("shard"), col("pos"))

@@ -49,8 +49,9 @@ object Ranking {
       leadKey: Column,
       tieBreak: Seq[Column],
       shards: Int = 256,
-      keyBounds: Option[(Long, Long)] = None): DataFrame = {
-    val (local, offsets, cols) = rankParts(df, leadKey, tieBreak, shards, keyBounds)
+      keyBounds: Option[(Long, Long)] = None,
+      shardKey: Option[Column] = None): DataFrame = {
+    val (local, offsets, cols) = rankParts(df, leadKey, tieBreak, shards, keyBounds, shardKey)
     local
       .join(broadcast(offsets.select(col("__shard"), col("__offset"))), Seq("__shard"))
       .withColumn("rank", col("__offset") + col("__rn"))
@@ -74,9 +75,20 @@ object Ranking {
       leadKey: Column,
       shards: Int,
       keyBounds: Option[(Long, Long)],
-      op: String): DataFrame = {
+      op: String,
+      shardKey: Option[Column] = None): DataFrame = {
     require(shards >= 1, s"shards must be positive (got $shards)")
     val bad = leadKey.isNull || isnan(leadKey.cast("double"))
+    // `shardKey`, when given, replaces the default long-truncation of
+    // the ORDER key for SHARD ASSIGNMENT only (ordering stays on the
+    // original key, so ranks are bit-identical to the default form).
+    // Contract: it must be a weakly MONOTONE function of the lead key
+    // (a < b ⇒ f(a) ≤ f(b); being a function of the key alone already
+    // sends equal keys to one shard). Use it when the key's long
+    // truncation collapses to a handful of values — a [0, 1] double
+    // score truncates to {-1, 0}, turning the "parallel" per-shard
+    // window into 1–2 corpus-sized partitions (the q143 r14 find); a
+    // milli/ppm-scaled monotone shard key restores the spread.
     val keyed = df
       .withColumn(
         "__ord",
@@ -85,9 +97,9 @@ object Ranking {
         "__lead",
         // a non-numeric lead key casts to null long — fail loud, not
         // a silent row drop at the shard filter below
-        when(col("__ord").cast("long").isNull,
+        when(shardKey.getOrElse(col("__ord")).cast("long").isNull,
           raise_error(lit(s"$op: lead key does not cast to long")))
-          .otherwise(col("__ord").cast("long")))
+          .otherwise(shardKey.getOrElse(col("__ord")).cast("long")))
     keyBounds match {
       case Some((lo, hi)) =>
         require(lo <= hi, s"$op: keyBounds lo must be <= hi (got $lo > $hi)")
@@ -185,11 +197,12 @@ object Ranking {
       leadKey: Column,
       tieBreak: Seq[Column],
       shards: Int,
-      keyBounds: Option[(Long, Long)] = None): (DataFrame, DataFrame, IndexedSeq[String]) = {
+      keyBounds: Option[(Long, Long)] = None,
+      shardKey: Option[Column] = None): (DataFrame, DataFrame, IndexedSeq[String]) = {
     val cols = df.columns.toIndexedSeq
     require(!cols.exists(Set("rank", "__ord", "__lead", "__shard", "__rn")),
       "columns rank/__ord/__lead/__shard/__rn are reserved by globalRank")
-    val sharded = shardByKey(df, leadKey, shards, keyBounds, "globalRank")
+    val sharded = shardByKey(df, leadKey, shards, keyBounds, "globalRank", shardKey)
     val wLocal = Window
       .partitionBy(col("__shard"))
       .orderBy(col("__ord").asc +: tieBreak.map(_.asc): _*)
@@ -215,10 +228,12 @@ object Ranking {
       tieBreak: Seq[Column],
       buckets: Int,
       tileName: String = "tile",
-      shards: Int = 256): DataFrame = {
+      shards: Int = 256,
+      keyBounds: Option[(Long, Long)] = None,
+      shardKey: Option[Column] = None): DataFrame = {
     require(buckets >= 1, s"buckets must be positive (got $buckets)")
     require(!df.columns.contains("__n"), "column __n is reserved by globalNtile")
-    val (local, offsets, cols) = rankParts(df, leadKey, tieBreak, shards)
+    val (local, offsets, cols) = rankParts(df, leadKey, tieBreak, shards, keyBounds, shardKey)
     // N = Σ per-shard counts, read off the ≤ shards-row offsets
     // relation — never a second pass over the data
     val total = offsets.agg(coalesce(max(col("__offset") + col("__cnt")), lit(0L)).as("__n"))

@@ -51,6 +51,18 @@ object Documents {
       TextDedup.shingleRows(reps, col("doc_id"), col("text"), 3)
     }
 
+  // MinHash signatures over the keeper reps — the rep-level twin of
+  // [[sharedSigs]], same sign-once lifecycle and the same linearity
+  // argument as the rep shingles above: signing is one hash-agg over
+  // the (linear) rep shingle relation, so the cache boundary is safe;
+  // q216's sampled gates apply at the pair joins ABOVE this relation
+  // (r14: the per-run re-sign was 29% of q216's warm time for an
+  // artifact every audit of the snapshot would reuse).
+  private val repSigsCache = new DirCached
+  private def sharedRepSigs(s: SparkSession, dir: String): DataFrame =
+    repSigsCache(s, dir)(
+      TextDedup.minhashSignaturesFromRows(sharedRepShingles(s, dir)))
+
   private val winnowCache = new DirCached
   private def sharedWinnowFps(s: SparkSession, dir: String): DataFrame =
     winnowCache(s, dir)(
@@ -126,6 +138,21 @@ object Documents {
   private def sharedPrefixPairs(s: SparkSession, dir: String): DataFrame =
     prefixPairsCache(s, dir)(
       TextDedup.prefixJaccardPairs(sharedShingles(s, dir), 0.8))
+
+  // The production near-dup PAIR relation (LSH candidates + exact
+  // rescore, reps-first) — q84 exports it, q112 audits it against the
+  // exact truth above: the same compute-once-read-by-every-auditor
+  // lifecycle as sharedPrefixPairs (before r14, q112 re-ran the whole
+  // candidate+rescore pipeline per run to rebuild a relation q84 had
+  // already computed).
+  private val rescoredPairsCache = new DirCached
+  private def sharedRescoredPairs(s: SparkSession, dir: String): DataFrame =
+    rescoredPairsCache(s, dir)(
+      TextDedup.lshRescoredPairsViaReps(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8,
+        precomputedSigs = Some(sharedSigs(s, dir)),
+        precomputedMembers = Some(sharedWordSeqMembers(s, dir))))
 
   private val clustersCache = new DirCached
   private def sharedClusters(s: SparkSession, dir: String): DataFrame =
@@ -222,6 +249,32 @@ object Documents {
     videoFramesCache(s, dir)(
       Multimodal.decodeVideoFrames(
         Multimodal.syntheticVideo(Tables.documents(s, dir), col("doc_id"))))
+
+  // Video barcodes are hash-once artifacts exactly like the audio twin
+  // above: q205 exports them, q206 pairs them, q208's verdict chain
+  // consumes them — before r14 each of the three re-ran the
+  // envelope-hash aggregation over the decoded frames per run.
+  private val videoHashCache = new DirCached
+  private def sharedVideoHashes(s: SparkSession, dir: String): DataFrame =
+    videoHashCache(s, dir)(
+      Multimodal.videoHash64(sharedVideoFrames(s, dir)))
+
+  // Keyframe perceptual hashes are the decode-once artifact of the
+  // cross-modal family: q209 probes them against the image index,
+  // q211 groups them for shared-still detection, q213 collapses them
+  // to reps — before r14 each consumer re-extracted and re-decoded
+  // every keyframe PNG per run (the exact anti-pattern the
+  // sharedAHashes comment above names).
+  private val kfHashCache = new DirCached
+  private def sharedKfHashes(s: SparkSession, dir: String): DataFrame =
+    kfHashCache(s, dir) {
+      val kf = Multimodal.videoKeyframes(
+        Multimodal.syntheticVideo(Tables.documents(s, dir), col("doc_id")), everyK = 4)
+      Multimodal.aHash64(
+        kf.select(
+          Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
+          col("payload")))
+    }
 
   // The image dedup DECISION list is itself a shared artifact: q169
   // exports it, q170 rolls it up — the verdict chain (exact collapse +
@@ -376,7 +429,8 @@ object Documents {
   private[graft] val rebuildCost: Set[String] = Set(
     "q156_sampled_lsh_audit",  // anchor-gated truth built per run
     "q215_sampled_truth_pairs", // the truth side as a per-run export
-    "q216_sampled_audit_reps", // rep signatures + rep truth per run
+    "q216_sampled_audit_reps", // rep truth built per run (rep sigs are
+                               // sign-once artifacts like sharedSigs, r14)
     "q217_two_sided_audit")    // doubly-gated truth built per run
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -716,13 +770,10 @@ object Documents {
     // only, never the full shingle self-join. Reps-first since round
     // 14 (same discipline as q33): band join AND exact rescore run on
     // word-sequence reps, then expand — identical relation, rescore
-    // cost ∝ distinct content (×100: 338 s → see SCALING.md).
-    "q84_lsh_rescored" -> ((s, dir) =>
-      TextDedup.lshRescoredPairsViaReps(
-        Tables.documents(s, dir), col("doc_id"), col("text"),
-        sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8,
-        precomputedSigs = Some(sharedSigs(s, dir)),
-        precomputedMembers = Some(sharedWordSeqMembers(s, dir)))),
+    // cost ∝ distinct content (×100: 338 s → see SCALING.md). Served
+    // from [[sharedRescoredPairs]] (computed once per snapshot, also
+    // read by the q112 auditor — the q99/sharedPrefixPairs lifecycle).
+    "q84_lsh_rescored" -> ((s, dir) => sharedRescoredPairs(s, dir)),
 
     // CAPSTONE: the whole training-data prep pipeline as ONE plan —
     // dedup verdicts (exact + near) → drop the benchmark source →
@@ -819,9 +870,7 @@ object Documents {
     "q112_lsh_recall_audit" -> ((s, dir) =>
       TextDedup.recallAudit(
         sharedPrefixPairs(s, dir),
-        TextDedup.lshRescoredPairs(
-          sharedShingles(s, dir), estThreshold = 0.5, threshold = 0.8,
-          precomputedSigs = Some(sharedSigs(s, dir))))),
+        sharedRescoredPairs(s, dir))),
 
     // Vocabulary coverage curve: % of token occurrences covered by the
     // top-K words — the tokenizer-sizing number. Distributed rank over
@@ -837,7 +886,12 @@ object Documents {
       val scored = TextAnalysis.bigramLmScore(
         Tables.documents(s, dir), col("doc_id"), col("text"))
         .select(col("doc_id"), col("avg_p_ppm"))
-      Ranking.globalNtile(scored, -col("avg_p_ppm"), Seq(col("doc_id")), buckets = 3)
+      // avg_p_ppm is a per-bigram mean of Laplace probabilities in ppm
+      // — provably in [0, 1e6] — so the lead key is a-priori bounded
+      // and the min/max discovery pass (one full extra evaluation of
+      // the bigram-LM scorer) disappears (guide §1.2 step 1).
+      Ranking.globalNtile(scored, -col("avg_p_ppm"), Seq(col("doc_id")), buckets = 3,
+        keyBounds = Some((-1000000L, 0L)))
         .drop("rank")
         .withColumn(
           "bucket",
@@ -1454,7 +1508,8 @@ object Documents {
       TextDedup.recallAudit(
         TextDedup.prefixJaccardPairsSampled(sh, 0.8, rateBps = 5000, seed = "audit"),
         TextDedup.lshRescoredPairsSampled(
-          sh, estThreshold = 0.5, threshold = 0.8, rateBps = 5000, seed = "audit"))
+          sh, estThreshold = 0.5, threshold = 0.8, rateBps = 5000, seed = "audit",
+          precomputedSigs = Some(sharedRepSigs(s, dir))))
     }),
 
     // The TWO-SIDED sampled audit — the estimator that stays flat on
@@ -1760,7 +1815,14 @@ object Documents {
         .dsirWeights(docs, col("doc_id"), col("text"),
           isTarget = col("source") === "src1")
         .select(col("doc_id"), col("dsir_ppm"))
-      val rq = Ranking.globalRank(qual, -col("__dq"), Seq(col("doc_id")))
+      // keyBounds on the quality side (density ∈ [0, 2000] by
+      // construction — the q192 argument): the min/max discovery
+      // branch disappears, so the hashed scorer runs twice, not four
+      // times. The DSIR side has no a-priori bound (dsir_ppm is a
+      // ratio whose denominator can floor to 0 ppm on a huge corpus),
+      // so its discovery branch stays.
+      val rq = Ranking.globalRank(qual, -col("__dq"), Seq(col("doc_id")),
+          keyBounds = Some((-2000L, 0L)))
         .select(col("doc_id"), col("rank").as("r_quality"))
       val rd = Ranking.globalRank(dsir, -col("dsir_ppm"), Seq(col("doc_id")))
         .select(col("doc_id"), col("rank").as("r_dsir"))
@@ -1810,7 +1872,8 @@ object Documents {
     "q198_rank_prescored" -> ((s, dir) => {
       val rq = Ranking.globalRank(
           sharedQualityDensity(s, dir).select(col("doc_id"), col("density_q_milli")),
-          -col("density_q_milli"), Seq(col("doc_id")))
+          -col("density_q_milli"), Seq(col("doc_id")),
+          keyBounds = Some((-2000L, 0L))) // density ∈ [0, 2000], the q192 argument
         .select(col("doc_id"), col("rank").as("r_quality"))
       val rd = Ranking.globalRank(
           sharedDsirScores(s, dir), -col("dsir_ppm"), Seq(col("doc_id")))
@@ -1890,10 +1953,9 @@ object Documents {
     // Video barcodes through the SAME thermometer/hamming machinery
     // as audio (ONE envelopeHash64 core): q205 exports them, q206
     // mines near-dup pairs over exact-layer reps at hamming ≤ 1.
-    "q205_video_fingerprint" -> ((s, dir) =>
-      Multimodal.videoHash64(sharedVideoFrames(s, dir))),
+    "q205_video_fingerprint" -> ((s, dir) => sharedVideoHashes(s, dir)),
     "q206_video_neardup" -> ((s, dir) => {
-      val reps = Multimodal.videoHash64(sharedVideoFrames(s, dir))
+      val reps = sharedVideoHashes(s, dir)
         .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
       TextDedup.simhashPairsFromHashes(reps, maxHamming = 1, bands = 8)
     }),
@@ -1908,7 +1970,7 @@ object Documents {
         sharedAudioHashes(s, dir), maxHamming = 1, bands = 8)),
     "q208_video_verdicts" -> ((s, dir) =>
       TextDedup.hammingDedupVerdicts(
-        Multimodal.videoHash64(sharedVideoFrames(s, dir)), maxHamming = 1, bands = 8)),
+        sharedVideoHashes(s, dir), maxHamming = 1, bands = 8)),
 
     // CROSS-MODAL near-dup: sampled video KEYFRAMES (every 4th frame,
     // extracted as PNG stills — no transcode, MPNG frames ARE PNGs)
@@ -1921,12 +1983,7 @@ object Documents {
     // through the generic probe (frame_idx < 8 < 16), decomposed on
     // output.
     "q209_crossmodal_neardup" -> ((s, dir) => {
-      val kf = Multimodal.videoKeyframes(
-        Multimodal.syntheticVideo(Tables.documents(s, dir), col("doc_id")), everyK = 4)
-      val kfHashes = Multimodal.aHash64(
-        kf.select(
-          Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
-          col("payload")))
+      val kfHashes = sharedKfHashes(s, dir)
       TextDedup.simhashProbeIndex(kfHashes, sharedAHashes(s, dir), maxHamming = 1, bands = 8)
         .select(
           Multimodal.keyframeVideoId(col("doc_id")).as("video_id"),
@@ -1966,12 +2023,7 @@ object Documents {
     // artifact (48 groups on the 500-doc fixture, pre-simulated),
     // while a full pair export would be quadratic in group size.
     "q211_shared_stills" -> ((s, dir) => {
-      val kf = Multimodal.videoKeyframes(
-        Multimodal.syntheticVideo(Tables.documents(s, dir), col("doc_id")), everyK = 4)
-      Multimodal.aHash64(
-          kf.select(
-            Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
-            col("payload")))
+      sharedKfHashes(s, dir)
         .groupBy(col("sh"))
         .agg(
           count(lit(1)).as("n_stills"),
@@ -2006,12 +2058,7 @@ object Documents {
     // information at linear mass (10 rep pairs on the 500-doc fixture,
     // pre-simulated).
     "q213_crossmodal_reps" -> ((s, dir) => {
-      val kf = Multimodal.videoKeyframes(
-        Multimodal.syntheticVideo(Tables.documents(s, dir), col("doc_id")), everyK = 4)
-      val kfReps = Multimodal.aHash64(
-          kf.select(
-            Multimodal.keyframeId(col("doc_id"), col("frame_idx")).as("doc_id"),
-            col("payload")))
+      val kfReps = sharedKfHashes(s, dir)
         .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), col("sh"))
       val imgReps = sharedAHashes(s, dir)

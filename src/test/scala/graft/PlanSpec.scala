@@ -406,23 +406,63 @@ class PlanSpec extends SparkSpec {
     // ABOVE the pair join — compute ∝ distinct content, output-bound
     // expansion.
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.functions.col
     def hasRepRestriction(pl: LogicalPlan): Boolean =
       pl.collect {
         case f: Filter if f.condition.sql.contains("rep_id") => f
       }.nonEmpty
-    for (q <- Seq("q33_minhash_lsh_pairs", "q84_lsh_rescored")) {
-      val p = SparkEntry.queries(q)(spark, sf("sf0.01")).queryExecution.optimizedPlan
+    // structural matcher: a join condition containing name1 < name2
+    // between attribute references — alias qualifiers (`a.doc_id`) do
+    // not survive into the optimized plan of the un-cached operator
+    // form, so the pin matches the LessThan node, not its SQL text
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan}
+    def hasLt(j: Join, name1: String, name2: String): Boolean =
+      j.condition.exists(c => c.collect {
+        case lt @ LessThan(x: AttributeReference, y: AttributeReference)
+          if x.name == name1 && y.name == name2 => lt
+      }.nonEmpty)
+    def pinRepsFirst(q: String, p: LogicalPlan): Unit = {
       val bandJoins = p.collect {
-        case j: Join if j.condition.exists(_.sql.contains("a.doc_id < b.doc_id")) => j
+        case j: Join if hasLt(j, "doc_id", "doc_id") => j
       }
       assert(bandJoins.size === 1, s"$q: expected exactly one band self-join, got ${bandJoins.size}")
       assert(hasRepRestriction(bandJoins.head.left), s"$q: rep restriction missing below the band join's left")
       assert(hasRepRestriction(bandJoins.head.right), s"$q: rep restriction missing below the band join's right")
       val withinJoins = p.collect {
-        case j: Join if j.condition.exists(_.sql.contains("__da < __db")) => j
+        case j: Join if hasLt(j, "__da", "__db") => j
       }
       assert(withinJoins.size === 1, s"$q: expected the within-group expansion self-join")
     }
+    pinRepsFirst("q33_minhash_lsh_pairs",
+      SparkEntry.queries("q33_minhash_lsh_pairs")(spark, sf("sf0.01"))
+        .queryExecution.optimizedPlan)
+    // q84 is served from the sharedRescoredPairs artifact since r14
+    // (compute-once, read by q84 + the q112 auditor): the registered
+    // query's plan must be a pure artifact read (an InMemoryRelation,
+    // NO band join above it — recomputing the pairs per run is the
+    // regression this pin exists to catch), and the reps-first shape
+    // is pinned on the operator form the artifact materializes.
+    val q84Plan = SparkEntry.queries("q84_lsh_rescored")(spark, sf("sf0.01"))
+      .queryExecution.optimizedPlan
+    assert(q84Plan.collect { case r: InMemoryRelation => r }.nonEmpty,
+      "q84: expected the sharedRescoredPairs artifact read (InMemoryRelation)")
+    assert(q84Plan.collect {
+      case j: Join if hasLt(j, "doc_id", "doc_id") => j
+    }.isEmpty, "q84: band self-join above the artifact boundary — pairs recomputed per run")
+    // Pin the artifact's BUILD shape on the same operator at thresholds
+    // the registered artifact does not use: with identical thresholds
+    // the CacheManager recognizes the whole expression as the cached
+    // artifact (sameResult) and substitutes one InMemoryRelation —
+    // correct behaviour, but it would hide the subtree this pin exists
+    // to inspect. Threshold constants do not change the plan SHAPE.
+    val docs01 = graft.Tables.documents(spark, sf("sf0.01"))
+    val sh01   = graft.operators.TextDedup.shingleRows(docs01, col("doc_id"), col("text"), 3)
+    pinRepsFirst("q84 build (sharedRescoredPairs shape)",
+      graft.operators.TextDedup.lshRescoredPairsViaReps(
+        docs01, col("doc_id"), col("text"), sh01,
+        estThreshold = 0.55, threshold = 0.85)
+        .queryExecution.optimizedPlan)
   }
 
   test("q43/q146 reps-first: the vector band self-join sees only distinct-vector REPS on both sides") {
