@@ -178,9 +178,16 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
         loads(name) = loadAvg()
-        planFps(name) = planFp(fn)
         val cold = once(fn)
         val warm = if (cold >= 0) math.min(once(fn), once(fn)) else -1.0
+        // fingerprint AFTER the passes (r15): DirCached artifacts
+        // materialize EAGERLY at query construction now, so
+        // fingerprinting first would build a query's artifacts outside
+        // its cold pass and silently shift build cost out of
+        // total_cold. The fingerprint itself is execution-order
+        // independent (cache nodes are normalized to schema-only
+        // leaves — see planFingerprint).
+        planFps(name) = planFp(fn)
         // Each query leaves broadcasts/shuffle state behind; the
         // ContextCleaner only reclaims them after a GC notices the weak
         // refs. Without this, queries late in the 124-query suite run
@@ -372,8 +379,9 @@ object Bench {
             s""""load_now":${loadAvg()},"load_bar":$loadBar}""")
         }
       }
-    val (confirmed, deferredJson, exoneratedJson, trendLine) =
-      if (only.nonEmpty || scaleRun) ("{}", "{}", "{}", None)
+    val (confirmed, deferredJson, exoneratedJson, trendLine, isoFloors) =
+      if (only.nonEmpty || scaleRun)
+        ("{}", "{}", "{}", None, Map.empty[String, (Double, Double)])
       else {
         val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(10).map(_._1)
         val toMeasure = (flagged.map(_._1) ++ slowest).distinct
@@ -457,7 +465,8 @@ object Bench {
         (confB.result().mkString("{", ",", "}"),
           defB.result().mkString("{", ",", "}"),
           exoB.result().mkString("{", ",", "}"),
-          Some((round, floors, loadBar)))
+          Some((round, floors, loadBar)),
+          iso)
       }
 
     val fpsJson = results
@@ -469,6 +478,23 @@ object Bench {
     val rebuildJson =
       s""""rebuild_cost":{"n_queries":$nRebuild,""" +
         s""""warm_rebuilt":${r3c(warmRebuilt)},"warm_shared":${r3c(warmShared)}}"""
+    // VERDICT r14 item 2 — the bench artifact adjudicates itself:
+    // (a) iso_floors = the post-suite GC-separated isolated floors
+    // (flagged + 10 slowest; load at each floor's start alongside in
+    // the full line), so a load-contaminated suite stamp is decodable
+    // from THIS run's artifact without TREND archaeology;
+    // (b) artifact_build = per-artifact cold build seconds (DirCached
+    // materializations, eager + timed since r15), so a warm-total
+    // improvement that merely shifted compute into an untagged shared
+    // artifact is visible as artifact_build growth.
+    val isoFloorsJson = isoFloors.toSeq.sortBy(_._1)
+      .map { case (n, (t, _)) => s""""$n":${r3c(t)}""" }.mkString("{", ",", "}")
+    val isoLoadsJson = isoFloors.toSeq.sortBy(_._1)
+      .map { case (n, (_, l)) => s""""$n":$l""" }.mkString("{", ",", "}")
+    val artifactBuilds = graft.queries.DirCached.buildSeconds
+    val artifactTotal  = r3c(artifactBuilds.map(_._2).sum)
+    def artifactJson(xs: Seq[(String, Double)]): String =
+      xs.map { case (n, t) => s""""$n":${r3c(t)}""" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_cold":$totalCold,"n_queries":${results.size},"n_failed":$nFailed,""" +
@@ -481,6 +507,9 @@ object Bench {
         s""""regressions":$regs,"confirmed_regressions":$confirmed,""" +
         s""""deferred_pending_refloor":$deferredJson,""" +
         s""""refloor_exonerated":$exoneratedJson,""" +
+        s""""iso_floors":$isoFloorsJson,"iso_floor_loads":$isoLoadsJson,""" +
+        s""""artifact_build":${artifactJson(artifactBuilds)},""" +
+        s""""artifact_build_total":$artifactTotal,""" +
         s""""plans_scrape":"$plansScrape","plans":$fpsJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only the LAST ~2000 chars of stdout,
@@ -514,6 +543,14 @@ object Bench {
         s""""n_deferred_refloor":${entryCount(deferredJson)},""" +
         s""""n_refloor_exonerated":${entryCount(exoneratedJson)},""" +
         s""""confirmed_regressions":$confirmedCapped,""" +
+        // self-adjudication summary (capped to fit the driver's stdout
+        // tail; the full maps are in BENCH_SELF.json): the 10 largest
+        // isolated floors + the 5 most expensive artifact builds
+        s""""iso_floors":${
+          artifactJson(isoFloors.toSeq.map { case (n, (t, _)) => n -> t }
+            .sortBy(-_._2).take(10))},""" +
+        s""""artifact_build":${artifactJson(artifactBuilds.take(5))},""" +
+        s""""artifact_build_total":$artifactTotal,""" +
         s""""plans_scrape":"$plansScrape",""" +
         s""""full":"BENCH_SELF.json","sf":"$sfDir"}""")
     // The driver captures stdout with a bounded tail — round 3's artifact

@@ -397,7 +397,14 @@ object Profile {
     * the identical schedule on any engine or partitioning. Scale
     * shape: one score pass, the two-phase rank machinery, one
     * doc_id-keyed join — nothing corpus-sized crosses an
-    * unpartitioned window. */
+    * unpartitioned window.
+    *
+    * `score` is expected in [0, 1] (a quality DENSITY, the repo's
+    * convention): the internal milli-scale shard key clamps to
+    * [-1000, 0], so scores outside [0, 1] still rank CORRECTLY (the
+    * order key is the raw score) but all land in the end shards —
+    * silently reintroducing the single-shard straggler this key
+    * exists to fix. Rescale wider scores before calling. */
   def curriculumSchedule(
       df: DataFrame,
       id: Column,

@@ -459,13 +459,20 @@ object TextAnalysis {
     * against the (vocab²-bounded, usually much smaller) prob table on
     * the bigram key. Everything map-side combinable; no collects.
     * Exactness bound: c(w1,w2)·10^6 must stay < 2^63 (c ≤ ~9·10^12 —
-    * far beyond any real bigram count). */
-  def bigramLmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    * far beyond any real bigram count).
+    *
+    * `model` = a precomputed [[bigramLmModel]] relation over the SAME
+    * corpus (the train-once lifecycle: the prob table is the trained
+    * LM, counted once per snapshot and read by every scorer run) —
+    * identical output by construction, and it saves the per-run gram
+    * hash-aggs plus a second evaluation of the occurrence subtree. */
+  def bigramLmScore(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      model: Option[DataFrame] = None): DataFrame = {
     val bg = bigramRows(docs, id, text)
-    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val cu = cb.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val pr = cb.join(cu, "w1")
-      .select(col("w1"), col("w2"), expr("(c2 * 1000000L) div c1").as("p_ppm"))
+    val pr = model.getOrElse(bigramLmModel(docs, id, text))
     bg.join(pr, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(
@@ -477,6 +484,18 @@ object TextAnalysis {
         col("n_bigrams"),
         (col("__sp").cast("double") / col("n_bigrams")).as("avg_p_ppm"),
         col("min_p_ppm"))
+  }
+
+  /** The corpus-trained bigram LM itself — (w1, w2, p_ppm) with
+    * p_ppm = (c(w1,w2)·10^6) div c(w1), MLE over the bigram universe.
+    * Vocab²-bounded. The train-once artifact [[bigramLmScore]] scores
+    * against. */
+  def bigramLmModel(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val cb = bigramRows(docs, id, text)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    cb.join(cu, "w1")
+      .select(col("w1"), col("w2"), expr("(c2 * 1000000L) div c1").as("p_ppm"))
   }
 
   /** Word trigram occurrences (doc_id, w1, w2, w3) — the [[bigramRows]]
@@ -508,26 +527,19 @@ object TextAnalysis {
     * Scale shape: one trigram hash-agg, three marginal roll-ups OF
     * THAT (vocab-bounded) relation — the corpus is token-scanned once;
     * the probability joins run on n-gram keys against vocab-sized
-    * tables, all map-side combinable. */
-  def trigramLmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val tg  = trigramRows(docs, id, text)
-    val c3  = tg.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
-    val c12 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12"))
-    val c23 = c3.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("c23"))
-    val c2  = c23.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
-    val cw3 = c3.groupBy(col("w3")).agg(sum(col("c3")).as("cw3"))
-    val nt  = cw3.agg(sum(col("cw3")).as("ntot"))
-    val pr = c3
-      .join(c12, Seq("w1", "w2"))
-      .join(c23, Seq("w2", "w3"))
-      .join(c2, Seq("w2"))
-      .join(cw3, Seq("w3"))
-      .crossJoin(broadcast(nt))
-      .select(
-        col("w1"), col("w2"), col("w3"),
-        expr("""(500L * ((c3 * 1000000L) div c12)
-               + 300L * ((c23 * 1000000L) div c2)
-               + 200L * ((cw3 * 1000000L) div ntot)) div 1000L""").as("ip_ppm"))
+    * tables, all map-side combinable.
+    *
+    * `model` = a precomputed [[trigramLmModel]] over the SAME corpus
+    * (train-once lifecycle, see [[bigramLmScore]]) — identical output,
+    * saves the per-run count/marginal hash-aggs and a second
+    * evaluation of the occurrence subtree. */
+  def trigramLmScore(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      model: Option[DataFrame] = None): DataFrame = {
+    val tg = trigramRows(docs, id, text)
+    val pr = model.getOrElse(trigramLmModel(docs, id, text))
     tg.join(pr, Seq("w1", "w2", "w3"))
       .groupBy(col("doc_id"))
       .agg(
@@ -556,6 +568,33 @@ object TextAnalysis {
         count(lit(1)).as("occurrences"))
       .orderBy(desc("doc_freq"), desc("occurrences"), asc("t"))
       .limit(k)
+
+  /** The corpus-trained interpolated trigram LM — (w1, w2, w3, ip_ppm)
+    * with ip_ppm the Jelinek-Mercer 0.5/0.3/0.2 mixture of the MLE
+    * trigram/bigram/unigram components, every marginal rolled up from
+    * ONE counted trigram relation (self-consistent — see
+    * [[trigramLmScore]]). Trigram-vocab-bounded; the train-once
+    * artifact the scorer reads. */
+  def trigramLmModel(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val c3 = trigramRows(docs, id, text)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val c12 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12"))
+    val c23 = c3.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("c23"))
+    val c2  = c23.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
+    val cw3 = c3.groupBy(col("w3")).agg(sum(col("c3")).as("cw3"))
+    val nt  = cw3.agg(sum(col("cw3")).as("ntot"))
+    c3
+      .join(c12, Seq("w1", "w2"))
+      .join(c23, Seq("w2", "w3"))
+      .join(c2, Seq("w2"))
+      .join(cw3, Seq("w3"))
+      .crossJoin(broadcast(nt))
+      .select(
+        col("w1"), col("w2"), col("w3"),
+        expr("""(500L * ((c3 * 1000000L) div c12)
+               + 300L * ((c23 * 1000000L) div c2)
+               + 200L * ((cw3 * 1000000L) div ntot)) div 1000L""").as("ip_ppm"))
+  }
 
   /** The CMS's token hash — materialize THIS as a column before
     * calling [[cmsBuckets]] on it: Catalyst does no subexpression
@@ -894,9 +933,16 @@ object TextAnalysis {
     * conditional sum per K. */
   def vocabCoverage(docs: DataFrame, text: Column, ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
+    // The vocab relation is materialized IN-PLAN (localCheckpoint, per
+    // invocation — batch-only operator): the two-phase rank's branches
+    // plus its min/max discovery (the occurrence count has no a-priori
+    // bound, so keyBounds can't apply) would otherwise re-run the
+    // corpus-wide explode+agg up to 4× (guide §1.2 step 1; Ranking's
+    // documented lever 2).
     val counts = docs
       .select(explode(tokens(text)).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("occ"))
+      .localCheckpoint()
     val ranked = Ranking.globalRank(counts, -col("occ"), Seq(col("t")))
     val aggCols =
       count(lit(1)).as("vocab_size") +:

@@ -1272,11 +1272,32 @@ object TextDedup {
     * mode and short jobs. On a real cluster pass [[Checkpoint.reliable]]
     * (after `sc.setCheckpointDir(...)`) so a 100-TB run survives
     * executor loss. [[Checkpoint.none]] only for tiny inputs where
-    * plan growth across rounds is harmless. */
+    * plan growth across rounds is harmless.
+    *
+    * Each strategy has an EAGER form (`initial` — materialized by its
+    * own job, used once for the canonicalized input) and a LAZY form
+    * (`round` — marked for truncation but materialized BY the
+    * convergence probe's job, so each contraction round submits ONE
+    * job instead of checkpoint-materialize + probe; guide §2.1/§2.6 —
+    * at cluster latencies every extra job per round is a scheduler
+    * round trip). */
+  sealed trait Checkpoint {
+    private[operators] def initial(df: DataFrame): DataFrame
+    private[operators] def round(df: DataFrame): DataFrame
+  }
   object Checkpoint {
-    val local: DataFrame => DataFrame    = _.localCheckpoint()
-    val reliable: DataFrame => DataFrame = _.checkpoint()
-    val none: DataFrame => DataFrame     = identity
+    val local: Checkpoint = new Checkpoint {
+      private[operators] def initial(df: DataFrame) = df.localCheckpoint()
+      private[operators] def round(df: DataFrame)   = df.localCheckpoint(eager = false)
+    }
+    val reliable: Checkpoint = new Checkpoint {
+      private[operators] def initial(df: DataFrame) = df.checkpoint()
+      private[operators] def round(df: DataFrame)   = df.checkpoint(eager = false)
+    }
+    val none: Checkpoint = new Checkpoint {
+      private[operators] def initial(df: DataFrame) = df
+      private[operators] def round(df: DataFrame)   = df
+    }
   }
 
   /** Connected components over a near-duplicate pair relation
@@ -1288,7 +1309,7 @@ object TextDedup {
   def dedupClusters(
       pairs: DataFrame,
       maxIter: Int = 30,
-      checkpoint: DataFrame => DataFrame = Checkpoint.local): DataFrame =
+      checkpoint: Checkpoint = Checkpoint.local): DataFrame =
     starContract(pairs, maxIter, checkpoint)._1
 
   /** Connected components by alternating large-star / small-star
@@ -1308,9 +1329,9 @@ object TextDedup {
   def starContract(
       pairs: DataFrame,
       maxIter: Int = 30,
-      checkpoint: DataFrame => DataFrame = Checkpoint.local): (DataFrame, Int) = {
+      checkpoint: Checkpoint = Checkpoint.local): (DataFrame, Int) = {
     val a = col("doc_a"); val b = col("doc_b")
-    var cur = checkpoint(
+    var cur = checkpoint.initial(
       pairs
         .select(greatest(a, b).as("src"), least(a, b).as("dst"))
         .filter(col("src") =!= col("dst"))
@@ -1331,7 +1352,7 @@ object TextDedup {
       // canonical form) neighbors to their minimum — stars flatten
       // onto the root.
       val ssMins = ls.groupBy("src").agg(min(col("dst")).as("m"))
-      val next = checkpoint(
+      val next = checkpoint.round(
         ls.join(ssMins, "src")
           .select(col("dst").as("src"), col("m").as("dst"))
           .unionByName(ssMins.select(col("src"), col("m").as("dst")))
@@ -1344,17 +1365,32 @@ object TextDedup {
       // extra full LS+SS round just to confirm. Canonical form
       // (src > dst) makes each star's root its smallest node, and the
       // ops preserve connectivity, so star roots are component minima.
-      // Both violation kinds are counted in ONE job (a union of two
-      // scans over the just-checkpointed `next`) — at cluster scale
-      // each extra probe is a full job-submission round trip per
-      // iteration, so the two checks ride a single collect.
-      converged = next
-        .groupBy("src").agg(count(lit(1)).as("c")).filter(col("c") > 1)
-        .select(col("src"))
-        .unionByName(
-          next.select(col("src"))
-            .join(next.select(col("dst").as("src")), Seq("src"), "left_semi"))
-        .isEmpty
+      //
+      // The probe is the round's ONLY action: `next` is checkpointed
+      // LAZILY, so this count's job materializes it while computing
+      // the violation counts — one job submission per round where the
+      // eager-checkpoint + isEmpty form paid two, plus isEmpty's
+      // executeTake partition escalation on the converged (empty)
+      // round (guide §2.1/§2.6: each job is a scheduler round trip).
+      // Both violation kinds fold into ONE aggregation over ONE scan
+      // of `next` — a single scan matters beyond byte counts, because
+      // two map stages over a lazily-checkpointed relation would race
+      // its materialization and compute the LS+SS round twice.
+      // Per-node edge roles from the explode: c = times a child
+      // (c > 1 ⇔ multiple parents), p = times a parent (c > 0 AND
+      // p > 0 ⇔ a child is itself a parent). Accumulator-based
+      // counting inside the materialization was considered and
+      // rejected: task retries/speculation double-count transformation
+      // -stage accumulators, which could stamp a converged round
+      // non-converged.
+      val viol = next
+        .select(explode(array(
+          struct(col("src").as("n"), lit(1L).as("c"), lit(0L).as("p")),
+          struct(col("dst").as("n"), lit(0L).as("c"), lit(1L).as("p")))).as("e"))
+        .groupBy(col("e.n"))
+        .agg(sum(col("e.c")).as("c"), sum(col("e.p")).as("p"))
+        .filter(col("c") > 1L || (col("c") > 0L && col("p") > 0L))
+      converged = viol.count() == 0L
       cur.unpersist()
       cur = next
       iter += 1

@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * chunks via [[DirCached.releaseAll]], once a chunk's last consumer
   * ran. Heap then sizes to the working set of one chunk, not the
   * union of every chunk's artifacts. */
-private[graft] final class DirCached {
+private[graft] final class DirCached(val name: String) {
   DirCached.register(this)
 
   private val cache =
@@ -36,7 +36,21 @@ private[graft] final class DirCached {
         perDir = scala.collection.mutable.Map.empty[String, DataFrame]
         cache.put(s, perDir)
       }
-      perDir.getOrElseUpdate(dir, build.persist(DirCached.level))
+      perDir.getOrElseUpdate(dir, {
+        // Materialize EAGERLY and time it (r15, VERDICT r14 item 2:
+        // per-artifact build seconds, so warm-total improvements can't
+        // silently come from shifting compute into untagged shared
+        // artifacts). `build` runs first — nested artifact builds land
+        // in their OWN timers — then the count forces this artifact's
+        // cache batches; the cost still lands in the FIRST consumer's
+        // run (apply is called at query-construction time, inside any
+        // caller's timed region), it is just attributed by name now.
+        val df = build.persist(DirCached.level)
+        val t0 = System.nanoTime()
+        df.count()
+        DirCached.recordBuild(name, dir, (System.nanoTime() - t0) / 1e9)
+        df
+      })
     }
 
   /** Unpersist + drop this cache's entries for `s`. Returns how many
@@ -61,6 +75,24 @@ private[graft] object DirCached {
 
   private def register(c: DirCached): Unit =
     instances.synchronized { instances += c; () }
+
+  // (name, dir) → most recent build seconds for this JVM — the bench
+  // reads this into its `artifact_build` field. A rebuild after
+  // releaseAll overwrites (latest wins; the bench snapshots after the
+  // suite, so what it reports is the builds that run paid for).
+  private val buildLog =
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), Double]
+
+  private def recordBuild(name: String, dir: String, sec: Double): Unit =
+    buildLog.synchronized { buildLog((name, dir)) = sec; () }
+
+  /** Per-artifact build seconds recorded so far, summed over dirs
+    * (a bench run uses one dir; tests may touch several). */
+  private[graft] def buildSeconds: Seq[(String, Double)] =
+    buildLog.synchronized {
+      buildLog.toSeq.groupBy(_._1._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+        .toSeq.sortBy(-_._2)
+    }
 
   /** Artifact storage level for this JVM. Default MEMORY_AND_DISK (the
     * interactive/bench sweet spot at sf0.1); scale-suite runs set

@@ -28,7 +28,7 @@ object Documents {
     * compute once, read by every downstream stage — so the local
     * analogue is a persisted DataFrame shared per (session, dir)
     * ([[DirCached]]). */
-  private val shingleCache = new DirCached
+  private val shingleCache = new DirCached("shingle")
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache(s, dir)(
       TextDedup.shingleRows(Tables.documents(s, dir), col("doc_id"), col("text"), 3))
@@ -39,7 +39,7 @@ object Documents {
   // boundary is safe: the audit's anchor gate applies at the pair
   // joins ABOVE this relation, and pushdown INTO a linear shingle
   // build buys nothing.
-  private val repShingleCache = new DirCached
+  private val repShingleCache = new DirCached("repShingle")
   private def sharedRepShingles(s: SparkSession, dir: String): DataFrame =
     repShingleCache(s, dir) {
       val d = Tables.documents(s, dir)
@@ -58,12 +58,12 @@ object Documents {
   // q216's sampled gates apply at the pair joins ABOVE this relation
   // (r14: the per-run re-sign was 29% of q216's warm time for an
   // artifact every audit of the snapshot would reuse).
-  private val repSigsCache = new DirCached
+  private val repSigsCache = new DirCached("repSigs")
   private def sharedRepSigs(s: SparkSession, dir: String): DataFrame =
     repSigsCache(s, dir)(
       TextDedup.minhashSignaturesFromRows(sharedRepShingles(s, dir)))
 
-  private val winnowCache = new DirCached
+  private val winnowCache = new DirCached("winnow")
   private def sharedWinnowFps(s: SparkSession, dir: String): DataFrame =
     winnowCache(s, dir)(
       TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), col("doc_id"), col("text")))
@@ -72,7 +72,7 @@ object Documents {
   // keeper among fp-bearing docs) — the q218 word-seq sibling, a
   // once-per-snapshot artifact so the per-run cost is the rep-level
   // pair machinery, not a corpus md5 re-scan.
-  private val winnowMembersCache = new DirCached
+  private val winnowMembersCache = new DirCached("winnowMembers")
   private def sharedWinnowMembers(s: SparkSession, dir: String): DataFrame =
     winnowMembersCache(s, dir)(
       TextDedup.fingerprintMembers(
@@ -113,7 +113,7 @@ object Documents {
   // capped overlap serves from (exact doc-frequency costs a full
   // (s, doc_id) dedup — ~2× the whole overlap query at ×100, so it is
   // paid once and reused, like the signatures/codebooks above).
-  private val rareShCache = new DirCached
+  private val rareShCache = new DirCached("rareSh")
   private def sharedRareShingles(s: SparkSession, dir: String): DataFrame =
     rareShCache(s, dir)(
       TextDedup.rareShingles(sharedShingles(s, dir), SourceOverlapDfCap))
@@ -123,7 +123,7 @@ object Documents {
   private[graft] val ParagraphBreakDivisor = 4
   private[graft] val ParagraphMaxDf = 1L
 
-  private val pairsCache = new DirCached
+  private val pairsCache = new DirCached("pairs")
   private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache(s, dir)(
       TextDedup.jaccardPairsFromRows(
@@ -134,7 +134,7 @@ object Documents {
   // truth side). Exactness makes it cost ∝ true-pair mass, so at
   // scale it is computed once per corpus snapshot (or on a sample)
   // and read by every auditor — the cache models that lifecycle.
-  private val prefixPairsCache = new DirCached
+  private val prefixPairsCache = new DirCached("prefixPairs")
   private def sharedPrefixPairs(s: SparkSession, dir: String): DataFrame =
     prefixPairsCache(s, dir)(
       TextDedup.prefixJaccardPairs(sharedShingles(s, dir), 0.8))
@@ -145,7 +145,7 @@ object Documents {
   // lifecycle as sharedPrefixPairs (before r14, q112 re-ran the whole
   // candidate+rescore pipeline per run to rebuild a relation q84 had
   // already computed).
-  private val rescoredPairsCache = new DirCached
+  private val rescoredPairsCache = new DirCached("rescoredPairs")
   private def sharedRescoredPairs(s: SparkSession, dir: String): DataFrame =
     rescoredPairsCache(s, dir)(
       TextDedup.lshRescoredPairsViaReps(
@@ -154,7 +154,7 @@ object Documents {
         precomputedSigs = Some(sharedSigs(s, dir)),
         precomputedMembers = Some(sharedWordSeqMembers(s, dir))))
 
-  private val clustersCache = new DirCached
+  private val clustersCache = new DirCached("clusters")
   private def sharedClusters(s: SparkSession, dir: String): DataFrame =
     clustersCache(s, dir)(
       TextDedup.dedupClusters(sharedJaccardPairs(s, dir)))
@@ -171,7 +171,7 @@ object Documents {
   // of re-deriving each stage's prefix chain, and it means the
   // expensive contamination gram-join runs ONCE per corpus snapshot
   // no matter how many downstream stages/reports consume it.
-  private val keepSetCache = new DirCached
+  private val keepSetCache = new DirCached("keepSet")
   private def sharedKeepSet(s: SparkSession, dir: String): DataFrame =
     keepSetCache(s, dir) {
       val d = Tables.documents(s, dir)
@@ -181,7 +181,7 @@ object Documents {
         .select("doc_id")
     }
 
-  private val contamSetCache = new DirCached
+  private val contamSetCache = new DirCached("contamSet")
   private def sharedContamSet(s: SparkSession, dir: String): DataFrame =
     contamSetCache(s, dir) {
       val d = Tables.documents(s, dir)
@@ -191,7 +191,7 @@ object Documents {
         .select("doc_id")
     }
 
-  private val simhashCache = new DirCached
+  private val simhashCache = new DirCached("simhash")
   private def sharedSimhashes(s: SparkSession, dir: String): DataFrame =
     simhashCache(s, dir)(
       TextDedup.simhashes(Tables.documents(s, dir), col("doc_id"), col("text")))
@@ -201,7 +201,7 @@ object Documents {
   // shuffle of the shingle relation to compute — the classic
   // sign-once-read-forever index artifact, so it is materialized like
   // the shingles it derives from.
-  private val sigsCache = new DirCached
+  private val sigsCache = new DirCached("sigs")
   private def sharedSigs(s: SparkSession, dir: String): DataFrame =
     sigsCache(s, dir)(
       TextDedup.minhashSignaturesFromRows(sharedShingles(s, dir)))
@@ -210,7 +210,7 @@ object Documents {
   // reps-first pair forms (q33/q84): one linear fingerprint pass per
   // corpus snapshot, consumed by every collapse-then-expand plan —
   // the same sign-once lifecycle as the signatures it filters by.
-  private val wordSeqCache = new DirCached
+  private val wordSeqCache = new DirCached("wordSeq")
   private def sharedWordSeqMembers(s: SparkSession, dir: String): DataFrame =
     wordSeqCache(s, dir)(
       TextDedup.wordSeqMembers(
@@ -219,7 +219,7 @@ object Documents {
   // Image fingerprints are hash-once artifacts: q163 materializes
   // them, q164 pairs them, q166 probes them — each image is DECODED
   // once per corpus, not once per consumer.
-  private val aHashCache = new DirCached
+  private val aHashCache = new DirCached("aHash")
   private def sharedAHashes(s: SparkSession, dir: String): DataFrame =
     aHashCache(s, dir)(
       Multimodal.aHash64(
@@ -229,13 +229,13 @@ object Documents {
   // modality (the video discipline): q191 segments them, q201/q202's
   // barcodes derive from them — each clip's WAV container is decoded
   // exactly once per corpus, for every consumer.
-  private val audioFramesCache = new DirCached
+  private val audioFramesCache = new DirCached("audioFrames")
   private def sharedAudioFrames(s: SparkSession, dir: String): DataFrame =
     audioFramesCache(s, dir)(
       Multimodal.decodeAudioFrames(
         Multimodal.syntheticAudio(Tables.documents(s, dir), col("doc_id"))))
 
-  private val audioHashCache = new DirCached
+  private val audioHashCache = new DirCached("audioHash")
   private def sharedAudioHashes(s: SparkSession, dir: String): DataFrame =
     audioHashCache(s, dir)(
       Multimodal.audioHash64(sharedAudioFrames(s, dir)))
@@ -244,7 +244,7 @@ object Documents {
   // modality: q203 exports the lumas, q204 segments them — each
   // clip's AVI container is walked and its PNG frames decoded once
   // per corpus.
-  private val videoFramesCache = new DirCached
+  private val videoFramesCache = new DirCached("videoFrames")
   private def sharedVideoFrames(s: SparkSession, dir: String): DataFrame =
     videoFramesCache(s, dir)(
       Multimodal.decodeVideoFrames(
@@ -254,7 +254,7 @@ object Documents {
   // above: q205 exports them, q206 pairs them, q208's verdict chain
   // consumes them — before r14 each of the three re-ran the
   // envelope-hash aggregation over the decoded frames per run.
-  private val videoHashCache = new DirCached
+  private val videoHashCache = new DirCached("videoHash")
   private def sharedVideoHashes(s: SparkSession, dir: String): DataFrame =
     videoHashCache(s, dir)(
       Multimodal.videoHash64(sharedVideoFrames(s, dir)))
@@ -265,7 +265,7 @@ object Documents {
   // to reps — before r14 each consumer re-extracted and re-decoded
   // every keyframe PNG per run (the exact anti-pattern the
   // sharedAHashes comment above names).
-  private val kfHashCache = new DirCached
+  private val kfHashCache = new DirCached("kfHash")
   private def sharedKfHashes(s: SparkSession, dir: String): DataFrame =
     kfHashCache(s, dir) {
       val kf = Multimodal.videoKeyframes(
@@ -280,7 +280,7 @@ object Documents {
   // exports it, q170 rolls it up — the verdict chain (exact collapse +
   // banded pair join + cluster contraction) runs once per corpus, not
   // once per consumer.
-  private val imageVerdictsCache = new DirCached
+  private val imageVerdictsCache = new DirCached("imageVerdicts")
   private def sharedImageVerdicts(s: SparkSession, dir: String): DataFrame =
     imageVerdictsCache(s, dir)(
       TextDedup.hammingDedupVerdicts(sharedAHashes(s, dir), maxHamming = 3, bands = 8))
@@ -291,7 +291,7 @@ object Documents {
   // the mutual-pair miner, and each gate must be a materialized
   // id-relation scan there — never a re-run of the gate's own scan
   // (text) or decode (images) inside the composed plan.
-  private val captionKeepCache = new DirCached
+  private val captionKeepCache = new DirCached("captionKeep")
   private def sharedCaptionKeepSet(s: SparkSession, dir: String): DataFrame =
     captionKeepCache(s, dir)(
       TextAnalysis.heuristicGate(
@@ -300,7 +300,7 @@ object Documents {
         .filter(col("keep"))
         .select("doc_id"))
 
-  private val imageKeepCache = new DirCached
+  private val imageKeepCache = new DirCached("imageKeep")
   private def sharedImageKeepSet(s: SparkSession, dir: String): DataFrame =
     imageKeepCache(s, dir)(
       sharedImageVerdicts(s, dir)
@@ -312,7 +312,7 @@ object Documents {
   // the benchmark does, not per snapshot — so q214's image-leak probe
   // must read it as a persisted id relation (the sharedKeepSet
   // discipline), never re-derive the src0 membership join per run.
-  private val evalImgCache = new DirCached
+  private val evalImgCache = new DirCached("evalImg")
   private def sharedEvalImgHashes(s: SparkSession, dir: String): DataFrame =
     evalImgCache(s, dir)(
       sharedAHashes(s, dir)
@@ -346,7 +346,7 @@ object Documents {
 
   // The trained codebook is the canonical materialized intermediate:
   // q61 assigns with it, q63 probes with it ("train once").
-  private val codebookCache = new DirCached
+  private val codebookCache = new DirCached("codebook")
   private def sharedCodebook(s: SparkSession, dir: String): DataFrame =
     codebookCache(s, dir)(
       Similarity.kmeansCentroids(Tables.embeddings(s, dir), 8))
@@ -357,7 +357,7 @@ object Documents {
   // (the documented two-evaluation law); a pipeline scores the corpus
   // ONCE into a compact materialized (doc_id, scores) artifact and
   // ranks that. q197/q198 are the oracle-checked score-once twins.
-  private val qualityDensityCache = new DirCached
+  private val qualityDensityCache = new DirCached("qualityDensity")
   private def sharedQualityDensity(s: SparkSession, dir: String): DataFrame =
     qualityDensityCache(s, dir)(
       TextAnalysis
@@ -366,7 +366,25 @@ object Documents {
           TextAnalysis.qualityDensityMilli(col("logit_milli"), col("n_tokens"))
             .as("density_q_milli")))
 
-  private val dsirScoreCache = new DirCached
+  // Corpus-trained n-gram LM PROB TABLES — the model IS the artifact
+  // (train once per snapshot, read by every scorer run: q76/q114 the
+  // bigram, q152 the trigram — before r15 each run re-counted the gram
+  // relations and re-derived the marginals, evaluating the corpus-wide
+  // occurrence subtree twice). Vocab-bounded relations, the
+  // sharedCodebook lifecycle; the per-run cost that remains is the
+  // honest one: tokenize + join occurrences against the model + one
+  // per-doc agg.
+  private val bigramModelCache = new DirCached("bigramModel")
+  private def sharedBigramModel(s: SparkSession, dir: String): DataFrame =
+    bigramModelCache(s, dir)(
+      TextAnalysis.bigramLmModel(Tables.documents(s, dir), col("doc_id"), col("text")))
+
+  private val trigramModelCache = new DirCached("trigramModel")
+  private def sharedTrigramModel(s: SparkSession, dir: String): DataFrame =
+    trigramModelCache(s, dir)(
+      TextAnalysis.trigramLmModel(Tables.documents(s, dir), col("doc_id"), col("text")))
+
+  private val dsirScoreCache = new DirCached("dsirScore")
   private def sharedDsirScores(s: SparkSession, dir: String): DataFrame =
     dsirScoreCache(s, dir)(
       TextAnalysis
@@ -377,13 +395,13 @@ object Documents {
   // SQ8 per-dimension scales: |dims| rows, trained once on the corpus
   // (the scalar-quantization twin of the PQ codebooks below) — q135
   // encodes with them, q136 audits the ranking they serve.
-  private val sqScalesCache = new DirCached
+  private val sqScalesCache = new DirCached("sqScales")
   private def sharedSqScales(s: SparkSession, dir: String): DataFrame =
     sqScalesCache(s, dir)(Similarity.sqScales(Tables.embeddings(s, dir)))
 
   // Residual (IVF-PQ) codebooks: trained over residuals to the SHARED
   // coarse codebook — q141 encodes with them, q142 serves ADC probes.
-  private val ivfPqCbCache = new DirCached
+  private val ivfPqCbCache = new DirCached("ivfPqCb")
   private def sharedIvfPqCodebooks(s: SparkSession, dir: String): DataFrame =
     ivfPqCbCache(s, dir)(
       Similarity.ivfPqCodebooks(
@@ -393,7 +411,7 @@ object Documents {
   // serves from it: encode once, serve forever. At 100 TB this is the
   // cell-partitioned parquet artifact; serving never re-derives a
   // residual for the corpus side.
-  private val ivfPqCodesCache = new DirCached
+  private val ivfPqCodesCache = new DirCached("ivfPqCodes")
   private def sharedIvfPqCodes(s: SparkSession, dir: String): DataFrame =
     ivfPqCodesCache(s, dir)(
       Similarity.ivfPqEncode(
@@ -406,7 +424,7 @@ object Documents {
   private[queries] val PqM = 4
   private[queries] val PqK = 8
   private[queries] val EmbDim = 64
-  private val pqCbCache = new DirCached
+  private val pqCbCache = new DirCached("pqCb")
   private def sharedPqCodebooks(s: SparkSession, dir: String): DataFrame =
     pqCbCache(s, dir)(
       Similarity.pqCodebooks(Tables.embeddings(s, dir), EmbDim, PqM, PqK))
@@ -414,7 +432,7 @@ object Documents {
   // The PQ CODE relation — q101 materializes it, q102/q127 serve from
   // it (encode once, serve forever; the corpus vectors appear nowhere
   // in a serving plan).
-  private val pqCodesCache = new DirCached
+  private val pqCodesCache = new DirCached("pqCodes")
   private def sharedPqCodes(s: SparkSession, dir: String): DataFrame =
     pqCodesCache(s, dir)(
       Similarity.pqEncode(Tables.embeddings(s, dir), EmbDim, PqM, sharedPqCodebooks(s, dir)))
@@ -697,9 +715,11 @@ object Documents {
       Similarity.centroidOutliers(Tables.embeddings(s, dir), col("label"), 3)),
 
     // Corpus-trained bigram-LM likelihood per doc (integer-ppm
-    // quantized — the log-free perplexity stand-in).
+    // quantized — the log-free perplexity stand-in). Scores against
+    // the shared train-once prob table (r15).
     "q76_lm_score" -> ((s, dir) =>
-      TextAnalysis.bigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"),
+        model = Some(sharedBigramModel(s, dir)))),
 
     // Quality-gate verdicts: per-doc gate booleans + keep/drop — the
     // filter decision list (quality analogue of q64).
@@ -715,6 +735,12 @@ object Documents {
     // Incremental ingest dedup: the odd-id half arrives as a NEW batch
     // and probes the even-id half as the EXISTING signature index —
     // cost scales with the batch, never the corpus self-join.
+    // (r15: a reps-first rewrite was built, measured and REVERTED —
+    // 0.34 → 1.17–1.84 s at sf0.1 across two collapse variants; unlike
+    // q33's self-join the probe's candidate mass is output-bound on
+    // copy-dense data, so the collapse can save at most the ×bands
+    // multiplicity while its member-map machinery costs more than the
+    // whole direct probe here. OPTIMIZATION_r15.md has the numbers.)
     "q95_incremental_neardup" -> ((s, dir) => {
       val sigs = sharedSigs(s, dir)
       TextDedup.lshPairsAgainstIndex(
@@ -883,13 +909,20 @@ object Documents {
     // bigram-LM doc scores bucketed with the DISTRIBUTED exact ntile
     // (the single-reducer-free q81 machinery reused on text).
     "q114_perplexity_buckets" -> ((s, dir) => {
+      // Scores against the shared train-once bigram prob table, and
+      // the compact (doc_id, avg_p_ppm) relation is materialized
+      // IN-PLAN (localCheckpoint, per run) so the ntile's two branches
+      // read it instead of re-running the occurrence join (r15).
       val scored = TextAnalysis.bigramLmScore(
-        Tables.documents(s, dir), col("doc_id"), col("text"))
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        model = Some(sharedBigramModel(s, dir)))
         .select(col("doc_id"), col("avg_p_ppm"))
-      // avg_p_ppm is a per-bigram mean of Laplace probabilities in ppm
-      // — provably in [0, 1e6] — so the lead key is a-priori bounded
-      // and the min/max discovery pass (one full extra evaluation of
-      // the bigram-LM scorer) disappears (guide §1.2 step 1).
+        .localCheckpoint()
+      // avg_p_ppm is a per-bigram mean of unsmoothed MLE bigram
+      // probabilities quantized to ppm ((c2·10^6) div c1, and c2 ≤ c1
+      // — Laplace smoothing lives in dsirWeights, not here) — provably
+      // in [0, 1e6] — so the lead key is a-priori bounded and the
+      // min/max discovery pass disappears (guide §1.2 step 1).
       Ranking.globalNtile(scored, -col("avg_p_ppm"), Seq(col("doc_id")), buckets = 3,
         keyBounds = Some((-1000000L, 0L)))
         .drop("rank")
@@ -1209,9 +1242,11 @@ object Documents {
 
     // Interpolated trigram LM (Jelinek-Mercer 0.5/0.3/0.2): the
     // quality signal one order above q76's bigram model, smoothing
-    // included — unseen prefixes still score via backoff mass.
+    // included — unseen prefixes still score via backoff mass. Scores
+    // against the shared train-once prob table (r15).
     "q152_trigram_lm" -> ((s, dir) =>
-      TextAnalysis.trigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
+      TextAnalysis.trigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"),
+        model = Some(sharedTrigramModel(s, dir)))),
 
     // BPE merge-candidate kernel: corpus-wide adjacent char-pair
     // counts within words (round 1 of byte-pair tokenizer training,
@@ -1763,15 +1798,22 @@ object Documents {
     // Ranking.globalRunningSum — the two-phase sharded shape, never
     // a single-reducer global window — admit while cum <= budget.
     "q192_budget_selection" -> ((s, dir) => {
+      // Scored PER RUN (score-inline analysis form; q197 is the
+      // artifact twin) but materialized IN-PLAN (localCheckpoint,
+      // inside the timed region): the prefix sum's two branches read
+      // the compact (doc_id, n_tokens, density) relation instead of
+      // each re-running the corpus-wide hashed scorer (r15; Ranking's
+      // documented lever 2).
       val scored = TextAnalysis
         .hashedQualityScores(Tables.documents(s, dir), col("doc_id"), col("text"))
         .select(col("doc_id"), col("n_tokens"),
           TextAnalysis.qualityDensityMilli(col("logit_milli"), col("n_tokens"))
             .as("density_q_milli"))
+        .localCheckpoint()
       // keyBounds: density_q_milli ∈ [0, 2000] by construction (each
       // token weight ∈ [-1000, 1000]), so the negated lead key is in
-      // [-2000, 0] — no min/max discovery branch, the scorer runs
-      // twice instead of four times
+      // [-2000, 0] — no min/max discovery branch, and an out-of-bounds
+      // key raises instead of mis-sharding
       Ranking.globalRunningSum(
         scored, -col("density_q_milli"), Seq(col("doc_id")), col("n_tokens"),
         keyBounds = Some((-2000L, 0L)))
@@ -1807,20 +1849,29 @@ object Documents {
     // over its own full domain), |Δrank| top-k.
     "q195_rank_disagreement" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // Both scorers run PER RUN (this is the score-inline analysis
+      // form; q198 is the artifact twin) but each compact (doc_id,
+      // score) relation is materialized IN-PLAN via localCheckpoint —
+      // inside the timed region, per invocation, nothing outlives the
+      // run — so the two-phase rank's branches (and the DSIR side's
+      // min/max discovery, which has no a-priori bound: dsir_ppm is a
+      // ratio whose denominator can floor to 0 ppm on a huge corpus)
+      // read a few-columns-per-doc materialized relation instead of
+      // re-evaluating the corpus-wide scorer 2–4× (Ranking's
+      // documented lever 2, guide §1.2 step 1 / §5 localCheckpoint).
       val qual = TextAnalysis
         .hashedQualityScores(docs, col("doc_id"), col("text"))
         .select(col("doc_id"),
           TextAnalysis.qualityDensityMilli(col("logit_milli"), col("n_tokens")).as("__dq"))
+        .localCheckpoint()
       val dsir = TextAnalysis
         .dsirWeights(docs, col("doc_id"), col("text"),
           isTarget = col("source") === "src1")
         .select(col("doc_id"), col("dsir_ppm"))
+        .localCheckpoint()
       // keyBounds on the quality side (density ∈ [0, 2000] by
-      // construction — the q192 argument): the min/max discovery
-      // branch disappears, so the hashed scorer runs twice, not four
-      // times. The DSIR side has no a-priori bound (dsir_ppm is a
-      // ratio whose denominator can floor to 0 ppm on a huge corpus),
-      // so its discovery branch stays.
+      // construction — the q192 argument) stays: out-of-bounds keys
+      // raise, never mis-shard, and the discovery branch is gone.
       val rq = Ranking.globalRank(qual, -col("__dq"), Seq(col("doc_id")),
           keyBounds = Some((-2000L, 0L)))
         .select(col("doc_id"), col("rank").as("r_quality"))

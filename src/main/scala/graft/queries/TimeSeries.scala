@@ -28,7 +28,7 @@ object TimeSeries {
   // The daily rollup is consumed three ways (q22 export, q23 top-k,
   // q81 deciles — where globalRank's bounds scalar would otherwise
   // re-aggregate the ticks): one materialized aggregate, shared.
-  private val dailyCache = new DirCached
+  private val dailyCache = new DirCached("daily")
   private def sharedDaily(s: SparkSession, dir: String): DataFrame =
     dailyCache(s, dir)(Analytics.dailyStats(ticksAsCandles(s, dir), col("event_id")))
 

@@ -47,6 +47,36 @@ class RankingSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("globalNtile shardKey override: a monotone shard key yields bit-identical tiles") {
+    // the ADVICE r14 guard: the shardKey contract (weakly monotone in
+    // the lead key) is comment-only in shardByKey — this pins that the
+    // curriculumSchedule-style milli-scale override produces EXACTLY
+    // the default-truncation tiles, so a future non-monotone shard key
+    // fails loudly here instead of silently mis-ranking
+    val s = spark; import s.implicits._
+    // [0, 1] scores — the domain whose default long truncation
+    // collapses to {-1, 0} (the q143 r14 find)
+    val df = (1 to 400).map { i =>
+      val r = new scala.util.Random(i * 40503L)
+      (i.toLong, r.nextInt(1001) / 1000.0)
+    }.toDF("id", "score")
+    val lead = -col("score")
+    val milliKey = greatest(least((-col("score") * 1000).cast("long"), lit(0L)), lit(-1000L))
+    val default = Ranking.globalNtile(df, lead, Seq(col("id")), buckets = 5, shards = 16)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("tile")).toMap
+    val sharded = Ranking.globalNtile(df, lead, Seq(col("id")), buckets = 5, shards = 16,
+        keyBounds = Some((-1000L, 0L)), shardKey = Some(milliKey))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("tile")).toMap
+    assert(sharded === default)
+    // and a deliberately NON-monotone shard key must NOT sneak through
+    // this test's assertion style: it produces different tiles
+    val broken = Ranking.globalNtile(df, lead, Seq(col("id")), buckets = 5, shards = 16,
+        keyBounds = Some((-1000L, 0L)),
+        shardKey = Some(-milliKey - 1000L)) // reverses shard order vs the lead key
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("tile")).toMap
+    assert(broken !== default)
+  }
+
   test("globalRank rejects null and NaN lead keys loudly") {
     val s = spark; import s.implicits._
     val withNull = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "x")

@@ -14,8 +14,8 @@ class DirCachedSpec extends graft.SparkSpec {
     // the query packs — the list is bounded there). The two test
     // instances below stay registered after this test, but released
     // and empty, so each later releaseAll sweep pays O(1) per ghost.
-    val c1 = new DirCached
-    val c2 = new DirCached
+    val c1 = new DirCached("spec_c1")
+    val c2 = new DirCached("spec_c2")
     var builds1 = 0
     var builds2 = 0
     def make1 = { builds1 += 1; spark.range(5).toDF("x") }
