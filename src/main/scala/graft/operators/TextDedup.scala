@@ -1331,13 +1331,28 @@ object TextDedup {
       maxIter: Int = 30,
       checkpoint: Checkpoint = Checkpoint.local): (DataFrame, Int) = {
     val a = col("doc_a"); val b = col("doc_b")
-    var cur = checkpoint.initial(
+    // ONE evaluation of `pairs`, ever: the initial checkpoint keeps
+    // the canonicalized relation INCLUDING degenerate self-pairs, so
+    // the selfOnly labeling at the end reads this materialization
+    // instead of re-running the caller's (possibly join-heavy) pair
+    // source a second time (r15 — for the hamming verdict chains the
+    // old selfOnly subtree re-evaluated the whole band self-join).
+    val canon = checkpoint.initial(
       pairs
         .select(greatest(a, b).as("src"), least(a, b).as("dst"))
-        .filter(col("src") =!= col("dst"))
         .distinct())
+    var cur: DataFrame = canon.filter(col("src") =!= col("dst"))
     var iter      = 0
     var converged = false
+    // Rounds stay under AQE deliberately (r15: an AQE-off loop was
+    // built, measured and REVERTED — it made each round ONE job, 22/24
+    // jobs total for q207/q208, but the rounds' joins lost runtime
+    // broadcast conversion and partition coalescing and fell back to
+    // 32-partition sort-merge machinery: q208 floor 5.1 → 9.5 s.
+    // Static broadcast hints on lsMins/ssMins would restore local
+    // speed but OOM at corpus scale, where those relations are
+    // node-count-sized — AQE's runtime decision is the right call at
+    // every scale; the per-exchange stage-jobs are the price).
     while (!converged && iter < maxIter) {
       // large-star: every node u connects its LARGER neighbors to
       // m = min(Γ(u) ∪ {u}) — long tails fold onto small labels.
@@ -1406,14 +1421,14 @@ object TextDedup {
     val labels = cur.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
       .unionByName(
         cur.select(col("dst").as("doc_id")).distinct().withColumn("cluster_id", col("doc_id")))
-    // docs whose ONLY pairs were degenerate self-pairs were dropped by
-    // the canonicalizing filter — label them as their own singleton
-    // cluster so the "every doc appearing in ≥1 pair gets a label"
-    // contract holds for any pair source, not just doc_a < doc_b ones
-    val selfOnly = pairs
-      .filter(a === b)
-      .select(a.as("doc_id"))
-      .distinct()
+    // docs whose ONLY pairs were degenerate self-pairs never enter the
+    // contraction — label them as their own singleton cluster so the
+    // "every doc appearing in ≥1 pair gets a label" contract holds for
+    // any pair source, not just doc_a < doc_b ones. Served from the
+    // canonicalized checkpoint (already distinct), never from `pairs`.
+    val selfOnly = canon
+      .filter(col("src") === col("dst"))
+      .select(col("src").as("doc_id"))
       .join(labels, Seq("doc_id"), "left_anti")
       .withColumn("cluster_id", col("doc_id"))
     (labels.unionByName(selfOnly), iter)
