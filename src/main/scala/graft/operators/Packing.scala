@@ -83,7 +83,12 @@ object Packing {
     // Spark's ReuseExchange serves both from ONE scan + shuffle. The
     // unpartitioned window is over ≤ `shards` rows — constant size
     // regardless of data scale — then broadcast back.
-    val wOff = Window.orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)
+    // partitionBy(lit(0)): same single-partition execution over the
+    // <= shards-row offsets relation (bounded by construction), but
+    // stated EXPLICITLY so WindowExec's "No Partition Defined" warning
+    // stops burying real warnings in every rank query's logs (r15)
+    val wOff = Window.partitionBy(lit(0))
+      .orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local
       .groupBy(col("__shard"))
       .agg(max(col("__cum")).as("__tot"))

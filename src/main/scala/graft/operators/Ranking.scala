@@ -177,7 +177,12 @@ object Ranking {
     val local = sharded.withColumn("__cum", sum(col("__w")).over(wLocal))
     // per-shard totals from the WINDOWED relation (max of the local
     // cumsum) so ReuseExchange serves both sides from one shuffle
-    val wOff = Window.orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)
+    // partitionBy(lit(0)): same single-partition execution over the
+    // <= shards-row offsets relation (bounded by construction), but
+    // stated EXPLICITLY so WindowExec's "No Partition Defined" warning
+    // stops burying real warnings in every rank query's logs (r15)
+    val wOff = Window.partitionBy(lit(0))
+      .orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local
       .groupBy(col("__shard"))
       .agg(max(col("__cum")).cast("long").as("__tot"))
@@ -209,7 +214,12 @@ object Ranking {
     val local = sharded.withColumn("__rn", row_number().over(wLocal))
     // per-shard counts from the WINDOWED relation (max of the local
     // row_number) so ReuseExchange serves both sides from one shuffle
-    val wOff = Window.orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)
+    // partitionBy(lit(0)): same single-partition execution over the
+    // <= shards-row offsets relation (bounded by construction), but
+    // stated EXPLICITLY so WindowExec's "No Partition Defined" warning
+    // stops burying real warnings in every rank query's logs (r15)
+    val wOff = Window.partitionBy(lit(0))
+      .orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local
       .groupBy(col("__shard"))
       .agg(max(col("__rn")).cast("long").as("__cnt"))
